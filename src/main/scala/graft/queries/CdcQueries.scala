@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** CDC envelope analytics — the reference's actual end-to-end
+  * computation (SURVEY.md §2.8). The reference consumes CockroachDB
+  * changefeed ndjson envelopes `{after:{...}, key:[...], updated:"hlc"}`
+  * with Synapse serverless T-SQL: `JSON_VALUE(line,'$.after."city"')` +
+  * `CAST(... AS float)` + `SUM ... GROUP BY`
+  * (/root/reference/README.md:135-138,173-192).
+  *
+  * Spark-first re-expression: `to_json(struct(...))` builds the
+  * envelope, `get_json_object` is the schema-less JSON_VALUE twin, and
+  * the aggregate is a plain partial+final hash aggregate. At 100 TB
+  * the envelope serialize/parse is pure map-side codegen'd work —
+  * the only shuffle is the final tiny group-by key. */
+object CdcQueries {
+
+  /** q60: the README query, end-to-end. Orders are serialized into CDC
+    * envelope JSON lines (revenue as a string decimal, matching CRDB's
+    * JSON encoding of DECIMAL — SURVEY §7.4-7), parsed back
+    * schema-on-read, and aggregated per market segment (the movr
+    * `city` stand-in; README.md:178-179,191). */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d); val c = customer(s, d)
+    val lines = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(to_json(struct(
+        struct(
+          col("o_orderkey").as("id"),
+          col("c_mktsegment").as("city"),
+          round(col("o_totalprice"), 2).cast("string").as("revenue")).as("after"),
+        array(col("c_mktsegment"), col("o_orderkey").cast("string")).as("key"),
+        concat(col("o_orderkey").cast("string"), lit("0000000000.0000000000"))
+          .as("updated"))).as("line"))
+    lines
+      .select(
+        get_json_object(col("line"), "$.after.city").as("city"),
+        get_json_object(col("line"), "$.after.revenue").cast("double").as("rev"))
+      .groupBy("city")
+      .agg(count(lit(1)).as("n_rides"), round(sum("rev"), 2).as("total_revenue"))
+      .orderBy("city")
+  }
+
+  /** q61: upsert materialization — latest post-image per key, the
+    * standard consumer of an at-least-once, per-key-ordered changefeed
+    * (README.md:90,137). One shuffle by key; rank-1 filter keeps state
+    * bounded per key at any scale. Ties (same truncated second) break
+    * on event_id DESC for determinism (SURVEY §7.4-4). */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).withColumn("tsec", date_trunc("second", col("ts")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsec").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("val"), col("tsec"))
+      .orderBy("user_id")
+  }
+
+  /** q62: duplicate elimination across at-least-once redelivery
+    * (README.md:90) — hash-distinct on the carried columns. */
+  private def q62(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select("user_id", "event_type")
+      .distinct()
+      .orderBy("user_id", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_cdc_envelope_roundtrip" -> q60,
+    "q61_cdc_latest_by_key" -> q61,
+    "q62_cdc_dedup" -> q62)
+
+  val oracles: Map[String, String] = Map(
+    // Oracle aggregates the base tables directly — the JSON round-trip
+    // is semantically the identity on (city, round(revenue,2)).
+    "q60_cdc_envelope_roundtrip" ->
+      """SELECT c_mktsegment AS city, CAST(count(1) AS BIGINT) AS n_rides,
+                round(sum(round(o_totalprice, 2)), 2) AS total_revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q61_cdc_latest_by_key" ->
+      """SELECT user_id, event_id, event_type, round(value, 2) AS val,
+                date_trunc('second', ts) AS tsec
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "q62_cdc_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""")
+}

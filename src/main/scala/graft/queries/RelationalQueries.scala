@@ -1,0 +1,493 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Relational core: scans, filters, projections, joins, aggregations
+  * (SURVEY.md §2.1–§2.4). The reference's query layer is Synapse
+  * serverless T-SQL over lake files (`/root/reference/README.md:173-192`);
+  * each operator here is the Spark-native equivalent, declared with the
+  * DataFrame API so Catalyst handles pushdown, pruning, join selection
+  * and partial aggregation (SURVEY.md §4).
+  *
+  * Determinism contract (SURVEY.md §2.0): every query ends in a
+  * total-order sort, floats are rounded, counts cast to bigint on the
+  * DuckDB side, null ordering is explicit on both sides.
+  *
+  * Scale notes are per-query; the common ones:
+  *  - filters/projections sit directly on the parquet scan → pushed
+  *    down (verified via .explain PushedFilters/ReadSchema);
+  *  - joins against `region`/`nation`/small dims are broadcast;
+  *  - all aggregations are partial+final hash aggregates (map-side
+  *    combine), no driver-side collection anywhere.
+  */
+object RelationalQueries {
+
+  // ---- §2.1 scans -------------------------------------------------------
+
+  /** q01: full scan + column projection. At 100 TB this is a pure
+    * columnar read of 4/11 lineitem columns (ReadSchema pruning). */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .withColumn("l_extendedprice", round(col("l_extendedprice"), 2))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q02: scan with filter + projection pushed into the parquet reader
+    * (row-group/page skipping via min-max stats; ref: the day-glob
+    * pruning at README.md:182). */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1999-01-01") && col("l_quantity") < 10)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").cast("string").as("ship_d"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---- §2.2 filter / project / cast ------------------------------------
+
+  /** q03: compound predicates — AND/OR/NOT, IN, BETWEEN, LIKE, IS NOT NULL. */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .where(
+        col("p_size").between(10, 40) &&
+        (col("p_type").like("%a%") || col("p_brand").isin("B1", "B2", "B3")) &&
+        !(col("p_retailprice") < 900.0) &&
+        col("p_name").isNotNull)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        round(col("p_retailprice"), 2).as("price"))
+      .orderBy("p_partkey")
+
+  /** q04: projection with CASE WHEN / COALESCE / NULLIF / GREATEST / LEAST. */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("band"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+        round(greatest(col("c_acctbal"), lit(0.0)), 2).as("pos_bal"),
+        round(least(col("c_acctbal"), lit(1000.0)), 2).as("capped"))
+      .orderBy("c_custkey")
+
+  /** q05: explicit casts across string/int/double/date. Mirrors the
+    * reference's CAST(JSON_VALUE(...) AS float) (README.md:179).
+    * floor() before the int cast: Spark truncates double→int while
+    * DuckDB rounds, so the cast itself must see an integral value. */
+  private def q05(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        floor(col("o_totalprice")).cast("long").as("price_int"),
+        col("o_orderkey").cast("string").cast("long").as("rt_key"),
+        col("o_orderkey").cast("double").cast("long").as("via_double"),
+        col("o_orderdate").cast("date").cast("string").as("odate"),
+        lit("3.5").cast("double").as("const_d"))
+      .orderBy("o_orderkey")
+
+  // ---- §2.3 joins -------------------------------------------------------
+
+  /** q10: equi inner join; shuffles both sides on the key → SMJ/SHJ
+    * picked by the planner (AQE can switch to broadcast at runtime). */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d); val c = customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q11: left outer join with null extension. */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).where(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_last)
+  }
+
+  /** q12: full outer join; customers <= 50 removed so both sides have
+    * unmatched rows. coalesce(c,s) is unique per output row → total order. */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).where(col("c_custkey") > 50)
+    val sp = supplier(s, d)
+    c.join(sp, c("c_custkey") === sp("s_suppkey"), "full")
+      .select(col("c_custkey"), col("s_suppkey"), col("c_name"), col("s_name"))
+      .orderBy(coalesce(col("c_custkey"), col("s_suppkey")).asc)
+  }
+
+  /** q13: left semi = EXISTS. Only the probe side is output, so Spark
+    * builds a hash set of keys (no row multiplication at scale). */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val big = orders(s, d).where(col("o_totalprice") > 300000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q14: left anti = NOT EXISTS. */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val big = orders(s, d).where(col("o_totalprice") > 300000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q15: explicit broadcast of the small dim side (nation⋈region is
+    * ~25 rows at any SF — never shuffle the fact table for it). */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d); val n = nation(s, d); val r = region(s, d)
+    val dim = n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("r_name"))
+    c.join(broadcast(dim), c("c_nationkey") === dim("n_nationkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("r_name")
+  }
+
+  /** q16: θ-join (pure inequality) → BroadcastNestedLoopJoin with the
+    * 5-row region side broadcast; cost is |supplier| × 5, linear at scale. */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val sp = supplier(s, d); val r = region(s, d)
+    sp.join(broadcast(r), sp("s_acctbal") > r("r_regionkey") * 2000.0)
+      .select(col("s_suppkey"), col("r_regionkey"), round(col("s_acctbal"), 2).as("bal"))
+      .orderBy("s_suppkey", "r_regionkey")
+  }
+
+  /** q17: range join = equi key + date-band predicate. The equi key
+    * carries the shuffle; the band is a post-join filter, so this stays
+    * a hash/sort-merge join (not a nested loop) at any scale. */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d); val o = orders(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q18: as-of join — each 'error' event picks the latest 'purchase'
+    * of the same user at-or-before its (second-truncated) time.
+    * Composed Spark-first: union-tag both sides, then a single window
+    * partitioned by user_id carries the last purchase forward. The
+    * window key is the join key, so state is per-user and the whole
+    * thing is one shuffle by user_id — scales linearly, no skewed
+    * global sort. Purchases are pre-reduced per (user, second) to
+    * max(event_id) so ties are deterministic (SURVEY §7.4-4).
+    * Oracle: DuckDB native ASOF JOIN. */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, d).withColumn("tsec", date_trunc("second", col("ts")))
+    val purch = e.where(col("event_type") === "purchase")
+      .groupBy("user_id", "tsec").agg(max("event_id").as("purchase_id"))
+      .select(col("user_id"), col("tsec"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("purchase_id"))
+    val errs = e.where(col("event_type") === "error")
+      .select(col("user_id"), col("tsec"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast("long").as("purchase_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("tsec"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purch.unionByName(errs)
+      .withColumn("last_purchase", last(col("purchase_id"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1 && col("last_purchase").isNotNull)
+      .select(col("event_id"), col("user_id"), col("last_purchase").as("purchase_id"))
+      .orderBy("event_id")
+  }
+
+  /** q19: multiway star join; dims broadcast, fact shuffles once.
+    * Catalyst's ReorderJoin/CBO picks the order; AQE fixes it at runtime. */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val r = region(s, d); val n = nation(s, d)
+    val c = customer(s, d); val o = orders(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("r_name")
+  }
+
+  // ---- §2.4 aggregations ------------------------------------------------
+
+  /** q20: ungrouped aggregate — partial per partition, single final. */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      round(avg("l_quantity"), 4).as("avg_qty"),
+      round(min("l_extendedprice"), 2).as("min_price"),
+      round(max("l_extendedprice"), 2).as("max_price"))
+
+  /** q21: the reference's flagship shape — SUM(CAST(...)) GROUP BY
+    * (README.md:179,191) as a partial+final hash aggregate. */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q22: DISTINCT aggregates — planner expands to a two-phase
+    * (expand + 2×shuffle) plan; distinct sets stay bounded per group. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        round(sum_distinct(col("l_quantity")), 2).as("sd_qty"))
+      .orderBy("l_returnflag")
+
+  /** q23: HAVING = filter over the aggregate. */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .where(col("n") > 12)
+      .orderBy("o_custkey")
+
+  /** q24: ROLLUP with grouping() disambiguation; null group keys are
+    * coalesced to '(all)' so null ordering never matters. */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        grouping("o_orderstatus").cast("int").as("g_status"),
+        grouping("o_orderpriority").cast("int").as("g_prio"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("prio"),
+        col("g_status"), col("g_prio"), col("n"), col("total"))
+      .orderBy("g_status", "g_prio", "status", "prio")
+
+  /** q25: CUBE over two keys. */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"),
+        grouping("o_orderstatus").cast("int").as("g_status"),
+        grouping("o_orderpriority").cast("int").as("g_prio"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("prio"),
+        col("g_status"), col("g_prio"), col("n"), col("avg_price"))
+      .orderBy("g_status", "g_prio", "status", "prio")
+
+  /** q26: explicit GROUPING SETS via SQL (the DSL has no direct form). */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, '(all)') AS status,
+             coalesce(o_orderpriority, '(all)') AS prio,
+             cast(grouping(o_orderstatus) AS int) AS g_status,
+             cast(grouping(o_orderpriority) AS int) AS g_prio,
+             count(1) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_prio, status, prio
+    """)
+  }
+
+  /** q27: statistical aggregates (single-pass moment sketches). */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"))
+      .orderBy("l_returnflag")
+
+  /** q28: HLL approximate distinct — constant memory per group at any
+    * scale (vs exact distinct's O(n) state). No SQL oracle (approx);
+    * bounded vs exact in ApproxSpec (SURVEY §2.4). */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> q01, "q02_scan_pushdown" -> q02,
+    "q03_filter_compound" -> q03, "q04_project_case" -> q04,
+    "q05_cast_types" -> q05,
+    "q10_join_inner" -> q10, "q11_join_left" -> q11, "q12_join_full" -> q12,
+    "q13_join_semi" -> q13, "q14_join_anti" -> q14, "q15_join_broadcast" -> q15,
+    "q16_join_theta" -> q16, "q17_join_range" -> q17, "q18_join_asof" -> q18,
+    "q19_join_multiway" -> q19,
+    "q20_agg_global" -> q20, "q21_agg_group" -> q21, "q22_agg_distinct" -> q22,
+    "q23_agg_having" -> q23, "q24_agg_rollup" -> q24, "q25_agg_cube" -> q25,
+    "q26_agg_grouping_sets" -> q26, "q27_agg_stats" -> q27,
+    "q28_agg_approx_distinct" -> q28)
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS l_extendedprice
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q02_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_d,
+                round(l_extendedprice, 2) AS price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_quantity < 10
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_filter_compound" ->
+      """SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS price
+         FROM part
+         WHERE p_size BETWEEN 10 AND 40
+           AND (p_type LIKE '%a%' OR p_brand IN ('B1','B2','B3'))
+           AND NOT (p_retailprice < 900.0)
+           AND p_name IS NOT NULL
+         ORDER BY p_partkey""",
+    "q04_project_case" ->
+      """SELECT c_custkey,
+                CASE WHEN c_acctbal < 0 THEN 'neg'
+                     WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+                coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+                round(greatest(c_acctbal, 0.0), 2) AS pos_bal,
+                round(least(c_acctbal, 1000.0), 2) AS capped
+         FROM customer ORDER BY c_custkey""",
+    "q05_cast_types" ->
+      """SELECT o_orderkey,
+                CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+                CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS rt_key,
+                CAST(CAST(o_orderkey AS DOUBLE) AS BIGINT) AS via_double,
+                CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+                CAST('3.5' AS DOUBLE) AS const_d
+         FROM orders ORDER BY o_orderkey""",
+    "q10_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "q11_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS price
+         FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+           ON c_custkey = o.o_custkey
+         ORDER BY c_custkey ASC, o_orderkey ASC NULLS LAST""",
+    "q12_join_full" ->
+      """SELECT c_custkey, s_suppkey, c_name, s_name
+         FROM (SELECT * FROM customer WHERE c_custkey > 50) c
+         FULL JOIN supplier s ON c.c_custkey = s.s_suppkey
+         ORDER BY coalesce(c_custkey, s_suppkey) ASC""",
+    "q13_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+    "q14_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+    "q15_join_broadcast" ->
+      """SELECT r_name, CAST(count(1) AS BIGINT) AS n_cust,
+                round(sum(c_acctbal), 2) AS total_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q16_join_theta" ->
+      """SELECT s_suppkey, r_regionkey, round(s_acctbal, 2) AS bal
+         FROM supplier JOIN region ON s_acctbal > r_regionkey * 2000.0
+         ORDER BY s_suppkey, r_regionkey""",
+    "q17_join_range" ->
+      """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n,
+                round(sum(l_extendedprice), 2) AS rev
+         FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q18_join_asof" ->
+      """WITH p AS (
+           SELECT user_id, date_trunc('second', ts) AS tsec,
+                  max(event_id) AS purchase_id
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         e AS (
+           SELECT event_id, user_id, date_trunc('second', ts) AS tsec
+           FROM events WHERE event_type = 'error')
+         SELECT e.event_id, e.user_id, p.purchase_id
+         FROM e ASOF JOIN p ON e.user_id = p.user_id AND e.tsec >= p.tsec
+         ORDER BY e.event_id""",
+    "q19_join_multiway" ->
+      """SELECT r_name, CAST(count(1) AS BIGINT) AS n_orders,
+                round(sum(o_totalprice), 2) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q20_agg_global" ->
+      """SELECT CAST(count(1) AS BIGINT) AS n,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(min(l_extendedprice), 2) AS min_price,
+                round(max(l_extendedprice), 2) AS max_price
+         FROM lineitem""",
+    "q21_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price,
+                round(avg(l_discount), 4) AS avg_disc,
+                CAST(count(1) AS BIGINT) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q22_agg_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+                round(sum(DISTINCT l_quantity), 2) AS sd_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q23_agg_having" ->
+      """SELECT o_custkey, CAST(count(1) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_custkey
+         HAVING count(1) > 12 ORDER BY o_custkey""",
+    "q24_agg_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+                coalesce(o_orderpriority, '(all)') AS prio,
+                CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                CAST(count(1) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_prio, status, prio""",
+    "q25_agg_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+                coalesce(o_orderpriority, '(all)') AS prio,
+                CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                CAST(count(1) AS BIGINT) AS n,
+                round(avg(o_totalprice), 4) AS avg_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_prio, status, prio""",
+    "q26_agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+                coalesce(o_orderpriority, '(all)') AS prio,
+                CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                CAST(count(1) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY g_status, g_prio, status, prio""",
+    "q27_agg_stats" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 4) AS sd_qty,
+                round(var_samp(l_quantity), 4) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+}
