@@ -21,6 +21,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
     graft.queries.SortSetQueries.queries ++
+    graft.queries.ScalarQueries.queries ++
+    graft.queries.WindowQueries.queries ++
+    graft.queries.EventTimeQueries.queries ++
     graft.queries.CdcQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -28,5 +31,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
     graft.queries.SortSetQueries.oracles ++
+    graft.queries.ScalarQueries.oracles ++
+    graft.queries.WindowQueries.oracles ++
+    graft.queries.EventTimeQueries.oracles ++
     graft.queries.CdcQueries.oracles
 }

@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, round}
+
+/** Deterministic cross-engine rounding for division-derived floats
+  * (SURVEY §2.0-② / §7.4-1).
+  *
+  * Sums of 2-decimal money are decimal-exact under round(x,2) — the
+  * true value never has a 3rd decimal, so no half-boundary exists.
+  * Averages/variances/ratios are different: (2dp sum)/n often
+  * TERMINATES exactly on the rounding half-grid (e.g. avg of 8 prices
+  * = x.60875), and Spark (BigDecimal HALF_UP on the exact binary
+  * double) vs DuckDB (scaled-multiply) then legitimately disagree on
+  * the last digit. The fix: shift by an epsilon two orders below the
+  * rounding grid before rounding, ON BOTH SIDES. The epsilon dwarfs
+  * cross-engine float-summation noise (≤1e-9 relative) but is far
+  * below the output grid, so it never changes a non-boundary digit —
+  * it only moves half-grid values decisively off the boundary.
+  */
+object Det {
+  /** round to 2dp, boundary-shifted (for large-magnitude ratios, e.g. covar). */
+  def r2e(c: Column): Column = round(c + lit(1.23e-4), 2)
+  /** round to 4dp, boundary-shifted (avg / stddev / corr / jaccard). */
+  def r4e(c: Column): Column = round(c + lit(1.23e-6), 4)
+  /** round to 6dp, boundary-shifted (small-magnitude float averages). */
+  def r6e(c: Column): Column = round(c + lit(1.23e-8), 6)
+
+  /** DuckDB-side fragments — keep in sync with the Column forms above. */
+  val E2 = "0.000123"
+  val E4 = "0.00000123"
+  val E6 = "0.0000000123"
+}

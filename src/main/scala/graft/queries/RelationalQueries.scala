@@ -221,7 +221,7 @@ object RelationalQueries {
     lineitem(s, d).agg(
       count(lit(1)).as("n"),
       round(sum("l_quantity"), 2).as("sum_qty"),
-      round(avg("l_quantity"), 4).as("avg_qty"),
+      Det.r4e(avg("l_quantity")).as("avg_qty"),
       round(min("l_extendedprice"), 2).as("min_price"),
       round(max("l_extendedprice"), 2).as("max_price"))
 
@@ -233,7 +233,7 @@ object RelationalQueries {
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        Det.r4e(avg("l_discount")).as("avg_disc"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -274,7 +274,7 @@ object RelationalQueries {
   private def q25(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"),
+      .agg(count(lit(1)).as("n"), Det.r4e(avg("o_totalprice")).as("avg_price"),
         grouping("o_orderstatus").cast("int").as("g_status"),
         grouping("o_orderpriority").cast("int").as("g_prio"))
       .select(
@@ -304,10 +304,10 @@ object RelationalQueries {
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(var_samp(col("l_quantity")), 4).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"))
+        Det.r4e(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        Det.r4e(var_samp(col("l_quantity"))).as("var_qty"),
+        Det.r4e(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        Det.r2e(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qp"))
       .orderBy("l_returnflag")
 
   /** q28: HLL approximate distinct — constant memory per group at any
@@ -432,7 +432,7 @@ object RelationalQueries {
     "q20_agg_global" ->
       """SELECT CAST(count(1) AS BIGINT) AS n,
                 round(sum(l_quantity), 2) AS sum_qty,
-                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_quantity) + 0.00000123, 4) AS avg_qty,
                 round(min(l_extendedprice), 2) AS min_price,
                 round(max(l_extendedprice), 2) AS max_price
          FROM lineitem""",
@@ -440,7 +440,7 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,
                 round(sum(l_extendedprice), 2) AS sum_price,
-                round(avg(l_discount), 4) AS avg_disc,
+                round(avg(l_discount) + 0.00000123, 4) AS avg_disc,
                 CAST(count(1) AS BIGINT) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -470,7 +470,7 @@ object RelationalQueries {
                 CAST(grouping(o_orderstatus) AS INT) AS g_status,
                 CAST(grouping(o_orderpriority) AS INT) AS g_prio,
                 CAST(count(1) AS BIGINT) AS n,
-                round(avg(o_totalprice), 4) AS avg_price
+                round(avg(o_totalprice) + 0.00000123, 4) AS avg_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY g_status, g_prio, status, prio""",
     "q26_agg_grouping_sets" ->
@@ -485,9 +485,9 @@ object RelationalQueries {
          ORDER BY g_status, g_prio, status, prio""",
     "q27_agg_stats" ->
       """SELECT l_returnflag,
-                round(stddev_samp(l_quantity), 4) AS sd_qty,
-                round(var_samp(l_quantity), 4) AS var_qty,
-                round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-                round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+                round(stddev_samp(l_quantity) + 0.00000123, 4) AS sd_qty,
+                round(var_samp(l_quantity) + 0.00000123, 4) AS var_qty,
+                round(corr(l_quantity, l_extendedprice) + 0.00000123, 4) AS corr_qp,
+                round(covar_samp(l_quantity, l_extendedprice) + 0.000123, 2) AS covar_qp
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

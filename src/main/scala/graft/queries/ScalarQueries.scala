@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Scalar function families (SURVEY.md §2.7). The reference's core
+  * expression is `JSON_VALUE(line,'$.after."x"') + CAST`
+  * (/root/reference/README.md:178-179) — q54 reproduces it against
+  * `events.props`; the rest cover the string/date/math/array/map/
+  * struct surface of the invoked T-SQL engine (origin I).
+  *
+  * All pure `functions._` built-ins → whole-stage-codegen'd,
+  * map-side-only (zero shuffles except the final ORDER BY exchange).
+  * DuckDB dialect traps handled per SURVEY §2.0-⑥: bigint-returning
+  * length/year/datediff cast to int on the oracle side, 1-indexed
+  * lists, regexp_replace needs the 'g' flag, floor/ceil stay double
+  * in DuckDB (cast both to bigint).
+  */
+object ScalarQueries {
+
+  /** q50: string function family. */
+  private def q50(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"),
+      lower(col("p_brand")).as("lo"),
+      length(col("p_name")).as("len"),
+      trim(col("p_name")).as("tr"),
+      substring(col("p_name"), 1, 10).as("sub"),
+      concat_ws("#", col("p_brand"), col("p_type")).as("cc"),
+      lpad(col("p_brand"), 12, "*").as("lp"),
+      reverse(col("p_brand")).as("rev"),
+      regexp_replace(col("p_type"), " ", "_").as("repl"),
+      expr("left(p_type, 3)").as("l3"),
+      expr("right(p_type, 2)").as("r2"))
+      .orderBy("p_partkey")
+
+  /** q51: regex + predicate string functions (booleans cast to int for
+    * cross-engine hash stability). */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_type"), "([a-z]+)$", 1).as("last_word"),
+      regexp_replace(col("p_name"), "[aeiou]", "*").as("starred"),
+      col("p_type").like("%a%").cast("int").as("has_a"),
+      col("p_name").contains("b").cast("int").as("has_b"),
+      col("p_brand").startsWith("B1").cast("int").as("is_b1"))
+      .orderBy("p_partkey")
+
+  /** q52: date/time function family (dates emitted as ISO strings —
+    * parquet date32 vs DuckDB DATE pandas round-trips diverge). */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dy"),
+      date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("mstart"),
+      date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("dd"),
+      last_day(col("o_orderdate")).cast("string").as("ld"))
+      .orderBy("o_orderkey")
+
+  /** q53: math function family; transcendentals rounded to 6dp (libm
+    * last-ulp differences between JVM and C++). */
+  private def q53(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      round(abs(col("o_totalprice") - 200000.0), 2).as("ab"),
+      floor(col("o_totalprice")).cast("long").as("fl"),
+      ceil(col("o_totalprice")).cast("long").as("ce"),
+      round(pow(lit(2.0), col("o_orderkey") % 10), 6).as("pw"),
+      round(sqrt(col("o_totalprice")), 6).as("sq"),
+      round(log(col("o_totalprice")), 6).as("ln_"),
+      round(log10(col("o_totalprice")), 6).as("l10"),
+      round(exp(col("o_totalprice") / 100000.0), 6).as("ex"),
+      (col("o_orderkey") % 7).as("md_"),
+      signum(col("o_totalprice") - 200000.0).cast("int").as("sg"))
+      .orderBy("o_orderkey")
+
+  /** q54: the reference's core expression — JSON path extraction +
+    * cast + aggregate (README.md:178-179) over `events.props`.
+    * `get_json_object` = schema-less JSON_VALUE twin. */
+  private def q54(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        Det.r4e(avg("k")).as("avg_k"))
+      .orderBy("event_type")
+
+  /** q55: array functions over the 64-dim embedding column. Element
+    * arithmetic is cast to double BEFORE any op so both engines do
+    * identical double arithmetic (floats stay bitwise-comparable). */
+  private def q55(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      round(element_at(col("embedding"), 1).cast("double"), 4).as("first"),
+      round(
+        element_at(col("embedding"), 1).cast("double") +
+        element_at(col("embedding"), 2).cast("double") +
+        element_at(col("embedding"), 3).cast("double"), 4).as("s3"),
+      array_contains(array(lit(0), lit(1)), col("label")).cast("int").as("lab01"))
+      .orderBy("vec_id")
+
+  /** q56: lateral explode with position → re-aggregate per position.
+    * posexplode keys the fan-out by (vec_id,pos) so the following
+    * aggregate shuffles on pos — bounded state (64 groups) at any SF. */
+  private def q56(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), Det.r6e(avg(col("v").cast("double"))).as("avg_v"))
+      .orderBy("pos")
+
+  /** q57: map construction + element_at lookup, output flattened. */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("tot"))
+      .withColumn("m", map(lit("n"), col("cnt").cast("double"), lit("tot"), col("tot")))
+      .select(col("status"),
+        element_at(col("m"), "n").as("n"),
+        element_at(col("m"), "tot").as("total"),
+        size(map_keys(col("m"))).as("nkeys"))
+      .orderBy("status")
+
+  /** q58: struct build → to_json → from_json round-trip (the envelope
+    * mechanics of §2.8 in isolation), output re-flattened. */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("st", StringType),
+      StructField("p", StringType)))
+    orders(s, d)
+      .select(to_json(struct(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        round(col("o_totalprice"), 2).cast("string").as("p"))).as("j"))
+      .select(from_json(col("j"), schema).as("s"))
+      .select(col("s.k").as("k"), col("s.st").as("st"),
+        col("s.p").cast("double").as("p"))
+      .orderBy("k")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_str_funcs" -> q50, "q51_str_regex" -> q51, "q52_date_funcs" -> q52,
+    "q53_math_funcs" -> q53, "q54_json_extract" -> q54,
+    "q55_array_funcs" -> q55, "q56_explode_unnest" -> q56,
+    "q57_map_funcs" -> q57, "q58_struct_nested" -> q58)
+
+  val oracles: Map[String, String] = Map(
+    "q50_str_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+                CAST(length(p_name) AS INT) AS len, trim(p_name) AS tr,
+                substr(p_name, 1, 10) AS sub,
+                p_brand || '#' || p_type AS cc,
+                lpad(p_brand, 12, '*') AS lp, reverse(p_brand) AS rev,
+                regexp_replace(p_type, ' ', '_', 'g') AS repl,
+                left(p_type, 3) AS l3, right(p_type, 2) AS r2
+         FROM part ORDER BY p_partkey""",
+    "q51_str_regex" ->
+      """SELECT p_partkey,
+                regexp_extract(p_type, '([a-z]+)$', 1) AS last_word,
+                regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+                CAST(p_type LIKE '%a%' AS INT) AS has_a,
+                CAST(contains(p_name, 'b') AS INT) AS has_b,
+                CAST(starts_with(p_brand, 'B1') AS INT) AS is_b1
+         FROM part ORDER BY p_partkey""",
+    "q52_date_funcs" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(month(o_orderdate) AS INT) AS mo,
+                CAST(day(o_orderdate) AS INT) AS dy,
+                CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mstart,
+                CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+                CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS dd,
+                CAST(last_day(o_orderdate) AS VARCHAR) AS ld
+         FROM orders ORDER BY o_orderkey""",
+    "q53_math_funcs" ->
+      """SELECT o_orderkey,
+                round(abs(o_totalprice - 200000.0), 2) AS ab,
+                CAST(floor(o_totalprice) AS BIGINT) AS fl,
+                CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+                round(pow(2.0, o_orderkey % 10), 6) AS pw,
+                round(sqrt(o_totalprice), 6) AS sq,
+                round(ln(o_totalprice), 6) AS ln_,
+                round(log10(o_totalprice), 6) AS l10,
+                round(exp(o_totalprice / 100000.0), 6) AS ex,
+                o_orderkey % 7 AS md_,
+                CAST(sign(o_totalprice - 200000.0) AS INT) AS sg
+         FROM orders ORDER BY o_orderkey""",
+    "q54_json_extract" ->
+      """SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k) + 0.00000123, 4) AS avg_k
+         FROM (SELECT event_type,
+                      CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+               FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+    "q55_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+                round(CAST(embedding[1] AS DOUBLE), 4) AS first,
+                round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+                      + CAST(embedding[3] AS DOUBLE), 4) AS s3,
+                CAST(list_contains([0, 1], label) AS INT) AS lab01
+         FROM embeddings ORDER BY vec_id""",
+    "q56_explode_unnest" ->
+      """SELECT pos, CAST(count(1) AS BIGINT) AS n, round(avg(v) + 0.0000000123, 6) AS avg_v
+         FROM (SELECT CAST(unnest(range(len(embedding))) AS INT) AS pos,
+                      unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+               FROM embeddings)
+         GROUP BY pos ORDER BY pos""",
+    "q57_map_funcs" ->
+      """SELECT o_orderstatus AS status,
+                CAST(count(1) AS DOUBLE) AS n,
+                round(sum(o_totalprice), 2) AS total,
+                2 AS nkeys
+         FROM orders GROUP BY o_orderstatus ORDER BY status""",
+    "q58_struct_nested" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS st,
+                round(o_totalprice, 2) AS p
+         FROM orders ORDER BY k""")
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Window functions (SURVEY.md §2.5) — the T-SQL windowed-function
+  * surface of the invoked engine (origin I, anchored at the Synapse
+  * query step, /root/reference/README.md:156-192).
+  *
+  * Determinism (SURVEY §7.4-4): ranking with ties is computed over the
+  * tie-producing key alone (rank/dense_rank are tie-stable), while
+  * position-dependent functions (row_number, ntile, lead/lag,
+  * first/last/nth) always order by a unique key suffix.
+  *
+  * Scale: every window partitions by a bounded-cardinality key
+  * (returnflag / custkey / user_id / orderstatus) → one hash shuffle
+  * per window spec, per-partition sort, no global sort, state bounded
+  * by partition size. Skewed partitions would be handled by AQE;
+  * none of these keys are skewed in the TPC-H-ish generator.
+  */
+object WindowQueries {
+
+  /** q30: ranking family. rank/dense_rank over the non-unique quantity
+    * (tie-stable); row_number/ntile over the unique-suffixed order. */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val byQty = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
+    val total = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d).select(
+      col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"),
+      rank().over(byQty).as("rnk"),
+      dense_rank().over(byQty).as("drnk"),
+      row_number().over(total).as("rn"),
+      ntile(4).over(total).as("nt"))
+      // lineitem contains fully-duplicate rows (same orderkey+linenumber),
+      // so rn itself must join the output order to fix their interleaving.
+      .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber", "rn")
+  }
+
+  /** q31: cumulative sum/avg/count per customer in order-date order. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      round(sum("o_totalprice").over(w), 2).as("run_total"),
+      Det.r4e(avg("o_totalprice").over(w)).as("run_avg"),
+      count(lit(1)).over(w).as("run_n"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q32: lead/lag with defaults, per user over the event sequence. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id"))
+    events(s, d).select(
+      col("event_id"), col("user_id"), round(col("value"), 2).as("v"),
+      round(lag("value", 1, 0.0).over(w), 2).as("prev"),
+      round(lead("value", 1, -1.0).over(w), 2).as("nxt"))
+      .orderBy("event_id")
+  }
+
+  /** q33: moving aggregate over a 3-row ROWS frame. */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    events(s, d).select(
+      col("event_id"), col("user_id"),
+      Det.r4e(avg("value").over(w)).as("mov_avg"),
+      round(sum("value").over(w), 2).as("mov_sum"))
+      .orderBy("event_id")
+  }
+
+  /** q34: RANGE frame — value-based band over floor(price); count is
+    * tie-order independent, so no unique suffix needed. */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("pb"))
+      .rangeBetween(-10000, 0)
+    orders(s, d)
+      .withColumn("pb", floor(col("o_totalprice")).cast("long"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("pb"),
+        count(lit(1)).over(w).as("n_band"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q35: first/last/nth over an explicit full frame. */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      first("o_orderkey").over(w).as("cheapest"),
+      last("o_orderkey").over(w).as("dearest"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q36: top-k per group — row_number filter, the scalable idiom (per
+    * group heap, no global sort; only k·groups rows survive). */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderstatus", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_win_rank" -> q30, "q31_win_running" -> q31,
+    "q32_win_lead_lag" -> q32, "q33_win_frame_rows" -> q33,
+    "q34_win_frame_range" -> q34, "q35_win_first_last" -> q35,
+    "q36_topk_pergroup" -> q36)
+
+  val oracles: Map[String, String] = Map(
+    "q30_win_rank" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+                CAST(rank() OVER wq AS INT) AS rnk,
+                CAST(dense_rank() OVER wq AS INT) AS drnk,
+                CAST(row_number() OVER wt AS INT) AS rn,
+                CAST(ntile(4) OVER wt AS INT) AS nt
+         FROM lineitem
+         WINDOW wq AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+                wt AS (PARTITION BY l_returnflag
+                       ORDER BY l_quantity, l_orderkey, l_linenumber)
+         ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber, rn""",
+    "q31_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER w, 2) AS run_total,
+                round(avg(o_totalprice) OVER w + 0.00000123, 4) AS run_avg,
+                CAST(count(1) OVER w AS BIGINT) AS run_n
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+    "q32_win_lead_lag" ->
+      """SELECT event_id, user_id, round(value, 2) AS v,
+                round(lag(value, 1, 0.0) OVER w, 2) AS prev,
+                round(lead(value, 1, -1.0) OVER w, 2) AS nxt
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         ORDER BY event_id""",
+    "q33_win_frame_rows" ->
+      """SELECT event_id, user_id,
+                round(avg(value) OVER w + 0.00000123, 4) AS mov_avg,
+                round(sum(value) OVER w, 2) AS mov_sum
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q34_win_frame_range" ->
+      """SELECT o_orderkey, o_orderstatus, pb,
+                CAST(count(1) OVER w AS BIGINT) AS n_band
+         FROM (SELECT *, CAST(floor(o_totalprice) AS BIGINT) AS pb FROM orders)
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY pb
+                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+    "q35_win_first_last" ->
+      """SELECT o_orderkey, o_orderstatus,
+                first_value(o_orderkey) OVER w AS cheapest,
+                last_value(o_orderkey) OVER w AS dearest,
+                nth_value(o_orderkey, 2) OVER w AS second
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
+    "q36_topk_pergroup" ->
+      """SELECT o_orderstatus, CAST(rn AS INT) AS rn, o_orderkey,
+                round(o_totalprice, 2) AS price
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+         WHERE rn <= 3 ORDER BY o_orderstatus, rn""")
+}
