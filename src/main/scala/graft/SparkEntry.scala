@@ -24,6 +24,8 @@ object SparkEntry {
     graft.queries.ScalarQueries.queries ++
     graft.queries.WindowQueries.queries ++
     graft.queries.EventTimeQueries.queries ++
+    graft.queries.TextQueries.queries ++
+    graft.queries.VectorQueries.queries ++
     graft.queries.CdcQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -34,5 +36,7 @@ object SparkEntry {
     graft.queries.ScalarQueries.oracles ++
     graft.queries.WindowQueries.oracles ++
     graft.queries.EventTimeQueries.oracles ++
+    graft.queries.TextQueries.oracles ++
+    graft.queries.VectorQueries.oracles ++
     graft.queries.CdcQueries.oracles
 }

@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis + document-dedup operators for a training-data
+  * pipeline (charter extensions, SURVEY.md §2.10 / BASELINE.json:6):
+  * exact dedup, MinHash signatures + LSH candidate pairs, SimHash,
+  * n-gram Jaccard, language-ID (char-trigram profiles), quality
+  * scoring, token counting, fingerprinting, and binary-column
+  * plumbing for multimodal data.
+  *
+  * Hashing is md5-based throughout — the only hash both engines (and
+  * any future backend) compute identically, so every operator here
+  * keeps a full DuckDB oracle.
+  *
+  * Scale notes: everything is explode → hash-shuffle on a token/
+  * shingle/band key → aggregate. No driver-side state, no pairwise
+  * O(n²) over the corpus — candidate generation is always via a
+  * bucket join (LSH band, shared bigram), the standard linear-ish
+  * path at 100 TB. The q88 SimHash uses a native Catalyst expression
+  * (graft.functions.SimHash64) so the whole computation stays
+  * map-side: no shingle fan-out, no shuffle except the output sort.
+  */
+object TextQueries {
+
+  /** Whitespace tokens with empties dropped — keep in exact sync with
+    * the DuckDB `list_filter(string_split(...))` twin. */
+  private val TOKS = "filter(split(text, ' '), w -> w <> '')"
+  /** 3-word shingles over TOKS (docs are guaranteed ≥10 words). */
+  private val SHINGLES =
+    s"transform(sequence(0, size($TOKS) - 3), i -> concat_ws(' ', $TOKS[i], $TOKS[i+1], $TOKS[i+2]))"
+
+  /** q80: tokenize → explode → global top-k terms. */
+  private def q80(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(expr(TOKS)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(50)
+
+  /** q81: exact dedup by content hash, keep min doc_id per group. */
+  private def q81(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("h")
+
+  /** q82: per-language corpus stats. */
+  private def q82(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.r4e(avg("n_chars")).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("lang")
+
+  /** q86: MinHash signatures — 8 hash seeds over 3-word shingles; the
+    * per-(doc,seed) minimum of md5(seed:shingle). One explode + one
+    * hash aggregate; signature state is 8 hashes/doc regardless of
+    * document size. */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .where(expr(s"size($TOKS) >= 3"))
+      .select(col("doc_id"), explode(expr(SHINGLES)).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(7))).as("seed"))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("sig"))
+      .orderBy("doc_id", "seed")
+
+  /** q87: MinHash-LSH candidate pairs — 8 single-row bands (b=8, r=1);
+    * docs sharing a signature in any band become a candidate pair.
+    * The pair generation is a self-join on the (seed, sig) BUCKET key
+    * — cost scales with bucket sizes, never |docs|² . */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val sigs = q86(s, d)
+    val l = sigs.select(col("seed").as("ls"), col("sig").as("lsig"),
+      col("doc_id").as("a_id"))
+    val r = sigs.select(col("seed").as("rs"), col("sig").as("rsig"),
+      col("doc_id").as("b_id"))
+    l.join(r, col("ls") === col("rs") && col("lsig") === col("rsig") &&
+        col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q88: 60-bit SimHash per document via the native Catalyst
+    * expression SimHash64 — tokenize/hash/bit-vote entirely inside one
+    * map-side expression (vs the oracle's 1.2M-row explode), so the
+    * only shuffle is the output sort. */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SimHash64.register(s)
+    documents(s, d)
+      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** q89: n-gram (word-bigram) Jaccard similarity for all candidate
+    * pairs among doc_id < 50 that share ≥1 bigram — intersection via
+    * a bigram-keyed join (shuffle by token, linear), sizes via a
+    * distinct-count per doc. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val bi = documents(s, d).where(col("doc_id") < 50)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size($TOKS) - 2), i -> concat_ws(' ', $TOKS[i], $TOKS[i+1]))"))
+        .as("bg"))
+      .distinct()
+    val sizes = bi.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = bi.select(col("doc_id").as("a_id"), col("bg"))
+      .join(bi.select(col("doc_id").as("b_id"), col("bg")), "bg")
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"),
+        Det.r4e(col("inter") / (col("sa") + col("sb") - col("inter"))).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q91: language-ID by char-trigram profile — top-20 trigrams per
+    * labeled language, then each doc scored by profile hits and
+    * classified to the argmax. Profiles are tiny (langs × 20) →
+    * broadcast; scoring is an explode + bucket join, linear in corpus
+    * size. (On this synthetic corpus all langs share a vocabulary, so
+    * accuracy is meaningless — semantics and determinism are what's
+    * verified.) */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val tri = documents(s, d).select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("tri"))
+    val wProf = Window.partitionBy("plang").orderBy(col("cnt").desc, col("tri").asc)
+    val prof = tri.groupBy(col("lang").as("plang"), col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wProf))
+      .where(col("rn") <= 20)
+      .select("plang", "tri")
+    val scores = tri.select("doc_id", "tri")
+      .join(broadcast(prof), "tri")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+    val wPick = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("plang").asc)
+    scores.withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+      .join(documents(s, d).select(col("doc_id"), col("lang").as("actual")), "doc_id")
+      .select(col("doc_id"), col("plang").as("pred_lang"), col("score"),
+        col("actual"),
+        (col("plang") === col("actual")).cast("int").as("hit"))
+      .orderBy("doc_id")
+  }
+
+  /** q92: document quality scoring — length/stopword/punctuation
+    * features + a bounded composite score, all map-side. */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val stop = "array('the','a','of','to','and','in')"
+    documents(s, d)
+      .withColumn("nw", expr(s"size($TOKS)"))
+      .withColumn("ns", expr(s"size(filter(split(text, ' '), w -> array_contains($stop, w)))"))
+      .select(
+        col("doc_id"), col("nw"), col("ns"),
+        expr("length(replace(text, ' ', ''))").as("nos"),
+        Det.r4e(expr("CAST(length(replace(text, ' ', '')) AS DOUBLE) / nw")).as("avg_wlen"),
+        Det.r4e(col("ns") / col("nw")).as("stop_ratio"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .as("n_punct"),
+        Det.r4e(least(lit(1.0), col("nw") / 60.0) * (lit(1.0) - col("ns") / col("nw")))
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q93: token counting — whitespace tokens and a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single symbols). */
+  private def q93(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      expr(s"size($TOKS)").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("bpe_tokens"),
+      col("n_chars"))
+      .orderBy("doc_id")
+
+  /** q94: document fingerprinting — a content-normalized hash (md5 of
+    * the sorted distinct token set) plus a bottom-3 shingle-hash
+    * sketch (a fixed-size min-sketch usable for containment checks). */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val fp = documents(s, d).select(col("doc_id"),
+      md5(expr(s"array_join(array_sort(array_distinct($TOKS)), ' ')")).as("fp"))
+    val sketch = documents(s, d)
+      .where(expr(s"size($TOKS) >= 3"))
+      .select(col("doc_id"), explode(expr(SHINGLES)).as("sh"))
+      .groupBy("doc_id")
+      .agg(concat_ws("|", slice(array_sort(collect_list(md5(col("sh")))), 1, 3))
+        .as("sketch3"))
+    fp.join(sketch, "doc_id").orderBy("doc_id")
+  }
+
+  /** q96: multimodal/binary column plumbing — treat content as an
+    * opaque binary payload with typed metadata (byte length, content
+    * hash, leading byte). The decode-side stub lives in
+    * graft.multimodal.Multimodal (ScalaTest-verified). */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      expr("octet_length(text)").as("bytelen"),
+      md5(col("text")).as("bmd5"),
+      hex(expr("encode(substring(text, 1, 1), 'UTF-8')")).as("b1hex"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_text_wordcount" -> q80, "q81_text_dedup" -> q81,
+    "q82_text_stats" -> q82, "q86_minhash_sig" -> q86,
+    "q87_minhash_lsh_pairs" -> q87, "q88_simhash" -> q88,
+    "q89_ngram_jaccard" -> q89, "q91_lang_id" -> q91,
+    "q92_quality_score" -> q92, "q93_token_count" -> q93,
+    "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96)
+
+  private val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "q80_text_wordcount" ->
+      s"""SELECT word, CAST(count(1) AS BIGINT) AS n
+          FROM (SELECT unnest($TS) AS word FROM documents)
+          GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""",
+    "q81_text_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id,
+                CAST(count(1) AS BIGINT) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY h""",
+    "q82_text_stats" ->
+      """SELECT lang, CAST(count(1) AS BIGINT) AS n_docs,
+                round(avg(n_chars) + 0.00000123, 4) AS avg_chars,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q86_minhash_sig" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+          sh AS (SELECT doc_id,
+                        unnest(list_transform(range(len(ts) - 2),
+                          i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS s
+                 FROM t WHERE len(ts) >= 3),
+          x AS (SELECT doc_id, k,
+                       md5(CAST(k AS VARCHAR) || ':' || s) AS h
+                FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(k))
+          SELECT doc_id, CAST(k AS INT) AS seed, min(h) AS sig
+          FROM x GROUP BY doc_id, k ORDER BY doc_id, seed""",
+    "q87_minhash_lsh_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+          sh AS (SELECT doc_id,
+                        unnest(list_transform(range(len(ts) - 2),
+                          i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS s
+                 FROM t WHERE len(ts) >= 3),
+          x AS (SELECT doc_id, k,
+                       md5(CAST(k AS VARCHAR) || ':' || s) AS h
+                FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(k)),
+          sig AS (SELECT doc_id, k, min(h) AS sig FROM x GROUP BY doc_id, k)
+          SELECT DISTINCT s1.doc_id AS a_id, s2.doc_id AS b_id
+          FROM sig s1 JOIN sig s2
+            ON s1.k = s2.k AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id
+          ORDER BY a_id, b_id""",
+    "q88_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TS) AS w FROM documents),
+          h AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv
+                FROM tk),
+          bits AS (SELECT doc_id, b,
+                          CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+                   FROM h, (SELECT unnest(range(60)) AS b)),
+          sv AS (SELECT doc_id, b, sum(vote) AS sv FROM bits GROUP BY doc_id, b)
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM sv GROUP BY doc_id ORDER BY doc_id""",
+    "q89_ngram_jaccard" ->
+      s"""WITH bi AS (SELECT DISTINCT doc_id, bg FROM (
+                   SELECT doc_id,
+                          unnest(list_transform(range(len(ts) - 1),
+                            i -> ts[i+1] || ' ' || ts[i+2])) AS bg
+                   FROM (SELECT doc_id, $TS AS ts FROM documents
+                         WHERE doc_id < 50))),
+          sizes AS (SELECT doc_id, count(1) AS sz FROM bi GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                           CAST(count(1) AS BIGINT) AS inter
+                    FROM bi a JOIN bi b ON a.bg = b.bg AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT a_id, b_id, inter,
+                 round(inter / (sa.sz + sb.sz - inter) + 0.00000123, 4) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          ORDER BY a_id, b_id""",
+    "q91_lang_id" ->
+      """WITH tri AS (SELECT doc_id, lang,
+                unnest(list_transform(range(length(text) - 2),
+                  i -> substr(text, CAST(i + 1 AS INT), 3))) AS tri
+              FROM documents),
+         prof AS (SELECT plang, tri FROM (
+                    SELECT lang AS plang, tri, count(1) AS cnt,
+                           row_number() OVER (PARTITION BY lang
+                             ORDER BY count(1) DESC, tri ASC) AS rn
+                    FROM tri GROUP BY lang, tri)
+                  WHERE rn <= 20),
+         sc AS (SELECT t.doc_id, p.plang, CAST(count(1) AS BIGINT) AS score
+                FROM tri t JOIN prof p ON t.tri = p.tri
+                GROUP BY t.doc_id, p.plang),
+         pick AS (SELECT doc_id, plang, score FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, plang ASC) AS rn FROM sc)
+                  WHERE rn = 1)
+         SELECT d.doc_id, p.plang AS pred_lang, p.score, d.lang AS actual,
+                CAST(p.plang = d.lang AS INT) AS hit
+         FROM pick p JOIN documents d ON p.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "q92_quality_score" ->
+      s"""SELECT doc_id,
+                 CAST(len($TS) AS INT) AS nw,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','of','to','and','in'], w))) AS INT) AS ns,
+                 CAST(length(replace(text, ' ', '')) AS INT) AS nos,
+                 round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len($TS) + 0.00000123, 4) AS avg_wlen,
+                 round(len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','of','to','and','in'], w)))
+                       / len($TS) + 0.00000123, 4) AS stop_ratio,
+                 CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS INT) AS n_punct,
+                 round(least(1.0, len($TS) / 60.0)
+                       * (1.0 - len(list_filter(string_split(text, ' '),
+                            w -> list_contains(['the','a','of','to','and','in'], w)))
+                            / len($TS)) + 0.00000123, 4) AS quality
+          FROM documents ORDER BY doc_id""",
+    "q93_token_count" ->
+      s"""SELECT doc_id, CAST(len($TS) AS INT) AS ws_tokens,
+                 CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS bpe_tokens,
+                 n_chars
+          FROM documents ORDER BY doc_id""",
+    "q94_doc_fingerprint" ->
+      s"""WITH fp AS (SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct($TS)), ' ')) AS fp
+               FROM documents),
+          sh AS (SELECT doc_id,
+                        md5(unnest(list_transform(range(len(ts) - 2),
+                          i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS h
+                 FROM (SELECT doc_id, $TS AS ts FROM documents)
+                 WHERE len(ts) >= 3),
+          sk AS (SELECT doc_id, string_agg(h, '|' ORDER BY h) AS sketch3
+                 FROM (SELECT doc_id, h, row_number() OVER (
+                         PARTITION BY doc_id ORDER BY h) AS rn FROM sh)
+                 WHERE rn <= 3 GROUP BY doc_id)
+          SELECT fp.doc_id, fp.fp, sk.sketch3
+          FROM fp JOIN sk ON fp.doc_id = sk.doc_id ORDER BY fp.doc_id""",
+    "q96_binary_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS bytelen,
+                md5(text) AS bmd5,
+                hex(encode(substr(text, 1, 1))) AS b1hex
+         FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Embedding / similarity-search operators (charter extensions,
+  * SURVEY.md §2.10): vector norms, brute-force cosine top-k, per-label
+  * centroids, cosine near-dup pairs, and an IVF-bucketed ANN that
+  * probes one cluster instead of the whole corpus.
+  *
+  * All element arithmetic casts float→double BEFORE multiplying so
+  * both engines run the identical double pipeline; per-vector
+  * reductions use `aggregate()` (a sequential fold — same addition
+  * order as the oracle's positional sum to within 1e-16, dwarfed by
+  * the Det epsilon).
+  *
+  * Scale: the query vector / centroid table are O(1)-sized →
+  * broadcast; per-vector work is map-side lambda math (no explode
+  * for q83/q84); top-k goes through TakeOrderedAndProject. The only
+  * corpus-sized shuffles are the explicit groupBys (centroid build,
+  * IVF assignment), each keyed on bounded-cardinality keys.
+  */
+object VectorQueries {
+
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** Σ x_i·y_i over two float vectors, computed in double, sequentially. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => dbl(x) * dbl(y)), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + dbl(x) * dbl(x)))
+
+  /** q83: L2 norm per embedding — one map-side fold, no fan-out. */
+  private def q83(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), round(norm(col("embedding")), 6).as("l2"))
+      .orderBy("vec_id")
+
+  /** q84: brute-force cosine top-10 vs the vec_id=0 query vector. The
+    * 1-row query side is broadcast (no collect — stays a pure plan);
+    * scoring is map-side; the final top-k short-circuits. This is the
+    * exact-baseline for ANN (q95 is the probe-one-cluster variant). */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val em = embeddings(s, d)
+    val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    em.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Det.r4e(dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv")))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** q85: per-label mean vector — positional explode, then a hash
+    * aggregate on (label,pos): bounded state (labels × dim). */
+  private def q85(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(Det.r6e(avg(dbl(col("v")))).as("centroid"))
+      .orderBy("label", "pos")
+
+  /** q90: embedding-cosine near-dup pairs (cos > 0.35) within the
+    * vec_id<200 block. Pairing is a bounded block (the dedup pattern:
+    * shard the corpus into blocks / LSH buckets, pair within) — the
+    * cross product never spans the full corpus. */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val sub = embeddings(s, d).where(col("vec_id") < 200)
+    val a = sub.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = sub.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Det.r4e(dot(col("a_emb"), col("b_emb")) /
+          (norm(col("a_emb")) * norm(col("b_emb")))).as("cos_sim"))
+      .where(col("cos_sim") > 0.35)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q95: IVF-style ANN — build label-centroids, assign every vector
+    * to its argmax-dot centroid, then search the top-5 neighbours of
+    * vec_id=1 ONLY inside its cluster (probe=1). Centroids are tiny →
+    * broadcast; assignment is a positional join + hash aggregate;
+    * scores are rounded to 6dp before the argmax so the float compare
+    * is cross-engine stable. */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val em = embeddings(s, d)
+    val el = em.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xv")))
+      .select(col("vec_id"), col("label"), col("pos"), dbl(col("xv")).as("x"))
+    val cent = el.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(avg("x").as("c"))
+    val scores = el.select(col("vec_id"), col("pos"), col("x"))
+      .join(broadcast(cent), "pos")
+      .groupBy("vec_id", "clabel")
+      .agg(sum(col("x") * col("c")).as("sc"))
+    val wPick = Window.partitionBy("vec_id")
+      .orderBy(round(col("sc"), 6).desc, col("clabel").asc)
+    val assign = scores.withColumn("rn", row_number().over(wPick))
+      .where(col("rn") === 1).select("vec_id", "clabel")
+    val qCluster = assign.where(col("vec_id") === 1)
+      .select(col("clabel").as("qc"))
+    val qv = em.where(col("vec_id") === 1).select(col("embedding").as("qv"))
+    assign.join(broadcast(qCluster), col("clabel") === col("qc"))
+      .where(col("vec_id") =!= 1)
+      .join(em.select("vec_id", "embedding"), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        Det.r4e(dot(col("embedding"), col("qv")) /
+          (norm(col("embedding")) * norm(col("qv")))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_vec_norm" -> q83, "q84_vec_cosine_topk" -> q84,
+    "q85_vec_centroid" -> q85, "q90_embed_neardup" -> q90,
+    "q95_ann_ivf" -> q95)
+
+  val oracles: Map[String, String] = Map(
+    "q83_vec_norm" ->
+      """SELECT vec_id,
+                round(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+         FROM embeddings ORDER BY vec_id""",
+    "q84_vec_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         p AS (SELECT e.vec_id,
+                      unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                      unnest(list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS y
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         m AS (SELECT vec_id, sum(x*y) AS dot,
+                      sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+               FROM p GROUP BY vec_id)
+         SELECT vec_id, round(dot/(na*nb) + 0.00000123, 4) AS cos_sim
+         FROM m ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q85_vec_centroid" ->
+      """SELECT label, CAST(pos AS INT) AS pos,
+                round(avg(v) + 0.0000000123, 6) AS centroid
+         FROM (SELECT label, unnest(range(len(embedding))) AS pos,
+                      unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+               FROM embeddings)
+         GROUP BY label, pos ORDER BY label, pos""",
+    "q90_embed_neardup" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                      unnest(list_transform(a.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                      unnest(list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS y
+               FROM s a JOIN s b ON a.vec_id < b.vec_id),
+         m AS (SELECT a_id, b_id, sum(x*y) AS dot,
+                      sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+               FROM p GROUP BY a_id, b_id)
+         SELECT a_id, b_id, round(dot/(na*nb) + 0.00000123, 4) AS cos_sim
+         FROM m WHERE round(dot/(na*nb) + 0.00000123, 4) > 0.35
+         ORDER BY a_id, b_id""",
+    "q95_ann_ivf" ->
+      """WITH el AS (SELECT vec_id, label,
+                CAST(unnest(range(len(embedding))) AS INT) AS pos,
+                unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+              FROM embeddings),
+         cent AS (SELECT label AS clabel, pos, avg(x) AS c
+                  FROM el GROUP BY label, pos),
+         sc AS (SELECT e.vec_id, c.clabel, sum(e.x * c.c) AS sc
+                FROM el e JOIN cent c ON e.pos = c.pos
+                GROUP BY e.vec_id, c.clabel),
+         asg AS (SELECT vec_id, clabel FROM (
+                   SELECT vec_id, clabel, row_number() OVER (
+                     PARTITION BY vec_id
+                     ORDER BY round(sc, 6) DESC, clabel ASC) AS rn
+                   FROM sc) WHERE rn = 1),
+         qc AS (SELECT clabel FROM asg WHERE vec_id = 1),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         p AS (SELECT a.vec_id,
+                      unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                      unnest(list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS y
+               FROM asg a
+               JOIN qc ON a.clabel = qc.clabel
+               JOIN embeddings e ON a.vec_id = e.vec_id
+               CROSS JOIN q
+               WHERE a.vec_id <> 1),
+         m AS (SELECT vec_id, sum(x*y) AS dot,
+                      sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+               FROM p GROUP BY vec_id)
+         SELECT vec_id, round(dot/(na*nb) + 0.00000123, 4) AS cos_sim
+         FROM m ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""")
+}
