@@ -26,6 +26,7 @@ object SparkEntry {
     graft.queries.EventTimeQueries.queries ++
     graft.queries.TextQueries.queries ++
     graft.queries.VectorQueries.queries ++
+    graft.multimodal.Multimodal.queries ++
     graft.queries.CdcQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -38,5 +39,6 @@ object SparkEntry {
     graft.queries.EventTimeQueries.oracles ++
     graft.queries.TextQueries.oracles ++
     graft.queries.VectorQueries.oracles ++
+    graft.multimodal.Multimodal.oracles ++
     graft.queries.CdcQueries.oracles
 }

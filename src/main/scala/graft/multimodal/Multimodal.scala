@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (charter extension, SURVEY.md §2.10):
+  * image/audio/video content is carried as an opaque `binary` column
+  * plus typed metadata, and decode/feature-extraction runs as BATCHED
+  * per-partition transforms (the Scala analogue of arrow-batched
+  * Pandas UDFs: one `mapPartitions` pass, amortizing per-batch setup
+  * the way a real codec would amortize model/library init).
+  *
+  * The decode itself is a clearly-marked deterministic STUB — the
+  * container has no image/audio codecs — but everything Spark-side is
+  * real and tested: the schema, the binary payload path, the batch
+  * shape, and the partition-parallel execution. Swap `decodeOne` for a
+  * JNI/codec call and nothing else changes.
+  */
+object Multimodal {
+
+  /** An opaque media payload + metadata row. */
+  case class MediaDoc(doc_id: Long, media: Array[Byte], mime: String, n_bytes: Int)
+
+  /** Decoded features: fake "image" dims + a 16-dim feature vector. */
+  case class MediaFeatures(doc_id: Long, width: Int, height: Int, feat: Array[Float])
+
+  /** Wrap the documents table as media payloads (UTF-8 bytes stand in
+    * for image bytes). */
+  def toMediaDocs(documents: DataFrame): Dataset[MediaDoc] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"),
+        col("text").cast("binary").as("media"),
+        lit("application/octet-stream").as("mime"),
+        expr("octet_length(text)").as("n_bytes"))
+      .as[MediaDoc]
+  }
+
+  /** STUB decode — deterministic fake for an image decoder.
+    * Real implementation would hand `batch.map(_.media)` to a codec;
+    * the arithmetic below is mirrored by the q97 oracle. */
+  private def decodeOne(m: MediaDoc): MediaFeatures = {
+    val width = 32 + m.n_bytes % 97
+    val height = 32 + (m.n_bytes * 7) % 97
+    val feat = new Array[Float](16)
+    var i = 0
+    while (i < 16) {
+      feat(i) = if (i < m.media.length) (m.media(i) & 0xff) / 255.0f else 0.0f
+      i += 1
+    }
+    MediaFeatures(m.doc_id, width, height, feat)
+  }
+
+  /** Batched per-partition decode: `grouped(batchSize)` gives the
+    * codec its batch shape without materializing the partition. */
+  def decodeFeatures(ds: Dataset[MediaDoc], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // real codec: decodeBatch(batch.map(_.media)); stub: per-row
+        batch.map(decodeOne)
+      }
+    }
+  }
+
+  /** Video frame-sampling stub: every n-th fixed-size byte window. */
+  def frameSample(media: Array[Byte], frameBytes: Int, everyN: Int): Seq[Array[Byte]] =
+    media.grouped(frameBytes).zipWithIndex
+      .collect { case (frame, i) if i % everyN == 0 => frame }
+      .toSeq
+
+  /** q97: the full pipeline as a query — binary wrap → batched decode
+    * → scalar features. Oracle mirrors the stub arithmetic in SQL. */
+  def q97(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    decodeFeatures(toMediaDocs(docs)).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        round(element_at(col("feat"), 1).cast("double"), 4).as("f0"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q97_multimodal_features" -> q97)
+
+  val oracles: Map[String, String] = Map(
+    "q97_multimodal_features" ->
+      """SELECT doc_id,
+                CAST(32 + strlen(text) % 97 AS INT) AS width,
+                CAST(32 + (strlen(text) * 7) % 97 AS INT) AS height,
+                round(CAST(ascii(substr(text, 1, 1)) AS DOUBLE) / 255.0, 4) AS f0
+         FROM documents ORDER BY doc_id""")
+}

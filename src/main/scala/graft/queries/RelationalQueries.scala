@@ -53,8 +53,9 @@ object RelationalQueries {
     part(s, d)
       .where(
         col("p_size").between(10, 40) &&
-        (col("p_type").like("%a%") || col("p_brand").isin("B1", "B2", "B3")) &&
-        !(col("p_retailprice") < 900.0) &&
+        (col("p_type").like("%O%") ||
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")) &&
+        !(col("p_retailprice") < 905.0) &&
         col("p_name").isNotNull)
       .select(col("p_partkey"), col("p_name"), col("p_size"),
         round(col("p_retailprice"), 2).as("price"))
@@ -347,8 +348,8 @@ object RelationalQueries {
       """SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS price
          FROM part
          WHERE p_size BETWEEN 10 AND 40
-           AND (p_type LIKE '%a%' OR p_brand IN ('B1','B2','B3'))
-           AND NOT (p_retailprice < 900.0)
+           AND (p_type LIKE '%O%' OR p_brand IN ('Brand#1','Brand#2','Brand#3'))
+           AND NOT (p_retailprice < 905.0)
            AND p_name IS NOT NULL
          ORDER BY p_partkey""",
     "q04_project_case" ->

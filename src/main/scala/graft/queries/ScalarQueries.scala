@@ -42,7 +42,7 @@ object ScalarQueries {
   private def q51(s: SparkSession, d: String): DataFrame =
     part(s, d).select(
       col("p_partkey"),
-      regexp_extract(col("p_type"), "([a-z]+)$", 1).as("last_word"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
       regexp_replace(col("p_name"), "[aeiou]", "*").as("starred"),
       col("p_type").like("%a%").cast("int").as("has_a"),
       col("p_name").contains("b").cast("int").as("has_b"),
@@ -163,7 +163,7 @@ object ScalarQueries {
          FROM part ORDER BY p_partkey""",
     "q51_str_regex" ->
       """SELECT p_partkey,
-                regexp_extract(p_type, '([a-z]+)$', 1) AS last_word,
+                regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
                 regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
                 CAST(p_type LIKE '%a%' AS INT) AS has_a,
                 CAST(contains(p_name, 'b') AS INT) AS has_b,

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface of the engine (SURVEY.md §2.9) — the
+  * continuous twin of the reference pipeline: CockroachDB changefeed →
+  * ndjson files in a lake container → consumer
+  * (/root/reference/README.md:128-138,182).
+  *
+  * The reference's delivery contract is at-least-once with per-key
+  * ordering by the `updated` HLC timestamp (README.md:90,137); these
+  * helpers upgrade that to exactly-once analytics the Spark way:
+  * checkpointed offsets + idempotent batch sinks + watermarked
+  * dedup/upsert state.
+  *
+  * Scale: file-source listing is incremental (maxFilesPerTrigger
+  * bounds a micro-batch); all stateful ops key on the envelope key or
+  * event id, so state partitions across executors and is pruned by
+  * watermark — nothing here holds unbounded state.
+  */
+object CdcStreams {
+
+  /** The wrapped changefeed envelope: `{after: {...row}, key: [...],
+    * updated: "<hlc>"}` (README.md:135-138,178; FIXTURES.md §2).
+    * `after` is null for deletes. */
+  def envelopeSchema(rowSchema: StructType): StructType = StructType(Seq(
+    StructField("after", rowSchema, nullable = true),
+    StructField("key", ArrayType(StringType), nullable = true),
+    StructField("updated", StringType, nullable = true)))
+
+  /** s01: continuous tail of a growing ndjson directory — the
+    * streaming form of the reference's day-glob `BULK ... 2022-12-12`
+    * ndjson snapshot scan (README.md:182). */
+  def readEnvelopeStream(spark: SparkSession, dir: String,
+      rowSchema: StructType, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(envelopeSchema(rowSchema))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Flatten post-images; deletes surface as `is_delete` tombstones. */
+  def postImages(envelopes: DataFrame): DataFrame =
+    envelopes.select(
+      col("after.*"),
+      col("key"), col("updated"),
+      col("after").isNull.as("is_delete"))
+
+  /** s02: day-partitioned append sink with checkpointed exactly-once
+    * (the lake layout of README.md:182, written back out). */
+  def writePartitionedSink(df: DataFrame, tsCol: String, path: String,
+      checkpoint: String): StreamingQuery =
+    df.withColumn("ingest_date", to_date(col(tsCol)))
+      .writeStream.format("parquet")
+      .partitionBy("ingest_date")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** s06: at-least-once → effectively-once. Watermark bounds the dedup
+    * state: ids older than the watermark are dropped from the store. */
+  def dedupStream(df: DataFrame, idCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicates(idCol)
+
+  /** Batch/`foreachBatch` upsert core — latest post-image per key
+    * (q61 semantics): one shuffle by key, rank-1 filter. */
+  def latestByKey(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** s07: exactly-once upsert sink. Each micro-batch lands in a
+    * `batch=<id>` directory; a restart that replays a batch id finds
+    * the directory and skips — write idempotence on top of the
+    * checkpoint's offset replay. `currentState` materializes the
+    * upsert view (latest per key across batches). */
+  def upsertSink(df: DataFrame, statePath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dir = new Path(s"$statePath/batch=$batchId")
+        val fs = dir.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dir)) {
+          batch.write.mode("errorifexists").parquet(dir.toString)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+
+  def currentState(spark: SparkSession, statePath: String,
+      keyCols: Seq[String], orderCols: Seq[String]): DataFrame =
+    latestByKey(spark.read.option("basePath", statePath)
+      .parquet(s"$statePath/batch=*"), keyCols, orderCols)
+}

@@ -1,0 +1,168 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CdcStreams
+
+/** Unit + property tests for the composed operators the DuckDB oracle
+  * can't isolate (SURVEY.md §5.2/§5.3): as-of join vs brute force,
+  * session windows vs gaps-and-islands, approx-distinct bounds,
+  * SimHash reference vectors, dedup idempotence, multimodal batch
+  * shape, and edge cases (empty inputs, ties).
+  */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("t1 smoke: flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query returns rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    // candidate-pair queries may legitimately be empty at tiny SF; all
+    // others must produce rows.
+    val allowedEmpty = Set("q87_minhash_lsh_pairs", "q90_embed_neardup")
+    assert(empties.forall(allowedEmpty.contains), s"unexpected empty: $empties")
+  }
+
+  test("q18 as-of join equals brute force (randomized, seeded)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = List.fill(80)((rnd.nextInt(5).toLong, rnd.nextInt(3000).toLong,
+        if (rnd.nextBoolean()) "purchase" else "error"))
+      val df = rows.zipWithIndex.map { case ((u, t, ty), i) =>
+        (i.toLong, u, new Timestamp(1704067200000L + t * 1000), ty, 0.0, "{}")
+      }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      // engine under test: the union-tag + window composition
+      val got = asOf(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // brute force per error event
+      val purch = rows.zipWithIndex.collect {
+        case ((u, t, "purchase"), i) => (u, t, i.toLong)
+      }
+      val want = rows.zipWithIndex.collect { case ((u, t, "error"), i) =>
+        val cands = purch.filter(p => p._1 == u && p._2 <= t)
+        if (cands.isEmpty) None
+        else {
+          val best = cands.maxBy(p => (p._2, p._3))
+          Some(i.toLong -> best._3)
+        }
+      }.flatten.toMap
+      assert(got == want)
+    }
+  }
+
+  /** Same composition as q18 but against an arbitrary events frame. */
+  private def asOf(events: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.withColumn("tsec", date_trunc("second", col("ts")))
+    val purch = e.where(col("event_type") === "purchase")
+      .groupBy("user_id", "tsec").agg(max("event_id").as("purchase_id"))
+      .select(col("user_id"), col("tsec"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("purchase_id"))
+    val errs = e.where(col("event_type") === "error")
+      .select(col("user_id"), col("tsec"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast("long").as("purchase_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("tsec"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purch.unionByName(errs)
+      .withColumn("last_purchase", last(col("purchase_id"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1 && col("last_purchase").isNotNull)
+      .select(col("event_id"), col("user_id"), col("last_purchase"))
+  }
+
+  test("q72 session windows equal gaps-and-islands on real data") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sf)
+      .withColumn("t", date_trunc("second", col("ts")))
+    val sess = e.groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("st"), col("n"))
+    val w = Window.partitionBy("user_id").orderBy("t")
+    val gi = e
+      .withColumn("brk", when(
+        col("t").cast("long") - lag(col("t"), 1).over(w).cast("long") < 1800, 0)
+        .otherwise(1))
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("t").as("st"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("st"), col("n"))
+    assert(sess.except(gi).isEmpty && gi.except(sess).isEmpty)
+  }
+
+  test("q70 tumbling windows partition the global sum") {
+    val e = Tables.events(spark, sf)
+    val windowed = SparkEntry.queries("q70_window_tumbling")(spark, sf)
+      .agg(sum("n")).head().getLong(0)
+    assert(windowed == e.count())
+  }
+
+  test("q28 approx distinct within 5% of exact") {
+    val approx = SparkEntry.queries("q28_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05,
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("SimHash64: reference vectors and invariances") {
+    import graft.functions.SimHash64.simhash
+    assert(simhash("") == 0L)
+    assert(simhash("hello") == simhash("hello"))
+    assert(simhash("hello hello hello") == simhash("hello")) // pure repetition
+    assert(simhash("a b") == simhash("b a")) // bag-of-words: order-free
+    assert(simhash("hello") != simhash("world"))
+    // near-duplicate texts differ in few bits; unrelated in many
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base + " today"
+    val far = "completely different words everywhere nothing shared at all here ok"
+    assert(hamming(simhash(base), simhash(near)) <
+      hamming(simhash(base), simhash(far)))
+  }
+
+  test("exact dedup is idempotent") {
+    val d1 = SparkEntry.queries("q81_text_dedup")(spark, sf)
+    assert(d1.groupBy("h").count().where(col("count") > 1).isEmpty)
+  }
+
+  test("latestByKey: ties break on the order column, empty input ok") {
+    val df = Seq((1L, "old", 1L), (1L, "new", 2L), (2L, "only", 5L))
+      .toDF("k", "v", "ver")
+    val got = CdcStreams.latestByKey(df, Seq("k"), Seq("ver"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "new", 2L -> "only"))
+    val empty = CdcStreams.latestByKey(
+      spark.emptyDataset[(Long, String, Long)].toDF("k", "v", "ver"),
+      Seq("k"), Seq("ver"))
+    assert(empty.isEmpty)
+  }
+
+  test("multimodal: batched decode covers every row exactly once") {
+    import graft.multimodal.Multimodal
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.toMediaDocs(docs)
+    val feats = Multimodal.decodeFeatures(media, batchSize = 7)
+    assert(feats.count() == docs.count())
+    val f = feats.orderBy("doc_id").head()
+    assert(f.feat.length == 16)
+    assert(f.width >= 32 && f.width < 129)
+    // frame sampling: every 2nd 4-byte window of 10 bytes -> frames 0,2
+    val frames = Multimodal.frameSample(Array.tabulate(10)(_.toByte), 4, 2)
+    assert(frames.map(_.toSeq) == Seq(Seq[Byte](0, 1, 2, 3), Seq[Byte](8, 9)))
+  }
+}

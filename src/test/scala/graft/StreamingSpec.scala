@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CdcStreams
+
+/** Streaming semantics s01–s08 (SURVEY.md §2.9/§5.4): file-source
+  * tailing, partitioned exactly-once sink, watermark late-drop, output
+  * modes, stream-static join, watermarked dedup, foreachBatch upsert,
+  * checkpoint recovery. Batch twins of the windowed aggregations are
+  * oracle-verified (q70–q72); here we assert the streaming-only
+  * behaviors on controlled inputs.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val rideSchema = StructType(Seq(
+    StructField("id", StringType), StructField("city", StringType),
+    StructField("revenue", StringType)))
+
+  private def writeNdjson(dir: String, name: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name), String.join("\n", lines: _*).getBytes)
+  }
+
+  private def envLine(id: String, city: String, rev: String, hlc: String): String =
+    s"""{"after": {"id": "$id", "city": "$city", "revenue": "$rev"}, "key": ["$city", "$id"], "updated": "$hlc"}"""
+
+  test("s01: file source tails a growing ndjson directory") {
+    val src = TestSpark.tmpDir("s01-src")
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.50", "1.0"),
+      envLine("b", "boston", "20.25", "2.0")))
+    writeNdjson(src, "f2.ndjson", Seq(envLine("c", "amsterdam", "5.00", "3.0")))
+    val q = CdcStreams.postImages(
+        CdcStreams.readEnvelopeStream(spark, src, rideSchema, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("s01")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("s01").collect()
+    assert(rows.length == 3)
+    assert(spark.table("s01").where(col("city") === "amsterdam").count() == 2)
+  }
+
+  test("s02: partitioned append sink is exactly-once across a rerun") {
+    val src = TestSpark.tmpDir("s02-src")
+    val out = TestSpark.tmpDir("s02-out")
+    val chk = TestSpark.tmpDir("s02-chk")
+    writeNdjson(src, "f1.ndjson", Seq(
+      """{"after": {"id": "a", "city": "x", "revenue": "1.00"}, "key": ["x","a"], "updated": "1.0"}"""))
+    def run(): Unit = {
+      val df = CdcStreams.postImages(
+        CdcStreams.readEnvelopeStream(spark, src, rideSchema))
+        .withColumn("ts", lit("2022-12-12").cast("timestamp"))
+      val q = CdcStreams.writePartitionedSink(df, "ts", out, chk)
+      q.awaitTermination()
+    }
+    run()
+    run() // no new files → replaying the checkpoint must not duplicate
+    val result = spark.read.parquet(out)
+    assert(result.count() == 1)
+    assert(result.columns.contains("ingest_date")) // day-partitioned layout
+  }
+
+  test("s03: watermark drops late data from closed windows") {
+    val ms = MemoryStream[(Timestamp, Long)]
+    val agg = ms.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("s03").start()
+    def t(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+    ms.addData((t("10:00"), 1L), (t("10:02"), 2L))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window…
+    ms.addData((t("11:00"), 3L))
+    q.processAllAvailable()
+    // …then a late row for the closed 10:00 window: must be dropped
+    ms.addData((t("10:01"), 4L))
+    q.processAllAvailable()
+    ms.addData((t("12:00"), 5L))
+    q.processAllAvailable()
+    q.stop()
+    val w10 = spark.table("s03").where(col("ws") === t("10:00")).collect()
+    assert(w10.length == 1 && w10.head.getAs[Long]("n") == 2L,
+      s"late row leaked into closed window: ${w10.mkString}")
+  }
+
+  test("s04: update vs complete output modes on a windowed aggregate") {
+    def runMode(mode: String, name: String): Unit = {
+      val ms = MemoryStream[(Timestamp, Long)]
+      val agg = ms.toDF().toDF("ts", "v")
+        .groupBy(window(col("ts"), "1 hour")).agg(sum("v").as("sv"))
+        .select(col("window.start").as("ws"), col("sv"))
+      val q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      def t(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+      ms.addData((t("10:00"), 1L)); q.processAllAvailable()
+      ms.addData((t("10:30"), 2L)); q.processAllAvailable()
+      q.stop()
+    }
+    runMode("complete", "s04c")
+    // complete mode: final table is the full, current aggregate
+    val c = spark.table("s04c").collect()
+    assert(c.length == 1 && c.head.getAs[Long]("sv") == 3L)
+    runMode("update", "s04u")
+    // update mode appends each changed row per trigger: 1 then 3
+    val u = spark.table("s04u").orderBy("sv").collect().map(_.getAs[Long]("sv"))
+    assert(u.toSeq == Seq(1L, 3L))
+  }
+
+  test("s05: stream-static enrichment join") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[Long]
+    val joined = ms.toDF().toDF("user_id").join(dim, "user_id")
+    val q = joined.writeStream.format("memory").queryName("s05").start()
+    ms.addData(1L, 2L, 1L, 3L) // 3 has no dim row → inner join drops
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s05").collect()
+    assert(rows.length == 3)
+    assert(spark.table("s05").where(col("tier") === "gold").count() == 2)
+  }
+
+  test("s06: dropDuplicates with watermark survives redelivery") {
+    val ms = MemoryStream[(Timestamp, Long)]
+    val dedup = CdcStreams.dedupStream(
+      ms.toDF().toDF("ts", "event_id"), "event_id", "ts", "1 hour")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("s06").start()
+    def t(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+    ms.addData((t("10:00"), 1L), (t("10:01"), 2L))
+    q.processAllAvailable()
+    ms.addData((t("10:02"), 1L), (t("10:03"), 3L)) // id 1 redelivered
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("s06").count() == 3)
+  }
+
+  test("s07: foreachBatch upsert is idempotent and keeps latest per key") {
+    val state = TestSpark.tmpDir("s07-state")
+    val chk = TestSpark.tmpDir("s07-chk")
+    val ms = MemoryStream[(Long, String, Long)]
+    val q = CdcStreams.upsertSink(
+      ms.toDF().toDF("k", "v", "ver"), state, chk).start()
+    ms.addData((1L, "a", 1L), (2L, "b", 1L))
+    q.processAllAvailable()
+    ms.addData((1L, "a2", 2L)) // update key 1
+    q.processAllAvailable()
+    q.stop()
+    val cur = CdcStreams.currentState(spark, state, Seq("k"), Seq("ver"))
+    val m = cur.collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(m == Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("s08: checkpoint recovery resumes without loss or duplication") {
+    val src = TestSpark.tmpDir("s08-src")
+    val out = TestSpark.tmpDir("s08-out")
+    val chk = TestSpark.tmpDir("s08-chk")
+    val schema = StructType(Seq(StructField("id", LongType)))
+    writeNdjson(src, "f1.ndjson", Seq("""{"id": 1}""", """{"id": 2}"""))
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).json(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    writeNdjson(src, "f2.ndjson", Seq("""{"id": 3}"""))
+    run() // restart from the same checkpoint: f1 must NOT be re-read
+    val ids = spark.read.schema(schema).parquet(out)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"lost/duplicated rows: $ids")
+  }
+}
