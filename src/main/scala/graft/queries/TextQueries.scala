@@ -58,35 +58,50 @@ object TextQueries {
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
       .orderBy("lang")
 
+  /** Tokens materialized ONCE per row, then shingles from the token
+    * array — evaluating the split inside every lambda element (the
+    * naive composition) re-tokenizes the document per shingle element
+    * and was the #1 cost in the first bench pass. */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", expr(TOKS))
+      .where(expr("size(toks) >= 3"))
+      .withColumn("shs", expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+
   /** q86: MinHash signatures — 8 hash seeds over 3-word shingles; the
-    * per-(doc,seed) minimum of md5(seed:shingle). One explode + one
-    * hash aggregate; signature state is 8 hashes/doc regardless of
-    * document size. */
+    * per-(doc,seed) minimum of md5(seed:shingle). Computed entirely
+    * MAP-SIDE as array_min over the shingle array (8 rows out per doc,
+    * no shuffle, constant 8-hash state per doc at any corpus size);
+    * the oracle recomputes it via the explode+group form. */
+  private def sigsOf(s: SparkSession, d: String): DataFrame =
+    withShingles(documents(s, d))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 7),
+             s -> array_min(transform(shs, sh -> md5(concat(cast(s AS string), ':', sh)))))"""))
+        .as(Seq("seed", "sig")))
+
   private def q86(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .where(expr(s"size($TOKS) >= 3"))
-      .select(col("doc_id"), explode(expr(SHINGLES)).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(7))).as("seed"))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("sig"))
-      .orderBy("doc_id", "seed")
+    sigsOf(s, d).orderBy("doc_id", "seed")
 
   /** q87: MinHash-LSH candidate pairs — 8 single-row bands (b=8, r=1);
     * docs sharing a signature in any band become a candidate pair.
-    * The pair generation is a self-join on the (seed, sig) BUCKET key
-    * — cost scales with bucket sizes, never |docs|² . */
-  private def q87(s: SparkSession, d: String): DataFrame = {
-    val sigs = q86(s, d)
-    val l = sigs.select(col("seed").as("ls"), col("sig").as("lsig"),
-      col("doc_id").as("a_id"))
-    val r = sigs.select(col("seed").as("rs"), col("sig").as("rsig"),
-      col("doc_id").as("b_id"))
-    l.join(r, col("ls") === col("rs") && col("lsig") === col("rsig") &&
-        col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    * Pairs are enumerated from each bucket's sorted doc list (one
+    * groupBy on the (seed,sig) bucket key — never a |docs|² join; a
+    * pathological all-identical corpus would still quadratically
+    * explode one bucket, which is inherent to LSH, not to the plan). */
+  private def q87(s: SparkSession, d: String): DataFrame =
+    sigsOf(s, d)
+      .groupBy("seed", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids,
+             (a, i) -> transform(slice(ids, i + 2, size(ids)),
+                                 b -> named_struct('a_id', a, 'b_id', b))))"""))
+        .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
       .orderBy("a_id", "b_id")
-  }
 
   /** q88: 60-bit SimHash per document via the native Catalyst
     * expression SimHash64 — tokenize/hash/bit-vote entirely inside one
@@ -185,17 +200,14 @@ object TextQueries {
   /** q94: document fingerprinting — a content-normalized hash (md5 of
     * the sorted distinct token set) plus a bottom-3 shingle-hash
     * sketch (a fixed-size min-sketch usable for containment checks). */
-  private def q94(s: SparkSession, d: String): DataFrame = {
-    val fp = documents(s, d).select(col("doc_id"),
-      md5(expr(s"array_join(array_sort(array_distinct($TOKS)), ' ')")).as("fp"))
-    val sketch = documents(s, d)
-      .where(expr(s"size($TOKS) >= 3"))
-      .select(col("doc_id"), explode(expr(SHINGLES)).as("sh"))
-      .groupBy("doc_id")
-      .agg(concat_ws("|", slice(array_sort(collect_list(md5(col("sh")))), 1, 3))
-        .as("sketch3"))
-    fp.join(sketch, "doc_id").orderBy("doc_id")
-  }
+  private def q94(s: SparkSession, d: String): DataFrame =
+    withShingles(documents(s, d))
+      .select(col("doc_id"),
+        md5(expr("array_join(array_sort(array_distinct(toks)), ' ')")).as("fp"),
+        concat_ws("|",
+          slice(array_sort(expr("transform(shs, sh -> md5(sh))")), 1, 3))
+          .as("sketch3"))
+      .orderBy("doc_id")
 
   /** q96: multimodal/binary column plumbing — treat content as an
     * opaque binary payload with typed metadata (byte length, content
