@@ -33,4 +33,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Fan a scan out to all cores before CPU-heavy per-row work.
+    *
+    * A parquet file is splittable only at row-group boundaries, so a
+    * small single-row-group file scans as ONE partition and every
+    * downstream map-side expression (md5 fan-outs, JSON round-trips,
+    * shingling) runs on one core until the first shuffle. On a real
+    * cluster a 100 TB table arrives as thousands of splits and this is
+    * a no-op (guarded on the actual scan partition count); on the
+    * bench fixtures it buys full parallelism for the price of
+    * shuffling a few MB of raw rows. Use it ONLY in front of
+    * expression-heavy pipelines — plain scan→shuffle queries gain
+    * nothing from an extra exchange.
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

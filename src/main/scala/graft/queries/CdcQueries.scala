@@ -25,7 +25,10 @@ object CdcQueries {
     * schema-on-read, and aggregated per market segment (the movr
     * `city` stand-in; README.md:178-179,191). */
   private def q60(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d); val c = customer(s, d)
+    // customer broadcasts, so the join (and all the JSON work above
+    // it) would run on the orders scan's own partitioning — spread it
+    // so the envelope serialize/parse parallelizes (no-op at scale).
+    val o = spread(s, orders(s, d)); val c = customer(s, d)
     val lines = o.join(c, o("o_custkey") === c("c_custkey"))
       .select(to_json(struct(
         struct(
@@ -57,7 +60,7 @@ object CdcQueries {
       .where(col("rn") === 1)
       .select(col("user_id"), col("event_id"), col("event_type"),
         round(col("value"), 2).as("val"), col("tsec"))
-      .orderBy("user_id")
+      .transform(Det.emit(_, "user_id"))
   }
 
   /** q62: duplicate elimination across at-least-once redelivery

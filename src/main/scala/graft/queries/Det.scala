@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions.{lit, round}
   * it only moves half-grid values decisively off the boundary.
   */
 object Det {
+  /** Deterministic output emitter for full-result queries.
+    *
+    * The harness hash-compares rows in emitted order, so every query
+    * ends in a total-order sort. A global `orderBy` is the scalable
+    * form (range-partitioned sort), but its range-boundary sampling
+    * pass executes the whole child plan a second time — for a query
+    * whose child is an expensive window/join/hash pipeline that
+    * doubles the runtime just to order the verification dump. Since
+    * the final ordering exists only for the harness (no analytic
+    * consumer needs a totally-ordered 100 TB result set), emit through
+    * one partition and sort there: the analytic plan above stays fully
+    * distributed and runs exactly once; only the already-computed
+    * result rows funnel through the single writer. Queries whose
+    * semantics ARE a global sort (q40/q41 top-k) keep `orderBy` —
+    * there the sort is the operator under test, not the emitter.
+    */
+  def emit(df: org.apache.spark.sql.DataFrame, cols: Column*): org.apache.spark.sql.DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
+  def emit(df: org.apache.spark.sql.DataFrame, c0: String, cs: String*): org.apache.spark.sql.DataFrame =
+    emit(df, (c0 +: cs).map(org.apache.spark.sql.functions.col): _*)
+
   /** round to 2dp, boundary-shifted (for large-magnitude ratios, e.g. covar). */
   def r2e(c: Column): Column = round(c + lit(1.23e-4), 2)
   /** round to 4dp, boundary-shifted (avg / stddev / corr / jaccard). */

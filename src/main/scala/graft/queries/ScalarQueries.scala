@@ -22,7 +22,7 @@ object ScalarQueries {
 
   /** q50: string function family. */
   private def q50(s: SparkSession, d: String): DataFrame =
-    part(s, d).select(
+    spread(s, part(s, d)).select(
       col("p_partkey"),
       upper(col("p_name")).as("up"),
       lower(col("p_brand")).as("lo"),
@@ -35,24 +35,24 @@ object ScalarQueries {
       regexp_replace(col("p_type"), " ", "_").as("repl"),
       expr("left(p_type, 3)").as("l3"),
       expr("right(p_type, 2)").as("r2"))
-      .orderBy("p_partkey")
+      .transform(Det.emit(_, "p_partkey"))
 
   /** q51: regex + predicate string functions (booleans cast to int for
     * cross-engine hash stability). */
   private def q51(s: SparkSession, d: String): DataFrame =
-    part(s, d).select(
+    spread(s, part(s, d)).select(
       col("p_partkey"),
       regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
       regexp_replace(col("p_name"), "[aeiou]", "*").as("starred"),
       col("p_type").like("%a%").cast("int").as("has_a"),
       col("p_name").contains("b").cast("int").as("has_b"),
       col("p_brand").startsWith("B1").cast("int").as("is_b1"))
-      .orderBy("p_partkey")
+      .transform(Det.emit(_, "p_partkey"))
 
   /** q52: date/time function family (dates emitted as ISO strings —
     * parquet date32 vs DuckDB DATE pandas round-trips diverge). */
   private def q52(s: SparkSession, d: String): DataFrame =
-    orders(s, d).select(
+    spread(s, orders(s, d)).select(
       col("o_orderkey"),
       year(col("o_orderdate")).as("yr"),
       month(col("o_orderdate")).as("mo"),
@@ -61,12 +61,12 @@ object ScalarQueries {
       date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
       datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("dd"),
       last_day(col("o_orderdate")).cast("string").as("ld"))
-      .orderBy("o_orderkey")
+      .transform(Det.emit(_, "o_orderkey"))
 
   /** q53: math function family; transcendentals rounded to 6dp (libm
     * last-ulp differences between JVM and C++). */
   private def q53(s: SparkSession, d: String): DataFrame =
-    orders(s, d).select(
+    spread(s, orders(s, d)).select(
       col("o_orderkey"),
       round(abs(col("o_totalprice") - 200000.0), 2).as("ab"),
       floor(col("o_totalprice")).cast("long").as("fl"),
@@ -78,13 +78,13 @@ object ScalarQueries {
       round(exp(col("o_totalprice") / 100000.0), 6).as("ex"),
       (col("o_orderkey") % 7).as("md_"),
       signum(col("o_totalprice") - 200000.0).cast("int").as("sg"))
-      .orderBy("o_orderkey")
+      .transform(Det.emit(_, "o_orderkey"))
 
   /** q54: the reference's core expression — JSON path extraction +
     * cast + aggregate (README.md:178-179) over `events.props`.
     * `get_json_object` = schema-less JSON_VALUE twin. */
   private def q54(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+    spread(s, events(s, d))
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .groupBy("event_type")
@@ -135,14 +135,14 @@ object ScalarQueries {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("st", StringType),
       StructField("p", StringType)))
-    orders(s, d)
+    spread(s, orders(s, d))
       .select(to_json(struct(
         col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
         round(col("o_totalprice"), 2).cast("string").as("p"))).as("j"))
       .select(from_json(col("j"), schema).as("s"))
       .select(col("s.k").as("k"), col("s.st").as("st"),
         col("s.p").cast("double").as("p"))
-      .orderBy("k")
+      .transform(Det.emit(_, "k"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

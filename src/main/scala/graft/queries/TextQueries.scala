@@ -26,6 +26,12 @@ import graft.Tables._
   */
 object TextQueries {
 
+  /** All text operators are expression-heavy (tokenize/shingle/md5
+    * per row), so every pipeline starts from a core-spread scan
+    * (Tables.spread — no-op on an already-split table at scale). */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    spread(s, documents(s, d))
+
   /** Whitespace tokens with empties dropped — keep in exact sync with
     * the DuckDB `list_filter(string_split(...))` twin. */
   private val TOKS = "filter(split(text, ' '), w -> w <> '')"
@@ -35,7 +41,7 @@ object TextQueries {
 
   /** q80: tokenize → explode → global top-k terms. */
   private def q80(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    docs(s, d)
       .select(explode(expr(TOKS)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc)
@@ -43,20 +49,18 @@ object TextQueries {
 
   /** q81: exact dedup by content hash, keep min doc_id per group. */
   private def q81(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    Det.emit(docs(s, d)
       .groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
-      .orderBy("h")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups")), "h")
 
   /** q82: per-language corpus stats. */
   private def q82(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    Det.emit(documents(s, d)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         Det.r4e(avg("n_chars")).as("avg_chars"),
         countDistinct(col("source")).as("n_sources"),
-        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
-      .orderBy("lang")
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars")), "lang")
 
   /** Tokens materialized ONCE per row, then shingles from the token
     * array — evaluating the split inside every lambda element (the
@@ -74,14 +78,14 @@ object TextQueries {
     * no shuffle, constant 8-hash state per doc at any corpus size);
     * the oracle recomputes it via the explode+group form. */
   private def sigsOf(s: SparkSession, d: String): DataFrame =
-    withShingles(documents(s, d))
+    withShingles(docs(s, d))
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, 7),
              s -> array_min(transform(shs, sh -> md5(concat(cast(s AS string), ':', sh)))))"""))
         .as(Seq("seed", "sig")))
 
   private def q86(s: SparkSession, d: String): DataFrame =
-    sigsOf(s, d).orderBy("doc_id", "seed")
+    Det.emit(sigsOf(s, d), "doc_id", "seed")
 
   /** q87: MinHash-LSH candidate pairs — 8 single-row bands (b=8, r=1);
     * docs sharing a signature in any band become a candidate pair.
@@ -101,7 +105,7 @@ object TextQueries {
         .as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
-      .orderBy("a_id", "b_id")
+      .transform(Det.emit(_, "a_id", "b_id"))
 
   /** q88: 60-bit SimHash per document via the native Catalyst
     * expression SimHash64 — tokenize/hash/bit-vote entirely inside one
@@ -109,9 +113,8 @@ object TextQueries {
     * only shuffle is the output sort. */
   private def q88(s: SparkSession, d: String): DataFrame = {
     graft.functions.SimHash64.register(s)
-    documents(s, d)
-      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
-      .orderBy("doc_id")
+    Det.emit(docs(s, d)
+      .select(col("doc_id"), expr("simhash64(text)").as("simhash")), "doc_id")
   }
 
   /** q89: n-gram (word-bigram) Jaccard similarity for all candidate
@@ -119,7 +122,7 @@ object TextQueries {
     * a bigram-keyed join (shuffle by token, linear), sizes via a
     * distinct-count per doc. */
   private def q89(s: SparkSession, d: String): DataFrame = {
-    val bi = documents(s, d).where(col("doc_id") < 50)
+    val bi = spread(s, documents(s, d).where(col("doc_id") < 50))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size($TOKS) - 2), i -> concat_ws(' ', $TOKS[i], $TOKS[i+1]))"))
         .as("bg"))
@@ -134,7 +137,7 @@ object TextQueries {
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), "b_id")
       .select(col("a_id"), col("b_id"), col("inter"),
         Det.r4e(col("inter") / (col("sa") + col("sb") - col("inter"))).as("jaccard"))
-      .orderBy("a_id", "b_id")
+      .transform(Det.emit(_, "a_id", "b_id"))
   }
 
   /** q91: language-ID by char-trigram profile — top-20 trigrams per
@@ -145,7 +148,7 @@ object TextQueries {
     * accuracy is meaningless — semantics and determinism are what's
     * verified.) */
   private def q91(s: SparkSession, d: String): DataFrame = {
-    val tri = documents(s, d).select(col("doc_id"), col("lang"),
+    val tri = docs(s, d).select(col("doc_id"), col("lang"),
       explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
         .as("tri"))
     val wProf = Window.partitionBy("plang").orderBy(col("cnt").desc, col("tri").asc)
@@ -164,14 +167,14 @@ object TextQueries {
       .select(col("doc_id"), col("plang").as("pred_lang"), col("score"),
         col("actual"),
         (col("plang") === col("actual")).cast("int").as("hit"))
-      .orderBy("doc_id")
+      .transform(Det.emit(_, "doc_id"))
   }
 
   /** q92: document quality scoring — length/stopword/punctuation
     * features + a bounded composite score, all map-side. */
   private def q92(s: SparkSession, d: String): DataFrame = {
     val stop = "array('the','a','of','to','and','in')"
-    documents(s, d)
+    docs(s, d)
       .withColumn("nw", expr(s"size($TOKS)"))
       .withColumn("ns", expr(s"size(filter(split(text, ' '), w -> array_contains($stop, w)))"))
       .select(
@@ -183,43 +186,43 @@ object TextQueries {
           .as("n_punct"),
         Det.r4e(least(lit(1.0), col("nw") / 60.0) * (lit(1.0) - col("ns") / col("nw")))
           .as("quality"))
-      .orderBy("doc_id")
+      .transform(Det.emit(_, "doc_id"))
   }
 
   /** q93: token counting — whitespace tokens and a BPE-ish regex
     * tokenizer (letter runs / digit runs / single symbols). */
   private def q93(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    docs(s, d).select(
       col("doc_id"),
       expr(s"size($TOKS)").as("ws_tokens"),
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("bpe_tokens"),
       col("n_chars"))
-      .orderBy("doc_id")
+      .transform(Det.emit(_, "doc_id"))
 
   /** q94: document fingerprinting — a content-normalized hash (md5 of
     * the sorted distinct token set) plus a bottom-3 shingle-hash
     * sketch (a fixed-size min-sketch usable for containment checks). */
   private def q94(s: SparkSession, d: String): DataFrame =
-    withShingles(documents(s, d))
+    withShingles(docs(s, d))
       .select(col("doc_id"),
         md5(expr("array_join(array_sort(array_distinct(toks)), ' ')")).as("fp"),
         concat_ws("|",
           slice(array_sort(expr("transform(shs, sh -> md5(sh))")), 1, 3))
           .as("sketch3"))
-      .orderBy("doc_id")
+      .transform(Det.emit(_, "doc_id"))
 
   /** q96: multimodal/binary column plumbing — treat content as an
     * opaque binary payload with typed metadata (byte length, content
     * hash, leading byte). The decode-side stub lives in
     * graft.multimodal.Multimodal (ScalaTest-verified). */
   private def q96(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    docs(s, d).select(
       col("doc_id"),
       expr("octet_length(text)").as("bytelen"),
       md5(col("text")).as("bmd5"),
       hex(expr("encode(substring(text, 1, 1), 'UTF-8')")).as("b1hex"))
-      .orderBy("doc_id")
+      .transform(Det.emit(_, "doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_text_wordcount" -> q80, "q81_text_dedup" -> q81,

@@ -35,9 +35,8 @@ object VectorQueries {
 
   /** q83: L2 norm per embedding — one map-side fold, no fan-out. */
   private def q83(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
-      .select(col("vec_id"), round(norm(col("embedding")), 6).as("l2"))
-      .orderBy("vec_id")
+    Det.emit(spread(s, embeddings(s, d))
+      .select(col("vec_id"), round(norm(col("embedding")), 6).as("l2")), "vec_id")
 
   /** q84: brute-force cosine top-10 vs the vec_id=0 query vector. The
     * 1-row query side is broadcast (no collect — stays a pure plan);
@@ -58,7 +57,7 @@ object VectorQueries {
   /** q85: per-label mean vector — positional explode, then a hash
     * aggregate on (label,pos): bounded state (labels × dim). */
   private def q85(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
+    spread(s, embeddings(s, d))
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(Det.r6e(avg(dbl(col("v")))).as("centroid"))
@@ -70,14 +69,15 @@ object VectorQueries {
     * cross product never spans the full corpus. */
   private def q90(s: SparkSession, d: String): DataFrame = {
     val sub = embeddings(s, d).where(col("vec_id") < 200)
-    val a = sub.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val subSpread = spread(s, sub)
+    val a = subSpread.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = sub.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         Det.r4e(dot(col("a_emb"), col("b_emb")) /
           (norm(col("a_emb")) * norm(col("b_emb")))).as("cos_sim"))
       .where(col("cos_sim") > 0.35)
-      .orderBy("a_id", "b_id")
+      .transform(Det.emit(_, "a_id", "b_id"))
   }
 
   /** q95: IVF-style ANN — build label-centroids, assign every vector
@@ -88,7 +88,7 @@ object VectorQueries {
     * is cross-engine stable. */
   private def q95(s: SparkSession, d: String): DataFrame = {
     val em = embeddings(s, d)
-    val el = em.select(col("vec_id"), col("label"),
+    val el = spread(s, em).select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "xv")))
       .select(col("vec_id"), col("label"), col("pos"), dbl(col("xv")).as("x"))
     val cent = el.groupBy(col("label").as("clabel"), col("pos"))

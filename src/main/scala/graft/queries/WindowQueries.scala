@@ -36,7 +36,7 @@ object WindowQueries {
       ntile(4).over(total).as("nt"))
       // lineitem contains fully-duplicate rows (same orderkey+linenumber),
       // so rn itself must join the output order to fix their interleaving.
-      .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber", "rn")
+      .transform(Det.emit(_, "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber", "rn"))
   }
 
   /** q31: cumulative sum/avg/count per customer in order-date order. */
@@ -49,7 +49,7 @@ object WindowQueries {
       round(sum("o_totalprice").over(w), 2).as("run_total"),
       Det.r4e(avg("o_totalprice").over(w)).as("run_avg"),
       count(lit(1)).over(w).as("run_n"))
-      .orderBy("o_custkey", "o_orderkey")
+      .transform(Det.emit(_, "o_custkey", "o_orderkey"))
   }
 
   /** q32: lead/lag with defaults, per user over the event sequence. */
@@ -59,7 +59,7 @@ object WindowQueries {
       col("event_id"), col("user_id"), round(col("value"), 2).as("v"),
       round(lag("value", 1, 0.0).over(w), 2).as("prev"),
       round(lead("value", 1, -1.0).over(w), 2).as("nxt"))
-      .orderBy("event_id")
+      .transform(Det.emit(_, "event_id"))
   }
 
   /** q33: moving aggregate over a 3-row ROWS frame. */
@@ -70,7 +70,7 @@ object WindowQueries {
       col("event_id"), col("user_id"),
       Det.r4e(avg("value").over(w)).as("mov_avg"),
       round(sum("value").over(w), 2).as("mov_sum"))
-      .orderBy("event_id")
+      .transform(Det.emit(_, "event_id"))
   }
 
   /** q34: RANGE frame — value-based band over floor(price); count is
@@ -82,7 +82,7 @@ object WindowQueries {
       .withColumn("pb", floor(col("o_totalprice")).cast("long"))
       .select(col("o_orderkey"), col("o_orderstatus"), col("pb"),
         count(lit(1)).over(w).as("n_band"))
-      .orderBy("o_orderkey")
+      .transform(Det.emit(_, "o_orderkey"))
   }
 
   /** q35: first/last/nth over an explicit full frame. */
@@ -95,7 +95,7 @@ object WindowQueries {
       first("o_orderkey").over(w).as("cheapest"),
       last("o_orderkey").over(w).as("dearest"),
       nth_value(col("o_orderkey"), 2).over(w).as("second"))
-      .orderBy("o_orderkey")
+      .transform(Det.emit(_, "o_orderkey"))
   }
 
   /** q36: top-k per group — row_number filter, the scalable idiom (per
