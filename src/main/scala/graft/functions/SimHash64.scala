@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,15 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * is a tokens×60 explode (≈ 2400 rows per document) through two hash
   * aggregations; this expression is a single map-side pass — on a
   * 100 TB corpus that is the difference between a petabyte-scale
-  * shuffle and none at all. (CodegenFallback: the md5 loop dominates;
-  * codegen of the wrapper would not change the profile.)
+  * shuffle and none at all. `doGenCode` emits a static call so the
+  * expression stays INSIDE the whole-stage-codegen span (a
+  * CodegenFallback here would split the generated pipeline and forfeit
+  * operator fusion for every query using it).
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override def nullSafeEval(input: Any): Any =
     SimHash64.simhash(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHash64$$.MODULE$$.simhash($c.toString())")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }

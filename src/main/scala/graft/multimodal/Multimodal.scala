@@ -74,11 +74,11 @@ object Multimodal {
   /** q97: the full pipeline as a query — binary wrap → batched decode
     * → scalar features. Oracle mirrors the stub arithmetic in SQL. */
   def q97(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Tables.documents(s, d)
+    val docs = graft.Tables.spread(s, graft.Tables.documents(s, d))
     decodeFeatures(toMediaDocs(docs)).toDF()
       .select(col("doc_id"), col("width"), col("height"),
         round(element_at(col("feat"), 1).cast("double"), 4).as("f0"))
-      .orderBy("doc_id")
+      .transform(graft.queries.Det.emit(_, "doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -145,11 +145,26 @@ object ScalarQueries {
       .transform(Det.emit(_, "k"))
   }
 
+  /** q98: the UDAF surface — weighted mean Σ(w·x)/Σ(w) as a typed
+    * `Aggregator` registered via `functions.udaf` (see
+    * graft.functions.WeightedMean). Runs as a partial+final hash
+    * aggregate exactly like a built-in. */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WeightedMean.register(s)
+    orders(s, d)
+      .withColumn("w", (col("o_orderkey") % 10 + 1).cast("double"))
+      .groupBy("o_orderpriority")
+      .agg(Det.r4e(expr("wmean(o_totalprice, w)")).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_str_funcs" -> q50, "q51_str_regex" -> q51, "q52_date_funcs" -> q52,
     "q53_math_funcs" -> q53, "q54_json_extract" -> q54,
     "q55_array_funcs" -> q55, "q56_explode_unnest" -> q56,
-    "q57_map_funcs" -> q57, "q58_struct_nested" -> q58)
+    "q57_map_funcs" -> q57, "q58_struct_nested" -> q58,
+    "q98_udaf_weighted_mean" -> q98)
 
   val oracles: Map[String, String] = Map(
     "q50_str_funcs" ->
@@ -221,5 +236,11 @@ object ScalarQueries {
     "q58_struct_nested" ->
       """SELECT o_orderkey AS k, o_orderstatus AS st,
                 round(o_totalprice, 2) AS p
-         FROM orders ORDER BY k""")
+         FROM orders ORDER BY k""",
+    "q98_udaf_weighted_mean" ->
+      """SELECT o_orderpriority,
+                round(sum(o_totalprice * (o_orderkey % 10 + 1))
+                      / sum(o_orderkey % 10 + 1) + 0.00000123, 4) AS wavg_price,
+                CAST(count(1) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 }

@@ -43,6 +43,16 @@ object CdcStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
+  /** Batch twin of s01 — the reference's actual consumption mode: an
+    * ad-hoc scan of one day's envelope files by glob (README.md:182,
+    * the day-directory star-dot-ndjson pattern). Globs work as-is; no
+    * sentinel delimiter trick is needed because the json reader is
+    * line-native (vs the reference's 0x0b FIELDQUOTE workaround,
+    * README.md:183-187). */
+  def readEnvelopeBatch(spark: SparkSession, pathOrGlob: String,
+      rowSchema: StructType): DataFrame =
+    spark.read.schema(envelopeSchema(rowSchema)).json(pathOrGlob)
+
   /** Flatten post-images; deletes surface as `is_delete` tombstones. */
   def postImages(envelopes: DataFrame): DataFrame =
     envelopes.select(
