@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck algebraic cross-checks (SURVEY.md §5.3): properties the
+  * operators must satisfy on ARBITRARY inputs, complementing the
+  * DuckDB oracle (fixed data) and the unit suites (fixed cases).
+  * Each property is checked on generated micro-frames — the point is
+  * input-shape coverage (dups, ties, empty groups, single-row users),
+  * not volume.
+  */
+object AlgebraProps extends Properties("graft.algebra") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = 1704067200000L // 2024-01-01 00:00:00 UTC
+
+  /** (user, offset-seconds, value) event rows; offsets bounded to a
+    * few hours so windows actually interact. */
+  private val genEvents: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(40, for {
+      u <- Gen.choose(0L, 3L)
+      t <- Gen.choose(0L, 4L * 3600L)
+      v <- Gen.choose(-50L, 50L)
+    } yield (u, t, v))
+
+  private def eventsDf(rows: List[(Long, Long, Long)]) =
+    rows.map { case (u, t, v) => (u, new Timestamp(base + t * 1000), v) }
+      .toDF("user_id", "ts", "v")
+
+  property("tumbling windows partition both count and sum") =
+    forAll(genEvents) { rows =>
+      val df = eventsDf(rows)
+      val w = df.groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val (n, sv) =
+        if (rows.isEmpty) (0L, 0L)
+        else {
+          val r = w.agg(sum("n"), sum("sv")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      n == rows.length && sv == rows.map(_._3).sum
+    }
+
+  property("session windows: gaps within < 30min, between >= 30min; events conserved") =
+    forAll(genEvents) { rows =>
+      val df = eventsDf(rows)
+      val sess = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").cast("long").as("st"),
+          col("session_window.end").cast("long").as("en"), col("n"))
+        .collect()
+      val conserved = sess.map(_.getAs[Long]("n")).sum == rows.length
+      val separated = sess.groupBy(_.getAs[Long]("user_id")).forall { case (_, ss) =>
+        val sorted = ss.sortBy(_.getAs[Long]("st"))
+        sorted.sliding(2).forall { pair =>
+          if (pair.length < 2) true
+          else pair(1).getAs[Long]("st") >= pair(0).getAs[Long]("en")
+        }
+      }
+      conserved && separated
+    }
+
+  property("distinct is idempotent and a lower bound") =
+    forAll(genEvents) { rows =>
+      val df = eventsDf(rows).select("user_id", "v")
+      val d1 = df.distinct()
+      d1.count() == d1.distinct().count() && d1.count() <= math.max(rows.length, 0)
+    }
+
+  property("rollup contains the plain group-by as its finest level") =
+    forAll(genEvents) { rows =>
+      val df = eventsDf(rows)
+      val plain = df.groupBy("user_id", "v").agg(count(lit(1)).as("n"))
+      val finest = df.rollup("user_id", "v").agg(count(lit(1)).as("n"))
+        .where(grouping("user_id") === 0 && grouping("v") === 0)
+        .select("user_id", "v", "n")
+      plain.except(finest).isEmpty && finest.except(plain).isEmpty
+    }
+
+  property("union/intersect/except agree with Scala set algebra") =
+    forAll(Gen.listOf(Gen.choose(0L, 12L)), Gen.listOf(Gen.choose(0L, 12L))) {
+      (xs, ys) =>
+        val a = xs.toDF("k"); val b = ys.toDF("k")
+        val inter = a.intersect(b).collect().map(_.getLong(0)).toSet
+        val exc = a.except(b).collect().map(_.getLong(0)).toSet
+        val uni = a.union(b).distinct().collect().map(_.getLong(0)).toSet
+        inter == (xs.toSet intersect ys.toSet) &&
+          exc == (xs.toSet diff ys.toSet) &&
+          uni == (xs.toSet union ys.toSet)
+    }
+
+  property("latestByKey picks the max order column per key") =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))) {
+      pairs =>
+        val df = pairs.toDF("k", "ver")
+        val got = graft.streaming.CdcStreams.latestByKey(df, Seq("k"), Seq("ver"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+        got == want
+    }
+}
