@@ -161,6 +161,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(m == Map(1L -> "a2", 2L -> "b"))
   }
 
+  test("s09: streaming twins of q70/q71/q72 equal their batch results") {
+    // Same operators, same data, incremental execution: re-run the
+    // event-time trio as readStream over the events parquet and
+    // compare against the oracle-verified batch form (SURVEY §5.4).
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // file sources tail directories, not single files
+    val srcDir = TestSpark.tmpDir("s09-src")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(srcDir, "events.parquet"))
+    def stream = spark.readStream.schema(schema)
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def runComplete(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = df.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+    val tum = runComplete(
+      stream.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+        .select(col("window.start").as("hstart"), col("event_type"),
+          col("n"), col("sv")), "s09t")
+    val batchTum = SparkEntry.queries("q70_window_tumbling")(spark, sf)
+    assert(tum.except(batchTum).isEmpty && batchTum.except(tum).isEmpty)
+
+    val sli = runComplete(
+      stream.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+        .select(col("window.start").as("wstart"), col("n"), col("sv")), "s09s")
+    val batchSli = SparkEntry.queries("q71_window_sliding")(spark, sf)
+    assert(sli.except(batchSli).isEmpty && batchSli.except(sli).isEmpty)
+
+    val ses = runComplete(
+      stream.withColumn("t", date_trunc("second", col("ts")))
+        .withWatermark("t", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n"), col("sv")), "s09x")
+    val batchSes = SparkEntry.queries("q72_window_session")(spark, sf)
+    assert(ses.except(batchSes).isEmpty && batchSes.except(ses).isEmpty)
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
