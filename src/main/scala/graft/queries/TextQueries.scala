@@ -72,16 +72,22 @@ object TextQueries {
       .withColumn("shs", expr(
         "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
 
-  /** q86: MinHash signatures — 8 hash seeds over 3-word shingles; the
-    * per-(doc,seed) minimum of md5(seed:shingle). Computed entirely
-    * MAP-SIDE as array_min over the shingle array (8 rows out per doc,
-    * no shuffle, constant 8-hash state per doc at any corpus size);
-    * the oracle recomputes it via the explode+group form. */
+  /** q86: MinHash signatures — 8 permutations over 3-word shingles.
+    * Standard universal-hash MinHash: ONE base hash per shingle
+    * (first 60 bits of md5, mod p = 1e9+7), then the 8 signature
+    * slots are min over the linear permutations (a_k·h + b_k) mod p,
+    * a_k = 2k+1, b_k = 7+13k. One md5 per shingle instead of eight —
+    * the hash, not the permutation arithmetic, is the map-side cost.
+    * Everything stays MAP-SIDE as array folds (8 rows out per doc, no
+    * shuffle, constant state per doc at any corpus size); products
+    * stay < 2^35 so both engines do exact BIGINT arithmetic. */
   private def sigsOf(s: SparkSession, d: String): DataFrame =
     withShingles(docs(s, d))
+      .withColumn("hs", expr(
+        "transform(shs, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) AS bigint) % 1000000007)"))
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(0, 7),
-             s -> array_min(transform(shs, sh -> md5(concat(cast(s AS string), ':', sh)))))"""))
+             k -> array_min(transform(hs, h -> ((2*k + 1) * h + 7 + 13*k) % 1000000007)))"""))
         .as(Seq("seed", "sig")))
 
   private def q86(s: SparkSession, d: String): DataFrame =
@@ -255,10 +261,12 @@ object TextQueries {
                         unnest(list_transform(range(len(ts) - 2),
                           i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS s
                  FROM t WHERE len(ts) >= 3),
-          x AS (SELECT doc_id, k,
-                       md5(CAST(k AS VARCHAR) || ':' || s) AS h
-                FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(k))
-          SELECT doc_id, CAST(k AS INT) AS seed, min(h) AS sig
+          hs AS (SELECT doc_id,
+                        CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1000000007 AS h
+                 FROM sh),
+          x AS (SELECT doc_id, k, ((2*k + 1) * h + 7 + 13*k) % 1000000007 AS v
+                FROM hs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(k))
+          SELECT doc_id, CAST(k AS INT) AS seed, min(v) AS sig
           FROM x GROUP BY doc_id, k ORDER BY doc_id, seed""",
     "q87_minhash_lsh_pairs" ->
       s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
@@ -266,10 +274,12 @@ object TextQueries {
                         unnest(list_transform(range(len(ts) - 2),
                           i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS s
                  FROM t WHERE len(ts) >= 3),
-          x AS (SELECT doc_id, k,
-                       md5(CAST(k AS VARCHAR) || ':' || s) AS h
-                FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(k)),
-          sig AS (SELECT doc_id, k, min(h) AS sig FROM x GROUP BY doc_id, k)
+          hs AS (SELECT doc_id,
+                        CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1000000007 AS h
+                 FROM sh),
+          x AS (SELECT doc_id, k, ((2*k + 1) * h + 7 + 13*k) % 1000000007 AS v
+                FROM hs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(k)),
+          sig AS (SELECT doc_id, k, min(v) AS sig FROM x GROUP BY doc_id, k)
           SELECT DISTINCT s1.doc_id AS a_id, s2.doc_id AS b_id
           FROM sig s1 JOIN sig s2
             ON s1.k = s2.k AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id
