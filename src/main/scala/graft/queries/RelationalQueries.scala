@@ -89,6 +89,36 @@ object RelationalQueries {
         lit("3.5").cast("double").as("const_d"))
       .transform(Det.emit(_, "o_orderkey"))
 
+  /** q06: correlated scalar subquery — each order against its
+    * customer's average. Catalyst decorrelates
+    * (RewriteCorrelatedScalarSubquery) into an aggregate + join, so at
+    * scale this is one extra hash aggregate on the correlation key,
+    * not a per-row probe. */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_q06")
+    s.sql("""
+      SELECT o_orderkey,
+             round(o_totalprice - (SELECT avg(o2.o_totalprice)
+                                   FROM orders_q06 o2
+                                   WHERE o2.o_custkey = o1.o_custkey)
+                   + 0.000123, 2) AS diff_from_cust_avg
+      FROM orders_q06 o1
+    """).transform(Det.emit(_, "o_orderkey"))
+  }
+
+  /** q07: IN / NOT IN subqueries → rewritten to semi/anti joins
+    * (RewritePredicateSubquery) — never a per-row scan. */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_q07")
+    orders(s, d).createOrReplaceTempView("orders_q07")
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM customer_q07
+      WHERE c_custkey IN (SELECT o_custkey FROM orders_q07
+                          WHERE o_totalprice > 400000.0)
+    """).transform(Det.emit(_, "c_custkey"))
+  }
+
   // ---- §2.3 joins -------------------------------------------------------
 
   /** q10: equi inner join; shuffles both sides on the key → SMJ/SHJ
@@ -320,10 +350,39 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** q46: PIVOT — wide conditional aggregation over a small pinned
+    * status domain (explicit value list keeps the plan a single
+    * partial+final aggregate; an unpinned pivot needs a distinct-scan
+    * first). */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderpriority")
+
+  /** q47: UNPIVOT/melt — the wide form of q46 back to long. */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    q46(s, d)
+      .unpivot(Array(col("o_orderpriority")), Array(col("F"), col("O"), col("P")),
+        "status", "total")
+      .orderBy("o_orderpriority", "status")
+
+  /** q59: string aggregation (T-SQL STRING_AGG) — deterministic via
+    * sorted distinct set, so cross-engine order never flaps. */
+  private def q59(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(concat_ws(",", array_sort(collect_set("o_orderpriority"))).as("prios"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01, "q02_scan_pushdown" -> q02,
     "q03_filter_compound" -> q03, "q04_project_case" -> q04,
     "q05_cast_types" -> q05,
+    "q06_scalar_subquery" -> q06, "q07_in_subquery" -> q07,
+    "q46_pivot" -> q46, "q47_unpivot" -> q47, "q59_string_agg" -> q59,
     "q10_join_inner" -> q10, "q11_join_left" -> q11, "q12_join_full" -> q12,
     "q13_join_semi" -> q13, "q14_join_anti" -> q14, "q15_join_broadcast" -> q15,
     "q16_join_theta" -> q16, "q17_join_range" -> q17, "q18_join_asof" -> q18,
@@ -368,6 +427,44 @@ object RelationalQueries {
                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
                 CAST('3.5' AS DOUBLE) AS const_d
          FROM orders ORDER BY o_orderkey""",
+    "q06_scalar_subquery" ->
+      """SELECT o_orderkey,
+                round(o_totalprice - (SELECT avg(o2.o_totalprice)
+                                      FROM orders o2
+                                      WHERE o2.o_custkey = o1.o_custkey)
+                      + 0.000123, 2) AS diff_from_cust_avg
+         FROM orders o1 ORDER BY o_orderkey""",
+    "q07_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+                             WHERE o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+    "q46_pivot" ->
+      """SELECT o_orderpriority,
+                round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS "F",
+                round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS "O",
+                round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q47_unpivot" ->
+      """WITH w AS (
+           SELECT o_orderpriority,
+                  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS f,
+                  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS o,
+                  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS p
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, status, total FROM (
+           SELECT o_orderpriority, 'F' AS status, f AS total FROM w
+           UNION ALL
+           SELECT o_orderpriority, 'O' AS status, o AS total FROM w
+           UNION ALL
+           SELECT o_orderpriority, 'P' AS status, p AS total FROM w)
+         WHERE total IS NOT NULL
+         ORDER BY o_orderpriority, status""",
+    "q59_string_agg" ->
+      """SELECT o_orderstatus,
+                string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+                CAST(count(1) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q10_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS price
          FROM orders JOIN customer ON o_custkey = c_custkey
