@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable embedding-similarity operators (charter extensions,
+  * SURVEY.md §2.10) over any `array<float>` vector column.
+  *
+  * Element arithmetic casts float→double BEFORE multiplying so every
+  * engine runs the identical double pipeline; per-vector reductions
+  * are sequential `aggregate()` folds (map-side, no explode).
+  */
+object Similarity {
+
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** Σ xᵢ·yᵢ in double, sequential fold — a map-side scalar. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => dbl(x) * dbl(y)), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm in double. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + dbl(x) * dbl(x)))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against a ONE-ROW query frame
+    * (`qv` column). The query side broadcasts (stays a pure plan — no
+    * collect); scoring is map-side over the corpus; the top-k
+    * short-circuits via TakeOrderedAndProject. The exact baseline an
+    * ANN variant is judged against. */
+  def cosineTopK(corpus: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    corpus
+      .crossJoin(broadcast(query))
+      .select(col(idCol),
+        graft.queries.Det.r4e(cosine(col(vecCol), col("qv"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+
+  /** All pairs with cosine above `minCos` WITHIN a bounded block (an
+    * LSH bucket, an IVF cell, a shard) — the blocked-pairing pattern:
+    * the cross product never spans the full corpus. */
+  def nearDupPairs(block: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame = {
+    val a = block.select(col(idCol).as("a_id"), col(vecCol).as("a_emb"))
+    val b = block.select(col(idCol).as("b_id"), col(vecCol).as("b_emb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.queries.Det.r4e(cosine(col("a_emb"), col("b_emb"))).as("cos_sim"))
+      .where(col("cos_sim") > minCos)
+  }
+}

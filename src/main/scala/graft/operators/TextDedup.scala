@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable corpus-deduplication operators (charter extensions,
+  * SURVEY.md §2.10), parameterized over id/text columns so they apply
+  * to any document table — the q8x keys are these operators bound to
+  * the fixture schema.
+  *
+  * All hashing is md5-based (the one hash every engine computes
+  * identically) and every operator is a map-side array fold or a
+  * bucket-keyed shuffle — no pairwise O(n²) over the corpus, the
+  * linear-ish discipline that survives 100 TB.
+  */
+object TextDedup {
+
+  /** Whitespace tokens with empties dropped. */
+  def tokensExpr(textCol: String): Column =
+    expr(s"filter(split($textCol, ' '), w -> w <> '')")
+
+  /** Adds `toks` (token array) and `shs` (3-word shingles); drops
+    * docs too short to shingle. Tokens materialize ONCE per row —
+    * inlining the split into each shingle lambda re-tokenizes the
+    * document per element. */
+  def withShingles(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("toks", tokensExpr(textCol))
+      .where(expr("size(toks) >= 3"))
+      .withColumn("shs", expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+
+  /** MinHash signatures via universal-hash permutations: one 60-bit
+    * md5-derived base hash per shingle mod p = 1e9+7, then slot k is
+    * min over (2k+1)·h + 7 + 13k mod p. One md5 per shingle total;
+    * entirely map-side (constant numHashes-slot state per doc);
+    * output one row per (id, seed). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8): DataFrame =
+    withShingles(df, textCol)
+      .withColumn("hs", expr(
+        s"transform(shs, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) AS bigint) % 1000000007)"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, ${numHashes - 1}),
+             k -> array_min(transform(hs, h -> ((2*k + 1) * h + 7 + 13*k) % 1000000007)))"""))
+        .as(Seq("seed", "sig")))
+
+  /** LSH candidate pairs from single-row bands (b = numHashes, r = 1):
+    * ids sharing a signature in any band. One groupBy on the
+    * (seed, sig) bucket key; pairs enumerate from each bucket's sorted
+    * id list — cost scales with bucket sizes, never corpus². */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String): DataFrame =
+    signatures
+      .groupBy("seed", "sig")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids,
+             (a, i) -> transform(slice(ids, i + 2, size(ids)),
+                                 b -> named_struct('a_id', a, 'b_id', b))))"""))
+        .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+
+  /** Exact dedup groups by full-content hash; keeps the min id as the
+    * canonical representative. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** 60-bit SimHash per document via the native codegen'd expression
+    * graft.functions.SimHash64 — single map-side pass, no fan-out. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.SimHash64.register(df.sparkSession)
+    df.select(col(idCol), expr(s"simhash64($textCol)").as("simhash"))
+  }
+}

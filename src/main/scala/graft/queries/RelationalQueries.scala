@@ -205,30 +205,22 @@ object RelationalQueries {
   }
 
   /** q18: as-of join — each 'error' event picks the latest 'purchase'
-    * of the same user at-or-before its (second-truncated) time.
-    * Composed Spark-first: union-tag both sides, then a single window
-    * partitioned by user_id carries the last purchase forward. The
-    * window key is the join key, so state is per-user and the whole
-    * thing is one shuffle by user_id — scales linearly, no skewed
-    * global sort. Purchases are pre-reduced per (user, second) to
-    * max(event_id) so ties are deterministic (SURVEY §7.4-4).
-    * Oracle: DuckDB native ASOF JOIN. */
+    * of the same user at-or-before its (second-truncated) time, via
+    * the generic graft.operators.AsOfJoin (union-tag + keyed window:
+    * one shuffle by user_id, per-key carried state — see its scaladoc
+    * for the scale analysis). Ties within a second break on
+    * max(event_id) through AsOfJoin's deterministic value-tuple pick
+    * (SURVEY §7.4-4). Oracle: DuckDB native ASOF JOIN. */
   private def q18(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = events(s, d).withColumn("tsec", date_trunc("second", col("ts")))
-    val purch = e.where(col("event_type") === "purchase")
-      .groupBy("user_id", "tsec").agg(max("event_id").as("purchase_id"))
-      .select(col("user_id"), col("tsec"), lit(0).as("tag"),
-        lit(null).cast("long").as("event_id"), col("purchase_id"))
     val errs = e.where(col("event_type") === "error")
-      .select(col("user_id"), col("tsec"), lit(1).as("tag"),
-        col("event_id"), lit(null).cast("long").as("purchase_id"))
-    val w = Window.partitionBy("user_id").orderBy(col("tsec"), col("tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    purch.unionByName(errs)
-      .withColumn("last_purchase", last(col("purchase_id"), ignoreNulls = true).over(w))
-      .where(col("tag") === 1 && col("last_purchase").isNotNull)
-      .select(col("event_id"), col("user_id"), col("last_purchase").as("purchase_id"))
+      .select("event_id", "user_id", "tsec")
+    val purch = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsec"), col("event_id").as("purchase_id"))
+    graft.operators.AsOfJoin.backward(errs, purch,
+        keys = Seq("user_id"), leftTs = "tsec", rightTs = "tsec")
+      .where(col("purchase_id").isNotNull)
+      .select("event_id", "user_id", "purchase_id")
       .transform(Det.emit(_, "event_id"))
   }
 

@@ -35,6 +35,7 @@ object TextQueries {
   /** Whitespace tokens with empties dropped — keep in exact sync with
     * the DuckDB `list_filter(string_split(...))` twin. */
   private val TOKS = "filter(split(text, ' '), w -> w <> '')"
+  import graft.operators.TextDedup
   /** 3-word shingles over TOKS (docs are guaranteed ≥10 words). */
   private val SHINGLES =
     s"transform(sequence(0, size($TOKS) - 3), i -> concat_ws(' ', $TOKS[i], $TOKS[i+1], $TOKS[i+2]))"
@@ -49,9 +50,7 @@ object TextQueries {
 
   /** q81: exact dedup by content hash, keep min doc_id per group. */
   private def q81(s: SparkSession, d: String): DataFrame =
-    Det.emit(docs(s, d)
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups")), "h")
+    Det.emit(TextDedup.exactDupGroups(docs(s, d), "doc_id", "text"), "h")
 
   /** q82: per-language corpus stats. */
   private def q82(s: SparkSession, d: String): DataFrame =
@@ -62,66 +61,30 @@ object TextQueries {
         countDistinct(col("source")).as("n_sources"),
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars")), "lang")
 
-  /** Tokens materialized ONCE per row, then shingles from the token
-    * array — evaluating the split inside every lambda element (the
-    * naive composition) re-tokenizes the document per shingle element
-    * and was the #1 cost in the first bench pass. */
-  private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("toks", expr(TOKS))
-      .where(expr("size(toks) >= 3"))
-      .withColumn("shs", expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-
-  /** q86: MinHash signatures — 8 permutations over 3-word shingles.
-    * Standard universal-hash MinHash: ONE base hash per shingle
-    * (first 60 bits of md5, mod p = 1e9+7), then the 8 signature
-    * slots are min over the linear permutations (a_k·h + b_k) mod p,
-    * a_k = 2k+1, b_k = 7+13k. One md5 per shingle instead of eight —
-    * the hash, not the permutation arithmetic, is the map-side cost.
-    * Everything stays MAP-SIDE as array folds (8 rows out per doc, no
-    * shuffle, constant state per doc at any corpus size); products
-    * stay < 2^35 so both engines do exact BIGINT arithmetic. */
+  /** q86: MinHash signatures — operators.TextDedup.minhashSignatures
+    * (universal-hash permutations over 3-word shingles, one md5 per
+    * shingle, entirely map-side) bound to the fixture schema. */
   private def sigsOf(s: SparkSession, d: String): DataFrame =
-    withShingles(docs(s, d))
-      .withColumn("hs", expr(
-        "transform(shs, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) AS bigint) % 1000000007)"))
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, 7),
-             k -> array_min(transform(hs, h -> ((2*k + 1) * h + 7 + 13*k) % 1000000007)))"""))
-        .as(Seq("seed", "sig")))
+    TextDedup.minhashSignatures(docs(s, d), "doc_id", "text", numHashes = 8)
 
   private def q86(s: SparkSession, d: String): DataFrame =
     Det.emit(sigsOf(s, d), "doc_id", "seed")
 
-  /** q87: MinHash-LSH candidate pairs — 8 single-row bands (b=8, r=1);
-    * docs sharing a signature in any band become a candidate pair.
-    * Pairs are enumerated from each bucket's sorted doc list (one
-    * groupBy on the (seed,sig) bucket key — never a |docs|² join; a
-    * pathological all-identical corpus would still quadratically
-    * explode one bucket, which is inherent to LSH, not to the plan). */
+  /** q87: MinHash-LSH candidate pairs —
+    * operators.TextDedup.lshCandidatePairs over the q86 signatures
+    * (bucket-keyed pair enumeration; a pathological all-identical
+    * corpus would still quadratically explode one bucket, which is
+    * inherent to LSH, not to the plan). */
   private def q87(s: SparkSession, d: String): DataFrame =
-    sigsOf(s, d)
-      .groupBy("seed", "sig")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids,
-             (a, i) -> transform(slice(ids, i + 2, size(ids)),
-                                 b -> named_struct('a_id', a, 'b_id', b))))"""))
-        .as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-      .distinct()
+    TextDedup.lshCandidatePairs(sigsOf(s, d), "doc_id")
       .transform(Det.emit(_, "a_id", "b_id"))
 
   /** q88: 60-bit SimHash per document via the native Catalyst
     * expression SimHash64 — tokenize/hash/bit-vote entirely inside one
     * map-side expression (vs the oracle's 1.2M-row explode), so the
     * only shuffle is the output sort. */
-  private def q88(s: SparkSession, d: String): DataFrame = {
-    graft.functions.SimHash64.register(s)
-    Det.emit(docs(s, d)
-      .select(col("doc_id"), expr("simhash64(text)").as("simhash")), "doc_id")
-  }
+  private def q88(s: SparkSession, d: String): DataFrame =
+    Det.emit(TextDedup.simhashes(docs(s, d), "doc_id", "text"), "doc_id")
 
   /** q89: n-gram (word-bigram) Jaccard similarity for all candidate
     * pairs among doc_id < 50 that share ≥1 bigram — intersection via
@@ -210,7 +173,7 @@ object TextQueries {
     * the sorted distinct token set) plus a bottom-3 shingle-hash
     * sketch (a fixed-size min-sketch usable for containment checks). */
   private def q94(s: SparkSession, d: String): DataFrame =
-    withShingles(docs(s, d))
+    TextDedup.withShingles(docs(s, d), "text")
       .select(col("doc_id"),
         md5(expr("array_join(array_sort(array_distinct(toks)), ' ')")).as("fp"),
         concat_ws("|",

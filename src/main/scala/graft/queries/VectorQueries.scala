@@ -23,15 +23,9 @@ import graft.Tables._
   * IVF assignment), each keyed on bounded-cardinality keys.
   */
 object VectorQueries {
+  import graft.operators.Similarity.{dot, norm}
 
   private def dbl(c: Column): Column = c.cast("double")
-
-  /** Σ x_i·y_i over two float vectors, computed in double, sequentially. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => dbl(x) * dbl(y)), lit(0.0), (acc, v) => acc + v)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + dbl(x) * dbl(x)))
 
   /** q83: L2 norm per embedding — one map-side fold, no fan-out. */
   private def q83(s: SparkSession, d: String): DataFrame =
@@ -45,13 +39,8 @@ object VectorQueries {
   private def q84(s: SparkSession, d: String): DataFrame = {
     val em = embeddings(s, d)
     val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
-    em.where(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        Det.r4e(dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv")))).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(10)
+    graft.operators.Similarity.cosineTopK(
+      em.where(col("vec_id") =!= 0), q, "vec_id", "embedding", k = 10)
   }
 
   /** q85: per-label mean vector — positional explode, then a hash
@@ -67,18 +56,11 @@ object VectorQueries {
     * vec_id<200 block. Pairing is a bounded block (the dedup pattern:
     * shard the corpus into blocks / LSH buckets, pair within) — the
     * cross product never spans the full corpus. */
-  private def q90(s: SparkSession, d: String): DataFrame = {
-    val sub = embeddings(s, d).where(col("vec_id") < 200)
-    val subSpread = spread(s, sub)
-    val a = subSpread.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = sub.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        Det.r4e(dot(col("a_emb"), col("b_emb")) /
-          (norm(col("a_emb")) * norm(col("b_emb")))).as("cos_sim"))
-      .where(col("cos_sim") > 0.35)
+  private def q90(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.nearDupPairs(
+        spread(s, embeddings(s, d).where(col("vec_id") < 200)),
+        "vec_id", "embedding", minCos = 0.35)
       .transform(Det.emit(_, "a_id", "b_id"))
-  }
 
   /** q95: IVF-style ANN — build label-centroids, assign every vector
     * to its argmax-dot centroid, then search the top-5 neighbours of

@@ -61,23 +61,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  /** Same composition as q18 but against an arbitrary events frame. */
+  /** q18's shape through the generic operator, against an arbitrary
+    * events frame. */
   private def asOf(events: org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val e = events.withColumn("tsec", date_trunc("second", col("ts")))
-    val purch = e.where(col("event_type") === "purchase")
-      .groupBy("user_id", "tsec").agg(max("event_id").as("purchase_id"))
-      .select(col("user_id"), col("tsec"), lit(0).as("tag"),
-        lit(null).cast("long").as("event_id"), col("purchase_id"))
     val errs = e.where(col("event_type") === "error")
-      .select(col("user_id"), col("tsec"), lit(1).as("tag"),
-        col("event_id"), lit(null).cast("long").as("purchase_id"))
-    val w = Window.partitionBy("user_id").orderBy(col("tsec"), col("tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    purch.unionByName(errs)
-      .withColumn("last_purchase", last(col("purchase_id"), ignoreNulls = true).over(w))
-      .where(col("tag") === 1 && col("last_purchase").isNotNull)
-      .select(col("event_id"), col("user_id"), col("last_purchase"))
+      .select("event_id", "user_id", "tsec")
+    val purch = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsec"), col("event_id").as("purchase_id"))
+    graft.operators.AsOfJoin.backward(errs, purch,
+        keys = Seq("user_id"), leftTs = "tsec", rightTs = "tsec")
+      .where(col("purchase_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("purchase_id"))
   }
 
   test("q72 session windows equal gaps-and-islands on real data") {
