@@ -75,6 +75,37 @@ class OperatorSpec extends AnyFunSuite {
       .select(col("event_id"), col("user_id"), col("purchase_id"))
   }
 
+  test("reference pipeline end-to-end through the lake: envelopes → ndjson files → glob scan → aggregate") {
+    // The reference's full path (README.md:128-196): rows → CDC envelope
+    // JSON lines → day-partitioned lake files → schema-on-read scan →
+    // SUM/GROUP BY. Here with real files on disk, day partitioning, and
+    // the batch glob source; result must equal aggregating the base
+    // table directly.
+    import org.apache.spark.sql.types._
+    val lake = TestSpark.tmpDir("lake")
+    val o = Tables.orders(spark, sf).limit(500)
+      .withColumn("day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    o.select(col("day"), to_json(struct(
+        struct(col("o_orderkey").as("id"), col("o_orderstatus").as("city"),
+          round(col("o_totalprice"), 2).cast("string").as("revenue")).as("after"),
+        array(col("o_orderstatus"), col("o_orderkey").cast("string")).as("key"),
+        col("o_orderkey").cast("string").as("updated"))).as("value"))
+      .write.partitionBy("day").mode("overwrite").text(lake)
+    val rideSchema = StructType(Seq(
+      StructField("id", LongType), StructField("city", StringType),
+      StructField("revenue", StringType)))
+    // glob over every day directory, exactly like …/2022-12-12/*.txt
+    val scanned = CdcStreams.postImages(
+      CdcStreams.readEnvelopeBatch(spark, s"$lake/day=*/*.txt", rideSchema))
+    val got = scanned.groupBy("city")
+      .agg(round(sum(col("revenue").cast("double")), 2).as("total_revenue"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = o.groupBy(col("o_orderstatus").as("city"))
+      .agg(round(sum(round(col("o_totalprice"), 2)), 2).as("total_revenue"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"lake round-trip drifted: $got vs $want")
+  }
+
   test("q72 session windows equal gaps-and-islands on real data") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, sf)
