@@ -98,6 +98,22 @@ object AlgebraProps extends Properties("graft.algebra") {
           uni == (xs.toSet union ys.toSet)
     }
 
+  property("salted top-k equals the plain window top-k") =
+    forAll(genEvents) { rows =>
+      val df = eventsDf(rows)
+      val ordering = Seq(col("v").desc, col("ts").asc)
+      val salted = graft.operators.TopK
+        .perGroup(df, Seq("user_id"), ordering, k = 3, salts = 4)
+        .select("user_id", "rn", "v").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(ordering: _*)
+      val plain = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).select("user_id", "rn", "v").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      salted == plain
+    }
+
   property("latestByKey picks the max order column per key") =
     forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))) {
       pairs =>
