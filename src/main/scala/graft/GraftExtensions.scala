@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Library wiring for `spark.sql.extensions=graft.GraftExtensions`:
+  * installs the engine's native expressions and UDAFs into every
+  * session built on the cluster, so SQL users get `simhash64(text)`
+  * and `wmean(x, w)` without imperative registration. The same
+  * builders back the imperative path (`GraftExtensions.registerAll`)
+  * used by tests and the query modules.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHash64(exprs.head)))
+  }
+}
+
+object GraftExtensions {
+  /** Imperative twin for an already-running session. */
+  def registerAll(spark: SparkSession): Unit = {
+    graft.functions.SimHash64.register(spark)
+    graft.functions.WeightedMean.register(spark)
+  }
+}

@@ -106,6 +106,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want, s"lake round-trip drifted: $got vs $want")
   }
 
+  test("lake writer: day filter prunes partitions at planning time") {
+    val lake = TestSpark.tmpDir("lake-prune")
+    graft.sources.Lake.writePartitioned(
+      Tables.events(spark, sf).select("event_id", "ts", "user_id"), "ts", lake)
+    val all = graft.sources.Lake.read(spark, lake)
+    val days = all.select("ingest_date").distinct().count()
+    assert(days > 1, "fixture spans one day; pruning test is vacuous")
+    val day = all.select(min(col("ingest_date")).cast("string")).head().getString(0)
+    val one = graft.sources.Lake.readDay(spark, lake, day)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ingest_date"),
+      s"day filter did not reach partition pruning:\n$plan")
+    // pruned read equals the filtered full read
+    assert(one.count() ==
+      all.where(col("ingest_date") === day).count())
+  }
+
+  test("GraftExtensions wires native functions into a session") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT simhash64('hello world') AS h, wmean(x, w) AS m " +
+      "FROM VALUES (1.0D, 1.0D), (3.0D, 3.0D) t(x, w)").head()
+    assert(r.getLong(0) == graft.functions.SimHash64.simhash("hello world"))
+    assert(math.abs(r.getDouble(1) - 2.5) < 1e-12) // (1*1+3*3)/(1+3)
+  }
+
   test("q72 session windows equal gaps-and-islands on real data") {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, sf)
