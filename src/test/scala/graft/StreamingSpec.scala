@@ -211,6 +211,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(ses.except(batchSes).isEmpty && batchSes.except(ses).isEmpty)
   }
 
+  test("s10: flatMapGroupsWithState keeps running per-key state across batches") {
+    val ms = MemoryStream[(Long, Double)]
+    val q = graft.streaming.StatefulOps.runningUserAggs(ms.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("s10").start()
+    ms.addData((1L, 5.0), (1L, 3.0), (2L, 1.0))
+    q.processAllAvailable()
+    ms.addData((1L, 9.0)) // state must carry n=2, max=5 into this batch
+    q.processAllAvailable()
+    q.stop()
+    // last emission per user wins (update mode appends each change)
+    val last = spark.table("s10").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"), r.getAs[Double]("max_val")))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+    assert(last(1L) == ((1L, 3L, 9.0)), s"user 1 state wrong: ${last(1L)}")
+    assert(last(2L) == ((2L, 1L, 1.0)))
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
