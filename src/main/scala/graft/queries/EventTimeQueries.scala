@@ -40,9 +40,12 @@ object EventTimeQueries {
       .orderBy("wstart")
 
   /** q72: session windows, 30-min inactivity gap, per user. Spark
-    * merges sessions while the NEXT event starts strictly before
-    * prev_ts + gap, so the gaps-and-islands oracle breaks on
-    * `gap >= 30min` (strict `<` keeps, `>=` breaks). */
+    * merges an event into the open session while next_ts <= prev_ts +
+    * gap — an event landing EXACTLY on the session end extends it
+    * (window merge condition is start <= end) — so the
+    * gaps-and-islands oracle must break only on `gap > 30min`
+    * (boundary-equal merges; caught by the sf0.1 oracle run, one
+    * exact-boundary pair exists there). */
   private def q72(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .withColumn("t", date_trunc("second", col("ts")))
@@ -71,13 +74,13 @@ object EventTimeQueries {
                FROM x, (VALUES (0), (1)) t(k))
          SELECT wstart, CAST(count(1) AS BIGINT) AS n, round(sum(value), 2) AS sv
          FROM w GROUP BY wstart ORDER BY wstart""",
-    // Gaps-and-islands cross-check of session semantics (strict-< merge).
+    // Gaps-and-islands cross-check of session semantics (<=-gap merges).
     "q72_window_session" ->
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS t, value
                     FROM events),
          g AS (SELECT user_id, t, value,
                       CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-                                < INTERVAL 30 MINUTE
+                                <= INTERVAL 30 MINUTE
                            THEN 0 ELSE 1 END AS brk
                FROM e),
          s AS (SELECT user_id, t, value,

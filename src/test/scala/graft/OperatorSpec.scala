@@ -143,7 +143,7 @@ class OperatorSpec extends AnyFunSuite {
     val w = Window.partitionBy("user_id").orderBy("t")
     val gi = e
       .withColumn("brk", when(
-        col("t").cast("long") - lag(col("t"), 1).over(w).cast("long") < 1800, 0)
+        col("t").cast("long") - lag(col("t"), 1).over(w).cast("long") <= 1800, 0)
         .otherwise(1))
       .withColumn("sid", sum("brk").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
