@@ -75,6 +75,33 @@ class OperatorSpec extends AnyFunSuite {
       .select(col("event_id"), col("user_id"), col("purchase_id"))
   }
 
+  test("AsOfJoin.backward: generic path — distinct ts names, extra columns, unmatched rows") {
+    val quotes = Seq( // (sym, qt, bid)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 20L, 5.0), ("B", 15L, 9.0))
+      .toDF("sym", "qt", "bid")
+    val trades = Seq( // (sym, tt, qty)
+      ("A", 9L, 1), ("A", 10L, 2), ("A", 25L, 3), ("B", 14L, 4), ("C", 50L, 5))
+      .toDF("sym", "tt", "qty")
+    val got = graft.operators.AsOfJoin.backward(
+        trades, quotes, keys = Seq("sym"), leftTs = "tt", rightTs = "qt")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(got == Set(
+      ("A", 9L, 1, None),          // before any quote
+      ("A", 10L, 2, Some(1.0)),    // boundary-equal quote visible
+      ("A", 25L, 3, Some(5.0)),    // duplicate ts -> lexicographic max tuple
+      ("B", 14L, 4, None),         // B's quote is later
+      ("C", 50L, 5, None)))        // key with no right rows at all
+    // colliding value column is rejected up front
+    intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.backward(
+        trades, quotes.withColumnRenamed("bid", "qty"),
+        keys = Seq("sym"), leftTs = "tt", rightTs = "qt")
+    }
+  }
+
   test("reference pipeline end-to-end through the lake: envelopes → ndjson files → glob scan → aggregate") {
     // The reference's full path (README.md:128-196): rows → CDC envelope
     // JSON lines → day-partitioned lake files → schema-on-read scan →
