@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CosineSim(exprs(0), exprs(1))))
   }
 }
 
@@ -25,6 +30,7 @@ object GraftExtensions {
   /** Imperative twin for an already-running session. */
   def registerAll(spark: SparkSession): Unit = {
     graft.functions.SimHash64.register(spark)
+    graft.functions.CosineSim.register(spark)
     graft.functions.WeightedMean.register(spark)
   }
 }

@@ -22,7 +22,17 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + dbl(x) * dbl(x)))
 
+  /** Composable cosine — correct anywhere, but the folds interpret
+    * per element; the hot paths below use the native codegen'd
+    * CosineSim expression instead (bit-identical arithmetic). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native cosine over two column NAMES (registers the codegen'd
+    * cosine_sim function on the frame's session). */
+  private def nativeCosine(df: DataFrame, a: String, b: String): Column = {
+    graft.functions.CosineSim.register(df.sparkSession)
+    expr(s"cosine_sim(`$a`, `$b`)")
+  }
 
   /** Brute-force cosine top-k against a ONE-ROW query frame
     * (`qv` column). The query side broadcasts (stays a pure plan — no
@@ -34,7 +44,7 @@ object Similarity {
     corpus
       .crossJoin(broadcast(query))
       .select(col(idCol),
-        graft.queries.Det.r4e(cosine(col(vecCol), col("qv"))).as("cos_sim"))
+        graft.queries.Det.r4e(nativeCosine(corpus, vecCol, "qv")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
 
@@ -47,7 +57,7 @@ object Similarity {
     val b = block.select(col(idCol).as("b_id"), col(vecCol).as("b_emb"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        graft.queries.Det.r4e(cosine(col("a_emb"), col("b_emb"))).as("cos_sim"))
+        graft.queries.Det.r4e(nativeCosine(block, "a_emb", "b_emb")).as("cos_sim"))
       .where(col("cos_sim") > minCos)
   }
 }
