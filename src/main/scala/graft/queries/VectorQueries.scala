@@ -86,13 +86,13 @@ object VectorQueries {
     val qCluster = assign.where(col("vec_id") === 1)
       .select(col("clabel").as("qc"))
     val qv = em.where(col("vec_id") === 1).select(col("embedding").as("qv"))
+    graft.functions.CosineSim.register(s)
     assign.join(broadcast(qCluster), col("clabel") === col("qc"))
       .where(col("vec_id") =!= 1)
       .join(em.select("vec_id", "embedding"), "vec_id")
       .crossJoin(broadcast(qv))
       .select(col("vec_id"),
-        Det.r4e(dot(col("embedding"), col("qv")) /
-          (norm(col("embedding")) * norm(col("qv")))).as("cos_sim"))
+        Det.r4e(expr("cosine_sim(embedding, qv)")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(5)
   }
