@@ -119,6 +119,38 @@ object RelationalQueries {
     """).transform(Det.emit(_, "c_custkey"))
   }
 
+  /** q08: CTE (WITH clause) — two chained CTEs; Catalyst inlines or
+    * reuses them by cost, nothing materializes unless referenced
+    * twice. */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_q08")
+    s.sql("""
+      WITH big AS (SELECT o_custkey, o_totalprice FROM orders_q08
+                   WHERE o_totalprice > 200000.0),
+           per_cust AS (SELECT o_custkey, count(1) AS n,
+                               round(sum(o_totalprice), 2) AS total
+                        FROM big GROUP BY o_custkey)
+      SELECT o_custkey, n, total FROM per_cust WHERE n >= 2
+    """).transform(Det.emit(_, "o_custkey"))
+  }
+
+  /** q09: lateral join (T-SQL CROSS APPLY) — per outer row, a
+    * correlated derived table: each customer's 2 most recent orders.
+    * Catalyst decorrelates the lateral subquery; the window-rank
+    * rewrite is what it plans, so this stays one shuffle by custkey. */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_q09")
+    orders(s, d).createOrReplaceTempView("orders_q09")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+      FROM customer_q09 c,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM orders_q09
+                    WHERE o_custkey = c.c_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) o
+      WHERE c.c_custkey <= 200
+    """).transform(Det.emit(_, "c_custkey", "o_orderkey"))
+  }
+
   // ---- §2.3 joins -------------------------------------------------------
 
   /** q10: equi inner join; shuffles both sides on the key → SMJ/SHJ
@@ -374,6 +406,7 @@ object RelationalQueries {
     "q03_filter_compound" -> q03, "q04_project_case" -> q04,
     "q05_cast_types" -> q05,
     "q06_scalar_subquery" -> q06, "q07_in_subquery" -> q07,
+    "q08_cte" -> q08, "q09_lateral" -> q09,
     "q46_pivot" -> q46, "q47_unpivot" -> q47, "q59_string_agg" -> q59,
     "q10_join_inner" -> q10, "q11_join_left" -> q11, "q12_join_full" -> q12,
     "q13_join_semi" -> q13, "q14_join_anti" -> q14, "q15_join_broadcast" -> q15,
@@ -431,6 +464,22 @@ object RelationalQueries {
          WHERE c_custkey IN (SELECT o_custkey FROM orders
                              WHERE o_totalprice > 400000.0)
          ORDER BY c_custkey""",
+    "q08_cte" ->
+      """WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+                      WHERE o_totalprice > 200000.0),
+           per_cust AS (SELECT o_custkey, CAST(count(1) AS BIGINT) AS n,
+                               round(sum(o_totalprice), 2) AS total
+                        FROM big GROUP BY o_custkey)
+         SELECT o_custkey, n, total FROM per_cust WHERE n >= 2
+         ORDER BY o_custkey""",
+    "q09_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+         FROM customer c,
+              LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_custkey = c.c_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) o
+         WHERE c.c_custkey <= 200
+         ORDER BY c_custkey, o_orderkey""",
     "q46_pivot" ->
       """SELECT o_orderpriority,
                 round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS "F",

@@ -53,6 +53,17 @@ object CdcStreams {
       rowSchema: StructType): DataFrame =
     spark.read.schema(envelopeSchema(rowSchema)).json(pathOrGlob)
 
+  /** Raw-line variant — the literal shape of the reference's
+    * `WITH (line varchar(max))` scan (README.md:188-190): each line
+    * kept whole in a `line` column, envelope fields parsed per
+    * expression with from_json. Use when malformed lines must be
+    * retained for quarantine instead of nulled by the json reader. */
+  def readEnvelopeLines(spark: SparkSession, pathOrGlob: String,
+      rowSchema: StructType): DataFrame =
+    spark.read.text(pathOrGlob)
+      .withColumnRenamed("value", "line")
+      .withColumn("env", from_json(col("line"), envelopeSchema(rowSchema)))
+
   /** Flatten post-images; deletes surface as `is_delete` tombstones. */
   def postImages(envelopes: DataFrame): DataFrame =
     envelopes.select(

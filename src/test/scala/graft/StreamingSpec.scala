@@ -51,6 +51,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s01").where(col("city") === "amsterdam").count() == 2)
   }
 
+  test("raw-line envelope scan keeps malformed lines for quarantine") {
+    val src = TestSpark.tmpDir("rawline-src")
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.50", "1.0"),
+      "{not json at all",
+      envLine("b", "boston", "20.25", "2.0")))
+    val lines = CdcStreams.readEnvelopeLines(spark, src, rideSchema)
+    assert(lines.count() == 3) // nothing dropped
+    assert(lines.where(col("env").isNull ||
+      col("env.after").isNull).count() == 1) // the bad line, quarantinable
+    assert(lines.where(col("env.after.city") === "amsterdam").count() == 1)
+  }
+
   test("s02: partitioned append sink is exactly-once across a rerun") {
     val src = TestSpark.tmpDir("s02-src")
     val out = TestSpark.tmpDir("s02-out")
