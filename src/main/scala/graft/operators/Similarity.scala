@@ -48,6 +48,39 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
 
+  /** IVF centroids in positional long form (cluster, pos, c) from a
+    * cluster-labeled corpus: one positional explode + a bounded hash
+    * aggregate (clusters × dim rows) — the "training" half of an IVF
+    * index, runnable on a labeled bootstrap sample at any scale. */
+  def ivfCentroids(corpus: DataFrame, clusterCol: String,
+      vecCol: String): DataFrame =
+    corpus
+      .select(col(clusterCol).as("clabel"),
+        posexplode(col(vecCol)).as(Seq("pos", "xv")))
+      .groupBy("clabel", "pos")
+      .agg(avg(dbl(col("xv"))).as("c"))
+
+  /** Assign every vector to its argmax-dot centroid. Centroids are
+    * tiny → broadcast; scoring is a positional join + hash aggregate;
+    * scores round to 6dp before the argmax so the float compare is
+    * cross-engine stable, ties break on the cluster label. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val el = corpus
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "xv")))
+      .select(col(idCol), col("pos"), dbl(col("xv")).as("x"))
+    val scores = el
+      .join(broadcast(centroids), "pos")
+      .groupBy(idCol, "clabel")
+      .agg(sum(col("x") * col("c")).as("sc"))
+    val pick = Window.partitionBy(idCol)
+      .orderBy(round(col("sc"), 6).desc, col("clabel").asc)
+    scores.withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("clabel"))
+  }
+
   /** All pairs with cosine above `minCos` WITHIN a bounded block (an
     * LSH bucket, an IVF cell, a shard) — the blocked-pairing pattern:
     * the cross product never spans the full corpus. */

@@ -401,6 +401,21 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** q29: exact percentiles (T-SQL PERCENTILE_CONT / MEDIAN) — both
+    * engines define the continuous quantile by linear interpolation,
+    * so exact forms compare; approx_percentile is engine-specific and
+    * stays ScalaTest-bounded like q28. Exact percentile state is
+    * O(group size) — at 100 TB use approx_percentile; this key pins
+    * the semantics, q28's pattern pins the scale path. */
+  private def q29(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        Det.r4e(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+        Det.r4e(expr("median(l_extendedprice)")).as("p50"),
+        Det.r4e(expr("percentile(l_extendedprice, 0.95)")).as("p95"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01, "q02_scan_pushdown" -> q02,
     "q03_filter_compound" -> q03, "q04_project_case" -> q04,
@@ -415,7 +430,7 @@ object RelationalQueries {
     "q20_agg_global" -> q20, "q21_agg_group" -> q21, "q22_agg_distinct" -> q22,
     "q23_agg_having" -> q23, "q24_agg_rollup" -> q24, "q25_agg_cube" -> q25,
     "q26_agg_grouping_sets" -> q26, "q27_agg_stats" -> q27,
-    "q28_agg_approx_distinct" -> q28)
+    "q28_agg_approx_distinct" -> q28, "q29_percentiles" -> q29)
 
   val oracles: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -628,5 +643,11 @@ object RelationalQueries {
                 round(var_samp(l_quantity) + 0.00000123, 4) AS var_qty,
                 round(corr(l_quantity, l_extendedprice) + 0.00000123, 4) AS corr_qp,
                 round(covar_samp(l_quantity, l_extendedprice) + 0.000123, 2) AS covar_qp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q29_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.25) + 0.00000123, 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.50) + 0.00000123, 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.95) + 0.00000123, 4) AS p95
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }

@@ -69,20 +69,11 @@ object VectorQueries {
     * scores are rounded to 6dp before the argmax so the float compare
     * is cross-engine stable. */
   private def q95(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity
     val em = embeddings(s, d)
-    val el = spread(s, em).select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "xv")))
-      .select(col("vec_id"), col("label"), col("pos"), dbl(col("xv")).as("x"))
-    val cent = el.groupBy(col("label").as("clabel"), col("pos"))
-      .agg(avg("x").as("c"))
-    val scores = el.select(col("vec_id"), col("pos"), col("x"))
-      .join(broadcast(cent), "pos")
-      .groupBy("vec_id", "clabel")
-      .agg(sum(col("x") * col("c")).as("sc"))
-    val wPick = Window.partitionBy("vec_id")
-      .orderBy(round(col("sc"), 6).desc, col("clabel").asc)
-    val assign = scores.withColumn("rn", row_number().over(wPick))
-      .where(col("rn") === 1).select("vec_id", "clabel")
+    val spreadEm = spread(s, em)
+    val cent = Similarity.ivfCentroids(spreadEm, "label", "embedding")
+    val assign = Similarity.ivfAssign(spreadEm, "vec_id", "embedding", cent)
     val qCluster = assign.where(col("vec_id") === 1)
       .select(col("clabel").as("qc"))
     val qv = em.where(col("vec_id") === 1).select(col("embedding").as("qv"))
