@@ -57,9 +57,30 @@ object SortSetQueries {
     c.except(sp).orderBy("nk")
   }
 
+  /** q48: EXCEPT ALL / INTERSECT ALL — multiset semantics (duplicates
+    * preserved by multiplicity difference/minimum), the bag twins of
+    * q44/q45. */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_nationkey").as("nk"))
+    val sp = supplier(s, d).select(col("s_nationkey").as("nk"))
+    c.exceptAll(sp).groupBy("nk").agg(count(lit(1)).as("n_remaining"))
+      .orderBy("nk")
+  }
+
+  /** q49: ORDER BY + OFFSET + FETCH (T-SQL pagination) — a total-order
+    * sort with offset(100).limit(50); the planner keeps it a single
+    * top-(offset+limit) short-circuit, never a full materialized sort. */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey").asc)
+      .offset(100)
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_sort_multi" -> q40, "q41_topk" -> q41, "q42_union_all" -> q42,
-    "q43_union_distinct" -> q43, "q44_intersect" -> q44, "q45_except" -> q45)
+    "q43_union_distinct" -> q43, "q44_intersect" -> q44, "q45_except" -> q45,
+    "q48_except_all" -> q48, "q49_offset_fetch" -> q49)
 
   val oracles: Map[String, String] = Map(
     "q40_sort_multi" ->
@@ -94,5 +115,15 @@ object SortSetQueries {
            SELECT c_nationkey AS nk FROM customer
            EXCEPT
            SELECT s_nationkey AS nk FROM supplier)
-         ORDER BY nk""")
+         ORDER BY nk""",
+    "q48_except_all" ->
+      """SELECT nk, CAST(count(1) AS BIGINT) AS n_remaining FROM (
+           SELECT c_nationkey AS nk FROM customer
+           EXCEPT ALL
+           SELECT s_nationkey AS nk FROM supplier)
+         GROUP BY nk ORDER BY nk""",
+    "q49_offset_fetch" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+         FROM orders ORDER BY price DESC, o_orderkey ASC
+         LIMIT 50 OFFSET 100""")
 }
