@@ -1,0 +1,72 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextDedup
+
+/** End-to-end training-data cleaning pipeline — the library's
+  * operators composed the way a 100 TB corpus run would chain them
+  * (charter: BASELINE.json:6 "operations a large-scale training-data
+  * pipeline would need"):
+  *
+  *   1. exact dedup       — md5 content groups, keep min id
+  *   2. near-dup removal  — MinHash/LSH candidate pairs, drop the
+  *                          higher id of every pair
+  *   3. quality filter    — length/stopword composite ≥ threshold
+  *   4. annotation        — whitespace + BPE-ish token counts
+  *
+  * Every stage is a shuffle on a content/bucket key or a map-side
+  * expression — nothing quadratic, nothing driver-side. Stage order
+  * matters at scale: exact dedup first (cheapest, biggest shrink),
+  * LSH on the survivors only.
+  *
+  * Invariants (pinned by CleanCorpusSpec): output ids are unique, no
+  * two retained docs share a content hash, no retained pair is an LSH
+  * candidate, every retained doc passes the quality floor.
+  */
+object CleanCorpus {
+
+  def run(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+    // 1. exact dedup — semi join against the canonical ids
+    val keep = TextDedup.exactDupGroups(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val exactDeduped = docs.join(keep, "doc_id")
+
+    // 2. near-dup removal — every LSH candidate pair (a < b) drops b
+    val dropIds = TextDedup
+      .lshCandidatePairs(
+        TextDedup.minhashSignatures(exactDeduped, "doc_id", "text"), "doc_id")
+      .select(col("b_id").as("doc_id")).distinct()
+    val nearDeduped = exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
+
+    // 3+4. quality + annotation, one map-side pass
+    val toks = TextDedup.tokensExpr("text")
+    val stop = "array('the','a','of','to','and','in')"
+    nearDeduped
+      .withColumn("nw", size(toks))
+      .withColumn("ns", expr(s"size(filter(split(text, ' '), w -> array_contains($stop, w)))"))
+      .withColumn("quality",
+        least(lit(1.0), col("nw") / 60.0) * (lit(1.0) - col("ns") / col("nw")))
+      .where(col("quality") >= minQuality)
+      .withColumn("bpe_tokens", size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))))
+      .select("doc_id", "text", "lang", "nw", "bpe_tokens", "quality")
+  }
+
+  /** Demo main: clean the fixture corpus, print the funnel. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val in = Tables.spread(spark, Tables.documents(spark, sfDir))
+    val out = CleanCorpus.run(in)
+    println(s"input=${in.count()} clean=${out.count()}")
+    spark.stop()
+  }
+}
