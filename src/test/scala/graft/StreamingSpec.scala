@@ -51,6 +51,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("s01").where(col("city") === "amsterdam").count() == 2)
   }
 
+  test("the reference query runs continuously: per-city revenue updates as files land") {
+    // README.md:173-196 as a LIVE query instead of a snapshot scan:
+    // same envelope files, complete-mode revenue-per-city aggregate
+    // that updates as the changefeed drops new files.
+    val src = TestSpark.tmpDir("live-src")
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.00", "1.0"),
+      envLine("b", "boston", "5.00", "2.0")))
+    val agg = CdcStreams.postImages(
+        CdcStreams.readEnvelopeStream(spark, src, rideSchema))
+      .groupBy("city")
+      .agg(round(sum(col("revenue").cast("double")), 2).as("total_revenue"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("live").start()
+    q.processAllAvailable()
+    def totals = spark.table("live").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(totals == Map("amsterdam" -> 10.00, "boston" -> 5.00))
+    // the changefeed keeps writing — the standing query absorbs it
+    writeNdjson(src, "f2.ndjson", Seq(envLine("c", "amsterdam", "2.50", "3.0")))
+    q.processAllAvailable()
+    assert(totals == Map("amsterdam" -> 12.50, "boston" -> 5.00))
+    q.stop()
+  }
+
   test("raw-line envelope scan keeps malformed lines for quarantine") {
     val src = TestSpark.tmpDir("rawline-src")
     writeNdjson(src, "f1.ndjson", Seq(
