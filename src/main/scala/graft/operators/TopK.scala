@@ -4,16 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Skew-proof top-k per group.
+/** Salted two-phase top-k per group.
   *
-  * The window idiom (`row_number over (partition by k order by o) <= n`)
-  * puts each group on ONE task — correct, but a group holding 30% of a
-  * 100 TB table serializes onto one core (AQE splits skewed JOIN
-  * partitions, not window partitions). Top-k is decomposable, so
-  * salt it: a local top-k within (group, salt) bounds every task's
-  * state to k rows, then the exact top-k re-ranks the k·salts
-  * survivors per group. Two shuffles, but the second moves only
-  * k·salts rows per group.
+  * NOTE (measured on Spark 4, see q36's scaladoc): for plain
+  * rank/row_number/dense_rank filters, Spark's WindowGroupLimit rule
+  * already inserts a PARTIAL map-side top-k before the window's
+  * shuffle, so the ordinary window idiom is skew-proof on its own —
+  * prefer it. This operator remains for shapes that rule does not
+  * serve (a limit decided at runtime, pre-aggregated weights, or
+  * engines/planners without the rule): a local top-k within
+  * (group, salt) bounds every task's state to k rows, then the exact
+  * top-k re-ranks the k·salts survivors per group.
   *
   * The ordering must be made total by the caller (tie-break on a
   * unique column) for the result to be deterministic — same rule as

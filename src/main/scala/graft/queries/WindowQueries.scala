@@ -98,17 +98,24 @@ object WindowQueries {
       .transform(Det.emit(_, "o_orderkey"))
   }
 
-  /** q36: top-k per group via the salted two-phase operator
-    * (graft.operators.TopK): o_orderstatus has 3 values, so the plain
-    * window form would put ~a third of the table on one task; the
-    * salted local top-k bounds every task's state to k rows. Property
-    * test asserts equality with the window form. */
-  private def q36(s: SparkSession, d: String): DataFrame =
-    graft.operators.TopK.perGroup(orders(s, d), Seq("o_orderstatus"),
-        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+  /** q36: top-k per group — the row_number-filter idiom. Spark 4
+    * plans this through WindowGroupLimit with a PARTIAL phase: each
+    * input partition keeps only its local top-k before the shuffle,
+    * so even a group holding a third of the table ships ≤ k rows per
+    * map task — already skew-proof, one shuffle. (Verified in the
+    * physical plan; the salted two-phase graft.operators.TopK exists
+    * for orderings WindowGroupLimit can't serve and is
+    * property-tested equal.) */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
       .select(col("o_orderstatus"), col("rn"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"))
       .orderBy("o_orderstatus", "rn")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_win_rank" -> q30, "q31_win_running" -> q31,
