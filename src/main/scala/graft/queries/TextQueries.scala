@@ -36,9 +36,6 @@ object TextQueries {
     * the DuckDB `list_filter(string_split(...))` twin. */
   private val TOKS = "filter(split(text, ' '), w -> w <> '')"
   import graft.operators.TextDedup
-  /** 3-word shingles over TOKS (docs are guaranteed ≥10 words). */
-  private val SHINGLES =
-    s"transform(sequence(0, size($TOKS) - 3), i -> concat_ws(' ', $TOKS[i], $TOKS[i+1], $TOKS[i+2]))"
 
   /** q80: tokenize → explode → global top-k terms. */
   private def q80(s: SparkSession, d: String): DataFrame =

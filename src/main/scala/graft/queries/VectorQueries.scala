@@ -1,7 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -23,9 +22,7 @@ import graft.Tables._
   * IVF assignment), each keyed on bounded-cardinality keys.
   */
 object VectorQueries {
-  import graft.operators.Similarity.{dot, norm}
-
-  private def dbl(c: Column): Column = c.cast("double")
+  import graft.operators.Similarity.norm
 
   /** q83: L2 norm per embedding — one map-side fold, no fan-out. */
   private def q83(s: SparkSession, d: String): DataFrame =
@@ -49,7 +46,7 @@ object VectorQueries {
     spread(s, embeddings(s, d))
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
-      .agg(Det.r6e(avg(dbl(col("v")))).as("centroid"))
+      .agg(Det.r6e(avg(col("v").cast("double"))).as("centroid"))
       .orderBy("label", "pos")
 
   /** q90: embedding-cosine near-dup pairs (cos > 0.35) within the
