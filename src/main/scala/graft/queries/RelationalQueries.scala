@@ -414,7 +414,10 @@ object RelationalQueries {
         Det.r4e(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
         Det.r4e(expr("median(l_extendedprice)")).as("p50"),
         Det.r4e(expr("percentile(l_extendedprice, 0.95)")).as("p95"))
-      .orderBy("l_returnflag")
+      // emit, not orderBy: exact-percentile partial state is the whole
+      // value multiset, so a range-sort sampling pass re-merging it is
+      // disproportionately expensive for a 3-row result
+      .transform(Det.emit(_, "l_returnflag"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01, "q02_scan_pushdown" -> q02,
