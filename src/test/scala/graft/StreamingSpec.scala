@@ -249,6 +249,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(ses.except(batchSes).isEmpty && batchSes.except(ses).isEmpty)
   }
 
+  test("s11: stream-stream join with watermarked time bound") {
+    // Both sides live: each click joins impressions of the same ad
+    // within [impression, impression + 10 min]; watermarks bound the
+    // buffered state on both sides (the two-live-streams enrichment
+    // the reference pipeline would need to correlate two changefeeds).
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val i = imps.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "20 minutes")
+    val c = clicks.toDF().toDF("c_ad_id", "click_ts").withWatermark("click_ts", "20 minutes")
+    val joined = i.join(c, expr(
+      """ad_id = c_ad_id AND
+         click_ts >= imp_ts AND click_ts <= imp_ts + interval 10 minutes"""))
+    val q = joined.selectExpr("ad_id", "imp_ts", "click_ts")
+      .writeStream.format("memory").queryName("s11").start()
+    def t(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+    imps.addData((1L, t("10:00")), (2L, t("10:00")))
+    clicks.addData((1L, t("10:05")), (2L, t("10:30")), (3L, t("10:05")))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s11").collect()
+    // ad 1 clicked in-window; ad 2's click is outside +10min; ad 3 has no impression
+    assert(rows.length == 1 && rows.head.getAs[Long]("ad_id") == 1L,
+      s"got: ${rows.mkString(",")}")
+  }
+
   test("s10: flatMapGroupsWithState keeps running per-key state across batches") {
     val ms = MemoryStream[(Long, Double)]
     val q = graft.streaming.StatefulOps.runningUserAggs(ms.toDS())
