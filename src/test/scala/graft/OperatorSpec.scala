@@ -187,6 +187,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(windowed == e.count())
   }
 
+  test("approx_percentile (q29's scale path) within 2% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val rows = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) / e < 0.02, s"${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
+
   test("q28 approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("q28_agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
