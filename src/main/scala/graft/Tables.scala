@@ -49,6 +49,16 @@ object Tables {
     */
   def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Estimate the scan's split count from the optimizer's size stats
+    // (file bytes — already cached from the read-time listing) using
+    // Spark's own split formula (FilePartition.maxSplitBytes with the
+    // default 128 MB maxPartitionBytes / 4 MB openCostInBytes), instead
+    // of probing df.rdd.getNumPartitions — that probe forced a full
+    // physical planning of every spread query on the driver.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perCore = (bytes / target).max(1).toLong
+    val maxSplit = math.min(128L << 20, math.max(4L << 20, perCore))
+    val estSplits = (bytes + maxSplit - 1) / maxSplit
+    if (estSplits < target) df.repartition(target) else df
   }
 }

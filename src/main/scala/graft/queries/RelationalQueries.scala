@@ -405,8 +405,8 @@ object RelationalQueries {
     * engines define the continuous quantile by linear interpolation,
     * so exact forms compare; approx_percentile is engine-specific and
     * stays ScalaTest-bounded like q28. Exact percentile state is
-    * O(group size) — at 100 TB use approx_percentile; this key pins
-    * the semantics, q28's pattern pins the scale path. */
+    * O(group size) — this key pins the SEMANTICS; q37 is the declared
+    * 100 TB scale path (constant-memory sketch per group). */
   private def q29(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
@@ -418,6 +418,21 @@ object RelationalQueries {
       // value multiset, so a range-sort sampling pass re-merging it is
       // disproportionately expensive for a 3-row result
       .transform(Det.emit(_, "l_returnflag"))
+
+  /** q37: approx percentiles — the 100 TB twin of q29. The
+    * Greenwald-Khanna sketch behind approx_percentile keeps
+    * O(1/accuracy) state per group regardless of group size, where
+    * q29's exact form buffers the whole value multiset. No SQL oracle
+    * (sketch results are engine-specific); OperatorSpec bounds every
+    * output within 5% relative error of the exact q29 values. */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
+      .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01, "q02_scan_pushdown" -> q02,
@@ -433,7 +448,8 @@ object RelationalQueries {
     "q20_agg_global" -> q20, "q21_agg_group" -> q21, "q22_agg_distinct" -> q22,
     "q23_agg_having" -> q23, "q24_agg_rollup" -> q24, "q25_agg_cube" -> q25,
     "q26_agg_grouping_sets" -> q26, "q27_agg_stats" -> q27,
-    "q28_agg_approx_distinct" -> q28, "q29_percentiles" -> q29)
+    "q28_agg_approx_distinct" -> q28, "q29_percentiles" -> q29,
+    "q37_percentiles_approx" -> q37)
 
   val oracles: Map[String, String] = Map(
     "q01_scan_project" ->

@@ -187,15 +187,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(windowed == e.count())
   }
 
-  test("approx_percentile (q29's scale path) within 2% of exact") {
+  test("q37 approx percentiles within 2% of exact q29 values") {
     val li = Tables.lineitem(spark, sf)
-    val rows = li.groupBy("l_returnflag").agg(
-      expr("percentile(l_extendedprice, 0.5)").as("exact"),
-      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"))
-      .collect()
-    rows.foreach { r =>
-      val (e, a) = (r.getDouble(1), r.getDouble(2))
-      assert(math.abs(a - e) / e < 0.02, s"${r.getString(0)}: exact=$e approx=$a")
+    val exact = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.25)").as("p25"),
+      expr("percentile(l_extendedprice, 0.5)").as("p50"),
+      expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> Seq(1, 2, 3).map(r.getDouble)).toMap
+    SparkEntry.queries("q37_percentiles_approx")(spark, sf).collect().foreach { r =>
+      val es = exact(r.getString(0))
+      Seq(1, 2, 3).map(r.getDouble).zip(es).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.02, s"${r.getString(0)}: exact=$e approx=$a")
+      }
     }
   }
 
