@@ -60,25 +60,51 @@ object Similarity {
       .groupBy("clabel", "pos")
       .agg(avg(dbl(col("xv"))).as("c"))
 
-  /** Assign every vector to its argmax-dot centroid. Centroids are
-    * tiny → broadcast; scoring is a positional join + hash aggregate;
-    * scores round to 6dp before the argmax so the float compare is
-    * cross-engine stable, ties break on the cluster label. */
-  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val el = corpus
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "xv")))
+  /** Per-vector centroid dot scores (id, clabel, sc): centroids are
+    * tiny → broadcast; scoring is a positional join + hash aggregate. */
+  private def centroidScores(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "xv")))
       .select(col(idCol), col("pos"), dbl(col("xv")).as("x"))
-    val scores = el
       .join(broadcast(centroids), "pos")
       .groupBy(idCol, "clabel")
       .agg(sum(col("x") * col("c")).as("sc"))
+
+  /** Top-`probe` clusters per vector by centroid dot score. probe=1 is
+    * the index-build assignment (each vector indexed in exactly its
+    * argmax cell); probe>1 is the query-side fan-out of an IVF search.
+    * Scores round to 6dp before the argmax so the float compare is
+    * cross-engine stable, ties break on the cluster label. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, probe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pick = Window.partitionBy(idCol)
       .orderBy(round(col("sc"), 6).desc, col("clabel").asc)
-    scores.withColumn("rn", row_number().over(pick))
-      .where(col("rn") === 1)
+    centroidScores(corpus, idCol, vecCol, centroids)
+      .withColumn("rn", row_number().over(pick))
+      .where(col("rn") <= probe)
       .select(col(idCol), col("clabel"))
+  }
+
+  /** IVF ANN search: the query probes its top-`probe` cells, the
+    * candidate set is the vectors INDEXED (probe=1) in those cells,
+    * and the exact cosine top-k runs over candidates only — cost is
+    * probe/#clusters of the corpus instead of all of it. Recall@k
+    * rises with `probe` (OperatorSpec pins the fixture recall at
+    * probe=1 and the exact-recovery at probe=#clusters). */
+  def ivfSearch(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryId: Long, k: Int, probe: Int = 1): DataFrame = {
+    val index = ivfAssign(corpus, idCol, vecCol, centroids)
+    val qRow = corpus.where(col(idCol) === queryId)
+    val qCells = ivfAssign(qRow, idCol, vecCol, centroids, probe)
+      .select(col("clabel").as("qc"))
+    val qv = qRow.select(col(vecCol).as("qv"))
+    val candidates = index
+      .join(broadcast(qCells), col("clabel") === col("qc"))
+      .where(col(idCol) =!= queryId)
+      .select(idCol)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    cosineTopK(candidates, qv, idCol, vecCol, k)
   }
 
   /** All pairs with cosine above `minCos` WITHIN a bounded block (an

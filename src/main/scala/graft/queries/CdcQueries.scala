@@ -71,10 +71,37 @@ object CdcQueries {
       .distinct()
       .orderBy("user_id", "event_type")
 
+  /** q63: delete-aware upsert — the tombstone-applying form of q61.
+    * CRDB changefeeds emit deletes as `after: null` envelopes
+    * (README.md:135-138; the movr workload runs DELETEs,
+    * README.md:140). Here `event_type = 'error'` rows stand in for
+    * delete envelopes: each event becomes a wrapped envelope whose
+    * post-image is null for deletes, and the replayed state is
+    * latest-record-per-key with a winning tombstone REMOVING the key
+    * (CdcStreams.latestByKey with isDelete). Same scale shape as q61:
+    * one shuffle by key, rank-1 filter, then a map-side tombstone
+    * filter. */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).withColumn("tsec", date_trunc("second", col("ts")))
+    val env = e.select(
+      when(col("event_type") =!= "error",
+        struct(col("event_id"), col("event_type"),
+          round(col("value"), 2).as("val"), col("tsec"))).as("after"),
+      col("user_id"), col("tsec"), col("event_id"))
+    graft.streaming.CdcStreams
+      .latestByKey(env, Seq("user_id"), Seq("tsec", "event_id"),
+        isDelete = Some(col("after").isNull))
+      .select(col("user_id"), col("after.event_id").as("event_id"),
+        col("after.event_type").as("event_type"), col("after.val").as("val"),
+        col("after.tsec").as("tsec"))
+      .transform(Det.emit(_, "user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cdc_envelope_roundtrip" -> q60,
     "q61_cdc_latest_by_key" -> q61,
-    "q62_cdc_dedup" -> q62)
+    "q62_cdc_dedup" -> q62,
+    "q63_cdc_delete_apply" -> q63)
 
   val oracles: Map[String, String] = Map(
     // Oracle aggregates the base tables directly — the JSON round-trip
@@ -94,5 +121,18 @@ object CdcQueries {
          WHERE rn = 1 ORDER BY user_id""",
     "q62_cdc_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-         ORDER BY user_id, event_type""")
+         ORDER BY user_id, event_type""",
+    // Anti-join form: keys whose latest record is a delete drop out.
+    "q63_cdc_delete_apply" ->
+      """WITH latest AS (
+           SELECT * FROM (SELECT *, row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1)
+         SELECT l.user_id, l.event_id, l.event_type,
+                round(l.value, 2) AS val, date_trunc('second', l.ts) AS tsec
+         FROM latest l
+         ANTI JOIN (SELECT user_id FROM latest WHERE event_type = 'error') d
+           USING (user_id)
+         ORDER BY l.user_id""")
 }

@@ -59,30 +59,17 @@ object VectorQueries {
         "vec_id", "embedding", minCos = 0.35)
       .transform(Det.emit(_, "a_id", "b_id"))
 
-  /** q95: IVF-style ANN — build label-centroids, assign every vector
-    * to its argmax-dot centroid, then search the top-5 neighbours of
-    * vec_id=1 ONLY inside its cluster (probe=1). Centroids are tiny →
-    * broadcast; assignment is a positional join + hash aggregate;
-    * scores are rounded to 6dp before the argmax so the float compare
-    * is cross-engine stable. */
+  /** q95: IVF-style ANN — build label-centroids, index every vector in
+    * its argmax-dot cell, then search the top-5 neighbours of vec_id=1
+    * at probe=1 (only the query's own cell is scanned). The probe-k
+    * generalization and its recall bound vs the exact baseline live in
+    * `Similarity.ivfSearch` / OperatorSpec. */
   private def q95(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Similarity
-    val em = embeddings(s, d)
-    val spreadEm = spread(s, em)
+    val spreadEm = spread(s, embeddings(s, d))
     val cent = Similarity.ivfCentroids(spreadEm, "label", "embedding")
-    val assign = Similarity.ivfAssign(spreadEm, "vec_id", "embedding", cent)
-    val qCluster = assign.where(col("vec_id") === 1)
-      .select(col("clabel").as("qc"))
-    val qv = em.where(col("vec_id") === 1).select(col("embedding").as("qv"))
-    graft.functions.CosineSim.register(s)
-    assign.join(broadcast(qCluster), col("clabel") === col("qc"))
-      .where(col("vec_id") =!= 1)
-      .join(em.select("vec_id", "embedding"), "vec_id")
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id"),
-        Det.r4e(expr("cosine_sim(embedding, qv)")).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(5)
+    Similarity.ivfSearch(spreadEm, "vec_id", "embedding", cent,
+      queryId = 1, k = 5, probe = 1)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
@@ -64,6 +64,48 @@ object CdcStreams {
       .withColumnRenamed("value", "line")
       .withColumn("env", from_json(col("line"), envelopeSchema(rowSchema)))
 
+  /** Streaming twin of `readEnvelopeLines` — the raw-line quarantine
+    * scan under `readStream`: a malformed line survives as a row with
+    * `env IS NULL` (line retained for quarantine) instead of being
+    * silently nulled field-by-field by the json source. */
+  def readEnvelopeLinesStream(spark: SparkSession, dir: String,
+      rowSchema: StructType, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .withColumnRenamed("value", "line")
+      .withColumn("env", from_json(col("line"), envelopeSchema(rowSchema)))
+
+  private val lineOnly = StructType(Seq(StructField("line", StringType)))
+  // Sentinel delimiter/quote chars that cannot occur in JSON text, so
+  // the csv reader never splits inside an envelope — the Spark twin of
+  // the reference's FIELDQUOTE = 0x0b workaround (README.md:183-187).
+  private val sentinelSep = "\u0001"
+  private val sentinelQuote = "\u000b"
+
+  /** CSV-format envelope scan — the reference's sentinel-delimiter
+    * trick (README.md:183-190): a CSV reader with out-of-band
+    * delimiter/quote characters lands each ndjson line whole in one
+    * varchar field, parsed per-expression with from_json. Same
+    * quarantine contract as `readEnvelopeLines`. */
+  def readEnvelopeCsv(spark: SparkSession, pathOrGlob: String,
+      rowSchema: StructType): DataFrame =
+    spark.read
+      .schema(lineOnly)
+      .option("sep", sentinelSep).option("quote", sentinelQuote)
+      .csv(pathOrGlob)
+      .withColumn("env", from_json(col("line"), envelopeSchema(rowSchema)))
+
+  /** Streaming twin of `readEnvelopeCsv`. */
+  def readEnvelopeCsvStream(spark: SparkSession, dir: String,
+      rowSchema: StructType, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(lineOnly)
+      .option("sep", sentinelSep).option("quote", sentinelQuote)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+      .withColumn("env", from_json(col("line"), envelopeSchema(rowSchema)))
+
   /** Flatten post-images; deletes surface as `is_delete` tombstones. */
   def postImages(envelopes: DataFrame): DataFrame =
     envelopes.select(
@@ -89,14 +131,23 @@ object CdcStreams {
       watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark).dropDuplicates(idCol)
 
-  /** Batch/`foreachBatch` upsert core — latest post-image per key
-    * (q61 semantics): one shuffle by key, rank-1 filter. */
+  /** Batch/`foreachBatch` upsert core — latest record per key
+    * (q61 semantics): one shuffle by key, rank-1 filter. When
+    * `isDelete` is given, a WINNING tombstone removes its key from the
+    * state entirely — CRDB changefeeds emit deletes as `after: null`
+    * envelopes (README.md:135-138) and the movr workload runs DELETEs
+    * (README.md:140), so a consumer that merely surfaces the tombstone
+    * as "latest state" would resurrect deleted keys. Replay-order
+    * semantics: latest record wins; if it is a delete the key is gone,
+    * and an UPSERT newer than the delete re-creates it (rank-1 over
+    * the full record sequence gives exactly that). */
   def latestByKey(df: DataFrame, keyCols: Seq[String],
-      orderCols: Seq[String]): DataFrame = {
+      orderCols: Seq[String], isDelete: Option[Column] = None): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(c => col(c).desc): _*)
-    df.withColumn("__rn", row_number().over(w))
+    val latest = df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
+    isDelete.fold(latest)(d => latest.where(!d))
   }
 
   /** s07: exactly-once upsert sink. Each micro-batch lands in a
@@ -118,7 +169,8 @@ object CdcStreams {
       .option("checkpointLocation", checkpoint)
 
   def currentState(spark: SparkSession, statePath: String,
-      keyCols: Seq[String], orderCols: Seq[String]): DataFrame =
+      keyCols: Seq[String], orderCols: Seq[String],
+      isDelete: Option[Column] = None): DataFrame =
     latestByKey(spark.read.option("basePath", statePath)
-      .parquet(s"$statePath/batch=*"), keyCols, orderCols)
+      .parquet(s"$statePath/batch=*"), keyCols, orderCols, isDelete)
 }

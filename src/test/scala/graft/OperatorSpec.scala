@@ -202,6 +202,58 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF recall@5: monotone in probe, exact at probe=all (fixture)") {
+    // The fixture's labels carry no geometry (within-label cosine
+    // ≈ 0.009 vs cross ≈ -0.004: near-random vectors), so probe=1
+    // recall is ≈ probe/#clusters BY CONSTRUCTION of the data — the
+    // operator contract to pin here is cost ∝ probe, recall
+    // non-decreasing in probe, and exact recovery at probe=all. The
+    // quality bound on clusterable data is the next test.
+    import graft.operators.Similarity
+    val em = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineTopK(
+        em.where(col("vec_id") =!= 1),
+        em.where(col("vec_id") === 1).select(col("embedding").as("qv")),
+        "vec_id", "embedding", k = 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val cent = Similarity.ivfCentroids(em, "label", "embedding")
+    val nClusters = em.select("label").distinct().count().toInt
+    def recall(probe: Int): Double =
+      Similarity.ivfSearch(em, "vec_id", "embedding", cent,
+          queryId = 1, k = 5, probe = probe)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+        .intersect(exact).size / 5.0
+    val rs = Seq(1, 3, nClusters).map(recall)
+    assert(rs == rs.sorted, s"recall must be non-decreasing in probe: $rs")
+    assert(rs.last == 1.0, "probe=all must recover the exact top-5")
+  }
+
+  test("IVF recall@5 >= 0.8 at probe=1 on clustered data") {
+    // Deterministic clustered corpus: 10 well-separated centers, 20
+    // points each at small noise — the geometry IVF assumes. probe=1
+    // must find >= 4 of the true top-5.
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(42)
+    val dim = 16
+    val centers = Array.fill(10, dim)(rng.nextGaussian().toFloat)
+    val rows = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val v = centers(c).map(x => x + 0.1f * rng.nextGaussian().toFloat)
+      (c.toLong * 20 + i, c.toString, v)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "label", "embedding")
+    val cent = Similarity.ivfCentroids(df, "label", "embedding")
+    val exact = Similarity.cosineTopK(
+        df.where(col("vec_id") =!= 7),
+        df.where(col("vec_id") === 7).select(col("embedding").as("qv")),
+        "vec_id", "embedding", k = 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = Similarity.ivfSearch(df, "vec_id", "embedding", cent,
+        queryId = 7, k = 5, probe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val r = got.intersect(exact).size / 5.0
+    assert(r >= 0.8, s"recall@5 at probe=1 on clustered data = $r")
+  }
+
   test("q28 approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("q28_agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

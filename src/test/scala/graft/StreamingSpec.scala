@@ -89,6 +89,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(lines.where(col("env.after.city") === "amsterdam").count() == 1)
   }
 
+  test("s13: streaming raw-line scan quarantines malformed lines") {
+    val src = TestSpark.tmpDir("s13-src")
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.50", "1.0"),
+      "{not json at all",
+      envLine("b", "boston", "20.25", "2.0")))
+    val q = CdcStreams.readEnvelopeLinesStream(spark, src, rideSchema)
+      .writeStream.format("memory").queryName("s13")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val t = spark.table("s13")
+    assert(t.count() == 3) // nothing dropped
+    assert(t.where(col("env").isNull || col("env.after").isNull).count() == 1)
+    assert(t.where(col("env.after.city") === "amsterdam").count() == 1)
+  }
+
+  test("csv-envelope scan (sentinel delimiter) keeps each json line whole") {
+    val src = TestSpark.tmpDir("csvenv-src")
+    // commas and quotes inside the JSON must NOT split/strip fields
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.50", "1.0"),
+      envLine("b", "boston", "20.25", "2.0")))
+    val batch = CdcStreams.readEnvelopeCsv(spark, src, rideSchema)
+    assert(batch.count() == 2)
+    assert(batch.where(col("env.after.revenue") === "10.50").count() == 1)
+    val q = CdcStreams.readEnvelopeCsvStream(spark, src, rideSchema)
+      .writeStream.format("memory").queryName("csvenv")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val t = spark.table("csvenv")
+    assert(t.count() == 2)
+    assert(t.where(col("env.after.city") === "boston")
+      .select("env.after.revenue").head().getString(0) == "20.25")
+  }
+
   test("s02: partitioned append sink is exactly-once across a rerun") {
     val src = TestSpark.tmpDir("s02-src")
     val out = TestSpark.tmpDir("s02-out")
@@ -197,6 +232,38 @@ class StreamingSpec extends AnyFunSuite {
     val cur = CdcStreams.currentState(spark, state, Seq("k"), Seq("ver"))
     val m = cur.collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
     assert(m == Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("s12: delete tombstone removes its key from upsert state across a restart") {
+    val src = TestSpark.tmpDir("s12-src")
+    val state = TestSpark.tmpDir("s12-state")
+    val chk = TestSpark.tmpDir("s12-chk")
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.00", "1.0"),
+      envLine("b", "boston", "5.00", "2.0")))
+    def run(): Unit = {
+      val post = CdcStreams.postImages(
+          CdcStreams.readEnvelopeStream(spark, src, rideSchema))
+        .withColumn("kid", element_at(col("key"), 2))
+      val q = CdcStreams.upsertSink(post, state, chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def keys = CdcStreams.currentState(spark, state, Seq("kid"), Seq("updated"),
+        isDelete = Some(col("is_delete")))
+      .collect().map(_.getAs[String]("kid")).toSet
+    run()
+    assert(keys == Set("a", "b"))
+    // the changefeed delivers a DELETE for "a" (after: null, key kept);
+    // the restarted stream must apply it, not resurrect the key
+    writeNdjson(src, "f2.ndjson",
+      Seq("""{"after": null, "key": ["amsterdam", "a"], "updated": "3.0"}"""))
+    run()
+    assert(keys == Set("b"), "tombstoned key must be removed from current state")
+    // an upsert NEWER than the delete re-creates the key
+    writeNdjson(src, "f3.ndjson", Seq(envLine("a", "amsterdam", "1.00", "4.0")))
+    run()
+    assert(keys == Set("a", "b"))
   }
 
   test("s09: streaming twins of q70/q71/q72 equal their batch results") {
