@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed two-phase ranking for dominant-key windows.
+  *
+  * A plain `Window.partitionBy(k)` funnels EVERY row of a group
+  * through one task; with a 3-value key (q30/q34/q35's
+  * returnflag/orderstatus) the whole fact table runs on 3 cores at any
+  * cluster size, and AQE cannot split window partitions. These
+  * operators re-express the same semantics with shuffles keyed on
+  * high-cardinality derivatives, so parallelism scales with data:
+  *
+  *  - `ranked`: rank / dense_rank / row_number / ntile via
+  *    value-derived quantile buckets → per-bucket counts →
+  *    prefix-offset broadcast → local rank. Buckets are keyed on the
+  *    leading tie value, so a tie group never straddles a bucket
+  *    boundary and the offset math is exact with no boundary
+  *    corrections; the bucket id is a deterministic expression, so
+  *    the counts phase and the rank phase can never disagree on
+  *    placement (see `ranked`'s scaladoc for why that rules out
+  *    `repartitionByRange`).
+  *  - `bandCount`: RANGE-frame `count(*) OVER (... RANGE BETWEEN w
+  *    PRECEDING AND CURRENT ROW)` via per-value counts joined through
+  *    width-sized coarse buckets — the band spans at most 2 buckets,
+  *    so the join fans out per-bucket, never per-group.
+  *  - `fullFrameEdges`: first/last/nth over an unbounded frame as a
+  *    per-group top-k aggregate (WindowGroupLimit keeps the rank
+  *    filters map-side partial — each map task ships ≤ k rows per
+  *    group) broadcast-joined back to the table.
+  *
+  * Caveat (inherent to rank semantics): `ranked`'s spread is bounded
+  * by the cardinality of (pkeys, tieCols) — a single massively-hot tie
+  * value still lands in one range. For continuous order values (the
+  * 100 TB case) cardinality ≈ row count and the spread is full.
+  * AlgebraProps pins every operator here equal to its window form.
+  */
+object DistributedRank {
+
+  /** Floor integer division on long-domain columns (counts/buckets are
+    * far below 2^53, so the double round-trip is exact). */
+  private def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+
+  /** Appends int columns `rnk`, `drnk`, `rn`, `nt` — equal to
+    * rank()/dense_rank()/row_number()/ntile(ntileK) over
+    * `Window.partitionBy(pkeys).orderBy(tieCols)` (rnk/drnk) and
+    * `.orderBy(tieCols ++ uniqueCols)` (rn/nt). The FIRST tie column
+    * must be numeric: ranges are value-derived from its quantiles.
+    *
+    * Why not `repartitionByRange` + `spark_partition_id()`: the stats
+    * phase and the rank phase would each plan their own range
+    * exchange, and nothing guarantees the two sample identical
+    * boundaries (exchange reuse is best-effort under AQE) — a boundary
+    * that lands differently silently shifts every offset after it.
+    * Deriving the bucket id from the VALUE against one driver-computed
+    * quantile array makes both phases agree by construction, costs one
+    * quantile pass (the same price as range-exchange sampling), and
+    * drops the pre-partitioning exchange entirely — the only
+    * table-scale shuffle left is the (pkeys, bucket)-keyed window. */
+  def ranked(df: DataFrame, pkeys: Seq[String], tieCols: Seq[String],
+      uniqueCols: Seq[String], ntileK: Int, numRanges: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    val n = if (numRanges > 0) numRanges else s.sparkContext.defaultParallelism
+    val tie0 = tieCols.head
+    // Quantile boundaries of the leading tie value — O(numRanges)
+    // driver-side metadata (the analogue of RangePartitioner bounds),
+    // NOT a data collect. Equal values always land in one bucket, so a
+    // tie group never straddles and the offset math below is exact.
+    val bounds = df.select(col(tie0).cast("double").as("__t"))
+      .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.001)
+      .distinct.sorted
+    val pid =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit(_)): _*),
+        b => col(tie0).cast("double") > b))
+    val parted = df.withColumn("__pid", pid)
+    val grp = (pkeys :+ "__pid").map(col)
+
+    // Phase 1: per-(range, group) row and distinct-tie counts — a tiny
+    // frame (numRanges × groups rows) aggregated map-side.
+    val tie = struct(tieCols.map(col): _*)
+    val stats = parted
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("__cnt"), countDistinct(tie).as("__dcnt"))
+    // Prefix offsets along the range order within each group. The
+    // window here runs over the TINY stats frame, not the table.
+    val wPrev = Window.partitionBy(pkeys.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(pkeys.map(col): _*)
+    val offs = stats.select(
+      (pkeys :+ "__pid").map(col) ++ Seq(
+        coalesce(sum("__cnt").over(wPrev), lit(0L)).as("__rowOff"),
+        coalesce(sum("__dcnt").over(wPrev), lit(0L)).as("__dOff"),
+        sum("__cnt").over(wAll).as("__total")): _*)
+
+    // Phase 2: local ranks within each (range, group) — the window
+    // shuffle keys on (__pid, pkeys): numRanges × groups spread — plus
+    // the broadcast prefix offsets.
+    val order = (tieCols ++ uniqueCols).map(col)
+    val wTie = Window.partitionBy(grp: _*).orderBy(tieCols.map(col): _*)
+    val wTot = Window.partitionBy(grp: _*).orderBy(order: _*)
+    val k = lit(ntileK.toLong)
+    parted
+      .join(broadcast(offs), pkeys :+ "__pid")
+      .withColumn("rnk", (col("__rowOff") + rank().over(wTie)).cast("int"))
+      .withColumn("drnk", (col("__dOff") + dense_rank().over(wTie)).cast("int"))
+      .withColumn("__grn", col("__rowOff") + row_number().over(wTot))
+      // SQL ntile over T rows: the first T mod k buckets take
+      // ceil(T/k) rows, the rest floor(T/k) — computed from the global
+      // row_number and the group total, no extra pass.
+      .withColumn("nt", {
+        val q = idiv(col("__total"), k); val r = col("__total") % k
+        when(col("__grn") <= (q + 1) * r, idiv(col("__grn") - 1, q + 1) + 1)
+          .otherwise(r + idiv(col("__grn") - 1 - (q + 1) * r, q) + 1)
+      }.cast("int"))
+      .withColumn("rn", col("__grn").cast("int"))
+      .drop("__pid", "__rowOff", "__dOff", "__total", "__grn")
+  }
+
+  /** Appends long `n_band` = count of group rows with `valCol` in
+    * [v - width, v] — the RANGE-frame running count, O(N log N) total
+    * work like the window form but with every shuffle keyed on
+    * (pkeys, quantile-bucket) or (pkeys, value), never on pkeys alone.
+    *
+    * n_band(v) = C(v) - D(v) with C(v) = #rows ≤ v and D(v) =
+    * #rows < v - width, both per group:
+    *  1. per-(group, value) counts (`vc`) — ONE row per distinct value;
+    *  2. C via a distributed prefix sum: bucket offsets from a tiny
+    *     per-bucket stats frame + a local cumsum window inside each
+    *     (group, bucket);
+    *  3. D via a bucket-local as-of lookup: each value emits a PROBE at
+    *     v - width into the probe's own bucket; a tagged union of value
+    *     and probe rows sorted inside (group, bucket) lets each probe
+    *     read the last C strictly below it (probes sort BEFORE equal
+    *     values, so the inclusive lower band edge stays in the band),
+    *     falling back to the bucket offset when the bucket has no
+    *     smaller value.
+    * A naive bucket-join (sum counts over each anchor's band) is
+    * Θ(N × band-occupancy) — measured 19× slower at sf0.1 — because it
+    * re-adds the whole band per anchor instead of reusing prefixes. */
+  def bandCount(df: DataFrame, pkeys: Seq[String], valCol: String,
+      width: Long, numRanges: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    val n = if (numRanges > 0) numRanges else s.sparkContext.defaultParallelism
+    val vc = df.groupBy((pkeys :+ valCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    // Quantile bounds over the DISTINCT values (balances the union
+    // window's per-bucket row counts); O(n) driver-side metadata.
+    val bounds = vc.select(col(valCol).cast("double").as("__t"))
+      .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.01)
+      .distinct.sorted
+    def bucketOf(c: Column): Column =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit(_)): _*), b => c.cast("double") > b))
+    val withB = vc.withColumn("__b", bucketOf(col(valCol)))
+    // Complete (group × bucket) offset grid — tiny (groups × n rows),
+    // and total: a probe landing in an EMPTY bucket still finds its
+    // offset. __off(b) = group rows in strictly-earlier buckets.
+    val wPrev = Window.partitionBy(pkeys.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = vc.select(pkeys.map(col): _*).distinct()
+      .crossJoin(s.range(0, n).select(col("id").cast("int").as("__b")))
+      .join(withB.groupBy((pkeys :+ "__b").map(col): _*)
+        .agg(sum("__c").as("__bc")), pkeys :+ "__b", "left")
+      .withColumn("__off", coalesce(sum("__bc").over(wPrev), lit(0L)))
+      .select((pkeys :+ "__b").map(col) :+ col("__off"): _*)
+    // C(v) = bucket offset + local cumulative count
+    val wCum = Window.partitionBy((pkeys :+ "__b").map(col): _*)
+      .orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withB.join(broadcast(offs), pkeys :+ "__b")
+      .withColumn("__C", col("__off") + sum("__c").over(wCum))
+    // D(v): probe x = v - width lands in its own bucket. Per-bucket
+    // SEED rows (x null sorts first) carry the bucket offset so every
+    // probe resolves; probes (tag 0) sort BEFORE values (tag 1) at
+    // equal x, so the inclusive lower band edge stays in the band.
+    val valType = vc.schema(valCol).dataType
+    val seeds = offs.select(
+      pkeys.map(col) ++ Seq(col("__b"), lit(null).cast(valType).as("__x"),
+        lit(-1).as("__tag"), col("__off").as("__C"),
+        lit(null).cast(valType).as("__anchor")): _*)
+    val values = cum.select(
+      pkeys.map(col) ++ Seq(col("__b"), col(valCol).as("__x"), lit(1).as("__tag"),
+        col("__C"), lit(null).cast(valType).as("__anchor")): _*)
+    val probes = vc.select(
+      pkeys.map(col) ++ Seq(bucketOf(col(valCol) - width).as("__b"),
+        (col(valCol) - width).as("__x"), lit(0).as("__tag"),
+        lit(null).cast("long").as("__C"), col(valCol).as("__anchor")): _*)
+    val wAsof = Window.partitionBy((pkeys :+ "__b").map(col): _*)
+      .orderBy(col("__x").asc_nulls_first, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = seeds.unionByName(values).unionByName(probes)
+      .withColumn("__D", last("__C", ignoreNulls = true).over(wAsof))
+      .where(col("__tag") === 0)
+      .select(pkeys.map(col) ++ Seq(col("__anchor").as(valCol), col("__D")): _*)
+    val nb = cum.join(d, pkeys :+ valCol)
+      .select(pkeys.map(col) ++ Seq(col(valCol),
+        (col("__C") - col("__D")).as("n_band")): _*)
+    df.join(nb, pkeys :+ valCol)
+  }
+
+  /** Per-group order-extremes for unbounded-frame first/last/nth:
+    * returns one row per group with `first_v`, `last_v`, `nth_v`
+    * (null when the group has < nth rows) of `targetCol` ordered by
+    * `orderCols`. Rank filters plan through WindowGroupLimit (each map
+    * task pre-trims to its local top-k before the shuffle), so no
+    * full-table rows funnel into the 3-value-key exchange; the result
+    * is group-cardinality-sized — broadcast it back onto the table. */
+  def fullFrameEdges(df: DataFrame, pkeys: Seq[String],
+      orderCols: Seq[Column], targetCol: String, nth: Int): DataFrame = {
+    val asc = Window.partitionBy(pkeys.map(col): _*).orderBy(orderCols: _*)
+    val desc = Window.partitionBy(pkeys.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    val tops = df.withColumn("__rn", row_number().over(asc))
+      .where(col("__rn") <= nth)
+      .groupBy(pkeys.map(col): _*)
+      .agg(
+        min_by(col(targetCol), col("__rn")).as("first_v"),
+        max(when(col("__rn") === nth, col(targetCol))).as("nth_v"))
+    val bottom = df.withColumn("__rn", row_number().over(desc))
+      .where(col("__rn") === 1)
+      .groupBy(pkeys.map(col): _*)
+      .agg(min(col(targetCol)).as("last_v"))
+    tops.join(bottom, pkeys)
+  }
+}

@@ -22,22 +22,24 @@ import graft.Tables._
   */
 object WindowQueries {
 
-  /** q30: ranking family. rank/dense_rank over the non-unique quantity
-    * (tie-stable); row_number/ntile over the unique-suffixed order. */
-  private def q30(s: SparkSession, d: String): DataFrame = {
-    val byQty = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
-    val total = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-    lineitem(s, d).select(
-      col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"),
-      rank().over(byQty).as("rnk"),
-      dense_rank().over(byQty).as("drnk"),
-      row_number().over(total).as("rn"),
-      ntile(4).over(total).as("nt"))
+  /** q30: ranking family — rank/dense_rank over the non-unique
+    * quantity (tie-stable); row_number/ntile over the unique-suffixed
+    * order. Computed by the two-phase DistributedRank, NOT a plain
+    * window: l_returnflag has 3 values, so the window form would run
+    * the whole fact table on 3 tasks at any cluster size. The
+    * distributed form range-partitions on (flag, quantity), so
+    * parallelism scales with the order-value cardinality instead
+    * (AlgebraProps pins it equal to the window form). */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    graft.operators.DistributedRank.ranked(
+        lineitem(s, d).select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+        pkeys = Seq("l_returnflag"), tieCols = Seq("l_quantity"),
+        uniqueCols = Seq("l_orderkey", "l_linenumber"), ntileK = 4)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"), col("rnk"), col("drnk"), col("rn"), col("nt"))
       // lineitem contains fully-duplicate rows (same orderkey+linenumber),
       // so rn itself must join the output order to fix their interleaving.
       .transform(Det.emit(_, "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber", "rn"))
-  }
 
   /** q31: cumulative sum/avg/count per customer in order-date order. */
   private def q31(s: SparkSession, d: String): DataFrame = {
@@ -73,28 +75,35 @@ object WindowQueries {
       .transform(Det.emit(_, "event_id"))
   }
 
-  /** q34: RANGE frame — value-based band over floor(price); count is
-    * tie-order independent, so no unique suffix needed. */
-  private def q34(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_orderstatus").orderBy(col("pb"))
-      .rangeBetween(-10000, 0)
-    orders(s, d)
-      .withColumn("pb", floor(col("o_totalprice")).cast("long"))
-      .select(col("o_orderkey"), col("o_orderstatus"), col("pb"),
-        count(lit(1)).over(w).as("n_band"))
+  /** q34: RANGE frame — value-based band over floor(price). The band
+    * count depends only on the VALUE, so DistributedRank.bandCount
+    * computes it once per distinct (status, pb) through width-sized
+    * coarse buckets and joins it back — shuffles key on (status,
+    * bucket)/(status, pb), never on the 3-value status alone. */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    graft.operators.DistributedRank.bandCount(
+        orders(s, d)
+          .withColumn("pb", floor(col("o_totalprice")).cast("long"))
+          .select("o_orderkey", "o_orderstatus", "pb"),
+        pkeys = Seq("o_orderstatus"), valCol = "pb", width = 10000L)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("pb"), col("n_band"))
       .transform(Det.emit(_, "o_orderkey"))
-  }
 
-  /** q35: first/last/nth over an explicit full frame. */
+  /** q35: first/last/nth over an explicit full frame — per-group
+    * scalars, so computed as a top-k aggregate (WindowGroupLimit trims
+    * each map task to its local top-k before the 3-value-key shuffle)
+    * broadcast-joined back: the full table never funnels through 3
+    * window partitions. */
   private def q35(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_orderstatus")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    orders(s, d).select(
-      col("o_orderkey"), col("o_orderstatus"),
-      first("o_orderkey").over(w).as("cheapest"),
-      last("o_orderkey").over(w).as("dearest"),
-      nth_value(col("o_orderkey"), 2).over(w).as("second"))
+    val o = orders(s, d)
+    val edges = graft.operators.DistributedRank.fullFrameEdges(
+      o, pkeys = Seq("o_orderstatus"),
+      orderCols = Seq(col("o_totalprice"), col("o_orderkey")),
+      targetCol = "o_orderkey", nth = 2)
+    o.join(broadcast(edges), "o_orderstatus")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("first_v").as("cheapest"), col("last_v").as("dearest"),
+        col("nth_v").as("second"))
       .transform(Det.emit(_, "o_orderkey"))
   }
 

@@ -114,6 +114,75 @@ object AlgebraProps extends Properties("graft.algebra") {
       salted == plain
     }
 
+  /** (group, tie, unique-ish) rows — ties and full duplicates are
+    * frequent on purpose: rank boundaries and duplicate-row rn
+    * interleaving are the hard cases. */
+  private val genRankRows: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(40, for {
+      g <- Gen.choose(0L, 2L)
+      t <- Gen.choose(0L, 5L)
+      u <- Gen.choose(0L, 9L)
+    } yield (g, t, u))
+
+  property("DistributedRank.ranked equals the window ranking family") =
+    forAll(genRankRows) { rows =>
+      val df = rows.toDF("g", "t", "u")
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+      val got = graft.operators.DistributedRank
+        .ranked(df, Seq("g"), Seq("t"), Seq("u"), ntileK = 3, numRanges = 5)
+        .select("g", "t", "u", "rnk", "drnk", "rn", "nt")
+        .collect().map(tup).sorted.toSeq
+      val wTie = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("t")
+      val wTot = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("t", "u")
+      val want = df.select(col("g"), col("t"), col("u"),
+          rank().over(wTie).as("rnk"), dense_rank().over(wTie).as("drnk"),
+          row_number().over(wTot).as("rn"), ntile(3).over(wTot).as("nt"))
+        .collect().map(tup).sorted.toSeq
+      got == want
+    }
+
+  property("DistributedRank.bandCount equals the RANGE-frame window count") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 2L), Gen.choose(-30L, 30L)))) {
+      rows =>
+        val df = rows.toDF("g", "v")
+        def tup(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        val got = graft.operators.DistributedRank
+          .bandCount(df, Seq("g"), "v", width = 7L)
+          .select("g", "v", "n_band").collect().map(tup).sorted.toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("v").rangeBetween(-7, 0)
+        val want = df.select(col("g"), col("v"),
+            count(lit(1)).over(w).as("n_band"))
+          .collect().map(tup).sorted.toSeq
+        got == want
+    }
+
+  property("DistributedRank.fullFrameEdges equals first/last/nth over the full frame") =
+    forAll(genRankRows) { rows =>
+      val df = rows.toDF("g", "t", "u")
+      val got = graft.operators.DistributedRank
+        .fullFrameEdges(df, Seq("g"), Seq(col("t"), col("u")), "u", nth = 2)
+        .select("g", "first_v", "last_v", "nth_v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("t"), col("u"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val want = df.select(col("g"),
+          first("u").over(w).as("f"), last("u").over(w).as("l"),
+          nth_value(col("u"), 2).over(w).as("n2"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      got == want
+    }
+
   property("latestByKey picks the max order column per key") =
     forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))) {
       pairs =>

@@ -70,6 +70,40 @@ class PlanSpec extends AnyFunSuite {
       s"simhash64 projection outside the codegen span:\n$p")
   }
 
+  test("q30/q34/q35: no full-table window keyed on the 3-value column alone") {
+    // The scale contract of DistributedRank: a window over RAW table
+    // rows partitioned by a bare low-cardinality key collapses the
+    // table onto that many tasks (AQE cannot split window partitions).
+    // A window is fine when its partition spec carries a second
+    // high-cardinality key (bucket id), its input is already
+    // aggregated to value granularity, or WindowGroupLimit pre-trims
+    // each map task's input to the local top-k.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow, WindowGroupLimit}
+    def offending(name: String): Seq[String] = {
+      val lp = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      lp.collect { case w: LWindow
+          if w.partitionSpec.size < 2 &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty &&
+            w.child.collectFirst { case g: WindowGroupLimit => g }.isEmpty =>
+        w.windowExpressions.map(_.sql).mkString(", ")
+      }
+    }
+    for (q <- Seq("q30_win_rank", "q34_win_frame_range", "q35_win_first_last"))
+      assert(offending(q).isEmpty,
+        s"$q windows raw table rows on a bare low-cardinality key: ${offending(q)}")
+    // q30's table-scale local-rank shuffle must be keyed on (key, bucket)
+    val p30 = plan("q30_win_rank")
+    assert(p30.linesIterator.exists(l =>
+        l.contains("hashpartitioning") && l.contains("__pid")),
+      s"q30 local-rank window not keyed on (key, bucket):\n$p30")
+    // q35 keeps the map-side pre-trim and broadcasts the edges back
+    val p35 = plan("q35_win_first_last")
+    assert(p35.contains("WindowGroupLimit"),
+      s"q35 edge ranks lost the map-side top-k pre-trim:\n$p35")
+    assert(p35.contains("BroadcastHashJoin"),
+      s"q35 edges not broadcast back:\n$p35")
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —
