@@ -78,7 +78,7 @@ object Multimodal {
     decodeFeatures(toMediaDocs(docs)).toDF()
       .select(col("doc_id"), col("width"), col("height"),
         round(element_at(col("feat"), 1).cast("double"), 4).as("f0"))
-      .transform(graft.queries.Det.emit(_, "doc_id"))
+      .transform(graft.queries.Det.emitWide(_, "doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -60,7 +60,7 @@ object CdcQueries {
       .where(col("rn") === 1)
       .select(col("user_id"), col("event_id"), col("event_type"),
         round(col("value"), 2).as("val"), col("tsec"))
-      .transform(Det.emit(_, "user_id"))
+      .transform(Det.emitWide(_, "user_id"))
   }
 
   /** q62: duplicate elimination across at-least-once redelivery
@@ -94,7 +94,7 @@ object CdcQueries {
       .select(col("user_id"), col("after.event_id").as("event_id"),
         col("after.event_type").as("event_type"), col("after.val").as("val"),
         col("after.tsec").as("tsec"))
-      .transform(Det.emit(_, "user_id"))
+      .transform(Det.emitWide(_, "user_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -41,6 +41,23 @@ object Det {
   def emit(df: org.apache.spark.sql.DataFrame, c0: String, cs: String*): org.apache.spark.sql.DataFrame =
     emit(df, (c0 +: cs).map(org.apache.spark.sql.functions.col): _*)
 
+  /** Deterministic emitter for O(input)-sized outputs: a global
+    * `orderBy` — range-partitioned sort, so a full-table dump
+    * parallelizes across the cluster instead of funneling terabytes
+    * through one writer task. The price is the boundary-sampling pass;
+    * it is largely amortized (the scheduler reuses completed shuffle
+    * stages, so sampling re-executes only the stage below the sort),
+    * and it is the right trade exactly when the output is big. Keep
+    * `emit` for small results (fixed-cardinality aggregates, top-k),
+    * where one partition is free and the sampling pass is pure
+    * overhead — q29's whole-multiset percentile state is the canonical
+    * case. */
+  def emitWide(df: org.apache.spark.sql.DataFrame, cols: Column*): org.apache.spark.sql.DataFrame =
+    df.orderBy(cols: _*)
+
+  def emitWide(df: org.apache.spark.sql.DataFrame, c0: String, cs: String*): org.apache.spark.sql.DataFrame =
+    emitWide(df, (c0 +: cs).map(org.apache.spark.sql.functions.col): _*)
+
   /** round to 2dp, boundary-shifted (for large-magnitude ratios, e.g. covar). */
   def r2e(c: Column): Column = round(c + lit(1.23e-4), 2)
   /** round to 4dp, boundary-shifted (avg / stddev / corr / jaccard). */

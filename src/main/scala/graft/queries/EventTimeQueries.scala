@@ -53,7 +53,7 @@ object EventTimeQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n"), col("sv"))
-      .transform(Det.emit(_, "user_id", "session_start"))
+      .transform(Det.emitWide(_, "user_id", "session_start"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_window_tumbling" -> q70,

@@ -32,7 +32,7 @@ object RelationalQueries {
     lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .withColumn("l_extendedprice", round(col("l_extendedprice"), 2))
-      .transform(Det.emit(_, "l_orderkey", "l_linenumber"))
+      .transform(Det.emitWide(_, "l_orderkey", "l_linenumber"))
 
   /** q02: scan with filter + projection pushed into the parquet reader
     * (row-group/page skipping via min-max stats; ref: the day-glob
@@ -44,7 +44,7 @@ object RelationalQueries {
         col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate").cast("date").cast("string").as("ship_d"),
         round(col("l_extendedprice"), 2).as("price"))
-      .transform(Det.emit(_, "l_orderkey", "l_linenumber"))
+      .transform(Det.emitWide(_, "l_orderkey", "l_linenumber"))
 
   // ---- §2.2 filter / project / cast ------------------------------------
 
@@ -59,7 +59,7 @@ object RelationalQueries {
         col("p_name").isNotNull)
       .select(col("p_partkey"), col("p_name"), col("p_size"),
         round(col("p_retailprice"), 2).as("price"))
-      .transform(Det.emit(_, "p_partkey"))
+      .transform(Det.emitWide(_, "p_partkey"))
 
   /** q04: projection with CASE WHEN / COALESCE / NULLIF / GREATEST / LEAST. */
   private def q04(s: SparkSession, d: String): DataFrame =
@@ -72,7 +72,7 @@ object RelationalQueries {
         coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
         round(greatest(col("c_acctbal"), lit(0.0)), 2).as("pos_bal"),
         round(least(col("c_acctbal"), lit(1000.0)), 2).as("capped"))
-      .transform(Det.emit(_, "c_custkey"))
+      .transform(Det.emitWide(_, "c_custkey"))
 
   /** q05: explicit casts across string/int/double/date. Mirrors the
     * reference's CAST(JSON_VALUE(...) AS float) (README.md:179).
@@ -87,7 +87,7 @@ object RelationalQueries {
         col("o_orderkey").cast("double").cast("long").as("via_double"),
         col("o_orderdate").cast("date").cast("string").as("odate"),
         lit("3.5").cast("double").as("const_d"))
-      .transform(Det.emit(_, "o_orderkey"))
+      .transform(Det.emitWide(_, "o_orderkey"))
 
   /** q06: correlated scalar subquery — each order against its
     * customer's average. Catalyst decorrelates
@@ -103,7 +103,7 @@ object RelationalQueries {
                                    WHERE o2.o_custkey = o1.o_custkey)
                    + 0.000123, 2) AS diff_from_cust_avg
       FROM orders_q06 o1
-    """).transform(Det.emit(_, "o_orderkey"))
+    """).transform(Det.emitWide(_, "o_orderkey"))
   }
 
   /** q07: IN / NOT IN subqueries → rewritten to semi/anti joins
@@ -116,7 +116,7 @@ object RelationalQueries {
       FROM customer_q07
       WHERE c_custkey IN (SELECT o_custkey FROM orders_q07
                           WHERE o_totalprice > 400000.0)
-    """).transform(Det.emit(_, "c_custkey"))
+    """).transform(Det.emitWide(_, "c_custkey"))
   }
 
   /** q08: CTE (WITH clause) — two chained CTEs; Catalyst inlines or
@@ -131,7 +131,7 @@ object RelationalQueries {
                                round(sum(o_totalprice), 2) AS total
                         FROM big GROUP BY o_custkey)
       SELECT o_custkey, n, total FROM per_cust WHERE n >= 2
-    """).transform(Det.emit(_, "o_custkey"))
+    """).transform(Det.emitWide(_, "o_custkey"))
   }
 
   /** q09: lateral join (T-SQL CROSS APPLY) — per outer row, a
@@ -148,7 +148,7 @@ object RelationalQueries {
                     WHERE o_custkey = c.c_custkey
                     ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) o
       WHERE c.c_custkey <= 200
-    """).transform(Det.emit(_, "c_custkey", "o_orderkey"))
+    """).transform(Det.emitWide(_, "c_custkey", "o_orderkey"))
   }
 
   // ---- §2.3 joins -------------------------------------------------------
@@ -160,7 +160,7 @@ object RelationalQueries {
     o.join(c, o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
         round(col("o_totalprice"), 2).as("price"))
-      .transform(Det.emit(_, "o_orderkey"))
+      .transform(Det.emitWide(_, "o_orderkey"))
   }
 
   /** q11: left outer join with null extension. */
@@ -170,7 +170,7 @@ object RelationalQueries {
     c.join(o, c("c_custkey") === o("o_custkey"), "left")
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"))
-      .transform(Det.emit(_, col("c_custkey").asc, col("o_orderkey").asc_nulls_last))
+      .transform(Det.emitWide(_, col("c_custkey").asc, col("o_orderkey").asc_nulls_last))
   }
 
   /** q12: full outer join; customers <= 50 removed so both sides have
@@ -180,7 +180,7 @@ object RelationalQueries {
     val sp = supplier(s, d)
     c.join(sp, c("c_custkey") === sp("s_suppkey"), "full")
       .select(col("c_custkey"), col("s_suppkey"), col("c_name"), col("s_name"))
-      .transform(Det.emit(_, coalesce(col("c_custkey"), col("s_suppkey")).asc))
+      .transform(Det.emitWide(_, coalesce(col("c_custkey"), col("s_suppkey")).asc))
   }
 
   /** q13: left semi = EXISTS. Only the probe side is output, so Spark
@@ -190,7 +190,7 @@ object RelationalQueries {
     val big = orders(s, d).where(col("o_totalprice") > 300000.0)
     c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
-      .transform(Det.emit(_, "c_custkey"))
+      .transform(Det.emitWide(_, "c_custkey"))
   }
 
   /** q14: left anti = NOT EXISTS. */
@@ -199,7 +199,7 @@ object RelationalQueries {
     val big = orders(s, d).where(col("o_totalprice") > 300000.0)
     c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .transform(Det.emit(_, "c_custkey"))
+      .transform(Det.emitWide(_, "c_custkey"))
   }
 
   /** q15: explicit broadcast of the small dim side (nation⋈region is
@@ -220,7 +220,7 @@ object RelationalQueries {
     val sp = supplier(s, d); val r = region(s, d)
     sp.join(broadcast(r), sp("s_acctbal") > r("r_regionkey") * 2000.0)
       .select(col("s_suppkey"), col("r_regionkey"), round(col("s_acctbal"), 2).as("bal"))
-      .transform(Det.emit(_, "s_suppkey", "r_regionkey"))
+      .transform(Det.emitWide(_, "s_suppkey", "r_regionkey"))
   }
 
   /** q17: range join = equi key + date-band predicate. The equi key
@@ -253,7 +253,7 @@ object RelationalQueries {
         keys = Seq("user_id"), leftTs = "tsec", rightTs = "tsec")
       .where(col("purchase_id").isNotNull)
       .select("event_id", "user_id", "purchase_id")
-      .transform(Det.emit(_, "event_id"))
+      .transform(Det.emitWide(_, "event_id"))
   }
 
   /** q19: multiway star join; dims broadcast, fact shuffles once.

@@ -35,7 +35,7 @@ object ScalarQueries {
       regexp_replace(col("p_type"), " ", "_").as("repl"),
       expr("left(p_type, 3)").as("l3"),
       expr("right(p_type, 2)").as("r2"))
-      .transform(Det.emit(_, "p_partkey"))
+      .transform(Det.emitWide(_, "p_partkey"))
 
   /** q51: regex + predicate string functions (booleans cast to int for
     * cross-engine hash stability). */
@@ -47,7 +47,7 @@ object ScalarQueries {
       col("p_type").like("%a%").cast("int").as("has_a"),
       col("p_name").contains("b").cast("int").as("has_b"),
       col("p_brand").startsWith("B1").cast("int").as("is_b1"))
-      .transform(Det.emit(_, "p_partkey"))
+      .transform(Det.emitWide(_, "p_partkey"))
 
   /** q52: date/time function family (dates emitted as ISO strings —
     * parquet date32 vs DuckDB DATE pandas round-trips diverge). */
@@ -61,7 +61,7 @@ object ScalarQueries {
       date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
       datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("dd"),
       last_day(col("o_orderdate")).cast("string").as("ld"))
-      .transform(Det.emit(_, "o_orderkey"))
+      .transform(Det.emitWide(_, "o_orderkey"))
 
   /** q53: math function family; transcendentals rounded to 6dp (libm
     * last-ulp differences between JVM and C++). */
@@ -78,7 +78,7 @@ object ScalarQueries {
       round(exp(col("o_totalprice") / 100000.0), 6).as("ex"),
       (col("o_orderkey") % 7).as("md_"),
       signum(col("o_totalprice") - 200000.0).cast("int").as("sg"))
-      .transform(Det.emit(_, "o_orderkey"))
+      .transform(Det.emitWide(_, "o_orderkey"))
 
   /** q54: the reference's core expression — JSON path extraction +
     * cast + aggregate (README.md:178-179) over `events.props`.
@@ -142,7 +142,7 @@ object ScalarQueries {
       .select(from_json(col("j"), schema).as("s"))
       .select(col("s.k").as("k"), col("s.st").as("st"),
         col("s.p").cast("double").as("p"))
-      .transform(Det.emit(_, "k"))
+      .transform(Det.emitWide(_, "k"))
   }
 
   /** q98: the UDAF surface — weighted mean Σ(w·x)/Σ(w) as a typed

@@ -47,7 +47,7 @@ object TextQueries {
 
   /** q81: exact dedup by content hash, keep min doc_id per group. */
   private def q81(s: SparkSession, d: String): DataFrame =
-    Det.emit(TextDedup.exactDupGroups(docs(s, d), "doc_id", "text"), "h")
+    Det.emitWide(TextDedup.exactDupGroups(docs(s, d), "doc_id", "text"), "h")
 
   /** q82: per-language corpus stats. */
   private def q82(s: SparkSession, d: String): DataFrame =
@@ -65,7 +65,7 @@ object TextQueries {
     TextDedup.minhashSignatures(docs(s, d), "doc_id", "text", numHashes = 8)
 
   private def q86(s: SparkSession, d: String): DataFrame =
-    Det.emit(sigsOf(s, d), "doc_id", "seed")
+    Det.emitWide(sigsOf(s, d), "doc_id", "seed")
 
   /** q87: MinHash-LSH candidate pairs —
     * operators.TextDedup.lshCandidatePairs over the q86 signatures
@@ -74,14 +74,14 @@ object TextQueries {
     * inherent to LSH, not to the plan). */
   private def q87(s: SparkSession, d: String): DataFrame =
     TextDedup.lshCandidatePairs(sigsOf(s, d), "doc_id")
-      .transform(Det.emit(_, "a_id", "b_id"))
+      .transform(Det.emitWide(_, "a_id", "b_id"))
 
   /** q88: 60-bit SimHash per document via the native Catalyst
     * expression SimHash64 — tokenize/hash/bit-vote entirely inside one
     * map-side expression (vs the oracle's 1.2M-row explode), so the
     * only shuffle is the output sort. */
   private def q88(s: SparkSession, d: String): DataFrame =
-    Det.emit(TextDedup.simhashes(docs(s, d), "doc_id", "text"), "doc_id")
+    Det.emitWide(TextDedup.simhashes(docs(s, d), "doc_id", "text"), "doc_id")
 
   /** q89: n-gram (word-bigram) Jaccard similarity for all candidate
     * pairs among doc_id < 50 that share ≥1 bigram — intersection via
@@ -103,7 +103,7 @@ object TextQueries {
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), "b_id")
       .select(col("a_id"), col("b_id"), col("inter"),
         Det.r4e(col("inter") / (col("sa") + col("sb") - col("inter"))).as("jaccard"))
-      .transform(Det.emit(_, "a_id", "b_id"))
+      .transform(Det.emitWide(_, "a_id", "b_id"))
   }
 
   /** q91: language-ID by char-trigram profile — top-20 trigrams per
@@ -133,7 +133,7 @@ object TextQueries {
       .select(col("doc_id"), col("plang").as("pred_lang"), col("score"),
         col("actual"),
         (col("plang") === col("actual")).cast("int").as("hit"))
-      .transform(Det.emit(_, "doc_id"))
+      .transform(Det.emitWide(_, "doc_id"))
   }
 
   /** q92: document quality scoring — length/stopword/punctuation
@@ -152,7 +152,7 @@ object TextQueries {
           .as("n_punct"),
         Det.r4e(least(lit(1.0), col("nw") / 60.0) * (lit(1.0) - col("ns") / col("nw")))
           .as("quality"))
-      .transform(Det.emit(_, "doc_id"))
+      .transform(Det.emitWide(_, "doc_id"))
   }
 
   /** q93: token counting — whitespace tokens and a BPE-ish regex
@@ -164,7 +164,7 @@ object TextQueries {
       size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("bpe_tokens"),
       col("n_chars"))
-      .transform(Det.emit(_, "doc_id"))
+      .transform(Det.emitWide(_, "doc_id"))
 
   /** q94: document fingerprinting — a content-normalized hash (md5 of
     * the sorted distinct token set) plus a bottom-3 shingle-hash
@@ -176,7 +176,7 @@ object TextQueries {
         concat_ws("|",
           slice(array_sort(expr("transform(shs, sh -> md5(sh))")), 1, 3))
           .as("sketch3"))
-      .transform(Det.emit(_, "doc_id"))
+      .transform(Det.emitWide(_, "doc_id"))
 
   /** q96: multimodal/binary column plumbing — treat content as an
     * opaque binary payload with typed metadata (byte length, content
@@ -188,7 +188,7 @@ object TextQueries {
       expr("octet_length(text)").as("bytelen"),
       md5(col("text")).as("bmd5"),
       hex(expr("encode(substring(text, 1, 1), 'UTF-8')")).as("b1hex"))
-      .transform(Det.emit(_, "doc_id"))
+      .transform(Det.emitWide(_, "doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_text_wordcount" -> q80, "q81_text_dedup" -> q81,

@@ -26,7 +26,7 @@ object VectorQueries {
 
   /** q83: L2 norm per embedding — one map-side fold, no fan-out. */
   private def q83(s: SparkSession, d: String): DataFrame =
-    Det.emit(spread(s, embeddings(s, d))
+    Det.emitWide(spread(s, embeddings(s, d))
       .select(col("vec_id"), round(norm(col("embedding")), 6).as("l2")), "vec_id")
 
   /** q84: brute-force cosine top-10 vs the vec_id=0 query vector. The

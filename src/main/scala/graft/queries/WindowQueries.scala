@@ -39,7 +39,7 @@ object WindowQueries {
         col("l_linenumber"), col("rnk"), col("drnk"), col("rn"), col("nt"))
       // lineitem contains fully-duplicate rows (same orderkey+linenumber),
       // so rn itself must join the output order to fix their interleaving.
-      .transform(Det.emit(_, "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber", "rn"))
+      .transform(Det.emitWide(_, "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber", "rn"))
 
   /** q31: cumulative sum/avg/count per customer in order-date order. */
   private def q31(s: SparkSession, d: String): DataFrame = {
@@ -51,7 +51,7 @@ object WindowQueries {
       round(sum("o_totalprice").over(w), 2).as("run_total"),
       Det.r4e(avg("o_totalprice").over(w)).as("run_avg"),
       count(lit(1)).over(w).as("run_n"))
-      .transform(Det.emit(_, "o_custkey", "o_orderkey"))
+      .transform(Det.emitWide(_, "o_custkey", "o_orderkey"))
   }
 
   /** q32: lead/lag with defaults, per user over the event sequence. */
@@ -61,7 +61,7 @@ object WindowQueries {
       col("event_id"), col("user_id"), round(col("value"), 2).as("v"),
       round(lag("value", 1, 0.0).over(w), 2).as("prev"),
       round(lead("value", 1, -1.0).over(w), 2).as("nxt"))
-      .transform(Det.emit(_, "event_id"))
+      .transform(Det.emitWide(_, "event_id"))
   }
 
   /** q33: moving aggregate over a 3-row ROWS frame. */
@@ -72,7 +72,7 @@ object WindowQueries {
       col("event_id"), col("user_id"),
       Det.r4e(avg("value").over(w)).as("mov_avg"),
       round(sum("value").over(w), 2).as("mov_sum"))
-      .transform(Det.emit(_, "event_id"))
+      .transform(Det.emitWide(_, "event_id"))
   }
 
   /** q34: RANGE frame — value-based band over floor(price). The band
@@ -87,7 +87,7 @@ object WindowQueries {
           .select("o_orderkey", "o_orderstatus", "pb"),
         pkeys = Seq("o_orderstatus"), valCol = "pb", width = 10000L)
       .select(col("o_orderkey"), col("o_orderstatus"), col("pb"), col("n_band"))
-      .transform(Det.emit(_, "o_orderkey"))
+      .transform(Det.emitWide(_, "o_orderkey"))
 
   /** q35: first/last/nth over an explicit full frame — per-group
     * scalars, so computed as a top-k aggregate (WindowGroupLimit trims
@@ -104,7 +104,7 @@ object WindowQueries {
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("first_v").as("cheapest"), col("last_v").as("dearest"),
         col("nth_v").as("second"))
-      .transform(Det.emit(_, "o_orderkey"))
+      .transform(Det.emitWide(_, "o_orderkey"))
   }
 
   /** q36: top-k per group — the row_number-filter idiom. Spark 4

@@ -104,6 +104,20 @@ class PlanSpec extends AnyFunSuite {
       s"q35 edges not broadcast back:\n$p35")
   }
 
+  test("q01/q30: full-table dumps emit through a range sort, not one partition") {
+    // O(input)-sized outputs must not funnel through a single writer
+    // task (Det.emitWide = range-partitioned orderBy); the
+    // single-partition Det.emit is reserved for small results.
+    for (q <- Seq("q01_scan_project", "q30_win_rank", "q50_str_funcs",
+        "q92_quality_score")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q dumps its full output through one partition:\n$p")
+      assert(p.contains("rangepartitioning"),
+        s"$q final sort is not range-partitioned:\n$p")
+    }
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —
