@@ -13,15 +13,16 @@ import org.apache.spark.sql.functions._
   * operators re-express the same semantics with shuffles keyed on
   * high-cardinality derivatives, so parallelism scales with data:
   *
-  *  - `ranked`: rank / dense_rank / row_number / ntile via
-  *    value-derived quantile buckets → per-bucket counts →
-  *    prefix-offset broadcast → local rank. Buckets are keyed on the
-  *    leading tie value, so a tie group never straddles a bucket
-  *    boundary and the offset math is exact with no boundary
-  *    corrections; the bucket id is a deterministic expression, so
-  *    the counts phase and the rank phase can never disagree on
-  *    placement (see `ranked`'s scaladoc for why that rules out
-  *    `repartitionByRange`).
+  *  - `ranked`: rank / dense_rank / row_number / ntile. rank and
+  *    dense_rank depend only on the tie VALUE, so they are computed on
+  *    the per-value frame (distributed prefix sums over value-derived
+  *    quantile buckets) and joined back; the table itself is shuffled
+  *    exactly once, on (group, tie value), serving both the join and
+  *    the tie-group row_number. The bucket id is a deterministic
+  *    expression against one driver-computed quantile array, so no two
+  *    phases can disagree on placement (which rules out
+  *    `repartitionByRange` + `spark_partition_id`, whose sampled
+  *    boundaries are not guaranteed to repeat across exchanges).
   *  - `bandCount`: RANGE-frame `count(*) OVER (... RANGE BETWEEN w
   *    PRECEDING AND CURRENT ROW)` via per-value counts joined through
   *    width-sized coarse buckets — the band spans at most 2 buckets,
@@ -49,64 +50,81 @@ object DistributedRank {
     * `.orderBy(tieCols ++ uniqueCols)` (rn/nt). The FIRST tie column
     * must be numeric: ranges are value-derived from its quantiles.
     *
-    * Why not `repartitionByRange` + `spark_partition_id()`: the stats
-    * phase and the rank phase would each plan their own range
-    * exchange, and nothing guarantees the two sample identical
-    * boundaries (exchange reuse is best-effort under AQE) — a boundary
-    * that lands differently silently shifts every offset after it.
-    * Deriving the bucket id from the VALUE against one driver-computed
-    * quantile array makes both phases agree by construction, costs one
-    * quantile pass (the same price as range-exchange sampling), and
-    * drops the pre-partitioning exchange entirely — the only
-    * table-scale shuffle left is the (pkeys, bucket)-keyed window. */
+    * Why not `repartitionByRange` + `spark_partition_id()`: each phase
+    * would plan its own range exchange, and nothing guarantees they
+    * sample identical boundaries (exchange reuse is best-effort under
+    * AQE) — a boundary that lands differently silently shifts every
+    * offset after it (observed at sf0.01). Deriving the bucket id from
+    * the VALUE against one driver-computed quantile array makes all
+    * phases agree by construction; the quantile pass runs over the
+    * aggregated per-value frame, not the table. The table itself is
+    * shuffled exactly once, on (group, tie value): the join back is
+    * clustered exactly like the tie-group row_number window, so the
+    * window adds a sort but no second exchange. */
   def ranked(df: DataFrame, pkeys: Seq[String], tieCols: Seq[String],
       uniqueCols: Seq[String], ntileK: Int, numRanges: Int = 0): DataFrame = {
     val s = df.sparkSession
     val n = if (numRanges > 0) numRanges else s.sparkContext.defaultParallelism
     val tie0 = tieCols.head
+    val vkeys = pkeys ++ tieCols
+
+    // Phase 1 — VALUE granularity: rank and dense_rank depend only on
+    // the tie value, so compute them once per distinct (group, value)
+    // and join back. The per-value frame is built by one map-side
+    // partial aggregation; its prefix sums distribute over
+    // (group, quantile-bucket) windows, so even a billion distinct
+    // values per group never serialize onto one task.
+    val vc = df.groupBy(vkeys.map(col): _*).agg(count(lit(1)).as("__c"))
     // Quantile boundaries of the leading tie value — O(numRanges)
-    // driver-side metadata (the analogue of RangePartitioner bounds),
-    // NOT a data collect. Equal values always land in one bucket, so a
-    // tie group never straddles and the offset math below is exact.
-    val bounds = df.select(col(tie0).cast("double").as("__t"))
+    // driver-side metadata (the analogue of RangePartitioner bounds,
+    // but shared by every phase so bucket placement can never
+    // disagree), computed over the already-aggregated value frame.
+    val bounds = vc.select(col(tie0).cast("double").as("__t"))
       .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.001)
       .distinct.sorted
-    val pid =
+    val bucket =
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.map(lit(_)): _*),
         b => col(tie0).cast("double") > b))
-    val parted = df.withColumn("__pid", pid)
-    val grp = (pkeys :+ "__pid").map(col)
-
-    // Phase 1: per-(range, group) row and distinct-tie counts — a tiny
-    // frame (numRanges × groups rows) aggregated map-side.
-    val tie = struct(tieCols.map(col): _*)
-    val stats = parted
-      .groupBy(grp: _*)
-      .agg(count(lit(1)).as("__cnt"), countDistinct(tie).as("__dcnt"))
-    // Prefix offsets along the range order within each group. The
-    // window here runs over the TINY stats frame, not the table.
-    val wPrev = Window.partitionBy(pkeys.map(col): _*).orderBy(col("__pid"))
+    val vb = vc.withColumn("__b", bucket)
+    // Per-(group, bucket) row/distinct counts — a tiny frame
+    // (groups × numRanges rows); its prefix windows are negligible.
+    val statsB = vb.groupBy((pkeys :+ "__b").map(col): _*)
+      .agg(sum("__c").as("__bc"), count(lit(1)).as("__dc"))
+    val wPrev = Window.partitionBy(pkeys.map(col): _*).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(pkeys.map(col): _*)
-    val offs = stats.select(
-      (pkeys :+ "__pid").map(col) ++ Seq(
-        coalesce(sum("__cnt").over(wPrev), lit(0L)).as("__rowOff"),
-        coalesce(sum("__dcnt").over(wPrev), lit(0L)).as("__dOff"),
-        sum("__cnt").over(wAll).as("__total")): _*)
+    val offs = statsB.select(
+      (pkeys :+ "__b").map(col) ++ Seq(
+        coalesce(sum("__bc").over(wPrev), lit(0L)).as("__rowOff"),
+        coalesce(sum("__dc").over(wPrev), lit(0L)).as("__dOff"),
+        sum("__bc").over(wAll).as("__total")): _*)
+    // Within each (group, bucket): cumulative row count and distinct
+    // position (vc rows ARE the distinct values). Equal values always
+    // share a bucket, so offsets + local prefixes are exact.
+    val wv = Window.partitionBy((pkeys :+ "__b").map(col): _*)
+      .orderBy(tieCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wd = Window.partitionBy((pkeys :+ "__b").map(col): _*)
+      .orderBy(tieCols.map(col): _*)
+    val vals = vb.join(broadcast(offs), pkeys :+ "__b")
+      .withColumn("__vrnk", col("__rowOff") + sum("__c").over(wv) - col("__c") + 1)
+      .withColumn("__vdrnk", col("__dOff") + row_number().over(wd))
+      .select(vkeys.map(col) ++
+        Seq(col("__vrnk"), col("__vdrnk"), col("__total")): _*)
 
-    // Phase 2: local ranks within each (range, group) — the window
-    // shuffle keys on (__pid, pkeys): numRanges × groups spread — plus
-    // the broadcast prefix offsets.
-    val order = (tieCols ++ uniqueCols).map(col)
-    val wTie = Window.partitionBy(grp: _*).orderBy(tieCols.map(col): _*)
-    val wTot = Window.partitionBy(grp: _*).orderBy(order: _*)
+    // Phase 2 — TABLE granularity: one shuffle on (group, tie value)
+    // serves both the join back and the tie-group row_number (the join
+    // output is already clustered on the window's partition keys, so
+    // the window adds only a sort). row_number within the tie group
+    // offsets from the value rank: rn = rank(v) + local position - 1.
+    val wu = Window.partitionBy(vkeys.map(col): _*)
+      .orderBy((if (uniqueCols.nonEmpty) uniqueCols else tieCols).map(col): _*)
     val k = lit(ntileK.toLong)
-    parted
-      .join(broadcast(offs), pkeys :+ "__pid")
-      .withColumn("rnk", (col("__rowOff") + rank().over(wTie)).cast("int"))
-      .withColumn("drnk", (col("__dOff") + dense_rank().over(wTie)).cast("int"))
-      .withColumn("__grn", col("__rowOff") + row_number().over(wTot))
+    df.join(vals, vkeys)
+      .withColumn("rnk", col("__vrnk").cast("int"))
+      .withColumn("drnk", col("__vdrnk").cast("int"))
+      .withColumn("__grn", col("__vrnk") + row_number().over(wu) - 1)
       // SQL ntile over T rows: the first T mod k buckets take
       // ceil(T/k) rows, the rest floor(T/k) — computed from the global
       // row_number and the group total, no extra pass.
@@ -116,7 +134,7 @@ object DistributedRank {
           .otherwise(r + idiv(col("__grn") - 1 - (q + 1) * r, q) + 1)
       }.cast("int"))
       .withColumn("rn", col("__grn").cast("int"))
-      .drop("__pid", "__rowOff", "__dOff", "__total", "__grn")
+      .drop("__vrnk", "__vdrnk", "__total", "__grn")
   }
 
   /** Appends long `n_band` = count of group rows with `valCol` in

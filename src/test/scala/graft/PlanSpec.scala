@@ -91,11 +91,13 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("q30_win_rank", "q34_win_frame_range", "q35_win_first_last"))
       assert(offending(q).isEmpty,
         s"$q windows raw table rows on a bare low-cardinality key: ${offending(q)}")
-    // q30's table-scale local-rank shuffle must be keyed on (key, bucket)
+    // q30's table-scale shuffle must be keyed on (key, tie value) —
+    // the join back of the per-value ranks doubles as the clustering
+    // for the tie-group row_number window.
     val p30 = plan("q30_win_rank")
     assert(p30.linesIterator.exists(l =>
-        l.contains("hashpartitioning") && l.contains("__pid")),
-      s"q30 local-rank window not keyed on (key, bucket):\n$p30")
+        l.contains("hashpartitioning") && l.contains("l_quantity")),
+      s"q30 table shuffle not keyed on (key, tie value):\n$p30")
     // q35 keeps the map-side pre-trim and broadcasts the edges back
     val p35 = plan("q35_win_first_last")
     assert(p35.contains("WindowGroupLimit"),
