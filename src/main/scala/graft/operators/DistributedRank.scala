@@ -121,7 +121,10 @@ object DistributedRank {
     val wu = Window.partitionBy(vkeys.map(col): _*)
       .orderBy((if (uniqueCols.nonEmpty) uniqueCols else tieCols).map(col): _*)
     val k = lit(ntileK.toLong)
-    df.join(vals, vkeys)
+    // shuffle-hash, not sort-merge: the window sorts by (vkeys,
+    // uniqueCols) right after the join, so SMJ's per-side key sorts
+    // would be thrown away.
+    df.join(vals.hint("shuffle_hash"), vkeys)
       .withColumn("rnk", col("__vrnk").cast("int"))
       .withColumn("drnk", col("__vdrnk").cast("int"))
       .withColumn("__grn", col("__vrnk") + row_number().over(wu) - 1)

@@ -145,6 +145,29 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("DistributedRank.ranked handles multi-column ties") =
+    forAll(genRankRows) { rows =>
+      // tie = (t, u % 3): composite tie key whose leading column is the
+      // bucketing value; unique suffix = u.
+      val df = rows.toDF("g", "t", "u").withColumn("t2", col("u") % 2)
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7))
+      val got = graft.operators.DistributedRank
+        .ranked(df, Seq("g"), Seq("t", "t2"), Seq("u"), ntileK = 2, numRanges = 4)
+        .select("g", "t", "t2", "u", "rnk", "drnk", "rn", "nt")
+        .collect().map(tup).sorted.toSeq
+      val wTie = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("t", "t2")
+      val wTot = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("t", "t2", "u")
+      val want = df.select(col("g"), col("t"), col("t2"), col("u"),
+          rank().over(wTie).as("rnk"), dense_rank().over(wTie).as("drnk"),
+          row_number().over(wTot).as("rn"), ntile(2).over(wTot).as("nt"))
+        .collect().map(tup).sorted.toSeq
+      got == want
+    }
+
   property("DistributedRank.bandCount equals the RANGE-frame window count") =
     forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 2L), Gen.choose(-30L, 30L)))) {
       rows =>
