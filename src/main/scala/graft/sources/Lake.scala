@@ -33,4 +33,34 @@ object Lake {
   def readDay(spark: SparkSession, path: String, day: String,
       format: String = "parquet"): DataFrame =
     read(spark, path, format).where(col("ingest_date") === lit(day))
+
+  /** Read with parquet schema merging — the CDC lake reality: the
+    * upstream table gains columns over time, so different days carry
+    * different `after` schemas. Merged reads surface the superset;
+    * old files read the new columns as null. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Compact one day-partition's small files into ~`targetBytes`
+    * outputs. Changefeed sinks write a file per flush — at scale a day
+    * directory accumulates tens of thousands of tiny files and every
+    * scan pays per-file open cost. Output file count is derived from
+    * the optimizer's size stats (no data collect); the rewrite stages
+    * into a sibling temp directory and swaps by rename, so a reader
+    * never sees a half-compacted day. */
+  def compactDay(spark: SparkSession, path: String, day: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dayDir = new Path(s"$path/ingest_date=$day")
+    val tmpDir = new Path(s"$path/_compact_tmp_$day")
+    val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dayDir)) return
+    val slice = spark.read.parquet(dayDir.toString)
+    val bytes = slice.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nOut = math.max(1L, ((bytes + targetBytes - 1) / targetBytes).toLong).toInt
+    slice.repartition(nOut).write.mode("overwrite").parquet(tmpDir.toString)
+    fs.delete(dayDir, true)
+    if (!fs.rename(tmpDir, dayDir))
+      throw new java.io.IOException(s"compact rename failed: $tmpDir -> $dayDir")
+  }
 }

@@ -150,6 +150,40 @@ class OperatorSpec extends AnyFunSuite {
       all.where(col("ingest_date") === day).count())
   }
 
+  test("Lake.compactDay merges small files without changing the data") {
+    val lake = TestSpark.tmpDir("lake-compact")
+    val day = "2022-12-12"
+    val df = spark.range(0, 1000)
+      .select(col("id"), lit(day).cast("timestamp").as("ts"))
+      .repartition(20) // simulate a changefeed's file-per-flush storm
+    graft.sources.Lake.writePartitioned(df, "ts", lake)
+    def files = new java.io.File(s"$lake/ingest_date=$day")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = files
+    assert(before >= 20, s"expected a small-file storm, got $before files")
+    graft.sources.Lake.compactDay(spark, lake, day)
+    assert(files == 1, s"compaction left $files files")
+    val after = graft.sources.Lake.read(spark, lake)
+    assert(after.count() == 1000)
+    assert(after.agg(sum("id")).head().getLong(0) == 499500L)
+  }
+
+  test("Lake.readEvolved surfaces the superset schema across days") {
+    val lake = TestSpark.tmpDir("lake-evolve")
+    graft.sources.Lake.writePartitioned(
+      spark.range(0, 10).select(col("id"),
+        lit("2022-12-12").cast("timestamp").as("ts")), "ts", lake)
+    // the upstream table gained a column the next day
+    graft.sources.Lake.writePartitioned(
+      spark.range(10, 20).select(col("id"), lit(1.5).as("tip"),
+        lit("2022-12-13").cast("timestamp").as("ts")), "ts", lake)
+    val all = graft.sources.Lake.readEvolved(spark, lake)
+    assert(all.columns.contains("tip"), s"merged schema lost the new column")
+    assert(all.count() == 20)
+    // old-day rows read the new column as null
+    assert(all.where(col("tip").isNull).count() == 10)
+  }
+
   test("GraftExtensions wires native functions into a session") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     GraftExtensions.registerAll(spark)
