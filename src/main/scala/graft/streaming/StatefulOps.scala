@@ -35,4 +35,40 @@ object StatefulOps {
           Iterator(next)
       }
   }
+
+  /** One emitted state row: the key's current value, or a final
+    * `deleted = true` marker when a tombstone removed it. */
+  case class KeyState(key: Long, value: String, deleted: Boolean)
+
+  /** Streaming-native delete-aware upsert state: per-key latest value
+    * kept in the state store; a tombstone record (`value` None — the
+    * in-stream form of the envelope's `after: null`,
+    * `/root/reference/README.md:135-140`) calls `state.remove()`, so
+    * deleted keys cost ZERO state from that batch on (vs the batch
+    * form in CdcStreams.latestByKey, which filters at read time). The
+    * downstream sees one `deleted = true` row to propagate the
+    * retraction, then nothing until the key is re-inserted. Records
+    * within a batch apply in arrival order (per-key ordering is the
+    * changefeed's contract, README.md:90). */
+  def upsertWithTombstones(
+      records: Dataset[(Long, Option[String])]): Dataset[KeyState] = {
+    import records.sparkSession.implicits._
+    records
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KeyState, KeyState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Option[String])],
+            state: GroupState[KeyState]) =>
+          var cur = state.getOption
+          rows.foreach {
+            case (_, Some(v)) => cur = Some(KeyState(key, v, deleted = false))
+            case (_, None)    => cur = Some(KeyState(key, "", deleted = true))
+          }
+          cur match {
+            case Some(s) if s.deleted => state.remove(); Iterator(s)
+            case Some(s)              => state.update(s); Iterator(s)
+            case None                 => Iterator.empty
+          }
+      }
+  }
 }

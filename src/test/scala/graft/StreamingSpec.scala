@@ -357,6 +357,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(2L) == ((2L, 1L, 1.0)))
   }
 
+  test("s14: stateful upsert applies tombstones via state.remove") {
+    val ms = MemoryStream[(Long, Option[String])]
+    val q = graft.streaming.StatefulOps.upsertWithTombstones(ms.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("s14").start()
+    ms.addData((1L, Some("a")), (2L, Some("b")))
+    q.processAllAvailable()
+    ms.addData((1L, None)) // delete key 1
+    q.processAllAvailable()
+    ms.addData((1L, Some("a2"))) // re-insert after the delete
+    q.processAllAvailable()
+    q.stop()
+    val emissions = spark.table("s14").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("value"),
+        r.getAs[Boolean]("deleted")))
+    // key 1's lifecycle reaches the consumer in order: value,
+    // retraction, new value; key 2 is untouched
+    assert(emissions.filter(_._1 == 1L).toSeq ==
+      Seq((1L, "a", false), (1L, "", true), (1L, "a2", false)))
+    assert(emissions.filter(_._1 == 2L).toSeq == Seq((2L, "b", false)))
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
