@@ -120,6 +120,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no query plans a cartesian product or an interpreted UDF scan") {
+    // Sweep every declared key: a CartesianProduct is always a missed
+    // join key or a missed broadcast (the intentional 1-row cross
+    // joins plan as BroadcastNestedLoopJoin, which is fine); an
+    // (Arrow)EvalPython node would mean a non-codegen UDF crept into a
+    // hot path.
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+      assert(!p.contains("EvalPython"), s"$name plans a Python UDF")
+    }
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —
