@@ -190,13 +190,32 @@ object TextQueries {
       hex(expr("encode(substring(text, 1, 1), 'UTF-8')")).as("b1hex"))
       .transform(Det.emitWide(_, "doc_id"))
 
+  /** q99: repetition ratios — the Gopher-style repetitiousness
+    * filters a pretraining pipeline runs before quality scoring:
+    * fraction of occurrences claimed by the top word and fraction of
+    * words that are repeats. Two hash aggregates, both keyed on
+    * high-cardinality derivatives ((doc, word) then doc) — per-doc
+    * state is two counters, never the token list. */
+  private def q99(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(expr(TOKS)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("total"), max("c").as("topc"), count(lit(1)).as("dist"))
+      .select(col("doc_id"),
+        Det.r4e(col("topc") / col("total")).as("top_word_ratio"),
+        Det.r4e(lit(1) - col("dist") / col("total")).as("dup_word_ratio"),
+        col("total").as("n_words"))
+      .transform(Det.emitWide(_, "doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_text_wordcount" -> q80, "q81_text_dedup" -> q81,
     "q82_text_stats" -> q82, "q86_minhash_sig" -> q86,
     "q87_minhash_lsh_pairs" -> q87, "q88_simhash" -> q88,
     "q89_ngram_jaccard" -> q89, "q91_lang_id" -> q91,
     "q92_quality_score" -> q92, "q93_token_count" -> q93,
-    "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96)
+    "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96,
+    "q99_repetition" -> q99)
 
   private val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
@@ -340,5 +359,16 @@ object TextQueries {
       """SELECT doc_id, CAST(strlen(text) AS INT) AS bytelen,
                 md5(text) AS bmd5,
                 hex(encode(substr(text, 1, 1))) AS b1hex
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q99_repetition" ->
+      s"""WITH w AS (SELECT doc_id, unnest($TS) AS w FROM documents),
+          wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+          a AS (SELECT doc_id, sum(c) AS total, max(c) AS topc,
+                       count(*) AS dist
+                FROM wc GROUP BY 1)
+          SELECT doc_id,
+                 round(topc / total + ${Det.E4}, 4) AS top_word_ratio,
+                 round(1 - dist / total + ${Det.E4}, 4) AS dup_word_ratio,
+                 CAST(total AS BIGINT) AS n_words
+          FROM a ORDER BY doc_id""")
 }
