@@ -107,6 +107,43 @@ object Similarity {
     cosineTopK(candidates, qv, idCol, vecCol, k)
   }
 
+  /** Batch k-NN self-join: every anchor's top-k cosine neighbours,
+    * with candidate generation blocked through IVF cells — each anchor
+    * probes its top-`probe` cells and only meets vectors INDEXED
+    * there, so the pair count is corpus × cell-occupancy × probe,
+    * never corpus². probe=#clusters recovers the exact brute-force
+    * result (the oracle-checked configuration); at scale probe is
+    * small and recall is governed by the same bound OperatorSpec pins
+    * for `ivfSearch`. Shuffles key on cell / anchor id — both
+    * high-cardinality. */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, k: Int, probe: Int = 1,
+      anchorFilter: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("nb_id"), col("clabel"))
+      .join(corpus.select(col(idCol).as("nb_id"), col(vecCol).as("nb_vec")), "nb_id")
+    val anchors = anchorFilter.fold(corpus)(corpus.where)
+    val queries = ivfAssign(anchors, idCol, vecCol, centroids, probe)
+      .select(col(idCol).as("a_id"), col("clabel"))
+      .join(anchors.select(col(idCol).as("a_id"), col(vecCol).as("a_vec")), "a_id")
+    graft.functions.CosineSim.register(corpus.sparkSession)
+    val scored = queries.join(index, "clabel")
+      .where(col("a_id") =!= col("nb_id"))
+      // an anchor probing p cells can meet an indexed vector once per
+      // cell only if it were indexed multiply — index is probe=1, so
+      // pairs are already unique
+      .select(col("a_id"), col("nb_id"),
+        graft.queries.Det.r4e(expr("cosine_sim(a_vec, nb_vec)")).as("cos_sim"))
+    // rank-filter top-k per anchor: WindowGroupLimit pre-trims each
+    // map task to its local k before the anchor-keyed shuffle
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("cos_sim").desc, col("nb_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("a_id"), col("rn"), col("nb_id"), col("cos_sim"))
+  }
+
   /** All pairs with cosine above `minCos` WITHIN a bounded block (an
     * LSH bucket, an IVF cell, a shard) — the blocked-pairing pattern:
     * the cross product never spans the full corpus. */

@@ -72,10 +72,25 @@ object VectorQueries {
       queryId = 1, k = 5, probe = 1)
   }
 
+  /** q100: batch k-NN self-join — every anchor's top-3 neighbours via
+    * IVF-cell candidate blocking (Similarity.knnJoin). Declared at
+    * probe=all so the result is exact and oracle-checkable; at scale
+    * the same operator runs with small probe and the recall bound
+    * OperatorSpec pins for ivfSearch. Anchors restricted to
+    * vec_id < 50 to keep the oracle's brute-force side tractable. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity
+    val em = spread(s, embeddings(s, d))
+    val cent = Similarity.ivfCentroids(em, "label", "embedding")
+    Similarity.knnJoin(em, "vec_id", "embedding", cent, k = 3,
+        probe = Int.MaxValue, anchorFilter = Some(col("vec_id") < 50))
+      .transform(Det.emit(_, "a_id", "rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_vec_norm" -> q83, "q84_vec_cosine_topk" -> q84,
     "q85_vec_centroid" -> q85, "q90_embed_neardup" -> q90,
-    "q95_ann_ivf" -> q95)
+    "q95_ann_ivf" -> q95, "q100_knn_join" -> q100)
 
   val oracles: Map[String, String] = Map(
     "q83_vec_norm" ->
@@ -142,5 +157,23 @@ object VectorQueries {
                       sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
                FROM p GROUP BY vec_id)
          SELECT vec_id, round(dot/(na*nb) + 0.00000123, 4) AS cos_sim
-         FROM m ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""")
+         FROM m ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""",
+    "q100_knn_join" ->
+      """WITH a AS (SELECT vec_id AS a_id, embedding AS av
+                    FROM embeddings WHERE vec_id < 50),
+         p AS (SELECT a.a_id, e.vec_id AS nb_id,
+                      unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                      unnest(list_transform(a.av, x -> CAST(x AS DOUBLE))) AS y
+               FROM a JOIN embeddings e ON e.vec_id <> a.a_id),
+         m AS (SELECT a_id, nb_id, sum(x*y) AS dot,
+                      sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+               FROM p GROUP BY a_id, nb_id),
+         r AS (SELECT a_id, nb_id,
+                      round(dot/(na*nb) + 0.00000123, 4) AS cos_sim,
+                      row_number() OVER (PARTITION BY a_id
+                        ORDER BY round(dot/(na*nb) + 0.00000123, 4) DESC,
+                                 nb_id ASC) AS rn
+               FROM m)
+         SELECT a_id, CAST(rn AS INT) AS rn, nb_id, cos_sim
+         FROM r WHERE rn <= 3 ORDER BY a_id, rn""")
 }
