@@ -14,21 +14,25 @@ import graft.operators.TextDedup
   *   1. exact dedup       — md5 content groups, keep min id
   *   2. near-dup removal  — MinHash/LSH candidate pairs, drop the
   *                          higher id of every pair
-  *   3. quality filter    — length/stopword composite ≥ threshold
-  *   4. annotation        — whitespace + BPE-ish token counts
+  *   3. repetition filter — Gopher-style duplicate-word fraction cap
+  *                          (q99's shape: two counters per doc)
+  *   4. quality filter    — length/stopword composite ≥ threshold
+  *   5. annotation        — whitespace + BPE-ish token counts
   *
   * Every stage is a shuffle on a content/bucket key or a map-side
   * expression — nothing quadratic, nothing driver-side. Stage order
   * matters at scale: exact dedup first (cheapest, biggest shrink),
-  * LSH on the survivors only.
+  * LSH on the survivors only, per-word aggregation after both.
   *
   * Invariants (pinned by CleanCorpusSpec): output ids are unique, no
   * two retained docs share a content hash, no retained pair is an LSH
-  * candidate, every retained doc passes the quality floor.
+  * candidate, every retained doc passes the repetition cap and the
+  * quality floor.
   */
 object CleanCorpus {
 
-  def run(docs: DataFrame, minQuality: Double = 0.3): DataFrame = {
+  def run(docs: DataFrame, minQuality: Double = 0.3,
+      maxDupRatio: Double = 0.7): DataFrame = {
     // 1. exact dedup — semi join against the canonical ids
     val keep = TextDedup.exactDupGroups(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
@@ -41,10 +45,20 @@ object CleanCorpus {
       .select(col("b_id").as("doc_id")).distinct()
     val nearDeduped = exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
 
-    // 3+4. quality + annotation, one map-side pass
+    // 3. repetition cap — duplicate-word fraction per doc (two hash
+    // aggregates keyed (doc, word) → doc; two counters of state)
+    val dupRatio = nearDeduped
+      .select(col("doc_id"), explode(TextDedup.tokensExpr("text")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((lit(1.0) - count(lit(1)) / sum("c")).as("dup_word_ratio"))
+    val unrepetitive = nearDeduped.join(dupRatio, "doc_id")
+      .where(col("dup_word_ratio") <= maxDupRatio)
+
+    // 4+5. quality + annotation, one map-side pass
     val toks = TextDedup.tokensExpr("text")
     val stop = "array('the','a','of','to','and','in')"
-    nearDeduped
+    unrepetitive
       .withColumn("nw", size(toks))
       .withColumn("ns", expr(s"size(filter(split(text, ' '), w -> array_contains($stop, w)))"))
       .withColumn("quality",
@@ -52,7 +66,8 @@ object CleanCorpus {
       .where(col("quality") >= minQuality)
       .withColumn("bpe_tokens", size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))))
-      .select("doc_id", "text", "lang", "nw", "bpe_tokens", "quality")
+      .select("doc_id", "text", "lang", "nw", "bpe_tokens", "quality",
+        "dup_word_ratio")
   }
 
   /** Demo main: clean the fixture corpus, print the funnel. */

@@ -37,4 +37,8 @@ class CleanCorpusSpec extends AnyFunSuite {
   test("every retained doc passes the quality floor") {
     assert(clean.where(col("quality") < 0.3).isEmpty)
   }
+
+  test("every retained doc passes the repetition cap") {
+    assert(clean.where(col("dup_word_ratio") > 0.7).isEmpty)
+  }
 }
