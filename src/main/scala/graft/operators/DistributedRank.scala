@@ -66,7 +66,14 @@ object DistributedRank {
     val s = df.sparkSession
     val n = if (numRanges > 0) numRanges else s.sparkContext.defaultParallelism
     val tie0 = tieCols.head
-    val vkeys = pkeys ++ tieCols
+    // Struct-wrapped keys: the value ranks join back onto the table,
+    // and a raw-column equi-join would DROP null keys (SQL equality),
+    // silently un-ranking rows the window form ranks. Struct equality
+    // compares fields with null-safe semantics and struct ordering is
+    // the same nulls-first lexicographic order the window uses, so
+    // structs serve as join key, group key, and sort key at once.
+    val dfK = df.withColumn("__pk", struct(pkeys.map(col): _*))
+      .withColumn("__tie", struct(tieCols.map(col): _*))
 
     // Phase 1 — VALUE granularity: rank and dense_rank depend only on
     // the tie value, so compute them once per distinct (group, value)
@@ -74,57 +81,54 @@ object DistributedRank {
     // partial aggregation; its prefix sums distribute over
     // (group, quantile-bucket) windows, so even a billion distinct
     // values per group never serialize onto one task.
-    val vc = df.groupBy(vkeys.map(col): _*).agg(count(lit(1)).as("__c"))
+    val vc = dfK.groupBy(col("__pk"), col("__tie")).agg(count(lit(1)).as("__c"))
     // Quantile boundaries of the leading tie value — O(numRanges)
     // driver-side metadata (the analogue of RangePartitioner bounds,
     // but shared by every phase so bucket placement can never
     // disagree), computed over the already-aggregated value frame.
-    val bounds = vc.select(col(tie0).cast("double").as("__t"))
+    val bounds = vc.select(col("__tie").getField(tie0).cast("double").as("__t"))
       .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.001)
       .distinct.sorted
     val bucket =
       if (bounds.isEmpty) lit(0)
       else size(filter(array(bounds.map(lit(_)): _*),
-        b => col(tie0).cast("double") > b))
+        b => col("__tie").getField(tie0).cast("double") > b))
     val vb = vc.withColumn("__b", bucket)
     // Per-(group, bucket) row/distinct counts — a tiny frame
     // (groups × numRanges rows); its prefix windows are negligible.
-    val statsB = vb.groupBy((pkeys :+ "__b").map(col): _*)
+    val statsB = vb.groupBy(col("__pk"), col("__b"))
       .agg(sum("__c").as("__bc"), count(lit(1)).as("__dc"))
-    val wPrev = Window.partitionBy(pkeys.map(col): _*).orderBy(col("__b"))
+    val wPrev = Window.partitionBy(col("__pk")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(pkeys.map(col): _*)
-    val offs = statsB.select(
-      (pkeys :+ "__b").map(col) ++ Seq(
-        coalesce(sum("__bc").over(wPrev), lit(0L)).as("__rowOff"),
-        coalesce(sum("__dc").over(wPrev), lit(0L)).as("__dOff"),
-        sum("__bc").over(wAll).as("__total")): _*)
+    val wAll = Window.partitionBy(col("__pk"))
+    val offs = statsB.select(col("__pk"), col("__b"),
+      coalesce(sum("__bc").over(wPrev), lit(0L)).as("__rowOff"),
+      coalesce(sum("__dc").over(wPrev), lit(0L)).as("__dOff"),
+      sum("__bc").over(wAll).as("__total"))
     // Within each (group, bucket): cumulative row count and distinct
     // position (vc rows ARE the distinct values). Equal values always
     // share a bucket, so offsets + local prefixes are exact.
-    val wv = Window.partitionBy((pkeys :+ "__b").map(col): _*)
-      .orderBy(tieCols.map(col): _*)
+    val wv = Window.partitionBy(col("__pk"), col("__b")).orderBy(col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wd = Window.partitionBy((pkeys :+ "__b").map(col): _*)
-      .orderBy(tieCols.map(col): _*)
-    val vals = vb.join(broadcast(offs), pkeys :+ "__b")
+    val wd = Window.partitionBy(col("__pk"), col("__b")).orderBy(col("__tie"))
+    val vals = vb.join(broadcast(offs), Seq("__pk", "__b"))
       .withColumn("__vrnk", col("__rowOff") + sum("__c").over(wv) - col("__c") + 1)
       .withColumn("__vdrnk", col("__dOff") + row_number().over(wd))
-      .select(vkeys.map(col) ++
-        Seq(col("__vrnk"), col("__vdrnk"), col("__total")): _*)
+      .select(col("__pk"), col("__tie"),
+        col("__vrnk"), col("__vdrnk"), col("__total"))
 
     // Phase 2 — TABLE granularity: one shuffle on (group, tie value)
     // serves both the join back and the tie-group row_number (the join
     // output is already clustered on the window's partition keys, so
     // the window adds only a sort). row_number within the tie group
     // offsets from the value rank: rn = rank(v) + local position - 1.
-    val wu = Window.partitionBy(vkeys.map(col): _*)
+    val wu = Window.partitionBy(col("__pk"), col("__tie"))
       .orderBy((if (uniqueCols.nonEmpty) uniqueCols else tieCols).map(col): _*)
     val k = lit(ntileK.toLong)
-    // shuffle-hash, not sort-merge: the window sorts by (vkeys,
+    // shuffle-hash, not sort-merge: the window sorts by (keys,
     // uniqueCols) right after the join, so SMJ's per-side key sorts
     // would be thrown away.
-    df.join(vals.hint("shuffle_hash"), vkeys)
+    dfK.join(vals.hint("shuffle_hash"), Seq("__pk", "__tie"))
       .withColumn("rnk", col("__vrnk").cast("int"))
       .withColumn("drnk", col("__vdrnk").cast("int"))
       .withColumn("__grn", col("__vrnk") + row_number().over(wu) - 1)
@@ -137,7 +141,7 @@ object DistributedRank {
           .otherwise(r + idiv(col("__grn") - 1 - (q + 1) * r, q) + 1)
       }.cast("int"))
       .withColumn("rn", col("__grn").cast("int"))
-      .drop("__vrnk", "__vdrnk", "__total", "__grn")
+      .drop("__pk", "__tie", "__vrnk", "__vdrnk", "__total", "__grn")
   }
 
   /** Appends long `n_band` = count of group rows with `valCol` in

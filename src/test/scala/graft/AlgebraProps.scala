@@ -145,6 +145,30 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("DistributedRank.ranked keeps and ranks NULL tie values") =
+    forAll(genRankRows) { rows =>
+      // every 4th tie value nulled: the join-back must not drop these
+      // rows, and their ranks must match the window form (nulls first)
+      val df = rows.toDF("g", "t", "u")
+        .withColumn("t", when(col("u") % 4 === 0, lit(null)).otherwise(col("t")))
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2),
+          r.getInt(3), r.getInt(4), r.getInt(5))
+      val got = graft.operators.DistributedRank
+        .ranked(df, Seq("g"), Seq("t"), Seq("u"), ntileK = 3, numRanges = 4)
+        .select("g", "t", "u", "rnk", "drnk", "rn")
+        .collect().map(tup).sorted.toSeq
+      val wTie = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("t")
+      val wTot = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("t", "u")
+      val want = df.select(col("g"), col("t"), col("u"),
+          rank().over(wTie).as("rnk"), dense_rank().over(wTie).as("drnk"),
+          row_number().over(wTot).as("rn"))
+        .collect().map(tup).sorted.toSeq
+      got == want
+    }
+
   property("DistributedRank.ranked handles multi-column ties") =
     forAll(genRankRows) { rows =>
       // tie = (t, u % 3): composite tie key whose leading column is the

@@ -96,7 +96,7 @@ class PlanSpec extends AnyFunSuite {
     // for the tie-group row_number window.
     val p30 = plan("q30_win_rank")
     assert(p30.linesIterator.exists(l =>
-        l.contains("hashpartitioning") && l.contains("l_quantity")),
+        l.contains("hashpartitioning") && l.contains("__tie")),
       s"q30 table shuffle not keyed on (key, tie value):\n$p30")
     // q35 keeps the map-side pre-trim and broadcasts the edges back
     val p35 = plan("q35_win_first_last")
