@@ -169,7 +169,15 @@ object DistributedRank {
       width: Long, numRanges: Int = 0): DataFrame = {
     val s = df.sparkSession
     val n = if (numRanges > 0) numRanges else s.sparkContext.defaultParallelism
-    val vc = df.groupBy((pkeys :+ valCol).map(col): _*)
+    // Struct group key: null-safe in every join below (raw-column
+    // equality would drop null group values the window form keeps).
+    val dfK = df.withColumn("__g", struct(pkeys.map(col): _*))
+    // SQL RANGE frames put null order values in ONE peer group whose
+    // frame spans exactly the null peers — handled as its own branch,
+    // which also keeps the non-null pipeline's seed rows (null __x)
+    // unambiguous.
+    val nn = dfK.where(col(valCol).isNotNull)
+    val vc = nn.groupBy(col("__g"), col(valCol))
       .agg(count(lit(1)).as("__c"))
     // Quantile bounds over the DISTINCT values (balances the union
     // window's per-bucket row counts); O(n) driver-side metadata.
@@ -183,19 +191,19 @@ object DistributedRank {
     // Complete (group × bucket) offset grid — tiny (groups × n rows),
     // and total: a probe landing in an EMPTY bucket still finds its
     // offset. __off(b) = group rows in strictly-earlier buckets.
-    val wPrev = Window.partitionBy(pkeys.map(col): _*).orderBy(col("__b"))
+    val wPrev = Window.partitionBy(col("__g")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = vc.select(pkeys.map(col): _*).distinct()
+    val offs = vc.select(col("__g")).distinct()
       .crossJoin(s.range(0, n).select(col("id").cast("int").as("__b")))
-      .join(withB.groupBy((pkeys :+ "__b").map(col): _*)
-        .agg(sum("__c").as("__bc")), pkeys :+ "__b", "left")
+      .join(withB.groupBy(col("__g"), col("__b"))
+        .agg(sum("__c").as("__bc")), Seq("__g", "__b"), "left")
       .withColumn("__off", coalesce(sum("__bc").over(wPrev), lit(0L)))
-      .select((pkeys :+ "__b").map(col) :+ col("__off"): _*)
+      .select(col("__g"), col("__b"), col("__off"))
     // C(v) = bucket offset + local cumulative count
-    val wCum = Window.partitionBy((pkeys :+ "__b").map(col): _*)
+    val wCum = Window.partitionBy(col("__g"), col("__b"))
       .orderBy(col(valCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = withB.join(broadcast(offs), pkeys :+ "__b")
+    val cum = withB.join(broadcast(offs), Seq("__g", "__b"))
       .withColumn("__C", col("__off") + sum("__c").over(wCum))
     // D(v): probe x = v - width lands in its own bucket. Per-bucket
     // SEED rows (x null sorts first) carry the bucket offset so every
@@ -203,27 +211,31 @@ object DistributedRank {
     // equal x, so the inclusive lower band edge stays in the band.
     val valType = vc.schema(valCol).dataType
     val seeds = offs.select(
-      pkeys.map(col) ++ Seq(col("__b"), lit(null).cast(valType).as("__x"),
-        lit(-1).as("__tag"), col("__off").as("__C"),
-        lit(null).cast(valType).as("__anchor")): _*)
+      col("__g"), col("__b"), lit(null).cast(valType).as("__x"),
+      lit(-1).as("__tag"), col("__off").as("__C"),
+      lit(null).cast(valType).as("__anchor"))
     val values = cum.select(
-      pkeys.map(col) ++ Seq(col("__b"), col(valCol).as("__x"), lit(1).as("__tag"),
-        col("__C"), lit(null).cast(valType).as("__anchor")): _*)
+      col("__g"), col("__b"), col(valCol).as("__x"), lit(1).as("__tag"),
+      col("__C"), lit(null).cast(valType).as("__anchor"))
     val probes = vc.select(
-      pkeys.map(col) ++ Seq(bucketOf(col(valCol) - width).as("__b"),
-        (col(valCol) - width).as("__x"), lit(0).as("__tag"),
-        lit(null).cast("long").as("__C"), col(valCol).as("__anchor")): _*)
-    val wAsof = Window.partitionBy((pkeys :+ "__b").map(col): _*)
+      col("__g"), bucketOf(col(valCol) - width).as("__b"),
+      (col(valCol) - width).as("__x"), lit(0).as("__tag"),
+      lit(null).cast("long").as("__C"), col(valCol).as("__anchor"))
+    val wAsof = Window.partitionBy(col("__g"), col("__b"))
       .orderBy(col("__x").asc_nulls_first, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val d = seeds.unionByName(values).unionByName(probes)
       .withColumn("__D", last("__C", ignoreNulls = true).over(wAsof))
       .where(col("__tag") === 0)
-      .select(pkeys.map(col) ++ Seq(col("__anchor").as(valCol), col("__D")): _*)
-    val nb = cum.join(d, pkeys :+ valCol)
-      .select(pkeys.map(col) ++ Seq(col(valCol),
-        (col("__C") - col("__D")).as("n_band")): _*)
-    df.join(nb, pkeys :+ valCol)
+      .select(col("__g"), col("__anchor").as(valCol), col("__D"))
+    val nb = cum.join(d, Seq("__g", valCol))
+      .select(col("__g"), col(valCol), (col("__C") - col("__D")).as("n_band"))
+    val nnOut = nn.join(nb, Seq("__g", valCol))
+    // null peer group: frame = all null peers of the group
+    val nullBand = dfK.where(col(valCol).isNull)
+      .groupBy(col("__g")).agg(count(lit(1)).as("n_band"))
+    val nullsOut = dfK.where(col(valCol).isNull).join(nullBand, "__g")
+    nnOut.unionByName(nullsOut).drop("__g")
   }
 
   /** Per-group order-extremes for unbounded-frame first/last/nth:
@@ -232,7 +244,9 @@ object DistributedRank {
     * `orderCols`. Rank filters plan through WindowGroupLimit (each map
     * task pre-trims to its local top-k before the shuffle), so no
     * full-table rows funnel into the 3-value-key exchange; the result
-    * is group-cardinality-sized — broadcast it back onto the table. */
+    * is group-cardinality-sized — broadcast it back onto the table.
+    * Callers joining the edges back on NULLABLE group keys should join
+    * on `struct(pkeys)` (null-safe equality), not the raw columns. */
   def fullFrameEdges(df: DataFrame, pkeys: Seq[String],
       orderCols: Seq[Column], targetCol: String, nth: Int): DataFrame = {
     val asc = Window.partitionBy(pkeys.map(col): _*).orderBy(orderCols: _*)
