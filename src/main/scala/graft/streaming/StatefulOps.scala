@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom incremental state (SURVEY.md §2.9) — the
@@ -33,6 +34,45 @@ object StatefulOps {
           val next = UserAgg(key, n, m)
           state.update(next)
           Iterator(next)
+      }
+  }
+
+  /** Streaming near-dup gate — the continuous form of the batch
+    * MinHash/LSH dedup (operators.TextDedup): each arriving document
+    * is minhashed entirely map-side, its (seed, sig) bucket keys join
+    * the per-bucket STATE of previously-seen ids, candidate pairs
+    * against those priors are emitted immediately, and the new id
+    * joins its buckets. An ingestion pipeline runs this as the dedup
+    * gate IN FRONT of the lake instead of re-scanning the corpus.
+    *
+    * State per bucket = the id list (bounded by bucket occupancy —
+    * the same quantity that bounds the batch form's pair fan-out; add
+    * a GroupStateTimeout in deployments where buckets churn). A pair
+    * sharing several buckets is emitted once per shared bucket;
+    * consumers dedup downstream exactly like the batch form's
+    * `.distinct()`. */
+  def lshCandidateStream(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    val sigs = graft.operators.TextDedup
+      .minhashSignatures(docs, idCol, textCol, numHashes)
+      .select(concat_ws(":", col("seed"), col("sig")).as("bucket"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+    sigs.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[Seq[Long]]) =>
+          var seen = state.getOption.getOrElse(Seq.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          rows.foreach { case (_, id) =>
+            if (!seen.contains(id)) {
+              seen.foreach(p => out += ((math.min(p, id), math.max(p, id))))
+              seen = seen :+ id
+            }
+          }
+          state.update(seen)
+          out.iterator
       }
   }
 

@@ -378,6 +378,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(emissions.filter(_._1 == 2L).toSeq == Seq((2L, "b", false)))
   }
 
+  test("s15: streaming LSH gate flags near-dups against prior state") {
+    val ms = MemoryStream[(Long, String)]
+    val docs = ms.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StatefulOps
+      .lshCandidateStream(docs, "doc_id", "text")
+      .toDF("a_id", "b_id")
+      .writeStream.outputMode("update").format("memory").queryName("s15").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    ms.addData((1L, base), (2L, "completely different words about spark shuffles and joins here"))
+    q.processAllAvailable()
+    assert(spark.table("s15").isEmpty, "distinct docs must not pair")
+    // a near-duplicate of doc 1 arrives in a LATER batch: the gate
+    // must flag it against the stored bucket state
+    ms.addData((3L, base.replace("dog", "cat")))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("s15").select("a_id", "b_id")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)), s"got $pairs")
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
