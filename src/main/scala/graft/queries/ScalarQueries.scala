@@ -49,6 +49,19 @@ object ScalarQueries {
       col("p_brand").startsWith("B1").cast("int").as("is_b1"))
       .transform(Det.emitWide(_, "p_partkey"))
 
+  /** q101: PII-style redaction — the scrub pass a pipeline runs before
+    * landing data in a shared lake: digit runs replaced by a sentinel,
+    * a bounded visible suffix retained, and a digit count kept for
+    * audit. Pure map-side regex expressions (codegen'd); patterns stay
+    * lookahead-free so the Java-regex and RE2 oracles agree. */
+  private def q101(s: SparkSession, d: String): DataFrame =
+    spread(s, customer(s, d)).select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("name_redacted"),
+      regexp_extract(col("c_name"), "([0-9]{3})$", 1).as("last3"),
+      length(regexp_replace(col("c_name"), "[^0-9]", "")).as("n_digits"))
+      .transform(Det.emitWide(_, "c_custkey"))
+
   /** q52: date/time function family (dates emitted as ISO strings —
     * parquet date32 vs DuckDB DATE pandas round-trips diverge). */
   private def q52(s: SparkSession, d: String): DataFrame =
@@ -164,7 +177,7 @@ object ScalarQueries {
     "q53_math_funcs" -> q53, "q54_json_extract" -> q54,
     "q55_array_funcs" -> q55, "q56_explode_unnest" -> q56,
     "q57_map_funcs" -> q57, "q58_struct_nested" -> q58,
-    "q98_udaf_weighted_mean" -> q98)
+    "q98_udaf_weighted_mean" -> q98, "q101_redact" -> q101)
 
   val oracles: Map[String, String] = Map(
     "q50_str_funcs" ->
@@ -242,5 +255,12 @@ object ScalarQueries {
                 round(sum(o_totalprice * (o_orderkey % 10 + 1))
                       / sum(o_orderkey % 10 + 1) + 0.00000123, 4) AS wavg_price,
                 CAST(count(1) AS BIGINT) AS n
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q101_redact" ->
+      """SELECT c_custkey,
+                regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_redacted,
+                regexp_extract(c_name, '([0-9]{3})$', 1) AS last3,
+                CAST(strlen(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INT)
+                  AS n_digits
+         FROM customer ORDER BY c_custkey""")
 }
