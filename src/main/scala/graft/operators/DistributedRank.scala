@@ -228,9 +228,11 @@ object DistributedRank {
       .withColumn("__D", last("__C", ignoreNulls = true).over(wAsof))
       .where(col("__tag") === 0)
       .select(col("__g"), col("__anchor").as(valCol), col("__D"))
-    val nb = cum.join(d, Seq("__g", valCol))
+    // shuffle-hash on both joins: nothing downstream consumes a
+    // key-sorted order, so SMJ's per-side sorts would be wasted
+    val nb = cum.join(d.hint("shuffle_hash"), Seq("__g", valCol))
       .select(col("__g"), col(valCol), (col("__C") - col("__D")).as("n_band"))
-    val nnOut = nn.join(nb, Seq("__g", valCol))
+    val nnOut = nn.join(nb.hint("shuffle_hash"), Seq("__g", valCol))
     // null peer group: frame = all null peers of the group
     val nullBand = dfK.where(col(valCol).isNull)
       .groupBy(col("__g")).agg(count(lit(1)).as("n_band"))
