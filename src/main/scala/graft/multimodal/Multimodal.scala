@@ -71,6 +71,28 @@ object Multimodal {
       .collect { case (frame, i) if i % everyN == 0 => frame }
       .toSeq
 
+  /** Image resize stub: nearest-neighbour downsample of a byte matrix
+    * to (w, h) — deterministic stand-in with the real signature (a
+    * codec would interpolate pixels; the byte-index arithmetic and the
+    * output shape are what the pipeline depends on). */
+  def resizeStub(media: Array[Byte], srcW: Int, srcH: Int,
+      dstW: Int, dstH: Int): Array[Byte] = {
+    val out = new Array[Byte](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      var x = 0
+      while (x < dstW) {
+        val sx = x * srcW / dstW
+        val sy = y * srcH / dstH
+        val idx = sy * srcW + sx
+        out(y * dstW + x) = if (idx < media.length) media(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** q97: the full pipeline as a query — binary wrap → batched decode
     * → scalar features. Oracle mirrors the stub arithmetic in SQL. */
   def q97(s: SparkSession, d: String): DataFrame = {
@@ -81,8 +103,27 @@ object Multimodal {
       .transform(graft.queries.Det.emitWide(_, "doc_id"))
   }
 
+  /** q102: frame-sampling as a query — every 2nd 64-byte "frame" of
+    * each payload, reporting the sampled-frame count and the first
+    * frame's content hash. Distribution shape: a pure Dataset map
+    * (per-row sampling needs no batch amortization); the oracle
+    * mirrors the sampling arithmetic in SQL. */
+  def q102(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    toMediaDocs(graft.Tables.spread(s, graft.Tables.documents(s, d)))
+      .map { m =>
+        val fs = frameSample(m.media, frameBytes = 64, everyN = 2)
+        (m.doc_id, fs.length,
+          fs.headOption.map(new String(_, "UTF-8")).getOrElse(""))
+      }
+      .toDF("doc_id", "n_frames", "first_frame")
+      .select(col("doc_id"), col("n_frames"),
+        md5(col("first_frame")).as("first_md5"))
+      .transform(graft.queries.Det.emitWide(_, "doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q97_multimodal_features" -> q97)
+    Map("q97_multimodal_features" -> q97, "q102_frame_sample" -> q102)
 
   val oracles: Map[String, String] = Map(
     "q97_multimodal_features" ->
@@ -90,5 +131,10 @@ object Multimodal {
                 CAST(32 + strlen(text) % 97 AS INT) AS width,
                 CAST(32 + (strlen(text) * 7) % 97 AS INT) AS height,
                 round(CAST(ascii(substr(text, 1, 1)) AS DOUBLE) / 255.0, 4) AS f0
+         FROM documents ORDER BY doc_id""",
+    "q102_frame_sample" ->
+      """SELECT doc_id,
+                CAST(ceil(ceil(strlen(text) / 64.0) / 2.0) AS INT) AS n_frames,
+                md5(substr(text, 1, 64)) AS first_md5
          FROM documents ORDER BY doc_id""")
 }

@@ -345,5 +345,11 @@ class OperatorSpec extends AnyFunSuite {
     // frame sampling: every 2nd 4-byte window of 10 bytes -> frames 0,2
     val frames = Multimodal.frameSample(Array.tabulate(10)(_.toByte), 4, 2)
     assert(frames.map(_.toSeq) == Seq(Seq[Byte](0, 1, 2, 3), Seq[Byte](8, 9)))
+    // resize: 4x4 -> 2x2 nearest-neighbour picks rows/cols 0 and 2
+    val img = Array.tabulate(16)(_.toByte)
+    val small = Multimodal.resizeStub(img, 4, 4, 2, 2)
+    assert(small.toSeq == Seq[Byte](0, 2, 8, 10))
+    // identity resize returns the matrix unchanged
+    assert(Multimodal.resizeStub(img, 4, 4, 4, 4).toSeq == img.toSeq)
   }
 }
