@@ -41,6 +41,21 @@ object Lake {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Bucketed table write — co-located joins. Two tables bucketed (and
+    * sorted) the same way on their join key join WITHOUT any shuffle:
+    * the scan's bucketing satisfies the join's required distribution,
+    * so a fact-to-fact join at 100 TB skips both exchanges entirely
+    * (pinned by OperatorSpec's no-Exchange plan test). Bucketed layout
+    * is the write-once analogue of `repartition` — pay the shuffle at
+    * ingest, never again per query. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Compact one day-partition's small files into ~`targetBytes`
     * outputs. Changefeed sinks write a file per flush — at scale a day
     * directory accumulates tens of thousands of tiny files and every

@@ -168,6 +168,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(after.agg(sum("id")).head().getLong(0) == 499500L)
   }
 
+  test("Lake.writeBucketed: co-bucketed tables join without a shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try {
+      graft.sources.Lake.writeBucketed(
+        Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", "o_custkey", 4)
+      graft.sources.Lake.writeBucketed(
+        Tables.customer(spark, sf).select("c_custkey", "c_mktsegment"),
+        "b_customer", "c_custkey", 4)
+      val joined = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the bucketed scans satisfy the join's distribution: no exchange
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join still shuffles:\n$plan")
+      assert(joined.count() ==
+        Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("Lake.readEvolved surfaces the superset schema across days") {
     val lake = TestSpark.tmpDir("lake-evolve")
     graft.sources.Lake.writePartitioned(
