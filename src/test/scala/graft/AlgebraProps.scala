@@ -248,6 +248,49 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("DistributedRank.ranked handles composite partition keys") =
+    forAll(genRankRows) { rows =>
+      val df = rows.toDF("g", "t", "u").withColumn("g2", col("u") % 2)
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getInt(4), r.getInt(5), r.getInt(6))
+      val got = graft.operators.DistributedRank
+        .ranked(df, Seq("g", "g2"), Seq("t"), Seq("u"), ntileK = 3, numRanges = 4)
+        .select("g", "g2", "t", "u", "rnk", "drnk", "rn")
+        .collect().map(tup).sorted.toSeq
+      val wTie = org.apache.spark.sql.expressions.Window
+        .partitionBy("g", "g2").orderBy("t")
+      val wTot = org.apache.spark.sql.expressions.Window
+        .partitionBy("g", "g2").orderBy("t", "u")
+      val want = df.select(col("g"), col("g2"), col("t"), col("u"),
+          rank().over(wTie).as("rnk"), dense_rank().over(wTie).as("drnk"),
+          row_number().over(wTot).as("rn"))
+        .collect().map(tup).sorted.toSeq
+      got == want
+    }
+
+  property("DistributedRank.fullFrameEdges handles NULL order values") =
+    forAll(genRankRows) { rows =>
+      val df = rows.toDF("g", "t", "u")
+        .withColumn("t", when(col("u") % 4 === 0, lit(null)).otherwise(col("t")))
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))
+      val got = graft.operators.DistributedRank
+        .fullFrameEdges(df, Seq("g"), Seq(col("t"), col("u")), "u", nth = 2)
+        .select("g", "first_v", "last_v", "nth_v")
+        .collect().map(tup).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("t"), col("u"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val want = df.select(col("g"),
+          first("u").over(w).as("f"), last("u").over(w).as("l"),
+          nth_value(col("u"), 2).over(w).as("n2"))
+        .distinct().collect().map(tup).toSet
+      got == want
+    }
+
   property("latestByKey picks the max order column per key") =
     forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))) {
       pairs =>
