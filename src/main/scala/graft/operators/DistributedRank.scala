@@ -62,7 +62,8 @@ object DistributedRank {
     * clustered exactly like the tie-group row_number window, so the
     * window adds a sort but no second exchange. */
   def ranked(df: DataFrame, pkeys: Seq[String], tieCols: Seq[String],
-      uniqueCols: Seq[String], ntileK: Int, numRanges: Int = 0): DataFrame = {
+      uniqueCols: Seq[String], ntileK: Int, numRanges: Int = 0,
+      adaptiveCut: Int = 10000): DataFrame = {
     val s = df.sparkSession
     val n = if (numRanges > 0) numRanges else s.sparkContext.defaultParallelism
     val tie0 = tieCols.head
@@ -82,40 +83,60 @@ object DistributedRank {
     // (group, quantile-bucket) windows, so even a billion distinct
     // values per group never serialize onto one task.
     val vc = dfK.groupBy(col("__pk"), col("__tie")).agg(count(lit(1)).as("__c"))
-    // Quantile boundaries of the leading tie value — O(numRanges)
-    // driver-side metadata (the analogue of RangePartitioner bounds,
-    // but shared by every phase so bucket placement can never
-    // disagree), computed over the already-aggregated value frame.
-    val bounds = vc.select(col("__tie").getField(tie0).cast("double").as("__t"))
-      .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.001)
-      .distinct.sorted
-    val bucket =
-      if (bounds.isEmpty) lit(0)
-      else size(filter(array(bounds.map(lit(_)): _*),
-        b => col("__tie").getField(tie0).cast("double") > b))
-    val vb = vc.withColumn("__b", bucket)
-    // Per-(group, bucket) row/distinct counts — a tiny frame
-    // (groups × numRanges rows); its prefix windows are negligible.
-    val statsB = vb.groupBy(col("__pk"), col("__b"))
-      .agg(sum("__c").as("__bc"), count(lit(1)).as("__dc"))
-    val wPrev = Window.partitionBy(col("__pk")).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy(col("__pk"))
-    val offs = statsB.select(col("__pk"), col("__b"),
-      coalesce(sum("__bc").over(wPrev), lit(0L)).as("__rowOff"),
-      coalesce(sum("__dc").over(wPrev), lit(0L)).as("__dOff"),
-      sum("__bc").over(wAll).as("__total"))
-    // Within each (group, bucket): cumulative row count and distinct
-    // position (vc rows ARE the distinct values). Equal values always
-    // share a bucket, so offsets + local prefixes are exact.
-    val wv = Window.partitionBy(col("__pk"), col("__b")).orderBy(col("__tie"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wd = Window.partitionBy(col("__pk"), col("__b")).orderBy(col("__tie"))
-    val vals = vb.join(broadcast(offs), Seq("__pk", "__b"))
-      .withColumn("__vrnk", col("__rowOff") + sum("__c").over(wv) - col("__c") + 1)
-      .withColumn("__vdrnk", col("__dOff") + row_number().over(wd))
-      .select(col("__pk"), col("__tie"),
-        col("__vrnk"), col("__vdrnk"), col("__total"))
+    // Adaptive: when the distinct-value frame is SMALL (bounded value
+    // domains — integer quantities, enum codes — stay small at ANY
+    // table size), plain prefix windows over it are exact, trivially
+    // cheap, and skip the whole bucket apparatus. The probe costs one
+    // aggregation pass over the value frame (collect stops at the cut,
+    // but the aggregation itself runs); set adaptiveCut = 0 on domains
+    // known to be continuous to skip straight to the bucketed path.
+    val vcSmall = adaptiveCut > 0 &&
+      vc.limit(adaptiveCut + 1).count() <= adaptiveCut
+    val vals = if (vcSmall) {
+      val wTie = Window.partitionBy(col("__pk")).orderBy(col("__tie"))
+      val wCum = wTie.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vc.withColumn("__vrnk", sum("__c").over(wCum) - col("__c") + 1)
+        .withColumn("__vdrnk", row_number().over(wTie).cast("long"))
+        .withColumn("__total",
+          sum("__c").over(Window.partitionBy(col("__pk"))))
+        .select(col("__pk"), col("__tie"),
+          col("__vrnk"), col("__vdrnk"), col("__total"))
+    } else {
+      // Quantile boundaries of the leading tie value — O(numRanges)
+      // driver-side metadata (the analogue of RangePartitioner bounds,
+      // but shared by every phase so bucket placement can never
+      // disagree), computed over the already-aggregated value frame.
+      val bounds = vc.select(col("__tie").getField(tie0).cast("double").as("__t"))
+        .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.001)
+        .distinct.sorted
+      val bucket =
+        if (bounds.isEmpty) lit(0)
+        else size(filter(array(bounds.map(lit(_)): _*),
+          b => col("__tie").getField(tie0).cast("double") > b))
+      val vb = vc.withColumn("__b", bucket)
+      // Per-(group, bucket) row/distinct counts — a tiny frame
+      // (groups × numRanges rows); its prefix windows are negligible.
+      val statsB = vb.groupBy(col("__pk"), col("__b"))
+        .agg(sum("__c").as("__bc"), count(lit(1)).as("__dc"))
+      val wPrev = Window.partitionBy(col("__pk")).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("__pk"))
+      val offs = statsB.select(col("__pk"), col("__b"),
+        coalesce(sum("__bc").over(wPrev), lit(0L)).as("__rowOff"),
+        coalesce(sum("__dc").over(wPrev), lit(0L)).as("__dOff"),
+        sum("__bc").over(wAll).as("__total"))
+      // Within each (group, bucket): cumulative row count and distinct
+      // position (vc rows ARE the distinct values). Equal values always
+      // share a bucket, so offsets + local prefixes are exact.
+      val wv = Window.partitionBy(col("__pk"), col("__b")).orderBy(col("__tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wd = Window.partitionBy(col("__pk"), col("__b")).orderBy(col("__tie"))
+      vb.join(broadcast(offs), Seq("__pk", "__b"))
+        .withColumn("__vrnk", col("__rowOff") + sum("__c").over(wv) - col("__c") + 1)
+        .withColumn("__vdrnk", col("__dOff") + row_number().over(wd))
+        .select(col("__pk"), col("__tie"),
+          col("__vrnk"), col("__vdrnk"), col("__total"))
+    }
 
     // Phase 2 — TABLE granularity: one shuffle on (group, tie value)
     // serves both the join back and the tie-group row_number (the join

@@ -124,14 +124,16 @@ object AlgebraProps extends Properties("graft.algebra") {
       u <- Gen.choose(0L, 9L)
     } yield (g, t, u))
 
-  property("DistributedRank.ranked equals the window ranking family") =
+  property("DistributedRank.ranked equals the window ranking family (both paths)") =
     forAll(genRankRows) { rows =>
       val df = rows.toDF("g", "t", "u")
       def tup(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
-      val got = graft.operators.DistributedRank
-        .ranked(df, Seq("g"), Seq("t"), Seq("u"), ntileK = 3, numRanges = 5)
+      // adaptiveCut default → small-value-frame path; 0 → bucketed path
+      def got(cut: Int) = graft.operators.DistributedRank
+        .ranked(df, Seq("g"), Seq("t"), Seq("u"), ntileK = 3, numRanges = 5,
+          adaptiveCut = cut)
         .select("g", "t", "u", "rnk", "drnk", "rn", "nt")
         .collect().map(tup).sorted.toSeq
       val wTie = org.apache.spark.sql.expressions.Window
@@ -142,7 +144,7 @@ object AlgebraProps extends Properties("graft.algebra") {
           rank().over(wTie).as("rnk"), dense_rank().over(wTie).as("drnk"),
           row_number().over(wTot).as("rn"), ntile(3).over(wTot).as("nt"))
         .collect().map(tup).sorted.toSeq
-      got == want
+      got(10000) == want && got(0) == want
     }
 
   property("DistributedRank.ranked keeps and ranks NULL tie values") =
