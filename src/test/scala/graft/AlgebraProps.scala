@@ -293,6 +293,21 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("salted skew join equals the plain equi-join") =
+    forAll(genRankRows, Gen.listOfN(8, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 9L)))) {
+      (rows, dims) =>
+        // skewed fact (g is 3-valued) joined to a small dim on g
+        val fact = rows.toDF("g", "t", "u")
+        val dim = dims.toDF("g", "attr")
+        def tup(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val got = graft.operators.SkewJoin.inner(fact, dim, Seq("g"), salts = 4)
+          .select("g", "t", "u", "attr").collect().map(tup).sorted.toSeq
+        val want = fact.join(dim, "g")
+          .select("g", "t", "u", "attr").collect().map(tup).sorted.toSeq
+        got == want
+    }
+
   property("latestByKey picks the max order column per key") =
     forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))) {
       pairs =>
