@@ -173,4 +173,33 @@ object CdcStreams {
       isDelete: Option[Column] = None): DataFrame =
     latestByKey(spark.read.option("basePath", statePath)
       .parquet(s"$statePath/batch=*"), keyCols, orderCols, isDelete)
+
+  /** Compact the upsert store: fold every `batch=N` directory into one
+    * directory holding the materialized current state. The store
+    * otherwise grows with every micro-batch and each `currentState`
+    * read re-ranks all history; compaction also PHYSICALLY removes
+    * tombstoned keys (the delete actually deletes — retention/GDPR).
+    *
+    * Safe against the sink's replay protocol: the consolidated
+    * directory keeps the HIGHEST seen batch id, and a restarted stream
+    * can only replay that id (found → skipped) or continue at id+1 —
+    * older ids are committed in the checkpoint and never replay. The
+    * rewrite stages into a temp dir and swaps by rename. */
+  def compactState(spark: SparkSession, statePath: String,
+      keyCols: Seq[String], orderCols: Seq[String],
+      isDelete: Option[Column] = None): Unit = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val batchDirs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).toSeq
+    if (batchDirs.size < 2) return
+    val maxId = batchDirs.map(_.getName.stripPrefix("batch=").toLong).max
+    val tmp = new Path(s"$statePath/_compact_tmp")
+    currentState(spark, statePath, keyCols, orderCols, isDelete)
+      .write.mode("overwrite").parquet(tmp.toString)
+    batchDirs.foreach(fs.delete(_, true))
+    if (!fs.rename(tmp, new Path(s"$statePath/batch=$maxId")))
+      throw new java.io.IOException(s"state compaction rename failed at $statePath")
+  }
 }

@@ -266,6 +266,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys == Set("a", "b"))
   }
 
+  test("s16: state compaction folds batches, applies deletes physically, stream continues") {
+    val src = TestSpark.tmpDir("s16-src")
+    val state = TestSpark.tmpDir("s16-state")
+    val chk = TestSpark.tmpDir("s16-chk")
+    def run(): Unit = {
+      val post = CdcStreams.postImages(
+          CdcStreams.readEnvelopeStream(spark, src, rideSchema))
+        .withColumn("kid", element_at(col("key"), 2))
+      val q = CdcStreams.upsertSink(post, state, chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def cur = CdcStreams.currentState(spark, state, Seq("kid"), Seq("updated"),
+      isDelete = Some(col("is_delete")))
+    def batchDirs = new java.io.File(state).listFiles()
+      .count(_.getName.startsWith("batch="))
+    writeNdjson(src, "f1.ndjson", Seq(envLine("a", "amsterdam", "10.00", "1.0")))
+    run()
+    writeNdjson(src, "f2.ndjson", Seq(envLine("b", "boston", "5.00", "2.0")))
+    run()
+    writeNdjson(src, "f3.ndjson",
+      Seq("""{"after": null, "key": ["amsterdam", "a"], "updated": "3.0"}"""))
+    run()
+    assert(batchDirs == 3)
+    val before = cur.select("kid").collect().map(_.getString(0)).toSet
+    CdcStreams.compactState(spark, state, Seq("kid"), Seq("updated"),
+      isDelete = Some(col("is_delete")))
+    assert(batchDirs == 1, "compaction must fold all batch dirs into one")
+    assert(cur.select("kid").collect().map(_.getString(0)).toSet == before)
+    // the delete is now PHYSICAL: no tombstone row survives in the store
+    val raw = spark.read.option("basePath", state).parquet(s"$state/batch=*")
+    assert(raw.where(col("is_delete")).isEmpty)
+    assert(raw.where(col("kid") === "a").isEmpty)
+    // the stream continues past the compacted id without collision
+    writeNdjson(src, "f4.ndjson", Seq(envLine("c", "chicago", "7.00", "4.0")))
+    run()
+    assert(cur.select("kid").collect().map(_.getString(0)).toSet == Set("b", "c"))
+  }
+
   test("s09: streaming twins of q70/q71/q72 equal their batch results") {
     // Same operators, same data, incremental execution: re-run the
     // event-time trio as readStream over the events parquet and
