@@ -194,21 +194,21 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
-  property("DistributedRank.bandCount equals the RANGE-frame window count") =
+  property("DistributedRank.bandCount equals the RANGE-frame window count (both paths)") =
     forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 2L), Gen.choose(-30L, 30L)))) {
       rows =>
         val df = rows.toDF("g", "v")
         def tup(r: org.apache.spark.sql.Row) =
           (r.getLong(0), r.getLong(1), r.getLong(2))
-        val got = graft.operators.DistributedRank
-          .bandCount(df, Seq("g"), "v", width = 7L)
+        def got(cut: Int) = graft.operators.DistributedRank
+          .bandCount(df, Seq("g"), "v", width = 7L, adaptiveCut = cut)
           .select("g", "v", "n_band").collect().map(tup).sorted.toSeq
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("g").orderBy("v").rangeBetween(-7, 0)
         val want = df.select(col("g"), col("v"),
             count(lit(1)).over(w).as("n_band"))
           .collect().map(tup).sorted.toSeq
-        got == want
+        got(10000) == want && got(0) == want
     }
 
   property("DistributedRank.bandCount handles NULL order values as one peer group") =
@@ -218,15 +218,15 @@ object AlgebraProps extends Properties("graft.algebra") {
           .withColumn("v", when(col("v") % 5 === 0, lit(null)).otherwise(col("v")))
         def tup(r: org.apache.spark.sql.Row) =
           (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2))
-        val got = graft.operators.DistributedRank
-          .bandCount(df, Seq("g"), "v", width = 7L)
+        def got(cut: Int) = graft.operators.DistributedRank
+          .bandCount(df, Seq("g"), "v", width = 7L, adaptiveCut = cut)
           .select("g", "v", "n_band").collect().map(tup).sorted.toSeq
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("g").orderBy("v").rangeBetween(-7, 0)
         val want = df.select(col("g"), col("v"),
             count(lit(1)).over(w).as("n_band"))
           .collect().map(tup).sorted.toSeq
-        got == want
+        got(10000) == want && got(0) == want
     }
 
   property("DistributedRank.fullFrameEdges equals first/last/nth over the full frame") =
