@@ -73,4 +73,37 @@ object TextDedup {
     graft.functions.SimHash64.register(df.sparkSession)
     df.select(col(idCol), expr(s"simhash64($textCol)").as("simhash"))
   }
+
+  /** SimHash near-dup pairs, EXACT for hamming distance ≤ `maxHamming`
+    * — pigeonhole banding: split the 60 simhash bits into
+    * maxHamming + 1 bands; ≤ maxHamming differing bits cannot corrupt
+    * every band, so every qualifying pair shares at least one band
+    * verbatim. Candidates join on (band index, band value) — a
+    * high-cardinality bucket key, never corpus² — then the exact
+    * `bit_count(xor)` filter drops false candidates. The whole
+    * pipeline is one map-side simhash pass + one bucket-keyed join. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val bandWidth = 60 / bands
+    val mask = (1L << bandWidth) - 1
+    val banded = simhashes(df, idCol, textCol)
+      .select(col(idCol), col("simhash"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+               i -> named_struct('bi', i,
+                 'bv', shiftright(simhash, i * $bandWidth) & $mask))"""))
+          .as("b"))
+      .select(col(idCol), col("simhash"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = banded.select(col(idCol).as("a_id"), col("simhash").as("a_sh"),
+      col("bi"), col("bv"))
+    val b = banded.select(col(idCol).as("b_id"), col("simhash").as("b_sh"),
+      col("bi").as("bi2"), col("bv").as("bv2"))
+    a.join(b, col("bi") === col("bi2") && col("bv") === col("bv2") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_sh ^ b_sh)").cast("int").as("hd"))
+      .distinct()
+      .where(col("hd") <= maxHamming)
+  }
 }

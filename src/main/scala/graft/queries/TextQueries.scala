@@ -208,6 +208,16 @@ object TextQueries {
         col("total").as("n_words"))
       .transform(Det.emitWide(_, "doc_id"))
 
+  /** q103: simhash-banded near-dup pairs — EXACT for hamming ≤ 3 by
+    * pigeonhole banding (TextDedup.simhashNearDupPairs): 4 bands of 15
+    * bits, qualifying pairs must share a band, candidates join on the
+    * (band, value) bucket key, exact bit_count filter after. The
+    * simhash route to near-dup detection: one 64-bit word per doc vs
+    * MinHash's 8-slot signature (q87). */
+  private def q103(s: SparkSession, d: String): DataFrame =
+    TextDedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
+      .transform(Det.emitWide(_, "a_id", "b_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_text_wordcount" -> q80, "q81_text_dedup" -> q81,
     "q82_text_stats" -> q82, "q86_minhash_sig" -> q86,
@@ -215,7 +225,7 @@ object TextQueries {
     "q89_ngram_jaccard" -> q89, "q91_lang_id" -> q91,
     "q92_quality_score" -> q92, "q93_token_count" -> q93,
     "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96,
-    "q99_repetition" -> q99)
+    "q99_repetition" -> q99, "q103_simhash_neardup" -> q103)
 
   private val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
@@ -360,6 +370,24 @@ object TextQueries {
                 md5(text) AS bmd5,
                 hex(encode(substr(text, 1, 1))) AS b1hex
          FROM documents ORDER BY doc_id""",
+    "q103_simhash_neardup" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TS) AS w FROM documents),
+          h AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv
+                FROM tk),
+          bits AS (SELECT doc_id, b,
+                          CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+                   FROM h, (SELECT unnest(range(60)) AS b)),
+          sv AS (SELECT doc_id, b, sum(vote) AS sv FROM bits GROUP BY doc_id, b),
+          sh AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                               ELSE 0 END) AS BIGINT) AS simhash
+                 FROM sv GROUP BY doc_id)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY a_id, b_id""",
     "q99_repetition" ->
       s"""WITH w AS (SELECT doc_id, unnest($TS) AS w FROM documents),
           wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
