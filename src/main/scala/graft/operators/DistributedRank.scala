@@ -275,6 +275,43 @@ object DistributedRank {
     nnOut.unionByName(nullsOut).drop("__g")
   }
 
+  /** Distributed GLOBAL prefix sum: appends long `cum_sum` =
+    * cumulative `valueCol` in `orderCol` order over the whole frame —
+    * the classic full-table running total that a plain unpartitioned
+    * window serializes onto ONE task. Same quantile-bucket two-phase
+    * as `ranked`: bucket offsets from a tiny per-bucket stats frame +
+    * local cumsum windows keyed on the bucket id. `orderCol` must be
+    * numeric and UNIQUE (ties would make the running total
+    * order-dependent); equal bucket placement is value-derived, so the
+    * phases can never disagree. */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      numRanges: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    val n = if (numRanges > 0) numRanges else s.sparkContext.defaultParallelism
+    val bounds = df.select(col(orderCol).cast("double").as("__t"))
+      .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.001)
+      .distinct.sorted
+    val bucket =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit(_)): _*),
+        b => col(orderCol).cast("double") > b))
+    val withB = df.withColumn("__b", bucket)
+    val wPrev = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-bucket totals: numRanges rows — the prefix window over them
+    // is negligible
+    val offs = withB.groupBy(col("__b"))
+      .agg(sum(col(valueCol).cast("long")).as("__bsum"))
+      .withColumn("__off", coalesce(sum("__bsum").over(wPrev), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wCum = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(offs), "__b")
+      .withColumn("cum_sum",
+        col("__off") + sum(col(valueCol).cast("long")).over(wCum))
+      .drop("__b", "__off")
+  }
+
   /** Per-group order-extremes for unbounded-frame first/last/nth:
     * returns one row per group with `first_v`, `last_v`, `nth_v`
     * (null when the group has < nth rows) of `targetCol` ordered by

@@ -218,6 +218,22 @@ object TextQueries {
     TextDedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", maxHamming = 3)
       .transform(Det.emitWide(_, "a_id", "b_id"))
 
+  /** q104: sequence packing — the concat-and-chunk layout a
+    * pretraining pipeline computes before tokenized docs land in
+    * fixed-length training sequences: global token offset per doc
+    * (a DISTRIBUTED prefix sum — an unpartitioned running total would
+    * serialize the corpus onto one task) and the 4096-token sequence
+    * id each doc starts in. */
+  private def q104(s: SparkSession, d: String): DataFrame =
+    graft.operators.DistributedRank.prefixSum(
+        docs(s, d).select(col("doc_id"),
+          expr(s"size($TOKS)").cast("long").as("n_tokens")),
+        orderCol = "doc_id", valueCol = "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum_sum") - col("n_tokens")).as("offset"),
+        floor((col("cum_sum") - col("n_tokens")) / 4096).cast("long").as("seq_id"))
+      .transform(Det.emitWide(_, "doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_text_wordcount" -> q80, "q81_text_dedup" -> q81,
     "q82_text_stats" -> q82, "q86_minhash_sig" -> q86,
@@ -225,7 +241,8 @@ object TextQueries {
     "q89_ngram_jaccard" -> q89, "q91_lang_id" -> q91,
     "q92_quality_score" -> q92, "q93_token_count" -> q93,
     "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96,
-    "q99_repetition" -> q99, "q103_simhash_neardup" -> q103)
+    "q99_repetition" -> q99, "q103_simhash_neardup" -> q103,
+    "q104_seq_pack" -> q104)
 
   private val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
@@ -388,6 +405,17 @@ object TextQueries {
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
           ORDER BY a_id, b_id""",
+    "q104_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($TS) AS BIGINT) AS n_tokens
+                     FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+                FROM t)
+          SELECT doc_id, n_tokens,
+                 CAST(cs - n_tokens AS BIGINT) AS offset,
+                 CAST((cs - n_tokens) // 4096 AS BIGINT) AS seq_id
+          FROM c ORDER BY doc_id""",
     "q99_repetition" ->
       s"""WITH w AS (SELECT doc_id, unnest($TS) AS w FROM documents),
           wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),

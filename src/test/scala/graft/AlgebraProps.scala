@@ -293,6 +293,24 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("DistributedRank.prefixSum equals the unpartitioned running total") =
+    forAll(Gen.listOf(Gen.choose(-20L, 20L))) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("id", "v")
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val got = graft.operators.DistributedRank
+        .prefixSum(df, "id", "v", numRanges = 4)
+        .select("id", "v", "cum_sum").collect().map(tup).sorted.toSeq
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val want = df.select(col("id"), col("v"),
+          sum("v").over(w).as("cum_sum"))
+        .collect().map(tup).sorted.toSeq
+      got == want
+    }
+
   property("salted skew join equals the plain equi-join") =
     forAll(genRankRows, Gen.listOfN(8, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 9L)))) {
       (rows, dims) =>
