@@ -38,11 +38,16 @@ object CleanCorpus {
       .select(col("keep_id").as("doc_id"))
     val exactDeduped = docs.join(keep, "doc_id")
 
-    // 2. near-dup removal — every LSH candidate pair (a < b) drops b
-    val dropIds = TextDedup
-      .lshCandidatePairs(
-        TextDedup.minhashSignatures(exactDeduped, "doc_id", "text"), "doc_id")
-      .select(col("b_id").as("doc_id")).distinct()
+    // 2. near-dup removal — connected components over the LSH
+    // candidate pairs, keep each cluster's min id. Transitive: pairs
+    // (7,9) + (5,9) put 5/7/9 in ONE cluster, so 7 is dropped even
+    // though no pair lists it second (the naive drop-the-b rule would
+    // keep both 5 and 7).
+    val pairs = TextDedup.lshCandidatePairs(
+      TextDedup.minhashSignatures(exactDeduped, "doc_id", "text"), "doc_id")
+    val dropIds = TextDedup.dupClusters(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
     val nearDeduped = exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
 
     // 3. repetition cap — duplicate-word fraction per doc (two hash

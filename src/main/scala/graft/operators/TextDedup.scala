@@ -74,6 +74,42 @@ object TextDedup {
     df.select(col(idCol), expr(s"simhash64($textCol)").as("simhash"))
   }
 
+  /** Connected components over candidate pairs — duplicate CLUSTERS.
+    * Dropping each pair's higher id (the naive rule) can retain two
+    * transitively-linked docs: pairs (7,9) and (5,9) never list 7 as a
+    * b_id, so both 5 and 7 survive although they share a cluster via
+    * 9. Min-label propagation converges to one label per component in
+    * O(diameter) rounds (dup clusters are shallow); every round is two
+    * bucket-keyed shuffles, and the loop exits on a fixpoint check
+    * (one scalar per round — the AQE-style driver decision, not a data
+    * collect). Lineage is truncated each round via localCheckpoint;
+    * swap for `checkpoint` on a real cluster for fault tolerance.
+    * Returns (id, cluster) with cluster = min id of the component. */
+  def dupClusters(pairs: DataFrame, idA: String = "a_id",
+      idB: String = "b_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("cluster").as("nl"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = next.join(
+          labels.withColumnRenamed("cluster", "old"), "id")
+        .where(col("cluster") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs, EXACT for hamming distance ≤ `maxHamming`
     * — pigeonhole banding: split the 60 simhash bits into
     * maxHamming + 1 bands; ≤ maxHamming differing bits cannot corrupt

@@ -311,6 +311,28 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("dupClusters equals union-find connected components") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { raw =>
+      val pairs = raw.collect {
+        case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }.distinct
+      pairs.isEmpty || {
+        val got = graft.operators.TextDedup
+          .dupClusters(pairs.toDF("a_id", "b_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        got == got.keys.map(id => id -> find(id)).toMap
+      }
+    }
+
   property("salted skew join equals the plain equi-join") =
     forAll(genRankRows, Gen.listOfN(8, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 9L)))) {
       (rows, dims) =>
