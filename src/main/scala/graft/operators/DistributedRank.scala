@@ -321,6 +321,27 @@ object DistributedRank {
     * is group-cardinality-sized — broadcast it back onto the table.
     * Callers joining the edges back on NULLABLE group keys should join
     * on `struct(pkeys)` (null-safe equality), not the raw columns. */
+  /** Generalized nth positions over an unbounded frame: one row per
+    * group with `nth_<p>` = targetCol of the p-th row in `orderCols`
+    * order (null when the group has fewer rows), for every p in
+    * `positions` — still one WindowGroupLimit-trimmed rank filter
+    * capped at max(positions), so each map task ships at most that
+    * many rows per group. */
+  def fullFrameNth(df: DataFrame, pkeys: Seq[String],
+      orderCols: Seq[Column], targetCol: String,
+      positions: Seq[Int]): DataFrame = {
+    val maxN = positions.max
+    val asc = Window.partitionBy(pkeys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(asc))
+      .where(col("__rn") <= maxN)
+      .groupBy(pkeys.map(col): _*)
+      .agg(
+        max(when(col("__rn") === positions.head, col(targetCol)))
+          .as(s"nth_${positions.head}"),
+        positions.tail.map(p =>
+          max(when(col("__rn") === p, col(targetCol))).as(s"nth_$p")): _*)
+  }
+
   def fullFrameEdges(df: DataFrame, pkeys: Seq[String],
       orderCols: Seq[Column], targetCol: String, nth: Int): DataFrame = {
     val asc = Window.partitionBy(pkeys.map(col): _*).orderBy(orderCols: _*)

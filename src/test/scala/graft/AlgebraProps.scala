@@ -311,6 +311,26 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("fullFrameNth equals nth_value over the full frame for each position") =
+    forAll(genRankRows) { rows =>
+      val df = rows.toDF("g", "t", "u")
+      val positions = Seq(1, 3, 5)
+      def opt(r: org.apache.spark.sql.Row, i: Int) =
+        Option(r.get(i)).map(_.asInstanceOf[Long])
+      val got = graft.operators.DistributedRank
+        .fullFrameNth(df, Seq("g"), Seq(col("t"), col("u")), "u", positions)
+        .collect().map(r => (r.getLong(0), opt(r, 1), opt(r, 2), opt(r, 3))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("t"), col("u"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val want = df.select(col("g") +:
+          positions.map(p => nth_value(col("u"), p).over(w).as(s"nth_$p")): _*)
+        .distinct().collect()
+        .map(r => (r.getLong(0), opt(r, 1), opt(r, 2), opt(r, 3))).toSet
+      got == want
+    }
+
   property("dupClusters equals union-find connected components") =
     forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { raw =>
       val pairs = raw.collect {
