@@ -32,10 +32,12 @@ import org.apache.spark.sql.functions._
   *    filters map-side partial — each map task ships ≤ k rows per
   *    group) broadcast-joined back to the table.
   *
-  * Caveat (inherent to rank semantics): `ranked`'s spread is bounded
-  * by the cardinality of (pkeys, tieCols) — a single massively-hot tie
-  * value still lands in one range. For continuous order values (the
-  * 100 TB case) cardinality ≈ row count and the spread is full.
+  * Skew: a single massively-hot tie value no longer pins its
+  * (pkeys, tie) partition to one task — when the probe sees a tie
+  * with > hotTieCut rows, the hot ties' row_number phase itself goes
+  * two-phase (quantile buckets over the leading unique column).
+  * For continuous order values (the 100 TB case) value cardinality ≈
+  * row count and the spread is full without salting.
   * AlgebraProps pins every operator here equal to its window form.
   */
 object DistributedRank {
@@ -63,7 +65,7 @@ object DistributedRank {
     * window adds a sort but no second exchange. */
   def ranked(df: DataFrame, pkeys: Seq[String], tieCols: Seq[String],
       uniqueCols: Seq[String], ntileK: Int, numRanges: Int = 0,
-      adaptiveCut: Int = 10000): DataFrame = {
+      adaptiveCut: Int = 10000, hotTieCut: Int = 1 << 21): DataFrame = {
     val s = df.sparkSession
     val n = if (numRanges > 0) numRanges else s.sparkContext.defaultParallelism
     val tie0 = tieCols.head
@@ -83,15 +85,21 @@ object DistributedRank {
     // (group, quantile-bucket) windows, so even a billion distinct
     // values per group never serialize onto one task.
     val vc = dfK.groupBy(col("__pk"), col("__tie")).agg(count(lit(1)).as("__c"))
-    // Adaptive: when the distinct-value frame is SMALL (bounded value
-    // domains — integer quantities, enum codes — stay small at ANY
-    // table size), plain prefix windows over it are exact, trivially
-    // cheap, and skip the whole bucket apparatus. The probe costs one
-    // aggregation pass over the value frame (collect stops at the cut,
-    // but the aggregation itself runs); set adaptiveCut = 0 on domains
-    // known to be continuous to skip straight to the bucketed path.
-    val vcSmall = adaptiveCut > 0 &&
-      vc.limit(adaptiveCut + 1).count() <= adaptiveCut
+    // ONE probe job decides both adaptive choices: the value-frame
+    // size (small bounded domains — integer quantities, enum codes —
+    // stay small at ANY table size and take plain prefix windows,
+    // skipping the bucket apparatus) and the hottest tie's
+    // multiplicity (a tie holding > hotTieCut rows engages the salted
+    // row_number phase below). Two O(1)-state aggregates over the
+    // already-aggregated value frame; set adaptiveCut = 0 AND
+    // hotTieCut = 0 to skip the probe entirely on domains known to be
+    // continuous and un-skewed.
+    val (nVals, maxTie) =
+      if (adaptiveCut > 0 || hotTieCut > 0) {
+        val r = vc.agg(count(lit(1)), max("__c")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      } else (Long.MaxValue, 0L)
+    val vcSmall = adaptiveCut > 0 && nVals <= adaptiveCut
     val vals = if (vcSmall) {
       val wTie = Window.partitionBy(col("__pk")).orderBy(col("__tie"))
       val wCum = wTie.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -111,8 +119,7 @@ object DistributedRank {
         .distinct.sorted
       val bucket =
         if (bounds.isEmpty) lit(0)
-        else size(filter(array(bounds.map(lit(_)): _*),
-          b => col("__tie").getField(tie0).cast("double") > b))
+        else graft.functions.BucketSearch.of(s, col("__tie").getField(tie0), bounds)
       val vb = vc.withColumn("__b", bucket)
       // Per-(group, bucket) row/distinct counts — a tiny frame
       // (groups × numRanges rows); its prefix windows are negligible.
@@ -143,16 +150,69 @@ object DistributedRank {
     // output is already clustered on the window's partition keys, so
     // the window adds only a sort). row_number within the tie group
     // offsets from the value rank: rn = rank(v) + local position - 1.
+    val orderCols = if (uniqueCols.nonEmpty) uniqueCols else tieCols
     val wu = Window.partitionBy(col("__pk"), col("__tie"))
-      .orderBy((if (uniqueCols.nonEmpty) uniqueCols else tieCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
     val k = lit(ntileK.toLong)
+    // Hot-tie salting: a single tie value holding > hotTieCut rows
+    // would land its whole (group, tie) partition on ONE task in both
+    // the join back and the row_number sort. When the probe sees one,
+    // rows of the (few, tiny-to-enumerate) hot ties split off and get
+    // their row_number two-phase: bucket by quantiles of the leading
+    // unique column (value-derived — same single-array discipline as
+    // phase 1, so placement can't disagree), local row_number inside
+    // (group, tie, bucket), plus a per-bucket count offset. Requires a
+    // numeric leading unique column; otherwise the plain window runs
+    // (correct, just not spread).
+    val hot = hotTieCut > 0 && maxTie > hotTieCut && uniqueCols.nonEmpty &&
+      dfK.schema(uniqueCols.head).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
     // shuffle-hash, not sort-merge: the window sorts by (keys,
     // uniqueCols) right after the join, so SMJ's per-side key sorts
     // would be thrown away.
-    dfK.join(vals.hint("shuffle_hash"), Seq("__pk", "__tie"))
+    val withGrn = if (!hot) {
+      dfK.join(vals.hint("shuffle_hash"), Seq("__pk", "__tie"))
+        .withColumn("__grn", col("__vrnk") + row_number().over(wu) - 1)
+    } else {
+      val u0 = uniqueCols.head
+      // ≤ total/hotTieCut entries — broadcastable by construction
+      val hotTies = vc.where(col("__c") > hotTieCut)
+        .select(col("__pk"), col("__tie"), lit(1).as("__hot"))
+      val tagged = dfK.join(broadcast(hotTies), Seq("__pk", "__tie"), "left")
+      val cold = tagged.where(col("__hot").isNull).drop("__hot")
+        .join(vals.hint("shuffle_hash"), Seq("__pk", "__tie"))
+        .withColumn("__grn", col("__vrnk") + row_number().over(wu) - 1)
+      val hotRows = tagged.where(col("__hot") === 1).drop("__hot")
+      val bounds2 = hotRows.select(col(u0).cast("double").as("__t"))
+        .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.001)
+        .distinct.sorted
+      val b2 = if (bounds2.isEmpty) lit(0)
+        else graft.functions.BucketSearch.of(s, col(u0), bounds2)
+      val hotB = hotRows.withColumn("__b2", b2)
+      val wPrev2 = Window.partitionBy(col("__pk"), col("__tie"))
+        .orderBy(col("__b2")).rowsBetween(Window.unboundedPreceding, -1)
+      // per-(hot tie, bucket) counts: hot-tie count × numRanges rows
+      val offs2 = hotB.groupBy(col("__pk"), col("__tie"), col("__b2"))
+        .agg(count(lit(1)).as("__bc2"))
+        .withColumn("__off2", coalesce(sum("__bc2").over(wPrev2), lit(0L)))
+        .select(col("__pk"), col("__tie"), col("__b2"), col("__off2"))
+      val wLoc = Window.partitionBy(col("__pk"), col("__tie"), col("__b2"))
+        .orderBy(orderCols.map(col): _*)
+      // both join sides broadcast (hot ties are few): the only shuffle
+      // over hot rows keys on (group, tie, bucket) — spread over
+      // numRanges tasks instead of one
+      val hotVals = vals.join(
+        broadcast(hotTies.drop("__hot")), Seq("__pk", "__tie"))
+      hotB.join(broadcast(hotVals), Seq("__pk", "__tie"))
+        .join(broadcast(offs2), Seq("__pk", "__tie", "__b2"))
+        .withColumn("__grn",
+          col("__vrnk") + col("__off2") + row_number().over(wLoc) - 1)
+        .drop("__b2", "__off2")
+        .unionByName(cold)
+    }
+    withGrn
       .withColumn("rnk", col("__vrnk").cast("int"))
       .withColumn("drnk", col("__vdrnk").cast("int"))
-      .withColumn("__grn", col("__vrnk") + row_number().over(wu) - 1)
       // SQL ntile over T rows: the first T mod k buckets take
       // ceil(T/k) rows, the rest floor(T/k) — computed from the global
       // row_number and the group total, no extra pass.
@@ -173,16 +233,13 @@ object DistributedRank {
     * n_band(v) = C(v) - D(v) with C(v) = #rows ≤ v and D(v) =
     * #rows < v - width, both per group:
     *  1. per-(group, value) counts (`vc`) — ONE row per distinct value;
-    *  2. C via a distributed prefix sum: bucket offsets from a tiny
-    *     per-bucket stats frame + a local cumsum window inside each
-    *     (group, bucket);
-    *  3. D via a bucket-local as-of lookup: each value emits a PROBE at
-    *     v - width into the probe's own bucket; a tagged union of value
-    *     and probe rows sorted inside (group, bucket) lets each probe
-    *     read the last C strictly below it (probes sort BEFORE equal
-    *     values, so the inclusive lower band edge stays in the band),
-    *     falling back to the bucket offset when the bucket has no
-    *     smaller value.
+    *  2. ONE tagged-union running sum inside each (group, bucket)
+    *     resolves both prefixes: offset-seed rows + value rows + probe
+    *     rows (each value probes at v - width into the probe's own
+    *     bucket) sort by (x, tag), and the running count reads C at
+    *     value rows and D at probe rows;
+    *  3. a hash aggregate on (group, value) pairs each value's C with
+    *     its probe's D — no self-join over the union scan.
     * A naive bucket-join (sum counts over each anchor's band) is
     * Θ(N × band-occupancy) — measured 19× slower at sf0.1 — because it
     * re-adds the whole band per anchor instead of reusing prefixes. */
@@ -221,7 +278,7 @@ object DistributedRank {
       .distinct.sorted
     def bucketOf(c: Column): Column =
       if (bounds.isEmpty) lit(0)
-      else size(filter(array(bounds.map(lit(_)): _*), b => c.cast("double") > b))
+      else graft.functions.BucketSearch.of(s, c, bounds)
     val withB = vc.withColumn("__b", bucketOf(col(valCol)))
     // Complete (group × bucket) offset grid — tiny (groups × n rows),
     // and total: a probe landing in an EMPTY bucket still finds its
@@ -234,39 +291,45 @@ object DistributedRank {
         .agg(sum("__c").as("__bc")), Seq("__g", "__b"), "left")
       .withColumn("__off", coalesce(sum("__bc").over(wPrev), lit(0L)))
       .select(col("__g"), col("__b"), col("__off"))
-    // C(v) = bucket offset + local cumulative count
-    val wCum = Window.partitionBy(col("__g"), col("__b"))
-      .orderBy(col(valCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = withB.join(broadcast(offs), Seq("__g", "__b"))
-      .withColumn("__C", col("__off") + sum("__c").over(wCum))
-    // D(v): probe x = v - width lands in its own bucket. Per-bucket
-    // SEED rows (x null sorts first) carry the bucket offset so every
-    // probe resolves; probes (tag 0) sort BEFORE values (tag 1) at
-    // equal x, so the inclusive lower band edge stays in the band.
+    // ONE tagged-union pass resolves BOTH prefix sums. Every union row
+    // carries a count `__c`: per-(group, bucket) SEED rows (x null, so
+    // they sort first) carry the bucket OFFSET as their count, value
+    // rows carry their multiplicity, probe rows (x = v - width, landing
+    // in the probe's own bucket) carry 0. The running sum over the
+    // (x, tag) order then reads C(v) at each value row (offset + counts
+    // of values ≤ v) and D(v) at its probe row (offset + counts
+    // strictly below v - width: probes at tag 0 sort BEFORE equal
+    // values at tag 1, keeping the inclusive lower band edge in the
+    // band). Replaces a per-bucket cumsum window + broadcast join + a
+    // separate as-of window over the same frame.
     val valType = vc.schema(valCol).dataType
     val seeds = offs.select(
       col("__g"), col("__b"), lit(null).cast(valType).as("__x"),
-      lit(-1).as("__tag"), col("__off").as("__C"),
+      lit(-1).as("__tag"), col("__off").as("__c"),
       lit(null).cast(valType).as("__anchor"))
-    val values = cum.select(
+    val values = withB.select(
       col("__g"), col("__b"), col(valCol).as("__x"), lit(1).as("__tag"),
-      col("__C"), lit(null).cast(valType).as("__anchor"))
+      col("__c"), lit(null).cast(valType).as("__anchor"))
     val probes = vc.select(
       col("__g"), bucketOf(col(valCol) - width).as("__b"),
       (col(valCol) - width).as("__x"), lit(0).as("__tag"),
-      lit(null).cast("long").as("__C"), col(valCol).as("__anchor"))
+      lit(0L).as("__c"), col(valCol).as("__anchor"))
     val wAsof = Window.partitionBy(col("__g"), col("__b"))
       .orderBy(col("__x").asc_nulls_first, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val d = seeds.unionByName(values).unionByName(probes)
-      .withColumn("__D", last("__C", ignoreNulls = true).over(wAsof))
-      .where(col("__tag") === 0)
-      .select(col("__g"), col("__anchor").as(valCol), col("__D"))
-    // shuffle-hash on both joins: nothing downstream consumes a
-    // key-sorted order, so SMJ's per-side sorts would be wasted
-    val nb = cum.join(d.hint("shuffle_hash"), Seq("__g", valCol))
+    val scanned = seeds.unionByName(values).unionByName(probes)
+      .withColumn("__S", sum("__c").over(wAsof))
+    // Pair C (value rows) with D (probe rows) by the value itself —
+    // value rows key on __x, probe rows on their anchor — via a hash
+    // aggregate on the high-cardinality (group, value) key: no
+    // self-join, so the union scan runs exactly once.
+    val nb = scanned.where(col("__tag") >= 0)
+      .groupBy(col("__g"), coalesce(col("__anchor"), col("__x")).as(valCol))
+      .agg(max(when(col("__tag") === 1, col("__S"))).as("__C"),
+        max(when(col("__tag") === 0, col("__S"))).as("__D"))
       .select(col("__g"), col(valCol), (col("__C") - col("__D")).as("n_band"))
+    // shuffle-hash: nothing downstream consumes a key-sorted order,
+    // so SMJ's per-side sorts would be wasted
     val nnOut = nn.join(nb.hint("shuffle_hash"), Seq("__g", valCol))
     // null peer group: frame = all null peers of the group
     val nullBand = dfK.where(col(valCol).isNull)
@@ -293,8 +356,7 @@ object DistributedRank {
       .distinct.sorted
     val bucket =
       if (bounds.isEmpty) lit(0)
-      else size(filter(array(bounds.map(lit(_)): _*),
-        b => col(orderCol).cast("double") > b))
+      else graft.functions.BucketSearch.of(s, col(orderCol), bounds)
     val withB = df.withColumn("__b", bucket)
     val wPrev = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -312,6 +374,32 @@ object DistributedRank {
       .drop("__b", "__off")
   }
 
+  /** Generalized nth positions over an unbounded frame: one row per
+    * group with `nth_<p>` = targetCol of the p-th row in `orderCols`
+    * order (null when the group has fewer rows), for every p in
+    * `positions` — still one WindowGroupLimit-trimmed rank filter
+    * capped at max(positions), so each map task ships at most that
+    * many rows per group. Duplicate positions collapse to one output
+    * column. */
+  def fullFrameNth(df: DataFrame, pkeys: Seq[String],
+      orderCols: Seq[Column], targetCol: String,
+      positions: Seq[Int]): DataFrame = {
+    require(positions.nonEmpty, "fullFrameNth: positions must be non-empty")
+    require(positions.forall(_ >= 1),
+      s"fullFrameNth: positions are 1-based, got ${positions.mkString(",")}")
+    val ps = positions.distinct
+    val maxN = ps.max
+    val asc = Window.partitionBy(pkeys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(asc))
+      .where(col("__rn") <= maxN)
+      .groupBy(pkeys.map(col): _*)
+      .agg(
+        max(when(col("__rn") === ps.head, col(targetCol)))
+          .as(s"nth_${ps.head}"),
+        ps.tail.map(p =>
+          max(when(col("__rn") === p, col(targetCol))).as(s"nth_$p")): _*)
+  }
+
   /** Per-group order-extremes for unbounded-frame first/last/nth:
     * returns one row per group with `first_v`, `last_v`, `nth_v`
     * (null when the group has < nth rows) of `targetCol` ordered by
@@ -321,27 +409,6 @@ object DistributedRank {
     * is group-cardinality-sized — broadcast it back onto the table.
     * Callers joining the edges back on NULLABLE group keys should join
     * on `struct(pkeys)` (null-safe equality), not the raw columns. */
-  /** Generalized nth positions over an unbounded frame: one row per
-    * group with `nth_<p>` = targetCol of the p-th row in `orderCols`
-    * order (null when the group has fewer rows), for every p in
-    * `positions` — still one WindowGroupLimit-trimmed rank filter
-    * capped at max(positions), so each map task ships at most that
-    * many rows per group. */
-  def fullFrameNth(df: DataFrame, pkeys: Seq[String],
-      orderCols: Seq[Column], targetCol: String,
-      positions: Seq[Int]): DataFrame = {
-    val maxN = positions.max
-    val asc = Window.partitionBy(pkeys.map(col): _*).orderBy(orderCols: _*)
-    df.withColumn("__rn", row_number().over(asc))
-      .where(col("__rn") <= maxN)
-      .groupBy(pkeys.map(col): _*)
-      .agg(
-        max(when(col("__rn") === positions.head, col(targetCol)))
-          .as(s"nth_${positions.head}"),
-        positions.tail.map(p =>
-          max(when(col("__rn") === p, col(targetCol))).as(s"nth_$p")): _*)
-  }
-
   def fullFrameEdges(df: DataFrame, pkeys: Seq[String],
       orderCols: Seq[Column], targetCol: String, nth: Int): DataFrame = {
     val asc = Window.partitionBy(pkeys.map(col): _*).orderBy(orderCols: _*)

@@ -194,6 +194,33 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("DistributedRank.ranked spreads a massively-hot tie (salted rn phase)") =
+    forAll(genRankRows) { rows =>
+      // ~90% of rows collapse onto tie value 2 — with hotTieCut = 3
+      // the salted row_number branch engages for it while the minority
+      // ties stay on the plain branch (both paths in one frame).
+      val skewed = rows.map { case (g, t, u) =>
+        if (u != 9L) (g, 2L, u) else (g, t, u) }
+      val df = skewed.toDF("g", "t", "u")
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+      def got(cut: Int) = graft.operators.DistributedRank
+        .ranked(df, Seq("g"), Seq("t"), Seq("u"), ntileK = 3, numRanges = 4,
+          adaptiveCut = cut, hotTieCut = 3)
+        .select("g", "t", "u", "rnk", "drnk", "rn", "nt")
+        .collect().map(tup).sorted.toSeq
+      val wTie = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("t")
+      val wTot = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("t", "u")
+      val want = df.select(col("g"), col("t"), col("u"),
+          rank().over(wTie).as("rnk"), dense_rank().over(wTie).as("drnk"),
+          row_number().over(wTot).as("rn"), ntile(3).over(wTot).as("nt"))
+        .collect().map(tup).sorted.toSeq
+      got(10000) == want && got(0) == want
+    }
+
   property("DistributedRank.bandCount equals the RANGE-frame window count (both paths)") =
     forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 2L), Gen.choose(-30L, 30L)))) {
       rows =>
