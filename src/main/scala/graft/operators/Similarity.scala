@@ -118,18 +118,47 @@ object Similarity {
     * high-cardinality. */
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, k: Int, probe: Int = 1,
-      anchorFilter: Option[Column] = None): DataFrame = {
+      anchorFilter: Option[Column] = None): DataFrame =
+    blockedTopK(corpus, anchorFilter.fold(corpus)(corpus.where),
+      idCol, vecCol, centroids, k, probe, excludeSelf = true)
+
+  /** Batch-query IVF search: a whole DataFrame of queries (same
+    * idCol/vecCol schema as the corpus; ids must not collide
+    * meaninglessly with corpus ids when `excludeSelf`) resolved to
+    * per-query cosine top-k through the same cell blocking as
+    * `knnJoin` — one probe assignment per query, candidates = vectors
+    * INDEXED in the probed cells, pair count ∝ queries ×
+    * cell-occupancy × probe. The set form of `ivfSearch` (which takes
+    * one corpus-resident queryId): use this when serving a query SET —
+    * per-query driver loops would plan one job per query.
+    * `excludeSelf` drops candidate pairs with equal ids — pass true
+    * when the query frame is drawn from the corpus itself.
+    * At probe = #clusters it equals per-query `cosineTopK`
+    * (OperatorSpec pins this). Output: (a_id, rn, nb_id, cos_sim). */
+  def ivfSearchBatch(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queries: DataFrame, k: Int, probe: Int = 1,
+      excludeSelf: Boolean = false): DataFrame =
+    blockedTopK(corpus, queries, idCol, vecCol, centroids, k, probe,
+      excludeSelf)
+
+  /** Shared cell-blocked top-k core of `knnJoin`/`ivfSearchBatch`:
+    * anchors probe their top-`probe` cells and only meet vectors
+    * INDEXED (probe=1) there. Shuffles key on cell / anchor id — both
+    * high-cardinality. */
+  private def blockedTopK(corpus: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame, k: Int,
+      probe: Int, excludeSelf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val index = ivfAssign(corpus, idCol, vecCol, centroids)
       .select(col(idCol).as("nb_id"), col("clabel"))
       .join(corpus.select(col(idCol).as("nb_id"), col(vecCol).as("nb_vec")), "nb_id")
-    val anchors = anchorFilter.fold(corpus)(corpus.where)
     val queries = ivfAssign(anchors, idCol, vecCol, centroids, probe)
       .select(col(idCol).as("a_id"), col("clabel"))
       .join(anchors.select(col(idCol).as("a_id"), col(vecCol).as("a_vec")), "a_id")
     graft.functions.CosineSim.register(corpus.sparkSession)
-    val scored = queries.join(index, "clabel")
-      .where(col("a_id") =!= col("nb_id"))
+    val paired = queries.join(index, "clabel")
+    val scored = (if (excludeSelf) paired.where(col("a_id") =!= col("nb_id"))
+      else paired)
       // an anchor probing p cells can meet an indexed vector once per
       // cell only if it were indexed multiply — index is probe=1, so
       // pairs are already unique

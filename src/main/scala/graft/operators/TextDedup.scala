@@ -33,16 +33,18 @@ object TextDedup {
     * md5-derived base hash per shingle mod p = 1e9+7, then slot k is
     * min over (2k+1)·h + 7 + 13k mod p. One md5 per shingle total;
     * entirely map-side (constant numHashes-slot state per doc);
-    * output one row per (id, seed). */
+    * output one row per (id, seed). `carry` columns pass through
+    * untouched (e.g. an event-time column a streaming consumer's
+    * watermark rides on). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 8): DataFrame =
+      numHashes: Int = 8, carry: Seq[String] = Nil): DataFrame =
     withShingles(df, textCol)
       .withColumn("hs", expr(
         s"transform(shs, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) AS bigint) % 1000000007)"))
-      .select(col(idCol), posexplode(expr(
+      .select(col(idCol) +: carry.map(col) :+ posexplode(expr(
         s"""transform(sequence(0, ${numHashes - 1}),
              k -> array_min(transform(hs, h -> ((2*k + 1) * h + 7 + 13*k) % 1000000007)))"""))
-        .as(Seq("seed", "sig")))
+        .as(Seq("seed", "sig")): _*)
 
   /** LSH candidate pairs from single-row bands (b = numHashes, r = 1):
     * ids sharing a signature in any band. One groupBy on the
@@ -107,6 +109,14 @@ object TextDedup {
       labels = next
       i += 1
     }
+    // A component with diameter > maxIter would exit here NON-converged
+    // and silently violate the 'cluster = min id of component' contract
+    // (the same transitivity class the propagation exists to fix) —
+    // fail loudly instead; real dup clusters are shallow, so hitting
+    // this means maxIter is set far too low for the corpus.
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters: label propagation not converged after $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 

@@ -83,8 +83,12 @@ object CdcQueries {
     * filter. */
   private def q63(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).withColumn("tsec", date_trunc("second", col("ts")))
+    // null-safe delete test: only event_type = 'error' is a tombstone;
+    // a NULL event_type must keep its post-image (a bare =!= is NULL
+    // for NULL input, which when() treats as false — silently turning
+    // null-typed events into deletes while the oracle keeps them).
     val env = e.select(
-      when(col("event_type") =!= "error",
+      when(!(col("event_type") <=> "error"),
         struct(col("event_id"), col("event_type"),
           round(col("value"), 2).as("val"), col("tsec"))).as("after"),
       col("user_id"), col("tsec"), col("event_id"))

@@ -60,22 +60,41 @@ object Lake {
     * outputs. Changefeed sinks write a file per flush — at scale a day
     * directory accumulates tens of thousands of tiny files and every
     * scan pays per-file open cost. Output file count is derived from
-    * the optimizer's size stats (no data collect); the rewrite stages
-    * into a sibling temp directory and swaps by rename, so a reader
-    * never sees a half-compacted day. */
+    * the optimizer's size stats (no data collect).
+    *
+    * Swap protocol (directory renames are not transactional without a
+    * table format — Delta/Iceberg jars are absent in this build, see
+    * NOTES): stage the rewrite into `_compact_tmp_<day>`, rename the
+    * live day ASIDE, rename tmp into place, delete the aside. Data is
+    * never destroyed before the replacement is live: a crash strands
+    * at worst one extra complete copy, and the next call restores the
+    * aside automatically. A concurrent reader can still observe the
+    * day briefly missing between the two renames — that visibility
+    * gap is inherent to glob-over-directories; eliminating it needs a
+    * manifest-based table format. */
   def compactDay(spark: SparkSession, path: String, day: String,
       targetBytes: Long = 128L << 20): Unit = {
     import org.apache.hadoop.fs.Path
     val dayDir = new Path(s"$path/ingest_date=$day")
     val tmpDir = new Path(s"$path/_compact_tmp_$day")
+    val asideDir = new Path(s"$path/_compact_old_$day")
     val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a previous attempt that died between renames
+    // left the live day aside — put it back before doing anything
+    if (!fs.exists(dayDir) && fs.exists(asideDir)) fs.rename(asideDir, dayDir)
+    fs.delete(tmpDir, true)
+    fs.delete(asideDir, true)
     if (!fs.exists(dayDir)) return
     val slice = spark.read.parquet(dayDir.toString)
     val bytes = slice.queryExecution.optimizedPlan.stats.sizeInBytes
     val nOut = math.max(1L, ((bytes + targetBytes - 1) / targetBytes).toLong).toInt
     slice.repartition(nOut).write.mode("overwrite").parquet(tmpDir.toString)
-    fs.delete(dayDir, true)
-    if (!fs.rename(tmpDir, dayDir))
+    if (!fs.rename(dayDir, asideDir))
+      throw new java.io.IOException(s"compact aside rename failed: $dayDir")
+    if (!fs.rename(tmpDir, dayDir)) {
+      fs.rename(asideDir, dayDir) // roll back — old data stays live
       throw new java.io.IOException(s"compact rename failed: $tmpDir -> $dayDir")
+    }
+    fs.delete(asideDir, true)
   }
 }

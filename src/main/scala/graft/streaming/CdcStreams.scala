@@ -183,23 +183,54 @@ object CdcStreams {
     * Safe against the sink's replay protocol: the consolidated
     * directory keeps the HIGHEST seen batch id, and a restarted stream
     * can only replay that id (found → skipped) or continue at id+1 —
-    * older ids are committed in the checkpoint and never replay. The
-    * rewrite stages into a temp dir and swaps by rename. */
+    * older ids are committed in the checkpoint and never replay.
+    *
+    * The discovered `batch` partition column is DROPPED before the
+    * rewrite: the consolidated files must carry the same physical
+    * schema as the files later sink batches write, or the store's
+    * footers drift apart and re-reads depend on schema-overlap
+    * resolution.
+    *
+    * Swap protocol (same as Lake.compactDay): stage to a temp dir,
+    * rename the live `batch=<maxId>` aside, rename tmp into place,
+    * THEN delete the aside and the older batch dirs. No step destroys
+    * data before its replacement is live: a crash after the swap
+    * leaves consolidated + older dirs coexisting, which `currentState`
+    * still ranks correctly (the consolidated rows are copies of each
+    * key's winner, so rank-1 picks the same record), and the next call
+    * finishes the cleanup. A crash between the renames is restored
+    * from the aside at the next call. */
   def compactState(spark: SparkSession, statePath: String,
       keyCols: Seq[String], orderCols: Seq[String],
       isDelete: Option[Column] = None): Unit = {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    val tmp = new Path(s"$statePath/_compact_tmp")
+    // crash recovery: restore a stranded aside before reading state
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_compact_old_")).foreach { aside =>
+        val target = new Path(root, s"batch=${aside.getName.stripPrefix("_compact_old_")}")
+        if (!fs.exists(target)) fs.rename(aside, target)
+        else fs.delete(aside, true)
+      }
+    fs.delete(tmp, true)
     val batchDirs = fs.listStatus(root).map(_.getPath)
       .filter(_.getName.startsWith("batch=")).toSeq
     if (batchDirs.size < 2) return
     val maxId = batchDirs.map(_.getName.stripPrefix("batch=").toLong).max
-    val tmp = new Path(s"$statePath/_compact_tmp")
     currentState(spark, statePath, keyCols, orderCols, isDelete)
+      .drop("batch")
       .write.mode("overwrite").parquet(tmp.toString)
-    batchDirs.foreach(fs.delete(_, true))
-    if (!fs.rename(tmp, new Path(s"$statePath/batch=$maxId")))
+    val target = new Path(s"$statePath/batch=$maxId")
+    val aside = new Path(s"$statePath/_compact_old_$maxId")
+    if (!fs.rename(target, aside))
+      throw new java.io.IOException(s"state compaction aside rename failed at $statePath")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(aside, target) // roll back — old state stays live
       throw new java.io.IOException(s"state compaction rename failed at $statePath")
+    }
+    fs.delete(aside, true)
+    batchDirs.filterNot(_.getName == s"batch=$maxId").foreach(fs.delete(_, true))
   }
 }

@@ -14,7 +14,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * streaming aggregation (one entry per key in the state store); use
   * a GroupStateTimeout to bound the key universe when keys churn.
   */
-object StatefulOps {
+// Serializable: the state-transition lambdas below call methods on
+// this (stateless) module, so executors deserialize a reference to it.
+object StatefulOps extends Serializable {
 
   case class UserAgg(user_id: Long, n: Long, max_val: Double)
 
@@ -45,35 +47,92 @@ object StatefulOps {
     * joins its buckets. An ingestion pipeline runs this as the dedup
     * gate IN FRONT of the lake instead of re-scanning the corpus.
     *
-    * State per bucket = the id list (bounded by bucket occupancy —
-    * the same quantity that bounds the batch form's pair fan-out; add
-    * a GroupStateTimeout in deployments where buckets churn). A pair
-    * sharing several buckets is emitted once per shared bucket;
-    * consumers dedup downstream exactly like the batch form's
+    * State per bucket = the SET of prior ids (bounded by bucket
+    * occupancy — the same quantity that bounds the batch form's pair
+    * fan-out): membership is O(1) per arrival, so a hot bucket costs
+    * O(new ids × priors) for the emission it must make, never
+    * O(priors) per REPEATED arrival.
+    *
+    * TTL: pass `eventTimeCol` + `stateTtlMs` to bound the key
+    * universe under churn — a bucket that stays idle while the
+    * WATERMARK advances past its last arrival + TTL is evicted from
+    * the state store; a bucket receiving traffic keeps renewing.
+    * Event-time (watermark-driven) timeout, not processing-time: it
+    * is replay-deterministic, it doesn't couple state lifetime to
+    * wall-clock cluster hiccups, and the engine only schedules timer
+    * batches when the watermark actually moves (a processing-time
+    * timer makes the engine perpetually schedule follow-up batches).
+    *
+    * A pair sharing several buckets is emitted once per shared
+    * bucket; consumers dedup downstream exactly like the batch form's
     * `.distinct()`. */
   def lshCandidateStream(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 8): Dataset[(Long, Long)] = {
+      numHashes: Int = 8, eventTimeCol: Option[String] = None,
+      stateTtlMs: Option[Long] = None): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
+    require(eventTimeCol.isDefined == stateTtlMs.isDefined,
+      "stateTtlMs needs eventTimeCol (and vice versa): the TTL is measured against the watermark")
+    // delay 0: the watermark tracks max event time directly, so a
+    // bucket evicts once the stream moves TTL past its last arrival
+    // (callers needing out-of-order tolerance can pre-watermark docs)
+    val src = eventTimeCol.fold(docs)(c =>
+      docs.withWatermark(c, "0 milliseconds"))
+    // the event-time column rides along to the stateful operator: the
+    // engine requires the watermarked attribute in its input
     val sigs = graft.operators.TextDedup
-      .minhashSignatures(docs, idCol, textCol, numHashes)
-      .select(concat_ws(":", col("seed"), col("sig")).as("bucket"),
-        col(idCol).cast("long").as("id"))
-      .as[(String, Long)]
-    sigs.groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[(String, Long)], state: GroupState[Seq[Long]]) =>
-          var seen = state.getOption.getOrElse(Seq.empty[Long])
-          val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-          rows.foreach { case (_, id) =>
-            if (!seen.contains(id)) {
-              seen.foreach(p => out += ((math.min(p, id), math.max(p, id))))
-              seen = seen :+ id
-            }
-          }
-          state.update(seen)
-          out.iterator
+      .minhashSignatures(src, idCol, textCol, numHashes,
+        carry = eventTimeCol.toSeq)
+    def gate(state: GroupState[Set[Long]],
+        ids: Iterator[Long]): Iterator[(Long, Long)] =
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val (next, pairs) = lshGateTransition(
+          state.getOption.getOrElse(Set.empty[Long]), ids)
+        state.update(next)
+        stateTtlMs.foreach(ms =>
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ms))
+        pairs.iterator
       }
+    val bucket = concat_ws(":", col("seed"), col("sig")).as("bucket")
+    val id = col(idCol).cast("long").as("id")
+    eventTimeCol match {
+      case Some(et) =>
+        sigs.select(bucket, id, col(et))
+          .as[(String, Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[Set[Long], (Long, Long)](
+            OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+            (_, rows, state) => gate(state, rows.map(_._2))
+          }
+      case None =>
+        sigs.select(bucket, id)
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[Set[Long], (Long, Long)](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (_, rows, state) => gate(state, rows.map(_._2))
+          }
+    }
+  }
+
+  /** The gate's pure per-bucket transition, factored out so dedup and
+    * hot-bucket behavior are unit-testable without a streaming clock:
+    * each UNSEEN id pairs against all priors and joins the set; a
+    * re-arrival (at-least-once redelivery) emits nothing and leaves
+    * the state untouched. */
+  def lshGateTransition(seen: Set[Long],
+      ids: Iterator[Long]): (Set[Long], Seq[(Long, Long)]) = {
+    var s = seen
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    ids.foreach { id =>
+      if (!s.contains(id)) {
+        s.foreach(p => out += ((math.min(p, id), math.max(p, id))))
+        s = s + id
+      }
+    }
+    (s, out.toSeq)
   }
 
   /** One emitted state row: the key's current value, or a final

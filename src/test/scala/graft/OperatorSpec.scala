@@ -314,6 +314,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(r >= 0.8, s"recall@5 at probe=1 on clustered data = $r")
   }
 
+  test("ivfSearchBatch at probe=all equals per-query cosineTopK") {
+    import graft.operators.Similarity
+    val em = Tables.embeddings(spark, sf)
+    val cent = Similarity.ivfCentroids(em, "label", "embedding")
+    val nClusters = em.select("label").distinct().count().toInt
+    val qIds = Seq(1L, 7L, 42L)
+    val queries = em.where(col("vec_id").isin(qIds: _*))
+    val got = Similarity.ivfSearchBatch(em, "vec_id", "embedding", cent,
+        queries, k = 5, probe = nClusters, excludeSelf = true)
+      .collect()
+      .groupBy(_.getAs[Long]("a_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Int]("rn"))
+          .map(r => (r.getAs[Long]("nb_id"), r.getAs[Double]("cos_sim"))).toSeq }
+    qIds.foreach { q =>
+      val want = Similarity.cosineTopK(
+          em.where(col("vec_id") =!= q),
+          em.where(col("vec_id") === q).select(col("embedding").as("qv")),
+          "vec_id", "embedding", k = 5)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      assert(got(q) == want, s"query $q: batch=${got(q)} exact=$want")
+    }
+  }
+
   test("q28 approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("q28_agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -438,6 +438,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 3L)), s"got $pairs")
   }
 
+  test("s17: LSH gate bucket state evicts after the event-time TTL") {
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val docs = ms.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.StatefulOps
+      .lshCandidateStream(docs, "doc_id", "text",
+        eventTimeCol = Some("ts"), stateTtlMs = Some(60000L))
+      .toDF("a_id", "b_id")
+      .writeStream.outputMode("update").format("memory").queryName("s17").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    ms.addData((1L, base, t(0)))
+    q.processAllAvailable()
+    // an unrelated doc 10 minutes later advances the watermark far
+    // past doc 1's 1-minute TTL: the engine's watermark-driven timer
+    // batch evicts doc 1's idle buckets from the store
+    ms.addData((2L, "completely different words about spark shuffles and joins here", t(10)))
+    q.processAllAvailable()
+    // a near-duplicate of doc 1 now meets EMPTY bucket state
+    ms.addData((3L, base.replace("dog", "cat"), t(11)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("s17").isEmpty,
+      "pairs emitted against bucket state that should have been evicted")
+  }
+
+  test("LSH gate transition: re-arrivals are free, unseen ids pair against all priors") {
+    import graft.streaming.StatefulOps.lshGateTransition
+    val (s1, p1) = lshGateTransition(Set.empty, Iterator(1L, 2L, 3L))
+    assert(s1 == Set(1L, 2L, 3L))
+    assert(p1.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // at-least-once redelivery of a known id: no emission, state unchanged
+    val (s2, p2) = lshGateTransition(s1, Iterator(2L, 2L, 1L))
+    assert(s2 == s1 && p2.isEmpty)
+    // a hot bucket pays only for genuinely new ids: one new arrival
+    // against n priors emits exactly n pairs
+    val priors = (0L until 100L).toSet
+    val (s3, p3) = lshGateTransition(priors, Iterator(999L))
+    assert(s3.size == 101 && p3.size == 100)
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
