@@ -20,6 +20,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // InferFiltersFromGenerate double-evaluates expensive computed
+      // generator inputs (shingle/minhash arrays) as scan-side filters
+      // for zero pruning benefit on non-null computed arrays — measured
+      // 5x on the trigram pipeline (NOTES round 3).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

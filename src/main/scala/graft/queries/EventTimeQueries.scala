@@ -55,10 +55,37 @@ object EventTimeQueries {
         col("n"), col("sv"))
       .transform(Det.emitWide(_, "user_id", "session_start"))
 
+  /** q105: batch sessionization — per-EVENT session ids. q72 yields
+    * per-session AGGREGATES; training/attribution pipelines also need
+    * the session id ON each event to key downstream joins (the batch
+    * twin of incremental sessionization over the CDC stream).
+    * Gaps-and-islands: a gap > 30 min starts a new session; the id is
+    * the running count of breaks. Scale: both windows partition on
+    * user_id (high-cardinality) with identical ordering — one shuffle,
+    * one sort, both window functions reuse it. */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsec"), col("event_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("tsec", date_trunc("second", col("ts")))
+      // first event of a user: lag is NULL -> condition NULL -> 0 (no
+      // break), matching the oracle's CASE
+      .withColumn("brk",
+        when(col("tsec").cast("long")
+          - lag(col("tsec").cast("long"), 1).over(w) > 1800L, 1)
+          .otherwise(0))
+      .withColumn("sess", (sum("brk").over(wCum) + 1).cast("int"))
+      .select(col("event_id"), col("user_id"), col("tsec"), col("sess"))
+      .transform(Det.emitWide(_, "event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_window_tumbling" -> q70,
     "q71_window_sliding" -> q71,
-    "q72_window_session" -> q72)
+    "q72_window_session" -> q72,
+    "q105_sessionize" -> q105)
 
   val oracles: Map[String, String] = Map(
     "q70_window_tumbling" ->
@@ -89,5 +116,19 @@ object EventTimeQueries {
                FROM g)
          SELECT user_id, min(t) AS session_start,
                 CAST(count(1) AS BIGINT) AS n, round(sum(value), 2) AS sv
-         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q105_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id,
+                           date_trunc('second', ts) AS tsec FROM events),
+         g AS (SELECT *,
+                      CASE WHEN date_diff('second',
+                             lag(tsec) OVER (PARTITION BY user_id
+                               ORDER BY tsec, event_id), tsec) > 1800
+                           THEN 1 ELSE 0 END AS brk
+               FROM e)
+         SELECT event_id, user_id, tsec,
+                CAST(1 + sum(brk) OVER (PARTITION BY user_id
+                  ORDER BY tsec, event_id
+                  ROWS UNBOUNDED PRECEDING) AS INT) AS sess
+         FROM g ORDER BY event_id""")
 }

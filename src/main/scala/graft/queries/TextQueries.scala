@@ -234,6 +234,81 @@ object TextQueries {
         floor((col("cum_sum") - col("n_tokens")) / 4096).cast("long").as("seq_id"))
       .transform(Det.emitWide(_, "doc_id"))
 
+  /** q106: deterministic stratified hash-sampling — the reproducible
+    * corpus-curation twin of TABLESAMPLE / domain-mixing weights: keep
+    * a doc iff a salted md5-derived uniform draw lands under its
+    * stratum's rate (en 50%, fr 30%, others 10%). rand()-based
+    * sampling is not replayable across engines or task retries; a
+    * content-keyed hash draw is, and it stays pure map-side codegen at
+    * any scale. Integer draw in [0, 10000) — no float boundary. */
+  private def q106(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("ub", expr(
+        "cast(conv(substring(md5(concat('smp:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 10000"))
+      .withColumn("cut", when(col("lang") === "en", 5000)
+        .when(col("lang") === "fr", 3000).otherwise(1000))
+      .where(col("ub") < col("cut"))
+      .select(col("doc_id"), col("lang"), col("ub"))
+      .transform(Det.emitWide(_, "doc_id"))
+
+  /** q107: benchmark-contamination screen — the n-gram-overlap check a
+    * training pipeline runs against an eval set BEFORE training: for
+    * each candidate doc, the fraction of its distinct word-trigrams
+    * appearing anywhere in the benchmark corpus (doc_id % 50 = 0
+    * stands in for the eval set). Shuffles key on trigram / doc id
+    * (both high-cardinality); the distinct benchmark trigram set is
+    * eval-corpus-sized, so it broadcasts into the probe join — the
+    * candidate corpus is never re-shuffled by the tiny side. */
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    // per-doc trigram dedup is MAP-SIDE (array_distinct) — the global
+    // distinct-(doc, trigram) shuffle a naive form pays is exactly
+    // per-doc dedup, so do it inside the row. The doc_id stratum
+    // filters sit BELOW the shingle projection (only the 2% benchmark
+    // slice is shingled on its branch). Requires the session to
+    // exclude InferFiltersFromGenerate (all our builders do): that
+    // rule clones the whole shingle pipeline into the scan predicate
+    // as `size(tris) > 0` — measured 5× this query's real work —
+    // PlanSpec gates it.
+    def tris(df: DataFrame) =
+      TextDedup.withShingles(df, "text")
+        .select(col("doc_id"), array_distinct(col("shs")).as("tris"))
+    val base = docs(s, d)
+    val bench = tris(base.where(col("doc_id") % 50 === 0))
+      .select(explode(col("tris")).as("tri")).distinct()
+      .withColumn("__hit", lit(1))
+    // ONE pass over the candidate corpus: carry n_tri beside the
+    // explode, mark hits with a broadcast left join, fold per doc
+    tris(base.where(col("doc_id") % 50 =!= 0))
+      .select(col("doc_id"), size(col("tris")).cast("long").as("nt"),
+        explode(col("tris")).as("tri"))
+      .join(broadcast(bench), Seq("tri"), "left")
+      .groupBy("doc_id")
+      .agg(max("nt").as("n_tri"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .select(col("doc_id"), col("n_tri"), col("n_hit"),
+        Det.r4e(col("n_hit") / col("n_tri")).as("contam"))
+      .transform(Det.emitWide(_, "doc_id"))
+  }
+
+  /** q108: chunk-level dedup — sub-document dedup à la CCNet/
+    * RefinedWeb line-dedup, expressed on this fixture's unstructured
+    * text as fixed 10-token chunks: hash each chunk, report chunks
+    * recurring across documents with the canonical keeper (min doc).
+    * One explode + one hash-keyed aggregation; never corpus². */
+  private def q108(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", expr(TOKS))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1)," +
+          " i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))"))
+        .as(Seq("ci", "chunk")))
+      .groupBy(md5(col("chunk")).as("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), min("doc_id").as("keep_doc"))
+      .where(col("n_docs") > 1)
+      .transform(Det.emitWide(_, "h"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_text_wordcount" -> q80, "q81_text_dedup" -> q81,
     "q82_text_stats" -> q82, "q86_minhash_sig" -> q86,
@@ -242,7 +317,8 @@ object TextQueries {
     "q92_quality_score" -> q92, "q93_token_count" -> q93,
     "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96,
     "q99_repetition" -> q99, "q103_simhash_neardup" -> q103,
-    "q104_seq_pack" -> q104)
+    "q104_seq_pack" -> q104, "q106_hash_sample" -> q106,
+    "q107_contamination" -> q107, "q108_chunk_dedup" -> q108)
 
   private val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
@@ -251,6 +327,45 @@ object TextQueries {
       s"""SELECT word, CAST(count(1) AS BIGINT) AS n
           FROM (SELECT unnest($TS) AS word FROM documents)
           GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""",
+    "q106_hash_sample" ->
+      """SELECT doc_id, lang, ub FROM (
+           SELECT doc_id, lang,
+                  CAST('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 10000 AS ub,
+                  CASE WHEN lang = 'en' THEN 5000
+                       WHEN lang = 'fr' THEN 3000 ELSE 1000 END AS cut
+           FROM documents)
+         WHERE ub < cut ORDER BY doc_id""",
+    "q107_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+          tri AS (SELECT DISTINCT doc_id, tri FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(len(ts) - 2),
+                             i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS tri
+                    FROM t WHERE len(ts) >= 3)),
+          bench AS (SELECT DISTINCT tri FROM tri WHERE doc_id % 50 = 0),
+          cand AS (SELECT * FROM tri WHERE doc_id % 50 <> 0),
+          nt AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_tri
+                 FROM cand GROUP BY doc_id),
+          nh AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_hit
+                 FROM cand JOIN bench USING (tri) GROUP BY doc_id)
+          SELECT nt.doc_id, n_tri,
+                 COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+                 round(COALESCE(n_hit, CAST(0 AS BIGINT)) / n_tri
+                       + 0.00000123, 4) AS contam
+          FROM nt LEFT JOIN nh ON nt.doc_id = nh.doc_id
+          ORDER BY nt.doc_id""",
+    "q108_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+          ch AS (SELECT doc_id,
+                        unnest(list_transform(range(CAST(ceil(len(ts) / 10.0) AS BIGINT)),
+                          i -> array_to_string(ts[i*10+1 : i*10+10], ' '))) AS chunk
+                 FROM t WHERE len(ts) >= 1)
+          SELECT md5(chunk) AS h,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(count(1) AS BIGINT) AS n_occ, min(doc_id) AS keep_doc
+          FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+          ORDER BY h""",
     "q81_text_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id,
                 CAST(count(1) AS BIGINT) AS n_dups

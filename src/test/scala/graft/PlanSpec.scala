@@ -134,6 +134,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q105-q108: curation-operator scale shapes") {
+    // q105: both windows (lag + running sum) key on user_id with the
+    // same ordering — ONE hash exchange total, reused by both.
+    val p105 = plan("q105_sessionize")
+    assert(p105.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"q105 should shuffle exactly once on user_id:\n$p105")
+    // q106: deterministic hash sampling is pure map-side — no hash
+    // exchange anywhere, just the scan, the filter and the emit sort.
+    val p106 = plan("q106_hash_sample")
+    assert(!p106.contains("Exchange hashpartitioning"),
+      s"q106 sampling must not shuffle:\n$p106")
+    // q107: the benchmark trigram set broadcasts into the probe join;
+    // the candidate corpus is never sort-merge-joined against it.
+    val p107 = plan("q107_contamination")
+    assert(p107.contains("BroadcastHashJoin"),
+      s"q107 benchmark set not broadcast:\n$p107")
+    // q108: the chunk-hash aggregation combines map-side before its
+    // high-cardinality shuffle.
+    val p108 = plan("q108_chunk_dedup")
+    assert(p108.contains("partial"), s"q108 has no map-side combine:\n$p108")
+    // No generator-derived filter may clone the shingle pipeline into
+    // a scan predicate (InferFiltersFromGenerate is excluded in every
+    // session builder — it double-evaluates expensive computed
+    // generator inputs for zero pruning benefit; measured 5x on q107).
+    for (q <- Seq("q107_contamination", "q86_minhash_sig")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val bad = lp.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("transform(sequence") => f
+      }
+      assert(bad.isEmpty,
+        s"$q: a filter re-evaluates the shingle/minhash transform:\n${bad.mkString}")
+    }
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —
