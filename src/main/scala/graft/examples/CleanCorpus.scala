@@ -11,28 +11,40 @@ import graft.operators.TextDedup
   * (charter: BASELINE.json:6 "operations a large-scale training-data
   * pipeline would need"):
   *
-  *   1. exact dedup       — md5 content groups, keep min id
-  *   2. near-dup removal  — MinHash/LSH candidate pairs, drop the
-  *                          higher id of every pair
-  *   3. repetition filter — Gopher-style duplicate-word fraction cap
-  *                          (q99's shape: two counters per doc)
-  *   4. quality filter    — length/stopword composite ≥ threshold
-  *   5. annotation        — whitespace + BPE-ish token counts
+  *   1. exact dedup         — md5 content groups, keep min id
+  *   2. near-dup removal    — MinHash/LSH candidate pairs, drop all
+  *                            but each cluster's min id (transitive)
+  *   3. contamination screen— drop docs whose distinct-trigram overlap
+  *                            with the eval `benchmark` exceeds
+  *                            `maxContam` (skipped when no benchmark)
+  *   4. repetition filter   — Gopher-style duplicate-word fraction cap
+  *                            (q99's shape: two counters per doc)
+  *   5. quality filter      — length/stopword composite ≥ threshold
+  *   6. annotation          — whitespace + BPE-ish token counts
+  *   7. mixing weights      — deterministic stratified hash-sample per
+  *                            `lang` (`sampleRates`/`defaultRate`;
+  *                            rate 1.0 keeps everything)
   *
   * Every stage is a shuffle on a content/bucket key or a map-side
   * expression — nothing quadratic, nothing driver-side. Stage order
   * matters at scale: exact dedup first (cheapest, biggest shrink),
-  * LSH on the survivors only, per-word aggregation after both.
+  * LSH on the survivors only, the trigram screen and per-word
+  * aggregation after both, sampling last (weights apply to the CLEAN
+  * corpus).
   *
   * Invariants (pinned by CleanCorpusSpec): output ids are unique, no
   * two retained docs share a content hash, no retained pair is an LSH
   * candidate, every retained doc passes the repetition cap and the
-  * quality floor.
+  * quality floor, no retained doc exceeds the contamination cap, and
+  * the sample is a deterministic subset honoring a zero rate.
   */
 object CleanCorpus {
 
   def run(docs: DataFrame, minQuality: Double = 0.3,
-      maxDupRatio: Double = 0.7): DataFrame = {
+      maxDupRatio: Double = 0.7,
+      benchmark: Option[DataFrame] = None, maxContam: Double = 0.5,
+      sampleRates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0): DataFrame = {
     // 1. exact dedup — semi join against the canonical ids
     val keep = TextDedup.exactDupGroups(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
@@ -50,20 +62,31 @@ object CleanCorpus {
       .select(col("id").as("doc_id"))
     val nearDeduped = exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
 
-    // 3. repetition cap — duplicate-word fraction per doc (two hash
+    // 3. contamination screen — anti-join against the over-cap ids
+    // (docs too short to shingle have no score and pass: nothing to
+    // leak in < 3 tokens)
+    val decontaminated = benchmark.fold(nearDeduped) { b =>
+      val hot = TextDedup
+        .contaminationScores(nearDeduped, "doc_id", "text", b)
+        .where(col("contam") > maxContam)
+        .select("doc_id")
+      nearDeduped.join(hot, Seq("doc_id"), "left_anti")
+    }
+
+    // 4. repetition cap — duplicate-word fraction per doc (two hash
     // aggregates keyed (doc, word) → doc; two counters of state)
-    val dupRatio = nearDeduped
+    val dupRatio = decontaminated
       .select(col("doc_id"), explode(TextDedup.tokensExpr("text")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg((lit(1.0) - count(lit(1)) / sum("c")).as("dup_word_ratio"))
-    val unrepetitive = nearDeduped.join(dupRatio, "doc_id")
+    val unrepetitive = decontaminated.join(dupRatio, "doc_id")
       .where(col("dup_word_ratio") <= maxDupRatio)
 
-    // 4+5. quality + annotation, one map-side pass
+    // 5+6. quality + annotation, one map-side pass
     val toks = TextDedup.tokensExpr("text")
     val stop = "array('the','a','of','to','and','in')"
-    unrepetitive
+    val annotated = unrepetitive
       .withColumn("nw", size(toks))
       .withColumn("ns", expr(s"size(filter(split(text, ' '), w -> array_contains($stop, w)))"))
       .withColumn("quality",
@@ -73,6 +96,11 @@ object CleanCorpus {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))))
       .select("doc_id", "text", "lang", "nw", "bpe_tokens", "quality",
         "dup_word_ratio")
+
+    // 7. mixing weights — deterministic, map-side, replay-safe
+    if (sampleRates.isEmpty && defaultRate >= 1.0) annotated
+    else TextDedup.hashSample(annotated, "doc_id", "lang",
+      sampleRates, defaultRate)
   }
 
   /** Demo main: clean the fixture corpus, print the funnel. */

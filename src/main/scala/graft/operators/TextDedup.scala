@@ -120,6 +120,52 @@ object TextDedup {
     labels
   }
 
+  /** Per-doc contamination scores against a benchmark corpus — the
+    * screen a training pipeline runs against its eval sets BEFORE
+    * training: for each doc, the fraction of its DISTINCT word-trigrams
+    * (map-side `array_distinct` — per-doc dedup needs no shuffle) that
+    * appear anywhere in `benchmark`'s text. The distinct benchmark
+    * trigram set is eval-corpus-sized, so it broadcasts into the probe
+    * join; one pass over the corpus, shuffles keyed on doc id.
+    * Returns (idCol, n_tri, n_hit, contam). Docs too short to shingle
+    * (< 3 tokens) are absent from the output. */
+  def contaminationScores(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame): DataFrame = {
+    def tris(d: DataFrame) = withShingles(d, textCol)
+      .withColumn("__tris", array_distinct(col("shs")))
+    val bench = tris(benchmark)
+      .select(explode(col("__tris")).as("__tri")).distinct()
+      .withColumn("__hit", lit(1))
+    tris(df)
+      .select(col(idCol), size(col("__tris")).cast("long").as("__nt"),
+        explode(col("__tris")).as("__tri"))
+      .join(broadcast(bench), Seq("__tri"), "left")
+      .groupBy(idCol)
+      .agg(max("__nt").as("n_tri"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .withColumn("contam", col("n_hit") / col("n_tri"))
+  }
+
+  /** Uniform integer draw in [0, 10000) from a salted md5 of the id —
+    * the replayable substitute for `rand()` in sampling decisions:
+    * deterministic across engines, retries and runs. */
+  def hashDraw(idCol: String, salt: String = "smp"): Column =
+    expr(s"cast(conv(substring(md5(concat('$salt:', cast($idCol as string))), " +
+      "1, 15), 16, 10) as bigint) % 10000")
+
+  /** Deterministic stratified hash-sampling — per-stratum keep rates
+    * (domain mixing weights) applied as a pure map-side integer
+    * compare on `hashDraw`: no shuffle, no rand(), reproducible at any
+    * scale and under task retries. */
+  def hashSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "smp"): DataFrame = {
+    val cut = rates.foldLeft(when(lit(false), lit(0))) {
+      case (w, (k, r)) => w.when(col(strataCol) === k, lit((r * 10000).toInt))
+    }.otherwise(lit((defaultRate * 10000).toInt))
+    df.where(hashDraw(idCol, salt) < cut)
+  }
+
   /** SimHash near-dup pairs, EXACT for hamming distance ≤ `maxHamming`
     * — pigeonhole banding: split the 60 simhash bits into
     * maxHamming + 1 bands; ≤ maxHamming differing bits cannot corrupt

@@ -242,13 +242,10 @@ object TextQueries {
     * content-keyed hash draw is, and it stays pure map-side codegen at
     * any scale. Integer draw in [0, 10000) — no float boundary. */
   private def q106(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .withColumn("ub", expr(
-        "cast(conv(substring(md5(concat('smp:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) % 10000"))
-      .withColumn("cut", when(col("lang") === "en", 5000)
-        .when(col("lang") === "fr", 3000).otherwise(1000))
-      .where(col("ub") < col("cut"))
-      .select(col("doc_id"), col("lang"), col("ub"))
+    TextDedup.hashSample(docs(s, d), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "fr" -> 0.3), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"),
+        TextDedup.hashDraw("doc_id").as("ub"))
       .transform(Det.emitWide(_, "doc_id"))
 
   /** q107: benchmark-contamination screen — the n-gram-overlap check a
@@ -260,33 +257,20 @@ object TextQueries {
     * eval-corpus-sized, so it broadcasts into the probe join — the
     * candidate corpus is never re-shuffled by the tiny side. */
   private def q107(s: SparkSession, d: String): DataFrame = {
-    // per-doc trigram dedup is MAP-SIDE (array_distinct) — the global
-    // distinct-(doc, trigram) shuffle a naive form pays is exactly
-    // per-doc dedup, so do it inside the row. The doc_id stratum
+    // operators.TextDedup.contaminationScores bound to the fixture:
+    // doc_id % 50 = 0 stands in for the eval set. The doc_id stratum
     // filters sit BELOW the shingle projection (only the 2% benchmark
     // slice is shingled on its branch). Requires the session to
     // exclude InferFiltersFromGenerate (all our builders do): that
     // rule clones the whole shingle pipeline into the scan predicate
     // as `size(tris) > 0` — measured 5× this query's real work —
     // PlanSpec gates it.
-    def tris(df: DataFrame) =
-      TextDedup.withShingles(df, "text")
-        .select(col("doc_id"), array_distinct(col("shs")).as("tris"))
     val base = docs(s, d)
-    val bench = tris(base.where(col("doc_id") % 50 === 0))
-      .select(explode(col("tris")).as("tri")).distinct()
-      .withColumn("__hit", lit(1))
-    // ONE pass over the candidate corpus: carry n_tri beside the
-    // explode, mark hits with a broadcast left join, fold per doc
-    tris(base.where(col("doc_id") % 50 =!= 0))
-      .select(col("doc_id"), size(col("tris")).cast("long").as("nt"),
-        explode(col("tris")).as("tri"))
-      .join(broadcast(bench), Seq("tri"), "left")
-      .groupBy("doc_id")
-      .agg(max("nt").as("n_tri"),
-        sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+    TextDedup.contaminationScores(
+        base.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        benchmark = base.where(col("doc_id") % 50 === 0))
       .select(col("doc_id"), col("n_tri"), col("n_hit"),
-        Det.r4e(col("n_hit") / col("n_tri")).as("contam"))
+        Det.r4e(col("contam")).as("contam"))
       .transform(Det.emitWide(_, "doc_id"))
   }
 

@@ -41,4 +41,33 @@ class CleanCorpusSpec extends AnyFunSuite {
   test("every retained doc passes the repetition cap") {
     assert(clean.where(col("dup_word_ratio") > 0.7).isEmpty)
   }
+
+  test("contamination screen drops docs overlapping the benchmark") {
+    // benchmark = verbatim copies of a few input docs → their clean-
+    // pipeline survivors must be screened out (contam = 1.0 > cap)
+    val bench = input.where(col("doc_id") % 20 === 0).select("text")
+    val screened = CleanCorpus.run(input,
+      benchmark = Some(bench), maxContam = 0.5)
+    val leaked = screened
+      .join(input.where(col("doc_id") % 20 === 0)
+        .select(col("text").as("btext")), col("text") === col("btext"))
+    assert(leaked.isEmpty, "benchmark-identical docs survived the screen")
+    // docs sharing nothing with the benchmark are untouched relative
+    // to the unscreened run
+    assert(screened.count() > 0)
+  }
+
+  test("mixing-weight sampling is deterministic and honors a zero rate") {
+    val s1 = CleanCorpus.run(input,
+      sampleRates = Map("en" -> 0.0, "de" -> 0.5), defaultRate = 0.8)
+    val s2 = CleanCorpus.run(input,
+      sampleRates = Map("en" -> 0.0, "de" -> 0.5), defaultRate = 0.8)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = s2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "hash sampling must be replayable")
+    assert(s1.where(col("lang") === "en").isEmpty, "zero-rate stratum leaked")
+    assert(ids1.subsetOf(
+      clean.select("doc_id").collect().map(_.getLong(0)).toSet),
+      "sample must be a subset of the unsampled clean corpus")
+  }
 }

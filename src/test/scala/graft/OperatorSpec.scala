@@ -168,6 +168,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(after.agg(sum("id")).head().getLong(0) == 499500L)
   }
 
+  test("Lake.compactDay recovers a stranded aside dir from a crashed swap") {
+    import org.apache.hadoop.fs.Path
+    val lake = TestSpark.tmpDir("lake-rec")
+    val day = "2022-12-12"
+    val df = spark.range(0, 100)
+      .select(col("id"), lit(day).cast("timestamp").as("ts"))
+      .repartition(5)
+    graft.sources.Lake.writePartitioned(df, "ts", lake)
+    // simulate a crash between the two swap renames: the live day was
+    // moved aside and the process died
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(s"$lake/ingest_date=$day"),
+      new Path(s"$lake/_compact_old_$day")))
+    graft.sources.Lake.compactDay(spark, lake, day)
+    // recovery restored the day, compaction completed, no debris
+    assert(new java.io.File(lake).listFiles()
+      .forall(f => !f.getName.startsWith("_compact")), "stale work dirs left")
+    val after = graft.sources.Lake.readDay(spark, lake, day)
+    assert(after.count() == 100)
+  }
+
   test("Lake.writeBucketed: co-bucketed tables join without a shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")

@@ -303,6 +303,39 @@ class StreamingSpec extends AnyFunSuite {
     writeNdjson(src, "f4.ndjson", Seq(envLine("c", "chicago", "7.00", "4.0")))
     run()
     assert(cur.select("kid").collect().map(_.getString(0)).toSet == Set("b", "c"))
+    // consolidated files must carry the SAME physical schema as sink
+    // batches: the discovered `batch` partition column is dropped
+    // before the rewrite (schema-drift guard)
+    val maxDir = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).max
+    assert(!spark.read.parquet(s"$state/$maxDir")
+      .schema.fieldNames.contains("batch"),
+      "consolidated state files physically carry the batch partition column")
+  }
+
+  test("compactState recovers a stranded aside dir from a crashed swap") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val state = TestSpark.tmpDir("comp-rec")
+    Seq(("a", 1L, false), ("b", 1L, false)).toDF("kid", "updated", "is_delete")
+      .write.parquet(s"$state/batch=0")
+    Seq(("a", 2L, false)).toDF("kid", "updated", "is_delete")
+      .write.parquet(s"$state/batch=1")
+    // simulate a crash in the swap window: the live max-batch dir was
+    // renamed aside and the process died before tmp moved in
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(s"$state/batch=1"), new Path(s"$state/_compact_old_1")))
+    graft.streaming.CdcStreams.compactState(
+      spark, state, Seq("kid"), Seq("updated"))
+    // recovery restored the aside, then compaction folded both batches
+    val dirs = new java.io.File(state).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq
+    assert(dirs == Seq("batch=1"), s"got $dirs")
+    assert(new java.io.File(state).listFiles()
+      .forall(f => !f.getName.startsWith("_compact")), "stale work dirs left")
+    val got = spark.read.parquet(s"$state/batch=1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 2L), ("b", 1L)), s"got $got")
   }
 
   test("s09: streaming twins of q70/q71/q72 equal their batch results") {
