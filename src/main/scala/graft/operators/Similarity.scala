@@ -86,6 +86,27 @@ object Similarity {
       .select(col(idCol), col("clabel"))
   }
 
+  /** One Lloyd iteration of (spherical) k-means: re-assign every
+    * vector to its best centroid by dot score — the same argmax
+    * `ivfAssign` uses, so "train" and "serve" agree — and recompute
+    * each centroid as its cluster's mean. Input and output use
+    * `ivfCentroids`' positional long form (clabel, pos, c), so
+    * iterations chain and the result drops into `ivfSearch`/
+    * `ivfSearchBatch` unchanged. Typical use: iterate on a bootstrap
+    * sample until stable (each round = one broadcast of the tiny
+    * centroid frame + one positional hash aggregate, clusters × dim
+    * rows), then index the full corpus once with `ivfAssign`.
+    * A cluster left empty by re-assignment disappears from the output
+    * (standard Lloyd degeneracy; callers can re-seed from `centroids`
+    * if the label universe must stay fixed). */
+  def kmeansIterate(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    corpus
+      .join(ivfAssign(corpus, idCol, vecCol, centroids), idCol)
+      .select(col("clabel"), posexplode(col(vecCol)).as(Seq("pos", "xv")))
+      .groupBy("clabel", "pos")
+      .agg(avg(dbl(col("xv"))).as("c"))
+
   /** IVF ANN search: the query probes its top-`probe` cells, the
     * candidate set is the vectors INDEXED (probe=1) in those cells,
     * and the exact cosine top-k runs over candidates only — cost is

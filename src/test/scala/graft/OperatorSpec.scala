@@ -335,6 +335,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(r >= 0.8, s"recall@5 at probe=1 on clustered data = $r")
   }
 
+  test("kmeansIterate: label centroids are a fixpoint on separated clusters") {
+    // Same well-separated corpus as the recall test: starting from the
+    // TRUE per-label centroids, one Lloyd step must re-assign every
+    // vector to its own label's centroid and reproduce the centroids
+    // (up to float noise) — and the output must chain back into the
+    // IVF machinery unchanged.
+    import graft.operators.Similarity
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(8, dim)(rng.nextGaussian().toFloat)
+    val rows = for (c <- 0 until 8; i <- 0 until 25) yield {
+      val v = centers(c).map(x => x + 0.05f * rng.nextGaussian().toFloat)
+      (c.toLong * 25 + i, c.toString, v)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "label", "embedding")
+    val cent0 = Similarity.ivfCentroids(df, "label", "embedding")
+    val cent1 = Similarity.kmeansIterate(df, "vec_id", "embedding", cent0)
+    assert(cent1.schema.fieldNames.toSeq == cent0.schema.fieldNames.toSeq)
+    val joined = cent0.withColumnRenamed("c", "c0")
+      .join(cent1, Seq("clabel", "pos"))
+    assert(joined.count() == 8L * dim, "a cluster vanished or grew")
+    val maxDiff = joined.agg(max(abs(col("c0") - col("c")))).head().getDouble(0)
+    assert(maxDiff < 1e-6, s"label centroids not a fixpoint: maxDiff=$maxDiff")
+  }
+
   test("ivfSearchBatch at probe=all equals per-query cosineTopK") {
     import graft.operators.Similarity
     val em = Tables.embeddings(spark, sf)
