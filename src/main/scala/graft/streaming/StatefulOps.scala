@@ -135,6 +135,41 @@ object StatefulOps extends Serializable {
     (s, out.toSeq)
   }
 
+  /** Streaming sessionization — the incremental twin of the batch
+    * per-event session ids (q105): state per user is just (second of
+    * last event, current session index), O(1) regardless of history.
+    * An event landing more than `gapSec` after the user's previous one
+    * opens a new session; the event is emitted immediately with its
+    * session id. Rows within a micro-batch are ordered by (ts,
+    * event_id) inside the group before applying the transition
+    * (shuffles don't preserve order); ACROSS batches the operator
+    * relies on the changefeed's per-key delivery ordering
+    * (/root/reference/README.md:90) — the same contract every upsert
+    * consumer here builds on.
+    * Input (event_id, user_id, ts) → output (event_id, user_id, sess). */
+  def sessionizeStream(events: Dataset[(Long, Long, java.sql.Timestamp)],
+      gapSec: Long = 1800L): Dataset[(Long, Long, Int)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Int), (Long, Long, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Int)]) =>
+          var (lastSec, sess) = state.getOption.getOrElse((Long.MinValue, 0))
+          val out = rows.toSeq
+            .sortBy(r => (r._3.getTime, r._1))
+            .map { case (eid, _, ts) =>
+              val sec = ts.getTime / 1000L
+              if (lastSec == Long.MinValue || sec - lastSec > gapSec) sess += 1
+              lastSec = sec
+              (eid, user, sess)
+            }
+          state.update((lastSec, sess))
+          out.iterator
+      }
+  }
+
   /** One emitted state row: the key's current value, or a final
     * `deleted = true` marker when a tombstone removed it. */
   case class KeyState(key: Long, value: String, deleted: Boolean)

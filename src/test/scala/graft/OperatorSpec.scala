@@ -397,6 +397,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("BucketSearch: binary-search bucket equals the linear filter count") {
+    import graft.functions.BucketSearch.bucketOf
+    val bounds = Array(-3.0, 0.0, 2.5, 2.5001, 10.0)
+    def linear(v: Double) = bounds.count(v > _)
+    for (v <- Seq(-100.0, -3.0, -2.9, 0.0, 1.0, 2.5, 2.50005, 5.0, 10.0, 11.0))
+      assert(bucketOf(bounds, v) == linear(v), s"v=$v")
+    assert(bucketOf(Array.empty[Double], 42.0) == 0)
+    // null input routes to bucket 0 through the Column form (nulls
+    // sort first in every consumer's window)
+    import spark.implicits._
+    val got = Seq(Some(5.0), None).toDF("v")
+      .select(graft.functions.BucketSearch.of(spark, col("v"),
+        Array(1.0, 4.0)).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2, 0), s"got $got")
+  }
+
   test("SimHash64: reference vectors and invariances") {
     import graft.functions.SimHash64.simhash
     assert(simhash("") == 0L)

@@ -511,6 +511,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(s3.size == 101 && p3.size == 100)
   }
 
+  test("s18: streaming sessionization equals the batch gaps-and-islands") {
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val q = graft.streaming.StatefulOps
+      .sessionizeStream(ms.toDS(), gapSec = 1800L)
+      .toDF("event_id", "user_id", "sess")
+      .writeStream.outputMode("update").format("memory").queryName("s18").start()
+    def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    // batch 1: user 1 opens session 1 (two close events); user 2 opens
+    // session 1. In-batch order is scrambled on purpose — the operator
+    // must sort within the group.
+    ms.addData((11L, 1L, t(5)), (10L, 1L, t(0)), (20L, 2L, t(0)))
+    q.processAllAvailable()
+    // batch 2: user 1 returns 40 min after t(5) -> session 2, then a
+    // close event stays in session 2; user 2 within the gap -> still 1
+    ms.addData((12L, 1L, t(45)), (13L, 1L, t(50)), (21L, 2L, t(29)))
+    q.processAllAvailable()
+    // batch 3: user 1 again beyond the gap -> session 3
+    ms.addData((14L, 1L, t(95)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s18")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Set(
+      (10L, 1L, 1), (11L, 1L, 1), (12L, 1L, 2), (13L, 1L, 2), (14L, 1L, 3),
+      (20L, 2L, 1), (21L, 2L, 1))
+    assert(got == want, s"got $got")
+    // cross-check: the batch q105 form on the same rows agrees
+    import spark.implicits._
+    val batch = Seq((10L, 1L, t(0)), (11L, 1L, t(5)), (12L, 1L, t(45)),
+      (13L, 1L, t(50)), (14L, 1L, t(95)), (20L, 2L, t(0)), (21L, 2L, t(29)))
+      .toDF("event_id", "user_id", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wc = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val q105Form = batch
+      .withColumn("brk", when(col("ts").cast("long")
+        - lag(col("ts").cast("long"), 1).over(w) > 1800L, 1).otherwise(0))
+      .withColumn("sess", (sum("brk").over(wc) + 1).cast("int"))
+      .select("event_id", "user_id", "sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(q105Form == got, "streaming and batch sessionization disagree")
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
