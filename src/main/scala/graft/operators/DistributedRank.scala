@@ -91,15 +91,18 @@ object DistributedRank {
     // skipping the bucket apparatus) and the hottest tie's
     // multiplicity (a tie holding > hotTieCut rows engages the salted
     // row_number phase below). Two O(1)-state aggregates over the
-    // already-aggregated value frame; set adaptiveCut = 0 AND
-    // hotTieCut = 0 to skip the probe entirely on domains known to be
-    // continuous and un-skewed.
+    // already-aggregated value frame. Callers who KNOW the domain can
+    // skip the probe job: adaptiveCut < 0 declares it small (straight
+    // to the prefix-window path; also asserts no tie needs salting),
+    // adaptiveCut = 0 with hotTieCut = 0 declares it continuous and
+    // un-skewed (straight to the bucketed path).
+    val declaredSmall = adaptiveCut < 0
     val (nVals, maxTie) =
-      if (adaptiveCut > 0 || hotTieCut > 0) {
+      if (!declaredSmall && (adaptiveCut > 0 || hotTieCut > 0)) {
         val r = vc.agg(count(lit(1)), max("__c")).head()
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       } else (Long.MaxValue, 0L)
-    val vcSmall = adaptiveCut > 0 && nVals <= adaptiveCut
+    val vcSmall = declaredSmall || (adaptiveCut > 0 && nVals <= adaptiveCut)
     val vals = if (vcSmall) {
       val wTie = Window.partitionBy(col("__pk")).orderBy(col("__tie"))
       val wCum = wTie.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -293,6 +293,27 @@ object TextQueries {
       .where(col("n_docs") > 1)
       .transform(Det.emitWide(_, "h"))
 
+  /** q109: unigram-LM quality score — the cheap statistical-LM filter
+    * (KenLM-style in spirit) a curation pipeline runs when a real LM
+    * is too expensive: corpus unigram probabilities, then per doc the
+    * mean -ln p(w) over its tokens (high surprisal = rare-token soup,
+    * low = stopword soup; both tails get filtered). The vocabulary
+    * joins on the word key — a high-cardinality SHUFFLE, not a
+    * broadcast: at 100 TB the vocabulary is itself huge — and the
+    * per-doc fold is one hash aggregate. The grand total is the only
+    * broadcast (one row). */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(col("doc_id"), explode(expr(TOKS)).as("w"))
+    val vocab = tk.groupBy("w").agg(count(lit(1)).as("cw"))
+    val totals = vocab.agg(sum("cw").as("n"))
+    tk.join(vocab, "w")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        Det.r4e(avg(-log(col("cw") / col("n")))).as("avg_surprisal"))
+      .transform(Det.emitWide(_, "doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_text_wordcount" -> q80, "q81_text_dedup" -> q81,
     "q82_text_stats" -> q82, "q86_minhash_sig" -> q86,
@@ -302,7 +323,8 @@ object TextQueries {
     "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96,
     "q99_repetition" -> q99, "q103_simhash_neardup" -> q103,
     "q104_seq_pack" -> q104, "q106_hash_sample" -> q106,
-    "q107_contamination" -> q107, "q108_chunk_dedup" -> q108)
+    "q107_contamination" -> q107, "q108_chunk_dedup" -> q108,
+    "q109_unigram_logprob" -> q109)
 
   private val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
@@ -339,6 +361,14 @@ object TextQueries {
                        + 0.00000123, 4) AS contam
           FROM nt LEFT JOIN nh ON nt.doc_id = nh.doc_id
           ORDER BY nt.doc_id""",
+    "q109_unigram_logprob" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TS) AS w FROM documents),
+          v AS (SELECT w, CAST(count(1) AS BIGINT) AS cw FROM tk GROUP BY w),
+          n AS (SELECT sum(cw) AS n FROM v)
+          SELECT doc_id, CAST(count(1) AS BIGINT) AS n_toks,
+                 round(avg(-ln(cw / n)) + 0.00000123, 4) AS avg_surprisal
+          FROM tk JOIN v USING (w), n
+          GROUP BY doc_id ORDER BY doc_id""",
     "q108_chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
           ch AS (SELECT doc_id,

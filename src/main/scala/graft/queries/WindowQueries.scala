@@ -34,7 +34,10 @@ object WindowQueries {
     graft.operators.DistributedRank.ranked(
         lineitem(s, d).select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
         pkeys = Seq("l_returnflag"), tieCols = Seq("l_quantity"),
-        uniqueCols = Seq("l_orderkey", "l_linenumber"), ntileK = 4)
+        uniqueCols = Seq("l_orderkey", "l_linenumber"), ntileK = 4,
+        // l_quantity's domain is ~50 integers at ANY table size and no
+        // tie can dominate — declare it, saving the probe job
+        adaptiveCut = -1)
       .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
         col("l_linenumber"), col("rnk"), col("drnk"), col("rn"), col("nt"))
       // lineitem contains fully-duplicate rows (same orderkey+linenumber),
@@ -85,7 +88,10 @@ object WindowQueries {
         orders(s, d)
           .withColumn("pb", floor(col("o_totalprice")).cast("long"))
           .select("o_orderkey", "o_orderstatus", "pb"),
-        pkeys = Seq("o_orderstatus"), valCol = "pb", width = 10000L)
+        pkeys = Seq("o_orderstatus"), valCol = "pb", width = 10000L,
+        // floor(price) is effectively continuous — declare it, going
+        // straight to the bucketed path without the probe job
+        adaptiveCut = 0)
       .select(col("o_orderkey"), col("o_orderstatus"), col("pb"), col("n_band"))
       .transform(Det.emitWide(_, "o_orderkey"))
 

@@ -130,7 +130,8 @@ object AlgebraProps extends Properties("graft.algebra") {
       def tup(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
-      // adaptiveCut default → small-value-frame path; 0 → bucketed path
+      // adaptiveCut default → small-value-frame path; 0 → bucketed
+      // path; -1 → declared-small (probe-free) path
       def got(cut: Int) = graft.operators.DistributedRank
         .ranked(df, Seq("g"), Seq("t"), Seq("u"), ntileK = 3, numRanges = 5,
           adaptiveCut = cut)
@@ -144,7 +145,7 @@ object AlgebraProps extends Properties("graft.algebra") {
           rank().over(wTie).as("rnk"), dense_rank().over(wTie).as("drnk"),
           row_number().over(wTot).as("rn"), ntile(3).over(wTot).as("nt"))
         .collect().map(tup).sorted.toSeq
-      got(10000) == want && got(0) == want
+      got(10000) == want && got(0) == want && got(-1) == want
     }
 
   property("DistributedRank.ranked keeps and ranks NULL tie values") =
