@@ -228,15 +228,32 @@ object AlgebraProps extends Properties("graft.algebra") {
         val df = rows.toDF("g", "v")
         def tup(r: org.apache.spark.sql.Row) =
           (r.getLong(0), r.getLong(1), r.getLong(2))
-        def got(cut: Int) = graft.operators.DistributedRank
-          .bandCount(df, Seq("g"), "v", width = 7L, adaptiveCut = cut)
+        def got(cut: Int, n: Int = 0) = graft.operators.DistributedRank
+          .bandCount(df, Seq("g"), "v", width = 7L, numRanges = n,
+            adaptiveCut = cut)
           .select("g", "v", "n_band").collect().map(tup).sorted.toSeq
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("g").orderBy("v").rangeBetween(-7, 0)
         val want = df.select(col("g"), col("v"),
             count(lit(1)).over(w).as("n_band"))
           .collect().map(tup).sorted.toSeq
-        got(10000) == want && got(0) == want
+        // numRanges = 64 >> distinct values: most buckets are EMPTY —
+        // probes must still resolve through the complete offset grid
+        got(10000) == want && got(0) == want && got(0, n = 64) == want
+    }
+
+  property("hashSample: deterministic, monotone in rate, exact at the extremes") =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 500L), Gen.oneOf("en", "fr", "de")))) {
+      rows =>
+        val df = rows.distinctBy(_._1).toDF("id", "lang")
+        def ids(rate: Double) = graft.operators.TextDedup
+          .hashSample(df, "id", "lang", Map("en" -> rate), defaultRate = rate)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val lo = ids(0.3); val hi = ids(0.8)
+        ids(0.3) == lo &&                 // replayable
+          lo.subsetOf(hi) &&              // monotone in rate
+          ids(0.0).isEmpty &&             // zero keeps nothing
+          ids(1.0).size == df.count()     // one keeps everything
     }
 
   property("DistributedRank.bandCount handles NULL order values as one peer group") =
