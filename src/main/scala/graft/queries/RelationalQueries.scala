@@ -434,6 +434,27 @@ object RelationalQueries {
         expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
       .orderBy("l_returnflag")
 
+  /** q110: bloom-pruned fact-to-dim join — the explicit runtime-filter
+    * pattern for the 100 TB fact-to-fact path (operators/BloomPrune).
+    * The build side (high-value orders) is sketched into a broadcast
+    * bloom filter; lineitem rows whose l_orderkey cannot match drop
+    * map-side BEFORE the join boundary, so at scale the probe shuffle
+    * carries ~selectivity × |fact| rows. False positives are removed
+    * by the exact join — the oracle is the plain-join SQL, proving the
+    * prune is semantically free. */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val dim = orders(s, d).where(col("o_totalprice") > 400000.0)
+      .select("o_orderkey", "o_orderpriority")
+    val fact = lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    graft.operators.BloomPrune
+      .prunedJoin(fact, dim, "l_orderkey", "o_orderkey",
+        expectedItems = 1L << 20)
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderpriority"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .transform(Det.emitWide(_, "l_orderkey", "l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> q01, "q02_scan_pushdown" -> q02,
     "q03_filter_compound" -> q03, "q04_project_case" -> q04,
@@ -444,7 +465,7 @@ object RelationalQueries {
     "q10_join_inner" -> q10, "q11_join_left" -> q11, "q12_join_full" -> q12,
     "q13_join_semi" -> q13, "q14_join_anti" -> q14, "q15_join_broadcast" -> q15,
     "q16_join_theta" -> q16, "q17_join_range" -> q17, "q18_join_asof" -> q18,
-    "q19_join_multiway" -> q19,
+    "q19_join_multiway" -> q19, "q110_bloom_prune_join" -> q110,
     "q20_agg_global" -> q20, "q21_agg_group" -> q21, "q22_agg_distinct" -> q22,
     "q23_agg_having" -> q23, "q24_agg_rollup" -> q24, "q25_agg_cube" -> q25,
     "q26_agg_grouping_sets" -> q26, "q27_agg_stats" -> q27,
@@ -452,6 +473,12 @@ object RelationalQueries {
     "q37_percentiles_approx" -> q37)
 
   val oracles: Map[String, String] = Map(
+    "q110_bloom_prune_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+                round(l.l_extendedprice, 2) AS price
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_totalprice > 400000.0
+         ORDER BY l.l_orderkey, l.l_linenumber""",
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS l_extendedprice
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",

@@ -256,6 +256,46 @@ object AlgebraProps extends Properties("graft.algebra") {
           ids(1.0).size == df.count()     // one keeps everything
     }
 
+  property("BloomPrune.prunedJoin equals the plain inner join for any fpp") =
+    forAll(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 9L))),
+      Gen.listOfN(12, Gen.choose(0L, 30L)),
+      Gen.oneOf(0.5, 0.03, 0.0001)) { (factRows, dimKeys, fpp) =>
+        val fact = factRows.toDF("fk", "fv")
+        val dim = dimKeys.distinct.toDF("dk")
+        def tup(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        val got = graft.operators.BloomPrune
+          .prunedJoin(fact, dim, "fk", "dk", expectedItems = 64, fpp = fpp)
+          .select("fk", "fv", "dk").collect().map(tup).sorted.toSeq
+        val want = fact.join(dim, col("fk") === col("dk"))
+          .select("fk", "fv", "dk").collect().map(tup).sorted.toSeq
+        got == want
+    }
+
+  property("BloomPrune.pruneProbe: keeps all matches; empty build keeps nothing") =
+    forAll(
+      Gen.listOfN(30, Gen.choose(0L, 60L)),
+      Gen.listOfN(10, Gen.choose(0L, 30L))) { (factKeys, dimKeys) =>
+        val fact = factKeys.toDF("fk")
+        val dim = dimKeys.distinct.toDF("dk")
+        val kept = graft.operators.BloomPrune
+          .pruneProbe(fact, col("fk"), dim, col("dk"), expectedItems = 64)
+          .collect().map(_.getLong(0))
+        val dimSet = dimKeys.toSet
+        val matches = factKeys.filter(dimSet)
+        val keptOfEmpty = graft.operators.BloomPrune
+          .pruneProbe(fact, col("fk"), dim.where(lit(false)), col("dk"),
+            expectedItems = 64)
+          .count()
+        // every true match survives (no false negatives — the bloom
+        // contract; pruning never duplicates, so counts are exact),
+        // and an empty build side prunes everything
+        matches.groupBy(identity).forall { case (k, ms) =>
+          kept.count(_ == k) == ms.size } &&
+          keptOfEmpty == 0L
+    }
+
   property("DistributedRank.bandCount handles NULL order values as one peer group") =
     forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 2L), Gen.choose(-30L, 30L)))) {
       rows =>
