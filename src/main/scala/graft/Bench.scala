@@ -63,10 +63,24 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds}"""
-    // stdout gets prefixed/noised when launched via sbt, so ALSO write
-    // the line to a known path for the driver's parser.
-    println(line)
+    // The driver keeps only the last ~2000 chars of stdout; the full
+    // per-query dict (~3 KB at 95 keys) never fits, so rounds 2-3
+    // recorded "parsed": null. Print a COMPACT line (short q-number
+    // keys, ms precision) that fits the tail with room for sbt's
+    // trailing [success] banner; the full-precision full-name line
+    // still goes to bench.json for human/judge reads.
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    val sfShort = sfDir.split('/').last
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfShort","rounds":$rounds}"""
+    println(compact)
     Console.flush()
+    // stdout gets prefixed/noised when launched via sbt, so ALSO write
+    // the full line to a known path for the driver's parser.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), line + "\n")

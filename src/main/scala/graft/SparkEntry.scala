@@ -26,6 +26,7 @@ object SparkEntry {
     graft.queries.EventTimeQueries.queries ++
     graft.queries.TextQueries.queries ++
     graft.queries.VectorQueries.queries ++
+    graft.queries.GraphQueries.queries ++
     graft.multimodal.Multimodal.queries ++
     graft.queries.CdcQueries.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
     graft.queries.EventTimeQueries.oracles ++
     graft.queries.TextQueries.oracles ++
     graft.queries.VectorQueries.oracles ++
+    graft.queries.GraphQueries.oracles ++
     graft.multimodal.Multimodal.oracles ++
     graft.queries.CdcQueries.oracles
 }

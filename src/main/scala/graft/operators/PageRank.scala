@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the Pregel-style
+  * join–aggregate iteration expressed as a declarative Spark plan
+  * (the shape GraphX/Pregel compiles to anyway, minus the RDD layer).
+  *
+  * r₀(v) = 1/N;  rₖ₊₁(v) = (1−d)/N + d · Σ_{u→v} rₖ(u) / outdeg(u)
+  *
+  * Scale design: every iteration is one shuffle keyed on the node id —
+  * contributions aggregate map-side-combined on `dst`, then join the
+  * static node table. The edge table's (src-keyed) exchange and the
+  * degree aggregate are IDENTICAL subtrees across iterations, so
+  * ReuseExchange materializes them once. N is kept in-plan as a 1-row
+  * broadcast (no driver collect). Iterations are a fixed driver-side
+  * loop over plan construction (k plan levels, like any unrolled
+  * iterative dataflow); convergence-checked variants would probe a
+  * scalar per round, the AQE-style driver decision the house already
+  * uses for dupClusters.
+  *
+  * Dangling nodes: callers wanting the undirected contract (every node
+  * has outdegree ≥ 1 — no dangling-mass correction term needed) should
+  * pass both edge directions; `undirected()` below does exactly that.
+  */
+object PageRank {
+
+  /** Both directions of a distinct (a,b) edge set — prefix-tagging the
+    * two endpoint domains keeps ids disjoint when the graph is
+    * bipartite (e.g. customers vs suppliers). */
+  def undirected(edges: DataFrame, aCol: String, bCol: String,
+      aPrefix: String = "a", bPrefix: String = "b"): DataFrame = {
+    val e = edges
+      .select(concat(lit(aPrefix), col(aCol).cast("string")).as("src"),
+        concat(lit(bPrefix), col(bCol).cast("string")).as("dst"))
+      .distinct()
+    e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** `iters` power iterations at damping `d` over (src, dst) edges.
+    * Returns (node, rank). Every node must appear as a src (pass an
+    * undirected edge set — see `undirected`). */
+  def run(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("node"))
+    val n1 = nodes.agg(count(lit(1)).cast("double").as("n"))
+    // ranks carries the broadcast n along so each iteration reuses it
+    // without a fresh cross join
+    var ranks = nodes.crossJoin(broadcast(n1))
+      .select(col("node"), (lit(1.0) / col("n")).as("r"), col("n"))
+    val edgesD = edges.join(deg, "src") // (src, dst, deg)
+    for (_ <- 1 to iters) {
+      val contrib = edgesD
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst"), (col("r") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      ranks = ranks.select(col("node"), col("n"))
+        .join(contrib.select(col("dst").as("node"), col("contrib")), Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - damping) / col("n") +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"),
+          col("n"))
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+}

@@ -206,4 +206,65 @@ object Similarity {
         graft.queries.Det.r4e(nativeCosine(block, "a_emb", "b_emb")).as("cos_sim"))
       .where(col("cos_sim") > minCos)
   }
+
+  /** Random-hyperplane (SRP / "SimHash for vectors") LSH bucket id per
+    * vector: `bits` signed projections onto ±1 hyperplanes, packed into
+    * one BIGINT bucket key. Candidate generation is then a plain
+    * equi-join on the bucket — the embedding twin of the MinHash band
+    * join, and the standard linear-ish near-dup path at corpus scale
+    * (all-pairs cosine is corpus² and never runs).
+    *
+    * Replayability over float whims: hyperplane weights are md5-parity
+    * ±1 seeded by (bit, dim) — computed ONCE driver-side (O(bits×dims)
+    * metadata, same budget class as the house quantile arrays) and
+    * embedded as a literal matrix, so per-row work is a pure
+    * multiply-add with no hashing. The projection runs over
+    * `floor(x·1000)` INTEGER-quantized components, so the sign test is
+    * exact integer arithmetic: any engine (and any summation order)
+    * produces the identical bucket, with no sign-flip-at-epsilon
+    * boundary for a float accumulator to land on. Entirely map-side
+    * codegen; the only shuffle is the bucket join downstream.
+    *
+    * `dims` must equal the embedding length (zip_with would silently
+    * truncate a mismatch). */
+  def rpLshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 8, dims: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+    // weight w(j,i) = parity of the first md5 hex digit of "rp<j>:<i>"
+    // → ±1; the DuckDB twin recomputes the same matrix in SQL.
+    val wts: Seq[Seq[Long]] = (0 until bits).map { j =>
+      (0 until dims).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp$j:$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+      }
+    }
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1000)).cast("long"))
+    val sized = corpus
+      .select(col(idCol), col(vecCol), qv.as("__qv"))
+    val bucket = (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(typedLit(wts(j)), col("__qv"), (w, x) => w * x),
+        lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sized.select(col(idCol), col(vecCol), bucket.as("bucket"))
+  }
+
+  /** Candidate near-dup pairs sharing an SRP bucket, scored with exact
+    * cosine: bucket-keyed self-join (linear-ish: pair count ∝ corpus ×
+    * bucket occupancy), never corpus². More `bits` → smaller buckets →
+    * higher precision / lower recall; production stacks several bucket
+    * tables (seed param) exactly like MinHash LSH bands. */
+  def rpLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 8): DataFrame = {
+    val sigs = rpLshBuckets(corpus, idCol, vecCol, bits)
+    val a = sigs.select(col("bucket"), col(idCol).as("a_id"), col(vecCol).as("a_emb"))
+    val b = sigs.select(col("bucket"), col(idCol).as("b_id"), col(vecCol).as("b_emb"))
+    a.join(b, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("bucket"), col("a_id"), col("b_id"),
+        graft.queries.Det.r4e(nativeCosine(sigs, "a_emb", "b_emb")).as("cos_sim"))
+  }
 }

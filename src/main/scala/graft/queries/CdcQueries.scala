@@ -101,11 +101,37 @@ object CdcQueries {
       .transform(Det.emitWide(_, "user_id"))
   }
 
+  /** q117: SCD2 history build — the full-history twin of q61's
+    * latest-snapshot: every change event becomes a dimension VERSION
+    * row with [valid_from, valid_to) validity and an is_current flag
+    * (valid_to = next version's valid_from; open-ended for the head).
+    * This is what a warehouse keeps when the CDC consumer must answer
+    * "what did the row look like at time T". One window over the
+    * per-key change sequence: partitioned by the high-cardinality
+    * user_id, so parallelism grows with the key space at any scale;
+    * emits epoch seconds (SURVEY §2.0-③). */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsec"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("val"),
+        date_trunc("second", col("ts")).as("tsec"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("vt", lead(col("tsec"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_id"),
+        col("event_type"), col("val"),
+        unix_timestamp(col("tsec")).as("valid_from_s"),
+        unix_timestamp(col("vt")).as("valid_to_s"),
+        col("vt").isNull.cast("int").as("is_current"))
+      .transform(Det.emitWide(_, "user_id", "version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cdc_envelope_roundtrip" -> q60,
     "q61_cdc_latest_by_key" -> q61,
     "q62_cdc_dedup" -> q62,
-    "q63_cdc_delete_apply" -> q63)
+    "q63_cdc_delete_apply" -> q63,
+    "q117_scd2_history" -> q117)
 
   val oracles: Map[String, String] = Map(
     // Oracle aggregates the base tables directly — the JSON round-trip
@@ -138,5 +164,21 @@ object CdcQueries {
          FROM latest l
          ANTI JOIN (SELECT user_id FROM latest WHERE event_type = 'error') d
            USING (user_id)
-         ORDER BY l.user_id""")
+         ORDER BY l.user_id""",
+    "q117_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           round(value, 2) AS val,
+                           date_trunc('second', ts) AS tsec FROM events),
+         v AS (SELECT *,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY tsec, event_id) AS version,
+                      lead(tsec) OVER (PARTITION BY user_id
+                        ORDER BY tsec, event_id) AS vt
+               FROM e)
+         SELECT user_id, CAST(version AS INT) AS version, event_id,
+                event_type, val,
+                epoch_ms(tsec) // 1000 AS valid_from_s,
+                epoch_ms(vt) // 1000 AS valid_to_s,
+                CAST(vt IS NULL AS INT) AS is_current
+         FROM v ORDER BY user_id, version""")
 }

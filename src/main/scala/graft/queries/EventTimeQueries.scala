@@ -81,11 +81,41 @@ object EventTimeQueries {
       .transform(Det.emitWide(_, "event_id"))
   }
 
+  /** q116: strict-order funnel (view → click → purchase) per user:
+    * first view, first click strictly AFTER that view, first purchase
+    * strictly after that click — the conversion attribution a product/
+    * training-telemetry pipeline computes. Three stages, each one
+    * user_id-keyed filter+min aggregate joined to the previous stage's
+    * anchor; all three shuffles key on user_id, so the exchanges
+    * co-locate and the joins never reshuffle. Emits epoch seconds
+    * (never raw ns timestamps — SURVEY §2.0-③). */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("t"))
+    val tv = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("tv"))
+    val tc = ev.where(col("event_type") === "click")
+      .join(tv, "user_id").where(col("t") > col("tv"))
+      .groupBy("user_id").agg(min("t").as("tc"))
+    val tp = ev.where(col("event_type") === "purchase")
+      .join(tc, "user_id").where(col("t") > col("tc"))
+      .groupBy("user_id").agg(min("t").as("tp"))
+    tv.join(tc, Seq("user_id"), "left").join(tp, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_timestamp(col("tv")).as("view_s"),
+        unix_timestamp(col("tc")).as("click_s"),
+        unix_timestamp(col("tp")).as("purchase_s"),
+        col("tp").isNotNull.cast("int").as("converted"))
+      .transform(Det.emitWide(_, "user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_window_tumbling" -> q70,
     "q71_window_sliding" -> q71,
     "q72_window_session" -> q72,
-    "q105_sessionize" -> q105)
+    "q105_sessionize" -> q105,
+    "q116_funnel" -> q116)
 
   val oracles: Map[String, String] = Map(
     "q70_window_tumbling" ->
@@ -130,5 +160,26 @@ object EventTimeQueries {
                 CAST(1 + sum(brk) OVER (PARTITION BY user_id
                   ORDER BY tsec, event_id
                   ROWS UNBOUNDED PRECEDING) AS INT) AS sess
-         FROM g ORDER BY event_id""")
+         FROM g ORDER BY event_id""",
+    "q116_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           date_trunc('second', ts) AS t FROM events),
+         v AS (SELECT user_id, min(t) AS tv FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.t) AS tc
+               FROM e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.t > v.tv
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.t) AS tp
+               FROM e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.t > c.tc
+               GROUP BY e.user_id)
+         SELECT v.user_id,
+                epoch_ms(v.tv) // 1000 AS view_s,
+                epoch_ms(c.tc) // 1000 AS click_s,
+                epoch_ms(p.tp) // 1000 AS purchase_s,
+                CAST(p.tp IS NOT NULL AS INT) AS converted
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+                LEFT JOIN p ON v.user_id = p.user_id
+         ORDER BY v.user_id""")
 }

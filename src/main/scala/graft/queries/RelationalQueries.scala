@@ -434,6 +434,31 @@ object RelationalQueries {
         expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
       .orderBy("l_returnflag")
 
+  /** q118: equi-width histogram of l_extendedprice (20 buckets) — the
+    * column-profiling scan every stats/quality pass runs: global
+    * min/max reduce to a 1-row broadcast, bucket assignment is one
+    * map-side floor over the rescan, counts/sums hash-aggregate on the
+    * bounded bucket key. Two linear passes total (the min/max pass is
+    * unavoidable for equi-WIDTH bins; equi-DEPTH bins are q29/q37's
+    * percentile territory). floor((x−mn)/width) is a single-IEEE-op
+    * chain, so bucket ids agree bit-for-bit across engines; the top
+    * value clamps into the last bucket. */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_extendedprice").as("x"))
+    val mm = li.agg(min("x").as("mn"), max("x").as("mx"))
+    li.crossJoin(broadcast(mm))
+      .select(
+        least(floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / 20.0)),
+          lit(19.0)).cast("int").as("bucket"),
+        col("x"), col("mn"), col("mx"))
+      .groupBy("bucket")
+      .agg(
+        Det.r4e(min("mn") + col("bucket") * ((min("mx") - min("mn")) / 20.0))
+          .as("lo"),
+        count(lit(1)).as("n"), round(sum("x"), 2).as("sx"))
+      .orderBy("bucket")
+  }
+
   /** q110: bloom-pruned fact-to-dim join — the explicit runtime-filter
     * pattern for the 100 TB fact-to-fact path (operators/BloomPrune).
     * The build side (high-value orders) is sketched into a broadcast
@@ -470,9 +495,21 @@ object RelationalQueries {
     "q23_agg_having" -> q23, "q24_agg_rollup" -> q24, "q25_agg_cube" -> q25,
     "q26_agg_grouping_sets" -> q26, "q27_agg_stats" -> q27,
     "q28_agg_approx_distinct" -> q28, "q29_percentiles" -> q29,
-    "q37_percentiles_approx" -> q37)
+    "q37_percentiles_approx" -> q37, "q118_histogram" -> q118)
 
   val oracles: Map[String, String] = Map(
+    "q118_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn,
+                            max(l_extendedprice) AS mx FROM lineitem),
+         b AS (SELECT CAST(least(floor((l_extendedprice - mn)
+                                       / ((mx - mn) / 20.0)), 19.0) AS INT) AS bucket,
+                      l_extendedprice AS x, mn, mx
+               FROM lineitem CROSS JOIN mm)
+         SELECT bucket,
+                round(min(mn) + bucket * ((min(mx) - min(mn)) / 20.0)
+                      + 0.00000123, 4) AS lo,
+                CAST(count(1) AS BIGINT) AS n, round(sum(x), 2) AS sx
+         FROM b GROUP BY bucket ORDER BY bucket""",
     "q110_bloom_prune_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
                 round(l.l_extendedprice, 2) AS price

@@ -314,7 +314,63 @@ object TextQueries {
       .transform(Det.emitWide(_, "doc_id"))
   }
 
+  /** q111: TF-IDF top-5 terms per document (doc_id < 100 output
+    * slice; tf/df/N always over the FULL corpus — idf is a global
+    * statistic). Scale: tf is one (doc, word)-keyed aggregate, df one
+    * word-keyed aggregate over tf's (already-distinct) pairs, N a
+    * 1-row broadcast; per-doc top-5 goes through TopK.perGroup (the
+    * salted two-phase rank — no single hot doc partition). Ordering
+    * ties break on the ROUNDED score then the word, so both engines
+    * pick identical rows. */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(col("doc_id"), explode(expr(TOKS)).as("w"))
+    val tf = tk.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("w").agg(count(lit(1)).cast("double").as("dfw"))
+    val n = docs(s, d).agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.where(col("doc_id") < 100)
+      .join(broadcast(dfw), "w")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        Det.r6e(col("tf") * log(col("n") / col("dfw"))).as("tfidf"))
+    graft.operators.TopK.perGroup(scored, Seq("doc_id"),
+        Seq(col("tfidf").desc, col("w").asc), k = 5)
+      .select(col("doc_id"), col("rn"), col("w"), col("tfidf"))
+      .transform(Det.emitWide(_, "doc_id", "rn"))
+  }
+
+  /** q112: BM25 ranking of the corpus against a fixed term set
+    * ("join stream window"), k1=1.2, b=0.75 — the classic sparse
+    * retrieval scorer (and the lexical half of hybrid search in a
+    * training-data pipeline). Per-term df and the corpus N/avgdl are
+    * O(1)-row broadcasts; tf touches only rows containing a query
+    * term (predicate BEFORE the aggregate); the doc-length table
+    * joins on doc_id. Constants appear as decimal literals (2.2,
+    * 0.25…) in BOTH engines — never computed (k1+1 at runtime can
+    * round differently than the literal). */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("join", "stream", "window")
+    val tk = docs(s, d).select(col("doc_id"), explode(expr(TOKS)).as("w"))
+    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tk.where(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("w").agg(count(lit(1)).cast("double").as("dfw"))
+    tf.join(broadcast(dfw), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n") - col("dfw") + 0.5) / (col("dfw") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("sc"))
+      .groupBy("doc_id").agg(Det.r4e(sum("sc")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_tfidf" -> q111, "q112_bm25" -> q112,
     "q80_text_wordcount" -> q80, "q81_text_dedup" -> q81,
     "q82_text_stats" -> q82, "q86_minhash_sig" -> q86,
     "q87_minhash_lsh_pairs" -> q87, "q88_simhash" -> q88,
@@ -329,6 +385,39 @@ object TextQueries {
   private val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q111_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TS) AS w FROM documents),
+          tf AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS tf
+                 FROM tk GROUP BY doc_id, w),
+          dfw AS (SELECT w, CAST(count(1) AS DOUBLE) AS dfw FROM tf GROUP BY w),
+          n AS (SELECT CAST(count(1) AS DOUBLE) AS n FROM documents),
+          sc AS (SELECT doc_id, w,
+                        round(tf * ln(n / dfw) + 0.0000000123, 6) AS tfidf
+                 FROM tf JOIN dfw USING (w), n WHERE doc_id < 100),
+          r AS (SELECT doc_id, w, tfidf, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rn
+                FROM sc)
+          SELECT doc_id, CAST(rn AS INT) AS rn, w, tfidf
+          FROM r WHERE rn <= 5 ORDER BY doc_id, rn""",
+    "q112_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TS) AS w FROM documents),
+          dl AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS dl
+                 FROM tk GROUP BY doc_id),
+          stats AS (SELECT CAST(count(1) AS DOUBLE) AS n,
+                           CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl
+                    FROM dl),
+          tf AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS tf
+                 FROM tk WHERE w IN ('join', 'stream', 'window')
+                 GROUP BY doc_id, w),
+          dfw AS (SELECT w, CAST(count(1) AS DOUBLE) AS dfw FROM tf GROUP BY w),
+          sc AS (SELECT doc_id,
+                        ln((n - dfw + 0.5) / (dfw + 0.5) + 1.0) *
+                          (tf * 2.2) /
+                          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS sc
+                 FROM tf JOIN dfw USING (w) JOIN dl USING (doc_id), stats)
+          SELECT doc_id, round(sum(sc) + 0.00000123, 4) AS bm25
+          FROM sc GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
     "q80_text_wordcount" ->
       s"""SELECT word, CAST(count(1) AS BIGINT) AS n
           FROM (SELECT unnest($TS) AS word FROM documents)

@@ -87,12 +87,95 @@ object VectorQueries {
       .transform(Det.emit(_, "a_id", "rn"))
   }
 
+  /** q113: random-hyperplane (SRP) LSH near-dup candidates over the
+    * whole corpus — the embedding twin of the MinHash band join: 8
+    * ±1-hyperplane sign bits pack into a bucket key, candidate pairs
+    * come from the bucket equi-join (pair count ∝ corpus ×
+    * bucket-occupancy, never corpus²), and each candidate gets its
+    * exact cosine. The sign test runs over integer-quantized
+    * components so every engine computes the identical bucket
+    * (Similarity.rpLshBuckets). */
+  private def q113(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.rpLshPairs(
+        spread(s, embeddings(s, d)), "vec_id", "embedding", bits = 8)
+      .select("bucket", "a_id", "b_id", "cos_sim")
+      .transform(Det.emitWide(_, "a_id", "b_id"))
+
+  /** q114: int8 scalar quantization of the embedding column — the
+    * standard 4× compression step before an ANN index ships to
+    * serving: per-DIMENSION min/max over the corpus (a bounded
+    * dim-sized aggregate that then broadcasts back), code =
+    * floor((x−min)/scale) clamped to 255, and the per-vector mean
+    * absolute reconstruction error against the bin-center dequant.
+    * One corpus-linear pass + one per-vector aggregate; floor/division
+    * are single IEEE ops so codes agree bit-for-bit across engines. */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val ex = spread(s, embeddings(s, d))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"), col("xf").cast("double").as("x"))
+    val stats = ex.groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+    val sc = (col("mx") - col("mn")) / 255.0
+    val code = least(floor((col("x") - col("mn")) / sc), lit(255.0))
+    val deq = col("mn") + (code + 0.5) * sc
+    val err = when(col("mx") === col("mn"), lit(0.0))
+      .otherwise(abs(col("x") - deq))
+    ex.join(broadcast(stats), "pos")
+      .select(col("vec_id"), err.as("err"))
+      .groupBy("vec_id").agg(Det.r6e(avg("err")).as("mae"))
+      .transform(Det.emitWide(_, "vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_vec_norm" -> q83, "q84_vec_cosine_topk" -> q84,
     "q85_vec_centroid" -> q85, "q90_embed_neardup" -> q90,
-    "q95_ann_ivf" -> q95, "q100_knn_join" -> q100)
+    "q95_ann_ivf" -> q95, "q100_knn_join" -> q100,
+    "q113_rp_lsh_pairs" -> q113, "q114_vec_quantize" -> q114)
 
   val oracles: Map[String, String] = Map(
+    "q113_rp_lsh_pairs" ->
+      """WITH w AS (SELECT j, i,
+                CASE WHEN CAST('0x' || substr(md5('rp' || CAST(j AS VARCHAR)
+                       || ':' || CAST(i AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0
+                     THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS wv
+              FROM range(8) a(j), range(64) b(i)),
+         qx AS (SELECT vec_id, i,
+                CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * 1000)
+                     AS BIGINT) AS x
+                FROM embeddings, range(64) c(i)),
+         pr AS (SELECT vec_id, j, sum(wv * x) AS p
+                FROM qx JOIN w USING (i) GROUP BY vec_id, j),
+         bk AS (SELECT vec_id,
+                CAST(sum(CASE WHEN p >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+                FROM pr GROUP BY vec_id),
+         cand AS (SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id
+                  FROM bk a JOIN bk b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         p AS (SELECT c.bucket, c.a_id, c.b_id,
+                      unnest(list_transform(ea.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                      unnest(list_transform(eb.embedding, x -> CAST(x AS DOUBLE))) AS y
+               FROM cand c JOIN embeddings ea ON c.a_id = ea.vec_id
+                           JOIN embeddings eb ON c.b_id = eb.vec_id),
+         m AS (SELECT bucket, a_id, b_id, sum(x*y) AS dot,
+                      sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+               FROM p GROUP BY bucket, a_id, b_id)
+         SELECT bucket, a_id, b_id,
+                round(dot/(na*nb) + 0.00000123, 4) AS cos_sim
+         FROM m ORDER BY a_id, b_id""",
+    "q114_vec_quantize" ->
+      """WITH ex AS (SELECT vec_id,
+                CAST(unnest(range(len(embedding))) AS INT) AS pos,
+                unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+              FROM embeddings),
+         st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+         er AS (SELECT vec_id,
+                CASE WHEN mx = mn THEN 0.0
+                     ELSE abs(x - (mn + (least(floor((x - mn) / ((mx - mn) / 255.0)),
+                                               255.0) + 0.5)
+                                        * ((mx - mn) / 255.0))) END AS err
+                FROM ex JOIN st USING (pos))
+         SELECT vec_id, round(avg(err) + 0.0000000123, 6) AS mae
+         FROM er GROUP BY vec_id ORDER BY vec_id""",
     "q83_vec_norm" ->
       """SELECT vec_id,
                 round(sqrt(list_sum(list_transform(embedding,
