@@ -42,7 +42,12 @@ object Bench {
     // (BASELINE.md records median-of-3) — medians are the comparable
     // figure.
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    // SPARK_GRAFT_BENCH_ONLY=q115,q34 → time just those keys (prefix
+    // match on the part before '_') — the iterate-on-one-query loop.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n.takeWhile(_ != '_'))) }
     val samples: Seq[Seq[(String, Double)]] = (1 to rounds).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()

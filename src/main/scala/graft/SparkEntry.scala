@@ -27,6 +27,7 @@ object SparkEntry {
     graft.queries.TextQueries.queries ++
     graft.queries.VectorQueries.queries ++
     graft.queries.GraphQueries.queries ++
+    graft.queries.MiningQueries.queries ++
     graft.multimodal.Multimodal.queries ++
     graft.queries.CdcQueries.queries
 
@@ -41,6 +42,7 @@ object SparkEntry {
     graft.queries.TextQueries.oracles ++
     graft.queries.VectorQueries.oracles ++
     graft.queries.GraphQueries.oracles ++
+    graft.queries.MiningQueries.oracles ++
     graft.multimodal.Multimodal.oracles ++
     graft.queries.CdcQueries.oracles
 }

@@ -28,21 +28,37 @@ object PageRank {
 
   /** Both directions of a distinct (a,b) edge set — prefix-tagging the
     * two endpoint domains keeps ids disjoint when the graph is
-    * bipartite (e.g. customers vs suppliers). */
+    * bipartite (e.g. customers vs suppliers). The distinct runs AFTER
+    * the reversal union, so an input that already carries both
+    * orientations of an edge still yields each directed edge exactly
+    * once (stable degrees for non-bipartite callers), and the whole
+    * dedup is one shuffle instead of two. */
   def undirected(edges: DataFrame, aCol: String, bCol: String,
       aPrefix: String = "a", bPrefix: String = "b"): DataFrame = {
     val e = edges
       .select(concat(lit(aPrefix), col(aCol).cast("string")).as("src"),
         concat(lit(bPrefix), col(bCol).cast("string")).as("dst"))
-      .distinct()
     e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
   }
 
   /** `iters` power iterations at damping `d` over (src, dst) edges.
     * Returns (node, rank). Every node must appear as a src (pass an
-    * undirected edge set — see `undirected`). */
-  def run(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    * undirected edge set — see `undirected`).
+    *
+    * The edge set is persisted MEMORY_AND_DISK for the iteration
+    * (GraphX does the same): the plan references it from the degree
+    * aggregate, the node/N derivation, and every iteration's
+    * contribution join, and without pinning it each reference
+    * recomputes whatever join/distinct produced it. Spark evicts LRU
+    * under pressure, and disk spill keeps it safe at edge sets larger
+    * than memory; pass `persistEdges = false` when the input is
+    * already a cheap scan. */
+  def run(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      persistEdges: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    if (persistEdges)
+      edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = deg.select(col("src").as("node"))
     val n1 = nodes.agg(count(lit(1)).cast("double").as("n"))
@@ -51,7 +67,7 @@ object PageRank {
     var ranks = nodes.crossJoin(broadcast(n1))
       .select(col("node"), (lit(1.0) / col("n")).as("r"), col("n"))
     val edgesD = edges.join(deg, "src") // (src, dst, deg)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edgesD
         .join(ranks.select(col("node").as("src"), col("r")), "src")
         .select(col("dst"), (col("r") / col("deg")).as("c"))
@@ -62,6 +78,12 @@ object PageRank {
           ((lit(1.0) - damping) / col("n") +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"),
           col("n"))
+      // Truncate lineage between iterations (GraphX checkpoints the
+      // same way): without this, iteration k's plan nests k copies of
+      // the join–agg subtree and planning/AQE/codegen cost grows
+      // superlinearly in iters, dwarfing the actual data movement.
+      // The checkpointed frame is one row per node — the small side.
+      if (i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank"))
   }

@@ -225,8 +225,10 @@ object Similarity {
     * boundary for a float accumulator to land on. Entirely map-side
     * codegen; the only shuffle is the bucket join downstream.
     *
-    * `dims` must equal the embedding length (zip_with would silently
-    * truncate a mismatch). */
+    * `dims` must equal the embedding length — enforced per row below:
+    * a zip_with length mismatch pads with nulls, the fold turns the
+    * projection null, and every affected bit would silently fall to 0
+    * (wrong buckets, no error), so mismatch raises instead. */
   def rpLshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
       bits: Int = 8, dims: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
@@ -241,8 +243,13 @@ object Similarity {
     }
     val qv = transform(col(vecCol),
       x => floor(x.cast("double") * lit(1000)).cast("long"))
+    // fail loudly on a dims mismatch instead of hashing to bucket 0
+    val guarded = when(size(col(vecCol)) === dims, qv)
+      .otherwise(raise_error(concat(
+        lit(s"rpLshBuckets: dims=$dims but $vecCol has length "),
+        size(col(vecCol)).cast("string"))))
     val sized = corpus
-      .select(col(idCol), col(vecCol), qv.as("__qv"))
+      .select(col(idCol), col(vecCol), guarded.as("__qv"))
     val bucket = (0 until bits).map { j =>
       val proj = aggregate(
         zip_with(typedLit(wts(j)), col("__qv"), (w, x) => w * x),

@@ -89,8 +89,15 @@ object TextDedup {
     * Returns (id, cluster) with cluster = min id of the component. */
   def dupClusters(pairs: DataFrame, idA: String = "a_id",
       idB: String = "b_id", maxIter: Int = 20): DataFrame = {
+    // Pin the edge set before iterating: every propagation round joins
+    // against it, and without the checkpoint each round re-executes
+    // whatever pipeline produced the pairs (for the LSH path, the full
+    // shingle→minhash→bucket cascade — measured 3x the whole
+    // operator's cost at sf0.1). The pair set is LSH-bounded (far
+    // smaller than the corpus), so materializing it is the cheap side.
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)

@@ -16,17 +16,29 @@ object GraphQueries {
   /** q115: 3-iteration PageRank (d = 0.85) over the undirected
     * customer–supplier bipartite graph induced by orders⋈lineitem
     * (edge = "this customer bought from this supplier"). Both edge
-    * directions are materialized so no node dangles; ids are
-    * 'c'/'s'-prefixed to keep the two key domains disjoint. The
-    * DuckDB oracle unrolls the same three iterations as CTEs. */
+    * directions are materialized so no node dangles. The two key
+    * domains stay disjoint via a NUMERIC encoding (custkey·2 /
+    * suppkey·2+1) rather than string prefixes: every iteration
+    * shuffles on the node key, and hashing/comparing longs beats
+    * strings at any scale — the 'c'/'s'-prefixed labels the oracle
+    * sees are decoded map-side at emit only. The DuckDB oracle
+    * unrolls the same three iterations as CTEs. */
   private def q115(s: SparkSession, d: String): DataFrame = {
-    val e = orders(s, d)
+    val dir = orders(s, d)
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey"), col("l_suppkey"))
-    val edges = graft.operators.PageRank.undirected(
-      e, "o_custkey", "l_suppkey", aPrefix = "c", bPrefix = "s")
+      .select((col("o_custkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+    val edges = dir
+      .unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
     graft.operators.PageRank.run(edges, iters = 3, damping = 0.85)
-      .select(col("node"), Det.r6e(col("rank")).as("rank"))
+      .select(
+        when(col("node") % 2 === 0,
+          concat(lit("c"), shiftright(col("node"), 1).cast("string")))
+          .otherwise(
+            concat(lit("s"), shiftright(col("node"), 1).cast("string")))
+          .as("node"),
+        Det.r6e(col("rank")).as("rank"))
       .transform(Det.emitWide(_, "node"))
   }
 

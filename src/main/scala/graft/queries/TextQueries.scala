@@ -317,8 +317,10 @@ object TextQueries {
   /** q111: TF-IDF top-5 terms per document (doc_id < 100 output
     * slice; tf/df/N always over the FULL corpus — idf is a global
     * statistic). Scale: tf is one (doc, word)-keyed aggregate, df one
-    * word-keyed aggregate over tf's (already-distinct) pairs, N a
-    * 1-row broadcast; per-doc top-5 goes through TopK.perGroup (the
+    * word-keyed aggregate over tf's (already-distinct) pairs joined
+    * back on the word key as a SHUFFLE (the vocabulary is corpus-sized
+    * at 100 TB — same contract as q109; only the 1-row N broadcasts);
+    * per-doc top-5 goes through TopK.perGroup (the
     * salted two-phase rank — no single hot doc partition). Ordering
     * ties break on the ROUNDED score then the word, so both engines
     * pick identical rows. */
@@ -328,7 +330,7 @@ object TextQueries {
     val dfw = tf.groupBy("w").agg(count(lit(1)).cast("double").as("dfw"))
     val n = docs(s, d).agg(count(lit(1)).cast("double").as("n"))
     val scored = tf.where(col("doc_id") < 100)
-      .join(broadcast(dfw), "w")
+      .join(dfw, "w")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("w"),
         Det.r6e(col("tf") * log(col("n") / col("dfw"))).as("tfidf"))

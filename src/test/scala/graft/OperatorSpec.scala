@@ -466,4 +466,46 @@ class OperatorSpec extends AnyFunSuite {
     // identity resize returns the matrix unchanged
     assert(Multimodal.resizeStub(img, 4, 4, 4, 4).toSeq == img.toSeq)
   }
+
+  test("PageRank.undirected: pre-reversed input does not double edges") {
+    import graft.operators.PageRank
+    val oneWay = Seq((1L, 2L), (2L, 3L)).toDF("x", "y")
+    // same undirected graph, but with both orientations already present
+    val bothWays = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("x", "y")
+    val a = PageRank.undirected(oneWay, "x", "y", "n", "n")
+    val b = PageRank.undirected(bothWays, "x", "y", "n", "n")
+    assert(a.count() == 4 && b.count() == 4)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // degree-sensitive downstream: ranks agree between the two inputs
+    val ra = PageRank.run(a, iters = 2).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rb = PageRank.run(b, iters = 2).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ra.keySet == rb.keySet)
+    ra.foreach { case (k, v) => assert(math.abs(v - rb(k)) < 1e-12) }
+  }
+
+  test("PageRank.run: rank mass conserved, symmetric nodes tie") {
+    import graft.operators.PageRank
+    // triangle: every node symmetric -> equal ranks, total mass 1
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("x", "y")
+    val ranks = PageRank.run(PageRank.undirected(tri, "x", "y", "n", "n"),
+      iters = 4).collect().map(_.getDouble(1))
+    assert(ranks.length == 3)
+    assert(math.abs(ranks.sum - 1.0) < 1e-9)
+    assert(ranks.forall(r => math.abs(r - 1.0 / 3) < 1e-9))
+  }
+
+  test("rpLshBuckets raises loudly on a dims mismatch") {
+    import graft.operators.Similarity
+    val vecs = Seq((1L, Seq(0.1f, 0.2f, 0.3f))).toDF("id", "emb")
+    // correct dims: computes a bucket
+    assert(Similarity.rpLshBuckets(vecs, "id", "emb", bits = 4, dims = 3)
+      .count() == 1)
+    // wrong dims: must raise, not hash every bit to 0
+    val ex = intercept[Exception] {
+      Similarity.rpLshBuckets(vecs, "id", "emb", bits = 4, dims = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("rpLshBuckets")))
+  }
 }
