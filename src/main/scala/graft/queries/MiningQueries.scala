@@ -117,12 +117,34 @@ object MiningQueries {
       .transform(Det.emitWide(_, "id"))
   }
 
+  /** q124: edit-distance-verified near-dup pairs — candidates from
+    * SimHash pigeonhole banding (q103's machinery: exact for simhash
+    * hamming ≤ 3, bucket-keyed join, never corpus²), then verified
+    * with exact Levenshtein ≤ 10 (typo-level duplicates). The O(len²)
+    * verify runs ONLY on banded candidates — that bound is the whole
+    * reason the candidates are banded. Both engines compute classic
+    * Levenshtein, so the distances hash-match. The candidate contract
+    * (banded, not all-pairs) is part of the key's definition; the
+    * oracle encodes the same banding. */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val cand = TextDedup.simhashNearDupPairs(docs(s, d), "doc_id", "text",
+      maxHamming = 3)
+    val ta = docs(s, d).select(col("doc_id").as("a_id"), col("text").as("ta"))
+    val tb = docs(s, d).select(col("doc_id").as("b_id"), col("text").as("tb"))
+    cand.join(ta, "a_id").join(tb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"))
+      .where(col("edit_dist") <= 10)
+      .transform(Det.emitWide(_, "a_id", "b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
     "q121_bpe_pairs" -> q121,
     "q122_minhash_est" -> q122,
-    "q123_dup_components" -> q123)
+    "q123_dup_components" -> q123,
+    "q124_edit_neardup" -> q124)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -176,6 +198,27 @@ object MiningQueries {
           JOIN sig sa ON sa.doc_id = p.a_id
           JOIN sig sb ON sb.doc_id = p.b_id AND sb.k = sa.k
           GROUP BY p.a_id, p.b_id ORDER BY p.a_id, p.b_id""",
+    "q124_edit_neardup" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TS) AS w FROM documents),
+          h AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv
+                FROM tk),
+          bits AS (SELECT doc_id, b,
+                          CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+                   FROM h, (SELECT unnest(range(60)) AS b)),
+          sv AS (SELECT doc_id, b, sum(vote) AS sv FROM bits GROUP BY doc_id, b),
+          sh AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                               ELSE 0 END) AS BIGINT) AS simhash
+                 FROM sv GROUP BY doc_id)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          JOIN documents da ON da.doc_id = a.doc_id
+          JOIN documents db ON db.doc_id = b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            AND levenshtein(da.text, db.text) <= 10
+          ORDER BY a_id, b_id""",
     "q123_dup_components" ->
       s"""WITH RECURSIVE $SIG_CTES,
           e AS (SELECT a_id AS src, b_id AS dst FROM pr

@@ -169,6 +169,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q111/q115/q119-q122: mining-key scale shapes") {
+    // q111: exactly ONE broadcast hint — the 1-row N. The vocabulary
+    // df table must join on the word key as a shuffle (a corpus-sized
+    // vocabulary broadcast OOMs at 100 TB; ADVICE r4 regression gate).
+    val lp111 = SparkEntry.queries("q111_tfidf")(spark, sf)
+      .queryExecution.analyzed
+    val hints111 = lp111.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints111.size == 1,
+      s"q111 must hint-broadcast only the 1-row N, found ${hints111.size} hints")
+    // q115: the iterated edge set is pinned (InMemoryRelation), not
+    // recomputed from the orders⋈lineitem join every iteration.
+    assert(plan("q115_pagerank").contains("InMemoryTableScan")
+        || plan("q115_pagerank").contains("Scan ExistingRDD"),
+      "q115 edges are recomputed instead of persisted/checkpointed")
+    // q119: per-stratum ranking goes through the SALTED two-phase
+    // top-k, not a bare per-lang window over the whole table.
+    assert(plan("q119_stratified_sample").contains("__salt"),
+      "q119 lost the salted two-phase rank")
+    // q120: two-level aggregate (map-side combine), and the grand
+    // total reaches the filter as a broadcast, never a sort-merge join.
+    val p120 = plan("q120_heavy_hitters")
+    assert(p120.contains("partial"), s"q120 has no map-side combine:\n$p120")
+    assert(!p120.contains("SortMergeJoin"),
+      s"q120 shuffles for the 1-row total:\n$p120")
+    // q121: global top-20 short-circuits per partition.
+    assert(plan("q121_bpe_pairs").contains("TakeOrderedAndProject"),
+      "q121 does a full sort for the global top-k")
+    // q122: the signature table feeding three differently-keyed joins
+    // is pinned, not computed three times.
+    assert(plan("q122_minhash_est").contains("InMemoryTableScan"),
+      "q122 signature table is not persisted")
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —
