@@ -110,14 +110,87 @@ object EventTimeQueries {
       .transform(Det.emitWide(_, "user_id"))
   }
 
+  /** q125: daily cohort retention — users grouped by first-seen day,
+    * counted per day-offset of later activity (the classic retention
+    * triangle). Scale shape: the (user, day) dedup and the first-seen
+    * aggregate BOTH shuffle on user_id (exchange co-located with the
+    * join that follows), then the triangle aggregate runs on the
+    * bounded (cohort_day, offset) key. Each (user, day) pair maps to
+    * exactly one (cohort, offset) cell, so count(1) over the deduped
+    * pairs IS the distinct-user count — no countDistinct expansion
+    * needed. */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val active = ev.distinct()
+    active.join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      // dates emit as ISO strings: DATE columns round-trip differently
+      // through the two engines' parquet writers (SURVEY §2.0-③)
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .transform(Det.emitWide(_, "cohort_day", "day_offset"))
+  }
+
+  /** q126: key-distribution skew profile over events.user_id — the
+    * diagnostic a 100 TB operator runs BEFORE choosing a join/agg
+    * strategy (salting, AQE skew thresholds, broadcast cutoffs): per
+    * key counts, the top-20 heaviest keys with their corpus share,
+    * and the max/median hot-key ratio every row carries. One
+    * key-keyed aggregate + a 1-row stats broadcast +
+    * TakeOrderedAndProject — the profile never sorts the full key
+    * set. Median is the exact interpolated percentile (the q29
+    * idiom), rounded on both engines. */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      Det.r4e(expr("percentile(cnt, 0.5D)")).as("p50_cnt"),
+      max("cnt").as("max_cnt"),
+      sum("cnt").cast("double").as("tot"))
+    counts.crossJoin(broadcast(stats))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+      .limit(20)
+      .select(col("user_id"), col("cnt"),
+        Det.r6e(col("cnt") / col("tot")).as("share"),
+        col("p50_cnt"), col("max_cnt"),
+        Det.r4e(col("max_cnt") / col("p50_cnt")).as("skew"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_window_tumbling" -> q70,
     "q71_window_sliding" -> q71,
     "q72_window_session" -> q72,
     "q105_sessionize" -> q105,
-    "q116_funnel" -> q116)
+    "q116_funnel" -> q116,
+    "q125_cohort_retention" -> q125,
+    "q126_skew_profile" -> q126)
 
   val oracles: Map[String, String] = Map(
+    "q125_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, day FROM ev)
+         SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+                CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+                CAST(count(1) AS BIGINT) AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q126_skew_profile" ->
+      """WITH c AS (SELECT user_id, CAST(count(1) AS BIGINT) AS cnt
+                    FROM events GROUP BY user_id),
+         s AS (SELECT round(quantile_cont(cnt, 0.5) + 0.00000123, 4) AS p50_cnt,
+                      max(cnt) AS max_cnt,
+                      CAST(sum(cnt) AS DOUBLE) AS tot FROM c)
+         SELECT user_id, cnt,
+                round(cnt / tot + 0.0000000123, 6) AS share,
+                p50_cnt, max_cnt,
+                round(max_cnt / p50_cnt + 0.00000123, 4) AS skew
+         FROM c, s ORDER BY cnt DESC, user_id ASC LIMIT 20""",
     "q70_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hstart, event_type,
                 CAST(count(1) AS BIGINT) AS n, round(sum(value), 2) AS sv
