@@ -140,7 +140,8 @@ object Similarity {
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, k: Int, probe: Int = 1,
       anchorFilter: Option[Column] = None): DataFrame =
-    blockedTopK(corpus, anchorFilter.fold(corpus)(corpus.where),
+    blockedTopK(buildIvfIndex(corpus, idCol, vecCol, centroids,
+        pin = false), anchorFilter.fold(corpus)(corpus.where),
       idCol, vecCol, centroids, k, probe, excludeSelf = true)
 
   /** Batch-query IVF search: a whole DataFrame of queries (same
@@ -159,24 +160,51 @@ object Similarity {
   def ivfSearchBatch(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, queries: DataFrame, k: Int, probe: Int = 1,
       excludeSelf: Boolean = false): DataFrame =
-    blockedTopK(corpus, queries, idCol, vecCol, centroids, k, probe,
+    blockedTopK(buildIvfIndex(corpus, idCol, vecCol, centroids,
+        pin = false), queries, idCol, vecCol, centroids, k, probe,
+      excludeSelf)
+
+  /** Materialized IVF index — (nb_id, clabel, nb_vec), the probe=1
+    * cell assignment joined to the vectors — built ONCE and (by
+    * default) pinned MEMORY_AND_DISK. A serving workload answering
+    * query batch after query batch against the same corpus should
+    * build this once and pass it to `ivfSearchIndexed`: the
+    * assignment is a full corpus pass (centroid scoring + per-vector
+    * argmax), and re-running it per batch is the q122-class mistake
+    * of recomputing a loop-invariant input. Spark evicts LRU under
+    * pressure and spills to disk, so pinning stays safe at indexes
+    * larger than memory; `unpersist()` the returned frame when the
+    * corpus version is retired. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, pin: Boolean = true): DataFrame = {
+    val idx = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("nb_id"), col("clabel"))
+      .join(corpus.select(col(idCol).as("nb_id"), col(vecCol).as("nb_vec")), "nb_id")
+    if (pin) idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else idx
+  }
+
+  /** `ivfSearchBatch` against a prebuilt `buildIvfIndex` frame —
+    * identical results (OperatorSpec pins it), none of the per-batch
+    * index rebuild. */
+  def ivfSearchIndexed(index: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queries: DataFrame, k: Int, probe: Int = 1,
+      excludeSelf: Boolean = false): DataFrame =
+    blockedTopK(index, queries, idCol, vecCol, centroids, k, probe,
       excludeSelf)
 
   /** Shared cell-blocked top-k core of `knnJoin`/`ivfSearchBatch`:
     * anchors probe their top-`probe` cells and only meet vectors
     * INDEXED (probe=1) there. Shuffles key on cell / anchor id — both
-    * high-cardinality. */
-  private def blockedTopK(corpus: DataFrame, anchors: DataFrame,
+    * high-cardinality. `index` is a `buildIvfIndex` frame. */
+  private def blockedTopK(index: DataFrame, anchors: DataFrame,
       idCol: String, vecCol: String, centroids: DataFrame, k: Int,
       probe: Int, excludeSelf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val index = ivfAssign(corpus, idCol, vecCol, centroids)
-      .select(col(idCol).as("nb_id"), col("clabel"))
-      .join(corpus.select(col(idCol).as("nb_id"), col(vecCol).as("nb_vec")), "nb_id")
     val queries = ivfAssign(anchors, idCol, vecCol, centroids, probe)
       .select(col(idCol).as("a_id"), col("clabel"))
       .join(anchors.select(col(idCol).as("a_id"), col(vecCol).as("a_vec")), "a_id")
-    graft.functions.CosineSim.register(corpus.sparkSession)
+    graft.functions.CosineSim.register(index.sparkSession)
     val paired = queries.join(index, "clabel")
     val scored = (if (excludeSelf) paired.where(col("a_id") =!= col("nb_id"))
       else paired)

@@ -82,8 +82,12 @@ object StatefulOps extends Serializable {
     val sigs = graft.operators.TextDedup
       .minhashSignatures(src, idCol, textCol, numHashes,
         carry = eventTimeCol.toSeq)
-    def gate(state: GroupState[Set[Long]],
-        ids: Iterator[Long]): Iterator[(Long, Long)] =
+    // TTL anchor: the batch's max event time, not the current
+    // watermark — the watermark lags one batch, so anchoring on it
+    // gives first-batch state a timeout in the past (epoch + TTL) and
+    // the very next watermark advance evicts still-hot state.
+    def gate(state: GroupState[Set[Long]], ids: Iterator[Long],
+        maxEventMs: Long): Iterator[(Long, Long)] =
       if (state.hasTimedOut) {
         state.remove()
         Iterator.empty
@@ -91,8 +95,8 @@ object StatefulOps extends Serializable {
         val (next, pairs) = lshGateTransition(
           state.getOption.getOrElse(Set.empty[Long]), ids)
         state.update(next)
-        stateTtlMs.foreach(ms =>
-          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ms))
+        stateTtlMs.foreach(ms => state.setTimeoutTimestamp(
+          math.max(maxEventMs, state.getCurrentWatermarkMs()) + ms))
         pairs.iterator
       }
     val bucket = concat_ws(":", col("seed"), col("sig")).as("bucket")
@@ -104,7 +108,11 @@ object StatefulOps extends Serializable {
           .groupByKey(_._1)
           .flatMapGroupsWithState[Set[Long], (Long, Long)](
             OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
-            (_, rows, state) => gate(state, rows.map(_._2))
+            (_, rows, state) =>
+              val rs = rows.toSeq
+              val maxMs =
+                if (rs.isEmpty) Long.MinValue else rs.map(_._3.getTime).max
+              gate(state, rs.iterator.map(_._2), maxMs)
           }
       case None =>
         sigs.select(bucket, id)
@@ -112,7 +120,7 @@ object StatefulOps extends Serializable {
           .groupByKey(_._1)
           .flatMapGroupsWithState[Set[Long], (Long, Long)](
             OutputMode.Update, GroupStateTimeout.NoTimeout) {
-            (_, rows, state) => gate(state, rows.map(_._2))
+            (_, rows, state) => gate(state, rows.map(_._2), Long.MinValue)
           }
     }
   }
@@ -168,6 +176,84 @@ object StatefulOps extends Serializable {
           state.update((lastSec, sess))
           out.iterator
       }
+  }
+
+  /** One hot-key alert: the key and its running count at the moment
+    * it crossed the threshold. */
+  case class HotKey(key: Long, n: Long)
+
+  /** Streaming hot-key monitor — the continuous twin of the batch
+    * skew profile (q126): per-key running arrival counts in the state
+    * store, a key emitted ONCE, the first micro-batch its count
+    * reaches `threshold`. This is the signal an operator feeds into
+    * salting / AQE-skew / broadcast decisions WHILE the workload runs,
+    * instead of discovering the hot key in a post-mortem of a stuck
+    * task. State per key is two numbers (count, flagged) — constant,
+    * key-partitioned across executors like any streaming aggregation.
+    *
+    * With `eventTimeCol` + `stateTtlMs`, a key idle past
+    * watermark + TTL is evicted (same event-time-timeout discipline as
+    * `lshCandidateStream`: replay-deterministic, no perpetual timer
+    * batches) and its count restarts on the next arrival — the monitor
+    * then tracks RECENT heat, which is what a re-plan decision wants. */
+  def hotKeyStream(events: DataFrame, keyCol: String, threshold: Long,
+      eventTimeCol: Option[String] = None,
+      stateTtlMs: Option[Long] = None): Dataset[HotKey] = {
+    import events.sparkSession.implicits._
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    require(eventTimeCol.isDefined == stateTtlMs.isDefined,
+      "stateTtlMs needs eventTimeCol (and vice versa): the TTL is measured against the watermark")
+    val src = eventTimeCol.fold(events)(c =>
+      events.withWatermark(c, "0 milliseconds"))
+    // TTL anchored on the batch's max event time (see lshCandidateStream:
+    // the watermark lags a batch and would evict first-batch state).
+    def monitor(key: Long, arrivals: Int, maxEventMs: Long,
+        state: GroupState[(Long, Boolean)]): Iterator[HotKey] =
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val (next, alert) = hotKeyTransition(
+          state.getOption.getOrElse((0L, false)), arrivals, threshold)
+        state.update(next)
+        stateTtlMs.foreach(ms => state.setTimeoutTimestamp(
+          math.max(maxEventMs, state.getCurrentWatermarkMs()) + ms))
+        alert.map(n => HotKey(key, n)).iterator
+      }
+    val id = col(keyCol).cast("long").as("key")
+    eventTimeCol match {
+      case Some(et) =>
+        src.select(id, col(et))
+          .as[(Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Boolean), HotKey](
+            OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+            (key, rows, state) =>
+              var n = 0
+              var maxMs = Long.MinValue
+              rows.foreach { r => n += 1; maxMs = math.max(maxMs, r._2.getTime) }
+              monitor(key, n, maxMs, state)
+          }
+      case None =>
+        src.select(id)
+          .as[Long]
+          .groupByKey(identity)
+          .flatMapGroupsWithState[(Long, Boolean), HotKey](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (key, rows, state) => monitor(key, rows.size, Long.MinValue, state)
+          }
+    }
+  }
+
+  /** The monitor's pure per-key transition (unit-testable without a
+    * streaming clock): add this batch's arrivals; the first time the
+    * running count reaches the threshold, emit it once. */
+  def hotKeyTransition(state: (Long, Boolean), arrivals: Int,
+      threshold: Long): ((Long, Boolean), Option[Long]) = {
+    val (count, flagged) = state
+    val next = count + arrivals
+    if (!flagged && next >= threshold) ((next, true), Some(next))
+    else ((next, flagged), None)
   }
 
   /** One emitted state row: the key's current value, or a final

@@ -385,6 +385,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfSearchIndexed on a prebuilt index equals ivfSearchBatch") {
+    import graft.operators.Similarity
+    val em = Tables.embeddings(spark, sf)
+    val cent = Similarity.ivfCentroids(em, "label", "embedding")
+    val queries = em.where(col("vec_id").isin(1L, 7L, 42L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Int]("rn"),
+        r.getAs[Long]("nb_id"), r.getAs[Double]("cos_sim"))).toSet
+    val direct = rows(Similarity.ivfSearchBatch(
+      em, "vec_id", "embedding", cent, queries, k = 3, probe = 2))
+    val index = Similarity.buildIvfIndex(em, "vec_id", "embedding", cent)
+    try {
+      val indexed = rows(Similarity.ivfSearchIndexed(
+        index, "vec_id", "embedding", cent, queries, k = 3, probe = 2))
+      assert(indexed == direct)
+      // second batch against the SAME pinned index — still consistent
+      val q2 = em.where(col("vec_id").isin(3L, 99L))
+      val indexed2 = rows(Similarity.ivfSearchIndexed(
+        index, "vec_id", "embedding", cent, q2, k = 3, probe = 2))
+      val direct2 = rows(Similarity.ivfSearchBatch(
+        em, "vec_id", "embedding", cent, q2, k = 3, probe = 2))
+      assert(indexed2 == direct2)
+    } finally index.unpersist()
+  }
+
   test("q28 approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("q28_agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

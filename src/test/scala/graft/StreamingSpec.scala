@@ -511,6 +511,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(s3.size == 101 && p3.size == 100)
   }
 
+  test("s19: hot-key monitor flags a key once at the threshold, TTL resets heat") {
+    val ms = MemoryStream[(Long, Timestamp)]
+    val ev = ms.toDF().toDF("user_id", "ts")
+    val q = graft.streaming.StatefulOps
+      .hotKeyStream(ev, "user_id", threshold = 3,
+        eventTimeCol = Some("ts"), stateTtlMs = Some(60000L))
+      .toDF("key", "n")
+      .writeStream.outputMode("update").format("memory").queryName("s19").start()
+    def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    // key 7 arrives twice, key 8 once: nobody hot yet
+    ms.addData((7L, t(0)), (7L, t(0)), (8L, t(0)))
+    q.processAllAvailable()
+    assert(spark.table("s19").isEmpty, "no key reached the threshold yet")
+    // key 7's third arrival crosses the threshold — exactly one alert
+    ms.addData((7L, t(1)))
+    q.processAllAvailable()
+    var got = spark.table("s19").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((7L, 3L)), s"got ${got.toSeq}")
+    // more traffic on the flagged key: no repeated alerts
+    ms.addData((7L, t(2)), (7L, t(2)))
+    q.processAllAvailable()
+    assert(spark.table("s19").count() == 1, "hot key alerted more than once")
+    // advance the watermark far past key 7's TTL, then send 3 more:
+    // its evicted count restarts, so crossing the threshold re-alerts
+    // (the monitor tracks RECENT heat after idle eviction)
+    ms.addData((9L, t(30)))
+    q.processAllAvailable()
+    ms.addData((7L, t(31)), (7L, t(31)), (7L, t(31)))
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("s19").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((7L, 3L), (7L, 3L)), s"got ${got.toSeq}")
+  }
+
+  test("hot-key transition: crossing emits once, below-threshold never") {
+    import graft.streaming.StatefulOps.hotKeyTransition
+    val (s1, a1) = hotKeyTransition((0L, false), 2, 3)
+    assert(s1 == ((2L, false)) && a1.isEmpty)
+    val (s2, a2) = hotKeyTransition(s1, 5, 3)
+    assert(s2 == ((7L, true)) && a2.contains(7L))
+    val (s3, a3) = hotKeyTransition(s2, 4, 3)
+    assert(s3 == ((11L, true)) && a3.isEmpty)
+  }
+
   test("s18: streaming sessionization equals the batch gaps-and-islands") {
     val ms = MemoryStream[(Long, Long, Timestamp)]
     val q = graft.streaming.StatefulOps
