@@ -161,6 +161,62 @@ object EventTimeQueries {
         Det.r4e(col("max_cnt") / col("p50_cnt")).as("skew"))
   }
 
+  /** q129: time-series gap-fill + forward-fill — the hourly activity
+    * series per event type on a COMPLETE hour spine (min..max observed
+    * hour per type), missing hours filled with n=0 and the last
+    * observed hourly revenue carried forward (the resample/ffill pass
+    * a monitoring or feature-engineering pipeline runs before
+    * diffing/windowing a series). Scale shape: the spine explodes
+    * from a 5-row min/max aggregate — calendar-sized (|types| ×
+    * |hours|), NOT data-sized — so the left join keys (type, hour)
+    * against the hourly aggregate, and the forward-fill window runs
+    * over spine rows only. A per-type window partition is fine here
+    * precisely because its input is the calendar, not the events. */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("rev"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("n_filled", coalesce(col("n"), lit(0L)))
+      .withColumn("rev_ff", last(col("rev"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("n").isNull.cast("int"))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("n_filled"), col("rev_ff"), col("is_gap"))
+      .transform(Det.emitWide(_, "event_type", "hr"))
+  }
+
+  /** q132: user-journey transition matrix — first-order Markov counts
+    * and probabilities between consecutive event types per user
+    * (ordered by event time), the "what happens after a click" table
+    * behind funnel design and session modeling. Scale shape: ONE
+    * user_id-keyed shuffle+sort feeds the lead() window (high-
+    * cardinality partition key — never pins a task), transition counts
+    * aggregate on the bounded (src, dst) key, and the per-source
+    * totals are a |types|-row broadcast joined back map-side. */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tsec"), col("event_id"))
+    val tr = events(s, d)
+      .withColumn("tsec", date_trunc("second", col("ts")))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .select(col("event_type").as("src"), col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val tot = tr.groupBy("src").agg(sum("cnt").cast("double").as("tot"))
+    tr.join(broadcast(tot), "src")
+      .select(col("src"), col("dst"), col("cnt"),
+        Det.r4e(col("cnt") / col("tot")).as("p"))
+      .transform(Det.emit(_, "src", "dst"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_window_tumbling" -> q70,
     "q71_window_sliding" -> q71,
@@ -168,7 +224,9 @@ object EventTimeQueries {
     "q105_sessionize" -> q105,
     "q116_funnel" -> q116,
     "q125_cohort_retention" -> q125,
-    "q126_skew_profile" -> q126)
+    "q126_skew_profile" -> q126,
+    "q129_gapfill_ffill" -> q129,
+    "q132_markov_transitions" -> q132)
 
   val oracles: Map[String, String] = Map(
     "q125_cohort_retention" ->
@@ -234,6 +292,40 @@ object EventTimeQueries {
                   ORDER BY tsec, event_id
                   ROWS UNBOUNDED PRECEDING) AS INT) AS sess
          FROM g ORDER BY event_id""",
+    "q129_gapfill_ffill" ->
+      """WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                            CAST(count(1) AS BIGINT) AS n,
+                            round(sum(value), 2) AS rev
+                     FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+               FROM hr GROUP BY 1),
+         sp AS (SELECT event_type,
+                       unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                FROM b),
+         j AS (SELECT sp.event_type, sp.h, hr.n, hr.rev
+               FROM sp LEFT JOIN hr
+                 ON hr.event_type = sp.event_type AND hr.h = sp.h)
+         SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hr,
+                CAST(coalesce(n, 0) AS BIGINT) AS n_filled,
+                last_value(rev IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS UNBOUNDED PRECEDING) AS rev_ff,
+                CAST(n IS NULL AS INT) AS is_gap
+         FROM j ORDER BY event_type, hr""",
+    "q132_markov_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+                            date_trunc('second', ts) AS tsec FROM events),
+          t AS (SELECT event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY tsec, event_id) AS dst
+                FROM e),
+          c AS (SELECT src, dst, CAST(count(1) AS BIGINT) AS cnt
+                FROM t WHERE dst IS NOT NULL GROUP BY src, dst),
+          tt AS (SELECT src, CAST(sum(cnt) AS DOUBLE) AS tot
+                 FROM c GROUP BY src)
+          SELECT c.src, c.dst, c.cnt,
+                 round(c.cnt / tt.tot + ${Det.E4}, 4) AS p
+          FROM c JOIN tt USING (src) ORDER BY src, dst""",
     "q116_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
                            date_trunc('second', ts) AS t FROM events),

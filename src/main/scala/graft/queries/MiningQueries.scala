@@ -138,13 +138,185 @@ object MiningQueries {
       .transform(Det.emitWide(_, "a_id", "b_id"))
   }
 
+  /** q127: repeated-8-gram dedup statistics — for every doc (≥ 8
+    * tokens), how many of its 8-gram positions carry an 8-gram that
+    * occurs ≥ 2 times ANYWHERE in the corpus (within-doc repeats
+    * count: they are duplicated text too). This is the span-level
+    * statistic behind exact-substring training-data dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): docs with high `dup_frac` are cut or trimmed before
+    * training. Scale shape: grams travel as md5 hashes (16 bytes, not
+    * the text), the occurrence count is a gram-keyed hash aggregate
+    * with map-side combine, and the count joins BACK on the same gram
+    * key — a co-located high-cardinality shuffle join (the q109/q111
+    * vocabulary contract; never a broadcast, the corpus's gram set is
+    * corpus-sized). */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .withColumn("toks", expr(TOKS))
+      .where(expr("size(toks) >= 8"))
+    val grams = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(toks) - 8), i -> md5(concat_ws(' ', slice(toks, i + 1, 8))))"))
+      .as("gh"))
+    val counts = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+    val dup = grams.join(counts.where(col("n") >= 2), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_pos"))
+    toks.select(col("doc_id"), (size(col("toks")) - 7).cast("long").as("n_pos"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("dup_pos", coalesce(col("dup_pos"), lit(0L)))
+      .withColumn("dup_frac", Det.r4e(col("dup_pos") / col("n_pos")))
+      .transform(Det.emitWide(_, "doc_id"))
+  }
+
+  /** q128: PMI collocations — top-20 adjacent word pairs by pointwise
+    * mutual information, ln(p(a,b) / (p(a)·p(b))), min pair count 5.
+    * The collocation-mining pass of phrase/tokenizer induction: q121
+    * ranks pairs by raw frequency (which surfaces stopword bigrams),
+    * PMI surfaces pairs that co-occur far above chance. Scale shape:
+    * the bigram table joins the unigram table TWICE, both on the word
+    * key — high-cardinality co-located shuffles (vocabulary contract);
+    * only the two 1-row grand totals broadcast. Both engines compute
+    * the identical formula text and round at 4dp, so the order-by on
+    * the rounded score is stable. */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val toksDf = docs(s, d).withColumn("toks", expr(TOKS))
+    val uni = toksDf.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = toksDf.where(expr("size(toks) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] as a, toks[i+1] as b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= 5)
+    val nu = uni.agg(sum("cw").cast("double").as("nu"))
+    val nb = toksDf.select(
+      greatest(expr("size(toks) - 1"), lit(0)).cast("long").as("k"))
+      .agg(sum("k").cast("double").as("nb"))
+    val ca = uni.select(col("w").as("a"), col("cw").as("ca"))
+    val cb = uni.select(col("w").as("b"), col("cw").as("cb"))
+    bi.join(ca, "a").join(cb, "b")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("cab"),
+        Det.r4e(log((col("cab") / col("nb")) /
+          ((col("ca") / col("nu")) * (col("cb") / col("nu"))))).as("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
+  /** q130: inverted-index build — posting lists for mid-frequency
+    * terms (3 ≤ df ≤ 10 on this fixture: selective enough to retrieve
+    * with). TWO-PASS by design: pass 1 computes df as a counts-only
+    * aggregate (no lists — a stopword's posting list at 100 TB is
+    * itself TB-sized and must never materialize), pass 2 joins the
+    * qualifying words back on the word key and collects postings ONLY
+    * for them, so every collected list is bounded by the df ceiling.
+    * The join is a co-located word-keyed shuffle (both sides already
+    * hash on w). */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val pairs = docs(s, d)
+      .select(explode(expr(TOKS)).as("w"), col("doc_id"))
+      .distinct()
+    val df = pairs.groupBy("w").agg(count(lit(1)).as("df"))
+      .where(col("df").between(3, 10))
+    pairs.join(df, "w")
+      .groupBy("w", "df")
+      .agg(expr("array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x as string)), ',')")
+        .as("postings"))
+      .transform(Det.emitWide(_, "w"))
+  }
+
+  /** q131: z-score outlier screen — the 20 most anomalous order
+    * totals relative to their market segment's mean/stddev (the
+    * data-quality pass that flags corrupt/extreme records before they
+    * enter a training aggregate). Scale shape: orders⋈customer
+    * shuffles on the customer key (both tables are fact-sized at
+    * 100 TB — never a broadcast), the 5-row per-segment stats
+    * broadcast back, z is one map-side expression, and the top-20 is
+    * TakeOrderedAndProject on the ROUNDED score (both engines order
+    * the same 4dp value; ties break on the order key). */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).join(customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        col("o_totalprice"))
+    val st = o.groupBy("segment").agg(
+      avg("o_totalprice").as("mu"),
+      stddev_samp(col("o_totalprice")).as("sd"))
+    o.join(broadcast(st), "segment")
+      .select(col("o_orderkey"), col("segment"), col("o_totalprice"),
+        Det.r4e((col("o_totalprice") - col("mu")) / col("sd")).as("z"))
+      .orderBy(abs(col("z")).desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  /** q133: global decile statistics — exact ntile(10) over ALL orders
+    * by total price, with per-decile count/min/max/avg (the quantile
+    * feature-binning pass; also the table behind "top decile of
+    * spend" cohorts). A plain `ntile(10) over (order by price)` pins
+    * the ENTIRE table's sort onto one task — the canonical
+    * global-window scale killer (same class as q104's running total).
+    * Here: the unique global order key packs exact 2dp price cents
+    * into the long's high bits with the order key below (no double
+    * rounding ambiguity, identical order in both engines), the global
+    * row number is `DistributedRank.prefixSum` over value-derived
+    * quantile buckets, and the decile is integer arithmetic off
+    * (rn, N) — the N and the final 10-row aggregate are the only
+    * non-distributed pieces, both O(1). Bit budget: cents < 2^26
+    * shifted by 33 leaves room for order keys < 2^33; scale past that
+    * by widening to a (cents, key) struct order — documented, not
+    * needed on this schema. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("__ord",
+        round(col("o_totalprice") * 100).cast("long") * lit(1L << 33)
+          + col("o_orderkey"))
+      .withColumn("__one", lit(1L))
+    val rn = graft.operators.DistributedRank.prefixSum(o, "__ord", "__one")
+    val n = rn.agg(count(lit(1)).as("__n"))
+    rn.crossJoin(broadcast(n))
+      .withColumn("decile", expr("cast(((cum_sum - 1) * 10) div __n as int)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("min_p"),
+        max("o_totalprice").as("max_p"),
+        Det.r4e(avg("o_totalprice")).as("avg_p"))
+      .transform(Det.emit(_, "decile"))
+  }
+
+  /** q134: weighted sample without replacement — 20 orders drawn with
+    * probability proportional to total price (the importance-sampling
+    * pass behind data-mixing weights), via the Efraimidis–Spirakis
+    * A-ES key: maximizing u^(1/w) ⇔ minimizing −ln(u)/w, with u an
+    * md5-derived uniform in (0,1] — replayable on any engine, any
+    * retry (the same no-rand() contract as q106/q119). Pure map-side
+    * key computation + `TakeOrderedAndProject` top-20 on the ROUNDED
+    * key (×1e5 rescale keeps the 6dp grid meaningful at this weight
+    * magnitude); ties break on the order key. */
+  private def q134(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      // 13 md5 hex chars = 52 uniform bits; (v+1)/(2^52+1) ∈ (0, 1]
+      .withColumn("u", expr(
+        "(cast(conv(substr(md5(concat('ws:', cast(o_orderkey as string))), 1, 13), 16, 10) as double) + 1.0) / 4503599627370497.0"))
+      .withColumn("wkey",
+        Det.r6e(-log(col("u")) / col("o_totalprice") * lit(100000.0)))
+      .orderBy(col("wkey").asc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice"), col("wkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
     "q121_bpe_pairs" -> q121,
     "q122_minhash_est" -> q122,
     "q123_dup_components" -> q123,
-    "q124_edit_neardup" -> q124)
+    "q124_edit_neardup" -> q124,
+    "q127_repeated_ngrams" -> q127,
+    "q128_pmi_collocations" -> q128,
+    "q130_inverted_index" -> q130,
+    "q131_outlier_zscore" -> q131,
+    "q133_decile_stats" -> q133,
+    "q134_weighted_sample" -> q134)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -219,6 +391,76 @@ object MiningQueries {
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             AND levenshtein(da.text, db.text) <= 10
           ORDER BY a_id, b_id""",
+    "q127_repeated_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+          d AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 8),
+          g AS (SELECT doc_id,
+                       unnest(list_transform(range(len(ts) - 7),
+                         i -> md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')))) AS gh
+                FROM d),
+          c AS (SELECT gh, count(1) AS n FROM g GROUP BY gh),
+          dp AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS dup_pos
+                 FROM g JOIN c USING (gh) WHERE c.n >= 2 GROUP BY doc_id)
+          SELECT d.doc_id, CAST(len(d.ts) - 7 AS BIGINT) AS n_pos,
+                 CAST(coalesce(dp.dup_pos, 0) AS BIGINT) AS dup_pos,
+                 round(coalesce(dp.dup_pos, 0) / CAST(len(d.ts) - 7 AS DOUBLE)
+                       + ${Det.E4}, 4) AS dup_frac
+          FROM d LEFT JOIN dp USING (doc_id) ORDER BY doc_id""",
+    "q128_pmi_collocations" ->
+      s"""WITH t AS (SELECT $TS AS ts FROM documents),
+          cu AS (SELECT w, CAST(count(1) AS BIGINT) AS cw
+                 FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w),
+          bg AS (SELECT unnest(list_transform(range(len(ts) - 1),
+                          i -> [ts[i+1], ts[i+2]])) AS p
+                 FROM t WHERE len(ts) >= 2),
+          b2 AS (SELECT p[1] AS a, p[2] AS b, CAST(count(1) AS BIGINT) AS cab
+                 FROM bg GROUP BY 1, 2 HAVING count(1) >= 5),
+          nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM cu),
+          nb AS (SELECT CAST(sum(greatest(len(ts) - 1, 0)) AS DOUBLE) AS nb FROM t)
+          SELECT b2.a, b2.b, b2.cab,
+                 round(ln((b2.cab / nb.nb) /
+                          ((ca.cw / nu.nu) * (cb.cw / nu.nu))) + ${Det.E4}, 4) AS pmi
+          FROM b2 JOIN cu ca ON ca.w = b2.a
+                  JOIN cu cb ON cb.w = b2.b, nu, nb
+          ORDER BY pmi DESC, a ASC, b ASC LIMIT 20""",
+    "q130_inverted_index" ->
+      s"""WITH p AS (SELECT DISTINCT w, doc_id
+                     FROM (SELECT unnest($TS) AS w, doc_id FROM documents)),
+          d AS (SELECT w, CAST(count(1) AS BIGINT) AS df FROM p GROUP BY w
+                HAVING count(1) BETWEEN 3 AND 10)
+          SELECT p.w, d.df,
+                 string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id) AS postings
+          FROM p JOIN d ON d.w = p.w GROUP BY p.w, d.df ORDER BY p.w""",
+    "q131_outlier_zscore" ->
+      s"""WITH o AS (SELECT c.c_mktsegment AS segment, o_orderkey, o_totalprice
+                     FROM orders JOIN customer c ON o_custkey = c.c_custkey),
+          st AS (SELECT segment, avg(o_totalprice) AS mu,
+                        stddev_samp(o_totalprice) AS sd
+                 FROM o GROUP BY segment)
+          SELECT o.o_orderkey, o.segment, o.o_totalprice,
+                 round((o.o_totalprice - st.mu) / st.sd + ${Det.E4}, 4) AS z
+          FROM o JOIN st USING (segment)
+          ORDER BY abs(round((o.o_totalprice - st.mu) / st.sd + ${Det.E4}, 4)) DESC,
+                   o.o_orderkey ASC
+          LIMIT 20""",
+    "q133_decile_stats" ->
+      s"""WITH r AS (SELECT o_totalprice,
+                            row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                            count(*) OVER () AS n
+                     FROM orders)
+          SELECT CAST(((rn - 1) * 10) // n AS INT) AS decile,
+                 CAST(count(1) AS BIGINT) AS n_orders,
+                 min(o_totalprice) AS min_p, max(o_totalprice) AS max_p,
+                 round(avg(o_totalprice) + ${Det.E4}, 4) AS avg_p
+          FROM r GROUP BY 1 ORDER BY 1""",
+    "q134_weighted_sample" ->
+      s"""WITH k AS (SELECT o_orderkey, o_totalprice,
+                 (CAST(CAST('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 13)
+                            AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370497.0 AS u
+                     FROM orders)
+          SELECT o_orderkey, o_totalprice,
+                 round(-ln(u) / o_totalprice * 100000 + ${Det.E6}, 6) AS wkey
+          FROM k ORDER BY wkey ASC, o_orderkey ASC LIMIT 20""",
     "q123_dup_components" ->
       s"""WITH RECURSIVE $SIG_CTES,
           e AS (SELECT a_id AS src, b_id AS dst FROM pr

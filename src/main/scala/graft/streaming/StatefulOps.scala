@@ -256,6 +256,39 @@ object StatefulOps extends Serializable {
     else ((next, flagged), None)
   }
 
+  /** Streaming user-journey transitions — the incremental twin of the
+    * batch Markov transition matrix (q132): state per user is ONE
+    * value (the last event type seen — constant regardless of
+    * history), and each arrival emits its (src, dst) edge immediately;
+    * downstream an ordinary streaming aggregation counts edges into
+    * the transition matrix. Rows within a micro-batch apply in
+    * (ts, event_id) order inside the group (shuffles don't preserve
+    * order); across batches the operator relies on the changefeed's
+    * per-key delivery ordering — the same contract as
+    * `sessionizeStream`. Input (event_id, user_id, event_type, ts) →
+    * output (src, dst). */
+  def transitionStream(
+      events: Dataset[(Long, Long, String, java.sql.Timestamp)])
+      : Dataset[(String, String)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[String, (String, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var last = state.getOption.orNull
+          val out = rows.toSeq
+            .sortBy(r => (r._4.getTime, r._1))
+            .flatMap { case (_, _, et, _) =>
+              val edge = Option(last).map(l => (l, et))
+              last = et
+              edge
+            }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   /** One emitted state row: the key's current value, or a final
     * `deleted = true` marker when a tombstone removed it. */
   case class KeyState(key: Long, value: String, deleted: Boolean)

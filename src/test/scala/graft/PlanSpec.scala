@@ -204,6 +204,53 @@ class PlanSpec extends AnyFunSuite {
       "q122 signature table is not persisted")
   }
 
+  test("q127-q132: round-5 mining/series-key scale shapes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, ResolvedHint}
+    def hints(name: String): Int =
+      SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+        .collect { case h: ResolvedHint => h }.size
+    // q127: the gram-count table joins back on the gram key as a
+    // SHUFFLE — the corpus's 8-gram set is corpus-sized, so no hint
+    // may broadcast it (the q109/q111 vocabulary contract).
+    assert(hints("q127_repeated_ngrams") == 0,
+      "q127 must not hint-broadcast the gram-count table")
+    // q128: exactly the two 1-row grand totals broadcast; both
+    // unigram joins stay word-keyed shuffles.
+    assert(hints("q128_pmi_collocations") == 2,
+      "q128 must hint-broadcast only the two 1-row totals")
+    // q130: two-pass contract — posting lists (collect_list) only
+    // materialize ABOVE the df-filter join, so a stopword's
+    // corpus-sized posting list never exists.
+    val lp130 = SparkEntry.queries("q130_inverted_index")(spark, sf)
+      .queryExecution.optimizedPlan
+    val collectAggs = lp130.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.mkString.contains("collect_list") => a
+    }
+    assert(collectAggs.nonEmpty, "q130 lost its posting-list aggregate")
+    assert(collectAggs.forall(a => a.collect { case j: Join => j }.nonEmpty),
+      "q130 collects posting lists BELOW the df-filter join (unbounded lists)")
+    // q131: 5-row segment stats broadcast back; global top-20
+    // short-circuits per partition.
+    assert(hints("q131_outlier_zscore") == 1,
+      "q131 must hint-broadcast the per-segment stats")
+    assert(plan("q131_outlier_zscore").contains("TakeOrderedAndProject"),
+      "q131 does a full sort for the top-20")
+    // q132: the |types|-row per-source totals broadcast back.
+    assert(hints("q132_markov_transitions") == 1,
+      "q132 must hint-broadcast the per-source totals")
+    // q129: the hour spine explodes from the 5-row min/max aggregate
+    // (calendar-sized), not from the events table.
+    val lp129 = SparkEntry.queries("q129_gapfill_ffill")(spark, sf)
+      .queryExecution.optimizedPlan
+    val gen129 = lp129.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gen129.nonEmpty && gen129.forall(g =>
+      g.collect { case a: Aggregate => a }.nonEmpty),
+      "q129 spine must explode from the min/max aggregate")
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —

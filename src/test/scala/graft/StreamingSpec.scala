@@ -598,6 +598,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(q105Form == got, "streaming and batch sessionization disagree")
   }
 
+  test("s20: streaming transition edges equal the batch lead() matrix") {
+    val ms = MemoryStream[(Long, Long, String, Timestamp)]
+    val q = graft.streaming.StatefulOps
+      .transitionStream(ms.toDS())
+      .toDF("src", "dst")
+      .writeStream.outputMode("update").format("memory").queryName("s20").start()
+    def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    // batch 1 scrambled in-batch: user 1 view->click; user 2 view only
+    // (no edge until its second event arrives)
+    ms.addData((11L, 1L, "click", t(5)), (10L, 1L, "view", t(0)),
+      (20L, 2L, "view", t(2)))
+    q.processAllAvailable()
+    // batch 2: user 1 click->purchase (state carried ACROSS batches);
+    // user 2 view->error
+    ms.addData((12L, 1L, "purchase", t(9)), (21L, 2L, "error", t(6)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("s20")
+      .groupBy("src", "dst").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // batch q132 form (lead over the same rows) agrees
+    val batch = Seq((10L, 1L, "view", t(0)), (11L, 1L, "click", t(5)),
+      (12L, 1L, "purchase", t(9)), (20L, 2L, "view", t(2)),
+      (21L, 2L, "error", t(6)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val want = batch
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"streaming $got vs batch $want")
+    assert(got == Set(("view", "click", 1L), ("click", "purchase", 1L),
+      ("view", "error", 1L)))
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
