@@ -126,12 +126,40 @@ object CdcQueries {
       .transform(Det.emitWide(_, "user_id", "version"))
   }
 
+  /** q136: point-in-time (as-of) snapshot — the CDC consumer's
+    * time-travel read: each key's state as of 2024-01-15T00:00:00Z,
+    * i.e. the q117 version whose [valid_from, valid_to) interval
+    * contains the instant (an event landing EXACTLY on the as-of
+    * boundary is visible — closed lower bound). Deliberately NOT
+    * implemented by building the full history: the scale-honest plan
+    * filters the change stream to tsec <= asof and takes latest-by-key
+    * — one pushed-down scan filter + one key-keyed max(struct)
+    * aggregate, no window, no join. The q117 interval semantics and
+    * this aggregate agree by construction; the ORACLE asserts that by
+    * computing the same snapshot THROUGH the interval form. */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val asof = lit("2024-01-15 00:00:00").cast("timestamp")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("val"),
+        date_trunc("second", col("ts")).as("tsec"))
+      .where(col("tsec") <= asof)
+      .groupBy("user_id")
+      .agg(max(struct(col("tsec"), col("event_id"), col("event_type"),
+        col("val"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"), col("m.val").as("val"),
+        unix_timestamp(col("m.tsec")).as("valid_from_s"))
+      .transform(Det.emitWide(_, "user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cdc_envelope_roundtrip" -> q60,
     "q61_cdc_latest_by_key" -> q61,
     "q62_cdc_dedup" -> q62,
     "q63_cdc_delete_apply" -> q63,
-    "q117_scd2_history" -> q117)
+    "q117_scd2_history" -> q117,
+    "q136_scd2_asof" -> q136)
 
   val oracles: Map[String, String] = Map(
     // Oracle aggregates the base tables directly — the JSON round-trip
@@ -180,5 +208,22 @@ object CdcQueries {
                 epoch_ms(tsec) // 1000 AS valid_from_s,
                 epoch_ms(vt) // 1000 AS valid_to_s,
                 CAST(vt IS NULL AS INT) AS is_current
-         FROM v ORDER BY user_id, version""")
+         FROM v ORDER BY user_id, version""",
+    // Independent algorithm on purpose: the oracle answers the as-of
+    // read through the SCD2 interval form (valid_from <= t < valid_to),
+    // cross-checking the engine's filter+latest-by-key plan.
+    "q136_scd2_asof" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           round(value, 2) AS val,
+                           date_trunc('second', ts) AS tsec FROM events),
+         v AS (SELECT *,
+                      lead(tsec) OVER (PARTITION BY user_id
+                        ORDER BY tsec, event_id) AS vt
+               FROM e)
+         SELECT user_id, event_id, event_type, val,
+                epoch_ms(tsec) // 1000 AS valid_from_s
+         FROM v
+         WHERE tsec <= TIMESTAMP '2024-01-15 00:00:00'
+           AND (vt IS NULL OR vt > TIMESTAMP '2024-01-15 00:00:00')
+         ORDER BY user_id""")
 }

@@ -226,7 +226,30 @@ object EventTimeQueries {
     "q125_cohort_retention" -> q125,
     "q126_skew_profile" -> q126,
     "q129_gapfill_ffill" -> q129,
-    "q132_markov_transitions" -> q132)
+    "q132_markov_transitions" -> q132,
+    "q137_cumulative_users" -> q137)
+
+  /** q137: cumulative-user growth curve — new users per day (first-
+    * seen day) and the running total of distinct users ever seen: the
+    * adoption/coverage curve a corpus or product report leads with.
+    * A naive `count(distinct user) over (order by day)` re-scans every
+    * prefix; here the first-seen aggregate shuffles ONCE on the
+    * high-cardinality user_id, the per-day counts land on the bounded
+    * day key, and the running sum's window runs over CALENDAR-sized
+    * rows (one per day) — fine on one task at any corpus scale. */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum_users"))
+      .transform(Det.emitWide(_, "day"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q125_cohort_retention" ->
@@ -292,6 +315,15 @@ object EventTimeQueries {
                   ORDER BY tsec, event_id
                   ROWS UNBOUNDED PRECEDING) AS INT) AS sess
          FROM g ORDER BY event_id""",
+    "q137_cumulative_users" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+                    FROM events GROUP BY user_id),
+         nd AS (SELECT day, CAST(count(1) AS BIGINT) AS new_users
+                FROM f GROUP BY day)
+         SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+                CAST(sum(new_users) OVER (ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         FROM nd ORDER BY day""",
     "q129_gapfill_ffill" ->
       """WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS h,
                             CAST(count(1) AS BIGINT) AS n,

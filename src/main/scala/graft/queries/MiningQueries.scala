@@ -304,6 +304,26 @@ object MiningQueries {
       .limit(20)
       .select(col("o_orderkey"), col("o_totalprice"), col("wkey"))
 
+  /** q135: per-doc unigram entropy — H = ln(n) − (Σ c·ln c)/n over the
+    * doc's own token counts, plus token/unique-token counts: the
+    * vocabulary-diversity quality feature (low H = repetitive/listy
+    * text, complementing q99's occupancy filters and q109's
+    * corpus-level surprisal). Scale shape: one (doc, word) hash
+    * aggregate with map-side combine, then one doc-keyed aggregate —
+    * the one-pass entropy identity avoids materializing per-word
+    * probabilities. Both engines compute the identical formula text;
+    * 4dp rounding absorbs float-sum order noise. */
+  private def q135(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(expr(TOKS)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        Det.r4e(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"))
+          .as("entropy"))
+      .transform(Det.emitWide(_, "doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
@@ -316,7 +336,8 @@ object MiningQueries {
     "q130_inverted_index" -> q130,
     "q131_outlier_zscore" -> q131,
     "q133_decile_stats" -> q133,
-    "q134_weighted_sample" -> q134)
+    "q134_weighted_sample" -> q134,
+    "q135_token_entropy" -> q135)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -443,6 +464,15 @@ object MiningQueries {
           ORDER BY abs(round((o.o_totalprice - st.mu) / st.sd + ${Det.E4}, 4)) DESC,
                    o.o_orderkey ASC
           LIMIT 20""",
+    "q135_token_entropy" ->
+      s"""WITH wc AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS c
+                      FROM (SELECT doc_id, unnest($TS) AS w FROM documents)
+                      GROUP BY doc_id, w)
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(1) AS BIGINT) AS n_unique,
+                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + ${Det.E4}, 4)
+                   AS entropy
+          FROM wc GROUP BY doc_id ORDER BY doc_id""",
     "q133_decile_stats" ->
       s"""WITH r AS (SELECT o_totalprice,
                             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
