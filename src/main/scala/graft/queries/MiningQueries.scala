@@ -152,18 +152,20 @@ object MiningQueries {
     * vocabulary contract; never a broadcast, the corpus's gram set is
     * corpus-sized). */
   private def q127(s: SparkSession, d: String): DataFrame = {
-    val toks = docs(s, d)
+    val grams = docs(s, d)
       .withColumn("toks", expr(TOKS))
       .where(expr("size(toks) >= 8"))
-    val grams = toks.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, size(toks) - 8), i -> md5(concat_ws(' ', slice(toks, i + 1, 8))))"))
-      .as("gh"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 8), i -> md5(concat_ws(' ', slice(toks, i + 1, 8))))"))
+        .as("gh"))
     val counts = grams.groupBy("gh").agg(count(lit(1)).as("n"))
-    val dup = grams.join(counts.where(col("n") >= 2), "gh")
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_pos"))
-    toks.select(col("doc_id"), (size(col("toks")) - 7).cast("long").as("n_pos"))
-      .join(dup, Seq("doc_id"), "left")
-      .withColumn("dup_pos", coalesce(col("dup_pos"), lit(0L)))
+    // n_pos is the doc's gram count, so the gram table itself carries
+    // it — one document scan total, and both join sides hash on gh
+    // (the aggregate's exchange is reused for the probe side).
+    grams.join(counts, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("dup_pos"))
       .withColumn("dup_frac", Det.r4e(col("dup_pos") / col("n_pos")))
       .transform(Det.emitWide(_, "doc_id"))
   }
@@ -204,26 +206,33 @@ object MiningQueries {
       .limit(20)
   }
 
-  /** q130: inverted-index build — posting lists for mid-frequency
-    * terms (3 ≤ df ≤ 10 on this fixture: selective enough to retrieve
-    * with). TWO-PASS by design: pass 1 computes df as a counts-only
+  /** q130: inverted-index build — posting lists for the 5 rarest
+    * terms (lowest document frequency; this fixture's 31-word
+    * vocabulary is uniformly common, so rarity — not an absolute df
+    * band — is what selects a non-vacuous slice at every SF).
+    * TWO-PASS by design: pass 1 computes df as a counts-only
     * aggregate (no lists — a stopword's posting list at 100 TB is
-    * itself TB-sized and must never materialize), pass 2 joins the
-    * qualifying words back on the word key and collects postings ONLY
-    * for them, so every collected list is bounded by the df ceiling.
-    * The join is a co-located word-keyed shuffle (both sides already
-    * hash on w). */
+    * itself TB-sized and must never materialize), pass 2 joins the 5
+    * selected words back (5-row broadcast) and collects postings ONLY
+    * for them. The EMIT is scale-honest too: even a rare term's list
+    * is unbounded in the corpus size, so the row carries df, a 10-id
+    * preview, and an md5 digest of the full sorted list (content
+    * verified, payload bounded). */
   private def q130(s: SparkSession, d: String): DataFrame = {
     val pairs = docs(s, d)
       .select(explode(expr(TOKS)).as("w"), col("doc_id"))
       .distinct()
-    val df = pairs.groupBy("w").agg(count(lit(1)).as("df"))
-      .where(col("df").between(3, 10))
-    pairs.join(df, "w")
+    val rare = pairs.groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").asc, col("w").asc).limit(5)
+    pairs.join(broadcast(rare), "w")
       .groupBy("w", "df")
-      .agg(expr("array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x as string)), ',')")
-        .as("postings"))
-      .transform(Det.emitWide(_, "w"))
+      .agg(expr("sort_array(collect_list(doc_id))").as("ids"))
+      .select(col("w"), col("df"),
+        expr("array_join(transform(slice(ids, 1, 10), x -> cast(x as string)), ',')")
+          .as("head10"),
+        md5(expr("array_join(transform(ids, x -> cast(x as string)), ',')"))
+          .as("digest"))
+      .transform(Det.emit(_, "w"))
   }
 
   /** q131: z-score outlier screen — the 20 most anomalous order
@@ -324,6 +333,30 @@ object MiningQueries {
           .as("entropy"))
       .transform(Det.emitWide(_, "doc_id"))
 
+  /** q138: column profiler — per-column row/non-null/distinct counts
+    * and min/max over lineitem's numeric measures, one output row per
+    * column (the profiling scan run before choosing join/agg/skew
+    * strategy, the relational sibling of q126's key profile). All
+    * metrics for all columns compute in ONE aggregate pass (Spark
+    * plans the multi-column distinct via Expand — rows fan out
+    * |distinct-aggs|+1 wide map-side, then combine); the 1-row result
+    * unpivots to long form with `stack`. Never N passes over the
+    * table. */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', n, cnt_$c, ndv_$c, min_$c, max_$c").mkString(", ") +
+        ") as (col_name, n_rows, n_nonnull, ndv, min_v, max_v)"))
+      .transform(Det.emit(_, "col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
@@ -337,7 +370,8 @@ object MiningQueries {
     "q131_outlier_zscore" -> q131,
     "q133_decile_stats" -> q133,
     "q134_weighted_sample" -> q134,
-    "q135_token_entropy" -> q135)
+    "q135_token_entropy" -> q135,
+    "q138_column_profile" -> q138)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -447,11 +481,15 @@ object MiningQueries {
     "q130_inverted_index" ->
       s"""WITH p AS (SELECT DISTINCT w, doc_id
                      FROM (SELECT unnest($TS) AS w, doc_id FROM documents)),
-          d AS (SELECT w, CAST(count(1) AS BIGINT) AS df FROM p GROUP BY w
-                HAVING count(1) BETWEEN 3 AND 10)
-          SELECT p.w, d.df,
-                 string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id) AS postings
-          FROM p JOIN d ON d.w = p.w GROUP BY p.w, d.df ORDER BY p.w""",
+          rare AS (SELECT w, CAST(count(1) AS BIGINT) AS df FROM p GROUP BY w
+                   ORDER BY df ASC, w ASC LIMIT 5),
+          pl AS (SELECT p.w, rare.df,
+                        list(p.doc_id ORDER BY p.doc_id) AS ids
+                 FROM p JOIN rare ON rare.w = p.w GROUP BY p.w, rare.df)
+          SELECT w, df,
+                 array_to_string(ids[1:10], ',') AS head10,
+                 md5(array_to_string(ids, ',')) AS digest
+          FROM pl ORDER BY w""",
     "q131_outlier_zscore" ->
       s"""WITH o AS (SELECT c.c_mktsegment AS segment, o_orderkey, o_totalprice
                      FROM orders JOIN customer c ON o_custkey = c.c_custkey),
@@ -464,6 +502,15 @@ object MiningQueries {
           ORDER BY abs(round((o.o_totalprice - st.mu) / st.sd + ${Det.E4}, 4)) DESC,
                    o.o_orderkey ASC
           LIMIT 20""",
+    "q138_column_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, CAST(count(1) AS BIGINT) AS n_rows,
+                   CAST(count($c) AS BIGINT) AS n_nonnull,
+                   CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+                   CAST(min($c) AS DOUBLE) AS min_v,
+                   CAST(max($c) AS DOUBLE) AS max_v
+            FROM lineitem""")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name"),
     "q135_token_entropy" ->
       s"""WITH wc AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS c
                       FROM (SELECT doc_id, unnest($TS) AS w FROM documents)

@@ -150,6 +150,24 @@ class OperatorSpec extends AnyFunSuite {
       all.where(col("ingest_date") === day).count())
   }
 
+  test("lake writer: ORC format round-trips with day pruning (avro has no DataSource jar — NOTES r5)") {
+    val lake = TestSpark.tmpDir("lake-orc")
+    val src = Tables.events(spark, sf).select("event_id", "ts", "user_id", "value")
+    graft.sources.Lake.writePartitioned(src, "ts", lake, format = "orc")
+    val all = graft.sources.Lake.read(spark, lake, format = "orc")
+    assert(all.count() == src.count(), "ORC round-trip lost rows")
+    // values survive the format round-trip
+    val gotSum = all.agg(round(sum("value"), 2)).head().getDouble(0)
+    val wantSum = src.agg(round(sum("value"), 2)).head().getDouble(0)
+    assert(gotSum == wantSum, s"ORC value drift: $gotSum vs $wantSum")
+    // partition pruning works the same as the parquet lake
+    val day = all.select(min(col("ingest_date")).cast("string")).head().getString(0)
+    val one = all.where(col("ingest_date") === day)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ingest_date"),
+      s"ORC day filter did not reach partition pruning:\n$plan")
+  }
+
   test("Lake.compactDay merges small files without changing the data") {
     val lake = TestSpark.tmpDir("lake-compact")
     val day = "2022-12-12"
