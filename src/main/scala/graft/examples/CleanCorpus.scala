@@ -17,6 +17,10 @@ import graft.operators.TextDedup
   *   3. contamination screen— drop docs whose distinct-trigram overlap
   *                            with the eval `benchmark` exceeds
   *                            `maxContam` (skipped when no benchmark)
+  *   3b. span-dedup cap     — drop docs whose repeated-8-gram fraction
+  *                            exceeds `maxNgramDupFrac` (Lee et al.
+  *                            exact-substring signal; skipped at the
+  *                            default 1.0)
   *   4. repetition filter   — Gopher-style duplicate-word fraction cap
   *                            (q99's shape: two counters per doc)
   *   5. quality filter      — length/stopword composite ≥ threshold
@@ -35,14 +39,16 @@ import graft.operators.TextDedup
   * Invariants (pinned by CleanCorpusSpec): output ids are unique, no
   * two retained docs share a content hash, no retained pair is an LSH
   * candidate, every retained doc passes the repetition cap and the
-  * quality floor, no retained doc exceeds the contamination cap, and
-  * the sample is a deterministic subset honoring a zero rate.
+  * quality floor, no retained doc exceeds the contamination cap or
+  * the repeated-8-gram span cap, and the sample is a deterministic
+  * subset honoring a zero rate.
   */
 object CleanCorpus {
 
   def run(docs: DataFrame, minQuality: Double = 0.3,
       maxDupRatio: Double = 0.7,
       benchmark: Option[DataFrame] = None, maxContam: Double = 0.5,
+      maxNgramDupFrac: Double = 1.0,
       sampleRates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0): DataFrame = {
     // 1. exact dedup — semi join against the canonical ids
@@ -73,14 +79,28 @@ object CleanCorpus {
       nearDeduped.join(hot, Seq("doc_id"), "left_anti")
     }
 
+    // 3b. span-dedup cap — repeated-8-gram fraction over the SURVIVING
+    // corpus (docs shorter than 8 tokens have no spans and pass).
+    // Computed after the dedup stages on purpose: removed duplicates
+    // must not keep inflating the survivors' gram counts.
+    val spanCapped =
+      if (maxNgramDupFrac >= 1.0) decontaminated
+      else {
+        val hot = TextDedup
+          .repeatedNgramStats(decontaminated, "doc_id", "text")
+          .where(col("dup_frac") > maxNgramDupFrac)
+          .select("doc_id")
+        decontaminated.join(hot, Seq("doc_id"), "left_anti")
+      }
+
     // 4. repetition cap — duplicate-word fraction per doc (two hash
     // aggregates keyed (doc, word) → doc; two counters of state)
-    val dupRatio = decontaminated
+    val dupRatio = spanCapped
       .select(col("doc_id"), explode(TextDedup.tokensExpr("text")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg((lit(1.0) - count(lit(1)) / sum("c")).as("dup_word_ratio"))
-    val unrepetitive = decontaminated.join(dupRatio, "doc_id")
+    val unrepetitive = spanCapped.join(dupRatio, "doc_id")
       .where(col("dup_word_ratio") <= maxDupRatio)
 
     // 5+6. quality + annotation, one map-side pass

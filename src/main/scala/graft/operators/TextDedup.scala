@@ -153,6 +153,35 @@ object TextDedup {
       .withColumn("contam", col("n_hit") / col("n_tri"))
   }
 
+  /** Repeated-n-gram span statistics — per doc (≥ n tokens): total
+    * n-gram positions, positions whose n-gram occurs ≥ 2 times
+    * ANYWHERE in the corpus (within-doc repeats count), and the
+    * duplicated fraction. The span-level signal behind exact-substring
+    * training-data dedup (Lee et al. 2022): high `dup_frac` docs are
+    * trimmed or cut before training. Grams travel as md5 hashes (16
+    * bytes, never the text); the occurrence count is a gram-keyed hash
+    * aggregate (map-side combine) joined back on the SAME gram key —
+    * a co-located high-cardinality shuffle join (never a broadcast:
+    * the corpus's gram set is corpus-sized). n_pos comes from the gram
+    * table itself, so the corpus is scanned once.
+    * Returns (idCol, n_pos, dup_pos, dup_frac — unrounded). */
+  def repeatedNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"repeatedNgramStats: n must be >= 2, got $n")
+    val grams = df
+      .withColumn("__toks", tokensExpr(textCol))
+      .where(expr(s"size(__toks) >= $n"))
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__toks) - $n), " +
+          s"i -> md5(concat_ws(' ', slice(__toks, i + 1, $n))))")).as("__gh"))
+    val counts = grams.groupBy("__gh").agg(count(lit(1)).as("__n"))
+    grams.join(counts, "__gh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("dup_pos"))
+      .withColumn("dup_frac", col("dup_pos") / col("n_pos"))
+  }
+
   /** Uniform integer draw in [0, 10000) from a salted md5 of the id —
     * the replayable substitute for `rand()` in sampling decisions:
     * deterministic across engines, retries and runs. */

@@ -151,24 +151,10 @@ object MiningQueries {
     * key — a co-located high-cardinality shuffle join (the q109/q111
     * vocabulary contract; never a broadcast, the corpus's gram set is
     * corpus-sized). */
-  private def q127(s: SparkSession, d: String): DataFrame = {
-    val grams = docs(s, d)
-      .withColumn("toks", expr(TOKS))
-      .where(expr("size(toks) >= 8"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 8), i -> md5(concat_ws(' ', slice(toks, i + 1, 8))))"))
-        .as("gh"))
-    val counts = grams.groupBy("gh").agg(count(lit(1)).as("n"))
-    // n_pos is the doc's gram count, so the gram table itself carries
-    // it — one document scan total, and both join sides hash on gh
-    // (the aggregate's exchange is reused for the probe side).
-    grams.join(counts, "gh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_pos"),
-        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("dup_pos"))
-      .withColumn("dup_frac", Det.r4e(col("dup_pos") / col("n_pos")))
+  private def q127(s: SparkSession, d: String): DataFrame =
+    TextDedup.repeatedNgramStats(docs(s, d), "doc_id", "text", n = 8)
+      .withColumn("dup_frac", Det.r4e(col("dup_frac")))
       .transform(Det.emitWide(_, "doc_id"))
-  }
 
   /** q128: PMI collocations — top-20 adjacent word pairs by pointwise
     * mutual information, ln(p(a,b) / (p(a)·p(b))), min pair count 5.

@@ -57,6 +57,34 @@ class CleanCorpusSpec extends AnyFunSuite {
     assert(screened.count() > 0)
   }
 
+  test("span-dedup cap drops in-doc repeated-8-gram docs and nothing else") {
+    // The fixture's repeated 8-grams all come from cross-doc duplicate
+    // twins, which stages 1-2 already remove — so the cap's real work
+    // is IN-DOC repetition, which no dedup stage can touch. A doc of
+    // 40 distinct words repeated twice passes the word-dup cap
+    // (ratio 0.5 <= 0.7) but 66 of its 73 8-gram positions repeat
+    // (dup_frac 0.90).
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"tok$i")
+    val selfRep = (words ++ words).mkString(" ")
+    val docs2 = input.unionByName(
+      Seq((-1L, selfRep, "en", "synthetic", selfRep.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val uncapped = CleanCorpus.run(docs2).cache()
+    val capped = CleanCorpus.run(docs2, maxNgramDupFrac = 0.5).cache()
+    assert(uncapped.where(col("doc_id") === -1).count() == 1,
+      "the self-repeating doc should survive every other stage")
+    assert(capped.where(col("doc_id") === -1).isEmpty,
+      "span cap failed to drop the self-repeating doc")
+    // every survivor is under the cap (short docs have no spans: pass)
+    val over = TextDedup.repeatedNgramStats(capped, "doc_id", "text")
+      .where(col("dup_frac") > 0.5)
+    assert(over.isEmpty, "a retained doc exceeds the span cap")
+    // and the cap drops ONLY relative to the uncapped run
+    assert(capped.join(uncapped, Seq("doc_id"), "left_anti").isEmpty,
+      "span-capped run retained a doc the uncapped run dropped")
+  }
+
   test("mixing-weight sampling is deterministic and honors a zero rate") {
     val s1 = CleanCorpus.run(input,
       sampleRates = Map("en" -> 0.0, "de" -> 0.5), defaultRate = 0.8)
