@@ -227,7 +227,60 @@ object EventTimeQueries {
     "q126_skew_profile" -> q126,
     "q129_gapfill_ffill" -> q129,
     "q132_markov_transitions" -> q132,
-    "q137_cumulative_users" -> q137)
+    "q137_cumulative_users" -> q137,
+    "q139_week_retention" -> q139,
+    "q140_user_features" -> q140)
+
+  /** q139: week-over-week retention — per ISO week, how many of the
+    * previous week's active users returned (count + rate): the
+    * engagement metric next to q125's cohort triangle (which anchors
+    * on FIRST-seen day; this anchors on consecutive activity). Scale
+    * shape: the (user, week) dedup shuffles on user_id; the
+    * consecutive-week self-join keys on (user_id, week+7d) — an
+    * equi-join co-located with the dedup's exchange; weekly totals
+    * land on the bounded week key and join back on it. */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val uw = events(s, d)
+      .select(date_trunc("week", col("ts")).as("wk"), col("user_id"))
+      .distinct()
+    val perWeek = uw.groupBy("wk").agg(count(lit(1)).as("n_active"))
+    val retained = uw.as("prv")
+      .join(uw.as("cur"),
+        col("prv.user_id") === col("cur.user_id") &&
+          col("cur.wk") === col("prv.wk") + expr("interval 7 days"))
+      .groupBy(col("cur.wk").as("wk"))
+      .agg(count(lit(1)).as("n_retained"))
+    val prevTotals = perWeek.select(
+      (col("wk") + expr("interval 7 days")).as("wk"),
+      col("n_active").as("n_prev"))
+    perWeek.join(retained, "wk").join(prevTotals, "wk")
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        col("n_prev"), col("n_active"), col("n_retained"),
+        Det.r4e(col("n_retained") / col("n_prev")).as("retention"))
+      .transform(Det.emit(_, "week"))
+  }
+
+  /** q140: per-user behavioral feature vector — event counts by type
+    * (fixed-domain conditional aggregation, the wide pivot of q46's
+    * shape), total value, active-day count, and last-seen time: the
+    * feature-engineering scan an ML pipeline materializes per entity.
+    * ONE user_id-keyed aggregate computes every feature (conditional
+    * sums are map-side partials; the distinct-day count is the only
+    * expanding aggregate); no joins, no second pass. */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    def cnt(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        cnt("view"), cnt("click"), cnt("purchase"),
+        cnt("signup"), cnt("error"),
+        round(sum("value"), 2).as("total_value"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        unix_timestamp(date_trunc("second", max(col("ts"))))
+          .as("last_seen_s"))
+      .transform(Det.emitWide(_, "user_id"))
+  }
 
   /** q137: cumulative-user growth curve — new users per day (first-
     * seen day) and the running total of distinct users ever seen: the
@@ -315,6 +368,35 @@ object EventTimeQueries {
                   ORDER BY tsec, event_id
                   ROWS UNBOUNDED PRECEDING) AS INT) AS sess
          FROM g ORDER BY event_id""",
+    "q139_week_retention" ->
+      s"""WITH uw AS (SELECT DISTINCT date_trunc('week', ts) AS wk, user_id
+                      FROM events),
+          pw AS (SELECT wk, CAST(count(1) AS BIGINT) AS n_active
+                 FROM uw GROUP BY wk),
+          r AS (SELECT cur.wk, CAST(count(1) AS BIGINT) AS n_retained
+                FROM uw prv JOIN uw cur
+                  ON prv.user_id = cur.user_id
+                 AND cur.wk = prv.wk + INTERVAL 7 DAY
+                GROUP BY cur.wk)
+          SELECT strftime(pw.wk, '%Y-%m-%d') AS week,
+                 pp.n_active AS n_prev, pw.n_active, r.n_retained,
+                 round(r.n_retained / CAST(pp.n_active AS DOUBLE)
+                       + ${Det.E4}, 4) AS retention
+          FROM pw
+          JOIN r ON r.wk = pw.wk
+          JOIN pw pp ON pp.wk + INTERVAL 7 DAY = pw.wk
+          ORDER BY week""",
+    "q140_user_features" ->
+      """SELECT user_id, CAST(count(1) AS BIGINT) AS n_events,
+                CAST(count(1) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                CAST(count(1) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                CAST(count(1) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                CAST(count(1) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                CAST(count(1) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                round(sum(value), 2) AS total_value,
+                CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+                epoch_ms(date_trunc('second', max(ts))) // 1000 AS last_seen_s
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q137_cumulative_users" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
                     FROM events GROUP BY user_id),
