@@ -256,6 +256,29 @@ object AlgebraProps extends Properties("graft.algebra") {
           ids(1.0).size == df.count()     // one keeps everything
     }
 
+  property("repeatedNgramStats equals brute-force span counting") =
+    // tiny alphabet + short docs force in-doc AND cross-doc repeats;
+    // n = 3 keeps the brute force readable
+    forAll(Gen.listOfN(8, Gen.listOfN(8, Gen.oneOf("a", "b", "c")))) { docs =>
+      val rows = docs.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "))
+      }
+      val got = graft.operators.TextDedup
+        .repeatedNgramStats(rows.toDF("id", "text"), "id", "text", n = 3)
+        .select("id", "n_pos", "dup_pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val grams = rows.flatMap { case (id, t) =>
+        t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.size == 3)
+          .map(g => (id, g.mkString(" "))).toList
+      }
+      val freq = grams.groupBy(_._2).view.mapValues(_.size).toMap
+      val want = grams.groupBy(_._1).map { case (id, gs) =>
+        (id, gs.size.toLong, gs.count(g => freq(g._2) >= 2).toLong)
+      }.toSet
+      got == want
+    }
+
   property("BloomPrune.prunedJoin equals the plain inner join for any fpp") =
     forAll(
       Gen.listOfN(40, Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 9L))),
