@@ -46,27 +46,27 @@ object PageRank {
     * Returns (node, rank). Every node must appear as a src (pass an
     * undirected edge set — see `undirected`).
     *
-    * The edge set is persisted MEMORY_AND_DISK for the iteration
-    * (GraphX does the same): the plan references it from the degree
-    * aggregate, the node/N derivation, and every iteration's
-    * contribution join, and without pinning it each reference
-    * recomputes whatever join/distinct produced it. Spark evicts LRU
-    * under pressure, and disk spill keeps it safe at edge sets larger
-    * than memory; pass `persistEdges = false` when the input is
-    * already a cheap scan. */
+    * What persists is the degree-ANNOTATED edge table (src, dst, deg)
+    * — the exact relation every iteration's contribution join consumes
+    * (GraphX pins the same thing as its edge RDD): pinning the raw
+    * edges instead would re-run the degree aggregate AND its join
+    * inside every iteration. The node table and N derive from the same
+    * pinned frame. Spark evicts LRU under pressure, and disk spill
+    * keeps it safe at edge sets larger than memory; pass
+    * `persistEdges = false` when recomputation is genuinely cheap. */
   def run(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
       persistEdges: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    if (persistEdges)
-      edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = deg.select(col("src").as("node"))
+    val edgesD = edges.join(deg, "src") // (src, dst, deg)
+    if (persistEdges)
+      edgesD.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edgesD.select(col("src").as("node")).distinct()
     val n1 = nodes.agg(count(lit(1)).cast("double").as("n"))
     // ranks carries the broadcast n along so each iteration reuses it
     // without a fresh cross join
     var ranks = nodes.crossJoin(broadcast(n1))
       .select(col("node"), (lit(1.0) / col("n")).as("r"), col("n"))
-    val edgesD = edges.join(deg, "src") // (src, dst, deg)
     for (i <- 1 to iters) {
       val contrib = edgesD
         .join(ranks.select(col("node").as("src"), col("r")), "src")
