@@ -63,23 +63,12 @@ object EventTimeQueries {
     * the running count of breaks. Scale: both windows partition on
     * user_id (high-cardinality) with identical ordering — one shuffle,
     * one sort, both window functions reuse it. */
-  private def q105(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("tsec"), col("event_id"))
-    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
-      .withColumn("tsec", date_trunc("second", col("ts")))
-      // first event of a user: lag is NULL -> condition NULL -> 0 (no
-      // break), matching the oracle's CASE
-      .withColumn("brk",
-        when(col("tsec").cast("long")
-          - lag(col("tsec").cast("long"), 1).over(w) > 1800L, 1)
-          .otherwise(0))
-      .withColumn("sess", (sum("brk").over(wCum) + 1).cast("int"))
+  private def q105(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.assign(
+        events(s, d).withColumn("tsec", date_trunc("second", col("ts"))),
+        "user_id", "tsec", gapSec = 1800L, orderCols = Seq("event_id"))
       .select(col("event_id"), col("user_id"), col("tsec"), col("sess"))
       .transform(Det.emitWide(_, "event_id"))
-  }
 
   /** q116: strict-order funnel (view → click → purchase) per user:
     * first view, first click strictly AFTER that view, first purchase
@@ -89,26 +78,18 @@ object EventTimeQueries {
     * anchor; all three shuffles key on user_id, so the exchanges
     * co-locate and the joins never reshuffle. Emits epoch seconds
     * (never raw ns timestamps — SURVEY §2.0-③). */
-  private def q116(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-      .select(col("user_id"), col("event_type"),
-        date_trunc("second", col("ts")).as("t"))
-    val tv = ev.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min("t").as("tv"))
-    val tc = ev.where(col("event_type") === "click")
-      .join(tv, "user_id").where(col("t") > col("tv"))
-      .groupBy("user_id").agg(min("t").as("tc"))
-    val tp = ev.where(col("event_type") === "purchase")
-      .join(tc, "user_id").where(col("t") > col("tc"))
-      .groupBy("user_id").agg(min("t").as("tp"))
-    tv.join(tc, Seq("user_id"), "left").join(tp, Seq("user_id"), "left")
+  private def q116(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.strictOrder(
+        events(s, d).select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("t")),
+        "user_id", "event_type", "t",
+        stages = Seq("view", "click", "purchase"))
       .select(col("user_id"),
-        unix_timestamp(col("tv")).as("view_s"),
-        unix_timestamp(col("tc")).as("click_s"),
-        unix_timestamp(col("tp")).as("purchase_s"),
-        col("tp").isNotNull.cast("int").as("converted"))
+        unix_timestamp(col("t_view")).as("view_s"),
+        unix_timestamp(col("t_click")).as("click_s"),
+        unix_timestamp(col("t_purchase")).as("purchase_s"),
+        col("converted"))
       .transform(Det.emitWide(_, "user_id"))
-  }
 
   /** q125: daily cohort retention — users grouped by first-seen day,
     * counted per day-offset of later activity (the classic retention
