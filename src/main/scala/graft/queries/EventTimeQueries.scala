@@ -210,7 +210,34 @@ object EventTimeQueries {
     "q132_markov_transitions" -> q132,
     "q137_cumulative_users" -> q137,
     "q139_week_retention" -> q139,
-    "q140_user_features" -> q140)
+    "q140_user_features" -> q140,
+    "q141_rolling_wau" -> q141)
+
+  /** q141: rolling 7-day active users — for every day with activity,
+    * distinct users over [d−6, d] (the WAU-per-day engagement curve).
+    * A `count(distinct) over (range 7 days)` window re-deduplicates
+    * every frame and pins each frame's multiset on one task; the
+    * scale-honest shape: dedup (user, day) once [user-keyed shuffle],
+    * fan each pair out to the ≤ 7 window-end days it contributes to
+    * (map-side explode — bounded ×7, no join), dedup (user, window)
+    * [second bounded shuffle], count on the bounded day key. Window
+    * ends are clipped to observed activity days so the curve has no
+    * trailing phantom days. */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val maxDay = ud.agg(max("day").as("max_day"))
+    val perWindow = ud.crossJoin(broadcast(maxDay))
+      .select(col("user_id"), explode(expr(
+        "sequence(day, least(date_add(day, 6), max_day))")).as("wday"))
+      .distinct()
+    val activeDays = ud.select(col("day").as("wday")).distinct()
+    perWindow.join(activeDays, "wday")
+      .groupBy("wday").agg(count(lit(1)).as("wau"))
+      .select(date_format(col("wday"), "yyyy-MM-dd").as("day"), col("wau"))
+      .transform(Det.emit(_, "day"))
+  }
 
   /** q139: week-over-week retention — per ISO week, how many of the
     * previous week's active users returned (count + rate): the
@@ -349,6 +376,14 @@ object EventTimeQueries {
                   ORDER BY tsec, event_id
                   ROWS UNBOUNDED PRECEDING) AS INT) AS sess
          FROM g ORDER BY event_id""",
+    "q141_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+         days AS (SELECT DISTINCT day FROM ud)
+         SELECT strftime(d.day, '%Y-%m-%d') AS day,
+                CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+         FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+         GROUP BY d.day ORDER BY day""",
     "q139_week_retention" ->
       s"""WITH uw AS (SELECT DISTINCT date_trunc('week', ts) AS wk, user_id
                       FROM events),
