@@ -279,6 +279,63 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("Sessionize.assign equals a per-key linear walk") =
+    forAll(genEvents) { rows =>
+      val got = graft.operators.Sessionize
+        .assign(eventsDf(rows), "user_id", "ts", gapSec = 1800L,
+          orderCols = Seq("v"))
+        .select(col("user_id"), col("ts").cast("long"), col("v"), col("sess"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .sorted.toSeq
+      val want = rows.map { case (u, t, v) => (u, base / 1000 + t, v) }
+        .groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+          var last = Long.MinValue
+          var sess = 0
+          evs.sortBy(e => (e._2, e._3)).map { case (u, t, v) =>
+            if (last == Long.MinValue || t - last > 1800L) sess += 1
+            last = t
+            (u, t, v, sess)
+          }
+        }.sorted
+      got == want
+    }
+
+  property("Funnel.strictOrder equals per-key brute force for any stage list") =
+    forAll(
+      Gen.listOfN(30, for {
+        u <- Gen.choose(0L, 3L)
+        t <- Gen.choose(0L, 50L)
+        e <- Gen.oneOf("a", "b", "c", "d")
+      } yield (u, t, e)),
+      Gen.oneOf(Seq("a", "b"), Seq("b", "a"), Seq("a", "b", "c"),
+        Seq("d", "c", "b", "a"))) { (rows, stages) =>
+        val df = rows.toDF("k", "t", "et")
+        val got = graft.operators.Funnel
+          .strictOrder(df, "k", "et", "t", stages)
+          .collect().map { r =>
+            (r.getLong(0),
+              stages.indices.map(i =>
+                if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1))),
+              r.getInt(stages.size + 1))
+          }.toSet
+        // brute force: stage k's time is the key's min stage-k event
+        // strictly after the stage-(k-1) anchor; keys without stage 1
+        // are absent
+        val want = rows.groupBy(_._1).flatMap { case (k, evs) =>
+          val times = stages.scanLeft(Option(Long.MinValue)) {
+            case (Some(prev), st) =>
+              evs.filter(e => e._3 == st && e._2 > prev).map(_._2)
+                .minOption
+            case (None, _) => None
+          }.tail
+          if (times.head.isEmpty) None
+          else Some((k, times.toIndexedSeq,
+            if (times.last.isDefined) 1 else 0))
+        }.toSet
+        got == want
+    }
+
   property("BloomPrune.prunedJoin equals the plain inner join for any fpp") =
     forAll(
       Gen.listOfN(40, Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 9L))),
