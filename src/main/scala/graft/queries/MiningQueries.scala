@@ -343,6 +343,81 @@ object MiningQueries {
       .transform(Det.emit(_, "col_name"))
   }
 
+  /** q142: source-reputation table — per `documents.source`: volume,
+    * language breadth, mean size, and the DUPLICATED-SPAN doc share
+    * (docs whose repeated-8-gram fraction exceeds 0.2 — spans counted
+    * corpus-WIDE, so a source pumping copies of other sources' content
+    * scores high even if it never repeats itself). The per-source
+    * rollup a curation pipeline keeps to weight or ban ingestion
+    * feeds. The criterion is span-level (q127's operator), NOT
+    * whole-content hashing: this fixture — like a real crawl — has
+    * zero byte-identical documents, so an exact-dup share would be a
+    * vacuous column (the q130 lesson); partially-copied text is what
+    * reputations are made of. Scale shape: repeatedNgramStats' gram
+    * shuffles + one doc-keyed join + the bounded source-key rollup.
+    * The 0.2 compare runs on the UNROUNDED ratio of exact ints —
+    * IEEE division is engine-identical, no boundary drift. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars"))
+    val spans = TextDedup.repeatedNgramStats(docs(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("dup_frac"))
+    base.join(spans, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        Det.r4e(avg("n_chars")).as("avg_chars"),
+        sum(when(col("dup_frac") > 0.2, 1L).otherwise(0L)).as("dup_docs"))
+      .withColumn("dup_share", Det.r4e(col("dup_docs") / col("n_docs")))
+      .transform(Det.emit(_, "source"))
+  }
+
+  /** q143: dedup-threshold calibration — for every LSH candidate pair,
+    * the MinHash ESTIMATE (q122's agreeing-slot fraction) next to the
+    * EXACT shingle Jaccard computed over the SAME 3-word-shingle hash
+    * space, plus the absolute error. This is the table that decides
+    * the near-dup cut-off before a full-scale run: the estimate is the
+    * only affordable corpus-wide similarity, and this key measures
+    * what that affordability costs. Scale shape: one persisted
+    * signature pass feeds bucketing and both estimate sides (q122's
+    * contract); the exact half joins the candidates to distinct
+    * (doc, shingle-hash) pairs on the doc key, intersects on the
+    * shingle hash, and derives union = |A| + |B| − |A∩B| — pair count
+    * is LSH-bounded, never corpus². */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val sigs = TextDedup.minhashSignatures(docs(s, d), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id")
+    val sa = sigs.select(col("doc_id").as("a_id"), col("seed"), col("sig").as("siga"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("seed"), col("sig").as("sigb"))
+    val est = pairs.join(sa, "a_id").join(sb, Seq("b_id", "seed"))
+      .groupBy("a_id", "b_id")
+      .agg((sum(when(col("siga") === col("sigb"), 1.0).otherwise(0.0)) / 8.0)
+        .as("est"))
+    // exact Jaccard over the same shingle-hash space as the signatures
+    val sh = TextDedup.withShingles(docs(s, d), "text")
+      .select(col("doc_id"), explode(expr(
+        "transform(shs, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) AS bigint) % 1000000007)"))
+        .as("h"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
+      .withColumn("exact",
+        col("inter") / (col("sza") + col("szb") - col("inter")))
+      .select(col("a_id"), col("b_id"),
+        Det.r4e(col("est")).as("est_j"),
+        Det.r4e(col("exact")).as("exact_j"),
+        Det.r4e(abs(col("est") - col("exact"))).as("abs_err"))
+      .transform(Det.emitWide(_, "a_id", "b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
@@ -357,7 +432,9 @@ object MiningQueries {
     "q133_decile_stats" -> q133,
     "q134_weighted_sample" -> q134,
     "q135_token_entropy" -> q135,
-    "q138_column_profile" -> q138)
+    "q138_column_profile" -> q138,
+    "q142_source_reputation" -> q142,
+    "q143_minhash_calibration" -> q143)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -488,6 +565,55 @@ object MiningQueries {
           ORDER BY abs(round((o.o_totalprice - st.mu) / st.sd + ${Det.E4}, 4)) DESC,
                    o.o_orderkey ASC
           LIMIT 20""",
+    "q143_minhash_calibration" ->
+      s"""WITH $SIG_CTES,
+          est AS (SELECT p.a_id, p.b_id,
+                         sum(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END)
+                           / 8.0 AS est
+                  FROM pr p JOIN sig sa ON sa.doc_id = p.a_id
+                            JOIN sig sb ON sb.doc_id = p.b_id AND sb.k = sa.k
+                  GROUP BY p.a_id, p.b_id),
+          da AS (SELECT DISTINCT doc_id, h FROM hs),
+          sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS sz
+                 FROM da GROUP BY doc_id),
+          itr AS (SELECT p.a_id, p.b_id, CAST(count(1) AS BIGINT) AS inter
+                  FROM pr p JOIN da x ON x.doc_id = p.a_id
+                            JOIN da y ON y.doc_id = p.b_id AND y.h = x.h
+                  GROUP BY p.a_id, p.b_id),
+          ex AS (SELECT e.a_id, e.b_id, e.est,
+                        COALESCE(i.inter, 0)
+                          / CAST(za.sz + zb.sz - COALESCE(i.inter, 0) AS DOUBLE)
+                          AS exact
+                 FROM est e
+                 LEFT JOIN itr i ON i.a_id = e.a_id AND i.b_id = e.b_id
+                 JOIN sz za ON za.doc_id = e.a_id
+                 JOIN sz zb ON zb.doc_id = e.b_id)
+          SELECT a_id, b_id,
+                 round(est + ${Det.E4}, 4) AS est_j,
+                 round(exact + ${Det.E4}, 4) AS exact_j,
+                 round(abs(est - exact) + ${Det.E4}, 4) AS abs_err
+          FROM ex ORDER BY a_id, b_id""",
+    "q142_source_reputation" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+          d AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 8),
+          g AS (SELECT doc_id,
+                       unnest(list_transform(range(len(ts) - 7),
+                         i -> md5(array_to_string(list_slice(ts, i + 1, i + 8), ' ')))) AS gh
+                FROM d),
+          c AS (SELECT gh, count(1) AS n FROM g GROUP BY gh),
+          fr AS (SELECT g.doc_id,
+                        sum(CASE WHEN c.n >= 2 THEN 1.0 ELSE 0.0 END)
+                          / count(1) AS dup_frac
+                 FROM g JOIN c USING (gh) GROUP BY g.doc_id)
+          SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 round(avg(n_chars) + ${Det.E4}, 4) AS avg_chars,
+                 CAST(sum(CASE WHEN fr.dup_frac > 0.2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS dup_docs,
+                 round(sum(CASE WHEN fr.dup_frac > 0.2 THEN 1 ELSE 0 END)
+                       / CAST(count(1) AS DOUBLE) + ${Det.E4}, 4) AS dup_share
+          FROM documents LEFT JOIN fr USING (doc_id)
+          GROUP BY source ORDER BY source""",
     "q138_column_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount")
       .map(c =>
         s"""SELECT '$c' AS col_name, CAST(count(1) AS BIGINT) AS n_rows,
