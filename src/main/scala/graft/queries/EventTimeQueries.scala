@@ -211,7 +211,45 @@ object EventTimeQueries {
     "q137_cumulative_users" -> q137,
     "q139_week_retention" -> q139,
     "q140_user_features" -> q140,
-    "q141_rolling_wau" -> q141)
+    "q141_rolling_wau" -> q141,
+    "q144_session_cooccurrence" -> q144)
+
+  /** q144: session co-occurrence lift — for every unordered pair of
+    * event types, the number of sessions containing BOTH and the lift
+    * P(a,b) / (P(a)·P(b)) over sessions (market-basket association,
+    * sessionized: lift > 1 = the pair travels together). Composes
+    * `Sessionize.assign` with the mining rollup. Scale shape: the
+    * session window's user-keyed shuffle is the only data-sized
+    * exchange; the per-session type set is bounded by |types| (≤ 5
+    * here), so the within-session pair fan-out is a bounded map-side
+    * self-join on the (user, sess) key; counts land on the bounded
+    * (type, type) key and the session total is a 1-row broadcast. */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.operators.Sessionize.assign(
+        events(s, d).withColumn("tsec", date_trunc("second", col("ts"))),
+        "user_id", "tsec", gapSec = 1800L, orderCols = Seq("event_id"))
+      .select(col("user_id"), col("sess"), col("event_type"))
+      .distinct()
+    val ns = sess.select("user_id", "sess").distinct()
+      .agg(count(lit(1)).cast("double").as("ns"))
+    val tc = sess.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("ct"))
+    val pairs = sess.as("a")
+      .join(sess.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.sess") === col("b.sess") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(tc.select(col("t").as("ta"), col("ct").as("ca"))), "ta")
+      .join(broadcast(tc.select(col("t").as("tb"), col("ct").as("cb"))), "tb")
+      .crossJoin(broadcast(ns))
+      .select(col("ta"), col("tb"), col("n_both"),
+        Det.r4e((col("n_both") / col("ns")) /
+          ((col("ca") / col("ns")) * (col("cb") / col("ns")))).as("lift"))
+      .transform(Det.emit(_, "ta", "tb"))
+  }
 
   /** q141: rolling 7-day active users — for every day with activity,
     * distinct users over [d−6, d] (the WAU-per-day engagement curve).
@@ -376,6 +414,38 @@ object EventTimeQueries {
                   ORDER BY tsec, event_id
                   ROWS UNBOUNDED PRECEDING) AS INT) AS sess
          FROM g ORDER BY event_id""",
+    "q144_session_cooccurrence" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+                            date_trunc('second', ts) AS tsec FROM events),
+          g AS (SELECT *,
+                       CASE WHEN date_diff('second',
+                              lag(tsec) OVER (PARTITION BY user_id
+                                ORDER BY tsec, event_id), tsec) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM e),
+          l AS (SELECT user_id, event_type,
+                       1 + sum(brk) OVER (PARTITION BY user_id
+                         ORDER BY tsec, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g),
+          dt AS (SELECT DISTINCT user_id, sess, event_type FROM l),
+          n AS (SELECT CAST(count(1) AS DOUBLE) AS ns
+                FROM (SELECT DISTINCT user_id, sess FROM dt)),
+          tc AS (SELECT event_type AS t, CAST(count(1) AS BIGINT) AS ct
+                 FROM dt GROUP BY event_type),
+          pc AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                        CAST(count(1) AS BIGINT) AS n_both
+                 FROM dt a JOIN dt b
+                   ON a.user_id = b.user_id AND a.sess = b.sess
+                  AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+          SELECT pc.ta, pc.tb, pc.n_both,
+                 round((pc.n_both / n.ns) /
+                       ((ca.ct / n.ns) * (cb.ct / n.ns)) + ${Det.E4}, 4)
+                   AS lift
+          FROM pc JOIN tc ca ON ca.t = pc.ta
+                  JOIN tc cb ON cb.t = pc.tb, n
+          ORDER BY ta, tb""",
     "q141_rolling_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
                      FROM events),
