@@ -394,12 +394,16 @@ object MiningQueries {
       .groupBy("a_id", "b_id")
       .agg((sum(when(col("siga") === col("sigb"), 1.0).otherwise(0.0)) / 8.0)
         .as("est"))
-    // exact Jaccard over the same shingle-hash space as the signatures
+    // exact Jaccard over the same shingle-hash space as the signatures;
+    // pinned: it feeds the sizes aggregate and BOTH intersect sides —
+    // three differently-keyed consumers (the q122 lesson), so without
+    // the persist the md5 shingle cascade runs three times
     val sh = TextDedup.withShingles(docs(s, d), "text")
       .select(col("doc_id"), explode(expr(
         "transform(shs, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) AS bigint) % 1000000007)"))
         .as("h"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("a_id"), col("h")), "a_id")
