@@ -251,6 +251,31 @@ class PlanSpec extends AnyFunSuite {
       "q129 spine must explode from the min/max aggregate")
   }
 
+  test("q133/q142-q144: round-5c pins and broadcasts") {
+    // q133: the global row number goes through prefixSum's bucket
+    // machinery — the table-sized window must be PARTITIONED by the
+    // quantile bucket (an unpartitioned spec ordering the raw key
+    // would pin the whole sort on one task; the only unpartitioned
+    // window allowed is the one over the numRanges-row offsets frame)
+    val p133 = plan("q133_decile_stats")
+    assert(p133.contains("windowspecdefinition(__b#"),
+      s"q133 lost the bucket-partitioned prefix window:\n$p133")
+    assert(!p133.contains("windowspecdefinition(__ord#"),
+      s"q133 runs an unpartitioned window over the table:\n$p133")
+    // q142/q143: the multiply-consumed intermediate tables are pinned
+    assert(plan("q142_source_reputation").contains("Scan parquet")
+      && plan("q143_minhash_calibration").contains("InMemoryTableScan"),
+      "q143 lost its signature/shingle-table persists")
+    // q144: per-type totals and the 1-row session count broadcast;
+    // the only data-sized exchange is the session window's user shuffle
+    val hints144 = SparkEntry.queries("q144_session_cooccurrence")(spark, sf)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(hints144.size == 3,
+      s"q144 must broadcast exactly tc x2 + ns, found ${hints144.size}")
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —
