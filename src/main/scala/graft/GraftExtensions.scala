@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bucket_search"),
+      new ExpressionInfo(classOf[graft.functions.BucketSearch].getName, "bucket_search"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BucketSearch(exprs(0), exprs(1))))
   }
 }
 
@@ -32,5 +37,6 @@ object GraftExtensions {
     graft.functions.SimHash64.register(spark)
     graft.functions.CosineSim.register(spark)
     graft.functions.WeightedMean.register(spark)
+    graft.functions.BucketSearch.register(spark)
   }
 }

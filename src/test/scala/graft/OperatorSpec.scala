@@ -257,6 +257,10 @@ class OperatorSpec extends AnyFunSuite {
       "FROM VALUES (1.0D, 1.0D), (3.0D, 3.0D) t(x, w)").head()
     assert(r.getLong(0) == graft.functions.SimHash64.simhash("hello world"))
     assert(math.abs(r.getDouble(1) - 2.5) < 1e-12) // (1*1+3*3)/(1+3)
+    val b = spark.sql(
+      "SELECT bucket_search(CAST(5 AS DOUBLE), array(1.0D, 4.0D, 9.0D)) AS b")
+      .head().getInt(0)
+    assert(b == 2, s"bucket_search(5, [1,4,9]) = $b, want 2")
   }
 
   test("q72 session windows equal gaps-and-islands on real data") {
