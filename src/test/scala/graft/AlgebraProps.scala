@@ -279,6 +279,30 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("rolling-distinct fan-out equals the brute-force window count") =
+    // q141's shape: dedup (key, day) -> explode to <=W contributing
+    // window ends -> dedup -> count, vs directly counting distinct
+    // keys in [d-W+1, d] for every active day
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 20L)))) {
+      rows =>
+        val w = 7
+        val df = rows.toDF("k", "day").distinct()
+        val maxDay = rows.map(_._2).maxOption.getOrElse(0L)
+        val got = df
+          .select(col("k"), explode(expr(
+            s"sequence(day, least(day + ${w - 1}, ${maxDay}L))")).as("wd"))
+          .distinct()
+          .join(df.select(col("day").as("wd")).distinct(), "wd")
+          .groupBy("wd").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val pairs = rows.distinct
+        val want = pairs.map(_._2).distinct.map { d =>
+          d -> pairs.filter(p => p._2 >= d - (w - 1) && p._2 <= d)
+            .map(_._1).distinct.size.toLong
+        }.toMap
+        got == want
+    }
+
   property("Sessionize.assign equals a per-key linear walk") =
     forAll(genEvents) { rows =>
       val got = graft.operators.Sessionize
