@@ -412,6 +412,47 @@ class StreamingSpec extends AnyFunSuite {
       s"got: ${rows.mkString(",")}")
   }
 
+  test("s21: LEFT OUTER stream-stream join emits the unmatched side after watermark closure") {
+    // The outer form of s11: an impression with NO in-window click must
+    // still come out — but only once the watermark proves no match can
+    // arrive (outer results are withheld until state for the row can be
+    // evicted; the join condition must bound BOTH the band and the
+    // state, hence the watermark columns inside the condition).
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val i = imps.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "5 minutes")
+    val c = clicks.toDF().toDF("c_ad_id", "click_ts").withWatermark("click_ts", "5 minutes")
+    val joined = i.join(c, expr(
+      """ad_id = c_ad_id AND
+         click_ts >= imp_ts AND click_ts <= imp_ts + interval 10 minutes"""),
+      "leftOuter")
+    val q = joined.selectExpr("ad_id", "imp_ts", "click_ts")
+      .writeStream.format("memory").queryName("s21").start()
+    def t(m: String) = Timestamp.valueOf(s"2024-01-01 $m:00")
+    // batch 1: ad 1 clicks in-window; ad 2 never clicks
+    imps.addData((1L, t("10:00")), (2L, t("10:00")))
+    clicks.addData((1L, t("10:05")))
+    q.processAllAvailable()
+    val matched = spark.table("s21").collect()
+    assert(matched.length == 1 && matched.head.getLong(0) == 1L,
+      s"inner match should emit immediately: ${matched.mkString(",")}")
+    // batch 2: advance both watermarks far past ad 2's band end
+    // (10:10 + 5 min delay) -> the unmatched row flushes with a null
+    imps.addData((9L, t("11:00")))
+    clicks.addData((9L, t("11:00")))
+    q.processAllAvailable()
+    // one more batch so the state-eviction results land in the sink
+    imps.addData((10L, t("11:30")))
+    clicks.addData((10L, t("11:30")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("s21").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).isDefined)).toSet
+    assert(rows.contains((2L, false)),
+      s"unmatched impression never flushed with null click: got $rows")
+    assert(rows.contains((1L, true)))
+  }
+
   test("s10: flatMapGroupsWithState keeps running per-key state across batches") {
     val ms = MemoryStream[(Long, Double)]
     val q = graft.streaming.StatefulOps.runningUserAggs(ms.toDS())
