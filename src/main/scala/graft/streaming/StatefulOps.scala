@@ -39,6 +39,49 @@ object StatefulOps extends Serializable {
       }
   }
 
+  /** `transformWithState` twin of `runningUserAggs` — the Spark-4.x
+    * arbitrary-state API (typed named state slots in the state store,
+    * per-slot TTLConfig, timer callbacks) that supersedes
+    * `flatMapGroupsWithState` for new work. Requires the RocksDB
+    * state-store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). Kept
+    * semantically identical to the fMGWS form so the s22 test pins the
+    * two APIs against each other; new stateful operators should start
+    * from this shape. */
+  class RunningAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), UserAgg] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserAgg] = {
+      var (n, m) =
+        if (st.exists()) st.get() else (0L, Double.NegativeInfinity)
+      rows.foreach { case (_, v) => n += 1; m = math.max(m, v) }
+      st.update((n, m))
+      Iterator(UserAgg(key, n, m))
+    }
+  }
+
+  /** `runningUserAggs` through `transformWithState` (see
+    * RunningAggProcessor). */
+  def runningUserAggsTws(
+      events: Dataset[(Long, Double)]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new RunningAggProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming near-dup gate — the continuous form of the batch
     * MinHash/LSH dedup (operators.TextDedup): each arriving document
     * is minhashed entirely map-side, its (seed, sig) bucket keys join

@@ -453,6 +453,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, true)))
   }
 
+  test("s22: transformWithState running aggregate equals the fMGWS form") {
+    // the Spark-4.x arbitrary-state API (typed state slots, RocksDB
+    // provider) against s10's flatMapGroupsWithState on the same input
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Double)]
+      val q = graft.streaming.StatefulOps.runningUserAggsTws(ms.toDS())
+        .toDF("user_id", "n", "max_val")
+        .writeStream.outputMode("update").format("memory").queryName("s22").start()
+      ms.addData((1L, 2.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      ms.addData((1L, 3.0), (2L, 9.0))
+      q.processAllAvailable()
+      q.stop()
+      // latest row per key reflects the full history across batches
+      val last = spark.table("s22")
+        .groupBy("user_id").agg(max(struct(col("n"), col("max_val"))).as("m"))
+        .select(col("user_id"), col("m.n"), col("m.max_val"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(last == Set((1L, 3L, 5.0), (2L, 2L, 9.0)), s"got $last")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("s10: flatMapGroupsWithState keeps running per-key state across batches") {
     val ms = MemoryStream[(Long, Double)]
     val q = graft.streaming.StatefulOps.runningUserAggs(ms.toDS())
