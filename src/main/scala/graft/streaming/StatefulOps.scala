@@ -221,6 +221,52 @@ object StatefulOps extends Serializable {
       }
   }
 
+  /** `transformWithState` twin of `sessionizeStream` — same O(1)
+    * per-user state (second of last event, session index) in a typed
+    * value-state slot. Parity-pinned by s23; the migration template
+    * for the remaining fMGWS operators (NOTES round-5 next steps). */
+  class SessionizeProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp), (Long, Long, Int)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Int)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Int)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Int)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Int)] = {
+      var (lastSec, sess) =
+        if (st.exists()) st.get() else (Long.MinValue, 0)
+      val out = rows.toSeq
+        .sortBy(r => (r._3.getTime, r._1))
+        .map { case (eid, _, ts) =>
+          val sec = ts.getTime / 1000L
+          if (lastSec == Long.MinValue || sec - lastSec > gapSec) sess += 1
+          lastSec = sec
+          (eid, user, sess)
+        }
+      st.update((lastSec, sess))
+      out.iterator
+    }
+  }
+
+  /** `sessionizeStream` through `transformWithState` (see
+    * SessionizeProcessor). */
+  def sessionizeStreamTws(
+      events: Dataset[(Long, Long, java.sql.Timestamp)],
+      gapSec: Long = 1800L): Dataset[(Long, Long, Int)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new SessionizeProcessor(gapSec),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One hot-key alert: the key and its running count at the moment
     * it crossed the threshold. */
   case class HotKey(key: Long, n: Long)

@@ -706,6 +706,39 @@ class StreamingSpec extends AnyFunSuite {
       ("view", "error", 1L)))
   }
 
+  test("s23: transformWithState sessionization equals the fMGWS form") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Long, Timestamp)]
+      val q = graft.streaming.StatefulOps
+        .sessionizeStreamTws(ms.toDS(), gapSec = 1800L)
+        .toDF("event_id", "user_id", "sess")
+        .writeStream.outputMode("update").format("memory").queryName("s23").start()
+      def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+      // same fixture as s18, scrambled batch 1 + cross-batch state
+      ms.addData((11L, 1L, t(5)), (10L, 1L, t(0)), (20L, 2L, t(0)))
+      q.processAllAvailable()
+      ms.addData((12L, 1L, t(45)), (13L, 1L, t(50)), (21L, 2L, t(29)))
+      q.processAllAvailable()
+      ms.addData((14L, 1L, t(95)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("s23")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = Set(
+        (10L, 1L, 1), (11L, 1L, 1), (12L, 1L, 2), (13L, 1L, 2), (14L, 1L, 3),
+        (20L, 2L, 1), (21L, 2L, 1))
+      assert(got == want, s"transformWithState sessionization drifted: $got")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
