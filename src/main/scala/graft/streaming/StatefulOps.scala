@@ -378,6 +378,66 @@ object StatefulOps extends Serializable {
       }
   }
 
+  /** `transformWithState` twin of `hotKeyStream` WITH event-time TTL
+    * via timers — the API surface the round-5 anchor bug lived in,
+    * now structural: each batch re-registers ONE timer at
+    * max(batch max event time, watermark) + ttl (deleting the prior
+    * one), and `handleExpiredTimer` clears the key's state when the
+    * watermark crosses it. The anchor discipline is the same as the
+    * fMGWS fix (never the lagging watermark alone); the timer API
+    * just makes eviction a callback instead of a hasTimedOut branch.
+    * Parity + TTL semantics pinned by s24. */
+  class HotKeyProcessor(threshold: Long, ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), HotKey] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Boolean, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Boolean, Long)]("heat",
+        org.apache.spark.sql.Encoders.product[(Long, Boolean, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[HotKey] = {
+      var n = 0
+      var maxMs = Long.MinValue
+      rows.foreach { r => n += 1; maxMs = math.max(maxMs, r._2.getTime) }
+      val (count, flagged, oldTimer) =
+        if (st.exists()) st.get() else (0L, false, Long.MinValue)
+      val ((next, nowFlagged), alert) =
+        hotKeyTransition((count, flagged), n, threshold)
+      val expiry =
+        math.max(maxMs, timers.getCurrentWatermarkInMs()) + ttlMs
+      if (oldTimer != Long.MinValue) getHandle.deleteTimer(oldTimer)
+      getHandle.registerTimer(expiry)
+      st.update((next, nowFlagged, expiry))
+      alert.map(c => HotKey(key, c)).iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[HotKey] = {
+      st.clear()
+      Iterator.empty
+    }
+  }
+
+  /** `hotKeyStream` through `transformWithState` + event-time timers
+    * (see HotKeyProcessor). Input (key, event_ts) must be watermarked
+    * upstream. */
+  def hotKeyStreamTws(events: Dataset[(Long, java.sql.Timestamp)],
+      threshold: Long, ttlMs: Long): Dataset[HotKey] = {
+    import events.sparkSession.implicits._
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    events
+      .groupByKey(_._1)
+      .transformWithState(new HotKeyProcessor(threshold, ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
+  }
+
   /** One emitted state row: the key's current value, or a final
     * `deleted = true` marker when a tombstone removed it. */
   case class KeyState(key: Long, value: String, deleted: Boolean)

@@ -616,6 +616,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((7L, 3L), (7L, 3L)), s"got ${got.toSeq}")
   }
 
+  test("s24: transformWithState hot-key monitor with event-time timer TTL matches s19") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Timestamp)]
+      val ev = ms.toDS().toDF("key", "ts")
+        .withWatermark("ts", "0 milliseconds")
+        .as[(Long, Timestamp)]
+      val q = graft.streaming.StatefulOps
+        .hotKeyStreamTws(ev, threshold = 3, ttlMs = 60000L)
+        .toDF("key", "n")
+        .writeStream.outputMode("update").format("memory").queryName("s24").start()
+      def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+      ms.addData((7L, t(0)), (7L, t(0)), (8L, t(0)))
+      q.processAllAvailable()
+      assert(spark.table("s24").isEmpty, "no key reached the threshold yet")
+      ms.addData((7L, t(1)))
+      q.processAllAvailable()
+      var got = spark.table("s24").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((7L, 3L)), s"got ${got.toSeq}")
+      // flagged key stays quiet under more traffic
+      ms.addData((7L, t(2)), (7L, t(2)))
+      q.processAllAvailable()
+      assert(spark.table("s24").count() == 1, "hot key alerted more than once")
+      // watermark far past key 7's last arrival + TTL -> its timer
+      // fires, state clears, fresh heat re-alerts
+      ms.addData((9L, t(30)))
+      q.processAllAvailable()
+      ms.addData((7L, t(31)), (7L, t(31)), (7L, t(31)))
+      q.processAllAvailable()
+      q.stop()
+      got = spark.table("s24").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((7L, 3L), (7L, 3L)), s"got ${got.toSeq}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("hot-key transition: crossing emits once, below-threshold never") {
     import graft.streaming.StatefulOps.hotKeyTransition
     val (s1, a1) = hotKeyTransition((0L, false), 2, 3)
