@@ -71,9 +71,12 @@ object BucketSearch {
     if (idx >= 0) idx else -(idx + 1)
   }
 
+  /** Idempotent — see SimHash64.register. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bucket_search", exprs => BucketSearch(exprs(0), exprs(1)), "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bucket_search")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bucket_search", exprs => BucketSearch(exprs(0), exprs(1)), "built-in")
 
   /** Column form: bucket id of `c` against the driver-computed sorted
     * `bounds`. Registers on `spark` and routes through the registry so

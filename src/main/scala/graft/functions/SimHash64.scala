@@ -40,10 +40,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  /** Register as a SQL function: expr("simhash64(text)"). */
+  /** Register as a SQL function: expr("simhash64(text)"). Idempotent:
+    * operators register on every call path, so an unconditional
+    * create-or-replace would log a "function replaced" warning per
+    * query. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash64", exprs => SimHash64(exprs.head), "built-in")
 
   def simhash(text: String): Long = {
     val votes = new Array[Int](60)

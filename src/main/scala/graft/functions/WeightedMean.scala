@@ -29,7 +29,10 @@ object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Doubl
     Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 
-  /** Register for SQL/expr use: `wmean(x, w)`. */
+  /** Register for SQL/expr use: `wmean(x, w)`. Idempotent — see
+    * SimHash64.register. */
   def register(spark: SparkSession): Unit =
-    spark.udf.register("wmean", functions.udaf(WeightedMean))
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("wmean")))
+      spark.udf.register("wmean", functions.udaf(WeightedMean))
 }

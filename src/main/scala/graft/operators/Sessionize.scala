@@ -18,13 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Appends int `sess` to `df`. `orderCols` break ties inside one
-    * timestamp value (pass the event id for a total order — REQUIRED
-    * for deterministic ids when keys can emit several events per
-    * tick). */
+  /** Appends int `sessCol` (default `sess`) to `df`. `orderCols` break
+    * ties inside one timestamp value (pass the event id for a total
+    * order — REQUIRED for deterministic ids when keys can emit several
+    * events per tick). The output and scratch column names must be
+    * absent from the input — an existing `sess` would be silently
+    * overwritten and an existing `__brk` silently dropped otherwise. */
   def assign(df: DataFrame, keyCol: String, tsCol: String,
-      gapSec: Long, orderCols: Seq[String] = Seq.empty): DataFrame = {
+      gapSec: Long, orderCols: Seq[String] = Seq.empty,
+      sessCol: String = "sess"): DataFrame = {
     require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    require(!df.columns.contains(sessCol),
+      s"Sessionize.assign: input already has a '$sessCol' column — pass a different sessCol")
+    require(!df.columns.contains("__brk"),
+      "Sessionize.assign: input already has the scratch column '__brk'")
     val order: Seq[Column] = col(tsCol) +: orderCols.map(col)
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -33,7 +40,7 @@ object Sessionize {
         when(col(tsCol).cast("long")
           - lag(col(tsCol).cast("long"), 1).over(w) > gapSec, 1)
           .otherwise(0))
-      .withColumn("sess", (sum("__brk").over(wCum) + 1).cast("int"))
+      .withColumn(sessCol, (sum("__brk").over(wCum) + 1).cast("int"))
       .drop("__brk")
   }
 }

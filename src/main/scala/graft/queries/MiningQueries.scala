@@ -258,14 +258,20 @@ object MiningQueries {
     * quantile buckets, and the decile is integer arithmetic off
     * (rn, N) — the N and the final 10-row aggregate are the only
     * non-distributed pieces, both O(1). Bit budget: cents < 2^26
-    * shifted by 33 leaves room for order keys < 2^33; scale past that
-    * by widening to a (cents, key) struct order — documented, not
-    * needed on this schema. */
+    * shifted by 33 leaves room for order keys < 2^33 — valid only to
+    * roughly TPC-H SF~1400 (~1.4 TB; o_orderkey grows with SF and at
+    * SF100k reaches ~6e11 > 2^33, which would silently bleed into the
+    * cents bits). The map-side guard below fails loudly at that point;
+    * the fix is widening to a (cents, key) struct order. */
   private def q133(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
       .withColumn("__ord",
-        round(col("o_totalprice") * 100).cast("long") * lit(1L << 33)
-          + col("o_orderkey"))
+        when(col("o_orderkey") < lit(1L << 33),
+          round(col("o_totalprice") * 100).cast("long") * lit(1L << 33)
+            + col("o_orderkey"))
+          .otherwise(raise_error(concat(
+            lit("q133: o_orderkey "), col("o_orderkey").cast("string"),
+            lit(" >= 2^33 overflows the packed global order — widen to a (cents, key) struct order")))))
       .withColumn("__one", lit(1L))
     val rn = graft.operators.DistributedRank.prefixSum(o, "__ord", "__one")
     val n = rn.agg(count(lit(1)).as("__n"))

@@ -348,9 +348,13 @@ object StatefulOps extends Serializable {
   /** Streaming user-journey transitions — the incremental twin of the
     * batch Markov transition matrix (q132): state per user is ONE
     * value (the last event type seen — constant regardless of
-    * history), and each arrival emits its (src, dst) edge immediately;
-    * downstream an ordinary streaming aggregation counts edges into
-    * the transition matrix. Rows within a micro-batch apply in
+    * history), and each arrival emits its (src, dst) edge immediately.
+    * Counting edges into the transition matrix happens on the SINK
+    * side (foreachBatch / a batch query over the sink table, as s20
+    * does): Spark's UnsupportedOperationChecker rejects a streaming
+    * aggregation placed after flatMapGroupsWithState in Update mode,
+    * so the composition must not chain one in-stream. Rows within a
+    * micro-batch apply in
     * (ts, event_id) order inside the group (shuffles don't preserve
     * order); across batches the operator relies on the changefeed's
     * per-key delivery ordering — the same contract as

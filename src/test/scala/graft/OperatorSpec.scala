@@ -541,6 +541,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(ranks.forall(r => math.abs(r - 1.0 / 3) < 1e-9))
   }
 
+  test("PageRank.run: reliable checkpointing equals the localCheckpoint path") {
+    import graft.operators.PageRank
+    // asymmetric graph so ranks differ per node — a path-dependent bug
+    // in either checkpoint mode would show up
+    val edges = PageRank.undirected(
+      Seq((1L, 2L), (2L, 3L), (2L, 4L), (4L, 5L)).toDF("x", "y"), "x", "y", "n", "n")
+    val local = PageRank.run(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dir = TestSpark.tmpDir("pr-chk")
+    val reliable = PageRank.run(edges, iters = 3, checkpointDir = Some(dir))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(local.keySet == reliable.keySet)
+    local.foreach { case (k, v) => assert(math.abs(v - reliable(k)) < 1e-12) }
+    // the reliable path actually wrote checkpoint data
+    def anyFiles(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles()).exists(_.exists(anyFiles))
+    assert(anyFiles(new java.io.File(dir)), "no reliable checkpoint written")
+  }
+
   test("rpLshBuckets raises loudly on a dims mismatch") {
     import graft.operators.Similarity
     val vecs = Seq((1L, Seq(0.1f, 0.2f, 0.3f))).toDF("id", "emb")
