@@ -442,6 +442,94 @@ object StatefulOps extends Serializable {
         OutputMode.Update())
   }
 
+  /** `transformWithState` twin of `lshCandidateStream` — per-bucket
+    * prior ids in a MAP state slot, which is the structural win over
+    * the fMGWS form: a re-arrival (at-least-once redelivery) is ONE
+    * RocksDB point lookup instead of deserializing the bucket's whole
+    * prior set, and the full key iteration only runs for genuinely
+    * new ids — exactly when the pair emission needs it anyway. The
+    * optional event-time TTL uses the same timer discipline as
+    * HotKeyProcessor: one timer per bucket re-registered at
+    * max(batch max event time, watermark) + ttl (never the lagging
+    * watermark alone — the round-5 anchor bug class), and
+    * `handleExpiredTimer` clears the bucket. Parity with the fMGWS
+    * form + TTL eviction pinned by s25. */
+  class LshGateProcessor(ttlMs: Option[Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, java.sql.Timestamp), (Long, Long)] {
+    @transient private var seen:
+      org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
+    @transient private var timer:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(bucket: String,
+        rows: Iterator[(String, Long, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var maxMs = Long.MinValue
+      rows.foreach { case (_, id, ts) =>
+        if (ts != null) maxMs = math.max(maxMs, ts.getTime)
+        if (!seen.containsKey(id)) {
+          seen.keys().foreach(p =>
+            out += ((math.min(p, id), math.max(p, id))))
+          seen.updateValue(id, true)
+        }
+      }
+      ttlMs.foreach { ms =>
+        val expiry = math.max(maxMs, timers.getCurrentWatermarkInMs()) + ms
+        if (timer.exists()) getHandle.deleteTimer(timer.get())
+        getHandle.registerTimer(expiry)
+        timer.update(expiry)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(bucket: String,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long)] = {
+      seen.clear()
+      timer.clear()
+      Iterator.empty
+    }
+  }
+
+  /** `lshCandidateStream` through `transformWithState` (see
+    * LshGateProcessor). Same signature/contract as the fMGWS form. */
+  def lshCandidateStreamTws(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, eventTimeCol: Option[String] = None,
+      stateTtlMs: Option[Long] = None): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    require(eventTimeCol.isDefined == stateTtlMs.isDefined,
+      "stateTtlMs needs eventTimeCol (and vice versa): the TTL is measured against the watermark")
+    val src = eventTimeCol.fold(docs)(c =>
+      docs.withWatermark(c, "0 milliseconds"))
+    val sigs = graft.operators.TextDedup
+      .minhashSignatures(src, idCol, textCol, numHashes,
+        carry = eventTimeCol.toSeq)
+    val bucket = concat_ws(":", col("seed"), col("sig")).as("bucket")
+    val id = col(idCol).cast("long").as("id")
+    val ts = eventTimeCol.fold(lit(null).cast("timestamp"))(col)
+    val timeMode =
+      if (eventTimeCol.isDefined)
+        org.apache.spark.sql.streaming.TimeMode.EventTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    sigs.select(bucket, id, ts.as("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new LshGateProcessor(stateTtlMs),
+        timeMode, OutputMode.Update())
+  }
+
   /** One emitted state row: the key's current value, or a final
     * `deleted = true` marker when a tombstone removed it. */
   case class KeyState(key: Long, value: String, deleted: Boolean)
@@ -476,5 +564,92 @@ object StatefulOps extends Serializable {
             case None                 => Iterator.empty
           }
       }
+  }
+
+  /** `transformWithState` twin of `upsertWithTombstones` — the same
+    * per-key latest value in a typed value-state slot; a winning
+    * tombstone `clear()`s the slot so deleted keys cost zero state
+    * from that batch on. Parity-pinned by s26. */
+  class UpsertProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Option[String]), KeyState] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[KeyState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[KeyState]("cur",
+        org.apache.spark.sql.Encoders.product[KeyState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Option[String])],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[KeyState] = {
+      var cur: Option[KeyState] = None
+      rows.foreach {
+        case (_, Some(v)) => cur = Some(KeyState(key, v, deleted = false))
+        case (_, None)    => cur = Some(KeyState(key, "", deleted = true))
+      }
+      cur match {
+        case Some(s) if s.deleted => st.clear(); Iterator(s)
+        case Some(s)              => st.update(s); Iterator(s)
+        case None                 => Iterator.empty
+      }
+    }
+  }
+
+  /** `upsertWithTombstones` through `transformWithState` (see
+    * UpsertProcessor). */
+  def upsertWithTombstonesTws(
+      records: Dataset[(Long, Option[String])]): Dataset[KeyState] = {
+    import records.sparkSession.implicits._
+    records
+      .groupByKey(_._1)
+      .transformWithState(new UpsertProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** `transformWithState` twin of `transitionStream` — the last event
+    * type per user in a value-state slot (written only once set, so
+    * the slot never holds a null). Parity-pinned by s27. */
+  class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String, java.sql.Timestamp), (String, String)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[String] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[String]("last",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, String)] = {
+      var last = if (st.exists()) st.get() else null
+      val out = rows.toSeq
+        .sortBy(r => (r._4.getTime, r._1))
+        .flatMap { case (_, _, et, _) =>
+          val edge = Option(last).map(l => (l, et))
+          last = et
+          edge
+        }
+      if (last != null) st.update(last)
+      out.iterator
+    }
+  }
+
+  /** `transitionStream` through `transformWithState` (see
+    * TransitionProcessor). Same sink-side counting contract as the
+    * fMGWS form. */
+  def transitionStreamTws(
+      events: Dataset[(Long, Long, String, java.sql.Timestamp)])
+      : Dataset[(String, String)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new TransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 }

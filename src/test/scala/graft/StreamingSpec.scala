@@ -35,6 +35,20 @@ class StreamingSpec extends AnyFunSuite {
   private def envLine(id: String, city: String, rev: String, hlc: String): String =
     s"""{"after": {"id": "$id", "city": "$city", "revenue": "$rev"}, "key": ["$city", "$id"], "updated": "$hlc"}"""
 
+  /** transformWithState requires the RocksDB state-store provider;
+    * restore whatever was configured afterwards. */
+  private def withRocksDB(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("s01: file source tails a growing ndjson directory") {
     val src = TestSpark.tmpDir("s01-src")
     writeNdjson(src, "f1.ndjson", Seq(
@@ -655,6 +669,103 @@ class StreamingSpec extends AnyFunSuite {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+    }
+  }
+
+  test("s25: transformWithState LSH gate matches the fMGWS form and evicts on TTL") {
+    withRocksDB {
+      // part 1 — no TTL: the s15 fixture (near-dup arrives in a LATER
+      // batch, must pair against stored bucket state)
+      val ms = MemoryStream[(Long, String)]
+      val docs = ms.toDF().toDF("doc_id", "text")
+      val q = graft.streaming.StatefulOps
+        .lshCandidateStreamTws(docs, "doc_id", "text")
+        .toDF("a_id", "b_id")
+        .writeStream.outputMode("update").format("memory").queryName("s25").start()
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      ms.addData((1L, base), (2L, "completely different words about spark shuffles and joins here"))
+      q.processAllAvailable()
+      assert(spark.table("s25").isEmpty, "distinct docs must not pair")
+      ms.addData((3L, base.replace("dog", "cat")))
+      q.processAllAvailable()
+      // a pair is emitted once per SHARED bucket (the documented
+      // contract — consumers dedup downstream like the batch form)
+      val afterPair = spark.table("s25").count()
+      // at-least-once redelivery of a known id: a MapState point
+      // lookup, no re-emission
+      ms.addData((3L, base.replace("dog", "cat")))
+      q.processAllAvailable()
+      q.stop()
+      val pairs = spark.table("s25").select("a_id", "b_id")
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 3L)), s"got $pairs")
+      assert(spark.table("s25").count() == afterPair,
+        "redelivered doc re-emitted pairs")
+
+      // part 2 — the s17 fixture: bucket state idle past the event-time
+      // TTL is evicted by the timer, so a late near-dup meets empty state
+      val ms2 = MemoryStream[(Long, String, Timestamp)]
+      val docs2 = ms2.toDF().toDF("doc_id", "text", "ts")
+      val q2 = graft.streaming.StatefulOps
+        .lshCandidateStreamTws(docs2, "doc_id", "text",
+          eventTimeCol = Some("ts"), stateTtlMs = Some(60000L))
+        .toDF("a_id", "b_id")
+        .writeStream.outputMode("update").format("memory").queryName("s25t").start()
+      def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+      ms2.addData((1L, base, t(0)))
+      q2.processAllAvailable()
+      ms2.addData((2L, "completely different words about spark shuffles and joins here", t(10)))
+      q2.processAllAvailable()
+      ms2.addData((3L, base.replace("dog", "cat"), t(11)))
+      q2.processAllAvailable()
+      q2.stop()
+      assert(spark.table("s25t").isEmpty,
+        "pairs emitted against bucket state the timer should have evicted")
+    }
+  }
+
+  test("s26: transformWithState tombstone upsert matches the fMGWS form") {
+    withRocksDB {
+      // same fixture as s14: value, retraction, re-insert
+      val ms = MemoryStream[(Long, Option[String])]
+      val q = graft.streaming.StatefulOps.upsertWithTombstonesTws(ms.toDS())
+        .writeStream.outputMode("update").format("memory").queryName("s26").start()
+      ms.addData((1L, Some("a")), (2L, Some("b")))
+      q.processAllAvailable()
+      ms.addData((1L, None))
+      q.processAllAvailable()
+      ms.addData((1L, Some("a2")))
+      q.processAllAvailable()
+      q.stop()
+      val emissions = spark.table("s26").collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[String]("value"),
+          r.getAs[Boolean]("deleted")))
+      assert(emissions.filter(_._1 == 1L).toSeq ==
+        Seq((1L, "a", false), (1L, "", true), (1L, "a2", false)))
+      assert(emissions.filter(_._1 == 2L).toSeq == Seq((2L, "b", false)))
+    }
+  }
+
+  test("s27: transformWithState transition edges match the fMGWS form") {
+    withRocksDB {
+      // same fixture as s20: scrambled batch 1 + state across batches
+      val ms = MemoryStream[(Long, Long, String, Timestamp)]
+      val q = graft.streaming.StatefulOps
+        .transitionStreamTws(ms.toDS())
+        .toDF("src", "dst")
+        .writeStream.outputMode("update").format("memory").queryName("s27").start()
+      def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+      ms.addData((11L, 1L, "click", t(5)), (10L, 1L, "view", t(0)),
+        (20L, 2L, "view", t(2)))
+      q.processAllAvailable()
+      ms.addData((12L, 1L, "purchase", t(9)), (21L, 2L, "error", t(6)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("s27")
+        .groupBy("src", "dst").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(("view", "click", 1L), ("click", "purchase", 1L),
+        ("view", "error", 1L)), s"got $got")
     }
   }
 
