@@ -377,6 +377,123 @@ object DistributedRank {
       .drop("__b", "__off")
   }
 
+  /** Exact distributed PERCENTILE_CONT — one row per group with a
+    * double column per requested quantile, equal to
+    * `percentile(valCol, p)` (linear interpolation, nulls ignored;
+    * groups whose values are all null are absent, as are groups absent
+    * from `df`). Built for the case `percentile()` cannot survive: the
+    * builtin buffers each group's ENTIRE value multiset in one
+    * aggregation buffer, so a 3-group fact table holds the whole
+    * column in 3 tasks at any cluster size. Here the heavy state is
+    * the per-(group, value) count frame — distributed like any hash
+    * aggregate — and ranks come from the same bucketed prefix sums as
+    * `ranked`:
+    *
+    *  1. per-(group, value) counts (map-side combinable);
+    *  2. cumulative count ≤ v per value — plain prefix window when the
+    *     distinct-value frame is small (bounded domains), else
+    *     quantile-bucket offsets + local windows (one driver-computed
+    *     bounds array, so phases agree by construction);
+    *  3. a groups × quantiles TARGET frame (1-based covering ranks of
+    *     floor/ceil of position = (N−1)·p) broadcast back onto the
+    *     value frame — each value row covers ranks
+    *     [cum − c + 1, cum], so the probe is an equi-join on the group
+    *     plus an O(quantiles) residual;
+    *  4. two tiny aggregates pick the covering values and interpolate
+    *     with EXACTLY the builtin's arithmetic — same IEEE op order,
+    *     same early returns — so results are bit-identical, not just
+    *     close.
+    *
+    * Every shuffle keys on (group, value) or (group, bucket), never on
+    * the group alone; no task ever holds a group's multiset. */
+  def quantiles(df: DataFrame, pkeys: Seq[String], valCol: String,
+      qs: Seq[(String, Double)], numRanges: Int = 0,
+      adaptiveCut: Int = 10000): DataFrame = {
+    require(qs.nonEmpty, "quantiles: qs must be non-empty")
+    qs.foreach { case (nm, p) =>
+      require(p >= 0.0 && p <= 1.0, s"quantiles: $nm=$p outside [0, 1]") }
+    val s = df.sparkSession
+    val n = if (numRanges > 0) numRanges else s.sparkContext.defaultParallelism
+    // struct group key: null-safe join/group semantics (see ranked)
+    val dfK = df.where(col(valCol).isNotNull)
+      .withColumn("__pk", struct(pkeys.map(col): _*))
+    val vc = dfK.groupBy(col("__pk"), col(valCol)).agg(count(lit(1)).as("__c"))
+    // same adaptive trade as bandCount: bounded domains skip the
+    // bucket apparatus (their value frame stays small at ANY scale)
+    val small = adaptiveCut > 0 && vc.limit(adaptiveCut + 1).count() <= adaptiveCut
+    val withCum = if (small) {
+      val wCum = Window.partitionBy(col("__pk")).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vc.withColumn("__cum", sum("__c").over(wCum))
+    } else {
+      val bounds = vc.select(col(valCol).cast("double").as("__t"))
+        .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.001)
+        .distinct.sorted
+      val bucket =
+        if (bounds.isEmpty) lit(0)
+        else graft.functions.BucketSearch.of(s, col(valCol), bounds)
+      val vb = vc.withColumn("__b", bucket)
+      val wPrev = Window.partitionBy(col("__pk")).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = vb.groupBy(col("__pk"), col("__b"))
+        .agg(sum("__c").as("__bc"))
+        .withColumn("__off", coalesce(sum("__bc").over(wPrev), lit(0L)))
+        .select(col("__pk"), col("__b"), col("__off"))
+      val wv = Window.partitionBy(col("__pk"), col("__b")).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vb.join(broadcast(offs), Seq("__pk", "__b"))
+        .withColumn("__cum", col("__off") + sum("__c").over(wv))
+        .drop("__b", "__off")
+    }
+    // per-group N (max cum): groups-sized frame
+    val totals = withCum.groupBy(col("__pk")).agg(max("__cum").as("__n"))
+    // target frame: groups × quantiles rows. position/lower/higher in
+    // the builtin's exact arithmetic: position = (N-1) * p as doubles.
+    val qArr = array(qs.map { case (nm, p) =>
+      struct(lit(nm).as("__qname"), lit(p).as("__p")) }: _*)
+    val targets = totals
+      .select(col("__pk"), col("__n"), explode(qArr).as("__q"))
+      .select(col("__pk"),
+        col("__q.__qname").as("__qname"),
+        ((col("__n") - 1).cast("double") * col("__q.__p")).as("__pos"))
+      .withColumn("__lo", floor(col("__pos")))
+      .withColumn("__hi", ceil(col("__pos")))
+      .withColumn("__klo", col("__lo").cast("long") + 1)
+      .withColumn("__khi", col("__hi").cast("long") + 1)
+    // equi-join on the group key, residual O(quantiles) rank-band
+    // check; a value row covers ranks [cum - c + 1, cum]
+    val t = targets
+      .withColumnRenamed("__pk", "__tpk")
+    val covered = withCum.join(broadcast(t),
+      col("__pk") === col("__tpk") &&
+        col("__cum") >= col("__klo") &&
+        (col("__cum") - col("__c") + 1) <= col("__khi"))
+    def covers(k: Column): Column =
+      col("__cum") >= k && (col("__cum") - col("__c") + 1) <= k
+    val v = col(valCol).cast("double")
+    val perQ = covered.groupBy(col("__pk"), col("__qname"))
+      .agg(
+        max(when(covers(col("__klo")), v)).as("__xlo"),
+        max(when(covers(col("__khi")), v)).as("__xhi"),
+        max(col("__pos")).as("__pos"),
+        max(col("__lo")).as("__lo"),
+        max(col("__hi")).as("__hi"))
+      // the builtin's exact formula and early returns
+      .withColumn("__res",
+        when(col("__hi") === col("__lo") || col("__xhi") === col("__xlo"),
+          col("__xlo"))
+          .otherwise(
+            (col("__hi") - col("__pos")) * col("__xlo") +
+              (col("__pos") - col("__lo")) * col("__xhi")))
+    perQ.groupBy(col("__pk"))
+      .agg(
+        max(when(col("__qname") === qs.head._1, col("__res"))).as(qs.head._1),
+        qs.tail.map { case (nm, _) =>
+          max(when(col("__qname") === nm, col("__res"))).as(nm) }: _*)
+      .select(pkeys.map(k => col("__pk").getField(k).as(k)) ++
+        qs.map { case (nm, _) => col(nm) }: _*)
+  }
+
   /** Generalized nth positions over an unbounded frame: one row per
     * group with `nth_<p>` = targetCol of the p-th row in `orderCols`
     * order (null when the group has fewer rows), for every p in

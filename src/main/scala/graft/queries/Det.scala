@@ -50,8 +50,8 @@ object Det {
     * and it is the right trade exactly when the output is big. Keep
     * `emit` for small results (fixed-cardinality aggregates, top-k),
     * where one partition is free and the sampling pass is pure
-    * overhead — q29's whole-multiset percentile state is the canonical
-    * case. */
+    * overhead — e.g. q29, whose distributed-quantile pipeline is
+    * expensive to execute but yields 3 rows. */
   def emitWide(df: org.apache.spark.sql.DataFrame, cols: Column*): org.apache.spark.sql.DataFrame =
     df.orderBy(cols: _*)
 

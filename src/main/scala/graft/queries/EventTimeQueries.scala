@@ -212,7 +212,38 @@ object EventTimeQueries {
     "q139_week_retention" -> q139,
     "q140_user_features" -> q140,
     "q141_rolling_wau" -> q141,
-    "q144_session_cooccurrence" -> q144)
+    "q144_session_cooccurrence" -> q144,
+    "q145_partition_prune" -> q145)
+
+  /** q145: day-partition pruning round-trip — the reference's single
+    * most explicit optimization, consuming ONE day's directory instead
+    * of scanning the whole lake (the day-glob of
+    * /root/reference/README.md:182), planner-driven instead of
+    * string-built. Writes the events table day-partitioned
+    * (`Lake.writePartitioned` — Hive-style `ingest_date=` layout),
+    * reads one day back through `Lake.readDay`, and aggregates it; the
+    * oracle computes the same day from the RAW table, proving the
+    * pruned scan loses nothing. PlanSpec pins the plan property that
+    * matters at scale: the scan's PartitionFilters select exactly one
+    * of the 30 day-directories — at a real lake, one directory
+    * regardless of lake size, where the unpruned scan reads all of it.
+    * The rewrite is idempotent (the lake dir is rebuilt per run;
+    * writePartitioned itself appends). */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_lake_prune_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    val p = new org.apache.hadoop.fs.Path(lake)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    graft.sources.Lake.writePartitioned(
+      events(s, d).select(col("event_id"), col("event_type"),
+        col("value"), col("ts")),
+      "ts", lake)
+    graft.sources.Lake.readDay(s, lake, "2024-01-05")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+      .transform(Det.emit(_, "event_type"))
+  }
 
   /** q144: session co-occurrence lift — for every unordered pair of
     * event types, the number of sessions containing BOTH and the lift
@@ -446,6 +477,11 @@ object EventTimeQueries {
           FROM pc JOIN tc ca ON ca.t = pc.ta
                   JOIN tc cb ON cb.t = pc.tb, n
           ORDER BY ta, tb""",
+    "q145_partition_prune" ->
+      """SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+                round(sum(value), 2) AS sv
+         FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+         GROUP BY 1 ORDER BY 1""",
     "q141_rolling_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
                      FROM events),

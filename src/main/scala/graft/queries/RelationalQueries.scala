@@ -404,19 +404,25 @@ object RelationalQueries {
   /** q29: exact percentiles (T-SQL PERCENTILE_CONT / MEDIAN) — both
     * engines define the continuous quantile by linear interpolation,
     * so exact forms compare; approx_percentile is engine-specific and
-    * stays ScalaTest-bounded like q28. Exact percentile state is
-    * O(group size) — this key pins the SEMANTICS; q37 is the declared
-    * 100 TB scale path (constant-memory sketch per group). */
+    * stays ScalaTest-bounded like q28. NOT the builtin `percentile()`:
+    * that buffers each group's entire value multiset in one
+    * aggregation buffer (3 groups here → the whole column in 3 tasks
+    * at any cluster size — the suite's former scale-killer). Routed
+    * through DistributedRank.quantiles — exact interpolated quantiles
+    * from bucketed prefix counts, bit-identical to the builtin
+    * (AlgebraProps pins the equivalence), with every shuffle keyed on
+    * (group, value) or (group, bucket). q37 remains the sketch
+    * alternative when approximate is acceptable. */
   private def q29(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        Det.r4e(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-        Det.r4e(expr("median(l_extendedprice)")).as("p50"),
-        Det.r4e(expr("percentile(l_extendedprice, 0.95)")).as("p95"))
-      // emit, not orderBy: exact-percentile partial state is the whole
-      // value multiset, so a range-sort sampling pass re-merging it is
-      // disproportionately expensive for a 3-row result
+    graft.operators.DistributedRank.quantiles(
+        lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+      .select(col("l_returnflag"),
+        Det.r4e(col("p25")).as("p25"),
+        Det.r4e(col("p50")).as("p50"),
+        Det.r4e(col("p95")).as("p95"))
+      // emit, not orderBy: a 3-row result does not need a range sort
       .transform(Det.emit(_, "l_returnflag"))
 
   /** q37: approx percentiles — the 100 TB twin of q29. The

@@ -148,6 +148,37 @@ object AlgebraProps extends Properties("graft.algebra") {
       got(10000) == want && got(0) == want && got(-1) == want
     }
 
+  property("DistributedRank.quantiles equals percentile() bit-for-bit (both paths)") =
+    forAll(Gen.listOfN(30, for {
+      g <- Gen.choose(0L, 2L)
+      v <- Gen.choose(0L, 16L) // small domain → plenty of ties
+      isNull <- Gen.frequency(5 -> false, 1 -> true)
+    } yield (g, v, isNull))) { rows =>
+      val df = rows.toDF("g", "v0", "nn")
+        .select(col("g"),
+          when(col("nn"), lit(null))
+            .otherwise(col("v0").cast("double") / 4.0).as("v"))
+      val qs = Seq("q0" -> 0.0, "q25" -> 0.25, "q50" -> 0.5,
+        "q95" -> 0.95, "q100" -> 1.0)
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), qs.indices.map(i => r.getDouble(i + 1)).toList)
+      // default cut → prefix-window path; 0 → bucketed path
+      def got(cut: Int) = graft.operators.DistributedRank
+        .quantiles(df, Seq("g"), "v", qs, numRanges = 4, adaptiveCut = cut)
+        .collect().map(tup).sortBy(_._1).toList
+      // builtin exact form; all-null groups are absent from quantiles'
+      // output by contract, so drop their NULL results here too
+      val want = df.groupBy("g").agg(
+          expr("percentile(v, 0.0)").as("q0"),
+          expr("percentile(v, 0.25)").as("q25"),
+          expr("percentile(v, 0.5)").as("q50"),
+          expr("percentile(v, 0.95)").as("q95"),
+          expr("percentile(v, 1.0)").as("q100"))
+        .where(col("q50").isNotNull)
+        .collect().map(tup).sortBy(_._1).toList
+      got(10000) == want && got(0) == want
+    }
+
   property("DistributedRank.ranked keeps and ranks NULL tie values") =
     forAll(genRankRows) { rows =>
       // every 4th tie value nulled: the join-back must not drop these

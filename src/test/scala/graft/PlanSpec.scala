@@ -106,6 +106,38 @@ class PlanSpec extends AnyFunSuite {
       s"q35 edges not broadcast back:\n$p35")
   }
 
+  test("q29: exact percentiles carry no whole-multiset aggregation buffer") {
+    // The builtin percentile()/median() buffers each group's ENTIRE
+    // value multiset in one aggregation buffer — with a 3-value group
+    // key that is the whole column in 3 tasks at any cluster size.
+    // q29 must route through DistributedRank.quantiles instead: no
+    // percentile aggregate anywhere in the plan, and the heavy
+    // aggregate keyed on (group, value), not the group alone.
+    val p = plan("q29_percentiles")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"q29 still plans the whole-multiset percentile aggregate:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("hashpartitioning") && l.contains("l_extendedprice")),
+      s"q29's value-count aggregate not keyed on (group, value):\n$p")
+  }
+
+  test("q145: day predicate prunes the lake scan to exactly one partition") {
+    // The reference's day-glob (README.md:182) as a planner decision:
+    // the ingest_date filter must land in the scan's PartitionFilters
+    // and select ONE of the 30 day-directories — never a full-lake
+    // scan filtered after the fact.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qe = SparkEntry.queries("q145_partition_prune")(spark, sf).queryExecution
+    // sparkPlan, not executedPlan: the AQE wrapper hides its inner
+    // plan from collect() until execution
+    val scans = qe.sparkPlan.collect {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty => f
+    }
+    assert(scans.nonEmpty, s"no partition-filtered scan in:\n${qe.sparkPlan}")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"day filter selected ${scans.head.selectedPartitions.partitionCount} partitions, want 1")
+  }
+
   test("q01/q30: full-table dumps emit through a range sort, not one partition") {
     // O(input)-sized outputs must not funnel through a single writer
     // task (Det.emitWide = range-partitioned orderBy); the
