@@ -892,6 +892,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s28: composed CDC pipeline survives restart: dedup, tombstones, quarantine, compaction") {
+    // examples.CdcPipeline = the reference's whole pipeline
+    // (README.md:128-192) as one artifact. Each start() drains the
+    // directory and terminates (AvailableNow); calling it again with
+    // the same checkpoints IS the crash-restart: offsets, dedup state
+    // and the idempotent batch protocol must all line up.
+    import graft.examples.CdcPipeline
+    val src = TestSpark.tmpDir("s28-src")
+    val state = TestSpark.tmpDir("s28-state")
+    val chk = TestSpark.tmpDir("s28-chk")
+    val quar = TestSpark.tmpDir("s28-quar") + "/out"
+    val qchk = TestSpark.tmpDir("s28-qchk")
+    def run(): Unit = CdcPipeline.start(spark, src, rideSchema, state, chk,
+      quarantinePath = Some(quar), quarantineCheckpoint = Some(qchk)).awaitAll()
+    def keys = CdcPipeline.currentState(spark, state)
+      .collect().map(_.getAs[String]("kid")).toSet
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.00", "1.0"),
+      "{not json at all",
+      envLine("b", "boston", "5.00", "2.0")))
+    run()
+    assert(keys == Set("amsterdam|a", "boston|b"))
+    assert(spark.read.parquet(quar).count() == 1, "malformed line not quarantined")
+    // restart 1: a REDELIVERED envelope (same key, same hlc — the
+    // at-least-once case) plus a delete tombstone for b
+    writeNdjson(src, "f2.ndjson", Seq(
+      envLine("a", "amsterdam", "10.00", "1.0"),
+      """{"after": null, "key": ["boston", "b"], "updated": "3.0"}"""))
+    run()
+    assert(keys == Set("amsterdam|a"), "tombstone not applied across restart")
+    val aRows = spark.read.option("basePath", state).parquet(s"$state/batch=*")
+      .where(col("kid") === "amsterdam|a").count()
+    assert(aRows == 1, s"redelivered envelope became a new store row ($aRows)")
+    // maintenance: fold batches, delete becomes physical
+    CdcPipeline.compact(spark, state)
+    assert(new java.io.File(state).listFiles()
+      .count(_.getName.startsWith("batch=")) == 1)
+    assert(spark.read.option("basePath", state).parquet(s"$state/batch=*")
+      .where(col("kid") === "boston|b").isEmpty, "tombstoned key survived compaction")
+    assert(keys == Set("amsterdam|a"))
+    // restart 2 AFTER compaction: the stream continues, an upsert newer
+    // than the delete re-creates its key
+    writeNdjson(src, "f3.ndjson", Seq(envLine("b", "boston", "7.00", "4.0")))
+    run()
+    assert(keys == Set("amsterdam|a", "boston|b"))
+    assert(CdcPipeline.currentState(spark, state)
+      .where(col("kid") === "boston|b").head().getAs[String]("revenue") == "7.00")
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
