@@ -138,6 +138,56 @@ class PlanSpec extends AnyFunSuite {
       s"day filter selected ${scans.head.selectedPartitions.partitionCount} partitions, want 1")
   }
 
+  test("skew: AQE splits a manufactured hot key; salted SkewJoin stays join-equivalent") {
+    // Evidence for the two skew paths the library documents. (1) When
+    // AQE's skew rule CAN fire (sort-merge join, runtime stats), it
+    // splits the hot partition — the executed plan must carry the
+    // skew=true marker. (2) SkewJoin.inner is the path for plans AQE
+    // cannot help (hash-join stream side, AQE off); under the same hot
+    // key it must still equal the plain join. Thresholds are lowered
+    // because local[4] shuffles megabytes, not the 256 MB default.
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // one key holds ~90% of the fact side
+      val fact = spark.range(0, 220000).select(
+        when(col("id") < 200000, lit(7L)).otherwise(col("id") % 1000).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      val plainAgg = joined.agg(count(lit(1)), sum("v"), sum("w")).head()
+      // AQE finalizes THIS QueryExecution's plan only on ITS execution
+      // (the agg above and a sink write both plan separately)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE skew rule did not split the hot partition:\n$p")
+      // the salted operator's result is the plain join's result
+      val saltedAgg = graft.operators.SkewJoin.inner(fact, dim, Seq("k"), salts = 8)
+        .agg(count(lit(1)), sum("v"), sum("w")).head()
+      assert(saltedAgg == plainAgg, s"salted $saltedAgg vs plain $plainAgg")
+      // and the salted plan JOINS on (k, salt) — its exchanges (added
+      // by EnsureRequirements, not visible in sparkPlan) inherit those
+      // keys, so the hot key spreads over `salts` tasks
+      val sp = graft.operators.SkewJoin.inner(fact, dim, Seq("k"), salts = 8)
+        .queryExecution.sparkPlan.toString
+      assert(sp.linesIterator.exists(l =>
+          l.contains("Join") && l.contains("__salt")),
+        s"salted join not keyed on (k, __salt):\n$sp")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q01/q30: full-table dumps emit through a range sort, not one partition") {
     // O(input)-sized outputs must not funnel through a single writer
     // task (Det.emitWide = range-partitioned orderBy); the
