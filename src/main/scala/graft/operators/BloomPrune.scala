@@ -39,14 +39,19 @@ object BloomPrune {
 
   /** Registers the Catalyst bloom pair under temp-function names so
     * columns can be built via `call_function` (the house idiom for
-    * native expressions — functions/CosineSim.scala). */
+    * native expressions — functions/CosineSim.scala). Idempotent —
+    * see SimHash64.register. */
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
-    fr.createOrReplaceTempFunction("graft_bloom_agg",
-      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
-      "built-in")
-    fr.createOrReplaceTempFunction("graft_bloom_might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    if (!fr.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_agg")))
+      fr.createOrReplaceTempFunction("graft_bloom_agg",
+        exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+        "built-in")
+    if (!fr.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_might_contain")))
+      fr.createOrReplaceTempFunction("graft_bloom_might_contain",
+        exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** Spark's default cap on runtime-filter size (64 Mbit = 8 MB),
