@@ -28,6 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BucketSearch].getName, "bucket_search"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.BucketSearch(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("json_value"),
+      new ExpressionInfo(classOf[graft.functions.JsonValue].getName, "json_value"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.JsonValue(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("is_json"),
+      new ExpressionInfo(classOf[graft.functions.IsJson].getName, "is_json"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.IsJson(exprs.head)))
   }
 }
 
@@ -38,5 +48,7 @@ object GraftExtensions {
     graft.functions.CosineSim.register(spark)
     graft.functions.WeightedMean.register(spark)
     graft.functions.BucketSearch.register(spark)
+    graft.functions.JsonValue.register(spark)
+    graft.functions.IsJson.register(spark)
   }
 }

@@ -105,6 +105,33 @@ object ScalarQueries {
         Det.r4e(avg("k")).as("avg_k"))
       .orderBy("event_type")
 
+  /** q146: T-SQL JSON_VALUE/ISJSON exact semantics over a corrupted
+    * scan — every row whose event_id is a multiple of 10 has its
+    * leading `{` stripped (deterministically malformed). The guarded
+    * extraction is EXACTLY how a T-SQL user writes it
+    * (`CASE WHEN ISJSON(c)=1 THEN JSON_VALUE(c, '$.k') END`), plus
+    * the quoted-member path of the reference's own query
+    * (`$."k"` — README.md:178's `$.after."city"` shape), a lax
+    * missing-member NULL, and the scalar-only rule (the root object
+    * extracts as NULL, where get_json_object would return the raw
+    * JSON text). All map-side codegen'd expressions; the oracle is
+    * the DuckDB translation with json_valid/json_type guards. */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    graft.functions.JsonValue.register(s)
+    graft.functions.IsJson.register(s)
+    spread(s, events(s, d))
+      .withColumn("c", when(col("event_id") % 10 === 0,
+        expr("substr(props, 2)")).otherwise(col("props")))
+      .select(col("event_id"),
+        expr("is_json(c)").as("ok"),
+        when(expr("is_json(c)") === 1, expr("json_value(c, '$.k')"))
+          .otherwise(lit(null).cast("string")).as("k"),
+        expr("""json_value(props, '$."k"')""").as("kq"),
+        expr("json_value(props, 'lax $.device')").as("missing"),
+        expr("json_value(props, '$')").as("whole"))
+      .transform(Det.emitWide(_, "event_id"))
+  }
+
   /** q55: array functions over the 64-dim embedding column. Element
     * arithmetic is cast to double BEFORE any op so both engines do
     * identical double arithmetic (floats stay bitwise-comparable). */
@@ -177,7 +204,8 @@ object ScalarQueries {
     "q53_math_funcs" -> q53, "q54_json_extract" -> q54,
     "q55_array_funcs" -> q55, "q56_explode_unnest" -> q56,
     "q57_map_funcs" -> q57, "q58_struct_nested" -> q58,
-    "q98_udaf_weighted_mean" -> q98, "q101_redact" -> q101)
+    "q98_udaf_weighted_mean" -> q98, "q101_redact" -> q101,
+    "q146_json_value" -> q146)
 
   val oracles: Map[String, String] = Map(
     "q50_str_funcs" ->
@@ -227,6 +255,23 @@ object ScalarQueries {
                       CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
                FROM events)
          GROUP BY event_type ORDER BY event_type""",
+    "q146_json_value" ->
+      """SELECT event_id,
+                CAST(CASE WHEN json_valid(c)
+                            AND json_type(c) IN ('OBJECT', 'ARRAY')
+                          THEN 1 ELSE 0 END AS INT) AS ok,
+                CASE WHEN json_valid(c)
+                       AND json_type(c) IN ('OBJECT', 'ARRAY')
+                     THEN json_extract_string(c, '$.k') END AS k,
+                json_extract_string(props, '$.k') AS kq,
+                json_extract_string(props, '$.device') AS missing,
+                CASE WHEN json_type(props) NOT IN ('OBJECT', 'ARRAY')
+                     THEN json_extract_string(props, '$') END AS whole
+         FROM (SELECT event_id, props,
+                      CASE WHEN event_id % 10 = 0
+                           THEN substr(props, 2) ELSE props END AS c
+               FROM events)
+         ORDER BY event_id""",
     "q55_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
                 round(CAST(embedding[1] AS DOUBLE), 4) AS first,

@@ -560,6 +560,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(anyFiles(new java.io.File(dir)), "no reliable checkpoint written")
   }
 
+  test("json_value/is_json replicate T-SQL semantics exactly") {
+    import graft.functions.{IsJson, JsonValue}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // lax (default): quoted members, array steps, missing/non-scalar
+    // NULLs, json-null passthrough, bool/number scalars as text
+    assert(JsonValue.extract("""{"a": {"b c": 5}}""", """$.a."b c"""") == "5")
+    assert(JsonValue.extract("""{"a": [1, 2]}""", "$.a[1]") == "2")
+    assert(JsonValue.extract("""{"a": 1}""", "$.b") == null)
+    assert(JsonValue.extract("""{"a": [1]}""", "$.a[5]") == null)
+    assert(JsonValue.extract("""{"a": {"b": 1}}""", "$.a") == null)
+    assert(JsonValue.extract("""{"a": null}""", "$.a") == null)
+    assert(JsonValue.extract("""{"a": true}""", "lax $.a") == "true")
+    // strict: the same misses are errors
+    intercept[IllegalArgumentException](
+      JsonValue.extract("""{"a": 1}""", "strict $.b"))
+    intercept[IllegalArgumentException](
+      JsonValue.extract("""{"a": {"b": 1}}""", "strict $.a"))
+    // malformed text raises in BOTH modes (T-SQL contract; guard with
+    // is_json exactly as T-SQL guards with ISJSON)
+    intercept[IllegalArgumentException](JsonValue.extract("not json", "$.a"))
+    intercept[IllegalArgumentException](
+      JsonValue.extract("""{"a": 1} trailing""", "$.a"))
+    // nvarchar(4000) cap: lax NULL, strict error
+    val long = "x" * 4001
+    assert(JsonValue.extract(s"""{"a": "$long"}""", "$.a") == null)
+    intercept[IllegalArgumentException](
+      JsonValue.extract(s"""{"a": "$long"}""", "strict $.a"))
+    // path syntax errors
+    intercept[IllegalArgumentException](JsonValue.extract("{}", "a.b"))
+    intercept[IllegalArgumentException](JsonValue.extract("{}", "$.a[x]"))
+    // ISJSON classic semantics: 1 only for complete object/array
+    assert(IsJson.check(u("""{"a":1}""")) == 1)
+    assert(IsJson.check(u("[1,2]")) == 1)
+    assert(IsJson.check(u("123")) == 0)
+    assert(IsJson.check(u("\"s\"")) == 0)
+    assert(IsJson.check(u("{} trailing")) == 0)
+    // registered SQL surface runs through codegen
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT json_value('{"k": 7}', '$.k') a, is_json('[]') b""").head()
+    assert(r.getString(0) == "7" && r.getInt(1) == 1)
+    assert(spark.sql("SELECT json_value(cast(null as string), '$.a') a")
+      .head().isNullAt(0))
+  }
+
   test("rpLshBuckets raises loudly on a dims mismatch") {
     import graft.operators.Similarity
     val vecs = Seq((1L, Seq(0.1f, 0.2f, 0.3f))).toDF("id", "emb")
