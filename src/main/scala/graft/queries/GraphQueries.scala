@@ -42,8 +42,43 @@ object GraphQueries {
       .transform(Det.emitWide(_, "node"))
   }
 
+  /** q147: triangle cores of the supplier ASSOCIATION graph — each
+    * supplier keeps its 5 strongest co-suppliers (pairs sharing an
+    * order, ranked by co-occurrence count), and the triangle count per
+    * node over that kNN graph surfaces the tightly-clustered cores.
+    * The top-k-by-strength edge rule is what keeps the key meaningful
+    * at EVERY scale: the raw co-occurrence graph of this fixture (and
+    * of any small-alphabet real corpus) is near-complete, where an
+    * absolute multiplicity threshold is vacuous at one SF and
+    * explosive at another (the q130 degeneracy lesson) — a bounded-
+    * degree kNN graph has bounded triangles by construction.
+    * Scale shape: the pair aggregate shuffles on the order key with
+    * per-order C(items, 2) fan-out; the top-5 filter plans through
+    * WindowGroupLimit (map-side pre-trim before the per-node window);
+    * `Triangles.perNode` bounds wedges by E^1.5 via degree-ordered
+    * orientation. Oracle replicates edge selection and counts the
+    * same triangles id-oriented (the triangle SET is orientation-
+    * independent). */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").cast("long").as("sk"))
+    val pairs = li.join(li.select(col("o"), col("sk").as("sk2")), "o")
+      .where(col("sk") < col("sk2"))
+      .groupBy("sk", "sk2").agg(count(lit(1)).as("c"))
+    val assoc = pairs.select(col("sk").as("s"), col("sk2").as("t"), col("c"))
+      .unionAll(pairs.select(col("sk2").as("s"), col("sk").as("t"), col("c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy(col("c").desc, col("t").asc)
+    val knn = assoc.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+    graft.operators.Triangles.perNode(knn, "s", "t")
+      .orderBy(col("triangles").desc, col("node").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q115_pagerank" -> q115)
+    "q115_pagerank" -> q115,
+    "q147_knn_triangles" -> q147)
 
   val oracles: Map[String, String] = Map(
     "q115_pagerank" ->
@@ -73,5 +108,29 @@ object GraphQueries {
          r3 AS (SELECT node, (1.0 - 0.85) / n + 0.85 * COALESCE(contrib, 0.0) AS r
                 FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nodes.node)
          SELECT node, round(r + 0.0000000123, 6) AS rank
-         FROM r3 ORDER BY node""")
+         FROM r3 ORDER BY node""",
+    "q147_knn_triangles" ->
+      """WITH p AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey
+                    GROUP BY 1, 2),
+         d AS (SELECT s1 AS s, s2 AS t, c FROM p
+               UNION ALL SELECT s2, s1, c FROM p),
+         knn AS (SELECT s, t FROM
+                   (SELECT s, t, row_number() OVER
+                      (PARTITION BY s ORDER BY c DESC, t ASC) AS rn FROM d)
+                 WHERE rn <= 5),
+         e AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM knn),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c2
+                 FROM e e1 JOIN e e2 ON e2.u = e1.v
+                           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         n AS (SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c2 FROM tri)
+         SELECT CAST(node AS BIGINT) AS node,
+                CAST(count(*) AS BIGINT) AS triangles
+         FROM n GROUP BY node
+         ORDER BY triangles DESC, node ASC LIMIT 20""")
 }

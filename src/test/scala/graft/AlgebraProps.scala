@@ -179,6 +179,24 @@ object AlgebraProps extends Properties("graft.algebra") {
       got(10000) == want && got(0) == want
     }
 
+  property("Triangles.perNode equals brute-force triangle membership") =
+    forAll(Gen.listOfN(25, for {
+      a <- Gen.choose(0L, 9L)
+      b <- Gen.choose(0L, 9L)
+    } yield (a, b))) { raw =>
+      // dups, self-loops, both orientations — the operator must cope
+      val got = graft.operators.Triangles.perNode(raw.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val edges = raw.collect {
+        case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = edges.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val tris = nodes.combinations(3).filter { case Seq(x, y, z) =>
+        edges((x, y)) && edges((x, z)) && edges((y, z)) }.toSeq
+      val want = tris.flatten.groupBy(identity)
+        .map { case (n, l) => n -> l.size.toLong }
+      got == want
+    }
+
   property("DistributedRank.ranked keeps and ranks NULL tie values") =
     forAll(genRankRows) { rows =>
       // every 4th tie value nulled: the join-back must not drop these

@@ -356,6 +356,11 @@ class PlanSpec extends AnyFunSuite {
       }
     assert(hints144.size == 3,
       s"q144 must broadcast exactly tc x2 + ns, found ${hints144.size}")
+    // q147: the per-node top-5 edge filter pre-trims map-side — a
+    // plain window would funnel each node's whole partner list through
+    // its task before filtering
+    assert(plan("q147_knn_triangles").contains("WindowGroupLimit"),
+      "q147 kNN edge selection lost the map-side top-k pre-trim")
   }
 
   test("q60: envelope pipeline is map-side until the group-by") {
