@@ -63,6 +63,79 @@ object TextDedup {
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
 
+  /** EXACT Jaccard similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin candidate rule) — the scale path for exact
+    * near-dup thresholds, complementing MinHash/LSH (probabilistic,
+    * can miss) and the naive token join (explodes on hot tokens: every
+    * pair sharing ANY token becomes a candidate — q89 bounds itself to
+    * a 50-doc slice for exactly this reason).
+    *
+    * Rule: order each doc's distinct n-gram set by GLOBAL rarity
+    * (document frequency asc, gram asc — one total order shared by all
+    * docs); a doc of set size s keeps only its first
+    * s − ⌈t·s⌉ + 1 grams as its PREFIX. Two docs with J ≥ t must share
+    * at least one prefix gram (if neither prefix intersects, the
+    * other's suffix-only overlap is < ⌈t·s⌉ elements on both sides,
+    * forcing J < t) — so joining on prefix grams alone finds every
+    * qualifying pair, and candidates fan out on the RAREST grams
+    * instead of the hottest. The ⌈·⌉ is computed as
+    * `ceil(t·s − 1e-9)` on every side (engine and oracle): t·s in
+    * IEEE double can land one ulp ABOVE an exact integer (0.6·55 =
+    * 33.000…004), and an unguarded ceil would shorten the prefix and
+    * void the completeness guarantee; the epsilon only ever lengthens
+    * the prefix, which is always safe.
+    *
+    * Candidates are verified exactly: intersection via a gram-keyed
+    * join restricted to candidate pairs, Jaccard from the per-doc set
+    * sizes. Scale shape: the df aggregate and per-doc rank window key
+    * on gram / doc id (both high-cardinality); the candidate join keys
+    * on prefix grams (rare by construction); verification work is
+    * Σ_candidates |grams| — at 100 TB add the standard refinements
+    * (length filter |b| ≥ t·|a|, positional filter) as pre-join
+    * predicates on the same frames.
+    *
+    * Returns (a_id, b_id, inter, jaccard) for pairs with J ≥ t,
+    * a_id < b_id; docs with fewer than `n` tokens have no grams and
+    * never pair. */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.6): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val grams = df
+      .withColumn("__toks", tokensExpr(textCol))
+      .where(expr(s"size(__toks) >= $n"))
+      .select(col(idCol).as("__id"), explode(expr(
+        s"""transform(sequence(0, size(__toks) - $n),
+              i -> concat_ws(' ', slice(__toks, i + 1, $n)))""")).as("__g"))
+      .distinct()
+    val dfreq = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__df").asc, col("__g").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("__id")
+    val ranked = grams.join(dfreq, "__g")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val pref = ranked.where(
+      col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n") - 1e-9) + 1)
+    val cand = pref.select(col("__id").as("a_id"), col("__g"))
+      .join(pref.select(col("__id").as("b_id"), col("__g")), "__g")
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sizes = grams.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val inter = cand
+      .join(grams.select(col("__id").as("a_id"), col("__g")), "a_id")
+      .join(grams.select(col("__id").as("b_id"), col("__g")), Seq("b_id", "__g"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__id").as("a_id"), col("__sz").as("__sa")), "a_id")
+      .join(sizes.select(col("__id").as("b_id"), col("__sz").as("__sb")), "b_id")
+      .withColumn("jaccard",
+        col("inter") / (col("__sa") + col("__sb") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+  }
+
   /** Exact dedup groups by full-content hash; keeps the min id as the
     * canonical representative. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

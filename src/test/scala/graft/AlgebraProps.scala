@@ -179,6 +179,31 @@ object AlgebraProps extends Properties("graft.algebra") {
       got(10000) == want && got(0) == want
     }
 
+  property("prefixJaccardJoin equals brute-force thresholded Jaccard") =
+    forAll(Gen.listOfN(12, for {
+      len <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+    } yield ws.mkString(" "))) { texts =>
+      // tiny alphabet + bigrams → plenty of ties and high-J pairs;
+      // docs with < 2 tokens must drop out on both sides
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.TextDedup
+        .prefixJaccardJoin(df, "doc_id", "text", n = 2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def gramsOf(s: String): Set[String] =
+        s.split(" ").filter(_.nonEmpty).sliding(2)
+          .filter(_.length == 2).map(_.mkString(" ")).toSet
+      val g = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> gramsOf(t) }.filter(_._2.nonEmpty)
+      val want = (for {
+        (a, ga) <- g; (b, gb) <- g if a < b
+        inter = (ga & gb).size
+        if inter.toDouble / (ga.size + gb.size - inter) >= 0.5
+      } yield (a, b, inter.toLong)).toSet
+      got == want
+    }
+
   property("Triangles.perNode equals brute-force triangle membership") =
     forAll(Gen.listOfN(25, for {
       a <- Gen.choose(0L, 9L)
