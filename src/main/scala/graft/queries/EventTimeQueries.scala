@@ -213,7 +213,39 @@ object EventTimeQueries {
     "q140_user_features" -> q140,
     "q141_rolling_wau" -> q141,
     "q144_session_cooccurrence" -> q144,
-    "q145_partition_prune" -> q145)
+    "q145_partition_prune" -> q145,
+    "q149_hll_union" -> q149)
+
+  /** q149: MERGEABLE distinct-count sketches — the pattern that makes
+    * COUNT(DISTINCT) incremental at lake scale: sketch each day ONCE
+    * (`hll_sketch_agg`, constant state per group), persist the binary
+    * sketch column to parquet, and answer any later rollup by UNIONING
+    * stored sketches (`hll_union_agg`) instead of rescanning raw
+    * events — here daily user sketches folded into weekly
+    * distinct-user estimates. A re-aggregation over raw data reads
+    * the week's events again; the sketch union reads 7 rows of ~KB
+    * binaries per week regardless of event volume. Approximate by
+    * nature → no SQL oracle (q28 contract); OperatorSpec bounds the
+    * unioned estimates within 5% of exact weekly distincts AND pins
+    * the round-trip (write → read → union) against the in-memory
+    * union. Datasketches HLL is deterministic for a given input set,
+    * so the key is replay-stable. */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val lake = s"${sys.props("java.io.tmpdir")}/graft_lake_hll_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    val p = new org.apache.hadoop.fs.Path(lake)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .write.parquet(lake)
+    s.read.parquet(lake)
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+      .transform(Det.emit(_, "week"))
+  }
 
   /** q145: day-partition pruning round-trip — the reference's single
     * most explicit optimization, consuming ONE day's directory instead

@@ -444,6 +444,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 unioned daily HLL sketches within 5% of exact weekly distincts") {
+    val approx = SparkEntry.queries("q149_hll_union")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet, s"weeks differ: $approx vs $exact")
+    exact.foreach { case (w, n) =>
+      assert(math.abs(approx(w) - n).toDouble / n < 0.05,
+        s"$w: approx=${approx(w)} exact=$n")
+    }
+    // mergeability: the stored-sketch union equals sketching each week
+    // directly over raw events — the estimate must not depend on which
+    // pre-aggregation granularity was persisted
+    val direct = Tables.events(spark, sf)
+      .groupBy(date_trunc("week", to_date(col("ts"))).cast("date").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx == direct,
+      s"daily-sketch union diverged from direct weekly sketch: $approx vs $direct")
+  }
+
   test("BucketSearch: binary-search bucket equals the linear filter count") {
     import graft.functions.BucketSearch.bucketOf
     val bounds = Array(-3.0, 0.0, 2.5, 2.5001, 10.0)
