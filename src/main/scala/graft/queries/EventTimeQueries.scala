@@ -214,7 +214,31 @@ object EventTimeQueries {
     "q141_rolling_wau" -> q141,
     "q144_session_cooccurrence" -> q144,
     "q145_partition_prune" -> q145,
-    "q149_hll_union" -> q149)
+    "q149_hll_union" -> q149,
+    "q150_mg_heavy_hitters" -> q150)
+
+  /** q150: Misra–Gries heavy hitters (functions.MisraGries) — top-50
+    * users by event count through the CONSTANT-STATE sketch aggregate.
+    * Two regimes, both covered: with k = 2048 counters every fixture
+    * SF (≤ 1500 users) stays in the EXACT regime — the summary equals
+    * the true counts, so this key is fully oracle-checked — while the
+    * sketchy regime (distinct keys ≫ k, undercount ≤ n/(k+1), every
+    * key above that band retained) is pinned by the AlgebraProps
+    * brute-force property on multi-partition skewed streams. The
+    * top-50 boundary tie-breaks (count desc, key asc) in the
+    * aggregator's own finish order, matching the oracle's ORDER BY.
+    * Scale: one partial+final aggregate whose buffer is ≤ k entries
+    * per task regardless of input rows — the exact `groupBy.count`
+    * twin's state is the whole key dictionary. */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MisraGries.register(s, k = 2048)
+    events(s, d).select(col("user_id"))
+      .agg(expr("mg_topk_2048(user_id)").as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "kc")))
+      .where(col("pos") < 50)
+      .select(col("kc._1").as("user_id"), col("kc._2").as("n"))
+      .transform(df => Det.emit(df, col("n").desc, col("user_id").asc))
+  }
 
   /** q149: MERGEABLE distinct-count sketches — the pattern that makes
     * COUNT(DISTINCT) incremental at lake scale: sketch each day ONCE
@@ -509,6 +533,10 @@ object EventTimeQueries {
           FROM pc JOIN tc ca ON ca.t = pc.ta
                   JOIN tc cb ON cb.t = pc.tb, n
           ORDER BY ta, tb""",
+    "q150_mg_heavy_hitters" ->
+      """SELECT user_id, CAST(count(1) AS BIGINT) AS n
+         FROM events GROUP BY user_id
+         ORDER BY n DESC, user_id ASC LIMIT 50""",
     "q145_partition_prune" ->
       """SELECT event_type, CAST(count(1) AS BIGINT) AS n,
                 round(sum(value), 2) AS sv

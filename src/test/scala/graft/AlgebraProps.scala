@@ -179,6 +179,35 @@ object AlgebraProps extends Properties("graft.algebra") {
       got(10000) == want && got(0) == want
     }
 
+  property("MisraGries guarantees hold on multi-partition skewed streams") =
+    forAll(Gen.listOfN(200, Gen.frequency(
+      8 -> Gen.choose(0L, 3L),     // hot keys
+      2 -> Gen.choose(10L, 200L)   // long tail
+    ))) { xs =>
+      xs.isEmpty || {
+        val k = 8
+        val agg = org.apache.spark.sql.functions.udaf(
+          new graft.functions.MisraGries(k))
+        // repartition forces the partial + merge path the mergeable
+        // bound covers
+        val out = xs.toDF("x").repartition(4)
+          .agg(agg(col("x")).as("tk"))
+          .select(explode(col("tk")).as("kc"))
+          .select(col("kc._1"), col("kc._2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val exact = xs.groupBy(identity).map { case (key, l) => key -> l.size.toLong }
+        val eps = xs.size.toDouble / (k + 1)
+        // every key above the band is retained…
+        val hotKept = exact.forall { case (key, c) =>
+          c <= eps || out.contains(key) }
+        // …and every report is a lower bound within the band
+        val bounded = out.forall { case (key, c) =>
+          val t = exact.getOrElse(key, 0L)
+          c >= 1 && c <= t && t - c <= eps }
+        hotKept && bounded
+      }
+    }
+
   property("prefixJaccardJoin equals brute-force thresholded Jaccard") =
     forAll(Gen.listOfN(12, for {
       len <- Gen.choose(0, 12)
