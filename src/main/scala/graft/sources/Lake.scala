@@ -56,6 +56,54 @@ object Lake {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Z-ORDER layout write — multi-column data clustering for
+    * row-group pruning, the jar-free core of what Delta/Iceberg call
+    * OPTIMIZE ZORDER BY. A table sorted linearly by column A has tight
+    * parquet min/max stats for A but RANDOM stats for B — predicates
+    * on B prune nothing. Interleaving the bits of both columns'
+    * quantile ranks into one sort key clusters rows so that EVERY
+    * row group covers a small rectangle of (A, B) space: min/max
+    * stats stay tight for BOTH columns, and a point/range predicate
+    * on either one skips most row groups at scan time (Spark's
+    * parquet reader applies pushed filters against the stats before
+    * reading pages — at 100 TB, layout IS the index).
+    *
+    * Ranks come from driver-computed quantile bounds (BucketSearch —
+    * O(2^bits) metadata, same single-array discipline as
+    * DistributedRank) so skewed/arbitrary distributions interleave
+    * uniformly; the write range-partitions on the z-value and sorts
+    * within partitions, so file AND row-group boundaries both follow
+    * the curve. OperatorSpec reads the parquet footers back and
+    * asserts a point predicate on EITHER column overlaps few row
+    * groups under z-order, vs a linear sort that only prunes its own
+    * sort column. */
+  def writeZOrdered(df: DataFrame, c1: String, c2: String, path: String,
+      bits: Int = 10, outFiles: Int = 0): Unit = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val s = df.sparkSession
+    val n = 1 << bits
+    def ranks(c: String): org.apache.spark.sql.Column = {
+      val bounds = df.select(col(c).cast("double").as("__t"))
+        .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.001)
+        .distinct.sorted
+      if (bounds.isEmpty) lit(0)
+      else graft.functions.BucketSearch.of(s, col(c), bounds)
+    }
+    // interleave: bit i of rank(c1) -> position 2i, of rank(c2) -> 2i+1
+    val (r1, r2) = (ranks(c1).cast("long"), ranks(c2).cast("long"))
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc + (shiftleft(shiftright(r1, i).bitwiseAND(1L), 2 * i)) +
+        (shiftleft(shiftright(r2, i).bitwiseAND(1L), 2 * i + 1))
+    }
+    val withZ = df.withColumn("__z", z)
+    val parts =
+      if (outFiles > 0) outFiles else s.sparkContext.defaultParallelism
+    withZ.repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Compact one day-partition's small files into ~`targetBytes`
     * outputs. Changefeed sinks write a file per flush — at scale a day
     * directory accumulates tens of thousands of tiny files and every

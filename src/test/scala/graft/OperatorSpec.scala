@@ -467,6 +467,51 @@ class OperatorSpec extends AnyFunSuite {
       s"daily-sketch union diverged from direct weekly sketch: $approx vs $direct")
   }
 
+  test("z-order layout keeps min/max stats tight on BOTH columns") {
+    import scala.jdk.CollectionConverters._
+    // two independent uniform columns; a linear sort by `a` leaves
+    // `b`'s per-file stats spanning the whole domain
+    val df = spark.range(0, 200000).select(
+      (col("id") % 1000).as("a"),
+      ((col("id") * 2654435761L) % 1000).as("b"))
+    val zDir = TestSpark.tmpDir("zorder") + "/z"
+    val linDir = TestSpark.tmpDir("zorder-lin") + "/lin"
+    graft.sources.Lake.writeZOrdered(df, "a", "b", zDir, bits = 10, outFiles = 16)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(linDir)
+    // parquet footers: how many files could contain col = 500?
+    // (1 row group per file at this size, so file stats = row-group
+    // stats — the granularity the scan's filter pushdown prunes at)
+    def overlaps(dir: String, c: String, v: Long): Int = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .count { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.exists { b =>
+            val st = b.getColumns.asScala
+              .find(_.getPath.toDotString == c).get.getStatistics
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Long]
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Long]
+            mn <= v && v <= mx
+          } finally r.close()
+        }
+    }
+    // the linear layout prunes its own sort column and nothing else
+    assert(overlaps(linDir, "a", 500L) <= 2, "linear sort should prune a")
+    assert(overlaps(linDir, "b", 500L) >= 14, "b stats can't be tight under a linear a-sort")
+    // the z-order prunes BOTH: each file covers a small (a, b)
+    // rectangle (≤ half the files even when the probe value straddles
+    // a rank-bucket boundary, vs ~all files for the linear layout's
+    // non-sort column)
+    assert(overlaps(zDir, "a", 500L) <= 8, "z-order failed to prune on a")
+    assert(overlaps(zDir, "b", 500L) <= 8, "z-order failed to prune on b")
+    // layout must not change content
+    assert(spark.read.parquet(zDir).except(df).isEmpty &&
+      df.except(spark.read.parquet(zDir)).isEmpty)
+  }
+
   test("BucketSearch: binary-search bucket equals the linear filter count") {
     import graft.functions.BucketSearch.bucketOf
     val bounds = Array(-3.0, 0.0, 2.5, 2.5001, 10.0)
