@@ -131,6 +131,57 @@ object CdcStreams {
       watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark).dropDuplicates(idCol)
 
+  /** Late-data DEAD-LETTER split — the operational pattern every
+    * watermarked pipeline needs and Spark doesn't surface: a row older
+    * than the watermark is silently DROPPED by windowed aggregates /
+    * dedup / stateful operators (s03 pins the drop; the engine even
+    * pre-filters late rows from a stateful operator's INPUT, so no
+    * in-plan operator can observe them). An ingestion pipeline wants
+    * those rows in a quarantine for replay/audit, not gone — so the
+    * split happens at the SINK, on the un-watermarked stream, against
+    * a watermark tracked by the engine's own update rule:
+    * wm(batch N) = max event time over batches < N, minus the delay —
+    * including the one-batch lag, so the routing agrees exactly with
+    * what a parallel watermarked query would have dropped (s29 pins
+    * the agreement against the s03 semantics).
+    *
+    * Restart caveat (documented, inherent to sink-side tracking): the
+    * engine restores ITS watermark from the checkpoint, this tracker
+    * restarts at -∞ — after a restart, previously-late rows in the
+    * first replayed batch route on-time once. For exactly-once sinks
+    * the replayed batch id makes the write idempotent anyway; callers
+    * needing the strict engine value across restarts should persist
+    * `maxSeenMs` beside their sink state.
+    *
+    * Scale: the split is two map-side filters per micro-batch plus one
+    * max aggregate; the batch is persisted once so the three passes
+    * share the scan. */
+  def lateSplitSink(df: DataFrame, tsCol: String, delayMs: Long,
+      onTime: (DataFrame, Long) => Unit,
+      late: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val maxSeenMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val wmMs =
+        if (maxSeenMs.get == Long.MinValue) Long.MinValue
+        else maxSeenMs.get - delayMs
+      val b = batch.persist()
+      try {
+        val tsMs = (col(tsCol).cast("double") * 1000).cast("long")
+        late(b.where(tsMs < wmMs), batchId)
+        onTime(b.where(tsMs >= wmMs || lit(wmMs == Long.MinValue)), batchId)
+        // watermark stats come from ALL rows flowing through the
+        // watermark node — late ones included — exactly like
+        // EventTimeWatermarkExec
+        val mx = b.agg(max(tsMs)).head()
+        if (!mx.isNullAt(0)) {
+          maxSeenMs.getAndUpdate(m => math.max(m, mx.getLong(0)))
+          ()
+        }
+      } finally { b.unpersist(); () }
+      ()
+    }
+  }
+
   /** Batch/`foreachBatch` upsert core — latest record per key
     * (q61 semantics): one shuffle by key, rank-1 filter. When
     * `isDelete` is given, a WINNING tombstone removes its key from the

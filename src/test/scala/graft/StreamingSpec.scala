@@ -941,6 +941,34 @@ class StreamingSpec extends AnyFunSuite {
       .where(col("kid") === "boston|b").head().getAs[String]("revenue") == "7.00")
   }
 
+  test("s29: late-data dead-letter split routes exactly what the watermark drops") {
+    val ms = MemoryStream[(Long, Timestamp)]
+    val ev = ms.toDF().toDF("id", "ts")
+    val onTime = scala.collection.mutable.ArrayBuffer[Long]()
+    val lateRows = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = graft.streaming.CdcStreams.lateSplitSink(ev, "ts", delayMs = 0L,
+        onTime = (b, _) => onTime.synchronized {
+          onTime ++= b.collect().map(_.getLong(0)) },
+        late = (b, _) => lateRows.synchronized {
+          lateRows ++= b.collect().map(_.getLong(0)) })
+      .queryName("s29").start()
+    def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    // batch 1: no watermark yet — nothing can be late
+    ms.addData((1L, t(0)), (2L, t(10)))
+    q.processAllAvailable()
+    // batch 2: judged against max-event-after-batch-1 (t(10), delay 0):
+    // t(5) routes to the dead letter, t(11) onward — the same rows the
+    // s03 windowed aggregate drops vs keeps
+    ms.addData((3L, t(5)), (4L, t(11)))
+    q.processAllAvailable()
+    // batch 3: the watermark lags a batch — t(10.5) is late vs t(11)
+    ms.addData((5L, new Timestamp(t(10).getTime + 30000L)))
+    q.processAllAvailable()
+    q.stop()
+    assert(onTime.sorted == Seq(1L, 2L, 4L), s"on-time: $onTime")
+    assert(lateRows.sorted == Seq(3L, 5L), s"late: $lateRows")
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
