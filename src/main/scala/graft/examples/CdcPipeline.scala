@@ -37,6 +37,17 @@ import graft.streaming.CdcStreams
   * Scale: file listing is incremental (maxFilesPerTrigger), dedup and
   * upsert state partition by key across executors, the store's rank-1
   * read shuffles once on the key, and compaction bounds store growth.
+  *
+  * Late envelopes: an envelope whose HLC is older than the dedup
+  * watermark is DROPPED by the dedup stage (watermark semantics —
+  * s03), so size `dedupWatermark` to the changefeed's real
+  * out-of-orderness, generously: the only cost of a large watermark
+  * is dedup-state retention, while redelivered duplicates that
+  * OUTLIVE it are harmless anyway (the store's (key, hlc) rank-1
+  * read picks one winner; compaction removes the copies). Pipelines
+  * that must never lose even ancient replays can front the source
+  * with `CdcStreams.lateSplitSink` and feed the dead-letter path
+  * directly to the store (idempotent by construction).
   */
 object CdcPipeline {
 
