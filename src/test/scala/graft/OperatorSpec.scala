@@ -502,11 +502,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(overlaps(linDir, "a", 500L) <= 2, "linear sort should prune a")
     assert(overlaps(linDir, "b", 500L) >= 14, "b stats can't be tight under a linear a-sort")
     // the z-order prunes BOTH: each file covers a small (a, b)
-    // rectangle (≤ half the files even when the probe value straddles
-    // a rank-bucket boundary, vs ~all files for the linear layout's
-    // non-sort column)
-    assert(overlaps(zDir, "a", 500L) <= 8, "z-order failed to prune on a")
-    assert(overlaps(zDir, "b", 500L) <= 8, "z-order failed to prune on b")
+    // rectangle. Bounds are loose because repartitionByRange samples
+    // its boundaries with an RDD-id-derived seed — file edges wobble
+    // a little run to run (observed 8–9 of 16) — but the structural
+    // contrast vs the linear layout's non-sort column (14+) is stable.
+    val zA = overlaps(zDir, "a", 500L)
+    val zB = overlaps(zDir, "b", 500L)
+    assert(zA <= 10, s"z-order failed to prune on a ($zA/16)")
+    assert(zB <= 10, s"z-order failed to prune on b ($zB/16)")
+    assert(zB + 4 <= overlaps(linDir, "b", 500L),
+      s"z-order no better than linear on the non-sort column ($zB)")
     // layout must not change content
     assert(spark.read.parquet(zDir).except(df).isEmpty &&
       df.except(spark.read.parquet(zDir)).isEmpty)
