@@ -417,7 +417,10 @@ object RelationalQueries {
     graft.operators.DistributedRank.quantiles(
         lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
         Seq("l_returnflag"), "l_extendedprice",
-        Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95),
+        // prices are continuous: declare the value frame large
+        // (adaptiveCut = 0) and skip the smallness-probe job
+        adaptiveCut = 0)
       .select(col("l_returnflag"),
         Det.r4e(col("p25")).as("p25"),
         Det.r4e(col("p50")).as("p50"),
