@@ -93,6 +93,56 @@ object Multimodal {
     out
   }
 
+  /** dHash perceptual hash over the stub-decoded "image" — the
+    * classic image near-dup signature: downsample to a 9×8 grid
+    * (resizeStub — the real pipeline's codec resize), then bit j
+    * (j = 8·y + x) records whether pixel (x, y) outbrightens its
+    * right neighbour. Emitted as FOUR 16-bit band values rather than
+    * one 64-bit word: bands are exactly the LSH blocking unit a
+    * near-dup join buckets on (share a band → candidate pair, the
+    * q103 SimHash discipline), and 16-bit integers survive every
+    * SQL dialect without 64-bit shift/overflow gymnastics. Identical
+    * media hash identically on any engine; a local pixel change
+    * flips only the bits whose samples cross it. */
+  def dHashBands(media: Array[Byte], srcW: Int, srcH: Int): (Int, Int, Int, Int) = {
+    val r = resizeStub(media, srcW, srcH, 9, 8)
+    val bands = new Array[Int](4)
+    var j = 0
+    while (j < 64) {
+      val x = j % 8
+      val y = j / 8
+      val a = r(y * 9 + x) & 0xff
+      val b = r(y * 9 + x + 1) & 0xff
+      if (a > b) bands(j / 16) |= 1 << (j % 16)
+      j += 1
+    }
+    (bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** q151: the perceptual-hash pipeline as a query — binary wrap →
+    * image geometry → resize → dHash bands, one map-side Dataset pass
+    * (the shape a real image-dedup job has: decode and hash fused per
+    * partition, only the 8-byte signature shuffles). The stand-in
+    * geometry must COVER the payload (width from the q97 stub,
+    * height = ceil(n/width)) — a matrix larger than the bytes leaves
+    * most sample rows in zero padding and collapses the hash to its
+    * first band (observed on the q97 dims: only row 0 carried
+    * signal). The oracle replays the full resize + compare arithmetic
+    * in SQL — integer division and zero-padding agree
+    * index-for-index. */
+  def q151(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    toMediaDocs(graft.Tables.spread(s, graft.Tables.documents(s, d)))
+      .map { m =>
+        val w = 32 + m.n_bytes % 97
+        val h = math.max(1, (m.n_bytes + w - 1) / w)
+        val (h0, h1, h2, h3) = dHashBands(m.media, w, h)
+        (m.doc_id, h0, h1, h2, h3)
+      }
+      .toDF("doc_id", "h0", "h1", "h2", "h3")
+      .transform(graft.queries.Det.emitWide(_, "doc_id"))
+  }
+
   /** q97: the full pipeline as a query — binary wrap → batched decode
     * → scalar features. Oracle mirrors the stub arithmetic in SQL. */
   def q97(s: SparkSession, d: String): DataFrame = {
@@ -123,7 +173,8 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q97_multimodal_features" -> q97, "q102_frame_sample" -> q102)
+    Map("q97_multimodal_features" -> q97, "q102_frame_sample" -> q102,
+      "q151_dhash_bands" -> q151)
 
   val oracles: Map[String, String] = Map(
     "q97_multimodal_features" ->
@@ -136,5 +187,30 @@ object Multimodal {
       """SELECT doc_id,
                 CAST(ceil(ceil(strlen(text) / 64.0) / 2.0) AS INT) AS n_frames,
                 md5(substr(text, 1, 64)) AS first_md5
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q151_dhash_bands" ->
+      """WITH d AS (SELECT doc_id, text, strlen(text) AS n,
+                           32 + strlen(text) % 97 AS w,
+                           greatest(1, (strlen(text) + 32 + strlen(text) % 97 - 1)
+                                       // (32 + strlen(text) % 97)) AS h
+                    FROM documents),
+         b AS (SELECT doc_id, j // 16 AS band,
+                      CASE WHEN pxa > pxb THEN (1 << (j % 16)) ELSE 0 END AS v
+               FROM d, LATERAL (
+                 SELECT j,
+                   CASE WHEN ((j // 8) * h // 8) * w + ((j % 8) * w // 9) < n
+                        THEN ascii(substr(text,
+                               ((j // 8) * h // 8) * w + ((j % 8) * w // 9) + 1, 1))
+                        ELSE 0 END AS pxa,
+                   CASE WHEN ((j // 8) * h // 8) * w + (((j % 8) + 1) * w // 9) < n
+                        THEN ascii(substr(text,
+                               ((j // 8) * h // 8) * w + (((j % 8) + 1) * w // 9) + 1, 1))
+                        ELSE 0 END AS pxb
+                 FROM (SELECT unnest(generate_series(0, 63)) AS j)) u)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN band = 0 THEN v ELSE 0 END) AS INT) AS h0,
+                CAST(sum(CASE WHEN band = 1 THEN v ELSE 0 END) AS INT) AS h1,
+                CAST(sum(CASE WHEN band = 2 THEN v ELSE 0 END) AS INT) AS h2,
+                CAST(sum(CASE WHEN band = 3 THEN v ELSE 0 END) AS INT) AS h3
+         FROM b GROUP BY doc_id ORDER BY doc_id""")
 }

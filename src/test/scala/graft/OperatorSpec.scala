@@ -517,6 +517,26 @@ class OperatorSpec extends AnyFunSuite {
       df.except(spark.read.parquet(zDir)).isEmpty)
   }
 
+  test("dHashBands: identical media hash identically; local edits flip few bits") {
+    import graft.multimodal.Multimodal.dHashBands
+    val rnd = new scala.util.Random(7)
+    val img = Array.fill(40 * 30)((rnd.nextInt(256) - 128).toByte)
+    val a = dHashBands(img, 40, 30)
+    assert(dHashBands(img.clone(), 40, 30) == a, "not deterministic")
+    // flip one pixel: only comparisons sampling it can change — the
+    // hamming distance across all 64 bits stays small
+    val img2 = img.clone()
+    img2(17 * 40 + 23) = (img2(17 * 40 + 23) ^ 0x7f).toByte
+    val b = dHashBands(img2, 40, 30)
+    def hamming(x: (Int, Int, Int, Int), y: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(x._1 ^ y._1) + Integer.bitCount(x._2 ^ y._2) +
+        Integer.bitCount(x._3 ^ y._3) + Integer.bitCount(x._4 ^ y._4)
+    assert(hamming(a, b) <= 4, s"local edit flipped ${hamming(a, b)} bits")
+    // unrelated content lands far away
+    val other = Array.fill(40 * 30)((rnd.nextInt(256) - 128).toByte)
+    assert(hamming(a, dHashBands(other, 40, 30)) > 10)
+  }
+
   test("BucketSearch: binary-search bucket equals the linear filter count") {
     import graft.functions.BucketSearch.bucketOf
     val bounds = Array(-3.0, 0.0, 2.5, 2.5001, 10.0)
