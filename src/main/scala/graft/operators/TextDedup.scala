@@ -275,6 +275,33 @@ object TextDedup {
     df.where(hashDraw(idCol, salt) < cut)
   }
 
+  /** Deterministic N-way split (train/val/test) — fractions map to
+    * DISJOINT, EXHAUSTIVE bands of the same 10000-grid hash draw
+    * hashSample uses: pure map-side, no rand(), identical assignment
+    * on any engine, any retry, any partitioning. Band layout is
+    * prefix-stable: earlier splits keep their band when LATER
+    * fractions are subdivided (e.g. splitting a 20% holdout into
+    * val/test moves no train row) — the property an
+    * eval-contamination audit depends on. Fractions must sum to 1;
+    * the rounding remainder lands in the last split. Appends
+    * `split`. */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = "spl"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit: splits must be non-empty")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"hashSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    require(!df.columns.contains("split"),
+      "hashSplit: input already has a 'split' column")
+    val cuts = splits.scanLeft(0L) {
+      case (acc, (_, f)) => acc + (f * 10000).round }.tail
+    val draw = hashDraw(idCol, salt)
+    val assigned = splits.zip(cuts).foldLeft(
+      when(lit(false), lit("")): Column) {
+      case (w, ((name, _), cut)) => w.when(draw < cut, lit(name))
+    }.otherwise(lit(splits.last._1))
+    df.withColumn("split", assigned)
+  }
+
   /** SimHash near-dup pairs, EXACT for hamming distance ≤ `maxHamming`
     * — pigeonhole banding: split the 60 simhash bits into
     * maxHamming + 1 bands; ≤ maxHamming differing bits cannot corrupt

@@ -123,6 +123,22 @@ object TextQueries {
         Det.r4e(col("jaccard")).as("jaccard"))
       .transform(Det.emitWide(_, "a_id", "b_id"))
 
+  /** q152: deterministic 80/10/10 train/val/test split
+    * (TextDedup.hashSplit) rolled up per (split, lang) — the
+    * assignment every training run and contamination audit must be
+    * able to REPRODUCE bit-for-bit (no rand(), no engine dependence:
+    * the oracle recomputes the same md5 band arithmetic). Map-side
+    * assignment; the only shuffle is the bounded (split, lang)
+    * rollup. OperatorSpec pins partition totality and the
+    * prefix-stability rule (subdividing the holdout moves no train
+    * row). */
+  private def q152(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup
+      .hashSplit(spread(s, docs(s, d)), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .transform(Det.emit(_, "split", "lang"))
+
   /** q91: language-ID by char-trigram profile — top-20 trigrams per
     * labeled language, then each doc scored by profile hits and
     * classified to the argmax. Profiles are tiny (langs × 20) →
@@ -394,7 +410,7 @@ object TextQueries {
     "q82_text_stats" -> q82, "q86_minhash_sig" -> q86,
     "q87_minhash_lsh_pairs" -> q87, "q88_simhash" -> q88,
     "q89_ngram_jaccard" -> q89, "q148_prefix_jaccard" -> q148,
-    "q91_lang_id" -> q91,
+    "q152_hash_split" -> q152, "q91_lang_id" -> q91,
     "q92_quality_score" -> q92, "q93_token_count" -> q93,
     "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96,
     "q99_repetition" -> q99, "q103_simhash_neardup" -> q103,
@@ -442,6 +458,16 @@ object TextQueries {
       s"""SELECT word, CAST(count(1) AS BIGINT) AS n
           FROM (SELECT unnest($TS) AS word FROM documents)
           GROUP BY word ORDER BY n DESC, word ASC LIMIT 50""",
+    "q152_hash_split" ->
+      """SELECT split, lang, CAST(count(1) AS BIGINT) AS n FROM (
+           SELECT CASE WHEN ub < 8000 THEN 'train'
+                       WHEN ub < 9000 THEN 'val'
+                       ELSE 'test' END AS split, lang
+           FROM (SELECT lang,
+                        CAST('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 10000 AS ub
+                 FROM documents))
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q106_hash_sample" ->
       """SELECT doc_id, lang, ub FROM (
            SELECT doc_id, lang,

@@ -517,6 +517,29 @@ class OperatorSpec extends AnyFunSuite {
       df.except(spark.read.parquet(zDir)).isEmpty)
   }
 
+  test("hashSplit: disjoint, exhaustive, deterministic, prefix-stable") {
+    import graft.operators.TextDedup.hashSplit
+    val df = spark.range(0, 5000).select(col("id").as("doc_id"))
+    val three = hashSplit(df, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // exhaustive partition: every row in exactly one split
+    val counts = three.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000 && counts.keySet == Set("train", "val", "test"))
+    // fractions land near their bands
+    assert(math.abs(counts("train") - 4000) < 200, s"train=${counts("train")}")
+    // deterministic across invocations
+    assert(three.except(hashSplit(df, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))).isEmpty)
+    // prefix stability: subdividing the 20% holdout moves NO train row
+    val two = hashSplit(df, "doc_id", Seq("train" -> 0.8, "holdout" -> 0.2))
+    val trainTwo = two.where(col("split") === "train").select("doc_id")
+    val trainThree = three.where(col("split") === "train").select("doc_id")
+    assert(trainTwo.except(trainThree).isEmpty &&
+      trainThree.except(trainTwo).isEmpty,
+      "train membership changed when the holdout was subdivided")
+  }
+
   test("dHashBands: identical media hash identically; local edits flip few bits") {
     import graft.multimodal.Multimodal.dHashBands
     val rnd = new scala.util.Random(7)
