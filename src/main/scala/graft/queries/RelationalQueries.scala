@@ -489,7 +489,33 @@ object RelationalQueries {
       .transform(Det.emitWide(_, "l_orderkey", "l_linenumber"))
   }
 
+  /** q153: bucketized point-in-interval join (operators.IntervalJoin)
+    * — lineitems shipped within a week of a top-value order's date,
+    * counted per priority. The PURE non-equi join (no shared equi
+    * key): Spark's only native plans are BroadcastNestedLoopJoin /
+    * cartesian, fatal when both sides are fact-sized. The bucket
+    * rewrite turns it into an equi join on ⌊day/width⌋ with an exact
+    * residual — semantically free, proven by the oracle being the
+    * PLAIN theta join (the q110 contract discipline). Interval side
+    * filtered to the top ~1% of orders by value: the fan-out knob a
+    * real query would also carry (the probe side stays whole-table).
+    * Plan-gated: no BNLJ/cartesian anywhere. */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val epoch = lit("1970-01-01")
+    val iv = orders(s, d).where(col("o_totalprice") > 495000.0)
+      .select(col("o_orderpriority"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("lo"))
+      .withColumn("hi", col("lo") + 7)
+    val pts = lineitem(s, d)
+      .select(datediff(col("l_shipdate"), epoch).cast("long").as("p"))
+    graft.operators.IntervalJoin
+      .pointInInterval(pts, iv, "p", "lo", "hi", maxLen = 7)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .transform(Det.emit(_, "o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_interval_join" -> q153,
     "q01_scan_project" -> q01, "q02_scan_pushdown" -> q02,
     "q03_filter_compound" -> q03, "q04_project_case" -> q04,
     "q05_cast_types" -> q05,
@@ -507,6 +533,13 @@ object RelationalQueries {
     "q37_percentiles_approx" -> q37, "q118_histogram" -> q118)
 
   val oracles: Map[String, String] = Map(
+    "q153_interval_join" ->
+      """SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS n
+         FROM (SELECT o_orderpriority, o_orderdate FROM orders
+               WHERE o_totalprice > 495000) o
+         JOIN lineitem
+           ON l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 7 DAY
+         GROUP BY 1 ORDER BY 1""",
     "q118_histogram" ->
       """WITH mm AS (SELECT min(l_extendedprice) AS mn,
                             max(l_extendedprice) AS mx FROM lineitem),

@@ -179,6 +179,30 @@ object AlgebraProps extends Properties("graft.algebra") {
       got(10000) == want && got(0) == want
     }
 
+  property("IntervalJoin.pointInInterval equals the plain theta join") =
+    forAll(for {
+      pts <- Gen.listOfN(30, Gen.choose(-50L, 50L))
+      ivs <- Gen.listOfN(15, for {
+        lo <- Gen.choose(-50L, 50L)
+        len <- Gen.choose(0L, 9L)
+      } yield (lo, lo + len))
+      w <- Gen.choose(1L, 12L)
+    } yield (pts, ivs, w)) { case (pts, ivs, w) =>
+      val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = graft.operators.IntervalJoin
+        .pointInInterval(p, iv, "p", "lo", "hi", maxLen = 9, bucketWidth = w)
+        .select("pid", "iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (v, i) <- pts.zipWithIndex
+        ((lo, hi), j) <- ivs.zipWithIndex
+        if lo <= v && v <= hi
+      } yield (i.toLong, j.toLong)).toSet
+      got == want
+    }
+
   property("MisraGries guarantees hold on multi-partition skewed streams") =
     forAll(Gen.listOfN(200, Gen.frequency(
       8 -> Gen.choose(0L, 3L),     // hot keys

@@ -363,6 +363,18 @@ class PlanSpec extends AnyFunSuite {
       "q147 kNN edge selection lost the map-side top-k pre-trim")
   }
 
+  test("q153: interval join plans as an equi join, not a nested loop") {
+    // the whole point of the bucket rewrite: the pure non-equi band
+    // predicate must ride as a residual on a bucket-keyed hash/merge
+    // join — a BroadcastNestedLoopJoin would be the naive plan the
+    // operator exists to avoid (fatal when neither side broadcasts)
+    val p = plan("q153_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      s"q153 fell back to a nested-loop/cartesian join:\n$p")
+    assert(p.contains("Join") && p.contains("__b"),
+      s"q153 lost the bucket equi key:\n$p")
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —
