@@ -410,6 +410,8 @@ object DistributedRank {
       qs: Seq[(String, Double)], numRanges: Int = 0,
       adaptiveCut: Int = 10000): DataFrame = {
     require(qs.nonEmpty, "quantiles: qs must be non-empty")
+    require(qs.map(_._1).distinct.size == qs.size,
+      s"quantiles: duplicate output names in ${qs.map(_._1).mkString(",")}")
     qs.foreach { case (nm, p) =>
       require(p >= 0.0 && p <= 1.0, s"quantiles: $nm=$p outside [0, 1]") }
     val s = df.sparkSession

@@ -31,7 +31,10 @@ object IntervalJoin {
     * upstream). Interval lengths must not exceed `maxLen` (checked
     * map-side with a loud error — an unbounded interval would explode
     * the bucket fan-out silently). `bucketWidth` defaults to
-    * `maxLen`: each interval then covers at most 2 buckets. */
+    * `maxLen`: each interval then covers at most 2 buckets. An
+    * INVERTED interval (hi < lo) passes the length check (negative ≤
+    * maxLen) and matches nothing — the exact residual rejects every
+    * candidate, matching the theta join's own empty band. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pCol: String, loCol: String, hiCol: String,
       maxLen: Long, bucketWidth: Long = 0L): DataFrame = {

@@ -258,10 +258,10 @@ object ScalarQueries {
     "q146_json_value" ->
       """SELECT event_id,
                 CAST(CASE WHEN json_valid(c)
-                            AND json_type(c) IN ('OBJECT', 'ARRAY')
+                            AND substr(ltrim(c), 1, 1) IN ('{', '[')
                           THEN 1 ELSE 0 END AS INT) AS ok,
                 CASE WHEN json_valid(c)
-                       AND json_type(c) IN ('OBJECT', 'ARRAY')
+                       AND substr(ltrim(c), 1, 1) IN ('{', '[')
                      THEN json_extract_string(c, '$.k') END AS k,
                 json_extract_string(props, '$.k') AS kq,
                 json_extract_string(props, '$.device') AS missing,
