@@ -467,6 +467,42 @@ class OperatorSpec extends AnyFunSuite {
       s"daily-sketch union diverged from direct weekly sketch: $approx vs $direct")
   }
 
+  test("Lake.mergeInto: update/insert/delete, stale-loss, idempotent replay, crash recovery") {
+    import org.apache.hadoop.fs.Path
+    val base = TestSpark.tmpDir("merge")
+    val dir = s"$base/t"
+    def df(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("k", "v", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")))
+    def state = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[Long]("ver"))).toSet
+    // first merge: all inserts
+    merge(df((1L, "a", 1L, false), (2L, "b", 1L, false)))
+    assert(state == Set((1L, "a", 1L), (2L, "b", 1L)))
+    // matched update + unmatched insert + matched delete in one batch
+    val batch = df((1L, "a2", 2L, false), (3L, "c", 2L, false), (2L, "", 2L, true))
+    merge(batch)
+    assert(state == Set((1L, "a2", 2L), (3L, "c", 2L)))
+    // the tombstone is PHYSICAL: no row for key 2 survives on disk
+    assert(spark.read.parquet(dir).where(col("k") === 2L).isEmpty)
+    // replaying the same batch is a no-op (CDC replay rule)
+    merge(batch)
+    assert(state == Set((1L, "a2", 2L), (3L, "c", 2L)))
+    // a STALE update (older ver than stored) loses
+    merge(df((1L, "old", 1L, false)))
+    assert(state == Set((1L, "a2", 2L), (3L, "c", 2L)))
+    // crash sim: the live dir was renamed aside and the process died
+    // between the two renames — the next merge restores it first
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(dir), new Path(s"$base/_merge_old_t")))
+    merge(df((4L, "d", 3L, false)))
+    assert(state == Set((1L, "a2", 2L), (3L, "c", 2L), (4L, "d", 3L)))
+    assert(!fs.exists(new Path(s"$base/_merge_old_t")) &&
+      !fs.exists(new Path(s"$base/_merge_tmp_t")), "work dirs left behind")
+  }
+
   test("z-order layout keeps min/max stats tight on BOTH columns") {
     import scala.jdk.CollectionConverters._
     // two independent uniform columns; a linear sort by `a` leaves
