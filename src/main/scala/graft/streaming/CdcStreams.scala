@@ -225,6 +225,30 @@ object CdcStreams {
     latestByKey(spark.read.option("basePath", statePath)
       .parquet(s"$statePath/batch=*"), keyCols, orderCols, isDelete)
 
+  /** Streaming MERGE sink — each micro-batch merges into a DIRECTLY
+    * queryable parquet table (`Lake.mergeInto`: matched-update /
+    * not-matched-insert / tombstone-delete, physical deletes), the
+    * MERGE INTO consumption mode a lake user reaches for, vs
+    * `upsertSink`'s append-only `batch=<id>` store that needs a
+    * rank-1 `currentState` read and periodic compaction. Exactly-once
+    * across restarts WITHOUT tracking batch ids: the merge conflict
+    * rule is the CDC replay rule (latest by `orderCols` wins), so a
+    * checkpoint-replayed micro-batch merges to the identical state —
+    * idempotence by semantics, not by bookkeeping. Trade: every batch
+    * pays a copy-on-write of the target directory (point it at a day
+    * partition, or prefer `upsertSink` + compaction cadence when
+    * batches are small and frequent — both trades documented, both
+    * tested). */
+  def mergeSink(df: DataFrame, targetDir: String, checkpoint: String,
+      keyCols: Seq[String], orderCols: Seq[String],
+      isDeleteCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Lake.mergeInto(batch.sparkSession, targetDir, batch,
+          keyCols, orderCols, isDeleteCol.map(col))
+      }
+      .option("checkpointLocation", checkpoint)
+
   /** Compact the upsert store: fold every `batch=N` directory into one
     * directory holding the materialized current state. The store
     * otherwise grows with every micro-batch and each `currentState`

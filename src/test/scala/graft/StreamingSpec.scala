@@ -969,6 +969,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(lateRows.sorted == Seq(3L, 5L), s"late: $lateRows")
   }
 
+  test("s30: streaming merge sink keeps a queryable table exactly-once across restarts") {
+    val src = TestSpark.tmpDir("s30-src")
+    val table = TestSpark.tmpDir("s30-tbl") + "/t"
+    val chk = TestSpark.tmpDir("s30-chk")
+    def run(): Unit = {
+      val post = CdcStreams.postImages(
+          CdcStreams.readEnvelopeStream(spark, src, rideSchema))
+        .withColumn("kid", element_at(col("key"), 2))
+        .withColumn("hlc", col("updated").cast("double"))
+      val q = CdcStreams.mergeSink(post, table, chk,
+          Seq("kid"), Seq("hlc"), isDeleteCol = Some("is_delete"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // the table is PLAIN parquet — no rank-1 read, no batch dirs
+    def state = spark.read.parquet(table)
+      .collect().map(r => r.getAs[String]("kid") -> r.getAs[String]("revenue")).toMap
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.00", "1.0"),
+      envLine("b", "boston", "5.00", "2.0")))
+    run()
+    assert(state == Map("a" -> "10.00", "b" -> "5.00"))
+    // restart: update a, tombstone b — merged in place, delete physical
+    writeNdjson(src, "f2.ndjson", Seq(
+      envLine("a", "amsterdam", "12.00", "3.0"),
+      """{"after": null, "key": ["boston", "b"], "updated": "4.0"}"""))
+    run()
+    assert(state == Map("a" -> "12.00"))
+    assert(spark.read.parquet(table).where(col("is_delete")).isEmpty,
+      "tombstone row persisted into the merged table")
+    // replaying with NO new files must not change the table (the
+    // checkpoint replays nothing; a crash-replayed batch would merge
+    // idempotently by the same rule)
+    run()
+    assert(state == Map("a" -> "12.00"))
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
