@@ -56,4 +56,38 @@ object IntervalJoin {
       .where(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
       .drop("__b")
   }
+
+  /** Interval-OVERLAP join: rows of `left` and `right` whose
+    * [lo, hi] bands intersect (`loL ≤ hiR AND loR ≤ hiL`), same
+    * bucket rewrite — and DEDUP-FREE even though an overlapping pair
+    * co-occupies several buckets: the pair is kept only in the
+    * bucket `max(⌊loL/w⌋, ⌊loR/w⌋)`, which is exactly the FIRST
+    * common bucket of any intersecting pair (the intersection of
+    * their bucket ranges starts there), so each qualifying pair
+    * survives exactly once with no distinct shuffle. Column names
+    * must not collide across the two sides (alias upstream). Both
+    * sides' interval lengths are bounded by `maxLen` (loud map-side
+    * error). */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      loL: String, hiL: String, loR: String, hiR: String,
+      maxLen: Long, bucketWidth: Long = 0L): DataFrame = {
+    require(maxLen >= 0, s"maxLen must be >= 0, got $maxLen")
+    val w = if (bucketWidth > 0) bucketWidth else math.max(1L, maxLen)
+    def b(c: Column): Column = floor(c / w).cast("long")
+    def explodeBuckets(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val guarded = when(col(hi) - col(lo) <= maxLen, col(lo))
+        .otherwise(raise_error(concat(
+          lit(s"intervalOverlap: interval longer than maxLen=$maxLen: ["),
+          col(lo).cast("string"), lit(", "), col(hi).cast("string"),
+          lit("]"))))
+      df.withColumn("__lo", guarded)
+        .withColumn("__b", explode(sequence(b(col("__lo")), b(col(hi)))))
+        .drop("__lo")
+    }
+    explodeBuckets(left, loL, hiL)
+      .join(explodeBuckets(right, loR, hiR), Seq("__b"))
+      .where(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+        col("__b") === greatest(b(col(loL)), b(col(loR))))
+      .drop("__b")
+  }
 }

@@ -514,8 +514,34 @@ object RelationalQueries {
       .transform(Det.emit(_, "o_orderpriority"))
   }
 
+  /** q154: interval-OVERLAP self-join — pairs of top-value orders
+    * whose 7-day fulfilment windows intersect, counted per priority
+    * pair (the band-collision census behind contention/backlog
+    * analyses). Same bucket rewrite as q153 but interval×interval,
+    * and DEDUP-FREE: a pair co-occupies several buckets yet survives
+    * only in max(⌊loA/w⌋, ⌊loB/w⌋) — the first common bucket — so no
+    * distinct shuffle runs (multiplicity property-pinned). Oracle is
+    * the plain double-band theta join. */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    val epoch = lit("1970-01-01")
+    val top = orders(s, d).where(col("o_totalprice") > 495000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("lo"))
+      .withColumn("hi", col("lo") + 7)
+    val l = top.select(col("o_orderkey").as("ak"),
+      col("o_orderpriority").as("ap"), col("lo").as("alo"), col("hi").as("ahi"))
+    val r = top.select(col("o_orderkey").as("bk"),
+      col("o_orderpriority").as("bp"), col("lo").as("blo"), col("hi").as("bhi"))
+    graft.operators.IntervalJoin
+      .intervalOverlap(l, r, "alo", "ahi", "blo", "bhi", maxLen = 7)
+      .where(col("ak") < col("bk"))
+      .groupBy(col("ap"), col("bp")).agg(count(lit(1)).as("n"))
+      .transform(Det.emit(_, "ap", "bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_interval_join" -> q153,
+    "q154_interval_overlap" -> q154,
     "q01_scan_project" -> q01, "q02_scan_pushdown" -> q02,
     "q03_filter_compound" -> q03, "q04_project_case" -> q04,
     "q05_cast_types" -> q05,
@@ -533,6 +559,15 @@ object RelationalQueries {
     "q37_percentiles_approx" -> q37, "q118_histogram" -> q118)
 
   val oracles: Map[String, String] = Map(
+    "q154_interval_overlap" ->
+      """SELECT a.o_orderpriority AS ap, b.o_orderpriority AS bp,
+                CAST(count(1) AS BIGINT) AS n
+         FROM (SELECT * FROM orders WHERE o_totalprice > 495000) a
+         JOIN (SELECT * FROM orders WHERE o_totalprice > 495000) b
+           ON a.o_orderkey < b.o_orderkey
+          AND a.o_orderdate <= b.o_orderdate + INTERVAL 7 DAY
+          AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q153_interval_join" ->
       """SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS n
          FROM (SELECT o_orderpriority, o_orderdate FROM orders

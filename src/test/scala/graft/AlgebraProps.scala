@@ -203,6 +203,34 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("IntervalJoin.intervalOverlap equals brute force, each pair exactly once") =
+    forAll(for {
+      as <- Gen.listOfN(12, for {
+        lo <- Gen.choose(-40L, 40L); len <- Gen.choose(0L, 8L)
+      } yield (lo, lo + len))
+      bs <- Gen.listOfN(12, for {
+        lo <- Gen.choose(-40L, 40L); len <- Gen.choose(0L, 8L)
+      } yield (lo, lo + len))
+      w <- Gen.choose(1L, 10L)
+    } yield (as, bs, w)) { case (as, bs, w) =>
+      val l = as.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("aid", "alo", "ahi")
+      val r = bs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("bid", "blo", "bhi")
+      val got = graft.operators.IntervalJoin
+        .intervalOverlap(l, r, "alo", "ahi", "blo", "bhi",
+          maxLen = 8, bucketWidth = w)
+        .select("aid", "bid")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      // exactly once: no dedup pass ran, so multiplicity matters
+      val want = for {
+        ((alo, ahi), i) <- as.zipWithIndex
+        ((blo, bhi), j) <- bs.zipWithIndex
+        if alo <= bhi && blo <= ahi
+      } yield (i.toLong, j.toLong)
+      got.sorted == want.sorted
+    }
+
   property("MisraGries guarantees hold on multi-partition skewed streams") =
     forAll(Gen.listOfN(200, Gen.frequency(
       8 -> Gen.choose(0L, 3L),     // hot keys
