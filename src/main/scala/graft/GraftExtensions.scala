@@ -38,6 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.IsJson].getName, "is_json"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.IsJson(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("json_query"),
+      new ExpressionInfo(classOf[graft.functions.JsonQuery].getName, "json_query"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.JsonQuery(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("openjson_entries"),
+      new ExpressionInfo(classOf[graft.functions.OpenJsonEntries].getName, "openjson_entries"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.OpenJsonEntries(exprs(0), exprs(1))))
   }
 }
 
@@ -50,5 +60,7 @@ object GraftExtensions {
     graft.functions.BucketSearch.register(spark)
     graft.functions.JsonValue.register(spark)
     graft.functions.IsJson.register(spark)
+    graft.functions.JsonQuery.register(spark)
+    graft.functions.OpenJsonEntries.register(spark)
   }
 }

@@ -1,0 +1,127 @@
+package graft.examples
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** The nightly lake-maintenance loop as ONE restartable artifact — the
+  * batch twin of `CdcPipeline` (s28): where that composes the
+  * STREAMING consumption of the reference's changefeed lake, this
+  * composes the at-rest operations its operator runs on a cadence
+  * against the same day-partitioned layout
+  * (/root/reference/README.md:182):
+  *
+  *   1. ingest     — `Lake.writePartitioned`: land a new batch of rows
+  *                   day-partitioned (append; a re-run of a failed
+  *                   night must pair it with the merge step below, not
+  *                   raw re-append — documented per step)
+  *   2. merge      — `Lake.mergeIntoPartitioned`: apply the day's CDC
+  *                   updates/deletes, rewriting ONLY touched
+  *                   `ingest_date=` dirs (partition-scoped MERGE)
+  *   3. compact    — `Lake.compactDay` on each touched day: fold the
+  *                   flush-sized files into ~target-sized ones
+  *   4. cluster    — `Lake.writeZOrderedN` on a chosen hot day:
+  *                   multi-column layout so point/range predicates on
+  *                   any clustered column prune row groups
+  *
+  * Restartability is per STEP, inherited from each primitive's own
+  * crash protocol: writePartitioned is an append (re-run after a merge
+  * reconciles duplicates by the CDC replay rule), mergeIntoPartitioned
+  * and compactDay both stage-and-swap with aside-dir recovery, and the
+  * z-order write is an idempotent overwrite of its target directory.
+  * A crash between steps re-runs the whole sequence: every step is
+  * either idempotent or self-recovering, so the composed artifact is
+  * too (OperatorSpec drives a crash mid-sequence and re-runs).
+  *
+  * Scale: nothing here scans the whole lake — every step is scoped to
+  * the day partitions the night's batch touched (the merge DERIVES
+  * that set from the batch itself); the z-order step is per-directory.
+  */
+object LakeOps {
+
+  /** One maintenance cycle over `lake`. `updates` carries the night's
+    * rows INCLUDING the `ingest_date` string column and, optionally,
+    * an `is_delete` tombstone column. Returns the touched days. */
+  def runNightly(spark: SparkSession, lake: String, updates: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String],
+      isDeleteCol: Option[String] = None,
+      compactTargetBytes: Long = 128L << 20,
+      zorderCols: Seq[String] = Nil, zorderDay: Option[String] = None,
+      zorderOut: Option[String] = None): Seq[String] = {
+    // 1+2 fused: the MERGE is the ingest — it inserts unseen keys,
+    // applies updates, and deletes tombstoned keys per touched day,
+    // and replaying the same batch after a crash is a no-op (the CDC
+    // replay conflict rule), which a raw append would not be.
+    val touched = Lake.mergeIntoPartitioned(spark, lake, updates,
+      "ingest_date", keyCols, orderCols, isDeleteCol.map(col))
+    // 3: compaction per touched day (stage-and-swap, self-recovering)
+    touched.foreach(day =>
+      Lake.compactDay(spark, lake, day, compactTargetBytes))
+    // 4: optional clustering of one day into a z-ordered directory
+    // (an overwrite — idempotent; readers point at the clustered copy)
+    (zorderDay, zorderOut) match {
+      case (Some(day), Some(out)) if zorderCols.nonEmpty =>
+        Lake.writeZOrderedN(
+          Lake.readDay(spark, lake, day).drop("ingest_date"),
+          zorderCols, out)
+      case _ => ()
+    }
+    touched
+  }
+
+  /** Tombstone retention sweep — the GDPR/retention pass for days an
+    * APPEND-style sink wrote into (tombstones landed as rows instead
+    * of merging): re-apply the CDC replay rule per day — latest record
+    * per key wins, a WINNING tombstone removes its key physically,
+    * older duplicates collapse. A day holding no tombstone rows is
+    * left byte-identical (checked BEFORE rewriting — the sweep never
+    * pays a copy-on-write for a clean day). Returns the days
+    * rewritten. */
+  def retentionSweep(spark: SparkSession, lake: String, days: Seq[String],
+      keyCols: Seq[String], orderCols: Seq[String],
+      isDeleteCol: String): Seq[String] = {
+    // crash recovery first: a previous sweep that died between its two
+    // renames left the live day stranded aside — restore before
+    // reading anything
+    days.foreach { day =>
+      val p = new Path(s"$lake/ingest_date=$day")
+      val aside = new Path(s"$lake/_retention_old_$day")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p) && fs.exists(aside)) fs.rename(aside, p)
+      fs.delete(new Path(s"$lake/_retention_tmp_$day"), true)
+      fs.delete(aside, true)
+      ()
+    }
+    val swept = days.filter { day =>
+      val dir = s"$lake/ingest_date=$day"
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && !spark.read.parquet(dir)
+        .where(col(isDeleteCol)).isEmpty
+    }
+    swept.foreach { day =>
+      val dir = s"$lake/ingest_date=$day"
+      // the CDC replay rule over the day's rows: rank-1 per key, then
+      // winning tombstones drop their key entirely
+      val cur = graft.streaming.CdcStreams.latestByKey(
+        spark.read.parquet(dir), keyCols, orderCols,
+        isDelete = Some(col(isDeleteCol)))
+      val tmp = s"$lake/_retention_tmp_$day"
+      cur.write.mode("overwrite").parquet(tmp)
+      val p = new Path(dir); val t = new Path(tmp)
+      val aside = new Path(s"$lake/_retention_old_$day")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(aside, true)
+      if (!fs.rename(p, aside))
+        throw new java.io.IOException(s"retention aside rename failed: $dir")
+      if (!fs.rename(t, p)) {
+        fs.rename(aside, p)
+        throw new java.io.IOException(s"retention rename failed: $tmp -> $dir")
+      }
+      fs.delete(aside, true)
+    }
+    swept
+  }
+}

@@ -16,6 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - path modes: optional `lax ` (default) / `strict ` prefix;
   *  - member steps `.name` and QUOTED `."name with spaces"` (the
   *    reference's `$.after."city"` shape), array steps `[n]`;
+  *    quoted members honour backslash escapes (`\"`, `\\`, `\/`);
+  *    unquoted names are identifier-shaped (`[A-Za-z0-9_]+`) — any
+  *    other character must be quoted or the path errors loudly
+  *    (T-SQL likewise requires quoting there);
   *  - scalar-only: an object/array at the path is NULL in lax mode and
   *    an ERROR in strict (get_json_object returns the raw JSON text —
   *    the silent divergence this expression exists to remove);
@@ -102,10 +106,28 @@ object JsonValue {
           i += 1
           if (i >= rest.length) fail()
           if (rest.charAt(i) == '"') {
-            val end = rest.indexOf('"', i + 1)
-            if (end < 0 || end == i + 1) fail()
-            segs += Member(rest.substring(i + 1, end))
-            i = end + 1
+            // quoted member with backslash escapes: `."a\"b"` names
+            // the member `a"b`; `\\` is a literal backslash. Any other
+            // escape is a path syntax error (loud, not truncated).
+            val sb = new java.lang.StringBuilder
+            var j = i + 1
+            var closed = false
+            while (j < rest.length && !closed) {
+              rest.charAt(j) match {
+                case '"' => closed = true; j += 1
+                case '\\' =>
+                  if (j + 1 >= rest.length) fail()
+                  rest.charAt(j + 1) match {
+                    case c @ ('"' | '\\' | '/') => sb.append(c)
+                    case _ => fail()
+                  }
+                  j += 2
+                case c => sb.append(c); j += 1
+              }
+            }
+            if (!closed || sb.length == 0) fail()
+            segs += Member(sb.toString)
+            i = j
           } else {
             val start = i
             while (i < rest.length && (rest.charAt(i).isLetterOrDigit || rest.charAt(i) == '_')) i += 1
@@ -125,8 +147,10 @@ object JsonValue {
     (strict, segs.toArray)
   }
 
-  /** Core evaluation — null means SQL NULL; strict-mode misses throw. */
-  def extract(json: String, path: String): String = {
+  /** Parse `json` and walk `path` to its node — the shared machinery
+    * of JSON_VALUE / JSON_QUERY / OPENJSON. Returns (strict?, node or
+    * null-for-missing); malformed text throws in BOTH modes (T-SQL). */
+  private[functions] def navigate(json: String, path: String): (Boolean, JsonNode) = {
     val (strict, segs) = pathCache.computeIfAbsent(path, parsePath _)
     val root: JsonNode =
       try mapper.readTree(json)
@@ -144,6 +168,12 @@ object JsonValue {
       }
       i += 1
     }
+    (strict, node)
+  }
+
+  /** Core evaluation — null means SQL NULL; strict-mode misses throw. */
+  def extract(json: String, path: String): String = {
+    val (strict, node) = navigate(json, path)
     def miss(what: String): String =
       if (strict) throw new IllegalArgumentException(
         s"json_value (strict): $what at path '$path'")
@@ -169,6 +199,83 @@ object JsonValue {
         org.apache.spark.sql.catalyst.FunctionIdentifier("json_value")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "json_value", exprs => JsonValue(exprs(0), exprs(1)), "built-in")
+}
+
+/** T-SQL `JSON_QUERY(json, path)` — the fragment-returning sibling of
+  * [[JsonValue]], closing the JSON surface split T-SQL draws: JSON_VALUE
+  * extracts SCALARS (object/array → NULL-lax/error-strict), JSON_QUERY
+  * extracts FRAGMENTS (object/array → their JSON text; scalar →
+  * NULL-lax/error-strict — the mirror image). Same path grammar, same
+  * parser, same cache, same malformed-text rule (error in BOTH modes).
+  *
+  * The returned fragment is the node re-serialized compactly (no
+  * whitespace) — construct comparison fixtures compactly and the text
+  * round-trips byte-identically (the q155 oracle relies on this).
+  * Codegen is a static call; stays inside whole-stage codegen. */
+case class JsonQuery(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_query"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType != StringType || right.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("json_query expects (string json, string path)")
+    else if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("json_query: the path must be a constant (T-SQL contract)")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val j = left.eval(input)
+    if (j == null) null
+    else {
+      val p = right.eval(input)
+      if (p == null) null
+      else JsonQuery.extractU(j.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (j, p) => s"""
+      ${ev.value} = graft.functions.JsonQuery.extractU($j, $p);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JsonQuery =
+    copy(left = newLeft, right = newRight)
+}
+
+object JsonQuery {
+  /** Fragment extraction — NULL means SQL NULL; strict misses throw. */
+  def extract(json: String, path: String): String = {
+    val (strict, node) = JsonValue.navigate(json, path)
+    def miss(what: String): String =
+      if (strict) throw new IllegalArgumentException(
+        s"json_query (strict): $what at path '$path'")
+      else null
+    node match {
+      case null => miss("property does not exist")
+      case n if n.isObject || n.isArray => n.toString
+      case _ => miss("value is not an object or array (scalar found)")
+    }
+  }
+
+  def extractU(json: UTF8String, path: UTF8String): UTF8String = {
+    val r = extract(json.toString, path.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  /** Idempotent — see SimHash64.register. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("json_query")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "json_query", exprs => JsonQuery(exprs(0), exprs(1)), "built-in")
 }
 
 /** T-SQL `ISJSON(s)` — 1 iff `s` is a complete, valid JSON OBJECT or

@@ -141,7 +141,11 @@ object DistributedRank {
       val wv = Window.partitionBy(col("__pk"), col("__b")).orderBy(col("__tie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wd = Window.partitionBy(col("__pk"), col("__b")).orderBy(col("__tie"))
-      vb.join(broadcast(offs), Seq("__pk", "__b"))
+      // no broadcast hint: offs is (groups × numRanges)-sized, so with
+      // a high-cardinality group key a forced broadcast would collect
+      // a group-sized frame to the driver. AQE sees the runtime size
+      // and still broadcasts when it is actually small.
+      vb.join(offs, Seq("__pk", "__b"))
         .withColumn("__vrnk", col("__rowOff") + sum("__c").over(wv) - col("__c") + 1)
         .withColumn("__vdrnk", col("__dOff") + row_number().over(wd))
         .select(col("__pk"), col("__tie"),
@@ -351,15 +355,31 @@ object DistributedRank {
     * order-dependent); equal bucket placement is value-derived, so the
     * phases can never disagree. */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      numRanges: Int = 0): DataFrame =
+    prefixSumBy(df, Seq(orderCol), valueCol, numRanges)
+
+  /** Multi-column global order variant of `prefixSum` — the total
+    * order is lexicographic over `orderCols` (no value-packing into a
+    * long, so the key domains are unbounded: the q133 fix for
+    * o_orderkey ≥ 2^33). Buckets come from the LEADING column's
+    * quantile bounds — the same coarsening `ranked` uses for its tie
+    * struct: equal leading values always share a bucket, so bucket
+    * order is a prefix of the total order and within-bucket windows
+    * complete it exactly. A single massively-hot leading value still
+    * pins its bucket to one task (the `ranked` hot-tie phase is the
+    * escape hatch when that bites). */
+  def prefixSumBy(df: DataFrame, orderCols: Seq[String], valueCol: String,
       numRanges: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "prefixSumBy: orderCols must be non-empty")
     val s = df.sparkSession
+    val lead = orderCols.head
     val n = if (numRanges > 0) numRanges else s.sparkContext.defaultParallelism
-    val bounds = df.select(col(orderCol).cast("double").as("__t"))
+    val bounds = df.select(col(lead).cast("double").as("__t"))
       .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.001)
       .distinct.sorted
     val bucket =
       if (bounds.isEmpty) lit(0)
-      else graft.functions.BucketSearch.of(s, col(orderCol), bounds)
+      else graft.functions.BucketSearch.of(s, col(lead), bounds)
     val withB = df.withColumn("__b", bucket)
     val wPrev = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -369,7 +389,8 @@ object DistributedRank {
       .agg(sum(col(valueCol).cast("long")).as("__bsum"))
       .withColumn("__off", coalesce(sum("__bsum").over(wPrev), lit(0L)))
       .select(col("__b"), col("__off"))
-    val wCum = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+    val wCum = Window.partitionBy(col("__b"))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB.join(broadcast(offs), "__b")
       .withColumn("cum_sum",
@@ -395,7 +416,7 @@ object DistributedRank {
     *     quantile-bucket offsets + local windows (one driver-computed
     *     bounds array, so phases agree by construction);
     *  3. a groups × quantiles TARGET frame (1-based covering ranks of
-    *     floor/ceil of position = (N−1)·p) broadcast back onto the
+    *     floor/ceil of position = (N−1)·p) equi-joined back onto the
     *     value frame — each value row covers ranks
     *     [cum − c + 1, cum], so the probe is an equi-join on the group
     *     plus an O(quantiles) residual;
@@ -443,7 +464,9 @@ object DistributedRank {
         .select(col("__pk"), col("__b"), col("__off"))
       val wv = Window.partitionBy(col("__pk"), col("__b")).orderBy(col(valCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      vb.join(broadcast(offs), Seq("__pk", "__b"))
+      // no broadcast hint (group-sized frame; see ranked) — AQE
+      // broadcasts at runtime when the frame is actually small
+      vb.join(offs, Seq("__pk", "__b"))
         .withColumn("__cum", col("__off") + sum("__c").over(wv))
         .drop("__b", "__off")
     }
@@ -466,7 +489,11 @@ object DistributedRank {
     // check; a value row covers ranks [cum - c + 1, cum]
     val t = targets
       .withColumnRenamed("__pk", "__tpk")
-    val covered = withCum.join(broadcast(t),
+    // no broadcast hint: the target frame is groups × quantiles rows —
+    // group-sized under a high-cardinality key; AQE picks broadcast at
+    // runtime when small, so the heavy state stays distributed like
+    // any hash aggregate (as the scaladoc promises)
+    val covered = withCum.join(t,
       col("__pk") === col("__tpk") &&
         col("__cum") >= col("__klo") &&
         (col("__cum") - col("__c") + 1) <= col("__khi"))

@@ -32,18 +32,22 @@ object IntervalJoin {
     * map-side with a loud error — an unbounded interval would explode
     * the bucket fan-out silently). `bucketWidth` defaults to
     * `maxLen`: each interval then covers at most 2 buckets. An
-    * INVERTED interval (hi < lo) passes the length check (negative ≤
-    * maxLen) and matches nothing — the exact residual rejects every
-    * candidate, matching the theta join's own empty band. */
+    * INVERTED interval (hi < lo) raises the same loud error: Spark's
+    * `sequence(start, stop)` generates a DESCENDING sequence when
+    * start > stop, so letting one through would fan out lo-hi+1
+    * bucket rows — one corrupt row with hi far below lo is exactly
+    * the silent blowup this guard exists to prevent. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pCol: String, loCol: String, hiCol: String,
       maxLen: Long, bucketWidth: Long = 0L): DataFrame = {
     require(maxLen >= 0, s"maxLen must be >= 0, got $maxLen")
     val w = if (bucketWidth > 0) bucketWidth else math.max(1L, maxLen)
     def b(c: Column): Column = floor(c / w).cast("long")
-    val guarded = when(col(hiCol) - col(loCol) <= maxLen, col(loCol))
+    val guarded = when(
+        col(hiCol) >= col(loCol) && col(hiCol) - col(loCol) <= maxLen,
+        col(loCol))
       .otherwise(raise_error(concat(
-        lit(s"pointInInterval: interval longer than maxLen=$maxLen: ["),
+        lit(s"pointInInterval: inverted or longer-than-maxLen=$maxLen interval: ["),
         col(loCol).cast("string"), lit(", "), col(hiCol).cast("string"),
         lit("]"))))
     val iv = intervals
@@ -66,8 +70,10 @@ object IntervalJoin {
     * their bucket ranges starts there), so each qualifying pair
     * survives exactly once with no distinct shuffle. Column names
     * must not collide across the two sides (alias upstream). Both
-    * sides' interval lengths are bounded by `maxLen` (loud map-side
-    * error). */
+    * sides' intervals must be well-formed (`lo ≤ hi`) and bounded by
+    * `maxLen` — violations raise a loud map-side error (an inverted
+    * interval would otherwise explode via the descending
+    * `sequence`). */
   def intervalOverlap(left: DataFrame, right: DataFrame,
       loL: String, hiL: String, loR: String, hiR: String,
       maxLen: Long, bucketWidth: Long = 0L): DataFrame = {
@@ -75,9 +81,10 @@ object IntervalJoin {
     val w = if (bucketWidth > 0) bucketWidth else math.max(1L, maxLen)
     def b(c: Column): Column = floor(c / w).cast("long")
     def explodeBuckets(df: DataFrame, lo: String, hi: String): DataFrame = {
-      val guarded = when(col(hi) - col(lo) <= maxLen, col(lo))
+      val guarded = when(
+          col(hi) >= col(lo) && col(hi) - col(lo) <= maxLen, col(lo))
         .otherwise(raise_error(concat(
-          lit(s"intervalOverlap: interval longer than maxLen=$maxLen: ["),
+          lit(s"intervalOverlap: inverted or longer-than-maxLen=$maxLen interval: ["),
           col(lo).cast("string"), lit(", "), col(hi).cast("string"),
           lit("]"))))
       df.withColumn("__lo", guarded)

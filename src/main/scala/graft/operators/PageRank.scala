@@ -70,7 +70,8 @@ object PageRank {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesD = edges.join(deg, "src") // (src, dst, deg)
-    if (persistEdges)
+    if (persistEdges &&
+        edgesD.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       edgesD.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edgesD.select(col("src").as("node")).distinct()
     val n1 = nodes.agg(count(lit(1)).cast("double").as("n"))

@@ -180,7 +180,10 @@ object Similarity {
     val idx = ivfAssign(corpus, idCol, vecCol, centroids)
       .select(col(idCol).as("nb_id"), col("clabel"))
       .join(corpus.select(col(idCol).as("nb_id"), col(vecCol).as("nb_vec")), "nb_id")
-    if (pin) idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // idempotent under re-build of the same plan (bench loops): only
+    // persist when the CacheManager doesn't already hold it
+    if (pin && idx.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else idx
   }
 

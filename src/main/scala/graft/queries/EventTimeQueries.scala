@@ -255,8 +255,10 @@ object EventTimeQueries {
     * union. Datasketches HLL is deterministic for a given input set,
     * so the key is replay-stable. */
   private def q149(s: SparkSession, d: String): DataFrame = {
+    // per-application token in the path: two concurrent runs on the
+    // same machine must not clobber each other's fixture lake
     val lake = s"${sys.props("java.io.tmpdir")}/graft_lake_hll_" +
-      d.replaceAll("[^A-Za-z0-9]", "_")
+      s.sparkContext.applicationId + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val p = new org.apache.hadoop.fs.Path(lake)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -286,8 +288,9 @@ object EventTimeQueries {
     * The rewrite is idempotent (the lake dir is rebuilt per run;
     * writePartitioned itself appends). */
   private def q145(s: SparkSession, d: String): DataFrame = {
+    // per-application token — same concurrency guard as q149
     val lake = s"${sys.props("java.io.tmpdir")}/graft_lake_prune_" +
-      d.replaceAll("[^A-Za-z0-9]", "_")
+      s.sparkContext.applicationId + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
     val p = new org.apache.hadoop.fs.Path(lake)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)

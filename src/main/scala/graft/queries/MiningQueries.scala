@@ -89,7 +89,7 @@ object MiningQueries {
     // other, so pin the 8-rows-per-doc signature table instead of
     // computing the shingle→minhash cascade three times.
     val sigs = TextDedup.minhashSignatures(docs(s, d), "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Det.pin)
     val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id")
     val sa = sigs.select(col("doc_id").as("a_id"), col("seed"), col("sig").as("siga"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("seed"), col("sig").as("sigb"))
@@ -257,23 +257,18 @@ object MiningQueries {
     * row number is `DistributedRank.prefixSum` over value-derived
     * quantile buckets, and the decile is integer arithmetic off
     * (rn, N) — the N and the final 10-row aggregate are the only
-    * non-distributed pieces, both O(1). Bit budget: cents < 2^26
-    * shifted by 33 leaves room for order keys < 2^33 — valid only to
-    * roughly TPC-H SF~1400 (~1.4 TB; o_orderkey grows with SF and at
-    * SF100k reaches ~6e11 > 2^33, which would silently bleed into the
-    * cents bits). The map-side guard below fails loudly at that point;
-    * the fix is widening to a (cents, key) struct order. */
+    * non-distributed pieces, both O(1). The order key is the
+    * LEXICOGRAPHIC (cents, o_orderkey) pair via `prefixSumBy` —
+    * unbounded domains on both columns (round 5's packed-long form
+    * died at o_orderkey ≥ 2^33 ≈ SF1400; the struct order carries no
+    * bit budget at all, AlgebraProps pins it past 2^33). */
   private def q133(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("__ord",
-        when(col("o_orderkey") < lit(1L << 33),
-          round(col("o_totalprice") * 100).cast("long") * lit(1L << 33)
-            + col("o_orderkey"))
-          .otherwise(raise_error(concat(
-            lit("q133: o_orderkey "), col("o_orderkey").cast("string"),
-            lit(" >= 2^33 overflows the packed global order — widen to a (cents, key) struct order")))))
+      .withColumn("__cents", round(col("o_totalprice") * 100).cast("long"))
       .withColumn("__one", lit(1L))
-    val rn = graft.operators.DistributedRank.prefixSum(o, "__ord", "__one")
+    val rn = graft.operators.DistributedRank
+      .prefixSumBy(o, Seq("__cents", "o_orderkey"), "__one")
+      .drop("__cents")
     val n = rn.agg(count(lit(1)).as("__n"))
     rn.crossJoin(broadcast(n))
       .withColumn("decile", expr("cast(((cum_sum - 1) * 10) div __n as int)"))
@@ -392,7 +387,7 @@ object MiningQueries {
     * is LSH-bounded, never corpus². */
   private def q143(s: SparkSession, d: String): DataFrame = {
     val sigs = TextDedup.minhashSignatures(docs(s, d), "doc_id", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Det.pin)
     val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id")
     val sa = sigs.select(col("doc_id").as("a_id"), col("seed"), col("sig").as("siga"))
     val sb = sigs.select(col("doc_id").as("b_id"), col("seed"), col("sig").as("sigb"))
@@ -409,7 +404,7 @@ object MiningQueries {
         "transform(shs, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) AS bigint) % 1000000007)"))
         .as("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Det.pin)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("a_id"), col("h")), "a_id")

@@ -132,6 +132,61 @@ object ScalarQueries {
       .transform(Det.emitWide(_, "event_id"))
   }
 
+  /** Compact nested-JSON fixture shared by q155/q156 — built from
+    * event columns with plain string concat, so the ORACLE can derive
+    * every expected output directly from the same columns (no
+    * dependence on the other engine's JSON normalization). Compact
+    * (no whitespace) on purpose: JSON_QUERY re-serializes fragments
+    * compactly, so fragments round-trip byte-identically. Shape:
+    * `{"x":<k>,"y":"<type>","z":null,"b":true,"arr":[<k>,"t"],"o":{"u":1}}`
+    * — one member per OPENJSON type code. */
+  private def nestedJson: Column =
+    concat(
+      lit("{\"x\":"), get_json_object(col("props"), "$.k"),
+      lit(",\"y\":\""), col("event_type"),
+      lit("\",\"z\":null,\"b\":true,\"arr\":["),
+      get_json_object(col("props"), "$.k"),
+      lit(",\"t\"],\"o\":{\"u\":1}}"))
+
+  /** q155: T-SQL JSON_QUERY — the fragment-returning sibling of
+    * JSON_VALUE (q146), closing the surface split: objects/arrays
+    * come back as JSON text (where JSON_VALUE yields NULL), scalars
+    * yield lax-NULL (where JSON_VALUE extracts). The oracle
+    * reconstructs every fragment from the SAME base columns the JSON
+    * was built from — ground truth independent of any JSON engine.
+    * All map-side codegen'd; zero shuffles before the emit. */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    graft.functions.JsonQuery.register(s)
+    spread(s, events(s, d))
+      .withColumn("j", nestedJson)
+      .select(col("event_id"),
+        expr("json_query(j, '$.o')").as("frag_obj"),
+        expr("json_query(j, '$.arr')").as("frag_arr"),
+        expr("json_query(j, 'lax $.y')").as("scalar_lax"),
+        expr("json_query(j, '$.nope')").as("missing"),
+        expr("json_query(j, '$')").as("whole"))
+      .transform(Det.emitWide(_, "event_id"))
+  }
+
+  /** q156: T-SQL OPENJSON default schema — shred the object to
+    * (key, value, type) rows: the parse is one codegen'd scalar call
+    * (`openjson_entries`), the fan-out is Spark's own posexplode (a
+    * native generator — no shuffle). Covers all six T-SQL type codes
+    * (null/string/number/bool/array/object) and the unquoted-string
+    * value rule. Oracle = the same rows constructed directly from the
+    * base columns via UNION ALL. */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    graft.functions.OpenJsonEntries.register(s)
+    spread(s, events(s, d))
+      .withColumn("j", nestedJson)
+      .select(col("event_id"),
+        posexplode(expr("openjson_entries(j, '$')")))
+      .select(col("event_id"), col("pos"),
+        col("col.key").as("k"), col("col.value").as("v"),
+        col("col.type").as("t"))
+      .transform(Det.emitWide(_, "event_id", "pos"))
+  }
+
   /** q55: array functions over the 64-dim embedding column. Element
     * arithmetic is cast to double BEFORE any op so both engines do
     * identical double arithmetic (floats stay bitwise-comparable). */
@@ -205,7 +260,8 @@ object ScalarQueries {
     "q55_array_funcs" -> q55, "q56_explode_unnest" -> q56,
     "q57_map_funcs" -> q57, "q58_struct_nested" -> q58,
     "q98_udaf_weighted_mean" -> q98, "q101_redact" -> q101,
-    "q146_json_value" -> q146)
+    "q146_json_value" -> q146,
+    "q155_json_query" -> q155, "q156_openjson_shred" -> q156)
 
   val oracles: Map[String, String] = Map(
     "q50_str_funcs" ->
@@ -272,6 +328,34 @@ object ScalarQueries {
                            THEN substr(props, 2) ELSE props END AS c
                FROM events)
          ORDER BY event_id""",
+    // q155/q156 oracles reconstruct the expected output DIRECTLY from
+    // the base columns the JSON fixture was built from — ground truth
+    // with zero dependence on DuckDB's own JSON normalization.
+    "q155_json_query" ->
+      """SELECT event_id,
+                '{"u":1}' AS frag_obj,
+                '[' || k || ',"t"]' AS frag_arr,
+                CAST(NULL AS VARCHAR) AS scalar_lax,
+                CAST(NULL AS VARCHAR) AS missing,
+                '{"x":' || k || ',"y":"' || et || '","z":null,"b":true,"arr":['
+                  || k || ',"t"],"o":{"u":1}}' AS whole
+         FROM (SELECT event_id, event_type AS et,
+                      json_extract_string(props, '$.k') AS k
+               FROM events)
+         ORDER BY event_id""",
+    "q156_openjson_shred" ->
+      """WITH base AS (SELECT event_id, event_type AS et,
+                             json_extract_string(props, '$.k') AS kk
+                      FROM events)
+         SELECT event_id, CAST(pos AS INT) AS pos, k, v, CAST(t AS INT) AS t
+         FROM (
+           SELECT event_id, 0 AS pos, 'x' AS k, kk AS v, 2 AS t FROM base
+           UNION ALL SELECT event_id, 1, 'y', et, 1 FROM base
+           UNION ALL SELECT event_id, 2, 'z', NULL, 0 FROM base
+           UNION ALL SELECT event_id, 3, 'b', 'true', 3 FROM base
+           UNION ALL SELECT event_id, 4, 'arr', '[' || kk || ',"t"]', 4 FROM base
+           UNION ALL SELECT event_id, 5, 'o', '{"u":1}', 5 FROM base)
+         ORDER BY event_id, pos""",
     "q55_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
                 round(CAST(embedding[1] AS DOUBLE), 4) AS first,

@@ -75,9 +75,11 @@ object Lake {
     * update set — so replaying the same update batch is idempotent.
     *
     * Copy-on-write: without a manifest format a merge rewrites the
-    * whole directory — point it at ONE day partition
-    * (`$lake/ingest_date=…`) for partition-scoped merges, the same
-    * granularity Delta's partition-filtered MERGE rewrites. Swap
+    * whole directory — so scope the directory. For a partitioned lake
+    * use `mergeIntoPartitioned`, which derives the touched partitions
+    * from the update batch and calls this per `ingest_date=` dir (the
+    * granularity Delta's partition-filtered MERGE rewrites); this
+    * single-directory form remains the primitive. Swap
     * protocol identical to compactDay: stage to `_merge_tmp`, rename
     * the live dir aside, rename tmp into place, delete the aside;
     * a crash at any step strands at worst one complete extra copy and
@@ -116,6 +118,54 @@ object Lake {
     fs.delete(aside, true)
   }
 
+  /** Partition-aware MERGE INTO a Hive-partitioned lake — the routing
+    * that retires whole-table copy-on-write: derive the touched
+    * partitions FROM the update batch and merge each
+    * `$partCol=<value>` directory independently, leaving every
+    * untouched partition's files physically untouched (byte-identical
+    * — OperatorSpec pins paths + content hashes). This is the same
+    * granularity as Delta's partition-filtered MERGE: at 100 TB with
+    * day partitions, a batch touching 2 days rewrites 2 directories,
+    * not the lake.
+    *
+    * Contract: `partCol` must be FUNCTIONALLY DETERMINED by the merge
+    * key (each key lives in exactly one partition — the standard
+    * partition-scoped-MERGE precondition; day-partitioned CDC lakes
+    * satisfy it because a row's ingest day never changes). Updates
+    * with a NULL partition value fail loudly — every row must route
+    * somewhere.
+    *
+    * Crash safety: each per-partition merge keeps `mergeInto`'s
+    * staged-swap protocol, so a crash mid-LOOP leaves some partitions
+    * merged and the rest untouched — replaying the same batch is
+    * idempotent per partition (the CDC replay conflict rule), so the
+    * replay completes the remainder without disturbing the already-
+    * merged ones. The touched-partition list is an O(#partitions)
+    * driver collect — bounded by the batch's day span, not by data.
+    *
+    * Returns the touched partition values (sorted) for
+    * observability/metrics. */
+  def mergeIntoPartitioned(spark: SparkSession, lakeRoot: String,
+      updates: DataFrame, partCol: String,
+      keyCols: Seq[String], orderCols: Seq[String],
+      isDelete: Option[org.apache.spark.sql.Column] = None): Seq[String] = {
+    val raw = updates.select(col(partCol).cast("string").as("__p"))
+      .distinct().collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    require(!raw.contains(null),
+      s"mergeIntoPartitioned: updates contain NULL $partCol — every row must route to a partition")
+    val touched = raw.sorted
+    touched.foreach { v =>
+      // partition value lives in the DIRECTORY name, not the files
+      // (Hive layout) — drop the column so file schemas stay identical
+      // to writePartitioned's output
+      val sub = updates.where(col(partCol).cast("string") === lit(v))
+        .drop(partCol)
+      mergeInto(spark, s"$lakeRoot/$partCol=$v", sub,
+        keyCols, orderCols, isDelete)
+    }
+    touched.toSeq
+  }
+
   /** Z-ORDER layout write — multi-column data clustering for
     * row-group pruning, the jar-free core of what Delta/Iceberg call
     * OPTIMIZE ZORDER BY. A table sorted linearly by column A has tight
@@ -138,22 +188,39 @@ object Lake {
     * groups under z-order, vs a linear sort that only prunes its own
     * sort column. */
   def writeZOrdered(df: DataFrame, c1: String, c2: String, path: String,
+      bits: Int = 10, outFiles: Int = 0): Unit =
+    writeZOrderedN(df, Seq(c1, c2), path, bits, outFiles)
+
+  /** N-column z-order (the general form; the 2-column signature above
+    * delegates here). All columns' quantile bounds come from ONE
+    * `approxQuantile(Array(cols), …)` pass — a single driver job
+    * regardless of column count, instead of one job per column. Bit
+    * positions: bit `i` of column `j`'s rank lands at `N·i + j`, which
+    * for N = 2 is exactly the round-6 interleave (identical layout,
+    * identical footer-pruning assertions). `bits × N` must fit a
+    * long's 63 value bits. */
+  def writeZOrderedN(df: DataFrame, cols: Seq[String], path: String,
       bits: Int = 10, outFiles: Int = 0): Unit = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    require(cols.nonEmpty, "writeZOrderedN: cols must be non-empty")
+    require(bits * cols.size <= 63,
+      s"writeZOrderedN: bits(${bits}) x cols(${cols.size}) exceeds a long's 63 value bits")
     val s = df.sparkSession
     val n = 1 << bits
-    def ranks(c: String): org.apache.spark.sql.Column = {
-      val bounds = df.select(col(c).cast("double").as("__t"))
-        .stat.approxQuantile("__t", (1 until n).map(_.toDouble / n).toArray, 0.001)
-        .distinct.sorted
-      if (bounds.isEmpty) lit(0)
-      else graft.functions.BucketSearch.of(s, col(c), bounds)
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    // one quantile job over every column (vs one job per column)
+    val allBounds = df
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .stat.approxQuantile(cols.toArray, probs, 0.001)
+    val rankCols = cols.zip(allBounds).map { case (c, bs) =>
+      val b = bs.distinct.sorted
+      if (b.isEmpty) lit(0L)
+      else graft.functions.BucketSearch.of(s, col(c), b).cast("long")
     }
-    // interleave: bit i of rank(c1) -> position 2i, of rank(c2) -> 2i+1
-    val (r1, r2) = (ranks(c1).cast("long"), ranks(c2).cast("long"))
     val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc + (shiftleft(shiftright(r1, i).bitwiseAND(1L), 2 * i)) +
-        (shiftleft(shiftright(r2, i).bitwiseAND(1L), 2 * i + 1))
+      rankCols.zipWithIndex.foldLeft(acc) { case (a, (r, j)) =>
+        a + shiftleft(shiftright(r, i).bitwiseAND(1L), cols.size * i + j)
+      }
     }
     val withZ = df.withColumn("__z", z)
     val parts =

@@ -151,7 +151,10 @@ object CdcStreams {
     * first replayed batch route on-time once. For exactly-once sinks
     * the replayed batch id makes the write idempotent anyway; callers
     * needing the strict engine value across restarts should persist
-    * `maxSeenMs` beside their sink state.
+    * `maxSeenMs` beside their sink state. Rows with NULL event time
+    * route to the `late` (dead-letter) sink in every batch — the same
+    * rows a watermarked stateful operator silently drops — so every
+    * input row lands in exactly one sink.
     *
     * Scale: the split is two map-side filters per micro-batch plus one
     * max aggregate; the batch is persisted once so the three passes
@@ -167,8 +170,14 @@ object CdcStreams {
       val b = batch.persist()
       try {
         val tsMs = (col(tsCol).cast("double") * 1000).cast("long")
-        late(b.where(tsMs < wmMs), batchId)
-        onTime(b.where(tsMs >= wmMs || lit(wmMs == Long.MinValue)), batchId)
+        // NULL event time routes to the dead-letter side in EVERY
+        // batch: a watermarked stateful operator drops such rows (the
+        // watermark predicate evaluates to null → filtered), and a
+        // null comparison must not strand the row in neither sink.
+        val isLate = tsMs.isNull ||
+          (lit(wmMs != Long.MinValue) && tsMs < wmMs)
+        late(b.where(isLate), batchId)
+        onTime(b.where(!isLate), batchId)
         // watermark stats come from ALL rows flowing through the
         // watermark node — late ones included — exactly like
         // EventTimeWatermarkExec
@@ -234,18 +243,33 @@ object CdcStreams {
     * across restarts WITHOUT tracking batch ids: the merge conflict
     * rule is the CDC replay rule (latest by `orderCols` wins), so a
     * checkpoint-replayed micro-batch merges to the identical state —
-    * idempotence by semantics, not by bookkeeping. Trade: every batch
-    * pays a copy-on-write of the target directory (point it at a day
-    * partition, or prefer `upsertSink` + compaction cadence when
-    * batches are small and frequent — both trades documented, both
-    * tested). */
+    * idempotence by semantics, not by bookkeeping.
+    *
+    * Routing: with `partitionCol` set (e.g. `ingest_date`, present on
+    * the stream), each micro-batch merges ONLY the partitions it
+    * touches (`Lake.mergeIntoPartitioned`) — a minute-cadence batch
+    * spanning one day rewrites one directory, never the table; this
+    * is the form to run at lake scale. Without it, every batch pays a
+    * copy-on-write of the whole `targetDir` (then point it at a
+    * single day partition, or prefer `upsertSink` + compaction
+    * cadence when batches are small and frequent — all trades
+    * documented, all tested). A crash mid-batch replays the batch and
+    * re-merges idempotently per partition. */
   def mergeSink(df: DataFrame, targetDir: String, checkpoint: String,
       keyCols: Seq[String], orderCols: Seq[String],
-      isDeleteCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+      isDeleteCol: Option[String] = None,
+      partitionCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.Lake.mergeInto(batch.sparkSession, targetDir, batch,
-          keyCols, orderCols, isDeleteCol.map(col))
+        partitionCol match {
+          case Some(pc) =>
+            graft.sources.Lake.mergeIntoPartitioned(batch.sparkSession,
+              targetDir, batch, pc, keyCols, orderCols, isDeleteCol.map(col))
+            ()
+          case None =>
+            graft.sources.Lake.mergeInto(batch.sparkSession, targetDir, batch,
+              keyCols, orderCols, isDeleteCol.map(col))
+        }
       }
       .option("checkpointLocation", checkpoint)
 

@@ -267,6 +267,59 @@ object StatefulOps extends Serializable {
         OutputMode.Update())
   }
 
+  /** DYNAMIC-gap sessionization (s32) — the variant the family lacked:
+    * the inactivity gap is PER USER AND PER EVENT, carried on the row
+    * (the Spark-first source of a per-key parameter: join the user
+    * dimension / config stream upstream of the stateful operator —
+    * keyed state then never stores what the join already delivers).
+    * The boundary rule: event `i` opens a new session iff it lands
+    * more than ITS OWN row's gap after the user's previous event — so
+    * a config change applies from the first event that carries it,
+    * with no state migration. With a constant gap column this is
+    * exactly `sessionizeStreamTws` (parity-pinned by s32); state stays
+    * the same O(1) (lastSec, sess) pair.
+    * Input (event_id, user_id, ts, gapSec) → (event_id, user_id, sess). */
+  class DynamicSessionizeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp, Long), (Long, Long, Int)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Int)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Int)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Int)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Int)] = {
+      var (lastSec, sess) =
+        if (st.exists()) st.get() else (Long.MinValue, 0)
+      val out = rows.toSeq
+        .sortBy(r => (r._3.getTime, r._1))
+        .map { case (eid, _, ts, gapSec) =>
+          val sec = ts.getTime / 1000L
+          if (lastSec == Long.MinValue || sec - lastSec > gapSec) sess += 1
+          lastSec = sec
+          (eid, user, sess)
+        }
+      st.update((lastSec, sess))
+      out.iterator
+    }
+  }
+
+  /** `DynamicSessionizeProcessor` wired through `transformWithState`. */
+  def sessionizeStreamDynamic(
+      events: Dataset[(Long, Long, java.sql.Timestamp, Long)])
+      : Dataset[(Long, Long, Int)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new DynamicSessionizeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One hot-key alert: the key and its running count at the moment
     * it crossed the threshold. */
   case class HotKey(key: Long, n: Long)

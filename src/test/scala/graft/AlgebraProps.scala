@@ -655,6 +655,27 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("prefixSumBy lexicographic order is exact past 2^33 keys") =
+    forAll(Gen.listOf(for {
+      c <- Gen.choose(0L, 5L)                       // leading col, heavy ties
+      k <- Gen.choose(1L << 33, 1L << 35)           // keys the packed-long form overflowed on
+    } yield (c, k))) { rows =>
+      val df = rows.distinct.map { case (c, k) => (c, k, 1L) }
+        .toDF("c", "k", "v")
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val got = graft.operators.DistributedRank
+        .prefixSumBy(df, Seq("c", "k"), "v", numRanges = 4)
+        .select("c", "k", "cum_sum").collect().map(tup).sorted.toSeq
+      val w = org.apache.spark.sql.expressions.Window.orderBy("c", "k")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val want = df.select(col("c"), col("k"),
+          sum("v").over(w).as("cum_sum"))
+        .collect().map(tup).sorted.toSeq
+      got == want
+    }
+
   property("fullFrameNth equals nth_value over the full frame for each position") =
     forAll(genRankRows) { rows =>
       val df = rows.toDF("g", "t", "u")

@@ -503,6 +503,134 @@ class OperatorSpec extends AnyFunSuite {
       !fs.exists(new Path(s"$base/_merge_tmp_t")), "work dirs left behind")
   }
 
+  test("Lake.mergeIntoPartitioned rewrites ONLY touched partitions (others byte-identical)") {
+    val lake = TestSpark.tmpDir("merge-part") + "/lake"
+    def df(rows: (Long, String, Long, String, Boolean)*) =
+      rows.toDF("k", "v", "ver", "ingest_date", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Seq[String] =
+      graft.sources.Lake.mergeIntoPartitioned(spark, lake, b,
+        "ingest_date", Seq("k"), Seq("ver"), Some(col("is_delete")))
+    // full-lake state through partition discovery (ingest_date comes
+    // back as a discovered partition column)
+    def state = spark.read.parquet(lake).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("ver"), r.getAs[Any]("ingest_date").toString)).toSet
+    // files + content hashes of one partition directory
+    def snapshot(day: String): Map[String, String] = {
+      val d = new java.io.File(s"$lake/ingest_date=$day")
+      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getName -> md.digest(
+            java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    assert(merge(df(
+      (1L, "a", 1L, "2024-01-01", false),
+      (2L, "b", 1L, "2024-01-02", false),
+      (3L, "c", 1L, "2024-01-03", false)))
+      == Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    val snap1 = snapshot("2024-01-01")
+    val snap3 = snapshot("2024-01-03")
+    assert(snap1.nonEmpty && snap3.nonEmpty)
+    // a batch touching ONLY day 2: matched update + unmatched insert
+    val batch = df((2L, "b2", 2L, "2024-01-02", false),
+      (4L, "d", 2L, "2024-01-02", false))
+    assert(merge(batch) == Seq("2024-01-02"))
+    assert(state == Set(
+      (1L, "a", 1L, "2024-01-01"), (2L, "b2", 2L, "2024-01-02"),
+      (4L, "d", 2L, "2024-01-02"), (3L, "c", 1L, "2024-01-03")))
+    // the untouched days were not rewritten: same files, same bytes
+    assert(snapshot("2024-01-01") == snap1, "day 1 was rewritten")
+    assert(snapshot("2024-01-03") == snap3, "day 3 was rewritten")
+    // idempotent replay per partition (crash-mid-loop replays the
+    // whole batch; already-merged partitions must not drift)
+    assert(merge(batch) == Seq("2024-01-02"))
+    assert(snapshot("2024-01-01") == snap1)
+    assert(state.count(_._1 == 2L) == 1)
+    // tombstone scoped to its partition — physical delete there,
+    // day 1 still byte-identical
+    merge(df((3L, "", 2L, "2024-01-03", true)))
+    assert(state == Set(
+      (1L, "a", 1L, "2024-01-01"), (2L, "b2", 2L, "2024-01-02"),
+      (4L, "d", 2L, "2024-01-02")))
+    assert(snapshot("2024-01-01") == snap1)
+    // NULL partition value: loud error, no partial writes
+    intercept[IllegalArgumentException] {
+      merge(Seq((9L, "x", 9L, null: String, false))
+        .toDF("k", "v", "ver", "ingest_date", "is_delete"))
+    }
+    assert(state.size == 3)
+  }
+
+  test("examples.LakeOps: composed nightly maintenance, crash mid-sequence, retention sweep") {
+    import graft.examples.LakeOps
+    import org.apache.hadoop.fs.Path
+    val base = TestSpark.tmpDir("lakeops")
+    val lake = s"$base/lake"
+    val zout = s"$base/zday1"
+    def upd(rows: (Long, String, Long, String, Boolean)*) =
+      rows.toDF("k", "v", "ver", "ingest_date", "is_delete")
+    def nightly(b: org.apache.spark.sql.DataFrame) =
+      LakeOps.runNightly(spark, lake, b, Seq("k"), Seq("ver"),
+        isDeleteCol = Some("is_delete"),
+        zorderCols = Seq("k", "ver"), zorderDay = Some("2024-01-01"),
+        zorderOut = Some(zout))
+    def state = spark.read.parquet(lake).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Any]("ingest_date").toString)).toSet
+    // night 1: seed two days (merge-as-ingest)
+    val n1 = upd(
+      (1L, "a", 1L, "2024-01-01", false), (2L, "b", 1L, "2024-01-01", false),
+      (3L, "c", 1L, "2024-01-02", false))
+    assert(nightly(n1) == Seq("2024-01-01", "2024-01-02"))
+    assert(state == Set((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+      (3L, "c", "2024-01-02")))
+    // the clustered copy of day 1 carries the same content
+    assert(spark.read.parquet(zout).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set(1L -> "a", 2L -> "b"))
+    // night 2 CRASHES inside the merge of day 2: simulate the
+    // between-renames state (live dir stranded aside), then re-run the
+    // whole sequence — every step recovers or is idempotent
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(s"$lake/ingest_date=2024-01-02"),
+      new Path(s"$lake/_merge_old_ingest_date=2024-01-02")))
+    val n2 = upd((3L, "c2", 2L, "2024-01-02", false),
+      (4L, "d", 2L, "2024-01-02", false))
+    assert(nightly(n2) == Seq("2024-01-02"))
+    assert(state == Set((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+      (3L, "c2", "2024-01-02"), (4L, "d", "2024-01-02")))
+    // replaying the night is a no-op (idempotent end to end)
+    assert(nightly(n2) == Seq("2024-01-02"))
+    assert(state.size == 4)
+    assert(!fs.exists(new Path(s"$lake/_merge_old_ingest_date=2024-01-02")))
+    // retention sweep: an append-style sink left raw tombstone rows in
+    // day 1; the sweep drops them, and a clean day is NOT rewritten
+    upd((2L, "", 9L, "2024-01-01", true)).drop("ingest_date")
+      .write.mode("append").parquet(s"$lake/ingest_date=2024-01-01")
+    def snap(day: String) =
+      new java.io.File(s"$lake/ingest_date=$day").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.length()).toMap
+    val day2Snap = snap("2024-01-02")
+    val swept = LakeOps.retentionSweep(spark, lake,
+      Seq("2024-01-01", "2024-01-02"), Seq("k"), Seq("ver"), "is_delete")
+    assert(swept == Seq("2024-01-01"))
+    assert(snap("2024-01-02") == day2Snap, "clean day was rewritten by the sweep")
+    // the winning tombstone DELETED key 2; key 1 survives untouched
+    assert(spark.read.parquet(s"$lake/ingest_date=2024-01-01").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+      == Set(1L -> "a"))
+    // sweep crash recovery: live day stranded aside → restored; the
+    // already-swept day is clean, so nothing rewrites
+    assert(fs.rename(new Path(s"$lake/ingest_date=2024-01-01"),
+      new Path(s"$lake/_retention_old_2024-01-01")))
+    assert(LakeOps.retentionSweep(spark, lake, Seq("2024-01-01"),
+      Seq("k"), Seq("ver"), "is_delete").isEmpty)
+    assert(spark.read.parquet(s"$lake/ingest_date=2024-01-01").count() == 1)
+  }
+
   test("z-order layout keeps min/max stats tight on BOTH columns") {
     import scala.jdk.CollectionConverters._
     // two independent uniform columns; a linear sort by `a` leaves
@@ -548,6 +676,74 @@ class OperatorSpec extends AnyFunSuite {
     assert(zB <= 10, s"z-order failed to prune on b ($zB/16)")
     assert(zB + 4 <= overlaps(linDir, "b", 500L),
       s"z-order no better than linear on the non-sort column ($zB)")
+    // layout must not change content
+    assert(spark.read.parquet(zDir).except(df).isEmpty &&
+      df.except(spark.read.parquet(zDir)).isEmpty)
+  }
+
+  test("writeZOrderedN: 3 columns all prune; bounds computed in ONE quantile job") {
+    import scala.jdk.CollectionConverters._
+    // domains wide enough that every column's quantile rank exercises
+    // all `bits` bit positions (a narrow domain leaves the top
+    // interleave bits constant and the per-column split never happens)
+    val df = spark.range(0, 240000).select(
+      (col("id") % 512).as("a"),
+      ((col("id") * 2654435761L) % 512).as("b"),
+      ((col("id") * 1099511628211L) % 512).as("c"))
+    val zDir = TestSpark.tmpDir("zorder3") + "/z"
+    val linDir = TestSpark.tmpDir("zorder3-lin") + "/lin"
+    // count Spark JOBS during the write: the bounds for ALL columns
+    // come from ONE approxQuantile pass, so the job count is constant
+    // in the column count (measured: 5 = quantile + range-sampling +
+    // write + 2 planning probes). The round-6 form paid one quantile
+    // job PER column — 3 columns would add 2 jobs. Relative bound, not
+    // an exact pin (planning probes can shift across Spark versions).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.sources.Lake.writeZOrderedN(df, Seq("a", "b", "c"), zDir,
+        bits = 8, outFiles = 16)
+      Thread.sleep(1000) // listener bus drains async
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get <= 6,
+      s"3-column z-order ran ${jobs.get} jobs — bounds are no longer a single quantile pass")
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(linDir)
+    def overlaps(dir: String, c: String, v: Long): Int = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .count { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.exists { b =>
+            val st = b.getColumns.asScala
+              .find(_.getPath.toDotString == c).get.getStatistics
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Long]
+            val mx = st.genericGetMax.asInstanceOf[java.lang.Long]
+            mn <= v && v <= mx
+          } finally r.close()
+        }
+    }
+    // every column's point predicate prunes files the linear a-sort
+    // cannot (3-way interleave is weaker per column than 2-way — the
+    // asserts are relative contrasts, range boundaries wobble)
+    Seq("a", "b", "c").foreach { c =>
+      val o = overlaps(zDir, c, 100L)
+      assert(o <= 13, s"3-col z-order failed to prune on $c ($o/16 files)")
+    }
+    assert(overlaps(linDir, "b", 100L) >= 14 && overlaps(linDir, "c", 100L) >= 14,
+      "linear layout unexpectedly tight on non-sort columns")
+    assert(overlaps(zDir, "b", 100L) + 4 <= overlaps(linDir, "b", 100L),
+      "z-order no better than linear on b")
+    assert(overlaps(zDir, "c", 100L) + 4 <= overlaps(linDir, "c", 100L),
+      "z-order no better than linear on c")
     // layout must not change content
     assert(spark.read.parquet(zDir).except(df).isEmpty &&
       df.except(spark.read.parquet(zDir)).isEmpty)
@@ -718,6 +914,13 @@ class OperatorSpec extends AnyFunSuite {
     // lax (default): quoted members, array steps, missing/non-scalar
     // NULLs, json-null passthrough, bool/number scalars as text
     assert(JsonValue.extract("""{"a": {"b c": 5}}""", """$.a."b c"""") == "5")
+    // backslash escapes inside quoted members: `."a\"b"` names a"b,
+    // `."a\\b"` names a\b; an unknown escape is a path syntax error
+    assert(JsonValue.extract("""{"a\"b": 9}""", "$.\"a\\\"b\"") == "9")
+    assert(JsonValue.extract("""{"a\\b": 8}""", "$.\"a\\\\b\"") == "8")
+    intercept[IllegalArgumentException](
+      JsonValue.extract("{}", "$.\"a\\qb\""))
+    intercept[IllegalArgumentException](JsonValue.extract("{}", "$.\"ab"))
     assert(JsonValue.extract("""{"a": [1, 2]}""", "$.a[1]") == "2")
     assert(JsonValue.extract("""{"a": 1}""", "$.b") == null)
     assert(JsonValue.extract("""{"a": [1]}""", "$.a[5]") == null)
@@ -770,5 +973,86 @@ class OperatorSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(ex).exists(_.contains("rpLshBuckets")))
+  }
+
+  test("json_query/openjson replicate T-SQL branch semantics exactly") {
+    import graft.functions.{JsonQuery, OpenJsonEntries}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val j = """{"o":{"a":1},"arr":[1,"s",null,true,[2],{"b":3}],"s":"x"}"""
+    // fragments: object/array come back as compact JSON text
+    assert(JsonQuery.extract(j, "$.o") == """{"a":1}""")
+    assert(JsonQuery.extract(j, "$.arr") == """[1,"s",null,true,[2],{"b":3}]""")
+    assert(JsonQuery.extract(j, "$.arr[4]") == "[2]")
+    assert(JsonQuery.extract(j, "$") ==
+      """{"o":{"a":1},"arr":[1,"s",null,true,[2],{"b":3}],"s":"x"}""")
+    // the MIRROR of json_value: scalars are lax-NULL / strict-error
+    assert(JsonQuery.extract(j, "$.s") == null)
+    assert(JsonQuery.extract(j, "$.missing") == null)
+    intercept[IllegalArgumentException](JsonQuery.extract(j, "strict $.s"))
+    intercept[IllegalArgumentException](JsonQuery.extract(j, "strict $.missing"))
+    // malformed raises in BOTH modes
+    intercept[IllegalArgumentException](JsonQuery.extract("nope", "$.a"))
+    // openjson: object shred — keys in document order, all six type
+    // codes, strings UNQUOTED in value, JSON null -> SQL NULL
+    def rows(json: String, path: String): Seq[(String, String, Int)] = {
+      val a = OpenJsonEntries.entriesU(u(json), u(path))
+      if (a == null) Nil
+      else (0 until a.numElements).map { i =>
+        val r = a.getStruct(i, 3)
+        (r.getUTF8String(0).toString,
+          if (r.isNullAt(1)) null else r.getUTF8String(1).toString,
+          r.getInt(2))
+      }
+    }
+    val obj = """{"z":null,"s":"hi","n":7,"b":false,"a":[1],"o":{"u":1}}"""
+    assert(rows(obj, "$") == Seq(
+      ("z", null, 0), ("s", "hi", 1), ("n", "7", 2),
+      ("b", "false", 3), ("a", "[1]", 4), ("o", """{"u":1}""", 5)))
+    // array shred: key = element index as text
+    assert(rows(j, "$.arr") == Seq(
+      ("0", "1", 2), ("1", "s", 1), ("2", null, 0),
+      ("3", "true", 3), ("4", "[2]", 4), ("5", """{"b":3}""", 5)))
+    // scalar at path: lax empty rowset (null array), strict error
+    assert(rows(j, "$.s") == Nil)
+    intercept[IllegalArgumentException](rows(j, "strict $.s"))
+    intercept[IllegalArgumentException](rows(j, "strict $.missing"))
+    intercept[IllegalArgumentException](rows("bad", "$"))
+    // SQL surface through codegen: registered functions + posexplode
+    GraftExtensions.registerAll(spark)
+    val got = spark.sql(
+      """SELECT pos, e.key, e.value, e.type
+         FROM (SELECT posexplode(openjson_entries('{"a":1,"b":"x"}', '$'))
+               AS (pos, e))""").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    assert(got == Seq((0, "a", "1", 2), (1, "b", "x", 1)))
+    assert(spark.sql("""SELECT json_query('{"a":{"b":2}}', '$.a') q""")
+      .head().getString(0) == """{"b":2}""")
+  }
+
+  test("IntervalJoin raises loudly on inverted intervals (hi < lo)") {
+    import graft.operators.IntervalJoin
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val pts = Seq((1L, 10L)).toDF("pid", "p")
+    // one corrupt row with hi FAR below lo: pre-guard, Spark's
+    // sequence(b(lo), b(hi)) descends and fans out ~lo-hi bucket rows
+    val inv = Seq((1L, 1000000L, 3L)).toDF("iid", "lo", "hi")
+    val ex1 = intercept[Exception] {
+      IntervalJoin.pointInInterval(pts, inv, "p", "lo", "hi", maxLen = 10)
+        .collect()
+    }
+    assert(messages(ex1).exists(_.contains("pointInInterval")))
+    val good = Seq((1L, 5L, 15L)).toDF("aid", "alo", "ahi")
+    val badR = Seq((1L, 2000000L, 7L)).toDF("bid", "blo", "bhi")
+    val ex2 = intercept[Exception] {
+      IntervalJoin.intervalOverlap(good, badR, "alo", "ahi", "blo", "bhi",
+        maxLen = 10).collect()
+    }
+    assert(messages(ex2).exists(_.contains("intervalOverlap")))
+    // well-formed intervals still join
+    assert(IntervalJoin.pointInInterval(pts,
+      Seq((1L, 5L, 15L)).toDF("iid", "lo", "hi"), "p", "lo", "hi",
+      maxLen = 10).count() == 1)
   }
 }

@@ -892,6 +892,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s32: dynamic per-key session gaps — parity when constant, exact when varying") {
+    withRocksDB {
+      def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+      // 1) parity: a constant gap column reproduces the fixed-gap form
+      val msC = MemoryStream[(Long, Long, Timestamp, Long)]
+      val qc = graft.streaming.StatefulOps
+        .sessionizeStreamDynamic(msC.toDS())
+        .toDF("event_id", "user_id", "sess")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("s32c").start()
+      msC.addData((11L, 1L, t(5), 1800L), (10L, 1L, t(0), 1800L),
+        (20L, 2L, t(0), 1800L))
+      qc.processAllAvailable()
+      msC.addData((12L, 1L, t(45), 1800L), (13L, 1L, t(50), 1800L),
+        (21L, 2L, t(29), 1800L))
+      qc.processAllAvailable()
+      msC.addData((14L, 1L, t(95), 1800L))
+      qc.processAllAvailable()
+      qc.stop()
+      val gotC = spark.table("s32c")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // the s23 fixture's expected sessions (fixed 30-min gap)
+      assert(gotC == Set(
+        (10L, 1L, 1), (11L, 1L, 1), (12L, 1L, 2), (13L, 1L, 2), (14L, 1L, 3),
+        (20L, 2L, 1), (21L, 2L, 1)), s"constant-gap parity broke: $gotC")
+      // 2) varying gaps: user 1 tightens the gap to 10 min mid-stream
+      // (the 40-min jump then splits where the 30-min gap would not
+      // have — and vice versa for user 2's loosened gap)
+      val msV = MemoryStream[(Long, Long, Timestamp, Long)]
+      val qv = graft.streaming.StatefulOps
+        .sessionizeStreamDynamic(msV.toDS())
+        .toDF("event_id", "user_id", "sess")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("s32v").start()
+      msV.addData((10L, 1L, t(0), 1800L), (11L, 1L, t(25), 1800L),
+        (20L, 2L, t(0), 600L))
+      qv.processAllAvailable()
+      // user 1 now carries a 10-min gap: t(45) is 20 min after t(25)
+      // → NEW session (the fixed 30-min form kept it); user 2 loosens
+      // to 45 min: t(40) is 40 min after t(0) → SAME session (the
+      // original 10-min gap would have split)
+      msV.addData((12L, 1L, t(45), 600L), (21L, 2L, t(40), 2700L))
+      qv.processAllAvailable()
+      qv.stop()
+      val gotV = spark.table("s32v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(gotV == Set(
+        (10L, 1L, 1), (11L, 1L, 1), (12L, 1L, 2),
+        (20L, 2L, 1), (21L, 2L, 1)), s"dynamic-gap sessions wrong: $gotV")
+    }
+  }
+
   test("s28: composed CDC pipeline survives restart: dedup, tombstones, quarantine, compaction") {
     // examples.CdcPipeline = the reference's whole pipeline
     // (README.md:128-192) as one artifact. Each start() drains the
@@ -953,20 +1005,22 @@ class StreamingSpec extends AnyFunSuite {
           lateRows ++= b.collect().map(_.getLong(0)) })
       .queryName("s29").start()
     def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
-    // batch 1: no watermark yet — nothing can be late
-    ms.addData((1L, t(0)), (2L, t(10)))
+    // batch 1: no watermark yet — nothing with an event time can be
+    // late, but a NULL event time dead-letters in EVERY batch (a
+    // watermarked stateful operator drops such rows)
+    ms.addData((1L, t(0)), (2L, t(10)), (6L, null))
     q.processAllAvailable()
     // batch 2: judged against max-event-after-batch-1 (t(10), delay 0):
     // t(5) routes to the dead letter, t(11) onward — the same rows the
-    // s03 windowed aggregate drops vs keeps
-    ms.addData((3L, t(5)), (4L, t(11)))
+    // s03 windowed aggregate drops vs keeps; null-ts again dead-letters
+    ms.addData((3L, t(5)), (4L, t(11)), (7L, null))
     q.processAllAvailable()
     // batch 3: the watermark lags a batch — t(10.5) is late vs t(11)
     ms.addData((5L, new Timestamp(t(10).getTime + 30000L)))
     q.processAllAvailable()
     q.stop()
     assert(onTime.sorted == Seq(1L, 2L, 4L), s"on-time: $onTime")
-    assert(lateRows.sorted == Seq(3L, 5L), s"late: $lateRows")
+    assert(lateRows.sorted == Seq(3L, 5L, 6L, 7L), s"late: $lateRows")
   }
 
   test("s30: streaming merge sink keeps a queryable table exactly-once across restarts") {
@@ -1004,6 +1058,112 @@ class StreamingSpec extends AnyFunSuite {
     // idempotently by the same rule)
     run()
     assert(state == Map("a" -> "12.00"))
+  }
+
+  test("s31: streaming global heavy hitters keep the MG guarantees across batches and restarts") {
+    import graft.streaming.GlobalSketch
+    val src = TestSpark.tmpDir("s31-src")
+    val store = TestSpark.tmpDir("s31-store") + "/sk"
+    val chk = TestSpark.tmpDir("s31-chk")
+    val k = 8
+    def run(): Unit = {
+      val keys = spark.readStream
+        .schema(StructType(Seq(StructField("key", LongType))))
+        .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+        .json(src)
+      val q = GlobalSketch.mgSketchSink(keys, "key", k, store, chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def lines(xs: Seq[Long]): Seq[String] = xs.map(x => s"""{"key": $x}""")
+    // skewed stream: key 1 hot, key 2 warm, long tail — split across
+    // files so the sink sees several micro-batches
+    val rnd = new scala.util.Random(7)
+    val all = scala.collection.mutable.ArrayBuffer[Long]()
+    def emit(name: String, xs: Seq[Long]): Unit = {
+      all ++= xs; writeNdjson(src, name, lines(xs))
+    }
+    emit("f1.ndjson", Seq.fill(60)(1L) ++ Seq.fill(25)(2L) ++
+      Seq.fill(40)(rnd.nextInt(500).toLong + 100L))
+    emit("f2.ndjson", Seq.fill(50)(1L) ++
+      Seq.fill(40)(rnd.nextInt(500).toLong + 100L))
+    run()
+    // RESTART: more data arrives, a fresh query continues the store
+    emit("f3.ndjson", Seq.fill(45)(2L) ++ Seq.fill(30)(1L) ++
+      Seq.fill(40)(rnd.nextInt(500).toLong + 100L))
+    run()
+    def check(): Unit = {
+      val got = GlobalSketch.globalTopK(spark, store, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val n = all.size.toLong
+      assert(got.forall(_._3 == n), s"summary n ${got.headOption} != $n")
+      val exact = all.groupBy(identity).map { case (x, g) => x -> g.size.toLong }
+      val bound = n.toDouble / (k + 1)
+      // retention: every key above n/(k+1) is reported
+      exact.filter(_._2 > bound).foreach { case (x, c) =>
+        assert(got.exists(_._1 == x),
+          s"hot key $x (freq $c > $bound) missing from streamed summary")
+      }
+      // lower-bound counts, undercounting by at most n/(k+1)
+      got.foreach { case (x, c, _) =>
+        val t = exact.getOrElse(x, 0L)
+        assert(c <= t, s"key $x overcounted: $c > $t")
+        assert(t - c <= bound, s"key $x undercounted past the bound: $t - $c > $bound")
+      }
+      assert(got.length <= k)
+    }
+    check()
+    // replay with NO new files: the store must not change (idempotent
+    // batch-id directories), so the summary is identical
+    val before = GlobalSketch.globalTopK(spark, store, k).collect().toSeq
+    run()
+    assert(GlobalSketch.globalTopK(spark, store, k).collect().toSeq == before)
+    check()
+  }
+
+  test("s30b: partition-routed merge sink rewrites only touched day-directories") {
+    val src = TestSpark.tmpDir("s30b-src")
+    val lake = TestSpark.tmpDir("s30b-lake") + "/lake"
+    val chk = TestSpark.tmpDir("s30b-chk")
+    def run(): Unit = {
+      val post = CdcStreams.postImages(
+          CdcStreams.readEnvelopeStream(spark, src, rideSchema))
+        .withColumn("kid", element_at(col("key"), 2))
+        .withColumn("hlc", col("updated").cast("double"))
+        // day derived from the HLC second — keys 1.x land on day 1,
+        // keys 3.x on day 2 (ingest day is a function of the key here)
+        .withColumn("ingest_date",
+          when(col("hlc") < 3.0, lit("2024-01-01")).otherwise(lit("2024-01-02")))
+      val q = CdcStreams.mergeSink(post, lake, chk,
+          Seq("kid"), Seq("hlc"), isDeleteCol = Some("is_delete"),
+          partitionCol = Some("ingest_date"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def snapshot(day: String): Map[String, Long] =
+      new java.io.File(s"$lake/ingest_date=$day").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.length()).toMap
+    def state = spark.read.parquet(lake).collect()
+      .map(r => r.getAs[String]("kid") -> r.getAs[String]("revenue")).toMap
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.00", "1.0"),
+      envLine("b", "boston", "5.00", "3.0")))
+    run()
+    assert(state == Map("a" -> "10.00", "b" -> "5.00"))
+    val day1 = snapshot("2024-01-01")
+    // second batch touches ONLY day 2 (update b) — day 1's files must
+    // not be rewritten by the merge
+    writeNdjson(src, "f2.ndjson", Seq(
+      envLine("b", "boston", "7.00", "4.0")))
+    run()
+    assert(state == Map("a" -> "10.00", "b" -> "7.00"))
+    assert(snapshot("2024-01-01") == day1,
+      "untouched day partition was rewritten by the streaming merge")
+    // replay with no new files: nothing changes anywhere
+    run()
+    assert(state == Map("a" -> "10.00", "b" -> "7.00"))
+    assert(snapshot("2024-01-01") == day1)
   }
 
   test("s08: checkpoint recovery resumes without loss or duplication") {
