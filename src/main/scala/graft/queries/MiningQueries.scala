@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.operators.{TextDedup, TopK}
@@ -423,6 +424,78 @@ object MiningQueries {
       .transform(Det.emitWide(_, "a_id", "b_id"))
   }
 
+  /** q157: MERGEABLE fixed-bin histogram quantiles — the pattern that
+    * makes PERCENTILES incremental at lake scale, the quantile twin of
+    * q149's HLL story: bin each day's order totals ONCE (exact counts
+    * per equi-width bin — constant state per day, counts just ADD),
+    * roll months up by summing day bins (mergeability exercised
+    * in-plan), and answer any later quantile from the cumulative bins
+    * by linear interpolation — a re-aggregation reads the month's raw
+    * rows again; the bin rollup reads 500 longs per day regardless of
+    * volume. Every step is DETERMINISTIC integer/double arithmetic, so
+    * unlike percentile_approx (whose digest is engine-private) the
+    * whole estimate is oracle-checkable — DuckDB reproduces bins,
+    * cumsum, and interpolation bit-for-bit; OperatorSpec separately
+    * bounds each estimate within one bin width of the order statistic
+    * at its target rank ⌈p·n⌉ (the honest histogram guarantee — the
+    * interpolated percentile can sit many bins away when a month is
+    * sparse). Scale shape: one (day, bin)-keyed aggregate (map-side
+    * combinable), a (month, bin) rollup over ~bins rows per month, a
+    * bins-sized window per month, one tiny final aggregate. */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val lo = 0.0; val hi = 500000.0; val bins = 500
+    val w = (hi - lo) / bins // 1000.0
+    val bin = least(lit(bins - 1),
+      greatest(lit(0), floor((col("o_totalprice") - lo) / w))).cast("int")
+    val daily = orders(s, d)
+      .select(col("o_orderdate").cast("date").as("day"), bin.as("bin"))
+      .groupBy("day", "bin").agg(count(lit(1)).as("cnt"))
+    val monthly = daily
+      .groupBy(
+        date_trunc("month", col("day")).cast("date").cast("string").as("month"),
+        col("bin"))
+      .agg(sum("cnt").as("cnt"))
+    val wc = Window.partitionBy("month").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("month")
+    val cum = monthly
+      .withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(wn))
+    // the CROSSING bin is unique: prevcum < t ≤ cum — evaluate the
+    // interpolation ONLY there (an aggregate over later bins is
+    // garbage: their (t − prevcum)/cnt term goes arbitrarily negative,
+    // so a min over all crossing-or-later bins can undercut the true
+    // estimate — caught by s33's dense-histogram test)
+    def est(p: Double): Column = {
+      val t = lit(p) * col("n")
+      min(when(col("cum") >= t && col("cum") - col("cnt") < t,
+        lit(lo) + lit(w) *
+          (col("bin") + (t - (col("cum") - col("cnt"))) / col("cnt"))))
+    }
+    cum.groupBy("month")
+      .agg(max("n").as("n_orders"),
+        Det.r4e(est(0.25)).as("est_p25"),
+        Det.r4e(est(0.50)).as("est_p50"),
+        Det.r4e(est(0.95)).as("est_p95"))
+      .transform(Det.emit(_, "month"))
+  }
+
+  /** q158: sequence packing (see `operators.Packing`) — the
+    * concatenate-short-docs-into-context-windows pass that sits
+    * between cleaning and batching. Capacity 256 tokens, 8 hashed
+    * streams over the documents table; output is the full
+    * (doc_id → stream, bin) assignment. The DuckDB oracle replays the
+    * greedy walk with a recursive CTE over per-stream row numbers — an
+    * independent formulation of the same chain, so the hash-match
+    * proves the walk exactly (the oversize-doc and boundary branches
+    * are additionally property-tested in AlgebraProps with lengths
+    * beyond the capacity). */
+  private def q158(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.packGreedy(
+      docs(s, d).withColumn("len", expr(s"size($TOKS)")),
+      "doc_id", "len", capacity = 256, streams = 8)
+      .transform(Det.emitWide(_, "doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
@@ -439,7 +512,9 @@ object MiningQueries {
     "q135_token_entropy" -> q135,
     "q138_column_profile" -> q138,
     "q142_source_reputation" -> q142,
-    "q143_minhash_calibration" -> q143)
+    "q143_minhash_calibration" -> q143,
+    "q157_histogram_quantiles" -> q157,
+    "q158_sequence_packing" -> q158)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -598,6 +673,56 @@ object MiningQueries {
                  round(exact + ${Det.E4}, 4) AS exact_j,
                  round(abs(est - exact) + ${Det.E4}, 4) AS abs_err
           FROM ex ORDER BY a_id, b_id""",
+    "q158_sequence_packing" ->
+      s"""WITH RECURSIVE d AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 8 AS INT) AS stream,
+                   CAST(len($TS) AS BIGINT) AS len
+            FROM documents),
+          r AS (
+            SELECT doc_id, stream, len,
+                   row_number() OVER (PARTITION BY stream ORDER BY doc_id) AS rn
+            FROM d),
+          walk AS (
+            SELECT stream, rn, doc_id, CAST(1 AS BIGINT) AS bin,
+                   greatest(0, 256 - len) AS rem
+            FROM r WHERE rn = 1
+            UNION ALL
+            SELECT r.stream, r.rn, r.doc_id,
+                   CASE WHEN r.len <= w.rem THEN w.bin ELSE w.bin + 1 END,
+                   CASE WHEN r.len <= w.rem THEN w.rem - r.len
+                        ELSE greatest(0, 256 - r.len) END
+            FROM walk w JOIN r ON r.stream = w.stream AND r.rn = w.rn + 1)
+          SELECT doc_id, stream, bin FROM walk ORDER BY doc_id""",
+    "q157_histogram_quantiles" ->
+      s"""WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   CAST(least(499, greatest(0,
+                     floor((o_totalprice - 0.0) / 1000.0))) AS INT) AS bin,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1, 2),
+          monthly AS (
+            SELECT CAST(CAST(date_trunc('month', day) AS DATE) AS VARCHAR) AS month,
+                   bin, SUM(cnt) AS cnt
+            FROM daily GROUP BY 1, 2),
+          cum AS (
+            SELECT month, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY month ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(cnt) OVER (PARTITION BY month) AS n
+            FROM monthly)
+          SELECT month, CAST(max(n) AS BIGINT) AS n_orders,
+                 round(min(CASE WHEN cum >= 0.25 * n AND cum - cnt < 0.25 * n THEN 0.0 + 1000.0 *
+                   (bin + (0.25 * n - (cum - cnt)) / cnt) END) + ${Det.E4}, 4)
+                   AS est_p25,
+                 round(min(CASE WHEN cum >= 0.5 * n AND cum - cnt < 0.5 * n THEN 0.0 + 1000.0 *
+                   (bin + (0.5 * n - (cum - cnt)) / cnt) END) + ${Det.E4}, 4)
+                   AS est_p50,
+                 round(min(CASE WHEN cum >= 0.95 * n AND cum - cnt < 0.95 * n THEN 0.0 + 1000.0 *
+                   (bin + (0.95 * n - (cum - cnt)) / cnt) END) + ${Det.E4}, 4)
+                   AS est_p95
+          FROM cum GROUP BY month ORDER BY month""",
     "q142_source_reputation" ->
       s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
           d AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 8),

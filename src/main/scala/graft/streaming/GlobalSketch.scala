@@ -91,4 +91,132 @@ object GlobalSketch {
     mg.finish(acc).map { case (key, c) => (key, c, total) }
       .toDF("key", "cnt", "n")
   }
+
+  /** Bound MG-store growth: fold every stored per-batch sketch row
+    * into ONE row living in the HIGHEST seen `batch=` directory — the
+    * same replay-safe choice as `CdcStreams.compactState` (a restarted
+    * stream can only replay that id, found → skipped, or continue at
+    * id+1; older ids are committed offsets and never replay). Swap
+    * protocol: stage, rename the live max-id dir aside, rename tmp in,
+    * then delete the aside and the older dirs — a crash strands at
+    * worst one extra complete copy, restored on the next call. The
+    * global summary is IDENTICAL before and after (the fold is the
+    * same pairwise merge `globalTopK` runs — spec-pinned). */
+  def compactSketches(spark: SparkSession, storePath: String, k: Int): Unit = {
+    import spark.implicits._
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    // crash recovery: restore a stranded aside before reading
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_compact_old_")).foreach { aside =>
+        val target = new Path(root,
+          s"batch=${aside.getName.stripPrefix("_compact_old_")}")
+        if (!fs.exists(target)) fs.rename(aside, target)
+        else fs.delete(aside, true)
+      }
+    val tmp = new Path(s"$storePath/_compact_tmp")
+    fs.delete(tmp, true)
+    val batchDirs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).toSeq
+    if (batchDirs.size < 2) return
+    val maxId = batchDirs.map(_.getName.stripPrefix("batch=").toLong).max
+    val rows = spark.read.option("basePath", storePath)
+      .parquet(s"$storePath/batch=*")
+      .select(col("n"), col("keys"), col("counts")).collect()
+    val mg = new MisraGries(k)
+    var total = 0L
+    var acc: Map[Long, Long] = Map.empty
+    rows.foreach { r =>
+      total += r.getLong(0)
+      acc = mg.merge(acc, r.getSeq[Long](1).zip(r.getSeq[Long](2)).toMap)
+    }
+    val folded = mg.finish(acc)
+    Seq((total, folded.map(_._1), folded.map(_._2)))
+      .toDF("n", "keys", "counts")
+      .coalesce(1).write.parquet(tmp.toString)
+    val target = new Path(s"$storePath/batch=$maxId")
+    val aside = new Path(s"$storePath/_compact_old_$maxId")
+    if (!fs.rename(target, aside))
+      throw new java.io.IOException(s"sketch compaction aside rename failed at $storePath")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(aside, target) // roll back — old store stays live
+      throw new java.io.IOException(s"sketch compaction rename failed at $storePath")
+    }
+    fs.delete(aside, true)
+    batchDirs.filterNot(_.getName == s"batch=$maxId").foreach(fs.delete(_, true))
+  }
+
+  /** Streaming GLOBAL quantiles (s33) — the quantile twin of the MG
+    * top-k, same store-outside-state design, SIMPLER merge rule: each
+    * micro-batch lands its fixed-bin histogram (sparse (bin, cnt)
+    * rows — exact counts, q157's binning) in an idempotent
+    * `batch=<id>` directory, and counts just ADD across batches — so
+    * merge-on-read is a distributed `groupBy(bin).sum`, no driver
+    * fold at all. The estimate carries q157's guarantee over ALL rows
+    * ever streamed: within one bin width of the order statistic at
+    * rank ⌈p·n⌉ (s33 pins it against exact on the replayed rows,
+    * across restarts). */
+  def histogramSink(df: DataFrame, valCol: String,
+      lo: Double, hi: Double, bins: Int,
+      storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(bins >= 1 && hi > lo, s"bad histogram config: [$lo, $hi) / $bins")
+    val w = (hi - lo) / bins
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dir = new Path(s"$storePath/batch=$batchId")
+        val fs = dir.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dir)) {
+          batch.select(least(lit(bins - 1), greatest(lit(0),
+              floor((col(valCol) - lo) / w))).cast("int").as("bin"))
+            .groupBy("bin").agg(count(lit(1)).as("cnt"))
+            .coalesce(1)
+            .write.mode("errorifexists").parquet(dir.toString)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+  }
+
+  /** Merge-on-read quantile estimates over the whole streamed history:
+    * one row per requested (name, p) with the interpolated estimate
+    * and the total n. Distributed end to end (bin-keyed sum + a
+    * bins-sized window). */
+  def globalQuantiles(spark: SparkSession, storePath: String,
+      lo: Double, hi: Double, bins: Int,
+      ps: Seq[(String, Double)]): DataFrame = {
+    import spark.implicits._
+    require(ps.nonEmpty, "globalQuantiles: ps must be non-empty")
+    val w = (hi - lo) / bins
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      return Seq.empty[(String, Double, Long)].toDF("q", "est", "n")
+    val cum = spark.read.option("basePath", storePath)
+      .parquet(s"$storePath/batch=*")
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+      .withColumn("cum", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.orderBy("bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+    val qArr = array(ps.map { case (nm, p) =>
+      struct(lit(nm).as("qname"), lit(p).as("p")) }: _*)
+    cum.select(col("bin"), col("cnt"), col("cum"), col("n"),
+        explode(qArr).as("q"))
+      .select(col("bin"), col("cnt"), col("cum"), col("n"),
+        col("q.qname").as("q"), (col("q.p") * col("n")).as("t"))
+      // the unique CROSSING bin (prevcum < t ≤ cum) — interpolating
+      // anywhere else is meaningless (see q157's crossing-bin note)
+      .where(col("cum") >= col("t") && col("cum") - col("cnt") < col("t"))
+      .groupBy("q")
+      .agg(min(lit(lo) + lit(w) *
+          (col("bin") + (col("t") - (col("cum") - col("cnt"))) / col("cnt")))
+          .as("est"),
+        max("n").as("n"))
+  }
 }

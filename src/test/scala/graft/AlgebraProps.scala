@@ -655,6 +655,32 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("Packing.packGreedy equals the per-stream greedy walk, oversize docs included") =
+    forAll(Gen.listOf(Gen.choose(1L, 40L)), Gen.choose(10L, 30L)) { (lens, cap) =>
+      val rows = lens.zipWithIndex.map { case (len, i) => (i.toLong, len) }
+      val df = rows.toDF("doc_id", "len")
+      val got = graft.operators.Packing
+        .packGreedy(df, "doc_id", "len", capacity = cap, streams = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // brute force: same md5 stream hash, same walk
+      def stream(id: Long): Int = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        (java.lang.Long.parseLong(hex, 16) % 3).toInt
+      }
+      val want = rows.groupBy { case (id, _) => stream(id) }.flatMap {
+        case (st, docs) =>
+          var bin = 0L; var rem = 0L
+          docs.sortBy(_._1).map { case (id, len) =>
+            if (bin == 0L || len > rem) { bin += 1; rem = math.max(0L, cap - len) }
+            else rem -= len
+            (id, st, bin)
+          }
+      }.toSet
+      got == want
+    }
+
   property("prefixSumBy lexicographic order is exact past 2^33 keys") =
     forAll(Gen.listOf(for {
       c <- Gen.choose(0L, 5L)                       // leading col, heavy ties

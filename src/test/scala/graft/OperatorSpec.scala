@@ -467,6 +467,33 @@ class OperatorSpec extends AnyFunSuite {
       s"daily-sketch union diverged from direct weekly sketch: $approx vs $direct")
   }
 
+  test("q157 histogram quantile estimates land within one bin of the target order stat") {
+    // the histogram guarantee: the estimate lies in the SAME bin as
+    // the order statistic at rank ⌈p·n⌉, so |est − x_(⌈p·n⌉)| ≤ the
+    // 1000-wide bin. (NOT within a bin of the interpolated percentile:
+    // with sparse months, adjacent order stats sit many bins apart and
+    // interpolation between them leaves every histogram's reach.)
+    val got = SparkEntry.queries("q157_histogram_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val sorted = Tables.orders(spark, sf)
+      .groupBy(date_trunc("month", col("o_orderdate"))
+        .cast("date").cast("string").as("month"))
+      .agg(sort_array(collect_list("o_totalprice")).as("vs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == sorted.keySet)
+    def orderStat(vs: Seq[Double], p: Double): Double =
+      vs(math.ceil(p * vs.size).toInt - 1)
+    sorted.foreach { case (m, vs) =>
+      val (g25, g50, g95) = got(m)
+      Seq((g25, 0.25), (g50, 0.50), (g95, 0.95)).foreach { case (est, p) =>
+        val x = orderStat(vs, p)
+        assert(math.abs(est - x) <= 1000.001,
+          s"$m p$p: est $est vs order stat $x (n=${vs.size})")
+      }
+    }
+  }
+
   test("Lake.mergeInto: update/insert/delete, stale-loss, idempotent replay, crash recovery") {
     import org.apache.hadoop.fs.Path
     val base = TestSpark.tmpDir("merge")

@@ -1121,6 +1121,95 @@ class StreamingSpec extends AnyFunSuite {
     check()
   }
 
+  test("s31b: sketch-store compaction folds batches without changing the summary") {
+    import graft.streaming.GlobalSketch
+    import org.apache.hadoop.fs.Path
+    val src = TestSpark.tmpDir("s31b-src")
+    val store = TestSpark.tmpDir("s31b-store") + "/sk"
+    val chk = TestSpark.tmpDir("s31b-chk")
+    val k = 8
+    def run(): Unit = {
+      val keys = spark.readStream
+        .schema(StructType(Seq(StructField("key", LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+      val q = GlobalSketch.mgSketchSink(keys, "key", k, store, chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeNdjson(src, "f1.ndjson", (Seq.fill(30)(1L) ++ Seq.fill(9)(5L))
+      .map(x => s"""{"key": $x}"""))
+    writeNdjson(src, "f2.ndjson", (Seq.fill(20)(2L) ++ Seq.fill(8)(6L))
+      .map(x => s"""{"key": $x}"""))
+    writeNdjson(src, "f3.ndjson", Seq.fill(15)(1L).map(x => s"""{"key": $x}"""))
+    run()
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs = fs.listStatus(new Path(store)).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(batchDirs.size >= 3, s"expected ≥3 batch dirs, got $batchDirs")
+    val before = GlobalSketch.globalTopK(spark, store, k).collect().toSeq
+    GlobalSketch.compactSketches(spark, store, k)
+    assert(batchDirs == Seq("batch=2"), s"store not folded to max id: $batchDirs")
+    assert(GlobalSketch.globalTopK(spark, store, k).collect().toSeq == before,
+      "compaction changed the global summary")
+    // a restarted stream with nothing new replays no batch; the store
+    // and summary stay put
+    run()
+    assert(GlobalSketch.globalTopK(spark, store, k).collect().toSeq == before)
+    // new data lands at batch id 3 alongside the folded row
+    writeNdjson(src, "f4.ndjson", Seq.fill(12)(2L).map(x => s"""{"key": $x}"""))
+    run()
+    val after = GlobalSketch.globalTopK(spark, store, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after(1L) == 45L && after(2L) == 32L, s"post-compaction counts: $after")
+  }
+
+  test("s33: streaming global quantiles — one-bin guarantee over the whole history") {
+    import graft.streaming.GlobalSketch
+    val src = TestSpark.tmpDir("s33-src")
+    val store = TestSpark.tmpDir("s33-store") + "/h"
+    val chk = TestSpark.tmpDir("s33-chk")
+    val (lo, hi, bins) = (0.0, 1000.0, 100) // bin width 10
+    def run(): Unit = {
+      val vals = spark.readStream
+        .schema(StructType(Seq(StructField("v", DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+      val q = GlobalSketch.histogramSink(vals, "v", lo, hi, bins, store, chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val rnd = new scala.util.Random(11)
+    val all = scala.collection.mutable.ArrayBuffer[Double]()
+    def emit(name: String, xs: Seq[Double]): Unit = {
+      all ++= xs; writeNdjson(src, name, xs.map(x => s"""{"v": $x}"""))
+    }
+    emit("f1.ndjson", Seq.fill(300)(rnd.nextDouble() * 1000))
+    emit("f2.ndjson", Seq.fill(200)(rnd.nextDouble() * 400)) // shift the mix
+    run()
+    // RESTART with more data
+    emit("f3.ndjson", Seq.fill(250)(600 + rnd.nextDouble() * 400))
+    run()
+    def check(): Unit = {
+      val got = GlobalSketch.globalQuantiles(spark, store, lo, hi, bins,
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      val sorted = all.sorted.toIndexedSeq
+      val n = sorted.size
+      assert(got.values.forall(_._2 == n), s"n mismatch: $got vs $n")
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95).foreach { case (nm, p) =>
+        val x = sorted(math.ceil(p * n).toInt - 1)
+        val est = got(nm)._1
+        assert(math.abs(est - x) <= (hi - lo) / bins + 1e-9,
+          s"$nm: est $est vs order stat $x over $n rows")
+      }
+    }
+    check()
+    // idempotent replay: no new files → identical store and estimates
+    run()
+    check()
+  }
+
   test("s30b: partition-routed merge sink rewrites only touched day-directories") {
     val src = TestSpark.tmpDir("s30b-src")
     val lake = TestSpark.tmpDir("s30b-lake") + "/lake"
