@@ -123,6 +123,28 @@ object CleanCorpus {
       sampleRates, defaultRate)
   }
 
+  /** `run` → `Packing.packGreedy`: the MATERIALIZATION step that
+    * closes the pipeline — the cleaned, annotated corpus packed into
+    * ≤ `capacity`-token context windows (by the BPE-ish token count
+    * the annotation stage already computed), ready to batch. Returns
+    * the cleaned rows with their (stream, bin) packing key; readers
+    * group by (stream, bin) to assemble sequences. Same scale shape
+    * as the stages before it: one shuffle on the hashed stream key,
+    * sorted O(1)-state partition scans (see operators.Packing). */
+  def runPacked(docs: DataFrame, capacity: Long = 2048, streams: Int = 64,
+      minQuality: Double = 0.3, maxDupRatio: Double = 0.7,
+      benchmark: Option[DataFrame] = None, maxContam: Double = 0.5,
+      maxNgramDupFrac: Double = 1.0,
+      sampleRates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0): DataFrame = {
+    val clean = run(docs, minQuality, maxDupRatio, benchmark, maxContam,
+      maxNgramDupFrac, sampleRates, defaultRate)
+    clean.join(
+      graft.operators.Packing.packGreedy(
+        clean, "doc_id", "bpe_tokens", capacity, streams),
+      "doc_id")
+  }
+
   /** Demo main: clean the fixture corpus, print the funnel. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -85,6 +85,33 @@ class CleanCorpusSpec extends AnyFunSuite {
       "span-capped run retained a doc the uncapped run dropped")
   }
 
+  test("packed pipeline assigns every clean doc once and respects bin capacity") {
+    val cap = 150L
+    val packed = CleanCorpus.runPacked(input, capacity = cap, streams = 4)
+    // the packing is a relabeling of the clean corpus: same ids, once each
+    val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    val packedIds = packed.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(packedIds.toSet == cleanIds && packedIds.size == cleanIds.size,
+      "packing must assign each clean doc exactly once")
+    // bins respect capacity except a singleton bin holding an oversize doc
+    val bins = packed.groupBy("stream", "bin")
+      .agg(sum("bpe_tokens").as("tok"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    bins.foreach { case (tok, n) =>
+      assert(tok <= cap || n == 1, s"overfull multi-doc bin: $tok tokens, $n docs")
+    }
+    // bin ids are 1-based and contiguous per stream (a gap means the
+    // walk skipped state)
+    val perStream = packed.groupBy("stream")
+      .agg(min("bin").as("lo"), max("bin").as("hi"),
+        countDistinct("bin").as("d"))
+      .collect()
+    perStream.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == r.getLong(3),
+        s"non-contiguous bins in stream ${r.getInt(0)}: $r")
+    }
+  }
+
   test("mixing-weight sampling is deterministic and honors a zero rate") {
     val s1 = CleanCorpus.run(input,
       sampleRates = Map("en" -> 0.0, "de" -> 0.5), defaultRate = 0.8)
