@@ -180,6 +180,49 @@ object GlobalSketch {
       .option("checkpointLocation", checkpoint)
   }
 
+  /** Streaming GLOBAL distinct count (s34) — the third instance of the
+    * store-outside-state template (top-k s31, quantiles s33): each
+    * micro-batch lands ONE row `(n, sk)` where `sk` is Spark's own
+    * Datasketches HLL binary (`hll_sketch_agg` — mergeable by
+    * construction, the same persisted-sketch contract q149 pins in
+    * batch), and the global estimate is `hll_union_agg` over the
+    * stored rows — distributed, no driver fold. Exactly-once across
+    * restarts by the `batch=<id>` idempotence protocol; estimate
+    * within the sketch's standard error of the true distinct count
+    * over ALL rows ever streamed (s34 pins 5%-of-exact, the q28/q149
+    * contract). */
+  def hllSketchSink(df: DataFrame, keyCol: String,
+      storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dir = new Path(s"$storePath/batch=$batchId")
+        val fs = dir.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dir)) {
+          batch.agg(count(lit(1)).as("n"),
+              expr(s"hll_sketch_agg($keyCol)").as("sk"))
+            .coalesce(1)
+            .write.mode("errorifexists").parquet(dir.toString)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+
+  /** Merge-on-read distinct estimate over the whole streamed history:
+    * one row (approx_distinct, n). */
+  def globalDistinct(spark: SparkSession, storePath: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      return Seq.empty[(Long, Long)].toDF("approx_distinct", "n")
+    spark.read.option("basePath", storePath)
+      .parquet(s"$storePath/batch=*")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"),
+        sum("n").as("n"))
+  }
+
   /** Merge-on-read quantile estimates over the whole streamed history:
     * one row per requested (name, p) with the interpolated estimate
     * and the total n. Distributed end to end (bin-keyed sum + a

@@ -375,6 +375,37 @@ class PlanSpec extends AnyFunSuite {
       s"q153 lost the bucket equi key:\n$p")
   }
 
+  test("q155-q158: round-7 key scale shapes") {
+    // q155/q156: the JSON expressions are native and codegen'd — the
+    // whole extract/shred pipeline is one map-side pass before the
+    // emit (no join, no aggregate); the shred's fan-out is Spark's own
+    // Generate, not a UDF
+    val p155 = plan("q155_json_query")
+    assert(!p155.contains("Join") && !p155.contains("HashAggregate"),
+      s"q155 should be pure map-side:\n$p155")
+    assert(p155.contains("json_query"),
+      "q155 lost the native expression")
+    val p156 = plan("q156_openjson_shred")
+    assert(p156.contains("Generate"),
+      "q156 must fan out through Spark's Generate (posexplode)")
+    assert(!p156.contains("Join"), s"q156 should not join:\n$p156")
+    // q157: the only exchanges are the (day,bin)/(month,bin) aggregate
+    // shuffles and the bins-sized window — the partial aggregate must
+    // combine map-side before any exchange
+    val p157 = plan("q157_histogram_quantiles")
+    assert(p157.contains("partial_count") || p157.contains("partial"),
+      s"q157 lost map-side partial aggregation:\n$p157")
+    assert(!p157.contains("SortMergeJoin") && !p157.contains("Join"),
+      s"q157 should be join-free:\n$p157")
+    // q158: exactly one data shuffle (the stream repartition); the
+    // walk itself adds no exchange
+    val p158 = plan("q158_sequence_packing")
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(p158).size
+    assert(exchanges <= 2, // stream repartition + the emitWide sort
+      s"q158 shuffles more than stream+emit:\n$p158")
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —

@@ -1210,6 +1210,44 @@ class StreamingSpec extends AnyFunSuite {
     check()
   }
 
+  test("s34: streaming global distinct count within 5% of exact across restarts") {
+    import graft.streaming.GlobalSketch
+    val src = TestSpark.tmpDir("s34-src")
+    val store = TestSpark.tmpDir("s34-store") + "/d"
+    val chk = TestSpark.tmpDir("s34-chk")
+    def run(): Unit = {
+      val keys = spark.readStream
+        .schema(StructType(Seq(StructField("key", LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+      val q = GlobalSketch.hllSketchSink(keys, "key", store, chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val rnd = new scala.util.Random(13)
+    val all = scala.collection.mutable.ArrayBuffer[Long]()
+    def emit(name: String, xs: Seq[Long]): Unit = {
+      all ++= xs; writeNdjson(src, name, xs.map(x => s"""{"key": $x}"""))
+    }
+    // overlapping key ranges across batches: the union must NOT
+    // double-count a key two batches both saw
+    emit("f1.ndjson", Seq.fill(800)(rnd.nextInt(2000).toLong))
+    emit("f2.ndjson", Seq.fill(700)(rnd.nextInt(2000).toLong + 1000L))
+    run()
+    emit("f3.ndjson", Seq.fill(600)(rnd.nextInt(2000).toLong + 2000L))
+    run() // restart with more data
+    def check(): Unit = {
+      val r = GlobalSketch.globalDistinct(spark, store).head()
+      val exact = all.distinct.size.toLong
+      assert(r.getLong(1) == all.size.toLong, s"n: ${r.getLong(1)} vs ${all.size}")
+      assert(math.abs(r.getLong(0) - exact).toDouble / exact < 0.05,
+        s"approx ${r.getLong(0)} vs exact $exact")
+    }
+    check()
+    run() // idempotent replay: no new files, same store, same estimate
+    check()
+  }
+
   test("s30b: partition-routed merge sink rewrites only touched day-directories") {
     val src = TestSpark.tmpDir("s30b-src")
     val lake = TestSpark.tmpDir("s30b-lake") + "/lake"
