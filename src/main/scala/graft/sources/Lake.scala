@@ -74,6 +74,12 @@ object Lake {
     * greatest `orderCols` wins, whether it came from the store or the
     * update set — so replaying the same update batch is idempotent.
     *
+    * Schema evolution: the update batch and the store may disagree on
+    * columns (upstream ALTER TABLE) — the merge unions on the SUPERSET
+    * and absent columns surface as null, the readEvolved contract
+    * carried into the write path (spec pins both directions). Key and
+    * order columns must exist on both sides.
+    *
     * Copy-on-write: without a manifest format a merge rewrites the
     * whole directory — so scope the directory. For a partitioned lake
     * use `mergeIntoPartitioned`, which derives the touched partitions
@@ -101,9 +107,17 @@ object Lake {
     if (!fs.exists(target) && fs.exists(aside)) fs.rename(aside, target)
     fs.delete(tmp, true)
     fs.delete(aside, true)
+    // schema evolution (the upstream-ALTER-TABLE reality of a CDC
+    // lake, README.md:133-138): the update batch may carry columns the
+    // store lacks and vice versa — union on the SUPERSET, absent
+    // columns read as null (same contract as readEvolved); mergeSchema
+    // on the read so a previously-evolved store's own files agree
     val current =
-      if (fs.exists(target)) Some(spark.read.parquet(targetDir)) else None
-    val all = current.fold(updates)(c => c.unionByName(updates))
+      if (fs.exists(target))
+        Some(spark.read.option("mergeSchema", "true").parquet(targetDir))
+      else None
+    val all = current.fold(updates)(c =>
+      c.unionByName(updates, allowMissingColumns = true))
     val merged = graft.streaming.CdcStreams
       .latestByKey(all, keyCols, orderCols, isDelete)
     merged.write.mode("overwrite").parquet(tmp.toString)

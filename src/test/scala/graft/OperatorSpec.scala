@@ -530,6 +530,27 @@ class OperatorSpec extends AnyFunSuite {
       !fs.exists(new Path(s"$base/_merge_tmp_t")), "work dirs left behind")
   }
 
+  test("Lake.mergeInto tolerates schema evolution in both directions") {
+    val dir = TestSpark.tmpDir("merge-evolve") + "/t"
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")))
+    merge(Seq((1L, "a", 1L, false)).toDF("k", "v", "ver", "is_delete"))
+    // the upstream gained a column: stored rows read it as null
+    merge(Seq((2L, "b", 2L, false, "eu"))
+      .toDF("k", "v", "ver", "is_delete", "region"))
+    val t1 = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(t1.columns.toSet == Set("k", "v", "ver", "is_delete", "region"))
+    assert(t1.where(col("k") === 1L).head().getAs[String]("region") == null)
+    assert(t1.where(col("k") === 2L).head().getAs[String]("region") == "eu")
+    // an OLD-schema replay (column missing from the batch) still merges;
+    // the updated row's new column is null, key 2's value survives
+    merge(Seq((1L, "a2", 3L, false)).toDF("k", "v", "ver", "is_delete"))
+    val t2 = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(t2.where(col("k") === 1L).head().getAs[String]("v") == "a2")
+    assert(t2.where(col("k") === 2L).head().getAs[String]("region") == "eu")
+  }
+
   test("Lake.mergeIntoPartitioned rewrites ONLY touched partitions (others byte-identical)") {
     val lake = TestSpark.tmpDir("merge-part") + "/lake"
     def df(rows: (Long, String, Long, String, Boolean)*) =
