@@ -80,6 +80,18 @@ object Lake {
     * carried into the write path (spec pins both directions). Key and
     * order columns must exist on both sides.
     *
+    * Change data feed (optional `changeDir` — the jar-free analogue of
+    * Delta's CDF): each merge publishes its row-level diff as the next
+    * `changeDir/merge=<k>` directory — `_op` ∈ insert/update/delete
+    * plus the post-image (key-only for deletes), so downstream
+    * consumers chain INCREMENTALLY off the merged table instead of
+    * diffing snapshots. A replayed batch merges to the identical state
+    * and publishes NOTHING (same key+version = no change) — the feed
+    * inherits the merge's idempotence. The diff is staged beside the
+    * data swap and published after it; a stranded staging dir from a
+    * crash is published iff its merge's swap completed, else
+    * discarded (the replay regenerates it).
+    *
     * Copy-on-write: without a manifest format a merge rewrites the
     * whole directory — so scope the directory. For a partitioned lake
     * use `mergeIntoPartitioned`, which derives the touched partitions
@@ -94,14 +106,29 @@ object Lake {
     * visibility gap inherent to glob-over-directories. */
   def mergeInto(spark: SparkSession, targetDir: String, updates: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String],
-      isDelete: Option[org.apache.spark.sql.Column] = None): Unit = {
+      isDelete: Option[org.apache.spark.sql.Column] = None,
+      changeDir: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val target = new Path(targetDir)
     val parent = target.getParent
     val name = target.getName
     val tmp = new Path(parent, s"_merge_tmp_$name")
     val aside = new Path(parent, s"_merge_old_$name")
+    val cdfTmp = new Path(parent, s"_cdf_tmp_$name")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stranded change-feed staging from a previous crash: PUBLISH it
+    // iff that merge's swap completed (merge tmp gone, target live),
+    // else it describes a merge that never landed — discard (the
+    // replay regenerates it)
+    changeDir.foreach { cd =>
+      if (fs.exists(cdfTmp)) {
+        val interrupted = fs.exists(tmp) ||
+          (!fs.exists(target) && fs.exists(aside))
+        if (interrupted) fs.delete(cdfTmp, true)
+        else publishCdf(fs, cdfTmp, cd)
+        ()
+      }
+    }
     // crash recovery: a previous attempt that died between renames
     // left the live dir aside — restore before reading
     if (!fs.exists(target) && fs.exists(aside)) fs.rename(aside, target)
@@ -121,6 +148,35 @@ object Lake {
     val merged = graft.streaming.CdcStreams
       .latestByKey(all, keyCols, orderCols, isDelete)
     merged.write.mode("overwrite").parquet(tmp.toString)
+    // change data feed: diff OLD (pre-swap store) against NEW (the
+    // staged tmp — already materialized, so no recompute) on the key:
+    //   insert — key only in new; delete — key only in old (a winning
+    //   tombstone removed it); update — both, with a different
+    //   orderCols version (same key+version = same row, no change —
+    //   which is what makes a crash-replayed merge emit an EMPTY
+    //   feed). Change rows carry _op + the post-image (key-only for
+    //   deletes). Staged beside the data swap and published after it.
+    changeDir.foreach { cd =>
+      val newT = spark.read.parquet(tmp.toString)
+      val ordOf = (df: DataFrame) =>
+        struct(orderCols.map(col): _*)
+      val curK = current match {
+        case Some(c) => c.select(keyCols.map(col) :+ ordOf(c).as("__ord_old"): _*)
+        case None => newT.select(keyCols.map(col) :+ ordOf(newT).as("__ord_old"): _*)
+          .limit(0)
+      }
+      val newK = newT.select(keyCols.map(col) :+ ordOf(newT).as("__ord_new"): _*)
+      val ops = curK.join(newK, keyCols, "full_outer")
+        .withColumn("_op",
+          when(col("__ord_old").isNull, "insert")
+            .when(col("__ord_new").isNull, "delete")
+            .when(col("__ord_old") =!= col("__ord_new"), "update"))
+        .where(col("_op").isNotNull)
+        .select(keyCols.map(col) :+ col("_op"): _*)
+      val changes = ops.join(newT, keyCols, "left")
+      if (!changes.isEmpty)
+        changes.write.mode("overwrite").parquet(cdfTmp.toString)
+    }
     if (fs.exists(target)) {
       if (!fs.rename(target, aside))
         throw new java.io.IOException(s"merge aside rename failed: $target")
@@ -130,6 +186,26 @@ object Lake {
       throw new java.io.IOException(s"merge rename failed: $tmp -> $target")
     }
     fs.delete(aside, true)
+    changeDir.foreach { cd =>
+      if (fs.exists(cdfTmp)) publishCdf(fs, cdfTmp, cd)
+    }
+  }
+
+  /** Publish a staged change-feed directory into `changeDir` as the
+    * next `merge=<k>` sub-directory (monotonic, derived from the
+    * existing entries — readers glob `changeDir/merge=*`). */
+  private def publishCdf(fs: org.apache.hadoop.fs.FileSystem,
+      staged: org.apache.hadoop.fs.Path, changeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cd = new Path(changeDir)
+    fs.mkdirs(cd)
+    val next = fs.listStatus(cd).map(_.getPath.getName)
+      .filter(_.startsWith("merge="))
+      .map(_.stripPrefix("merge=").toLong)
+      .foldLeft(-1L)(math.max) + 1L
+    if (!fs.rename(staged, new Path(cd, s"merge=$next")))
+      throw new java.io.IOException(
+        s"change-feed publish rename failed: $staged -> $changeDir/merge=$next")
   }
 
   /** Partition-aware MERGE INTO a Hive-partitioned lake — the routing
@@ -162,7 +238,8 @@ object Lake {
   def mergeIntoPartitioned(spark: SparkSession, lakeRoot: String,
       updates: DataFrame, partCol: String,
       keyCols: Seq[String], orderCols: Seq[String],
-      isDelete: Option[org.apache.spark.sql.Column] = None): Seq[String] = {
+      isDelete: Option[org.apache.spark.sql.Column] = None,
+      changeDir: Option[String] = None): Seq[String] = {
     val raw = updates.select(col(partCol).cast("string").as("__p"))
       .distinct().collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
     require(!raw.contains(null),
@@ -174,8 +251,11 @@ object Lake {
       // to writePartitioned's output
       val sub = updates.where(col(partCol).cast("string") === lit(v))
         .drop(partCol)
+      // the change feed mirrors the lake layout: per-partition
+      // merge=<k> runs under changeDir/<partCol>=<v>/
       mergeInto(spark, s"$lakeRoot/$partCol=$v", sub,
-        keyCols, orderCols, isDelete)
+        keyCols, orderCols, isDelete,
+        changeDir.map(cd => s"$cd/$partCol=$v"))
     }
     touched.toSeq
   }

@@ -258,17 +258,19 @@ object CdcStreams {
   def mergeSink(df: DataFrame, targetDir: String, checkpoint: String,
       keyCols: Seq[String], orderCols: Seq[String],
       isDeleteCol: Option[String] = None,
-      partitionCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+      partitionCol: Option[String] = None,
+      changeDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         partitionCol match {
           case Some(pc) =>
             graft.sources.Lake.mergeIntoPartitioned(batch.sparkSession,
-              targetDir, batch, pc, keyCols, orderCols, isDeleteCol.map(col))
+              targetDir, batch, pc, keyCols, orderCols, isDeleteCol.map(col),
+              changeDir)
             ()
           case None =>
             graft.sources.Lake.mergeInto(batch.sparkSession, targetDir, batch,
-              keyCols, orderCols, isDeleteCol.map(col))
+              keyCols, orderCols, isDeleteCol.map(col), changeDir)
         }
       }
       .option("checkpointLocation", checkpoint)

@@ -530,6 +530,49 @@ class OperatorSpec extends AnyFunSuite {
       !fs.exists(new Path(s"$base/_merge_tmp_t")), "work dirs left behind")
   }
 
+  test("Lake.mergeInto change data feed: ops, idempotent replay, crash publish rules") {
+    import org.apache.hadoop.fs.Path
+    val base = TestSpark.tmpDir("merge-cdf")
+    val dir = s"$base/t"
+    val cdf = s"$base/changes"
+    def df(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("k", "v", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = Some(cdf))
+    def feed = spark.read.option("basePath", cdf).parquet(s"$cdf/merge=*")
+      .collect().map(r => (r.getAs[Number]("merge").longValue,
+        r.getAs[Long]("k"), r.getAs[String]("_op"), r.getAs[String]("v"))).toSet
+    // first merge: everything is an insert, published as merge=0
+    merge(df((1L, "a", 1L, false), (2L, "b", 1L, false)))
+    assert(feed == Set((0L, 1L, "insert", "a"), (0L, 2L, "insert", "b")))
+    // update + insert + delete in one batch → merge=1 with 3 ops;
+    // the delete row is key-only (post-image columns null)
+    val batch = df((1L, "a2", 2L, false), (3L, "c", 2L, false), (2L, "", 2L, true))
+    merge(batch)
+    assert(feed == Set(
+      (0L, 1L, "insert", "a"), (0L, 2L, "insert", "b"),
+      (1L, 1L, "update", "a2"), (1L, 3L, "insert", "c"),
+      (1L, 2L, "delete", null)))
+    // replaying the batch merges to the identical state → EMPTY feed
+    // increment (no merge=2 appears)
+    merge(batch)
+    assert(feed.map(_._1).max == 1L, s"replay published a change set: $feed")
+    // crash publish rules: a stranded staging dir with its merge
+    // landed (no merge tmp, target live) publishes on the next call...
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df((9L, "z", 9L, false)).write.parquet(s"$base/_cdf_tmp_t")
+    merge(df((4L, "d", 3L, false)))
+    assert(feed.exists(r => r._2 == 9L), "stranded landed-merge feed was not published")
+    // ...but a stranded staging dir from an INTERRUPTED merge (live
+    // dir still aside) is discarded, and the interrupted merge recovers
+    df((8L, "y", 8L, false)).write.parquet(s"$base/_cdf_tmp_t")
+    assert(fs.rename(new Path(dir), new Path(s"$base/_merge_old_t")))
+    merge(df((5L, "e", 4L, false)))
+    assert(!feed.exists(r => r._2 == 8L), "stale feed from an interrupted merge leaked")
+    assert(spark.read.parquet(dir).where(col("k") === 5L).count() == 1)
+  }
+
   test("Lake.mergeInto tolerates schema evolution in both directions") {
     val dir = TestSpark.tmpDir("merge-evolve") + "/t"
     def merge(b: org.apache.spark.sql.DataFrame): Unit =

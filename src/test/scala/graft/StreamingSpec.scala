@@ -1293,6 +1293,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshot("2024-01-01") == day1)
   }
 
+  test("s35: merge sink change feed accumulates per micro-batch, empty on replay") {
+    val src = TestSpark.tmpDir("s35-src")
+    val table = TestSpark.tmpDir("s35-tbl") + "/t"
+    val cdf = TestSpark.tmpDir("s35-cdf") + "/changes"
+    val chk = TestSpark.tmpDir("s35-chk")
+    def run(): Unit = {
+      val post = CdcStreams.postImages(
+          CdcStreams.readEnvelopeStream(spark, src, rideSchema))
+        .withColumn("kid", element_at(col("key"), 2))
+        .withColumn("hlc", col("updated").cast("double"))
+      val q = CdcStreams.mergeSink(post, table, chk,
+          Seq("kid"), Seq("hlc"), isDeleteCol = Some("is_delete"),
+          changeDir = Some(cdf))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def feed = spark.read.option("basePath", cdf).parquet(s"$cdf/merge=*")
+      .collect().map(r => (r.getAs[String]("kid"), r.getAs[String]("_op"))).toSeq
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.00", "1.0")))
+    run()
+    assert(feed.sorted == Seq("a" -> "insert"))
+    // update a + tombstone... the downstream consumer sees exactly the
+    // row-level effects of each micro-batch's merge
+    writeNdjson(src, "f2.ndjson", Seq(
+      envLine("a", "amsterdam", "12.00", "2.0"),
+      envLine("b", "boston", "5.00", "3.0")))
+    run()
+    assert(feed.sorted == Seq("a" -> "insert", "a" -> "update", "b" -> "insert"))
+    // replay with no new files: the feed must not grow
+    run()
+    assert(feed.size == 3, s"replay grew the change feed: $feed")
+  }
+
   test("s08: checkpoint recovery resumes without loss or duplication") {
     val src = TestSpark.tmpDir("s08-src")
     val out = TestSpark.tmpDir("s08-out")
