@@ -137,8 +137,12 @@ object CleanCorpus {
       maxNgramDupFrac: Double = 1.0,
       sampleRates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0): DataFrame = {
-    val clean = run(docs, minQuality, maxDupRatio, benchmark, maxContam,
-      maxNgramDupFrac, sampleRates, defaultRate)
+    // the cleaned frame feeds BOTH the join's left side and the
+    // packing walk — pin it or the whole cleaning cascade (dedup,
+    // LSH, contamination screen, quality pass) executes twice
+    val clean = graft.queries.Det.pin(
+      run(docs, minQuality, maxDupRatio, benchmark, maxContam,
+        maxNgramDupFrac, sampleRates, defaultRate))
     clean.join(
       graft.operators.Packing.packGreedy(
         clean, "doc_id", "bpe_tokens", capacity, streams),

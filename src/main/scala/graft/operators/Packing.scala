@@ -40,6 +40,16 @@ object Packing {
       capacity: Long, streams: Int): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     require(streams >= 1, s"streams must be >= 1, got $streams")
+    // the walk keys and orders on a LONG id; a silent cast of a
+    // string-keyed corpus would null every id and randomize the walk
+    val idType = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"packGreedy: $idCol must be an integral id column, got $idType " +
+        "(hash string ids to a long upstream)")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(

@@ -20,6 +20,30 @@ import graft.Tables._
   */
 object EventTimeQueries {
 
+  /** Fixture-lake path for q149/q145: unique per APPLICATION (two
+    * concurrent runs must not clobber each other's lake) and
+    * reclaimed at JVM exit (the per-app name means no later run
+    * reuses it, so without the hook every bench invocation would
+    * leak a directory in java.io.tmpdir forever). */
+  private val fixtureLakes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val fixtureCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      fixtureLakes.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }))
+  private def fixtureLake(s: SparkSession, tag: String, d: String): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_lake_${tag}_" +
+      s.sparkContext.applicationId + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    fixtureLakes.add(path)
+    fixtureCleanup
+    path
+  }
+
   /** q70: 1-hour tumbling window count+sum per event type. */
   private def q70(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -255,10 +279,7 @@ object EventTimeQueries {
     * union. Datasketches HLL is deterministic for a given input set,
     * so the key is replay-stable. */
   private def q149(s: SparkSession, d: String): DataFrame = {
-    // per-application token in the path: two concurrent runs on the
-    // same machine must not clobber each other's fixture lake
-    val lake = s"${sys.props("java.io.tmpdir")}/graft_lake_hll_" +
-      s.sparkContext.applicationId + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val lake = fixtureLake(s, "hll", d)
     val p = new org.apache.hadoop.fs.Path(lake)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -288,9 +309,7 @@ object EventTimeQueries {
     * The rewrite is idempotent (the lake dir is rebuilt per run;
     * writePartitioned itself appends). */
   private def q145(s: SparkSession, d: String): DataFrame = {
-    // per-application token — same concurrency guard as q149
-    val lake = s"${sys.props("java.io.tmpdir")}/graft_lake_prune_" +
-      s.sparkContext.applicationId + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val lake = fixtureLake(s, "prune", d)
     val p = new org.apache.hadoop.fs.Path(lake)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)

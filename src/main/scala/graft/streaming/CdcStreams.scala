@@ -221,8 +221,12 @@ object CdcStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dir = new Path(s"$statePath/batch=$batchId")
         val fs = dir.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (!fs.exists(dir)) {
-          batch.write.mode("errorifexists").parquet(dir.toString)
+        // committed = _SUCCESS present: the committer creates the dir
+        // at job SETUP, so a bare dir-exists test would let a replayed
+        // batch skip a crash-truncated write and silently lose rows
+        if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+          fs.delete(dir, true)
+          batch.write.mode("overwrite").parquet(dir.toString)
         }
         ()
       }

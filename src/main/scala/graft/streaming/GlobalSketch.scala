@@ -38,9 +38,43 @@ import graft.functions.MisraGries
   */
 object GlobalSketch {
 
+  /** Idempotence guard for `batch=<id>` writes: a directory counts as
+    * COMMITTED only with its `_SUCCESS` marker. The dir-exists test
+    * alone is a silent-loss bug: FileOutputCommitter creates the
+    * output directory at job setup, so a crash mid-write leaves
+    * `batch=<id>` existing but empty — a replayed batch would then
+    * skip it and the rows vanish from the global summary forever.
+    * Here an uncommitted leftover is deleted and rewritten. */
+  private def writeIfUncommitted(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path)(write: => Unit): Unit =
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      fs.delete(dir, true)
+      write
+    }
+
+  /** The batch directories a reader should consume: a compacted store
+    * carries a `_folded_upto_<k>` marker INSIDE `batch=<k>` (the
+    * marker travels atomically with the fold's swap rename), meaning
+    * every dir with id < k is already included in that row — so those
+    * dirs are dead weight awaiting cleanup, and reading them would
+    * DOUBLE-COUNT after a crash that died between the fold's swap and
+    * its deletions. */
+  private def liveBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[Path] = {
+    val dirs = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).toSeq
+    val foldedUpTo = dirs.flatMap { d =>
+      fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.startsWith("_folded_upto_"))
+        .map(_.stripPrefix("_folded_upto_").toLong)
+    }.foldLeft(-1L)(math.max)
+    dirs.filter(_.getName.stripPrefix("batch=").toLong >= foldedUpTo)
+  }
+
   /** Per-micro-batch sketch sink: `df`'s `keyCol` (long) is sketched
     * with a k-counter Misra–Gries per batch; one summary row lands in
-    * `storePath/batch=<id>` (idempotent on replay). */
+    * `storePath/batch=<id>` (idempotent on replay — committed dirs
+    * skip, a crash-truncated dir rewrites). */
   def mgSketchSink(df: DataFrame, keyCol: String, k: Int,
       storePath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
@@ -49,7 +83,7 @@ object GlobalSketch {
         val dir = new Path(s"$storePath/batch=$batchId")
         val fs = dir.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (!fs.exists(dir)) {
+        writeIfUncommitted(fs, dir) {
           val mg = udaf(new MisraGries(k))
           // one row: n rows seen + the sketch entries (split into
           // parallel arrays — parquet-friendly, order preserved)
@@ -59,7 +93,7 @@ object GlobalSketch {
             .select(col("n"),
               col("sk._1").as("keys"), col("sk._2").as("counts"))
             .coalesce(1)
-            .write.mode("errorifexists").parquet(dir.toString)
+            .write.mode("overwrite").parquet(dir.toString)
         }
         ()
       }
@@ -75,8 +109,10 @@ object GlobalSketch {
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty[(Long, Long, Long)].toDF("key", "cnt", "n")
+    val live = liveBatchDirs(fs, root)
+    if (live.isEmpty) return Seq.empty[(Long, Long, Long)].toDF("key", "cnt", "n")
     val sketches = spark.read.option("basePath", storePath)
-      .parquet(s"$storePath/batch=*")
+      .parquet(live.map(_.toString): _*)
       .select(col("n"), col("keys"), col("counts"))
       .collect() // ≤ batches × k counters — metadata-sized by design
     val mg = new MisraGries(k)
@@ -94,14 +130,24 @@ object GlobalSketch {
 
   /** Bound MG-store growth: fold every stored per-batch sketch row
     * into ONE row living in the HIGHEST seen `batch=` directory — the
-    * same replay-safe choice as `CdcStreams.compactState` (a restarted
-    * stream can only replay that id, found → skipped, or continue at
-    * id+1; older ids are committed offsets and never replay). Swap
-    * protocol: stage, rename the live max-id dir aside, rename tmp in,
-    * then delete the aside and the older dirs — a crash strands at
-    * worst one extra complete copy, restored on the next call. The
-    * global summary is IDENTICAL before and after (the fold is the
-    * same pairwise merge `globalTopK` runs — spec-pinned). */
+    * same replay-safe id choice as `CdcStreams.compactState` (a
+    * restarted stream can only replay that id, found-committed →
+    * skipped, or continue at id+1; older ids are committed offsets and
+    * never replay).
+    *
+    * Unlike compactState's rank-1 store — where a crash-stranded extra
+    * copy is harmless (rank-1 picks the same winner) — sketch counts
+    * are ADDITIVE: a folded row coexisting with the dirs it folded
+    * would double-count. So the folded row carries a
+    * `_folded_upto_<maxId>` marker file that travels ATOMICALLY with
+    * the swap rename, and every reader (`liveBatchDirs`) ignores dirs
+    * below the highest marker. Crash windows: before the swap —
+    * nothing live changed; after the swap, before the deletions — the
+    * marker already supersedes the old dirs (readers correct, the next
+    * call completes the cleanup); between the two renames — the
+    * standard aside restore. The global summary is IDENTICAL before
+    * and after (the fold is the same pairwise merge `globalTopK` runs
+    * — spec-pinned, including the mid-cleanup crash). */
   def compactSketches(spark: SparkSession, storePath: String, k: Int): Unit = {
     import spark.implicits._
     val root = new Path(storePath)
@@ -117,12 +163,15 @@ object GlobalSketch {
       }
     val tmp = new Path(s"$storePath/_compact_tmp")
     fs.delete(tmp, true)
-    val batchDirs = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("batch=")).toSeq
-    if (batchDirs.size < 2) return
-    val maxId = batchDirs.map(_.getName.stripPrefix("batch=").toLong).max
+    // complete any interrupted cleanup: dirs superseded by a marker
+    val live = liveBatchDirs(fs, root)
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .filterNot(live.contains).foreach(fs.delete(_, true))
+    if (live.size < 2) return
+    val maxId = live.map(_.getName.stripPrefix("batch=").toLong).max
     val rows = spark.read.option("basePath", storePath)
-      .parquet(s"$storePath/batch=*")
+      .parquet(live.map(_.toString): _*)
       .select(col("n"), col("keys"), col("counts")).collect()
     val mg = new MisraGries(k)
     var total = 0L
@@ -135,6 +184,9 @@ object GlobalSketch {
     Seq((total, folded.map(_._1), folded.map(_._2)))
       .toDF("n", "keys", "counts")
       .coalesce(1).write.parquet(tmp.toString)
+    // the marker rides inside tmp so the swap rename publishes data
+    // and supersession in ONE atomic step
+    fs.create(new Path(tmp, s"_folded_upto_$maxId"), true).close()
     val target = new Path(s"$storePath/batch=$maxId")
     val aside = new Path(s"$storePath/_compact_old_$maxId")
     if (!fs.rename(target, aside))
@@ -144,7 +196,7 @@ object GlobalSketch {
       throw new java.io.IOException(s"sketch compaction rename failed at $storePath")
     }
     fs.delete(aside, true)
-    batchDirs.filterNot(_.getName == s"batch=$maxId").foreach(fs.delete(_, true))
+    live.filterNot(_.getName == s"batch=$maxId").foreach(fs.delete(_, true))
   }
 
   /** Streaming GLOBAL quantiles (s33) — the quantile twin of the MG
@@ -168,12 +220,12 @@ object GlobalSketch {
         val dir = new Path(s"$storePath/batch=$batchId")
         val fs = dir.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (!fs.exists(dir)) {
+        writeIfUncommitted(fs, dir) {
           batch.select(least(lit(bins - 1), greatest(lit(0),
               floor((col(valCol) - lo) / w))).cast("int").as("bin"))
             .groupBy("bin").agg(count(lit(1)).as("cnt"))
             .coalesce(1)
-            .write.mode("errorifexists").parquet(dir.toString)
+            .write.mode("overwrite").parquet(dir.toString)
         }
         ()
       }
@@ -199,11 +251,11 @@ object GlobalSketch {
         val dir = new Path(s"$storePath/batch=$batchId")
         val fs = dir.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
-        if (!fs.exists(dir)) {
+        writeIfUncommitted(fs, dir) {
           batch.agg(count(lit(1)).as("n"),
               expr(s"hll_sketch_agg($keyCol)").as("sk"))
             .coalesce(1)
-            .write.mode("errorifexists").parquet(dir.toString)
+            .write.mode("overwrite").parquet(dir.toString)
         }
         ()
       }
@@ -217,8 +269,11 @@ object GlobalSketch {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root))
       return Seq.empty[(Long, Long)].toDF("approx_distinct", "n")
+    val live = liveBatchDirs(fs, root)
+    if (live.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("approx_distinct", "n")
     spark.read.option("basePath", storePath)
-      .parquet(s"$storePath/batch=*")
+      .parquet(live.map(_.toString): _*)
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"),
         sum("n").as("n"))
   }
@@ -237,8 +292,11 @@ object GlobalSketch {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root))
       return Seq.empty[(String, Double, Long)].toDF("q", "est", "n")
+    val live = liveBatchDirs(fs, root)
+    if (live.isEmpty)
+      return Seq.empty[(String, Double, Long)].toDF("q", "est", "n")
     val cum = spark.read.option("basePath", storePath)
-      .parquet(s"$storePath/batch=*")
+      .parquet(live.map(_.toString): _*)
       .groupBy("bin").agg(sum("cnt").as("cnt"))
       .withColumn("cum", sum("cnt").over(
         org.apache.spark.sql.expressions.Window.orderBy("bin")

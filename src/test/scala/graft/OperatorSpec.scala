@@ -573,6 +573,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).where(col("k") === 5L).count() == 1)
   }
 
+  test("Lake.mergeIntoPartitioned escapes partition values like Spark's own writer") {
+    val base = TestSpark.tmpDir("merge-esc")
+    val lake = s"$base/lake"
+    // a partition value with characters Spark's Hive layout escapes
+    val gnarly = "2024-01-01 00:15:00"
+    def merge(rows: (Long, String, Long, String, Boolean)*) =
+      graft.sources.Lake.mergeIntoPartitioned(spark, lake,
+        rows.toDF("k", "v", "ver", "pc", "is_delete"),
+        "pc", Seq("k"), Seq("ver"), Some(col("is_delete")))
+    merge((1L, "a", 1L, gnarly, false))
+    merge((1L, "a2", 2L, gnarly, false))
+    // ONE physical directory, matching what Spark's partitioned writer
+    // would have produced, and discovery round-trips the raw value
+    val dirs = new java.io.File(lake).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSeq
+    val expected = "pc=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(gnarly)
+    assert(dirs == Seq(expected), s"partition dirs: $dirs")
+    // read the partition value back RAW (discovery would otherwise
+    // infer this one as a timestamp and reformat it)
+    val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(infKey)
+    spark.conf.set(infKey, "false")
+    try {
+      val rows = spark.read.parquet(lake).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+          r.getAs[String]("pc")))
+      assert(rows.toSeq == Seq((1L, "a2", gnarly)),
+        s"escaped partition did not round-trip: ${rows.toSeq}")
+    } finally spark.conf.set(infKey, prev)
+  }
+
   test("Lake.mergeInto tolerates schema evolution in both directions") {
     val dir = TestSpark.tmpDir("merge-evolve") + "/t"
     def merge(b: org.apache.spark.sql.DataFrame): Unit =

@@ -1142,16 +1142,40 @@ class StreamingSpec extends AnyFunSuite {
     writeNdjson(src, "f2.ndjson", (Seq.fill(20)(2L) ++ Seq.fill(8)(6L))
       .map(x => s"""{"key": $x}"""))
     writeNdjson(src, "f3.ndjson", Seq.fill(15)(1L).map(x => s"""{"key": $x}"""))
+    // a crash-truncated batch dir (exists, no _SUCCESS — the committer
+    // creates the dir at job setup) must be REWRITTEN by the replayed
+    // batch, not skipped as committed
+    val fs0 = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.mkdirs(new Path(s"$store/batch=0"))
     run()
+    assert(fs0.exists(new Path(s"$store/batch=0/_SUCCESS")),
+      "crash-truncated batch dir was skipped instead of rewritten")
     val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def batchDirs = fs.listStatus(new Path(store)).map(_.getPath.getName)
       .filter(_.startsWith("batch=")).sorted.toSeq
     assert(batchDirs.size >= 3, s"expected ≥3 batch dirs, got $batchDirs")
     val before = GlobalSketch.globalTopK(spark, store, k).collect().toSeq
+    // crash-mid-cleanup simulation: preserve a copy of batch=0, let
+    // compaction run, then restore the copy — the state a crash
+    // between the fold's swap and its deletions leaves behind. The
+    // folded row's marker must supersede it (no double count), and
+    // the next compact must finish the cleanup.
+    val saved = new Path(TestSpark.tmpDir("s31b-saved"), "batch=0")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$store/batch=0"),
+      fs, saved, false, spark.sparkContext.hadoopConfiguration)
     GlobalSketch.compactSketches(spark, store, k)
     assert(batchDirs == Seq("batch=2"), s"store not folded to max id: $batchDirs")
     assert(GlobalSketch.globalTopK(spark, store, k).collect().toSeq == before,
       "compaction changed the global summary")
+    org.apache.hadoop.fs.FileUtil.copy(fs, saved,
+      fs, new Path(s"$store/batch=0"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(GlobalSketch.globalTopK(spark, store, k).collect().toSeq == before,
+      "a crash-stranded folded dir double-counted the summary")
+    GlobalSketch.compactSketches(spark, store, k)
+    assert(batchDirs == Seq("batch=2"),
+      s"interrupted cleanup was not completed: $batchDirs")
+    assert(GlobalSketch.globalTopK(spark, store, k).collect().toSeq == before)
     // a restarted stream with nothing new replays no batch; the store
     // and summary stay put
     run()
