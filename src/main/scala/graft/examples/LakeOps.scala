@@ -49,13 +49,16 @@ object LakeOps {
       isDeleteCol: Option[String] = None,
       compactTargetBytes: Long = 128L << 20,
       zorderCols: Seq[String] = Nil, zorderDay: Option[String] = None,
-      zorderOut: Option[String] = None): Seq[String] = {
+      zorderOut: Option[String] = None,
+      changeDir: Option[String] = None): Seq[String] = {
     // 1+2 fused: the MERGE is the ingest — it inserts unseen keys,
     // applies updates, and deletes tombstoned keys per touched day,
     // and replaying the same batch after a crash is a no-op (the CDC
-    // replay conflict rule), which a raw append would not be.
+    // replay conflict rule), which a raw append would not be. With
+    // `changeDir`, each night also publishes its row-level change feed
+    // so downstream consumers chain incrementally off the lake.
     val touched = Lake.mergeIntoPartitioned(spark, lake, updates,
-      "ingest_date", keyCols, orderCols, isDeleteCol.map(col))
+      "ingest_date", keyCols, orderCols, isDeleteCol.map(col), changeDir)
     // 3: compaction per touched day (stage-and-swap, self-recovering)
     touched.foreach(day =>
       Lake.compactDay(spark, lake, day, compactTargetBytes))
