@@ -187,6 +187,26 @@ object Similarity {
     else idx
   }
 
+  /** Persist a `buildIvfIndex` frame to parquet — the across-SESSION
+    * form of the pin: a serving deployment builds the index once
+    * (full corpus pass) and every later session `readIvfIndex`s it
+    * back instead of re-assigning the corpus. The layout is
+    * cell-partitioned (`partitionBy(clabel)`), so a probe that knows
+    * its cells could even prune the scan by directory; results
+    * through a reloaded index are identical to the in-memory one
+    * (spec-pinned). */
+  def writeIvfIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("clabel").parquet(path)
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      pin: Boolean = true): DataFrame = {
+    val idx = spark.read.parquet(path)
+      .select(col("nb_id"), col("clabel"), col("nb_vec"))
+    if (pin && idx.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else idx
+  }
+
   /** `ivfSearchBatch` against a prebuilt `buildIvfIndex` frame —
     * identical results (OperatorSpec pins it), none of the per-batch
     * index rebuild. */

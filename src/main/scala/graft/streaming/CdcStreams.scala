@@ -279,6 +279,22 @@ object CdcStreams {
       }
       .option("checkpointLocation", checkpoint)
 
+  /** Follow a MERGE change feed as a stream — the downstream half of
+    * `mergeSink(changeDir = …)` / `Lake.mergeInto(changeDir)`: each
+    * published `merge=<k>` directory surfaces as new files, so an
+    * incremental consumer (sync a cache, feed a search index, drive a
+    * downstream aggregate) reads row-level effects with the file
+    * source's own exactly-once checkpointing — no snapshot diffing.
+    * `rowSchema` is the merged table's post-image schema; `_op` is
+    * appended here. The glob re-lists per micro-batch, so merges
+    * published after the stream starts are picked up. */
+  def readChangeFeedStream(spark: SparkSession, changeDir: String,
+      rowSchema: StructType, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(rowSchema.add("_op", StringType))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"$changeDir/merge=*")
+
   /** Compact the upsert store: fold every `batch=N` directory into one
     * directory holding the materialized current state. The store
     * otherwise grows with every micro-batch and each `currentState`

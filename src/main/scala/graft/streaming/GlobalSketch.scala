@@ -232,6 +232,49 @@ object GlobalSketch {
       .option("checkpointLocation", checkpoint)
   }
 
+  /** Bound histogram-store growth — `compactSketches`' sibling for the
+    * s33 store, SIMPLER fold (bin counts just add: a distributed
+    * `groupBy(bin).sum`, no driver state), same atomic-marker swap
+    * protocol: the folded rows land in `batch=<maxId>` with a
+    * `_folded_upto_<maxId>` marker riding the rename, readers ignore
+    * superseded dirs, the next call completes any interrupted
+    * cleanup. Estimates identical before and after (spec-pinned). */
+  def compactHistogram(spark: SparkSession, storePath: String): Unit = {
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("_compact_old_")).foreach { aside =>
+        val target = new Path(root,
+          s"batch=${aside.getName.stripPrefix("_compact_old_")}")
+        if (!fs.exists(target)) fs.rename(aside, target)
+        else fs.delete(aside, true)
+      }
+    val tmp = new Path(s"$storePath/_compact_tmp")
+    fs.delete(tmp, true)
+    val live = liveBatchDirs(fs, root)
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .filterNot(live.contains).foreach(fs.delete(_, true))
+    if (live.size < 2) return
+    val maxId = live.map(_.getName.stripPrefix("batch=").toLong).max
+    spark.read.option("basePath", storePath)
+      .parquet(live.map(_.toString): _*)
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+      .coalesce(1).write.parquet(tmp.toString)
+    fs.create(new Path(tmp, s"_folded_upto_$maxId"), true).close()
+    val target = new Path(s"$storePath/batch=$maxId")
+    val aside = new Path(s"$storePath/_compact_old_$maxId")
+    if (!fs.rename(target, aside))
+      throw new java.io.IOException(s"histogram compaction aside rename failed at $storePath")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(aside, target)
+      throw new java.io.IOException(s"histogram compaction rename failed at $storePath")
+    }
+    fs.delete(aside, true)
+    live.filterNot(_.getName == s"batch=$maxId").foreach(fs.delete(_, true))
+  }
+
   /** Streaming GLOBAL distinct count (s34) — the third instance of the
     * store-outside-state template (top-k s31, quantiles s33): each
     * micro-batch lands ONE row `(n, sk)` where `sk` is Spark's own

@@ -429,6 +429,16 @@ class OperatorSpec extends AnyFunSuite {
       val direct2 = rows(Similarity.ivfSearchBatch(
         em, "vec_id", "embedding", cent, q2, k = 3, probe = 2))
       assert(indexed2 == direct2)
+      // persisted + reloaded index (the across-session form): results
+      // identical through the parquet round-trip
+      val idxPath = TestSpark.tmpDir("ivf-idx") + "/idx"
+      Similarity.writeIvfIndex(index, idxPath)
+      val reloaded = Similarity.readIvfIndex(spark, idxPath)
+      try {
+        val viaDisk = rows(Similarity.ivfSearchIndexed(
+          reloaded, "vec_id", "embedding", cent, queries, k = 3, probe = 2))
+        assert(viaDisk == direct, "reloaded index diverged from in-memory")
+      } finally reloaded.unpersist()
     } finally index.unpersist()
   }
 

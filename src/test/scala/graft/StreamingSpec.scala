@@ -1232,6 +1232,29 @@ class StreamingSpec extends AnyFunSuite {
     // idempotent replay: no new files → identical store and estimates
     run()
     check()
+    // compaction: estimates identical; a crash-stranded superseded dir
+    // (restored copy) is ignored by the marker and cleaned next call
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(batchDirs.size >= 3)
+    val maxDir = batchDirs.last
+    val saved = new org.apache.hadoop.fs.Path(
+      TestSpark.tmpDir("s33-saved"), "batch=0")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$store/batch=0"),
+      fs, saved, false, spark.sparkContext.hadoopConfiguration)
+    GlobalSketch.compactHistogram(spark, store)
+    assert(batchDirs == Seq(maxDir), s"store not folded: $batchDirs")
+    check()
+    org.apache.hadoop.fs.FileUtil.copy(fs, saved,
+      fs, new org.apache.hadoop.fs.Path(s"$store/batch=0"), false,
+      spark.sparkContext.hadoopConfiguration)
+    check() // marker supersedes the stranded dir — no double count
+    GlobalSketch.compactHistogram(spark, store)
+    assert(batchDirs == Seq(maxDir), s"interrupted cleanup not completed: $batchDirs")
+    check()
   }
 
   test("s34: streaming global distinct count within 5% of exact across restarts") {
@@ -1349,6 +1372,48 @@ class StreamingSpec extends AnyFunSuite {
     // replay with no new files: the feed must not grow
     run()
     assert(feed.size == 3, s"replay grew the change feed: $feed")
+  }
+
+  test("s36: downstream change-feed consumer reads merges incrementally, exactly-once") {
+    val base = TestSpark.tmpDir("s36")
+    val table = s"$base/t"
+    val cdf = s"$base/changes"
+    val chk = s"$base/chk"
+    def df(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("k", "v", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, table, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = Some(cdf))
+    val rowSchema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("ver", LongType), StructField("is_delete", BooleanType)))
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def drain(): Unit = {
+      val q = CdcStreams.readChangeFeedStream(spark, cdf, rowSchema)
+        .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= b.collect().map(r =>
+              (r.getAs[Long]("k"), r.getAs[String]("_op")))
+          }
+          ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    merge(df((1L, "a", 1L, false), (2L, "b", 1L, false)))
+    drain()
+    assert(seen.sorted == Seq(1L -> "insert", 2L -> "insert"), s"got $seen")
+    // later merges surface INCREMENTALLY: the checkpointed consumer
+    // sees only the new merge=1 rows, not a re-read of merge=0
+    merge(df((1L, "a2", 2L, false), (2L, "", 2L, true)))
+    drain()
+    assert(seen.sorted == Seq(1L -> "insert", 1L -> "update",
+      2L -> "delete", 2L -> "insert"), s"got $seen")
+    // a replayed producer merge publishes nothing → consumer sees nothing
+    merge(df((1L, "a2", 2L, false), (2L, "", 2L, true)))
+    drain()
+    assert(seen.size == 4, s"replay leaked into the feed: $seen")
   }
 
   test("s08: checkpoint recovery resumes without loss or duplication") {
