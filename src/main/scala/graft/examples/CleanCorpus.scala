@@ -136,13 +136,18 @@ object CleanCorpus {
       benchmark: Option[DataFrame] = None, maxContam: Double = 0.5,
       maxNgramDupFrac: Double = 1.0,
       sampleRates: Map[String, Double] = Map.empty,
-      defaultRate: Double = 1.0): DataFrame = {
+      defaultRate: Double = 1.0, pin: Boolean = true): DataFrame = {
     // the cleaned frame feeds BOTH the join's left side and the
-    // packing walk — pin it or the whole cleaning cascade (dedup,
-    // LSH, contamination screen, quality pass) executes twice
-    val clean = graft.queries.Det.pin(
-      run(docs, minQuality, maxDupRatio, benchmark, maxContam,
-        maxNgramDupFrac, sampleRates, defaultRate))
+    // packing walk — pinned (default) or the whole cleaning cascade
+    // (dedup, LSH, contamination screen, quality pass) executes
+    // twice. The pinned intermediate lives until the session ends or
+    // `spark.catalog.clearCache()`; long-lived sessions cycling many
+    // corpora should pass `pin = false` (accepting the recompute) or
+    // clear the cache between corpora — same trade buildIvfIndex
+    // documents for its serving index.
+    val cleaned = run(docs, minQuality, maxDupRatio, benchmark, maxContam,
+      maxNgramDupFrac, sampleRates, defaultRate)
+    val clean = if (pin) graft.queries.Det.pin(cleaned) else cleaned
     clean.join(
       graft.operators.Packing.packGreedy(
         clean, "doc_id", "bpe_tokens", capacity, streams),

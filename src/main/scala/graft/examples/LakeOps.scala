@@ -88,7 +88,11 @@ object LakeOps {
     // crash recovery first: a previous sweep that died between its two
     // renames left the live day stranded aside — restore before
     // reading anything
-    days.foreach { day =>
+    def escaped(day: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(day)
+    days.foreach { day0 =>
+      val day = escaped(day0)
       val p = new Path(s"$lake/ingest_date=$day")
       val aside = new Path(s"$lake/_retention_old_$day")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,14 +101,16 @@ object LakeOps {
       fs.delete(aside, true)
       ()
     }
-    val swept = days.filter { day =>
+    val swept = days.filter { day0 =>
+      val day = escaped(day0)
       val dir = s"$lake/ingest_date=$day"
       val p = new Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.exists(p) && !spark.read.parquet(dir)
         .where(col(isDeleteCol)).isEmpty
     }
-    swept.foreach { day =>
+    swept.foreach { day0 =>
+      val day = escaped(day0)
       val dir = s"$lake/ingest_date=$day"
       // the CDC replay rule over the day's rows: rank-1 per key, then
       // winning tombstones drop their key entirely

@@ -363,9 +363,15 @@ object Lake {
   def compactDay(spark: SparkSession, path: String, day: String,
       targetBytes: Long = 128L << 20): Unit = {
     import org.apache.hadoop.fs.Path
-    val dayDir = new Path(s"$path/ingest_date=$day")
-    val tmpDir = new Path(s"$path/_compact_tmp_$day")
-    val asideDir = new Path(s"$path/_compact_old_$day")
+    // Hive-escape the value so a day needing escaping ('%', ':', ' ')
+    // targets the SAME directory writePartitioned/mergeIntoPartitioned
+    // produce — a raw interpolation would probe a nonexistent path and
+    // silently skip the compaction
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(day)
+    val dayDir = new Path(s"$path/ingest_date=$esc")
+    val tmpDir = new Path(s"$path/_compact_tmp_$esc")
+    val asideDir = new Path(s"$path/_compact_old_$esc")
     val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash recovery: a previous attempt that died between renames
     // left the live day aside — put it back before doing anything

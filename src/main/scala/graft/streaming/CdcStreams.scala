@@ -25,6 +25,35 @@ import org.apache.spark.sql.types._
   */
 object CdcStreams {
 
+  /** Shared idempotence guard for `batch=<id>` directory writes (the
+    * upsert store and every GlobalSketch sink). A directory counts as
+    * COMMITTED only with its `_SUCCESS` marker — the committer creates
+    * the dir at job SETUP, so a bare dir-exists test lets a replayed
+    * batch skip a crash-truncated write and silently lose its rows;
+    * an uncommitted leftover is deleted and rewritten here.
+    *
+    * Safety valve: when `_SUCCESS` markers are DISABLED
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false` — some
+    * object-store deployments), the marker test would judge a
+    * perfectly committed dir "uncommitted" and destroy it (a folded
+    * compaction dir would lose ALL history) — so with markers off the
+    * guard degrades to the dir-exists rule, trading the truncated-dir
+    * recovery for never destroying committed data. */
+  private[streaming] def writeIfUncommitted(
+      fs: Path => org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: Path)(write: => Unit): Unit = {
+    val f = fs(dir)
+    val markers =
+      conf.getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    if (markers) {
+      if (!f.exists(new Path(dir, "_SUCCESS"))) {
+        f.delete(dir, true)
+        write
+      }
+    } else if (!f.exists(dir)) write
+  }
+
   /** The wrapped changefeed envelope: `{after: {...row}, key: [...],
     * updated: "<hlc>"}` (README.md:135-138,178; FIXTURES.md §2).
     * `after` is null for deletes. */
@@ -220,12 +249,8 @@ object CdcStreams {
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dir = new Path(s"$statePath/batch=$batchId")
-        val fs = dir.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-        // committed = _SUCCESS present: the committer creates the dir
-        // at job SETUP, so a bare dir-exists test would let a replayed
-        // batch skip a crash-truncated write and silently lose rows
-        if (!fs.exists(new Path(dir, "_SUCCESS"))) {
-          fs.delete(dir, true)
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        writeIfUncommitted(_.getFileSystem(conf), conf, dir) {
           batch.write.mode("overwrite").parquet(dir.toString)
         }
         ()
@@ -287,13 +312,23 @@ object CdcStreams {
     * source's own exactly-once checkpointing — no snapshot diffing.
     * `rowSchema` is the merged table's post-image schema; `_op` is
     * appended here. The glob re-lists per micro-batch, so merges
-    * published after the stream starts are picked up. */
+    * published after the stream starts are picked up.
+    *
+    * Set `partitioned = true` when the PRODUCER routes per partition
+    * (`mergeSink(partitionCol=…)` / `mergeIntoPartitioned` /
+    * `LakeOps.runNightly`) — that feed nests one level deeper
+    * (`changeDir/<partCol>=<v>/merge=<k>`), and the flat glob would
+    * match nothing, silently, forever. */
   def readChangeFeedStream(spark: SparkSession, changeDir: String,
-      rowSchema: StructType, maxFilesPerTrigger: Int = 16): DataFrame =
+      rowSchema: StructType, maxFilesPerTrigger: Int = 16,
+      partitioned: Boolean = false): DataFrame = {
+    val glob =
+      if (partitioned) s"$changeDir/*/merge=*" else s"$changeDir/merge=*"
     spark.readStream
       .schema(rowSchema.add("_op", StringType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(s"$changeDir/merge=*")
+      .parquet(glob)
+  }
 
   /** Compact the upsert store: fold every `batch=N` directory into one
     * directory holding the materialized current state. The store

@@ -38,19 +38,6 @@ import graft.functions.MisraGries
   */
 object GlobalSketch {
 
-  /** Idempotence guard for `batch=<id>` writes: a directory counts as
-    * COMMITTED only with its `_SUCCESS` marker. The dir-exists test
-    * alone is a silent-loss bug: FileOutputCommitter creates the
-    * output directory at job setup, so a crash mid-write leaves
-    * `batch=<id>` existing but empty — a replayed batch would then
-    * skip it and the rows vanish from the global summary forever.
-    * Here an uncommitted leftover is deleted and rewritten. */
-  private def writeIfUncommitted(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path)(write: => Unit): Unit =
-    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
-      fs.delete(dir, true)
-      write
-    }
 
   /** The batch directories a reader should consume: a compacted store
     * carries a `_folded_upto_<k>` marker INSIDE `batch=<k>` (the
@@ -81,9 +68,8 @@ object GlobalSketch {
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dir = new Path(s"$storePath/batch=$batchId")
-        val fs = dir.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        writeIfUncommitted(fs, dir) {
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        CdcStreams.writeIfUncommitted(_.getFileSystem(conf), conf, dir) {
           val mg = udaf(new MisraGries(k))
           // one row: n rows seen + the sketch entries (split into
           // parallel arrays — parquet-friendly, order preserved)
@@ -128,28 +114,17 @@ object GlobalSketch {
       .toDF("key", "cnt", "n")
   }
 
-  /** Bound MG-store growth: fold every stored per-batch sketch row
-    * into ONE row living in the HIGHEST seen `batch=` directory — the
-    * same replay-safe id choice as `CdcStreams.compactState` (a
-    * restarted stream can only replay that id, found-committed →
-    * skipped, or continue at id+1; older ids are committed offsets and
-    * never replay).
-    *
-    * Unlike compactState's rank-1 store — where a crash-stranded extra
-    * copy is harmless (rank-1 picks the same winner) — sketch counts
-    * are ADDITIVE: a folded row coexisting with the dirs it folded
-    * would double-count. So the folded row carries a
-    * `_folded_upto_<maxId>` marker file that travels ATOMICALLY with
-    * the swap rename, and every reader (`liveBatchDirs`) ignores dirs
-    * below the highest marker. Crash windows: before the swap —
-    * nothing live changed; after the swap, before the deletions — the
-    * marker already supersedes the old dirs (readers correct, the next
-    * call completes the cleanup); between the two renames — the
-    * standard aside restore. The global summary is IDENTICAL before
-    * and after (the fold is the same pairwise merge `globalTopK` runs
-    * — spec-pinned, including the mid-cleanup crash). */
-  def compactSketches(spark: SparkSession, storePath: String, k: Int): Unit = {
-    import spark.implicits._
+  /** The shared marker-swap compaction protocol (compactSketches /
+    * compactHistogram differ ONLY in their fold): restore any stranded
+    * aside, complete any interrupted cleanup (dirs a marker already
+    * supersedes), run `fold(liveDirs, tmpDir)` to stage the folded
+    * rows, stamp the `_folded_upto_<maxId>` marker INSIDE tmp (it
+    * rides the swap rename atomically), aside-swap into
+    * `batch=<maxId>`, then delete the superseded dirs. One
+    * implementation so the two stores' crash behavior can never
+    * silently diverge. */
+  private def compactStore(spark: SparkSession, storePath: String)(
+      fold: (Seq[Path], Path) => Unit): Unit = {
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -170,34 +145,77 @@ object GlobalSketch {
       .filterNot(live.contains).foreach(fs.delete(_, true))
     if (live.size < 2) return
     val maxId = live.map(_.getName.stripPrefix("batch=").toLong).max
-    val rows = spark.read.option("basePath", storePath)
-      .parquet(live.map(_.toString): _*)
-      .select(col("n"), col("keys"), col("counts")).collect()
-    val mg = new MisraGries(k)
-    var total = 0L
-    var acc: Map[Long, Long] = Map.empty
-    rows.foreach { r =>
-      total += r.getLong(0)
-      acc = mg.merge(acc, r.getSeq[Long](1).zip(r.getSeq[Long](2)).toMap)
-    }
-    val folded = mg.finish(acc)
-    Seq((total, folded.map(_._1), folded.map(_._2)))
-      .toDF("n", "keys", "counts")
-      .coalesce(1).write.parquet(tmp.toString)
+    fold(live, tmp)
     // the marker rides inside tmp so the swap rename publishes data
     // and supersession in ONE atomic step
     fs.create(new Path(tmp, s"_folded_upto_$maxId"), true).close()
     val target = new Path(s"$storePath/batch=$maxId")
     val aside = new Path(s"$storePath/_compact_old_$maxId")
     if (!fs.rename(target, aside))
-      throw new java.io.IOException(s"sketch compaction aside rename failed at $storePath")
+      throw new java.io.IOException(
+        s"sketch-store compaction aside rename failed at $storePath")
     if (!fs.rename(tmp, target)) {
-      fs.rename(aside, target) // roll back — old store stays live
-      throw new java.io.IOException(s"sketch compaction rename failed at $storePath")
+      fs.rename(aside, target) // roll back - old store stays live
+      throw new java.io.IOException(
+        s"sketch-store compaction rename failed at $storePath")
     }
     fs.delete(aside, true)
     live.filterNot(_.getName == s"batch=$maxId").foreach(fs.delete(_, true))
   }
+
+  /** Bound MG-store growth: fold every stored per-batch sketch row
+    * into ONE row living in the HIGHEST seen `batch=` directory — the
+    * same replay-safe id choice as `CdcStreams.compactState` (a
+    * restarted stream can only replay that id, found-committed →
+    * skipped, or continue at id+1; older ids are committed offsets and
+    * never replay).
+    *
+    * Unlike compactState's rank-1 store — where a crash-stranded extra
+    * copy is harmless (rank-1 picks the same winner) — sketch counts
+    * are ADDITIVE: a folded row coexisting with the dirs it folded
+    * would double-count. So the folded row carries a
+    * `_folded_upto_<maxId>` marker file that travels ATOMICALLY with
+    * the swap rename, and every reader (`liveBatchDirs`) ignores dirs
+    * below the highest marker. Crash windows: before the swap —
+    * nothing live changed; after the swap, before the deletions — the
+    * marker already supersedes the old dirs (readers correct, the next
+    * call completes the cleanup); between the two renames — the
+    * standard aside restore. The global summary is IDENTICAL before
+    * and after (the fold is the same pairwise merge `globalTopK` runs
+    * — spec-pinned, including the mid-cleanup crash). */
+  def compactSketches(spark: SparkSession, storePath: String, k: Int): Unit =
+    compactStore(spark, storePath) { (live, tmp) =>
+      import spark.implicits._
+      val rows = spark.read.option("basePath", storePath)
+        .parquet(live.map(_.toString): _*)
+        .select(col("n"), col("keys"), col("counts")).collect()
+      val mg = new MisraGries(k)
+      var total = 0L
+      var acc: Map[Long, Long] = Map.empty
+      rows.foreach { r =>
+        total += r.getLong(0)
+        acc = mg.merge(acc, r.getSeq[Long](1).zip(r.getSeq[Long](2)).toMap)
+      }
+      val folded = mg.finish(acc)
+      Seq((total, folded.map(_._1), folded.map(_._2)))
+        .toDF("n", "keys", "counts")
+        .coalesce(1).write.parquet(tmp.toString)
+    }
+
+  /** Bound histogram-store growth — `compactSketches`' sibling for the
+    * s33 store, SIMPLER fold (bin counts just add: a distributed
+    * `groupBy(bin).sum`, no driver state), same atomic-marker swap
+    * protocol: the folded rows land in `batch=<maxId>` with a
+    * `_folded_upto_<maxId>` marker riding the rename, readers ignore
+    * superseded dirs, the next call completes any interrupted
+    * cleanup. Estimates identical before and after (spec-pinned). */
+  def compactHistogram(spark: SparkSession, storePath: String): Unit =
+    compactStore(spark, storePath) { (live, tmp) =>
+      spark.read.option("basePath", storePath)
+        .parquet(live.map(_.toString): _*)
+        .groupBy("bin").agg(sum("cnt").as("cnt"))
+        .coalesce(1).write.parquet(tmp.toString)
+    }
 
   /** Streaming GLOBAL quantiles (s33) — the quantile twin of the MG
     * top-k, same store-outside-state design, SIMPLER merge rule: each
@@ -218,9 +236,8 @@ object GlobalSketch {
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dir = new Path(s"$storePath/batch=$batchId")
-        val fs = dir.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        writeIfUncommitted(fs, dir) {
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        CdcStreams.writeIfUncommitted(_.getFileSystem(conf), conf, dir) {
           batch.select(least(lit(bins - 1), greatest(lit(0),
               floor((col(valCol) - lo) / w))).cast("int").as("bin"))
             .groupBy("bin").agg(count(lit(1)).as("cnt"))
@@ -230,49 +247,6 @@ object GlobalSketch {
         ()
       }
       .option("checkpointLocation", checkpoint)
-  }
-
-  /** Bound histogram-store growth — `compactSketches`' sibling for the
-    * s33 store, SIMPLER fold (bin counts just add: a distributed
-    * `groupBy(bin).sum`, no driver state), same atomic-marker swap
-    * protocol: the folded rows land in `batch=<maxId>` with a
-    * `_folded_upto_<maxId>` marker riding the rename, readers ignore
-    * superseded dirs, the next call completes any interrupted
-    * cleanup. Estimates identical before and after (spec-pinned). */
-  def compactHistogram(spark: SparkSession, storePath: String): Unit = {
-    val root = new Path(storePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("_compact_old_")).foreach { aside =>
-        val target = new Path(root,
-          s"batch=${aside.getName.stripPrefix("_compact_old_")}")
-        if (!fs.exists(target)) fs.rename(aside, target)
-        else fs.delete(aside, true)
-      }
-    val tmp = new Path(s"$storePath/_compact_tmp")
-    fs.delete(tmp, true)
-    val live = liveBatchDirs(fs, root)
-    fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("batch="))
-      .filterNot(live.contains).foreach(fs.delete(_, true))
-    if (live.size < 2) return
-    val maxId = live.map(_.getName.stripPrefix("batch=").toLong).max
-    spark.read.option("basePath", storePath)
-      .parquet(live.map(_.toString): _*)
-      .groupBy("bin").agg(sum("cnt").as("cnt"))
-      .coalesce(1).write.parquet(tmp.toString)
-    fs.create(new Path(tmp, s"_folded_upto_$maxId"), true).close()
-    val target = new Path(s"$storePath/batch=$maxId")
-    val aside = new Path(s"$storePath/_compact_old_$maxId")
-    if (!fs.rename(target, aside))
-      throw new java.io.IOException(s"histogram compaction aside rename failed at $storePath")
-    if (!fs.rename(tmp, target)) {
-      fs.rename(aside, target)
-      throw new java.io.IOException(s"histogram compaction rename failed at $storePath")
-    }
-    fs.delete(aside, true)
-    live.filterNot(_.getName == s"batch=$maxId").foreach(fs.delete(_, true))
   }
 
   /** Streaming GLOBAL distinct count (s34) — the third instance of the
@@ -292,9 +266,8 @@ object GlobalSketch {
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dir = new Path(s"$storePath/batch=$batchId")
-        val fs = dir.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        writeIfUncommitted(fs, dir) {
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        CdcStreams.writeIfUncommitted(_.getFileSystem(conf), conf, dir) {
           batch.agg(count(lit(1)).as("n"),
               expr(s"hll_sketch_agg($keyCol)").as("sk"))
             .coalesce(1)

@@ -590,17 +590,27 @@ class OperatorSpec extends AnyFunSuite {
     val gnarly = "2024-01-01 00:15:00"
     def merge(rows: (Long, String, Long, String, Boolean)*) =
       graft.sources.Lake.mergeIntoPartitioned(spark, lake,
-        rows.toDF("k", "v", "ver", "pc", "is_delete"),
-        "pc", Seq("k"), Seq("ver"), Some(col("is_delete")))
+        rows.toDF("k", "v", "ver", "ingest_date", "is_delete"),
+        "ingest_date", Seq("k"), Seq("ver"), Some(col("is_delete")))
     merge((1L, "a", 1L, gnarly, false))
     merge((1L, "a2", 2L, gnarly, false))
     // ONE physical directory, matching what Spark's partitioned writer
     // would have produced, and discovery round-trips the raw value
     val dirs = new java.io.File(lake).listFiles().filter(_.isDirectory)
       .map(_.getName).toSeq
-    val expected = "pc=" + org.apache.spark.sql.catalyst.catalog
+    val expected = "ingest_date=" + org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.escapePathName(gnarly)
     assert(dirs == Seq(expected), s"partition dirs: $dirs")
+    // compactDay must escape the SAME way, or it probes a nonexistent
+    // raw path and silently skips the compaction (rewrite = new file
+    // names in the escaped directory)
+    def fileNames = new java.io.File(s"$lake/$expected").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    val beforeCompact = fileNames
+    graft.sources.Lake.compactDay(spark, lake, gnarly)
+    assert(fileNames.nonEmpty && fileNames != beforeCompact,
+      "compactDay silently skipped the escaped partition directory")
     // read the partition value back RAW (discovery would otherwise
     // infer this one as a timestamp and reformat it)
     val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
@@ -609,7 +619,7 @@ class OperatorSpec extends AnyFunSuite {
     try {
       val rows = spark.read.parquet(lake).collect()
         .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
-          r.getAs[String]("pc")))
+          r.getAs[String]("ingest_date")))
       assert(rows.toSeq == Seq((1L, "a2", gnarly)),
         s"escaped partition did not round-trip: ${rows.toSeq}")
     } finally spark.conf.set(infKey, prev)

@@ -1239,7 +1239,9 @@ class StreamingSpec extends AnyFunSuite {
     def batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(store))
       .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
     assert(batchDirs.size >= 3)
-    val maxDir = batchDirs.last
+    // numeric max, not lexicographic (batch=10 sorts before batch=2)
+    val maxDir = "batch=" +
+      batchDirs.map(_.stripPrefix("batch=").toLong).max
     val saved = new org.apache.hadoop.fs.Path(
       TestSpark.tmpDir("s33-saved"), "batch=0")
     org.apache.hadoop.fs.FileUtil.copy(fs,
@@ -1414,6 +1416,29 @@ class StreamingSpec extends AnyFunSuite {
     merge(df((1L, "a2", 2L, false), (2L, "", 2L, true)))
     drain()
     assert(seen.size == 4, s"replay leaked into the feed: $seen")
+    // the PARTITIONED producer nests one level deeper — the consumer
+    // must pass partitioned = true or its glob matches nothing
+    val plake = s"$base/plake"; val pcdf = s"$base/pchanges"
+    graft.sources.Lake.mergeIntoPartitioned(spark, plake,
+      Seq((1L, "a", 1L, "2024-01-01", false), (2L, "b", 1L, "2024-01-02", false))
+        .toDF("k", "v", "ver", "ingest_date", "is_delete"),
+      "ingest_date", Seq("k"), Seq("ver"), Some(col("is_delete")),
+      changeDir = Some(pcdf))
+    val pseen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val pq = CdcStreams.readChangeFeedStream(spark, pcdf, rowSchema,
+        partitioned = true)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        pseen.synchronized {
+          pseen ++= b.collect().map(r =>
+            (r.getAs[Long]("k"), r.getAs[String]("_op")))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/pchk")
+      .trigger(Trigger.AvailableNow()).start()
+    pq.awaitTermination()
+    assert(pseen.sorted == Seq(1L -> "insert", 2L -> "insert"),
+      s"partitioned feed consumer got $pseen")
   }
 
   test("s08: checkpoint recovery resumes without loss or duplication") {
