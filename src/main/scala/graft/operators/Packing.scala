@@ -56,7 +56,16 @@ object Packing {
         expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint) % $streams")
           .cast("int").as("stream"),
         col(idCol).cast("long").as("__id"),
-        col(lenCol).cast("long").as("__len"))
+        // loud map-side guard (round-7 ADVICE): a zero/negative/null
+        // length would silently corrupt the packing invariant (a
+        // negative len INCREASES remaining capacity; a zero-length doc
+        // joins even a full bin) — malformed input fails the job, the
+        // same convention as the other operators' raise_error guards
+        when(col(lenCol).cast("long") >= 1, col(lenCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"packGreedy: $lenCol must be >= 1, got "),
+            coalesce(col(lenCol).cast("string"), lit("null")))))
+          .as("__len"))
       .repartition(col("stream"))
       .sortWithinPartitions("stream", "__id")
       .as[(Int, Long, Long)]

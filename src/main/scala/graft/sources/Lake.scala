@@ -117,16 +117,24 @@ object Lake {
     val cdfTmp = new Path(parent, s"_cdf_tmp_$name")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // stranded change-feed staging from a previous crash: PUBLISH it
-    // iff that merge's swap completed (merge tmp gone, target live),
-    // else it describes a merge that never landed — discard (the
-    // replay regenerates it)
-    changeDir.foreach { cd =>
-      if (fs.exists(cdfTmp)) {
-        val interrupted = fs.exists(tmp) ||
-          (!fs.exists(target) && fs.exists(aside))
-        if (interrupted) fs.delete(cdfTmp, true)
-        else publishCdf(fs, cdfTmp, cd)
-        ()
+    // iff that merge's swap completed (merge tmp gone, target live)
+    // AND this call knows the feed location, else discard. The
+    // reconciliation is UNCONDITIONAL (round-7 ADVICE): a call
+    // WITHOUT changeDir must not leave the strand behind, or an
+    // intervening feed-less merge would complete its own swap and a
+    // later changeDir call would then publish the stale staged diff —
+    // a feed entry for a merge whose data never landed. Mixing
+    // changeDir-on/off calls on one target already forfeits feed
+    // completeness (the off call's own merge publishes nothing), so
+    // discarding a strand the off call can't route is the consistent
+    // choice — the feed never lies, it only ever under-reports what
+    // the caller opted out of.
+    if (fs.exists(cdfTmp)) {
+      val interrupted = fs.exists(tmp) ||
+        (!fs.exists(target) && fs.exists(aside))
+      changeDir match {
+        case Some(cd) if !interrupted => publishCdf(fs, cdfTmp, cd)
+        case _ => fs.delete(cdfTmp, true); ()
       }
     }
     // crash recovery: a previous attempt that died between renames
@@ -170,7 +178,11 @@ object Lake {
         .withColumn("_op",
           when(col("__ord_old").isNull, "insert")
             .when(col("__ord_new").isNull, "delete")
-            .when(col("__ord_old") =!= col("__ord_new"), "update"))
+            // null-safe: a NULL in any orderCols value would make =!=
+            // evaluate to NULL and silently DROP the changed row from
+            // the feed (the merge itself still applies it) — round-7
+            // ADVICE; <=> never returns NULL
+            .when(!(col("__ord_old") <=> col("__ord_new")), "update"))
         .where(col("_op").isNotNull)
         .select(keyCols.map(col) :+ col("_op"): _*)
       // the diff plan (two joins over the old store) feeds both the
@@ -198,8 +210,17 @@ object Lake {
 
   /** Publish a staged change-feed directory into `changeDir` as the
     * next `merge=<k>` sub-directory (monotonic, derived from the
-    * existing entries — readers glob `changeDir/merge=*`). */
-  private def publishCdf(fs: org.apache.hadoop.fs.FileSystem,
+    * existing entries — readers glob `changeDir/merge=*`).
+    *
+    * SINGLE-WRITER contract: the id is assigned by list-then-rename,
+    * which is only monotonic because the merge target itself is
+    * single-writer (the house contract every swap-protocol store
+    * shares) — two concurrent publishers could list the same max and
+    * race for one id. The existence check below turns that mis-use
+    * into a loud failure instead of a silent feed overwrite (on
+    * filesystems where a rename INTO an existing directory nests or
+    * merges rather than failing). */
+  private[graft] def publishCdf(fs: org.apache.hadoop.fs.FileSystem,
       staged: org.apache.hadoop.fs.Path, changeDir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val cd = new Path(changeDir)
@@ -208,9 +229,25 @@ object Lake {
       .filter(_.startsWith("merge="))
       .map(_.stripPrefix("merge=").toLong)
       .foldLeft(-1L)(math.max) + 1L
-    if (!fs.rename(staged, new Path(cd, s"merge=$next")))
+    publishCdfAt(fs, staged, cd, next)
+  }
+
+  /** The publish step at a KNOWN id — the existence check turns a
+    * racing second writer (its entry landing between our listing and
+    * our rename) into a loud failure instead of a silent nest/merge
+    * of two feed entries under one id. */
+  private[graft] def publishCdfAt(fs: org.apache.hadoop.fs.FileSystem,
+      staged: org.apache.hadoop.fs.Path, cd: org.apache.hadoop.fs.Path,
+      id: Long): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(cd, s"merge=$id")
+    if (fs.exists(dest))
       throw new java.io.IOException(
-        s"change-feed publish rename failed: $staged -> $changeDir/merge=$next")
+        s"change-feed entry $dest already exists — a second writer is " +
+          "publishing to this feed; the merge target's single-writer " +
+          "contract is violated")
+    if (!fs.rename(staged, dest))
+      throw new java.io.IOException(
+        s"change-feed publish rename failed: $staged -> $dest")
   }
 
   /** Partition-aware MERGE INTO a Hive-partitioned lake — the routing

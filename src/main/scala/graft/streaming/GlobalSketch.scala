@@ -45,17 +45,39 @@ object GlobalSketch {
     * every dir with id < k is already included in that row — so those
     * dirs are dead weight awaiting cleanup, and reading them would
     * DOUBLE-COUNT after a crash that died between the fold's swap and
-    * its deletions. */
+    * its deletions.
+    *
+    * A stranded `_compact_old_<k>` aside whose `batch=<k>` target is
+    * MISSING stands in for that id: compaction died (or is right now)
+    * between its two renames, and the aside holds the live pre-fold
+    * copy of `batch=<k>` — without it the reader would silently drop
+    * that slice of history until the next compact* call restores the
+    * aside (round-7 ADVICE). The rule also closes the transient
+    * read gap DURING a healthy compaction: between the aside rename
+    * and the tmp rename a reader sees the aside (old store); once the
+    * target is live the aside is ignored (new store) — a reader
+    * always observes one complete snapshot, never a missing dir. */
   private def liveBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
       root: Path): Seq[Path] = {
-    val dirs = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("batch=")).toSeq
+    val all = fs.listStatus(root).map(_.getPath).toSeq
+    val batchDirs = all.filter(_.getName.startsWith("batch="))
+    val batchIds =
+      batchDirs.map(_.getName.stripPrefix("batch=").toLong).toSet
+    val standIns = all.filter(_.getName.startsWith("_compact_old_"))
+      .filter(a =>
+        !batchIds.contains(a.getName.stripPrefix("_compact_old_").toLong))
+    val dirs = batchDirs ++ standIns
+    def idOf(p: Path): Long = {
+      val n = p.getName
+      if (n.startsWith("batch=")) n.stripPrefix("batch=").toLong
+      else n.stripPrefix("_compact_old_").toLong
+    }
     val foldedUpTo = dirs.flatMap { d =>
       fs.listStatus(d).map(_.getPath.getName)
         .filter(_.startsWith("_folded_upto_"))
         .map(_.stripPrefix("_folded_upto_").toLong)
     }.foldLeft(-1L)(math.max)
-    dirs.filter(_.getName.stripPrefix("batch=").toLong >= foldedUpTo)
+    dirs.filter(idOf(_) >= foldedUpTo)
   }
 
   /** Per-micro-batch sketch sink: `df`'s `keyCol` (long) is sketched
@@ -97,7 +119,8 @@ object GlobalSketch {
     if (!fs.exists(root)) return Seq.empty[(Long, Long, Long)].toDF("key", "cnt", "n")
     val live = liveBatchDirs(fs, root)
     if (live.isEmpty) return Seq.empty[(Long, Long, Long)].toDF("key", "cnt", "n")
-    val sketches = spark.read.option("basePath", storePath)
+    val sketches = spark.read // explicit dir roots, no basePath: no partition inference (a
+      // _compact_old_ stand-in is not name=value and must not conflict)
       .parquet(live.map(_.toString): _*)
       .select(col("n"), col("keys"), col("counts"))
       .collect() // ≤ batches × k counters — metadata-sized by design
@@ -138,11 +161,27 @@ object GlobalSketch {
       }
     val tmp = new Path(s"$storePath/_compact_tmp")
     fs.delete(tmp, true)
-    // complete any interrupted cleanup: dirs superseded by a marker
-    val live = liveBatchDirs(fs, root)
-    fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("batch="))
-      .filterNot(live.contains).foreach(fs.delete(_, true))
+    // complete any interrupted cleanup. Deletions are derived from the
+    // MARKER RULE over ONE listing — delete exactly the dirs whose id
+    // is strictly below the highest `_folded_upto_` value (round-7
+    // ADVICE): a sink committing `batch=<id>` concurrently always
+    // carries an id ABOVE every marker (markers are stamped at the
+    // then-max id, and committed lower ids never replay), so this set
+    // is closed under concurrent arrivals — unlike a
+    // `filterNot(live.contains)` against an earlier listing, which
+    // would delete a batch that landed between the two listings and
+    // silently lose its rows forever.
+    val listed = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).toSeq
+    val foldedUpTo = listed.flatMap { d =>
+      fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.startsWith("_folded_upto_"))
+        .map(_.stripPrefix("_folded_upto_").toLong)
+    }.foldLeft(-1L)(math.max)
+    listed.filter(_.getName.stripPrefix("batch=").toLong < foldedUpTo)
+      .foreach(fs.delete(_, true))
+    val live =
+      listed.filter(_.getName.stripPrefix("batch=").toLong >= foldedUpTo)
     if (live.size < 2) return
     val maxId = live.map(_.getName.stripPrefix("batch=").toLong).max
     fold(live, tmp)
@@ -186,7 +225,8 @@ object GlobalSketch {
   def compactSketches(spark: SparkSession, storePath: String, k: Int): Unit =
     compactStore(spark, storePath) { (live, tmp) =>
       import spark.implicits._
-      val rows = spark.read.option("basePath", storePath)
+      val rows = spark.read // explicit dir roots, no basePath: no partition inference (a
+      // _compact_old_ stand-in is not name=value and must not conflict)
         .parquet(live.map(_.toString): _*)
         .select(col("n"), col("keys"), col("counts")).collect()
       val mg = new MisraGries(k)
@@ -211,7 +251,8 @@ object GlobalSketch {
     * cleanup. Estimates identical before and after (spec-pinned). */
   def compactHistogram(spark: SparkSession, storePath: String): Unit =
     compactStore(spark, storePath) { (live, tmp) =>
-      spark.read.option("basePath", storePath)
+      spark.read // explicit dir roots, no basePath: no partition inference (a
+      // _compact_old_ stand-in is not name=value and must not conflict)
         .parquet(live.map(_.toString): _*)
         .groupBy("bin").agg(sum("cnt").as("cnt"))
         .coalesce(1).write.parquet(tmp.toString)
@@ -288,7 +329,8 @@ object GlobalSketch {
     val live = liveBatchDirs(fs, root)
     if (live.isEmpty)
       return Seq.empty[(Long, Long)].toDF("approx_distinct", "n")
-    spark.read.option("basePath", storePath)
+    spark.read // explicit dir roots, no basePath: no partition inference (a
+      // _compact_old_ stand-in is not name=value and must not conflict)
       .parquet(live.map(_.toString): _*)
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"),
         sum("n").as("n"))
@@ -311,7 +353,8 @@ object GlobalSketch {
     val live = liveBatchDirs(fs, root)
     if (live.isEmpty)
       return Seq.empty[(String, Double, Long)].toDF("q", "est", "n")
-    val cum = spark.read.option("basePath", storePath)
+    val cum = spark.read // explicit dir roots, no basePath: no partition inference (a
+      // _compact_old_ stand-in is not name=value and must not conflict)
       .parquet(live.map(_.toString): _*)
       .groupBy("bin").agg(sum("cnt").as("cnt"))
       .withColumn("cum", sum("cnt").over(

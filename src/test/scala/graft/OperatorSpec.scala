@@ -581,6 +581,43 @@ class OperatorSpec extends AnyFunSuite {
     merge(df((5L, "e", 4L, false)))
     assert(!feed.exists(r => r._2 == 8L), "stale feed from an interrupted merge leaked")
     assert(spark.read.parquet(dir).where(col("k") === 5L).count() == 1)
+    // a merge WITHOUT changeDir must reconcile a strand too (round-7
+    // ADVICE): if it left the strand behind, its own completed swap
+    // would make a LATER changeDir call publish the stale diff — a
+    // feed entry for a merge whose data never landed
+    df((7L, "w", 7L, false)).write.parquet(s"$base/_cdf_tmp_t")
+    graft.sources.Lake.mergeInto(spark, dir, df((6L, "f", 5L, false)),
+      Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = None)
+    assert(!fs.exists(new Path(s"$base/_cdf_tmp_t")),
+      "feed-less merge left the stale strand for a later call to publish")
+    merge(df((6L, "f2", 6L, false)))
+    assert(!feed.exists(r => r._2 == 7L), "stale strand leaked into the feed")
+    // a NULL in an orderCols value must not drop the change row from
+    // the feed (round-7 ADVICE: =!= evaluated to NULL there; <=> is
+    // total) — the merge applies it AND the feed reports it
+    merge(df((20L, "n0", 1L, false))
+      .withColumn("ver", when(col("k") === 20L, lit(null).cast("long"))))
+    merge(df((20L, "n1", 2L, false)))
+    assert(feed.exists(r => r._2 == 20L && r._3 == "update" && r._4 == "n1"),
+      s"null-versioned row's update was dropped from the feed: $feed")
+  }
+
+  test("Lake.publishCdfAt refuses to overwrite an existing feed entry (single-writer guard)") {
+    import org.apache.hadoop.fs.Path
+    val base = TestSpark.tmpDir("cdf-guard")
+    val cd = new Path(s"$base/changes")
+    val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$base/staged")
+    Seq((2L, "b")).toDF("k", "v").write.parquet(s"$cd/merge=0")
+    // a second writer's entry landed at the id we derived — loud stop,
+    // never a silent nest of two entries under one directory
+    val ex = intercept[java.io.IOException] {
+      graft.sources.Lake.publishCdfAt(fs, new Path(s"$base/staged"), cd, 0L)
+    }
+    assert(ex.getMessage.contains("single-writer"))
+    // the normal path still lands at the next free id
+    graft.sources.Lake.publishCdf(fs, new Path(s"$base/staged"), cd.toString)
+    assert(fs.exists(new Path(s"$cd/merge=1")))
   }
 
   test("Lake.mergeIntoPartitioned escapes partition values like Spark's own writer") {
@@ -1197,5 +1234,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(IntervalJoin.pointInInterval(pts,
       Seq((1L, 5L, 15L)).toDF("iid", "lo", "hi"), "p", "lo", "hi",
       maxLen = 10).count() == 1)
+  }
+
+  test("Packing.packGreedy rejects non-positive and null lengths loudly") {
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // a zero-length doc would join even a full bin; a negative length
+    // would INCREASE remaining capacity — both corrupt the packing
+    // invariant silently without the map-side guard (round-7 ADVICE)
+    for (badLen <- Seq(0L, -3L)) {
+      val df = Seq((1L, 5L), (2L, badLen)).toDF("doc_id", "len")
+      val ex = intercept[Exception] {
+        graft.operators.Packing.packGreedy(df, "doc_id", "len", 10L, 2).collect()
+      }
+      assert(messages(ex).exists(_.contains("packGreedy")), s"len=$badLen: $ex")
+    }
+    val withNull = Seq((1L, Some(5L)), (2L, None)).toDF("doc_id", "len")
+    val exN = intercept[Exception] {
+      graft.operators.Packing.packGreedy(withNull, "doc_id", "len", 10L, 2).collect()
+    }
+    assert(messages(exN).exists(_.contains("packGreedy")))
+    // well-formed input still packs
+    assert(graft.operators.Packing.packGreedy(
+      Seq((1L, 5L), (2L, 5L)).toDF("doc_id", "len"), "doc_id", "len", 10L, 1)
+      .count() == 2)
   }
 }

@@ -1188,6 +1188,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(after(1L) == 45L && after(2L) == 32L, s"post-compaction counts: $after")
   }
 
+  test("s31/advice: stranded compaction aside stays readable; cleanup never touches a late arrival") {
+    import graft.streaming.GlobalSketch
+    import org.apache.hadoop.fs.Path
+    val store = TestSpark.tmpDir("s31c") + "/mg"
+    val k = 4
+    def putBatch(id: Long, n: Long, kv: (Long, Long)*): Unit =
+      Seq((n, kv.map(_._1), kv.map(_._2)))
+        .toDF("n", "keys", "counts")
+        .coalesce(1).write.parquet(s"$store/batch=$id")
+    def top: Map[Long, Long] = GlobalSketch.globalTopK(spark, store, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    putBatch(0L, 10L, 1L -> 10L)
+    putBatch(1L, 5L, 2L -> 5L)
+    putBatch(2L, 7L, 1L -> 7L)
+    val before = top
+    assert(before == Map(1L -> 17L, 2L -> 5L))
+    GlobalSketch.compactSketches(spark, store, k)
+    // crash between the fold's aside rename and its tmp rename:
+    // batch=2 is missing and _compact_old_2 holds the live store —
+    // a reader must see the whole history through the stand-in
+    // (round-7 ADVICE: without it the gap persists until the next
+    // compact call, because readers never ran recovery)
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(s"$store/batch=2"),
+      new Path(s"$store/_compact_old_2")))
+    assert(top == before, "stranded aside was dropped from the read set")
+    // the next compact restores the aside and the summary is unmoved
+    GlobalSketch.compactSketches(spark, store, k)
+    assert(fs.exists(new Path(s"$store/batch=2")) &&
+      !fs.exists(new Path(s"$store/_compact_old_2")))
+    assert(top == before)
+    // cleanup is derived from the marker rule (delete only ids BELOW
+    // the highest _folded_upto_), so a batch that lands between any
+    // two of compaction's steps — always carrying an id above every
+    // marker — can never be swept (round-7 ADVICE medium: the old
+    // filterNot(live) cleanup deleted exactly such arrivals)
+    putBatch(9L, 3L, 3L -> 3L)
+    GlobalSketch.compactSketches(spark, store, k)
+    assert(top == Map(1L -> 17L, 2L -> 5L, 3L -> 3L),
+      "a late-arriving batch was lost by compaction cleanup")
+    val names = fs.listStatus(new Path(store)).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(names == Seq("batch=9"), s"store not folded to max id: $names")
+  }
+
   test("s33: streaming global quantiles — one-bin guarantee over the whole history") {
     import graft.streaming.GlobalSketch
     val src = TestSpark.tmpDir("s33-src")
