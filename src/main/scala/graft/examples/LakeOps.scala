@@ -29,8 +29,10 @@ import graft.sources.Lake
   * Restartability is per STEP, inherited from each primitive's own
   * crash protocol: writePartitioned is an append (re-run after a merge
   * reconciles duplicates by the CDC replay rule), mergeIntoPartitioned
-  * and compactDay both stage-and-swap with aside-dir recovery, and the
-  * z-order write is an idempotent overwrite of its target directory.
+  * and compactDay both commit through `Snapshot`'s atomic pointer
+  * rename (an uncommitted staging dir is all a crash can strand), and
+  * the z-order write is an idempotent overwrite of its target
+  * directory.
   * A crash between steps re-runs the whole sequence: every step is
   * either idempotent or self-recovering, so the composed artifact is
   * too (OperatorSpec drives a crash mid-sequence and re-runs).
@@ -59,7 +61,7 @@ object LakeOps {
     // so downstream consumers chain incrementally off the lake.
     val touched = Lake.mergeIntoPartitioned(spark, lake, updates,
       "ingest_date", keyCols, orderCols, isDeleteCol.map(col), changeDir)
-    // 3: compaction per touched day (stage-and-swap, self-recovering)
+    // 3: compaction per touched day (atomic snapshot commit)
     touched.foreach(day =>
       Lake.compactDay(spark, lake, day, compactTargetBytes))
     // 4: optional clustering of one day into a z-ordered directory
@@ -80,56 +82,41 @@ object LakeOps {
     * per key wins, a WINNING tombstone removes its key physically,
     * older duplicates collapse. A day holding no tombstone rows is
     * left byte-identical (checked BEFORE rewriting — the sweep never
-    * pays a copy-on-write for a clean day). Returns the days
-    * rewritten. */
+    * pays a copy-on-write for a clean day). The rewrite commits as
+    * the day store's next snapshot version (round-8: `Snapshot`'s
+    * atomic pointer protocol, shared with mergeInto/compactDay — a
+    * crash leaves at worst an uncommitted staging dir, readers never
+    * see a missing day). Returns the days rewritten. */
   def retentionSweep(spark: SparkSession, lake: String, days: Seq[String],
       keyCols: Seq[String], orderCols: Seq[String],
       isDeleteCol: String): Seq[String] = {
-    // crash recovery first: a previous sweep that died between its two
-    // renames left the live day stranded aside — restore before
-    // reading anything
+    import graft.sources.Snapshot
     def escaped(day: String): String =
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .escapePathName(day)
-    days.foreach { day0 =>
-      val day = escaped(day0)
-      val p = new Path(s"$lake/ingest_date=$day")
-      val aside = new Path(s"$lake/_retention_old_$day")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p) && fs.exists(aside)) fs.rename(aside, p)
-      fs.delete(new Path(s"$lake/_retention_tmp_$day"), true)
-      fs.delete(aside, true)
-      ()
-    }
+    val conf = spark.sparkContext.hadoopConfiguration
     val swept = days.filter { day0 =>
-      val day = escaped(day0)
-      val dir = s"$lake/ingest_date=$day"
+      val dir = s"$lake/ingest_date=${escaped(day0)}"
       val p = new Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && !spark.read.parquet(dir)
+      val fs = p.getFileSystem(conf)
+      fs.exists(p) && !Lake.readStore(spark, dir)
         .where(col(isDeleteCol)).isEmpty
     }
     swept.foreach { day0 =>
-      val day = escaped(day0)
-      val dir = s"$lake/ingest_date=$day"
+      val dir = s"$lake/ingest_date=${escaped(day0)}"
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
       // the CDC replay rule over the day's rows: rank-1 per key, then
       // winning tombstones drop their key entirely
       val cur = graft.streaming.CdcStreams.latestByKey(
-        spark.read.parquet(dir), keyCols, orderCols,
+        Lake.readStore(spark, dir), keyCols, orderCols,
         isDelete = Some(col(isDeleteCol)))
-      val tmp = s"$lake/_retention_tmp_$day"
-      cur.write.mode("overwrite").parquet(tmp)
-      val p = new Path(dir); val t = new Path(tmp)
-      val aside = new Path(s"$lake/_retention_old_$day")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(aside, true)
-      if (!fs.rename(p, aside))
-        throw new java.io.IOException(s"retention aside rename failed: $dir")
-      if (!fs.rename(t, p)) {
-        fs.rename(aside, p)
-        throw new java.io.IOException(s"retention rename failed: $tmp -> $dir")
-      }
-      fs.delete(aside, true)
+      val liveFlats = Snapshot.liveFlats(fs, p)
+      val stageName = Snapshot.stageDirName(fs, p, "retention")
+      cur.write.mode("overwrite").parquet(new Path(p, stageName).toString)
+      Snapshot.commit(fs, conf, p, Seq(stageName),
+        consumed = liveFlats.map(_.getName))
+      Snapshot.vacuum(fs, p, keep = 2)
     }
     swept
   }

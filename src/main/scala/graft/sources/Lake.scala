@@ -24,10 +24,56 @@ object Lake {
       .write.partitionBy("ingest_date")
       .format(format).mode("append").save(path)
 
-  /** Read the lake; filters on `ingest_date` prune at planning time. */
+  /** Resolve a lake root to the explicit input paths a reader must
+    * scan, or None when nothing under it is snapshot-managed (the
+    * fast path: pass the root itself and keep the plan Spark would
+    * build anyway). A lake becomes PARTIALLY managed once
+    * `mergeInto`/`compactDay`/`retentionSweep` touches a partition
+    * dir: that dir then holds versioned member dirs plus a `_current`
+    * pointer (`Snapshot`), and a naive recursive read would see every
+    * retained version at once. Resolution lists the root's children
+    * once — `name=value` partition dirs resolve through their
+    * pointer, unmanaged ones pass through as-is — an O(#partitions)
+    * driver-side metadata pass, the same order as partition discovery
+    * itself. */
+  private def resolveLakeInputs(spark: SparkSession,
+      root: String): Option[Seq[String]] = {
+    import org.apache.hadoop.fs.Path
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) return None
+    // the root itself a single managed store (a mergeInto target)
+    if (Snapshot.currentVersion(fs, rp).isDefined)
+      return Some(Snapshot.readSet(fs, rp).get.map(_.toString))
+    val children = fs.listStatus(rp)
+    val partDirs = children.filter(s => s.isDirectory &&
+      s.getPath.getName.contains("=") &&
+      !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith("."))
+    if (!partDirs.exists(d =>
+        Snapshot.currentVersion(fs, d.getPath).isDefined)) return None
+    Some(partDirs.toSeq.flatMap { d =>
+      Snapshot.readSet(fs, d.getPath) match {
+        case Some(set) => set.map(_.toString)
+        case None => Seq(d.getPath.toString)
+      }
+    })
+  }
+
+  /** Read the lake; filters on `ingest_date` prune at planning time.
+    * Snapshot-aware: partition dirs a merge/compaction manages are
+    * resolved through their `_current` pointer (one committed version
+    * each — a reader racing a writer sees the old snapshot or the new
+    * one, never a half-swapped directory); `basePath` keeps partition
+    * inference + pruning identical to the flat layout. */
   def read(spark: SparkSession, path: String,
       format: String = "parquet"): DataFrame =
-    spark.read.format(format).load(path)
+    resolveLakeInputs(spark, path) match {
+      case None => spark.read.format(format).load(path)
+      case Some(inputs) =>
+        spark.read.option("basePath", path).format(format)
+          .load(inputs: _*)
+    }
 
   /** One day's slice — directory-pruned, never a full scan. */
   def readDay(spark: SparkSession, path: String, day: String,
@@ -39,7 +85,50 @@ object Lake {
     * different `after` schemas. Merged reads surface the superset;
     * old files read the new columns as null. */
   def readEvolved(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
+    resolveLakeInputs(spark, path) match {
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+      case Some(inputs) =>
+        spark.read.option("basePath", path).option("mergeSchema", "true")
+          .parquet(inputs: _*)
+    }
+
+  /** Read ONE managed store directory (a `mergeInto` target or a
+    * single partition dir) at its current committed version —
+    * member dirs plus unconsumed flat appends. Falls back to a plain
+    * parquet read when the dir is unmanaged. */
+  def readStore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.readSet(fs, p) match {
+      case None => spark.read.option("mergeSchema", "true").parquet(dir)
+      case Some(set) =>
+        require(set.nonEmpty, s"managed store $dir has an empty read set")
+        spark.read.option("mergeSchema", "true")
+          .parquet(set.map(_.toString): _*)
+    }
+  }
+
+  /** TIME TRAVEL: read a managed store at a PAST version still inside
+    * the retention window (`Snapshot.vacuum` keeps the last `keep`
+    * versions, default current + previous) — the jar-free analogue of
+    * Delta's `versionAsOf`. Fails loudly if the version's manifest
+    * was vacuumed. Note: a past version's read set is its member
+    * dirs only — flat appends are un-versioned by nature and belong
+    * to the present. */
+  def readStoreAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = Snapshot.currentVersion(fs, p).getOrElse(
+      throw new IllegalArgumentException(s"$dir is not a managed store"))
+    require(version >= 1 && version <= cur,
+      s"version $version outside [1, $cur] for $dir")
+    val members = Snapshot.members(fs, p, version)
+    require(members.nonEmpty, s"version $version of $dir has no members")
+    spark.read.option("mergeSchema", "true")
+      .parquet(members.map(m => new Path(p, m).toString): _*)
+  }
 
   /** Bucketed table write — co-located joins. Two tables bucketed (and
     * sorted) the same way on their join key join WITHOUT any shuffle:
@@ -87,85 +176,99 @@ object Lake {
     * consumers chain INCREMENTALLY off the merged table instead of
     * diffing snapshots. A replayed batch merges to the identical state
     * and publishes NOTHING (same key+version = no change) — the feed
-    * inherits the merge's idempotence. The diff is staged beside the
-    * data swap and published after it; a stranded staging dir from a
-    * crash is published iff its merge's swap completed, else
-    * discarded (the replay regenerates it).
+    * inherits the merge's idempotence. The staged diff is VERSION-
+    * STAMPED (`_cdf_v<n>` inside the store, where n is the snapshot
+    * version the merge commits): a stranded staging dir from a crash
+    * is published iff version n actually committed (n ≤ `_current`),
+    * else discarded — the stamp, not a swap-state heuristic, ties the
+    * diff to its merge attempt.
     *
-    * Copy-on-write: without a manifest format a merge rewrites the
-    * whole directory — so scope the directory. For a partitioned lake
-    * use `mergeIntoPartitioned`, which derives the touched partitions
-    * from the update batch and calls this per `ingest_date=` dir (the
-    * granularity Delta's partition-filtered MERGE rewrites); this
-    * single-directory form remains the primitive. Swap
-    * protocol identical to compactDay: stage to `_merge_tmp`, rename
-    * the live dir aside, rename tmp into place, delete the aside;
-    * a crash at any step strands at worst one complete extra copy and
-    * the next call restores it (recovery tested). Readers can observe
-    * the directory briefly missing between the renames — the
-    * visibility gap inherent to glob-over-directories. */
+    * Copy-on-write: a merge rewrites the scoped store — so scope the
+    * directory. For a partitioned lake use `mergeIntoPartitioned`,
+    * which derives the touched partitions from the update batch and
+    * calls this per `ingest_date=` dir (the granularity Delta's
+    * partition-filtered MERGE rewrites); this single-directory form
+    * remains the primitive.
+    *
+    * Isolation (round-8, retiring the round-3..7 visibility gap): the
+    * merged result is staged as the NEXT snapshot version's data dir
+    * and published by `Snapshot.commit`'s atomic pointer rename — a
+    * concurrent reader resolving the store sees the previous snapshot
+    * or the new one, NEVER a missing directory; `Snapshot.vacuum`
+    * keeps the previous version so a reader that resolved just before
+    * the commit still finds its files (Delta-style retention, and
+    * time travel via `readStoreAt`). A crash at any step leaves at
+    * worst an uncommitted staging dir the next call deletes — see
+    * Snapshot's crash matrix. Flat files appended to the store
+    * outside the protocol (a legacy flat store, writePartitioned
+    * appends) are part of the merge input and are marked CONSUMED in
+    * the committed manifest — their supersession rides the same
+    * atomic rename. */
   def mergeInto(spark: SparkSession, targetDir: String, updates: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String],
       isDelete: Option[org.apache.spark.sql.Column] = None,
       changeDir: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val target = new Path(targetDir)
-    val parent = target.getParent
-    val name = target.getName
-    val tmp = new Path(parent, s"_merge_tmp_$name")
-    val aside = new Path(parent, s"_merge_old_$name")
-    val cdfTmp = new Path(parent, s"_cdf_tmp_$name")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // stranded change-feed staging from a previous crash: PUBLISH it
-    // iff that merge's swap completed (merge tmp gone, target live)
-    // AND this call knows the feed location, else discard. The
-    // reconciliation is UNCONDITIONAL (round-7 ADVICE): a call
-    // WITHOUT changeDir must not leave the strand behind, or an
-    // intervening feed-less merge would complete its own swap and a
-    // later changeDir call would then publish the stale staged diff —
-    // a feed entry for a merge whose data never landed. Mixing
-    // changeDir-on/off calls on one target already forfeits feed
-    // completeness (the off call's own merge publishes nothing), so
-    // discarding a strand the off call can't route is the consistent
-    // choice — the feed never lies, it only ever under-reports what
-    // the caller opted out of.
-    if (fs.exists(cdfTmp)) {
-      val interrupted = fs.exists(tmp) ||
-        (!fs.exists(target) && fs.exists(aside))
-      changeDir match {
-        case Some(cd) if !interrupted => publishCdf(fs, cdfTmp, cd)
-        case _ => fs.delete(cdfTmp, true); ()
-      }
-    }
-    // crash recovery: a previous attempt that died between renames
-    // left the live dir aside — restore before reading
-    if (!fs.exists(target) && fs.exists(aside)) fs.rename(aside, target)
-    fs.delete(tmp, true)
-    fs.delete(aside, true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = target.getFileSystem(conf)
+    val curV = Snapshot.currentVersion(fs, target)
+    // reconcile stranded change-feed staging from a previous crash:
+    // `_cdf_v<k>` belongs to the attempt that committed (or failed to
+    // commit) snapshot version k — publish iff k landed AND this call
+    // knows the feed location, else discard. The reconciliation is
+    // UNCONDITIONAL (round-7 ADVICE): a feed-less call must not leave
+    // a strand behind for a later changeDir call to mis-publish.
+    // Mixing changeDir-on/off calls on one target already forfeits
+    // feed completeness (the off call's own merge publishes nothing),
+    // so discarding a strand the off call can't route is the
+    // consistent choice — the feed never lies, it only ever
+    // under-reports what the caller opted out of.
+    if (fs.exists(target))
+      fs.listStatus(target).map(_.getPath)
+        .filter(_.getName.startsWith("_cdf_v")).foreach { strand =>
+          val k = strand.getName.stripPrefix("_cdf_v").toLong
+          (changeDir, curV) match {
+            case (Some(cd), Some(c)) if k <= c => publishCdf(fs, strand, cd)
+            case _ => fs.delete(strand, true); ()
+          }
+        }
     // schema evolution (the upstream-ALTER-TABLE reality of a CDC
     // lake, README.md:133-138): the update batch may carry columns the
     // store lacks and vice versa — union on the SUPERSET, absent
     // columns read as null (same contract as readEvolved); mergeSchema
     // on the read so a previously-evolved store's own files agree
+    val liveFlats = Snapshot.liveFlats(fs, target)
+    val inputs =
+      Snapshot.resolve(fs, target).getOrElse(Nil) ++ liveFlats
     val current =
-      if (fs.exists(target))
-        Some(spark.read.option("mergeSchema", "true").parquet(targetDir))
+      if (inputs.nonEmpty)
+        Some(spark.read.option("mergeSchema", "true")
+          .parquet(inputs.map(_.toString): _*))
       else None
     val all = current.fold(updates)(c =>
       c.unionByName(updates, allowMissingColumns = true))
     val merged = graft.streaming.CdcStreams
       .latestByKey(all, keyCols, orderCols, isDelete)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    // change data feed: diff OLD (pre-swap store) against NEW (the
-    // staged tmp — already materialized, so no recompute) on the key:
+    // stage the merged result as the NEXT snapshot version's data dir
+    // (write-once; a stranded dir from a crashed attempt was deleted
+    // by stageDirName — it was never committed)
+    val stageName = Snapshot.stageDirName(fs, target, "merge")
+    val nextV = curV.getOrElse(0L) + 1L
+    val staged = new Path(target, stageName)
+    merged.write.mode("overwrite").parquet(staged.toString)
+    val cdfStage = new Path(target, s"_cdf_v$nextV")
+    // change data feed: diff OLD (current snapshot) against NEW (the
+    // staged dir — already materialized, so no recompute) on the key:
     //   insert — key only in new; delete — key only in old (a winning
     //   tombstone removed it); update — both, with a different
     //   orderCols version (same key+version = same row, no change —
     //   which is what makes a crash-replayed merge emit an EMPTY
     //   feed). Change rows carry _op + the post-image (key-only for
-    //   deletes). Staged beside the data swap and published after it.
+    //   deletes). Staged version-stamped inside the store and
+    //   published after the pointer commit.
     changeDir.foreach { cd =>
-      val newT = spark.read.parquet(tmp.toString)
+      val newT = spark.read.parquet(staged.toString)
       val ordOf = (df: DataFrame) =>
         struct(orderCols.map(col): _*)
       val curK = current match {
@@ -191,21 +294,21 @@ object Lake {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (!changes.isEmpty)
-          changes.write.mode("overwrite").parquet(cdfTmp.toString)
+          changes.write.mode("overwrite").parquet(cdfStage.toString)
       } finally { changes.unpersist(); () }
     }
-    if (fs.exists(target)) {
-      if (!fs.rename(target, aside))
-        throw new java.io.IOException(s"merge aside rename failed: $target")
-    }
-    if (!fs.rename(tmp, target)) {
-      if (fs.exists(aside)) fs.rename(aside, target) // roll back
-      throw new java.io.IOException(s"merge rename failed: $tmp -> $target")
-    }
-    fs.delete(aside, true)
+    // the atomic step: publish the staged dir as version nextV and
+    // mark the flat files it folded in as consumed — readers switch
+    // snapshots (and stop seeing those flats) in ONE pointer rename
+    Snapshot.commit(fs, conf, target, Seq(stageName),
+      consumed = liveFlats.map(_.getName))
     changeDir.foreach { cd =>
-      if (fs.exists(cdfTmp)) publishCdf(fs, cdfTmp, cd)
+      if (fs.exists(cdfStage)) publishCdf(fs, cdfStage, cd)
     }
+    // retention: keep current + previous version (a reader that
+    // resolved just before the commit still finds its files); flats
+    // consumed by versions BELOW the new current are deleted here
+    Snapshot.vacuum(fs, target, keep = 2)
   }
 
   /** Publish a staged change-feed directory into `changeDir` as the
@@ -387,16 +490,14 @@ object Lake {
     * scan pays per-file open cost. Output file count is derived from
     * the optimizer's size stats (no data collect).
     *
-    * Swap protocol (directory renames are not transactional without a
-    * table format — Delta/Iceberg jars are absent in this build, see
-    * NOTES): stage the rewrite into `_compact_tmp_<day>`, rename the
-    * live day ASIDE, rename tmp into place, delete the aside. Data is
-    * never destroyed before the replacement is live: a crash strands
-    * at worst one extra complete copy, and the next call restores the
-    * aside automatically. A concurrent reader can still observe the
-    * day briefly missing between the two renames — that visibility
-    * gap is inherent to glob-over-directories; eliminating it needs a
-    * manifest-based table format. */
+    * Isolation: the rewrite is staged as the day store's next
+    * snapshot version and published by `Snapshot.commit`'s atomic
+    * pointer rename (round-8 — same protocol as `mergeInto`; the
+    * round-3..7 aside swap and its reader visibility gap are gone). A
+    * previously-flat day is MIGRATED on first compaction: its flat
+    * files become version 1's consumed input, and readers resolve
+    * the pointer from then on (`Lake.read`/`readStore` do this
+    * transparently). */
   def compactDay(spark: SparkSession, path: String, day: String,
       targetBytes: Long = 128L << 20): Unit = {
     import org.apache.hadoop.fs.Path
@@ -407,25 +508,20 @@ object Lake {
     val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .escapePathName(day)
     val dayDir = new Path(s"$path/ingest_date=$esc")
-    val tmpDir = new Path(s"$path/_compact_tmp_$esc")
-    val asideDir = new Path(s"$path/_compact_old_$esc")
-    val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash recovery: a previous attempt that died between renames
-    // left the live day aside — put it back before doing anything
-    if (!fs.exists(dayDir) && fs.exists(asideDir)) fs.rename(asideDir, dayDir)
-    fs.delete(tmpDir, true)
-    fs.delete(asideDir, true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dayDir.getFileSystem(conf)
     if (!fs.exists(dayDir)) return
-    val slice = spark.read.parquet(dayDir.toString)
+    val liveFlats = Snapshot.liveFlats(fs, dayDir)
+    val inputs = Snapshot.resolve(fs, dayDir).getOrElse(Nil) ++ liveFlats
+    if (inputs.isEmpty) return
+    val slice = spark.read.parquet(inputs.map(_.toString): _*)
     val bytes = slice.queryExecution.optimizedPlan.stats.sizeInBytes
     val nOut = math.max(1L, ((bytes + targetBytes - 1) / targetBytes).toLong).toInt
-    slice.repartition(nOut).write.mode("overwrite").parquet(tmpDir.toString)
-    if (!fs.rename(dayDir, asideDir))
-      throw new java.io.IOException(s"compact aside rename failed: $dayDir")
-    if (!fs.rename(tmpDir, dayDir)) {
-      fs.rename(asideDir, dayDir) // roll back — old data stays live
-      throw new java.io.IOException(s"compact rename failed: $tmpDir -> $dayDir")
-    }
-    fs.delete(asideDir, true)
+    val stageName = Snapshot.stageDirName(fs, dayDir, "compact")
+    slice.repartition(nOut).write.mode("overwrite")
+      .parquet(new Path(dayDir, stageName).toString)
+    Snapshot.commit(fs, conf, dayDir, Seq(stageName),
+      consumed = liveFlats.map(_.getName))
+    Snapshot.vacuum(fs, dayDir, keep = 2)
   }
 }

@@ -39,45 +39,45 @@ import graft.functions.MisraGries
 object GlobalSketch {
 
 
-  /** The batch directories a reader should consume: a compacted store
-    * carries a `_folded_upto_<k>` marker INSIDE `batch=<k>` (the
-    * marker travels atomically with the fold's swap rename), meaning
-    * every dir with id < k is already included in that row — so those
-    * dirs are dead weight awaiting cleanup, and reading them would
-    * DOUBLE-COUNT after a crash that died between the fold's swap and
-    * its deletions.
+  /** The directories a reader should consume, from ONE listing — the
+    * store's GENERATION rule (round-8, retiring the round-7 marker +
+    * aside-swap protocol and its crash states):
     *
-    * A stranded `_compact_old_<k>` aside whose `batch=<k>` target is
-    * MISSING stands in for that id: compaction died (or is right now)
-    * between its two renames, and the aside holds the live pre-fold
-    * copy of `batch=<k>` — without it the reader would silently drop
-    * that slice of history until the next compact* call restores the
-    * aside (round-7 ADVICE). The rule also closes the transient
-    * read gap DURING a healthy compaction: between the aside rename
-    * and the tmp rename a reader sees the aside (old store); once the
-    * target is live the aside is ignored (new store) — a reader
-    * always observes one complete snapshot, never a missing dir. */
+    *   - sinks append raw `batch=<id>` dirs (idempotent on replay);
+    *   - each compaction folds the live set into a FRESH
+    *     `fold=<upto>` dir (upto = the highest batch id folded) and
+    *     commits it with ONE atomic rename — no name is ever
+    *     removed-then-recreated, so there is NO window in which any
+    *     part of the store is missing;
+    *   - the live set is: the newest fold generation (highest upto)
+    *     plus every batch dir with id > that upto. Everything below
+    *     is a superseded generation — still on disk for ONE more
+    *     compaction cycle (retention: a reader that listed just
+    *     before a fold committed still finds its files), ignored by
+    *     every reader, removed by the next compaction's cleanup.
+    *
+    * Supersession can't lose a concurrent arrival: a sink committing
+    * `batch=<id>` while compaction runs always carries an id above
+    * every fold's upto (upto is stamped at the then-max id, and
+    * committed lower ids never replay), so the cleanup set is closed
+    * under concurrent appends. A REPLAYED batch id ≤ upto (its dir
+    * was cleaned, the checkpoint had not committed it) rewrites its
+    * dir, which this rule ignores — its rows already live in the
+    * fold, so nothing double-counts; the dead dir is swept by a later
+    * cleanup. */
+  private def idOf(p: Path): Long = {
+    val n = p.getName
+    if (n.startsWith("batch=")) n.stripPrefix("batch=").toLong
+    else n.stripPrefix("fold=").toLong
+  }
+
   private def liveBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
       root: Path): Seq[Path] = {
     val all = fs.listStatus(root).map(_.getPath).toSeq
-    val batchDirs = all.filter(_.getName.startsWith("batch="))
-    val batchIds =
-      batchDirs.map(_.getName.stripPrefix("batch=").toLong).toSet
-    val standIns = all.filter(_.getName.startsWith("_compact_old_"))
-      .filter(a =>
-        !batchIds.contains(a.getName.stripPrefix("_compact_old_").toLong))
-    val dirs = batchDirs ++ standIns
-    def idOf(p: Path): Long = {
-      val n = p.getName
-      if (n.startsWith("batch=")) n.stripPrefix("batch=").toLong
-      else n.stripPrefix("_compact_old_").toLong
-    }
-    val foldedUpTo = dirs.flatMap { d =>
-      fs.listStatus(d).map(_.getPath.getName)
-        .filter(_.startsWith("_folded_upto_"))
-        .map(_.stripPrefix("_folded_upto_").toLong)
-    }.foldLeft(-1L)(math.max)
-    dirs.filter(idOf(_) >= foldedUpTo)
+    val folds = all.filter(_.getName.startsWith("fold="))
+    val maxUpto = folds.map(idOf).foldLeft(-1L)(math.max)
+    folds.filter(idOf(_) == maxUpto) ++
+      all.filter(_.getName.startsWith("batch=")).filter(idOf(_) > maxUpto)
   }
 
   /** Per-micro-batch sketch sink: `df`'s `keyCol` (long) is sketched
@@ -137,69 +137,53 @@ object GlobalSketch {
       .toDF("key", "cnt", "n")
   }
 
-  /** The shared marker-swap compaction protocol (compactSketches /
-    * compactHistogram differ ONLY in their fold): restore any stranded
-    * aside, complete any interrupted cleanup (dirs a marker already
-    * supersedes), run `fold(liveDirs, tmpDir)` to stage the folded
-    * rows, stamp the `_folded_upto_<maxId>` marker INSIDE tmp (it
-    * rides the swap rename atomically), aside-swap into
-    * `batch=<maxId>`, then delete the superseded dirs. One
-    * implementation so the two stores' crash behavior can never
-    * silently diverge. */
+  /** The shared GENERATION compaction protocol (compactSketches /
+    * compactHistogram differ ONLY in their fold — see liveBatchDirs
+    * for the full rule): sweep generations older than the previous
+    * one, run `fold(liveDirs, tmpDir)` to stage the folded rows, then
+    * commit with ONE atomic rename to the fresh name `fold=<newUpto>`
+    * — never removing-then-recreating an existing name, so readers
+    * (who derive the live set from one listing) always observe a
+    * complete snapshot: the old generation before the rename, the new
+    * one after, never a missing dir. The just-superseded generation
+    * stays on disk until the NEXT compaction (one-generation
+    * retention for in-flight readers). A crash anywhere strands at
+    * worst `_compact_tmp` (deleted on the next call) or skips a
+    * cleanup (completed on the next call). One implementation so the
+    * two stores' crash behavior can never silently diverge. */
   private def compactStore(spark: SparkSession, storePath: String)(
       fold: (Seq[Path], Path) => Unit): Unit = {
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    // crash recovery: restore a stranded aside before reading
-    fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("_compact_old_")).foreach { aside =>
-        val target = new Path(root,
-          s"batch=${aside.getName.stripPrefix("_compact_old_")}")
-        if (!fs.exists(target)) fs.rename(aside, target)
-        else fs.delete(aside, true)
-      }
     val tmp = new Path(s"$storePath/_compact_tmp")
     fs.delete(tmp, true)
-    // complete any interrupted cleanup. Deletions are derived from the
-    // MARKER RULE over ONE listing — delete exactly the dirs whose id
-    // is strictly below the highest `_folded_upto_` value (round-7
-    // ADVICE): a sink committing `batch=<id>` concurrently always
-    // carries an id ABOVE every marker (markers are stamped at the
-    // then-max id, and committed lower ids never replay), so this set
-    // is closed under concurrent arrivals — unlike a
-    // `filterNot(live.contains)` against an earlier listing, which
-    // would delete a batch that landed between the two listings and
-    // silently lose its rows forever.
-    val listed = fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("batch=")).toSeq
-    val foldedUpTo = listed.flatMap { d =>
-      fs.listStatus(d).map(_.getPath.getName)
-        .filter(_.startsWith("_folded_upto_"))
-        .map(_.stripPrefix("_folded_upto_").toLong)
-    }.foldLeft(-1L)(math.max)
-    listed.filter(_.getName.stripPrefix("batch=").toLong < foldedUpTo)
-      .foreach(fs.delete(_, true))
-    val live =
-      listed.filter(_.getName.stripPrefix("batch=").toLong >= foldedUpTo)
+    // one listing drives cleanup, fold input, and the new upto
+    val all = fs.listStatus(root).map(_.getPath).toSeq
+    val folds = all.filter(_.getName.startsWith("fold="))
+    val foldIds = folds.map(idOf).sorted
+    val maxUpto = foldIds.lastOption.getOrElse(-1L)
+    // retention bound: everything at or below the SECOND-newest fold's
+    // upto is two generations old — no reader can still need it
+    val prevUpto =
+      if (foldIds.size >= 2) foldIds(foldIds.size - 2) else -1L
+    folds.filter(idOf(_) < prevUpto).foreach(fs.delete(_, true))
+    all.filter(_.getName.startsWith("batch="))
+      .filter(idOf(_) <= prevUpto).foreach(fs.delete(_, true))
+    val live = folds.filter(idOf(_) == maxUpto) ++
+      all.filter(_.getName.startsWith("batch=")).filter(idOf(_) > maxUpto)
     if (live.size < 2) return
-    val maxId = live.map(_.getName.stripPrefix("batch=").toLong).max
+    val newUpto = live.filter(_.getName.startsWith("batch=")).map(idOf).max
     fold(live, tmp)
-    // the marker rides inside tmp so the swap rename publishes data
-    // and supersession in ONE atomic step
-    fs.create(new Path(tmp, s"_folded_upto_$maxId"), true).close()
-    val target = new Path(s"$storePath/batch=$maxId")
-    val aside = new Path(s"$storePath/_compact_old_$maxId")
-    if (!fs.rename(target, aside))
+    // the one atomic step: the fresh fold dir appears fully formed
+    if (!fs.rename(tmp, new Path(s"$storePath/fold=$newUpto")))
       throw new java.io.IOException(
-        s"sketch-store compaction aside rename failed at $storePath")
-    if (!fs.rename(tmp, target)) {
-      fs.rename(aside, target) // roll back - old store stays live
-      throw new java.io.IOException(
-        s"sketch-store compaction rename failed at $storePath")
-    }
-    fs.delete(aside, true)
-    live.filterNot(_.getName == s"batch=$maxId").foreach(fs.delete(_, true))
+        s"sketch-store fold commit rename failed at $storePath")
+    // the generation we just superseded becomes the retained-previous;
+    // the one BEFORE it (bounded by maxUpto) can go now
+    folds.filter(idOf(_) < maxUpto).foreach(fs.delete(_, true))
+    all.filter(_.getName.startsWith("batch="))
+      .filter(idOf(_) <= maxUpto).foreach(fs.delete(_, true))
   }
 
   /** Bound MG-store growth: fold every stored per-batch sketch row
