@@ -113,7 +113,8 @@ object LakeOps {
         isDelete = Some(col(isDeleteCol)))
       val liveFlats = Snapshot.liveFlats(fs, p)
       val stageName = Snapshot.stageDirName(fs, p, "retention")
-      cur.write.mode("overwrite").parquet(new Path(p, stageName).toString)
+      cur.write.mode("overwrite")
+        .parquet(Snapshot.stagePath(p, stageName).toString)
       Snapshot.commit(fs, conf, p, Seq(stageName),
         consumed = liveFlats.map(_.getName))
       Snapshot.vacuum(fs, p, keep = 2)

@@ -38,7 +38,7 @@ object Lake {
     * itself. */
   private def resolveLakeInputs(spark: SparkSession,
       root: String): Option[Seq[String]] = {
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileStatus, Path}
     val rp = new Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rp)) return None
@@ -50,13 +50,41 @@ object Lake {
       s.getPath.getName.contains("=") &&
       !s.getPath.getName.startsWith("_") &&
       !s.getPath.getName.startsWith("."))
-    if (!partDirs.exists(d =>
-        Snapshot.currentVersion(fs, d.getPath).isDefined)) return None
-    Some(partDirs.toSeq.flatMap { d =>
-      Snapshot.readSet(fs, d.getPath) match {
-        case Some(set) => set.map(_.toString)
-        case None => Seq(d.getPath.toString)
-      }
+    if (partDirs.isEmpty) return None
+    // ONE listing per partition dir answers everything (managed?
+    // crash-stranded member? flat files?) — the same RPC count as a
+    // bare existence probe, parallelized so a 1000-partition lake pays
+    // max(listing latency), not the sum
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, partDirs.length))
+    val listings: Seq[(Path, Array[FileStatus])] =
+      try {
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence(partDirs.toSeq.map(d => Future {
+            d.getPath -> fs.listStatus(d.getPath)
+          })), Duration.Inf)
+      } finally pool.shutdown()
+    def isManaged(l: Array[FileStatus]): Boolean =
+      l.exists(_.getPath.getName == "_current")
+    def strandedMember(l: Array[FileStatus]): Boolean =
+      l.exists(s => s.isDirectory && s.getPath.getName.matches("d\\d+-.*"))
+    if (!listings.exists { case (_, l) => isManaged(l) || strandedMember(l) })
+      return None
+    Some(listings.flatMap { case (p, l) =>
+      if (isManaged(l)) Snapshot.readSet(fs, p).get.map(_.toString)
+      else if (strandedMember(l))
+        // never-managed dir holding an uncommitted member dir — the
+        // one-rename-wide crash window of a legacy store's first
+        // commit. Only the committed state (the flat files) is real.
+        l.filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString).toSeq
+      else Seq(p.toString)
     })
   }
 
@@ -101,7 +129,15 @@ object Lake {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Snapshot.readSet(fs, p) match {
-      case None => spark.read.option("mergeSchema", "true").parquet(dir)
+      case None =>
+        // never-managed dir: if a crashed first commit stranded an
+        // uncommitted member dir, only the flat files are real
+        val stranded = fs.exists(p) && fs.listStatus(p).exists(s =>
+          s.isDirectory && s.getPath.getName.matches("d\\d+-.*"))
+        if (stranded)
+          spark.read.option("mergeSchema", "true")
+            .parquet(Snapshot.flatFiles(fs, p).map(_.toString): _*)
+        else spark.read.option("mergeSchema", "true").parquet(dir)
       case Some(set) =>
         require(set.nonEmpty, s"managed store $dir has an empty read set")
         spark.read.option("mergeSchema", "true")
@@ -255,7 +291,10 @@ object Lake {
     // by stageDirName — it was never committed)
     val stageName = Snapshot.stageDirName(fs, target, "merge")
     val nextV = curV.getOrElse(0L) + 1L
-    val staged = new Path(target, stageName)
+    // stage HIDDEN (`_stage.<name>`): the whole merge write job is
+    // invisible to concurrent readers; commit unhides it just before
+    // the pointer swap
+    val staged = Snapshot.stagePath(target, stageName)
     merged.write.mode("overwrite").parquet(staged.toString)
     val cdfStage = new Path(target, s"_cdf_v$nextV")
     // change data feed: diff OLD (current snapshot) against NEW (the
@@ -519,7 +558,7 @@ object Lake {
     val nOut = math.max(1L, ((bytes + targetBytes - 1) / targetBytes).toLong).toInt
     val stageName = Snapshot.stageDirName(fs, dayDir, "compact")
     slice.repartition(nOut).write.mode("overwrite")
-      .parquet(new Path(dayDir, stageName).toString)
+      .parquet(Snapshot.stagePath(dayDir, stageName).toString)
     Snapshot.commit(fs, conf, dayDir, Seq(stageName),
       consumed = liveFlats.map(_.getName))
     Snapshot.vacuum(fs, dayDir, keep = 2)

@@ -46,13 +46,21 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   *    OperatorSpec).
   *
   * Crash matrix (writer dies at any point):
-  *  - after writing a data dir, before the manifest: the dir is
-  *    referenced by no committed manifest — invisible to readers; the
-  *    next writer deletes it before reusing the name, vacuum sweeps
-  *    it.
-  *  - after the manifest, before the pointer swap: `_v<n+1>.list`
-  *    exists but `_current` still says n — readers unaffected; the
-  *    next writer overwrites the stale manifest, vacuum drops it.
+  *  - during the data write, before commit: the write targets the
+  *    HIDDEN `_stage.<name>` sibling — invisible to plain and managed
+  *    readers alike for the whole job; the next writer deletes the
+  *    strand before reusing the name, vacuum sweeps it.
+  *  - after the manifest, before the unhide renames: `_v<n+1>.list`
+  *    exists but `_current` still says n and the staged dir is still
+  *    hidden — readers unaffected; the next writer overwrites the
+  *    stale manifest and deletes the strand.
+  *  - after an unhide rename, before the pointer swap: the final-name
+  *    dir exists uncommitted. Managed readers resolve the pointer and
+  *    ignore it; on a NEVER-managed legacy store a plain reader could
+  *    glob it for the instant before the swap — the one residual
+  *    window, a single rename wide (the resolution layer in
+  *    `Lake.read`/`readStore` also applies a flats-only fallback for
+  *    exactly this state). The next writer deletes the strand.
   *  - mid pointer swap: the rename is atomic — `_current` is the old
   *    or the new line, nothing in between; a stranded
   *    `_current.tmp` is overwritten by the next commit.
@@ -172,15 +180,26 @@ object Snapshot {
       members(fs, dir, v).map(new Path(dir, _)) ++ liveFlats(fs, dir)
     }
 
+  /** Where a writer STAGES the data for member `name` before commit:
+    * a hidden sibling (`_stage.<name>`). The leading underscore makes
+    * the in-flight write invisible to EVERY Spark reader — a plain
+    * `spark.read` over a legacy flat store racing a long rewrite job
+    * never sees the half-written output (without this, the stage dir
+    * would sit visible inside the store for the whole job). `commit`
+    * renames it to its final name just before the pointer swap. */
+  def stagePath(dir: Path, name: String): Path =
+    new Path(dir, "_stage." + name)
+
   /** Commit `memberDirs` (names relative to `dir`) as version
-    * `current + 1`: write the manifest, then atomically swap the
-    * pointer. `consumed` names flat top-level files this version
-    * folded in — excluded from every subsequent `readSet` the moment
-    * the pointer lands; their PHYSICAL delete is deferred to the
-    * `vacuum` of the NEXT version (flat retention = member retention:
-    * a reader that resolved just before this commit still finds
-    * them). Returns the committed version. The caller must have fully
-    * written every member dir first. */
+    * `current + 1`: write the manifest, unhide each staged dir
+    * (`_stage.<name>` → `<name>`), then atomically swap the pointer.
+    * `consumed` names flat top-level files this version folded in —
+    * excluded from every subsequent `readSet` the moment the pointer
+    * lands; their PHYSICAL delete is deferred to the `vacuum` of the
+    * NEXT version (flat retention = member retention: a reader that
+    * resolved just before this commit still finds them). A member
+    * already at its final name (carried over from a previous version)
+    * needs no staged dir. Returns the committed version. */
   def commit(fs: FileSystem, conf: Configuration, dir: Path,
       memberDirs: Seq[String], consumed: Seq[String] = Nil): Long = {
     require(memberDirs.forall(n => !n.contains('=') && !n.contains('/') &&
@@ -190,6 +209,22 @@ object Snapshot {
     val next = currentVersion(fs, dir).getOrElse(0L) + 1L
     writeSmall(fs, listFile(dir, next),
       (memberDirs ++ consumed.map("!" + _)).mkString("\n"))
+    // unhide staged members as late as possible: on a never-managed
+    // (legacy flat) store this is the only instant an uncommitted dir
+    // is visible to a PLAIN reader — one rename per member, not the
+    // whole write job; on a managed store readers resolve the pointer
+    // and never see an uncommitted name at all
+    memberDirs.foreach { m =>
+      val staged = stagePath(dir, m)
+      val fin = new Path(dir, m)
+      if (fs.exists(staged)) {
+        if (!fs.rename(staged, fin))
+          throw new java.io.IOException(
+            s"snapshot commit: unhide rename failed: $staged -> $fin")
+      }
+      require(fs.exists(fin),
+        s"snapshot commit: member dir $fin was never staged or written")
+    }
     val tmp = new Path(dir, "_current.tmp")
     writeSmall(fs, tmp, next.toString)
     // the one atomic step: POSIX rename-over of the pointer file
@@ -199,13 +234,15 @@ object Snapshot {
   }
 
   /** The name a NEW data dir for the next version should use; deletes
-    * any stranded dir of that name left by a crashed attempt (it was
-    * never committed — see crash matrix). */
+    * any stranded dir of that name — staged OR unhidden — left by a
+    * crashed attempt (neither was ever committed — see crash
+    * matrix). */
   def stageDirName(fs: FileSystem, dir: Path, role: String): String = {
     val next = currentVersion(fs, dir).getOrElse(0L) + 1L
     val name = s"d$next-$role"
-    val stranded = new Path(dir, name)
-    if (fs.exists(stranded)) fs.delete(stranded, true)
+    Seq(new Path(dir, name), stagePath(dir, name)).foreach { stranded =>
+      if (fs.exists(stranded)) fs.delete(stranded, true)
+    }
     name
   }
 
@@ -246,6 +283,12 @@ object Snapshot {
       st.map(_.getPath)
         .filter(p => p.getName.matches("d\\d+-.*") &&
           !referenced.contains(p.getName))
+        .foreach(fs.delete(_, true))
+      // stranded hidden stage dirs from crashed attempts (vacuum runs
+      // in the single writer between its own commits, so no live
+      // staging can be racing it)
+      st.map(_.getPath)
+        .filter(_.getName.matches("_stage\\.d\\d+-.*"))
         .foreach(fs.delete(_, true))
       deadLists.foreach(fs.delete(_, false))
     }

@@ -169,24 +169,44 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("Lake.compactDay merges small files without changing the data") {
+    import org.apache.hadoop.fs.Path
     val lake = TestSpark.tmpDir("lake-compact")
     val day = "2022-12-12"
     val df = spark.range(0, 1000)
       .select(col("id"), lit(day).cast("timestamp").as("ts"))
       .repartition(20) // simulate a changefeed's file-per-flush storm
     graft.sources.Lake.writePartitioned(df, "ts", lake)
-    def files = new java.io.File(s"$lake/ingest_date=$day")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    val before = files
-    assert(before >= 20, s"expected a small-file storm, got $before files")
+    val dayDir = new Path(s"$lake/ingest_date=$day")
+    val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readSetFiles: Seq[String] = {
+      val set = graft.sources.Snapshot.readSet(fs, dayDir)
+        .getOrElse(graft.sources.Snapshot.flatFiles(fs, dayDir))
+      set.flatMap { p =>
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath).filter(q =>
+            q.getName.endsWith(".parquet")).map(_.toString).toSeq
+        else if (p.getName.endsWith(".parquet")) Seq(p.toString) else Nil
+      }
+    }
+    assert(readSetFiles.size >= 20,
+      s"expected a small-file storm, got ${readSetFiles.size} files")
     graft.sources.Lake.compactDay(spark, lake, day)
-    assert(files == 1, s"compaction left $files files")
+    // the READ SET is one file; the pre-compaction flats stay on disk
+    // one version longer (retention for in-flight readers) but are
+    // consumed — excluded from every reader
+    assert(readSetFiles.size == 1, s"compaction read set: $readSetFiles")
     val after = graft.sources.Lake.read(spark, lake)
     assert(after.count() == 1000)
     assert(after.agg(sum("id")).head().getLong(0) == 499500L)
+    // a second compaction's vacuum physically deletes the consumed
+    // flats (their retention window has passed)
+    graft.sources.Lake.compactDay(spark, lake, day)
+    assert(graft.sources.Snapshot.flatFiles(fs, dayDir).isEmpty,
+      "consumed flats survived their retention window")
+    assert(graft.sources.Lake.read(spark, lake).count() == 1000)
   }
 
-  test("Lake.compactDay recovers a stranded aside dir from a crashed swap") {
+  test("Lake.compactDay: snapshot crash matrix (stranded stage, manifest-no-pointer, pointer tmp)") {
     import org.apache.hadoop.fs.Path
     val lake = TestSpark.tmpDir("lake-rec")
     val day = "2022-12-12"
@@ -194,17 +214,87 @@ class OperatorSpec extends AnyFunSuite {
       .select(col("id"), lit(day).cast("timestamp").as("ts"))
       .repartition(5)
     graft.sources.Lake.writePartitioned(df, "ts", lake)
-    // simulate a crash between the two swap renames: the live day was
-    // moved aside and the process died
-    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new Path(s"$lake/ingest_date=$day"),
-      new Path(s"$lake/_compact_old_$day")))
+    val dayDir = new Path(s"$lake/ingest_date=$day")
+    val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash 1: a stage dir was written but never committed (death
+    // before the manifest) — invisible to readers, deleted on reuse
+    spark.range(0, 7).write.parquet(s"$dayDir/d1-compact")
+    assert(graft.sources.Lake.readDay(spark, lake, day).count() == 100,
+      "an uncommitted stage dir leaked into the read set")
     graft.sources.Lake.compactDay(spark, lake, day)
-    // recovery restored the day, compaction completed, no debris
-    assert(new java.io.File(lake).listFiles()
-      .forall(f => !f.getName.startsWith("_compact")), "stale work dirs left")
-    val after = graft.sources.Lake.readDay(spark, lake, day)
-    assert(after.count() == 100)
+    assert(graft.sources.Lake.readDay(spark, lake, day).count() == 100,
+      "compaction after a stranded stage dir lost or gained rows")
+    // crash 2: the NEXT version's manifest was written but the pointer
+    // never swapped — readers stay on the committed version; the next
+    // writer overwrites the stale manifest
+    val cur = graft.sources.Snapshot.currentVersion(fs, dayDir).get
+    val stale = new Path(dayDir, s"_v${cur + 1}.list")
+    val out = fs.create(stale, true)
+    out.write("dGhost-compact\n".getBytes("UTF-8")); out.close()
+    assert(graft.sources.Lake.readDay(spark, lake, day).count() == 100,
+      "a stale future manifest disturbed readers")
+    graft.sources.Lake.compactDay(spark, lake, day)
+    assert(graft.sources.Snapshot.currentVersion(fs, dayDir).get == cur + 1)
+    assert(graft.sources.Lake.readDay(spark, lake, day).count() == 100)
+    // crash 3: a stranded _current.tmp from a death mid pointer-write
+    // is simply overwritten by the next commit
+    val tmp = fs.create(new Path(dayDir, "_current.tmp"), true)
+    tmp.write("999".getBytes("UTF-8")); tmp.close()
+    graft.sources.Lake.compactDay(spark, lake, day)
+    assert(graft.sources.Lake.readDay(spark, lake, day).count() == 100)
+    assert(graft.sources.Lake.readDay(spark, lake, day)
+      .agg(sum("id")).head().getLong(0) == 4950L)
+  }
+
+  test("Lake snapshot: concurrent reader sees old-or-new, time travel, vacuum retention") {
+    import org.apache.hadoop.fs.Path
+    val base = TestSpark.tmpDir("snap-iso")
+    val dir = s"$base/t"
+    def merge(rows: (Long, String, Long, Boolean)*): Unit =
+      graft.sources.Lake.mergeInto(spark, dir,
+        rows.toDF("k", "v", "ver", "is_delete"),
+        Seq("k"), Seq("ver"), Some(col("is_delete")))
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    merge((1L, "a", 1L, false), (2L, "b", 1L, false))
+    // a reader resolves the store BEFORE the next merge commits — the
+    // old snapshot's files must still exist and read cleanly AFTER the
+    // commit (vacuum retains the previous version)
+    val oldSet = graft.sources.Snapshot.readSet(fs, p).get
+    merge((1L, "a2", 2L, false), (3L, "c", 2L, false))
+    assert(oldSet.forall(fs.exists),
+      "a pre-commit reader's resolved files were deleted by the commit")
+    val oldRows = spark.read.parquet(oldSet.map(_.toString): _*)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(oldRows == Set(1L -> "a", 2L -> "b"),
+      s"the pre-commit snapshot drifted: $oldRows")
+    // the new snapshot is the merged state
+    def state = graft.sources.Lake.readStore(spark, dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(state == Set(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // TIME TRAVEL: version 1 is still inside the retention window
+    val v1 = graft.sources.Lake.readStoreAt(spark, dir, 1L).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(v1 == Set(1L -> "a", 2L -> "b"), s"time travel to v1: $v1")
+    // a third merge pushes v1 past retention (keep = 2): its manifest
+    // and unshared data dirs are vacuumed; readStoreAt fails LOUDLY
+    merge((4L, "d", 3L, false))
+    assert(!fs.exists(new Path(p, "_v1.list")),
+      "v1 manifest survived past the retention window")
+    intercept[Exception] {
+      graft.sources.Lake.readStoreAt(spark, dir, 1L).collect()
+    }
+    // the current + previous versions remain readable
+    assert(graft.sources.Lake.readStoreAt(spark, dir, 3L).count() == 3)
+    assert(state == Set(1L -> "a2", 2L -> "b", 3L -> "c", 4L -> "d"))
+    // post-snapshot flat APPENDS (outside the protocol) join the read
+    // set until the next version consumes them
+    Seq((9L, "z", 9L, false)).toDF("k", "v", "ver", "is_delete")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(state.contains(9L -> "z"), "a flat append was hidden by the snapshot")
+    merge((5L, "e", 4L, false))
+    assert(state.count(_._1 == 9L) == 1,
+      "a consumed flat append was double-read after the merge")
   }
 
   test("Lake.writeBucketed: co-bucketed tables join without a shuffle") {
@@ -513,7 +603,8 @@ class OperatorSpec extends AnyFunSuite {
     def merge(b: org.apache.spark.sql.DataFrame): Unit =
       graft.sources.Lake.mergeInto(spark, dir, b,
         Seq("k"), Seq("ver"), Some(col("is_delete")))
-    def state = spark.read.parquet(dir).collect()
+    def read = graft.sources.Lake.readStore(spark, dir)
+    def state = read.collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[Long]("ver"))).toSet
     // first merge: all inserts
     merge(df((1L, "a", 1L, false), (2L, "b", 1L, false)))
@@ -522,22 +613,40 @@ class OperatorSpec extends AnyFunSuite {
     val batch = df((1L, "a2", 2L, false), (3L, "c", 2L, false), (2L, "", 2L, true))
     merge(batch)
     assert(state == Set((1L, "a2", 2L), (3L, "c", 2L)))
-    // the tombstone is PHYSICAL: no row for key 2 survives on disk
-    assert(spark.read.parquet(dir).where(col("k") === 2L).isEmpty)
+    // the tombstone is PHYSICAL: no row for key 2 survives in the
+    // committed snapshot (older versions retain it only until vacuum)
+    assert(read.where(col("k") === 2L).isEmpty)
     // replaying the same batch is a no-op (CDC replay rule)
     merge(batch)
     assert(state == Set((1L, "a2", 2L), (3L, "c", 2L)))
     // a STALE update (older ver than stored) loses
     merge(df((1L, "old", 1L, false)))
     assert(state == Set((1L, "a2", 2L), (3L, "c", 2L)))
-    // crash sim: the live dir was renamed aside and the process died
-    // between the two renames — the next merge restores it first
+    // crash sims on the snapshot protocol: a crashed attempt strands
+    // (a) a hidden half-written stage dir, or (b) an unhidden member
+    // that never got the pointer swap — both invisible to readers,
+    // both reclaimed by the next merge
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new Path(dir), new Path(s"$base/_merge_old_t")))
+    val target = new Path(dir)
+    val next = graft.sources.Snapshot.currentVersion(fs, target).get + 1
+    df((99L, "junk", 99L, false)).write.parquet(
+      graft.sources.Snapshot.stagePath(target, s"d$next-merge").toString)
+    assert(state == Set((1L, "a2", 2L), (3L, "c", 2L)),
+      "a hidden stage strand leaked into readers")
     merge(df((4L, "d", 3L, false)))
     assert(state == Set((1L, "a2", 2L), (3L, "c", 2L), (4L, "d", 3L)))
-    assert(!fs.exists(new Path(s"$base/_merge_old_t")) &&
-      !fs.exists(new Path(s"$base/_merge_tmp_t")), "work dirs left behind")
+    assert(!state.exists(_._1 == 99L), "stranded stage data survived the retry")
+    val next2 = graft.sources.Snapshot.currentVersion(fs, target).get + 1
+    df((98L, "junk", 98L, false)).write.parquet(
+      new Path(target, s"d$next2-merge").toString)
+    assert(state == Set((1L, "a2", 2L), (3L, "c", 2L), (4L, "d", 3L)),
+      "an uncommitted unhidden member leaked into readers")
+    merge(df((5L, "e", 3L, false)))
+    assert(state ==
+      Set((1L, "a2", 2L), (3L, "c", 2L), (4L, "d", 3L), (5L, "e", 3L)))
+    assert(!state.exists(_._1 == 98L), "uncommitted member survived the retry")
+    assert(!fs.listStatus(target).exists(_.getPath.getName.startsWith("_stage.")),
+      "stage strands left behind after vacuum")
   }
 
   test("Lake.mergeInto change data feed: ops, idempotent replay, crash publish rules") {
@@ -568,27 +677,29 @@ class OperatorSpec extends AnyFunSuite {
     // increment (no merge=2 appears)
     merge(batch)
     assert(feed.map(_._1).max == 1L, s"replay published a change set: $feed")
-    // crash publish rules: a stranded staging dir with its merge
-    // landed (no merge tmp, target live) publishes on the next call...
+    // crash publish rules (version-stamped staging): a stranded
+    // `_cdf_v<k>` whose merge COMMITTED (k ≤ current version)
+    // publishes on the next feed-aware call...
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df((9L, "z", 9L, false)).write.parquet(s"$base/_cdf_tmp_t")
+    val target = new Path(dir)
+    def cur = graft.sources.Snapshot.currentVersion(fs, target).get
+    df((9L, "z", 9L, false)).write.parquet(s"$dir/_cdf_v$cur")
     merge(df((4L, "d", 3L, false)))
     assert(feed.exists(r => r._2 == 9L), "stranded landed-merge feed was not published")
-    // ...but a stranded staging dir from an INTERRUPTED merge (live
-    // dir still aside) is discarded, and the interrupted merge recovers
-    df((8L, "y", 8L, false)).write.parquet(s"$base/_cdf_tmp_t")
-    assert(fs.rename(new Path(dir), new Path(s"$base/_merge_old_t")))
+    // ...but a strand stamped ABOVE the committed version belongs to a
+    // merge that never landed — discarded, never published
+    df((8L, "y", 8L, false)).write.parquet(s"$dir/_cdf_v${cur + 7}")
     merge(df((5L, "e", 4L, false)))
-    assert(!feed.exists(r => r._2 == 8L), "stale feed from an interrupted merge leaked")
-    assert(spark.read.parquet(dir).where(col("k") === 5L).count() == 1)
+    assert(!feed.exists(r => r._2 == 8L), "stale feed from an uncommitted merge leaked")
+    assert(graft.sources.Lake.readStore(spark, dir)
+      .where(col("k") === 5L).count() == 1)
     // a merge WITHOUT changeDir must reconcile a strand too (round-7
-    // ADVICE): if it left the strand behind, its own completed swap
-    // would make a LATER changeDir call publish the stale diff — a
-    // feed entry for a merge whose data never landed
-    df((7L, "w", 7L, false)).write.parquet(s"$base/_cdf_tmp_t")
+    // ADVICE): if it left the strand behind, a LATER changeDir call
+    // would see k ≤ current and publish the stale diff
+    df((7L, "w", 7L, false)).write.parquet(s"$dir/_cdf_v$cur")
     graft.sources.Lake.mergeInto(spark, dir, df((6L, "f", 5L, false)),
       Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = None)
-    assert(!fs.exists(new Path(s"$base/_cdf_tmp_t")),
+    assert(!fs.listStatus(target).exists(_.getPath.getName.startsWith("_cdf_v")),
       "feed-less merge left the stale strand for a later call to publish")
     merge(df((6L, "f2", 6L, false)))
     assert(!feed.exists(r => r._2 == 7L), "stale strand leaked into the feed")
@@ -639,14 +750,14 @@ class OperatorSpec extends AnyFunSuite {
       .ExternalCatalogUtils.escapePathName(gnarly)
     assert(dirs == Seq(expected), s"partition dirs: $dirs")
     // compactDay must escape the SAME way, or it probes a nonexistent
-    // raw path and silently skips the compaction (rewrite = new file
-    // names in the escaped directory)
-    def fileNames = new java.io.File(s"$lake/$expected").listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getName).toSet
-    val beforeCompact = fileNames
+    // raw path and silently skips the compaction (rewrite = a new
+    // snapshot version committed in the escaped directory)
+    import org.apache.hadoop.fs.Path
+    val dayDir = new Path(s"$lake/$expected")
+    val fs = dayDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val verBefore = graft.sources.Snapshot.currentVersion(fs, dayDir).get
     graft.sources.Lake.compactDay(spark, lake, gnarly)
-    assert(fileNames.nonEmpty && fileNames != beforeCompact,
+    assert(graft.sources.Snapshot.currentVersion(fs, dayDir).get == verBefore + 1,
       "compactDay silently skipped the escaped partition directory")
     // read the partition value back RAW (discovery would otherwise
     // infer this one as a timestamp and reformat it)
@@ -654,7 +765,7 @@ class OperatorSpec extends AnyFunSuite {
     val prev = spark.conf.get(infKey)
     spark.conf.set(infKey, "false")
     try {
-      val rows = spark.read.parquet(lake).collect()
+      val rows = graft.sources.Lake.read(spark, lake).collect()
         .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
           r.getAs[String]("ingest_date")))
       assert(rows.toSeq == Seq((1L, "a2", gnarly)),
@@ -692,16 +803,22 @@ class OperatorSpec extends AnyFunSuite {
         "ingest_date", Seq("k"), Seq("ver"), Some(col("is_delete")))
     // full-lake state through partition discovery (ingest_date comes
     // back as a discovered partition column)
-    def state = spark.read.parquet(lake).collect()
+    def state = graft.sources.Lake.read(spark, lake).collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
         r.getAs[Long]("ver"), r.getAs[Any]("ingest_date").toString)).toSet
-    // files + content hashes of one partition directory
+    // recursive file tree + content hashes of one partition directory
+    // (manifests, pointer, and data files alike — byte-identity for an
+    // untouched day now means NO new snapshot version either)
     def snapshot(day: String): Map[String, String] = {
-      val d = new java.io.File(s"$lake/ingest_date=$day")
-      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      val root = new java.io.File(s"$lake/ingest_date=$day")
+      walk(root).filter(f => !f.getName.startsWith(".") &&
+          !f.getName.endsWith(".crc"))
         .map { f =>
           val md = java.security.MessageDigest.getInstance("MD5")
-          f.getName -> md.digest(
+          root.toPath.relativize(f.toPath).toString -> md.digest(
             java.nio.file.Files.readAllBytes(f.toPath))
             .map("%02x".format(_)).mkString
         }.toMap
@@ -757,7 +874,7 @@ class OperatorSpec extends AnyFunSuite {
         isDeleteCol = Some("is_delete"),
         zorderCols = Seq("k", "ver"), zorderDay = Some("2024-01-01"),
         zorderOut = Some(zout))
-    def state = spark.read.parquet(lake).collect()
+    def state = graft.sources.Lake.read(spark, lake).collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
         r.getAs[Any]("ingest_date").toString)).toSet
     // night 1: seed two days (merge-as-ingest)
@@ -770,12 +887,15 @@ class OperatorSpec extends AnyFunSuite {
     // the clustered copy of day 1 carries the same content
     assert(spark.read.parquet(zout).select("k", "v").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet == Set(1L -> "a", 2L -> "b"))
-    // night 2 CRASHES inside the merge of day 2: simulate the
-    // between-renames state (live dir stranded aside), then re-run the
-    // whole sequence — every step recovers or is idempotent
+    // night 2 CRASHES inside the merge of day 2: a half-written hidden
+    // stage dir is stranded in the day store; re-running the whole
+    // sequence reclaims it — every step recovers or is idempotent
     val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new Path(s"$lake/ingest_date=2024-01-02"),
-      new Path(s"$lake/_merge_old_ingest_date=2024-01-02")))
+    val day2 = new Path(s"$lake/ingest_date=2024-01-02")
+    val nextV = graft.sources.Snapshot.currentVersion(fs, day2).get + 1
+    upd((99L, "junk", 99L, "2024-01-02", false)).drop("ingest_date")
+      .write.parquet(
+        graft.sources.Snapshot.stagePath(day2, s"d$nextV-merge").toString)
     val n2 = upd((3L, "c2", 2L, "2024-01-02", false),
       (4L, "d", 2L, "2024-01-02", false))
     assert(nightly(n2) == Seq("2024-01-02"))
@@ -784,31 +904,45 @@ class OperatorSpec extends AnyFunSuite {
     // replaying the night is a no-op (idempotent end to end)
     assert(nightly(n2) == Seq("2024-01-02"))
     assert(state.size == 4)
-    assert(!fs.exists(new Path(s"$lake/_merge_old_ingest_date=2024-01-02")))
+    assert(!fs.listStatus(day2).exists(_.getPath.getName.startsWith("_stage.")),
+      "crashed stage strand survived the night replay + vacuum")
     // retention sweep: an append-style sink left raw tombstone rows in
-    // day 1; the sweep drops them, and a clean day is NOT rewritten
+    // day 1 (a post-snapshot FLAT append — part of the read set by the
+    // liveFlats rule); the sweep drops them, a clean day is NOT
+    // rewritten
     upd((2L, "", 9L, "2024-01-01", true)).drop("ingest_date")
       .write.mode("append").parquet(s"$lake/ingest_date=2024-01-01")
-    def snap(day: String) =
-      new java.io.File(s"$lake/ingest_date=$day").listFiles()
-        .filter(f => f.isFile && !f.getName.startsWith("."))
-        .map(f => f.getName -> f.length()).toMap
+    def snap(day: String): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      val root = new java.io.File(s"$lake/ingest_date=$day")
+      walk(root).filter(f => !f.getName.startsWith(".") &&
+          !f.getName.endsWith(".crc"))
+        .map(f => root.toPath.relativize(f.toPath).toString -> f.length())
+        .toMap
+    }
     val day2Snap = snap("2024-01-02")
     val swept = LakeOps.retentionSweep(spark, lake,
       Seq("2024-01-01", "2024-01-02"), Seq("k"), Seq("ver"), "is_delete")
     assert(swept == Seq("2024-01-01"))
     assert(snap("2024-01-02") == day2Snap, "clean day was rewritten by the sweep")
     // the winning tombstone DELETED key 2; key 1 survives untouched
-    assert(spark.read.parquet(s"$lake/ingest_date=2024-01-01").collect()
+    def day1State = graft.sources.Lake
+      .readStore(spark, s"$lake/ingest_date=2024-01-01").collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
-      == Set(1L -> "a"))
-    // sweep crash recovery: live day stranded aside → restored; the
-    // already-swept day is clean, so nothing rewrites
-    assert(fs.rename(new Path(s"$lake/ingest_date=2024-01-01"),
-      new Path(s"$lake/_retention_old_2024-01-01")))
+    assert(day1State == Set(1L -> "a"))
+    // sweep crash recovery: a stranded stage dir in the day store is
+    // invisible and reclaimed; the already-swept day is clean, so
+    // nothing rewrites
+    val day1 = new Path(s"$lake/ingest_date=2024-01-01")
+    val nextV1 = graft.sources.Snapshot.currentVersion(fs, day1).get + 1
+    upd((98L, "junk", 98L, "2024-01-01", false)).drop("ingest_date")
+      .write.parquet(
+        graft.sources.Snapshot.stagePath(day1, s"d$nextV1-retention").toString)
     assert(LakeOps.retentionSweep(spark, lake, Seq("2024-01-01"),
       Seq("k"), Seq("ver"), "is_delete").isEmpty)
-    assert(spark.read.parquet(s"$lake/ingest_date=2024-01-01").count() == 1)
+    assert(day1State == Set(1L -> "a"))
   }
 
   test("z-order layout keeps min/max stats tight on BOTH columns") {
