@@ -119,8 +119,8 @@ object GlobalSketch {
     if (!fs.exists(root)) return Seq.empty[(Long, Long, Long)].toDF("key", "cnt", "n")
     val live = liveBatchDirs(fs, root)
     if (live.isEmpty) return Seq.empty[(Long, Long, Long)].toDF("key", "cnt", "n")
-    val sketches = spark.read // explicit dir roots, no basePath: no partition inference (a
-      // _compact_old_ stand-in is not name=value and must not conflict)
+    val sketches = spark.read // explicit dir roots, no basePath: the batch=/fold= dir
+      // names never become inferred partition columns
       .parquet(live.map(_.toString): _*)
       .select(col("n"), col("keys"), col("counts"))
       .collect() // ≤ batches × k counters — metadata-sized by design
@@ -195,22 +195,23 @@ object GlobalSketch {
     *
     * Unlike compactState's rank-1 store — where a crash-stranded extra
     * copy is harmless (rank-1 picks the same winner) — sketch counts
-    * are ADDITIVE: a folded row coexisting with the dirs it folded
-    * would double-count. So the folded row carries a
-    * `_folded_upto_<maxId>` marker file that travels ATOMICALLY with
-    * the swap rename, and every reader (`liveBatchDirs`) ignores dirs
-    * below the highest marker. Crash windows: before the swap —
-    * nothing live changed; after the swap, before the deletions — the
-    * marker already supersedes the old dirs (readers correct, the next
-    * call completes the cleanup); between the two renames — the
-    * standard aside restore. The global summary is IDENTICAL before
-    * and after (the fold is the same pairwise merge `globalTopK` runs
-    * — spec-pinned, including the mid-cleanup crash). */
+    * are ADDITIVE: a folded row coexisting, LIVE, with the dirs it
+    * folded would double-count. The fold's upto travels in its NAME
+    * (`fold=<maxId>`, committed by one rename of a fresh name), and
+    * every reader (`liveBatchDirs`) ignores batch dirs at or below
+    * the newest fold's upto. Crash windows: before the rename —
+    * nothing live changed (at worst a `_compact_tmp` strand, swept at
+    * the next call); after the rename, before the sweeps — the new
+    * fold already supersedes the old dirs (readers correct, the next
+    * generation completes the cleanup). The global summary is
+    * IDENTICAL before and after (the fold is the same pairwise merge
+    * `globalTopK` runs — spec-pinned, including the stranded-tmp and
+    * late-arrival states). */
   def compactSketches(spark: SparkSession, storePath: String, k: Int): Unit =
     compactStore(spark, storePath) { (live, tmp) =>
       import spark.implicits._
-      val rows = spark.read // explicit dir roots, no basePath: no partition inference (a
-      // _compact_old_ stand-in is not name=value and must not conflict)
+      val rows = spark.read // explicit dir roots, no basePath: the batch=/fold= dir
+      // names never become inferred partition columns
         .parquet(live.map(_.toString): _*)
         .select(col("n"), col("keys"), col("counts")).collect()
       val mg = new MisraGries(k)
@@ -228,15 +229,15 @@ object GlobalSketch {
 
   /** Bound histogram-store growth — `compactSketches`' sibling for the
     * s33 store, SIMPLER fold (bin counts just add: a distributed
-    * `groupBy(bin).sum`, no driver state), same atomic-marker swap
-    * protocol: the folded rows land in `batch=<maxId>` with a
-    * `_folded_upto_<maxId>` marker riding the rename, readers ignore
-    * superseded dirs, the next call completes any interrupted
-    * cleanup. Estimates identical before and after (spec-pinned). */
+    * `groupBy(bin).sum`, no driver state), same generation protocol:
+    * the folded rows commit as `fold=<maxId>` in one rename, readers
+    * ignore superseded batch dirs, the next generation completes any
+    * interrupted cleanup. Estimates identical before and after
+    * (spec-pinned). */
   def compactHistogram(spark: SparkSession, storePath: String): Unit =
     compactStore(spark, storePath) { (live, tmp) =>
-      spark.read // explicit dir roots, no basePath: no partition inference (a
-      // _compact_old_ stand-in is not name=value and must not conflict)
+      spark.read // explicit dir roots, no basePath: the batch=/fold= dir
+      // names never become inferred partition columns
         .parquet(live.map(_.toString): _*)
         .groupBy("bin").agg(sum("cnt").as("cnt"))
         .coalesce(1).write.parquet(tmp.toString)
@@ -313,8 +314,8 @@ object GlobalSketch {
     val live = liveBatchDirs(fs, root)
     if (live.isEmpty)
       return Seq.empty[(Long, Long)].toDF("approx_distinct", "n")
-    spark.read // explicit dir roots, no basePath: no partition inference (a
-      // _compact_old_ stand-in is not name=value and must not conflict)
+    spark.read // explicit dir roots, no basePath: the batch=/fold= dir
+      // names never become inferred partition columns
       .parquet(live.map(_.toString): _*)
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"),
         sum("n").as("n"))
@@ -337,8 +338,8 @@ object GlobalSketch {
     val live = liveBatchDirs(fs, root)
     if (live.isEmpty)
       return Seq.empty[(String, Double, Long)].toDF("q", "est", "n")
-    val cum = spark.read // explicit dir roots, no basePath: no partition inference (a
-      // _compact_old_ stand-in is not name=value and must not conflict)
+    val cum = spark.read // explicit dir roots, no basePath: the batch=/fold= dir
+      // names never become inferred partition columns
       .parquet(live.map(_.toString): _*)
       .groupBy("bin").agg(sum("cnt").as("cnt"))
       .withColumn("cum", sum("cnt").over(

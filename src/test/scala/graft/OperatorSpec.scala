@@ -284,8 +284,10 @@ class OperatorSpec extends AnyFunSuite {
     intercept[Exception] {
       graft.sources.Lake.readStoreAt(spark, dir, 1L).collect()
     }
-    // the current + previous versions remain readable
-    assert(graft.sources.Lake.readStoreAt(spark, dir, 3L).count() == 3)
+    // the current + previous versions remain readable: v2 held 3 keys
+    // (1→a2, 2, 3), v3 added key 4
+    assert(graft.sources.Lake.readStoreAt(spark, dir, 2L).count() == 3)
+    assert(graft.sources.Lake.readStoreAt(spark, dir, 3L).count() == 4)
     assert(state == Set(1L -> "a2", 2L -> "b", 3L -> "c", 4L -> "d"))
     // post-snapshot flat APPENDS (outside the protocol) join the read
     // set until the next version consumes them
@@ -782,14 +784,14 @@ class OperatorSpec extends AnyFunSuite {
     // the upstream gained a column: stored rows read it as null
     merge(Seq((2L, "b", 2L, false, "eu"))
       .toDF("k", "v", "ver", "is_delete", "region"))
-    val t1 = spark.read.option("mergeSchema", "true").parquet(dir)
+    val t1 = graft.sources.Lake.readStore(spark, dir)
     assert(t1.columns.toSet == Set("k", "v", "ver", "is_delete", "region"))
     assert(t1.where(col("k") === 1L).head().getAs[String]("region") == null)
     assert(t1.where(col("k") === 2L).head().getAs[String]("region") == "eu")
     // an OLD-schema replay (column missing from the batch) still merges;
     // the updated row's new column is null, key 2's value survives
     merge(Seq((1L, "a2", 3L, false)).toDF("k", "v", "ver", "is_delete"))
-    val t2 = spark.read.option("mergeSchema", "true").parquet(dir)
+    val t2 = graft.sources.Lake.readStore(spark, dir)
     assert(t2.where(col("k") === 1L).head().getAs[String]("v") == "a2")
     assert(t2.where(col("k") === 2L).head().getAs[String]("region") == "eu")
   }

@@ -358,17 +358,20 @@ class StreamingSpec extends AnyFunSuite {
     // compare against the oracle-verified batch form (SURVEY §5.4).
     val sf = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // the fixture's ts column has shipped as both TIMESTAMP(NANOS)
+    // (reads as a raw long under nanosAsLong) and TIMESTAMP(MICROS)
+    // (reads natively) — mirror Tables.events: take the batch reader's
+    // schema and convert only the long form
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val tsIsLong = rawSchema("ts").dataType == LongType
     // file sources tail directories, not single files
     val srcDir = TestSpark.tmpDir("s09-src")
     Files.copy(Paths.get(s"$sf/events.parquet"),
       Paths.get(srcDir, "events.parquet"))
-    def stream = spark.readStream.schema(schema)
+    def stream = spark.readStream.schema(rawSchema)
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts",
+        if (tsIsLong) expr("timestamp_micros(ts div 1000)") else col("ts"))
     def runComplete(df: org.apache.spark.sql.DataFrame, name: String) = {
       val q = df.writeStream.outputMode("complete")
         .format("memory").queryName(name)
@@ -1037,8 +1040,11 @@ class StreamingSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    // the table is PLAIN parquet — no rank-1 read, no batch dirs
-    def state = spark.read.parquet(table)
+    // the table is a versioned snapshot store — read through the
+    // managed reader (one pointer resolve; a plain spark.read cannot
+    // see inside the version dirs)
+    def table_ = graft.sources.Lake.readStore(spark, table)
+    def state = table_
       .collect().map(r => r.getAs[String]("kid") -> r.getAs[String]("revenue")).toMap
     writeNdjson(src, "f1.ndjson", Seq(
       envLine("a", "amsterdam", "10.00", "1.0"),
@@ -1051,7 +1057,7 @@ class StreamingSpec extends AnyFunSuite {
       """{"after": null, "key": ["boston", "b"], "updated": "4.0"}"""))
     run()
     assert(state == Map("a" -> "12.00"))
-    assert(spark.read.parquet(table).where(col("is_delete")).isEmpty,
+    assert(table_.where(col("is_delete")).isEmpty,
       "tombstone row persisted into the merged table")
     // replaying with NO new files must not change the table (the
     // checkpoint replays nothing; a crash-replayed batch would merge
@@ -1155,40 +1161,47 @@ class StreamingSpec extends AnyFunSuite {
       .filter(_.startsWith("batch=")).sorted.toSeq
     assert(batchDirs.size >= 3, s"expected ≥3 batch dirs, got $batchDirs")
     val before = GlobalSketch.globalTopK(spark, store, k).collect().toSeq
-    // crash-mid-cleanup simulation: preserve a copy of batch=0, let
-    // compaction run, then restore the copy — the state a crash
-    // between the fold's swap and its deletions leaves behind. The
-    // folded row's marker must supersede it (no double count), and
-    // the next compact must finish the cleanup.
-    val saved = new Path(TestSpark.tmpDir("s31b-saved"), "batch=0")
-    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$store/batch=0"),
-      fs, saved, false, spark.sparkContext.hadoopConfiguration)
+    def dirs = fs.listStatus(new Path(store)).map(_.getPath.getName)
+      .filter(n => n.startsWith("batch=") || n.startsWith("fold="))
+      .sorted.toSeq
+    // generation fold: fold=<maxId> appears fully formed; the folded
+    // batch dirs STAY on disk for one generation (in-flight-reader
+    // retention) and readers ignore everything at or below the fold's
+    // upto — so the summary must not double-count
     GlobalSketch.compactSketches(spark, store, k)
-    assert(batchDirs == Seq("batch=2"), s"store not folded to max id: $batchDirs")
+    assert(dirs == Seq("batch=0", "batch=1", "batch=2", "fold=2"),
+      s"first fold generation: $dirs")
     assert(GlobalSketch.globalTopK(spark, store, k).collect().toSeq == before,
-      "compaction changed the global summary")
-    org.apache.hadoop.fs.FileUtil.copy(fs, saved,
-      fs, new Path(s"$store/batch=0"), false,
-      spark.sparkContext.hadoopConfiguration)
-    assert(GlobalSketch.globalTopK(spark, store, k).collect().toSeq == before,
-      "a crash-stranded folded dir double-counted the summary")
-    GlobalSketch.compactSketches(spark, store, k)
-    assert(batchDirs == Seq("batch=2"),
-      s"interrupted cleanup was not completed: $batchDirs")
+      "compaction changed the global summary (superseded dirs double-counted?)")
+    // a crash mid-fold strands _compact_tmp: readers ignore it, the
+    // next compact call deletes it at entry
+    fs.mkdirs(new Path(s"$store/_compact_tmp"))
     assert(GlobalSketch.globalTopK(spark, store, k).collect().toSeq == before)
+    GlobalSketch.compactSketches(spark, store, k) // live = {fold=2}: no-op
+    assert(!fs.exists(new Path(s"$store/_compact_tmp")),
+      "stranded _compact_tmp was not cleaned")
+    assert(dirs == Seq("batch=0", "batch=1", "batch=2", "fold=2"))
     // a restarted stream with nothing new replays no batch; the store
     // and summary stay put
     run()
     assert(GlobalSketch.globalTopK(spark, store, k).collect().toSeq == before)
-    // new data lands at batch id 3 alongside the folded row
+    // new data lands at batch id 3 alongside the fold
     writeNdjson(src, "f4.ndjson", Seq.fill(12)(2L).map(x => s"""{"key": $x}"""))
     run()
     val after = GlobalSketch.globalTopK(spark, store, k).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(after(1L) == 45L && after(2L) == 32L, s"post-compaction counts: $after")
+    // the next fold supersedes the first generation: batches at or
+    // below the PREVIOUS fold's upto are finally swept
+    GlobalSketch.compactSketches(spark, store, k)
+    assert(dirs == Seq("batch=3", "fold=2", "fold=3"),
+      s"second fold generation: $dirs")
+    val after2 = GlobalSketch.globalTopK(spark, store, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after2 == after, "second fold changed the summary")
   }
 
-  test("s31/advice: stranded compaction aside stays readable; cleanup never touches a late arrival") {
+  test("s31/advice: generation retention never drops history; cleanup never touches a late arrival") {
     import graft.streaming.GlobalSketch
     import org.apache.hadoop.fs.Path
     val store = TestSpark.tmpDir("s31c") + "/mg"
@@ -1199,38 +1212,38 @@ class StreamingSpec extends AnyFunSuite {
         .coalesce(1).write.parquet(s"$store/batch=$id")
     def top: Map[Long, Long] = GlobalSketch.globalTopK(spark, store, k)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names = fs.listStatus(new Path(store)).map(_.getPath.getName)
+      .filter(n => n.startsWith("batch=") || n.startsWith("fold="))
+      .sorted.toSeq
     putBatch(0L, 10L, 1L -> 10L)
     putBatch(1L, 5L, 2L -> 5L)
     putBatch(2L, 7L, 1L -> 7L)
     val before = top
     assert(before == Map(1L -> 17L, 2L -> 5L))
     GlobalSketch.compactSketches(spark, store, k)
-    // crash between the fold's aside rename and its tmp rename:
-    // batch=2 is missing and _compact_old_2 holds the live store —
-    // a reader must see the whole history through the stand-in
-    // (round-7 ADVICE: without it the gap persists until the next
-    // compact call, because readers never ran recovery)
-    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new Path(s"$store/batch=2"),
-      new Path(s"$store/_compact_old_2")))
-    assert(top == before, "stranded aside was dropped from the read set")
-    // the next compact restores the aside and the summary is unmoved
-    GlobalSketch.compactSketches(spark, store, k)
-    assert(fs.exists(new Path(s"$store/batch=2")) &&
-      !fs.exists(new Path(s"$store/_compact_old_2")))
-    assert(top == before)
-    // cleanup is derived from the marker rule (delete only ids BELOW
-    // the highest _folded_upto_), so a batch that lands between any
-    // two of compaction's steps — always carrying an id above every
-    // marker — can never be swept (round-7 ADVICE medium: the old
-    // filterNot(live) cleanup deleted exactly such arrivals)
+    // the fold commits as ONE rename of a fresh name (fold=2) — at no
+    // instant is any committed dir missing, so a reader listing
+    // between any two compaction steps sees a complete history. The
+    // superseded batch dirs stay one generation (readers ignore ids
+    // at or below the fold upto — no double count).
+    assert(names == Seq("batch=0", "batch=1", "batch=2", "fold=2"))
+    assert(top == before, "fold changed or double-counted the summary")
+    // a batch landing AFTER the fold always carries an id above the
+    // fold's upto (checkpointed ids are monotonic): it joins the read
+    // set immediately and no cleanup rule can ever select it
     putBatch(9L, 3L, 3L -> 3L)
+    assert(top == Map(1L -> 17L, 2L -> 5L, 3L -> 3L),
+      "a late-arriving batch was not read alongside the fold")
     GlobalSketch.compactSketches(spark, store, k)
     assert(top == Map(1L -> 17L, 2L -> 5L, 3L -> 3L),
       "a late-arriving batch was lost by compaction cleanup")
-    val names = fs.listStatus(new Path(store)).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).sorted.toSeq
-    assert(names == Seq("batch=9"), s"store not folded to max id: $names")
+    assert(names == Seq("batch=9", "fold=2", "fold=9"),
+      s"second generation shape: $names")
+    // one more fold pass: live = {fold=9} only — a no-op; the
+    // remaining superseded dirs wait for the NEXT real generation
+    GlobalSketch.compactSketches(spark, store, k)
+    assert(top == Map(1L -> 17L, 2L -> 5L, 3L -> 3L))
   }
 
   test("s33: streaming global quantiles — one-bin guarantee over the whole history") {
@@ -1277,30 +1290,39 @@ class StreamingSpec extends AnyFunSuite {
     // idempotent replay: no new files → identical store and estimates
     run()
     check()
-    // compaction: estimates identical; a crash-stranded superseded dir
-    // (restored copy) is ignored by the marker and cleaned next call
+    // compaction: the fold commits as one rename of a fresh
+    // fold=<upto> name; superseded batch dirs stay one generation
+    // (readers ignore ids at or below the upto — bin counts are
+    // ADDITIVE, so a double count would shift every estimate)
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(store))
-      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
-    assert(batchDirs.size >= 3)
-    // numeric max, not lexicographic (batch=10 sorts before batch=2)
-    val maxDir = "batch=" +
-      batchDirs.map(_.stripPrefix("batch=").toLong).max
-    val saved = new org.apache.hadoop.fs.Path(
-      TestSpark.tmpDir("s33-saved"), "batch=0")
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(s"$store/batch=0"),
-      fs, saved, false, spark.sparkContext.hadoopConfiguration)
+    def dirNames = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("batch=") || n.startsWith("fold="))
+      .sorted.toSeq
+    val batchIds = dirNames.filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    assert(batchIds.size >= 3)
+    val upto = batchIds.max
     GlobalSketch.compactHistogram(spark, store)
-    assert(batchDirs == Seq(maxDir), s"store not folded: $batchDirs")
+    assert(dirNames == batchIds.sorted.map("batch=" + _) :+ s"fold=$upto",
+      s"first fold generation: $dirNames")
+    check() // retained superseded dirs must not double-count
+    // stranded _compact_tmp from a crashed fold: ignored by readers,
+    // swept at the next call's entry
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$store/_compact_tmp"))
     check()
-    org.apache.hadoop.fs.FileUtil.copy(fs, saved,
-      fs, new org.apache.hadoop.fs.Path(s"$store/batch=0"), false,
-      spark.sparkContext.hadoopConfiguration)
-    check() // marker supersedes the stranded dir — no double count
     GlobalSketch.compactHistogram(spark, store)
-    assert(batchDirs == Seq(maxDir), s"interrupted cleanup not completed: $batchDirs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_compact_tmp")),
+      "stranded _compact_tmp was not cleaned")
+    check()
+    // a new batch + the next fold sweep the first generation
+    emit("f4.ndjson", Seq.fill(50)(rnd.nextDouble() * 1000))
+    run()
+    check()
+    GlobalSketch.compactHistogram(spark, store)
+    assert(dirNames == Seq(s"batch=${upto + 1}", s"fold=$upto",
+      s"fold=${upto + 1}"), s"second fold generation: $dirNames")
     check()
   }
 
@@ -1361,11 +1383,19 @@ class StreamingSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    def snapshot(day: String): Map[String, Long] =
-      new java.io.File(s"$lake/ingest_date=$day").listFiles()
-        .filter(f => f.isFile && !f.getName.startsWith("."))
-        .map(f => f.getName -> f.length()).toMap
-    def state = spark.read.parquet(lake).collect()
+    // recursive file listing of one day directory: under the snapshot
+    // protocol the data lives in version member dirs, so byte-identity
+    // must cover manifests, pointer, AND nested data files
+    def snapshot(day: String): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f))
+      val root = new java.io.File(s"$lake/ingest_date=$day")
+      walk(root).filter(f => !f.getName.startsWith("."))
+        .map(f => root.toPath.relativize(f.toPath).toString -> f.length())
+        .toMap
+    }
+    def state = graft.sources.Lake.read(spark, lake).collect()
       .map(r => r.getAs[String]("kid") -> r.getAs[String]("revenue")).toMap
     writeNdjson(src, "f1.ndjson", Seq(
       envLine("a", "amsterdam", "10.00", "1.0"),
