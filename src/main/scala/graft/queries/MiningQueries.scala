@@ -496,6 +496,75 @@ object MiningQueries {
       "doc_id", "len", capacity = 256, streams = 8)
       .transform(Det.emitWide(_, "doc_id"))
 
+  /** q159: language-balanced mixture downsampling — recompute per-
+    * stratum keep-rates FROM the corpus so the sampled mix is
+    * balanced to the smallest language (the data-mixing step that
+    * turns "90% English crawl" into an even per-language diet before
+    * training). Unlike q106 (caller-fixed rates) the rates here are
+    * DERIVED: cut_lang = ⌊min_cnt · 10000 / cnt_lang⌋ on the same
+    * 10000-grid integer hash draw as q106/q152 — every step is
+    * integer arithmetic, so the kept set is exact and replayable on
+    * any engine, any retry. Scale shape: one bounded (#langs)
+    * aggregate broadcasts back onto the corpus; the keep decision is
+    * a pure map-side compare — no data-sized shuffle at all. */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("lang"))
+    val cnts = base.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val minc = cnts.agg(min("cnt").as("min_cnt"))
+    val cuts = cnts.crossJoin(broadcast(minc))
+      .withColumn("cut", expr("min_cnt * 10000 div cnt"))
+      .select(col("lang"), col("cut"))
+    base
+      .join(broadcast(cuts), Seq("lang"))
+      .withColumn("draw", TextDedup.hashDraw("doc_id", salt = "mix"))
+      .where(col("draw") < col("cut"))
+      .select(col("doc_id"), col("lang"), col("draw"), col("cut"))
+      .transform(Det.emitWide(_, "doc_id"))
+  }
+
+  /** q160: per-language winsorized robust statistics over doc length —
+    * clamp n_chars to the exact p05/p95 ORDER STATISTICS (rank
+    * ⌈p·n⌉, pure integers — no interpolation, no float thresholds)
+    * and report the winsorized mean plus clip counts: the robust
+    * feature-normalization pass that keeps a handful of 100 MB crawl
+    * blobs from owning a mean. Scale shape: heavy state is the
+    * (lang, n_chars) count frame — map-side combinable, distributed
+    * like any hash aggregate; the per-lang cumulative window runs
+    * over that BOUNDED distinct-value frame (never over rows); the
+    * #langs-row threshold table broadcasts back for a map-side clamp.
+    * No task ever holds a language's row multiset (contrast a naive
+    * percentile_disc window over lang partitions). */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("lang"), col("n_chars"))
+    val cnts = base.groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cnts.withColumn("cum", sum("c").over(wCum))
+    val tot = base.groupBy("lang").agg(count(lit(1)).as("n"))
+    // rank ⌈p·n⌉ as exact integers: (5n + 99) div 100, (95n + 99) div 100
+    val th = cum.join(broadcast(tot), "lang")
+      .groupBy("lang")
+      .agg(
+        min(when(col("cum") >= expr("(5 * n + 99) div 100"),
+          col("n_chars"))).as("lo"),
+        min(when(col("cum") >= expr("(95 * n + 99) div 100"),
+          col("n_chars"))).as("hi"),
+        max("n").as("n"))
+    base.join(broadcast(th), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        max("n").as("n_docs"),
+        max("lo").as("p05"),
+        max("hi").as("p95"),
+        Det.r4e(avg(greatest(col("lo"),
+          least(col("hi"), col("n_chars"))))).as("wins_mean"),
+        sum(when(col("n_chars") < col("lo"), 1L)
+          .otherwise(0L)).as("clipped_lo"),
+        sum(when(col("n_chars") > col("hi"), 1L)
+          .otherwise(0L)).as("clipped_hi"))
+      .transform(Det.emit(_, "lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
@@ -514,7 +583,9 @@ object MiningQueries {
     "q142_source_reputation" -> q142,
     "q143_minhash_calibration" -> q143,
     "q157_histogram_quantiles" -> q157,
-    "q158_sequence_packing" -> q158)
+    "q158_sequence_packing" -> q158,
+    "q159_mixture_sample" -> q159,
+    "q160_winsorized_stats" -> q160)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -695,6 +766,41 @@ object MiningQueries {
                         ELSE greatest(0, 256 - r.len) END
             FROM walk w JOIN r ON r.stream = w.stream AND r.rn = w.rn + 1)
           SELECT doc_id, stream, bin FROM walk ORDER BY doc_id""",
+    "q159_mixture_sample" ->
+      """WITH c AS (SELECT lang, count(1) AS cnt FROM documents GROUP BY lang),
+          m AS (SELECT min(cnt) AS min_cnt FROM c),
+          cuts AS (SELECT lang, min_cnt * 10000 // cnt AS cut FROM c, m)
+          SELECT d.doc_id, d.lang,
+                 CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 10000 AS draw,
+                 cuts.cut AS cut
+          FROM documents d JOIN cuts ON d.lang = cuts.lang
+          WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 < cuts.cut
+          ORDER BY d.doc_id""",
+    "q160_winsorized_stats" ->
+      s"""WITH cnts AS (SELECT lang, n_chars, count(1) AS c
+                        FROM documents GROUP BY lang, n_chars),
+          cum AS (SELECT lang, n_chars, c,
+                         sum(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+                  FROM cnts),
+          tot AS (SELECT lang, count(1) AS n FROM documents GROUP BY lang),
+          th AS (SELECT cum.lang,
+                        min(CASE WHEN cum >= (5 * n + 99) // 100
+                                 THEN n_chars END) AS lo,
+                        min(CASE WHEN cum >= (95 * n + 99) // 100
+                                 THEN n_chars END) AS hi,
+                        max(n) AS n
+                 FROM cum JOIN tot ON cum.lang = tot.lang
+                 GROUP BY cum.lang)
+          SELECT d.lang, max(th.n) AS n_docs,
+                 max(th.lo) AS p05, max(th.hi) AS p95,
+                 round(avg(greatest(th.lo, least(th.hi, d.n_chars))) + ${Det.E4}, 4)
+                   AS wins_mean,
+                 sum(CASE WHEN d.n_chars < th.lo THEN 1 ELSE 0 END) AS clipped_lo,
+                 sum(CASE WHEN d.n_chars > th.hi THEN 1 ELSE 0 END) AS clipped_hi
+          FROM documents d JOIN th ON d.lang = th.lang
+          GROUP BY d.lang ORDER BY d.lang""",
     "q157_histogram_quantiles" ->
       s"""WITH daily AS (
             SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,

@@ -406,6 +406,28 @@ class PlanSpec extends AnyFunSuite {
       s"q158 shuffles more than stream+emit:\n$p158")
   }
 
+  test("q159/q160: round-9 key scale shapes") {
+    // q159: the #langs-row cut table broadcasts back onto the corpus;
+    // the keep decision is a map-side integer compare — the corpus is
+    // never shuffled (the only exchanges serve the bounded lang
+    // aggregate and the emit)
+    val p159 = plan("q159_mixture_sample")
+    assert(p159.contains("BroadcastHashJoin"),
+      s"q159 cut table must broadcast, not shuffle the corpus:\n$p159")
+    assert(!p159.contains("SortMergeJoin"),
+      s"q159 shuffled the corpus for a bounded-side join:\n$p159")
+    // q160: heavy state is the (lang, n_chars) count frame — partial
+    // aggregation must combine map-side; the threshold table joins
+    // back as a broadcast; the cumulative window runs over the counts
+    // frame, never over raw rows
+    val p160 = plan("q160_winsorized_stats")
+    assert(p160.contains("partial_count") || p160.contains("partial"),
+      s"q160 lost map-side partials:\n$p160")
+    assert(p160.contains("BroadcastHashJoin") &&
+      !p160.contains("SortMergeJoin"),
+      s"q160 thresholds must broadcast back:\n$p160")
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —
