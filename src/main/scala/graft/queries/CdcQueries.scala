@@ -153,13 +153,88 @@ object CdcQueries {
       .transform(Det.emitWide(_, "user_id"))
   }
 
+  /** Per-app fixture store dirs (the q145/q149 pattern): unique per
+    * (tag, app, sf) so concurrent runs never clobber each other, and
+    * reclaimed at JVM exit so bench loops don't leak tmp dirs. */
+  private val fixtureStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val fixtureCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      fixtureStores.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }))
+  private def fixtureStore(s: SparkSession, tag: String, d: String): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_store_${tag}_" +
+      s.sparkContext.applicationId + "_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    fixtureStores.add(path)
+    fixtureCleanup
+    path
+  }
+
+  /** q161: snapshot version DIFF — "what changed between store version
+    * 1 and version 2?", answered from TIME TRAVEL over the versioned
+    * merge store (the jar-free versionAsOf): build v1 from a keyed
+    * orders projection, MERGE a second batch of updates (+1.00 price
+    * on keys ≡0 mod 5), deletes (keys ≡0 mod 11, tombstoned), and
+    * inserts (keys ≡0 mod 3 ∧ ≡0 mod 7), then full-outer join
+    * `readStoreAt(v1)` against `readStoreAt(v2)` on the key: _op =
+    * insert / delete / update (update detected on the null-safe ORDER
+    * tuple, the same rule the merge change feed uses). The oracle
+    * reconstructs both versions RELATIONALLY from orders — if the
+    * store's swap, retention, or manifest machinery dropped or
+    * duplicated a row, the reconstruction diverges and the hash
+    * catches it. Scale shape: the diff is one key-keyed full-outer
+    * join (both sides fact-sized — the necessary shuffle); everything
+    * else is the merge protocol's own bounded work. */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val dir = fixtureStore(s, "snapdiff", d)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val base = orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+    val b1 = base.where(col("k") % 3 =!= 0)
+      .withColumn("ver", lit(1L)).withColumn("is_delete", lit(false))
+    graft.sources.Lake.mergeInto(s, dir, b1,
+      Seq("k"), Seq("ver"), Some(col("is_delete")))
+    val upd = base.where(col("k") % 3 =!= 0 && col("k") % 5 === 0)
+      .withColumn("price", col("price") + 1.0)
+      .withColumn("is_delete", lit(false))
+    val del = base.where(col("k") % 3 =!= 0 && col("k") % 11 === 0 &&
+        col("k") % 5 =!= 0)
+      .withColumn("is_delete", lit(true))
+    val ins = base.where(col("k") % 3 === 0 && col("k") % 7 === 0)
+      .withColumn("is_delete", lit(false))
+    val b2 = upd.unionByName(del).unionByName(ins)
+      .withColumn("ver", lit(2L))
+    graft.sources.Lake.mergeInto(s, dir, b2,
+      Seq("k"), Seq("ver"), Some(col("is_delete")))
+    val old = graft.sources.Lake.readStoreAt(s, dir, 1L)
+      .select(col("k"), col("ver").as("ver_old"), col("price").as("price_old"))
+    val neu = graft.sources.Lake.readStoreAt(s, dir, 2L)
+      .select(col("k"), col("ver").as("ver_new"), col("price").as("price_new"))
+    old.join(neu, Seq("k"), "full_outer")
+      .withColumn("op",
+        when(col("ver_old").isNull, "insert")
+          .when(col("ver_new").isNull, "delete")
+          .when(!(col("ver_old") <=> col("ver_new")), "update"))
+      .where(col("op").isNotNull)
+      .select(col("k"), col("op"), col("price_old"), col("price_new"))
+      .transform(Det.emitWide(_, "k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cdc_envelope_roundtrip" -> q60,
     "q61_cdc_latest_by_key" -> q61,
     "q62_cdc_dedup" -> q62,
     "q63_cdc_delete_apply" -> q63,
     "q117_scd2_history" -> q117,
-    "q136_scd2_asof" -> q136)
+    "q136_scd2_asof" -> q136,
+    "q161_snapshot_diff" -> q161)
 
   val oracles: Map[String, String] = Map(
     // Oracle aggregates the base tables directly — the JSON round-trip
@@ -225,5 +300,22 @@ object CdcQueries {
          FROM v
          WHERE tsec <= TIMESTAMP '2024-01-15 00:00:00'
            AND (vt IS NULL OR vt > TIMESTAMP '2024-01-15 00:00:00')
-         ORDER BY user_id""")
+         ORDER BY user_id""",
+    // The oracle reconstructs both store versions relationally from
+    // orders (it never sees the store): any row the snapshot protocol
+    // dropped, duplicated, or failed to version diverges the hash.
+    "q161_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS price
+                     FROM orders WHERE o_orderkey % 3 <> 0)
+         SELECT k, 'update' AS op, price AS price_old,
+                price + 1.0 AS price_new
+         FROM v1 WHERE k % 5 = 0
+         UNION ALL
+         SELECT k, 'delete' AS op, price AS price_old, NULL AS price_new
+         FROM v1 WHERE k % 11 = 0 AND k % 5 <> 0
+         UNION ALL
+         SELECT o_orderkey AS k, 'insert' AS op, NULL AS price_old,
+                o_totalprice AS price_new
+         FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+         ORDER BY k""")
 }
