@@ -210,7 +210,12 @@ object Lake {
     * `changeDir/merge=<k>` directory — `_op` ∈ insert/update/delete
     * plus the post-image (key-only for deletes), so downstream
     * consumers chain INCREMENTALLY off the merged table instead of
-    * diffing snapshots. A replayed batch merges to the identical state
+    * diffing snapshots. With `cdfPreImages` the feed takes Delta's
+    * four-valued shape instead — insert / update_preimage /
+    * update_postimage / delete-with-full-pre-image — which makes it
+    * SUBTRACTABLE: an aggregate view applies +post −pre per group
+    * (`examples.IncrementalView`) with no store re-read, group
+    * migrations included. A replayed batch merges to the identical state
     * and publishes NOTHING (same key+version = no change) — the feed
     * inherits the merge's idempotence. The staged diff is VERSION-
     * STAMPED (`_cdf_v<n>` inside the store, where n is the snapshot
@@ -243,7 +248,8 @@ object Lake {
   def mergeInto(spark: SparkSession, targetDir: String, updates: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String],
       isDelete: Option[org.apache.spark.sql.Column] = None,
-      changeDir: Option[String] = None): Unit = {
+      changeDir: Option[String] = None,
+      cdfPreImages: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val target = new Path(targetDir)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -329,8 +335,31 @@ object Lake {
         .select(keyCols.map(col) :+ col("_op"): _*)
       // the diff plan (two joins over the old store) feeds both the
       // emptiness probe and the write — one computation, not two
-      val changes = ops.join(newT, keyCols, "left")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changes = (if (!cdfPreImages) ops.join(newT, keyCols, "left")
+      else {
+        // Delta-CDF-shaped feed (opt-in): updates publish BOTH images
+        // (`update_preimage` from the old snapshot, `update_postimage`
+        // from the new), deletes carry the full pre-image instead of
+        // key-only. Pre-images are what make the feed SUBTRACTABLE —
+        // an incremental aggregate consumer (examples.IncrementalView)
+        // applies +post −pre per group without ever re-reading the
+        // store, including when an update migrates a row across
+        // groups. Cost: one more key-keyed join against the old
+        // snapshot, only on the changed keys.
+        val post = ops.where(col("_op") =!= "delete")
+          .join(newT, keyCols, "left")
+          .withColumn("_op", when(col("_op") === "update",
+            "update_postimage").otherwise(col("_op")))
+        val pre = current match {
+          case Some(c) =>
+            ops.where(col("_op").isin("update", "delete"))
+              .join(c, keyCols, "left")
+              .withColumn("_op", when(col("_op") === "update",
+                "update_preimage").otherwise(col("_op")))
+          case None => post.limit(0) // first merge: inserts only
+        }
+        post.unionByName(pre, allowMissingColumns = true)
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (!changes.isEmpty)
           changes.write.mode("overwrite").parquet(cdfStage.toString)
@@ -423,7 +452,8 @@ object Lake {
       updates: DataFrame, partCol: String,
       keyCols: Seq[String], orderCols: Seq[String],
       isDelete: Option[org.apache.spark.sql.Column] = None,
-      changeDir: Option[String] = None): Seq[String] = {
+      changeDir: Option[String] = None,
+      cdfPreImages: Boolean = false): Seq[String] = {
     // the batch feeds the distinct probe plus one filtered pass per
     // touched partition — pin it for the loop's duration (idempotent
     // guard: a bench loop may re-merge an already-cached plan)
@@ -450,7 +480,7 @@ object Lake {
           .escapePathName(v)
         mergeInto(spark, s"$lakeRoot/$partCol=$esc", sub,
           keyCols, orderCols, isDelete,
-          changeDir.map(cd => s"$cd/$partCol=$esc"))
+          changeDir.map(cd => s"$cd/$partCol=$esc"), cdfPreImages)
       }
       touched.toSeq
     } finally {

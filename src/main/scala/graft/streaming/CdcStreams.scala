@@ -288,18 +288,19 @@ object CdcStreams {
       keyCols: Seq[String], orderCols: Seq[String],
       isDeleteCol: Option[String] = None,
       partitionCol: Option[String] = None,
-      changeDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+      changeDir: Option[String] = None,
+      cdfPreImages: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         partitionCol match {
           case Some(pc) =>
             graft.sources.Lake.mergeIntoPartitioned(batch.sparkSession,
               targetDir, batch, pc, keyCols, orderCols, isDeleteCol.map(col),
-              changeDir)
+              changeDir, cdfPreImages)
             ()
           case None =>
             graft.sources.Lake.mergeInto(batch.sparkSession, targetDir, batch,
-              keyCols, orderCols, isDeleteCol.map(col), changeDir)
+              keyCols, orderCols, isDeleteCol.map(col), changeDir, cdfPreImages)
         }
       }
       .option("checkpointLocation", checkpoint)

@@ -715,6 +715,80 @@ class OperatorSpec extends AnyFunSuite {
       s"null-versioned row's update was dropped from the feed: $feed")
   }
 
+  test("IncrementalView: exact maintenance from the pre-image change feed") {
+    import org.apache.hadoop.fs.Path
+    import graft.examples.IncrementalView
+    val base = TestSpark.tmpDir("inc-view")
+    val dir = s"$base/t"; val cdf = s"$base/changes"; val viewDir = s"$base/view"
+    def df(rows: (Long, String, Long, Long, Boolean)*) =
+      rows.toDF("k", "g", "x", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true)
+    def refresh(): Long =
+      IncrementalView.refresh(spark, viewDir, cdf, Seq("g"), Seq("x"))
+    def viewMap = IncrementalView.read(spark, viewDir).collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_x"))).toMap
+    // the ground truth the view must always equal: a full recompute
+    // over the merged base store
+    def recompute = graft.sources.Lake.readStore(spark, dir)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sx"))).toMap
+    val view = new Path(viewDir)
+    val fs = view.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    merge(df((1L, "a", 10L, 1L, false), (2L, "a", 5L, 1L, false),
+      (3L, "b", 7L, 1L, false)))
+    assert(refresh() == 0L)
+    assert(viewMap == Map("a" -> (2L, 15L), "b" -> (1L, 7L)))
+    assert(viewMap == recompute)
+    // nothing pending: refresh is a no-op (no new view version)
+    val v1 = graft.sources.Snapshot.currentVersion(fs, view).get
+    assert(refresh() == 0L)
+    assert(graft.sources.Snapshot.currentVersion(fs, view).get == v1,
+      "an empty refresh committed a new view version")
+    // one merge carrying an in-group update (x 5→6), a GROUP
+    // MIGRATION (k=3 moves b→c), and a delete (k=1): the view needs
+    // pre-images for all three — a post-only feed cannot subtract
+    merge(df((2L, "a", 6L, 2L, false), (3L, "c", 7L, 2L, false),
+      (1L, "a", 10L, 2L, true)))
+    assert(refresh() == 1L)
+    assert(viewMap == Map("a" -> (1L, 6L), "c" -> (1L, 7L)),
+      s"delta application wrong: $viewMap")
+    assert(viewMap == recompute)
+    assert(!viewMap.contains("b"), "a zero-count group stayed in the view")
+    // a crash-replayed merge publishes an EMPTY feed → the view does
+    // not move (exactly-once end-to-end)
+    merge(df((2L, "a", 6L, 2L, false), (3L, "c", 7L, 2L, false),
+      (1L, "a", 10L, 2L, true)))
+    assert(refresh() == 1L)
+    assert(viewMap == recompute)
+    // crash BEFORE the view commit: a stranded staging dir from a
+    // dead refresh is deleted and recomputed — same deltas, same
+    // result
+    merge(df((4L, "a", 100L, 3L, false)))
+    val strandName = graft.sources.Snapshot.stageDirName(fs, view, "view")
+    df((99L, "zz", 0L, 0L, false)).write.parquet(
+      graft.sources.Snapshot.stagePath(view, strandName).toString)
+    assert(refresh() == 2L)
+    assert(viewMap == Map("a" -> (2L, 106L), "c" -> (1L, 7L)))
+    assert(viewMap == recompute)
+    // a feed published WITHOUT pre-images fails loudly at the first
+    // non-insert op (a post-only update cannot be subtracted)
+    val dir2 = s"$base/t2"; val cdf2 = s"$base/changes2"
+    def merge2(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir2, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = Some(cdf2))
+    merge2(df((1L, "a", 1L, 1L, false)))
+    merge2(df((1L, "a", 2L, 2L, false)))
+    intercept[Exception] {
+      IncrementalView.refresh(spark, s"$base/view2", cdf2, Seq("g"), Seq("x"))
+    }
+  }
+
   test("Lake.publishCdfAt refuses to overwrite an existing feed entry (single-writer guard)") {
     import org.apache.hadoop.fs.Path
     val base = TestSpark.tmpDir("cdf-guard")
