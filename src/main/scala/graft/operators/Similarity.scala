@@ -187,6 +187,88 @@ object Similarity {
     else idx
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein '98) —
+    * the retrieval-diversification step between candidate generation
+    * and prompt assembly: from each query's `topN` highest-cosine
+    * candidates, greedily select `k` maximizing
+    *
+    *   λ·rel(q, c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * so near-duplicate passages don't crowd out coverage. Returns
+    * (qid, rank, vec_id, score); rank 1's score is its relevance (the
+    * penalty term has no selected set yet).
+    *
+    * Scale shape: the query frame broadcasts (queries are few by
+    * contract); relevance is one map-side codegen'd cosine pass over
+    * the corpus; the per-query top-N short-circuits through the
+    * rank-limit window (WindowGroupLimit — bounded state, no global
+    * sort); pair similarities and the greedy walk run on N rows and
+    * N² sims PER QUERY — bounded by topN, independent of corpus size.
+    * The walk itself is the textbook non-associative sequential
+    * chain (each pick changes every later score), so it runs as a
+    * typed flatMap over one packed row per query — never more than
+    * #queries rows leave the bounded stage. Decisions compare doubles
+    * derived from 4dp-ROUNDED rel/sim inputs with identical
+    * arithmetic on every engine, ties break on the candidate id —
+    * fully deterministic (the q158 discipline), which is what lets a
+    * DuckDB oracle replay the walk stage by stage. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, qvecCol: String,
+      topN: Int, k: Int, lambda: Double): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.CosineSim.register(s)
+    val mu = 1.0 - lambda
+    val rels = corpus.crossJoin(broadcast(queries))
+      .select(col(qidCol).cast("long").as("qid"),
+        col(idCol).cast("long").as("cid"), col(vecCol).as("cv"),
+        graft.queries.Det.r4e(expr(s"cosine_sim(`$vecCol`, `$qvecCol`)"))
+          .as("rel"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rel").desc, col("cid").asc)
+    val topn = graft.queries.Det.pin(
+      rels.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= topN).drop("__rn"))
+    val a = topn.select(col("qid"), col("cid").as("ci"), col("cv").as("av"))
+    val b = topn.select(col("qid").as("__qid2"), col("cid").as("cj"),
+      col("cv").as("bv"))
+    val sims = a.join(b,
+        col("qid") === col("__qid2") && col("ci") =!= col("cj"))
+      .select(col("qid"), col("ci"), col("cj"),
+        graft.queries.Det.r4e(expr("cosine_sim(`av`, `bv`)")).as("sim"))
+    val packedR = topn.groupBy("qid").agg(collect_list(
+      struct(col("cid").as("_1"), col("rel").as("_2"))).as("cands"))
+    val packedS = sims.groupBy("qid").agg(collect_list(
+      struct(col("ci").as("_1"), col("cj").as("_2"),
+        col("sim").as("_3"))).as("sims"))
+    val walked = packedR.join(packedS, Seq("qid"))
+      .select(col("qid").cast("long"), col("cands"), col("sims"))
+      .as[(Long, Seq[(Long, Double)], Seq[(Long, Long, Double)])]
+      .flatMap { case (qid, cands, simRows) =>
+        val simOf = simRows.map { case (x, y, v) => ((x, y), v) }.toMap
+        val byScore = cands.sortBy { case (id, r) => (-r, id) }
+        val first = byScore.head
+        var selected = Vector(first._1)
+        var out = Vector((qid, 1, first._1, first._2))
+        var remaining = byScore.tail.toVector
+        for (step <- 2 to math.min(k, cands.size)) {
+          val scored = remaining.map { case (id, r) =>
+            val ms = selected
+              .map(sid => simOf.getOrElse((id, sid), 0.0)).max
+            (id, lambda * r - mu * ms)
+          }
+          val (pid, pscore) = scored.minBy { case (id, sc) => (-sc, id) }
+          selected = selected :+ pid
+          out = out :+ ((qid, step, pid, pscore))
+          remaining = remaining.filter(_._1 != pid)
+        }
+        out
+      }
+    walked.toDF("qid", "rank", "vec_id", "score")
+      .withColumn("score", graft.queries.Det.r4e(col("score")))
+  }
+
   /** Persist a `buildIvfIndex` frame to parquet — the across-SESSION
     * form of the pin: a serving deployment builds the index once
     * (full corpus pass) and every later session `readIvfIndex`s it

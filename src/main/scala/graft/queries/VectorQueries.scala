@@ -125,13 +125,95 @@ object VectorQueries {
       .transform(Det.emitWide(_, "vec_id"))
   }
 
+  /** q162: MMR diversified re-rank (see `Similarity.mmrRerank`) — 4
+    * query vectors (vec_id < 4), top-12 cosine candidates each, k=5
+    * greedy picks at λ=0.7. The DuckDB oracle replays the greedy walk
+    * as FIVE unrolled CTE stages (argmax per stage via a window over
+    * the rounded scores, exclusion via anti-join on the selected set)
+    * — an independent formulation of the same chain, so the
+    * hash-match proves every pick and every penalty term. */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val em = embeddings(s, d)
+    val qs = em.where(col("vec_id") < 4)
+      .select(col("vec_id").as("__qid"), col("embedding").as("__qv"))
+    graft.operators.Similarity.mmrRerank(
+        em.where(col("vec_id") >= 4), qs, "vec_id", "embedding",
+        "__qid", "__qv", topN = 12, k = 5, lambda = 0.7)
+      .transform(Det.emitWide(_, "qid", "rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_vec_norm" -> q83, "q84_vec_cosine_topk" -> q84,
     "q85_vec_centroid" -> q85, "q90_embed_neardup" -> q90,
     "q95_ann_ivf" -> q95, "q100_knn_join" -> q100,
-    "q113_rp_lsh_pairs" -> q113, "q114_vec_quantize" -> q114)
+    "q113_rp_lsh_pairs" -> q113, "q114_vec_quantize" -> q114,
+    "q162_mmr_rerank" -> q162)
+
+  /** q162's oracle: the MMR greedy walk unrolled into five CTE stages
+    * (generated — each stage scores the not-yet-selected candidates
+    * against the previous stage's selected set and argmaxes via a
+    * window). Independent formulation of `Similarity.mmrRerank`'s
+    * sequential chain; every pick and penalty must agree to 4dp. */
+  private val mmrOracle: String = {
+    val stages = (2 to 5).map { i =>
+      s"""pick$i AS (
+            SELECT qid, cid, score FROM (
+              SELECT t.qid, t.cid, 0.7*t.rel - (1 - 0.7)*max(s.sim) AS score
+              FROM topn t
+              JOIN sel${i - 1} v ON v.qid = t.qid
+              JOIN sims s ON s.qid = t.qid AND s.ci = t.cid AND s.cj = v.cid
+              LEFT JOIN sel${i - 1} e ON e.qid = t.qid AND e.cid = t.cid
+              WHERE e.cid IS NULL
+              GROUP BY t.qid, t.cid, t.rel)
+            QUALIFY row_number() OVER (PARTITION BY qid
+              ORDER BY score DESC, cid) = 1),
+          sel$i AS (SELECT qid, cid FROM sel${i - 1}
+                    UNION ALL SELECT qid, cid FROM pick$i)"""
+    }.mkString(",\n")
+    val finals = (2 to 5).map { i =>
+      s"""SELECT qid, CAST($i AS INT) AS rank, cid AS vec_id,
+             round(score + ${Det.E4}, 4) AS score FROM pick$i"""
+    }.mkString("\n UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                   FROM embeddings WHERE vec_id < 4),
+        c AS (SELECT vec_id AS cid, embedding AS cv
+              FROM embeddings WHERE vec_id >= 4),
+        pr AS (SELECT q.qid, c.cid,
+                      unnest(list_transform(c.cv, x -> CAST(x AS DOUBLE))) AS x,
+                      unnest(list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS y
+               FROM c CROSS JOIN q),
+        rm AS (SELECT qid, cid, sum(x*y) AS dot,
+                      sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+               FROM pr GROUP BY qid, cid),
+        reln AS (SELECT qid, cid,
+                        round(dot/(na*nb) + ${Det.E4}, 4) AS rel FROM rm),
+        topn AS (SELECT qid, cid, rel FROM reln
+                 QUALIFY row_number() OVER (PARTITION BY qid
+                   ORDER BY rel DESC, cid) <= 12),
+        pp AS (SELECT a.qid, a.cid AS ci, b.cid AS cj,
+                      unnest(list_transform(ca.cv, x -> CAST(x AS DOUBLE))) AS x,
+                      unnest(list_transform(cb.cv, x -> CAST(x AS DOUBLE))) AS y
+               FROM topn a JOIN topn b ON a.qid = b.qid AND a.cid <> b.cid
+               JOIN c ca ON ca.cid = a.cid
+               JOIN c cb ON cb.cid = b.cid),
+        pm AS (SELECT qid, ci, cj, sum(x*y) AS dot,
+                      sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+               FROM pp GROUP BY qid, ci, cj),
+        sims AS (SELECT qid, ci, cj,
+                        round(dot/(na*nb) + ${Det.E4}, 4) AS sim FROM pm),
+        pick1 AS (SELECT qid, cid, rel AS score FROM topn
+                  QUALIFY row_number() OVER (PARTITION BY qid
+                    ORDER BY rel DESC, cid) = 1),
+        sel1 AS (SELECT qid, cid FROM pick1),
+        $stages
+        SELECT qid, CAST(1 AS INT) AS rank, cid AS vec_id,
+               round(score + ${Det.E4}, 4) AS score FROM pick1
+        UNION ALL $finals
+        ORDER BY qid, rank"""
+  }
 
   val oracles: Map[String, String] = Map(
+    "q162_mmr_rerank" -> mmrOracle,
     "q113_rp_lsh_pairs" ->
       """WITH w AS (SELECT j, i,
                 CASE WHEN CAST('0x' || substr(md5('rp' || CAST(j AS VARCHAR)

@@ -534,6 +534,33 @@ class OperatorSpec extends AnyFunSuite {
     } finally index.unpersist()
   }
 
+  test("mmrRerank: brute-force parity, diversity penalty, short corpus") {
+    import graft.operators.Similarity
+    // tiny corpus engineered so pure-relevance and MMR DISAGREE: c1/c2
+    // are near-duplicates both close to the query; c3 is farther from
+    // q but orthogonal to c1 — relevance ranks (c1, c2), MMR must pick
+    // (c1, c3) at rank 2 because c2's similarity penalty dominates
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("qid", "qv")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f)),   // c1: rel ~0.994
+      (11L, Array(0.9f, 0.11f, 0.0f)),  // c2: near-dup of c1, rel ~0.993
+      (12L, Array(0.5f, 0.0f, 0.86f)))  // c3: rel ~0.5, orthogonal-ish
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+        "qid", "qv", topN = 10, k = 2, lambda = 0.5)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id")))
+      .sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(10L, 12L),
+      s"MMR did not diversify: ${out.toSeq}")
+    // fewer candidates than k: the walk emits what exists, in order
+    val short = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+        "qid", "qv", topN = 10, k = 5, lambda = 0.7)
+      .collect()
+    assert(short.length == 3, s"short corpus emitted ${short.length} rows")
+    assert(short.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("q28 approx distinct within 5% of exact") {
     val approx = SparkEntry.queries("q28_agg_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -426,6 +426,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p160.contains("BroadcastHashJoin") &&
       !p160.contains("SortMergeJoin"),
       s"q160 thresholds must broadcast back:\n$p160")
+    // q162: the per-query top-N must short-circuit through
+    // WindowGroupLimit (partial map-side rank limit before the
+    // shuffle — bounded state at any corpus size); everything after
+    // runs on #queries × topN rows
+    val p162 = plan("q162_mmr_rerank")
+    assert(p162.contains("WindowGroupLimit"),
+      s"q162 lost the rank-limit pushdown:\n$p162")
   }
 
   test("q60: envelope pipeline is map-side until the group-by") {
