@@ -1364,6 +1364,59 @@ class StreamingSpec extends AnyFunSuite {
     check()
   }
 
+  test("s37: streaming merge + pre-image feed keep an incremental view fresh") {
+    import graft.examples.IncrementalView
+    val src = TestSpark.tmpDir("s37-src")
+    val table = TestSpark.tmpDir("s37-tbl") + "/t"
+    val cdf = TestSpark.tmpDir("s37-tbl") + "/changes"
+    val viewDir = TestSpark.tmpDir("s37-tbl") + "/view"
+    val chk = TestSpark.tmpDir("s37-chk")
+    def run(): Unit = {
+      val post = CdcStreams.postImages(
+          CdcStreams.readEnvelopeStream(spark, src, rideSchema))
+        .withColumn("kid", element_at(col("key"), 2))
+        .withColumn("hlc", col("updated").cast("double"))
+        // exact-in-binary revenue values below keep the signed-delta
+        // fold bit-identical to a recompute
+        .withColumn("rev", col("revenue").cast("double"))
+      val q = CdcStreams.mergeSink(post, table, chk,
+          Seq("kid"), Seq("hlc"), isDeleteCol = Some("is_delete"),
+          changeDir = Some(cdf), cdfPreImages = true)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def refresh(): Long =
+      IncrementalView.refresh(spark, viewDir, cdf, Seq("city"), Seq("rev"))
+    def viewMap = IncrementalView.read(spark, viewDir).collect()
+      .map(r => r.getAs[String]("city") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_rev"))).toMap
+    def recompute = graft.sources.Lake.readStore(spark, table)
+      .groupBy("city").agg(count(lit(1)).as("n"), sum("rev").as("s"))
+      .collect().map(r => r.getAs[String]("city") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("s"))).toMap
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.25", "1.0"),
+      envLine("b", "boston", "5.50", "2.0"),
+      envLine("c", "amsterdam", "4.75", "2.5")))
+    run(); refresh()
+    assert(viewMap == Map("amsterdam" -> (2L, 15.0), "boston" -> (1L, 5.5)))
+    assert(viewMap == recompute)
+    // restart: update a (10.25 -> 12.25), move c to boston, delete b
+    writeNdjson(src, "f2.ndjson", Seq(
+      envLine("a", "amsterdam", "12.25", "3.0"),
+      envLine("c", "boston", "4.75", "3.5"),
+      """{"after": null, "key": ["boston", "b"], "updated": "4.0"}"""))
+    run(); refresh()
+    assert(viewMap == Map("amsterdam" -> (1L, 12.25), "boston" -> (1L, 4.75)),
+      s"streamed deltas mis-applied: $viewMap")
+    assert(viewMap == recompute)
+    // replay with nothing new: no feed entry, no view movement
+    run()
+    val upto = refresh()
+    assert(viewMap == recompute)
+    assert(refresh() == upto)
+  }
+
   test("s30b: partition-routed merge sink rewrites only touched day-directories") {
     val src = TestSpark.tmpDir("s30b-src")
     val lake = TestSpark.tmpDir("s30b-lake") + "/lake"
