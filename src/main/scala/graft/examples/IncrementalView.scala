@@ -126,4 +126,50 @@ object IncrementalView {
   /** The view as a DataFrame (groupCols, n, sum_<c>…). */
   def read(spark: SparkSession, viewDir: String): DataFrame =
     Lake.readStore(spark, viewDir)
+
+  /** The partitioned-lake form: `mergeIntoPartitioned` publishes its
+    * feed one level deeper (`changeRoot/<partCol>=<v>/merge=<k>`,
+    * with ids monotonic PER PARTITION), so the view keeps one
+    * sub-view store per partition — `refresh` applied verbatim per
+    * directory, each with its own applied-upto marker. That is also
+    * the scalable shape: partitions maintain independently (a night
+    * touching 2 days folds 2 small feeds) and could run in parallel.
+    * Returns the partition dir names that had pending entries. */
+  def refreshPartitioned(spark: SparkSession, viewRoot: String,
+      changeRoot: String, partCol: String,
+      groupCols: Seq[String], sumCols: Seq[String]): Seq[String] = {
+    val cr = new Path(changeRoot)
+    val fs = cr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cr)) return Nil
+    val parts = fs.listStatus(cr).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol=")).sorted.toSeq
+    parts.filter { p =>
+      if (pendingFeedIds(spark, s"$viewRoot/$p", s"$changeRoot/$p").isEmpty)
+        false
+      else {
+        refresh(spark, s"$viewRoot/$p", s"$changeRoot/$p",
+          groupCols, sumCols)
+        true
+      }
+    }
+  }
+
+  /** The whole-lake view from the per-partition sub-views: union and
+    * re-aggregate — counts and sums add across partitions, so this is
+    * a bounded (#partitions × #groups rows) aggregate, never a base
+    * scan. */
+  def readPartitioned(spark: SparkSession, viewRoot: String,
+      groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val vr = new Path(viewRoot)
+    val fs = vr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subs = fs.listStatus(vr).filter(_.isDirectory).map(_.getPath)
+      .filter(p => Snapshot.currentVersion(fs, p).isDefined)
+    require(subs.nonEmpty, s"no sub-views under $viewRoot")
+    subs.map(p => Lake.readStore(spark, p.toString))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("n").as("n"),
+        sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
+  }
 }

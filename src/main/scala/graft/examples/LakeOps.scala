@@ -45,14 +45,27 @@ object LakeOps {
 
   /** One maintenance cycle over `lake`. `updates` carries the night's
     * rows INCLUDING the `ingest_date` string column and, optionally,
-    * an `is_delete` tombstone column. Returns the touched days. */
+    * an `is_delete` tombstone column. Returns the touched days.
+    *
+    * With `changeDir` + `viewDir` + `viewGroupCols`, the night also
+    * maintains a grouped count/sum MATERIALIZED VIEW from the night's
+    * own change feed (step 5): the feed is published with pre-images
+    * and `IncrementalView.refreshPartitioned` folds each touched
+    * day's diff into its sub-view — the view stays fresh without ever
+    * rescanning the lake, and a crash between merge and refresh
+    * re-runs as a no-op merge (empty feed) + the pending refresh. */
   def runNightly(spark: SparkSession, lake: String, updates: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String],
       isDeleteCol: Option[String] = None,
       compactTargetBytes: Long = 128L << 20,
       zorderCols: Seq[String] = Nil, zorderDay: Option[String] = None,
       zorderOut: Option[String] = None,
-      changeDir: Option[String] = None): Seq[String] = {
+      changeDir: Option[String] = None,
+      viewDir: Option[String] = None,
+      viewGroupCols: Seq[String] = Nil,
+      viewSumCols: Seq[String] = Nil): Seq[String] = {
+    require(viewDir.isEmpty || (changeDir.isDefined && viewGroupCols.nonEmpty),
+      "runNightly: a materialized view needs changeDir and viewGroupCols")
     // 1+2 fused: the MERGE is the ingest — it inserts unseen keys,
     // applies updates, and deletes tombstoned keys per touched day,
     // and replaying the same batch after a crash is a no-op (the CDC
@@ -60,7 +73,8 @@ object LakeOps {
     // `changeDir`, each night also publishes its row-level change feed
     // so downstream consumers chain incrementally off the lake.
     val touched = Lake.mergeIntoPartitioned(spark, lake, updates,
-      "ingest_date", keyCols, orderCols, isDeleteCol.map(col), changeDir)
+      "ingest_date", keyCols, orderCols, isDeleteCol.map(col), changeDir,
+      cdfPreImages = viewDir.isDefined)
     // 3: compaction per touched day (atomic snapshot commit)
     touched.foreach(day =>
       Lake.compactDay(spark, lake, day, compactTargetBytes))
@@ -71,6 +85,14 @@ object LakeOps {
         Lake.writeZOrderedN(
           Lake.readDay(spark, lake, day).drop("ingest_date"),
           zorderCols, out)
+      case _ => ()
+    }
+    // 5: optional incremental view maintenance off the night's feed
+    (viewDir, changeDir) match {
+      case (Some(vd), Some(cd)) =>
+        IncrementalView.refreshPartitioned(spark, vd, cd,
+          "ingest_date", viewGroupCols, viewSumCols)
+        ()
       case _ => ()
     }
     touched

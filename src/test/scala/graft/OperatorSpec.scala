@@ -964,6 +964,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(state.size == 3)
   }
 
+  test("examples.LakeOps: nightly loop maintains a partitioned incremental view") {
+    import graft.examples.{IncrementalView, LakeOps}
+    val base = TestSpark.tmpDir("lakeops-view")
+    val lake = s"$base/lake"; val cdf = s"$base/changes"; val view = s"$base/view"
+    def upd(rows: (Long, String, Long, Long, String, Boolean)*) =
+      rows.toDF("k", "g", "x", "ver", "ingest_date", "is_delete")
+    def nightly(b: org.apache.spark.sql.DataFrame) =
+      LakeOps.runNightly(spark, lake, b, Seq("k"), Seq("ver"),
+        isDeleteCol = Some("is_delete"), changeDir = Some(cdf),
+        viewDir = Some(view), viewGroupCols = Seq("g"),
+        viewSumCols = Seq("x"))
+    def viewMap = IncrementalView
+      .readPartitioned(spark, view, Seq("g"), Seq("x")).collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_x"))).toMap
+    def recompute = graft.sources.Lake.read(spark, lake)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    nightly(upd(
+      (1L, "a", 10L, 1L, "2024-01-01", false),
+      (2L, "a", 5L, 1L, "2024-01-02", false),
+      (3L, "b", 7L, 1L, "2024-01-02", false)))
+    assert(viewMap == Map("a" -> (2L, 15L), "b" -> (1L, 7L)))
+    assert(viewMap == recompute)
+    // night 2: in-day update, cross-GROUP move (same day — the
+    // partition is a function of the key), a delete, and a new day
+    val n2 = upd(
+      (2L, "a", 6L, 2L, "2024-01-02", false),
+      (3L, "c", 7L, 2L, "2024-01-02", false),
+      (1L, "a", 10L, 2L, "2024-01-01", true),
+      (4L, "b", 20L, 1L, "2024-01-03", false))
+    nightly(n2)
+    assert(viewMap == Map("a" -> (1L, 6L), "b" -> (1L, 20L), "c" -> (1L, 7L)),
+      s"nightly view deltas mis-applied: $viewMap")
+    assert(viewMap == recompute)
+    // replaying the night: empty feeds, view unmoved
+    nightly(n2)
+    assert(viewMap == recompute)
+  }
+
   test("examples.LakeOps: composed nightly maintenance, crash mid-sequence, retention sweep") {
     import graft.examples.LakeOps
     import org.apache.hadoop.fs.Path
