@@ -85,7 +85,12 @@ object IncrementalView {
         lit("IncrementalView: feed entry without pre-images (_op="),
         col("_op"),
         lit(") — publish the feed with cdfPreImages = true"))))
-    val feed = spark.read.parquet(
+    // mergeSchema: feed entries straddling a base-table schema
+    // evolution disagree on columns — without it the multi-dir read
+    // takes one file's schema and silently drops the others' new
+    // columns (a null sum contribution is correct; a dropped column
+    // is not)
+    val feed = spark.read.option("mergeSchema", "true").parquet(
       pending.map(k => s"$changeDir/merge=$k"): _*)
     val deltas = feed
       .groupBy(groupCols.map(col): _*)
@@ -101,8 +106,16 @@ object IncrementalView {
           .select(groupCols.map(col) ++ (col("__dn").as("n") +:
             sumCols.map(c => col(s"__d_$c").as(s"sum_$c"))): _*)
       case Some(cur) =>
-        cur.join(deltas, groupCols, "full_outer")
-          .select(groupCols.map(col) ++ (
+        // null-safe group match (<=>): a NULL group value must meet
+        // its own delta row, not fork a duplicate group per refresh
+        val d2 = deltas.select(
+          groupCols.map(c => col(c).as(s"__g_$c")) ++
+            (col("__dn") +: sumCols.map(c => col(s"__d_$c"))): _*)
+        val cond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
+          .reduce(_ && _)
+        cur.join(d2, cond, "full_outer")
+          .select(groupCols.map(c =>
+            coalesce(col(c), col(s"__g_$c")).as(c)) ++ (
             (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
               .as("n") +:
             sumCols.map(c =>

@@ -803,6 +803,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(refresh() == 2L)
     assert(viewMap == Map("a" -> (2L, 106L), "c" -> (1L, 7L)))
     assert(viewMap == recompute)
+    // a NULL group value must meet its own delta row on refresh (the
+    // view join is null-safe), not fork a duplicate group per refresh
+    merge(df((5L, null, 3L, 1L, false)))
+    assert(refresh() == 3L)
+    assert(viewMap == recompute)
+    merge(df((5L, null, 4L, 2L, false)))
+    assert(refresh() == 4L)
+    assert(viewMap(null) == ((1L, 4L)), s"null group forked: $viewMap")
+    assert(viewMap == recompute)
     // a feed published WITHOUT pre-images fails loudly at the first
     // non-insert op (a post-only update cannot be subtracted)
     val dir2 = s"$base/t2"; val cdf2 = s"$base/changes2"
