@@ -768,4 +768,51 @@ object AlgebraProps extends Properties("graft.algebra") {
         val want = pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
         got == want
     }
+
+  property("mmrRerank equals the reference greedy walk") = {
+    val vecGen = Gen.listOfN(4, Gen.choose(1, 10)).map(_.map(_.toFloat).toArray)
+    forAll(
+      Gen.choose(4, 12).flatMap(n => Gen.listOfN(n, vecGen)),
+      vecGen, Gen.choose(2, 6), Gen.choose(1, 4),
+      Gen.oneOf(0.3, 0.5, 0.7)) { (cvecs, qvec, topN, k, lambda) =>
+      val corpus = cvecs.zipWithIndex
+        .map { case (v, i) => (i.toLong + 10L, v) }
+      val corpusDf = corpus.toDF("vec_id", "embedding")
+      val qDf = Seq((0L, qvec)).toDF("qid", "qv")
+      val got = graft.operators.Similarity.mmrRerank(
+          corpusDf, qDf, "vec_id", "embedding", "qid", "qv",
+          topN = topN, k = k, lambda = lambda)
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id")))
+        .sortBy(_._1).toList
+      // reference walk: same cosine arithmetic (float->double per
+      // element, sequential), same r4e rounding, same tie-breaks
+      def r4e(x: Double): Double =
+        BigDecimal(x + 1.23e-6).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val rels = corpus.map { case (id, v) => (id, r4e(cos(v, qvec)), v) }
+        .sortBy { case (id, r, _) => (-r, id) }.take(topN)
+      val mu = 1.0 - lambda
+      var selected = List(rels.head)
+      var remaining = rels.tail
+      for (_ <- 2 to math.min(k, rels.size)) {
+        val pick = remaining.map { case (id, r, v) =>
+          val ms = selected.map(s => r4e(cos(v, s._3))).max
+          ((id, r, v), lambda * r - mu * ms)
+        }.minBy { case ((id, _, _), sc) => (-sc, id) }._1
+        selected = selected :+ pick
+        remaining = remaining.filterNot(_._1 == pick._1)
+      }
+      val want = selected.zipWithIndex
+        .map { case ((id, _, _), i) => (i + 1, id) }
+      got == want
+    }
+  }
 }
