@@ -168,6 +168,53 @@ object IncrementalView {
     }
   }
 
+  /** Feed RETENTION for this consumer: delete `merge=<k>` entries the
+    * view has already folded (k ≤ its applied-upto) — the sweep that
+    * keeps a long-lived feed from growing one directory per merge
+    * forever. Two deliberate rules:
+    *
+    *  - the HIGHEST-id entry present always survives, even when
+    *    consumed: `publishCdf` derives the next id from the listing
+    *    (single-writer max+1), so deleting every entry would RESET
+    *    ids below the view's applied-upto and the replacement entries
+    *    would never be applied — the one retained dir carries the
+    *    watermark. Bounded cost: one extra entry on disk.
+    *  - the applied-upto is THIS view's; with several independent
+    *    consumers on one feed, sweep at min(applied-upto) — the
+    *    caller coordinates (same single-writer discipline as the
+    *    merge target itself).
+    *
+    * Returns the number of entries deleted. */
+  def vacuumConsumedFeed(spark: SparkSession, viewDir: String,
+      changeDir: String): Int = {
+    val view = new Path(viewDir)
+    val cd = new Path(changeDir)
+    val fs = view.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val upto = appliedUpto(fs, view)
+    if (upto < 0 || !fs.exists(cd)) return 0
+    val ids = fs.listStatus(cd).map(_.getPath.getName)
+      .filter(_.startsWith("merge="))
+      .map(_.stripPrefix("merge=").toLong)
+    if (ids.isEmpty) return 0
+    val keep = ids.max
+    val victims = ids.filter(k => k <= upto && k != keep)
+    victims.foreach(k => fs.delete(new Path(cd, s"merge=$k"), true))
+    victims.length
+  }
+
+  /** Partitioned twin: sweep each partition's feed against its own
+    * sub-view watermark. */
+  def vacuumConsumedFeedPartitioned(spark: SparkSession, viewRoot: String,
+      changeRoot: String, partCol: String): Int = {
+    val cr = new Path(changeRoot)
+    val fs = cr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cr)) return 0
+    fs.listStatus(cr).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .map(p => vacuumConsumedFeed(spark, s"$viewRoot/$p", s"$changeRoot/$p"))
+      .sum
+  }
+
   /** The whole-lake view from the per-partition sub-views: union and
     * re-aggregate — counts and sums add across partitions, so this is
     * a bounded (#partitions × #groups rows) aggregate, never a base

@@ -812,6 +812,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(refresh() == 4L)
     assert(viewMap(null) == ((1L, 4L)), s"null group forked: $viewMap")
     assert(viewMap == recompute)
+    // feed retention: consumed entries sweep, the highest-id entry
+    // survives (it carries publishCdf's id watermark), and the id
+    // sequence continues past the sweep
+    val fsCdf = new org.apache.hadoop.fs.Path(cdf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def feedIds = fsCdf.listStatus(new org.apache.hadoop.fs.Path(cdf))
+      .map(_.getPath.getName).filter(_.startsWith("merge="))
+      .map(_.stripPrefix("merge=").toLong).sorted.toSeq
+    assert(feedIds == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(IncrementalView.vacuumConsumedFeed(spark, viewDir, cdf) == 4)
+    assert(feedIds == Seq(4L), s"retention left: $feedIds")
+    merge(df((6L, "a", 1L, 1L, false)))
+    assert(feedIds == Seq(4L, 5L), "id sequence reset after the sweep")
+    assert(refresh() == 5L)
+    assert(viewMap == recompute)
     // a feed published WITHOUT pre-images fails loudly at the first
     // non-insert op (a post-only update cannot be subtracted)
     val dir2 = s"$base/t2"; val cdf2 = s"$base/changes2"
