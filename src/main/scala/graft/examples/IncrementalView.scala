@@ -226,8 +226,13 @@ object IncrementalView {
     val subs = fs.listStatus(vr).filter(_.isDirectory).map(_.getPath)
       .filter(p => Snapshot.currentVersion(fs, p).isDefined)
     require(subs.nonEmpty, s"no sub-views under $viewRoot")
-    subs.map(p => Lake.readStore(spark, p.toString))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    // resolve every sub-view's snapshot and read ONE multi-path
+    // relation — a per-partition unionByName chain would put
+    // #partitions operators in the plan; this stays one scan node at
+    // any partition count (a 10k-day lake plans in constant time)
+    val paths = subs.flatMap(p =>
+      Snapshot.readSet(fs, p).getOrElse(Nil)).map(_.toString)
+    spark.read.option("mergeSchema", "true").parquet(paths.toSeq: _*)
       .groupBy(groupCols.map(col): _*)
       .agg(sum("n").as("n"),
         sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
