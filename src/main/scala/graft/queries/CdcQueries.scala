@@ -227,6 +227,49 @@ object CdcQueries {
       .transform(Det.emitWide(_, "k"))
   }
 
+  /** q163: the INCREMENTAL VIEW, oracle-checked end to end — build
+    * the q161 store twice over (two merges with the PRE-IMAGE change
+    * feed), fold each published diff into a count/sum-of-cents view
+    * (`examples.IncrementalView.refresh` — the view never reads the
+    * store), and emit the view. The oracle reconstructs the FINAL
+    * table relationally from orders and aggregates it directly: the
+    * hash matches only if merge → diff-with-pre-images → signed-delta
+    * fold is exactly the relational aggregate, including the update
+    * deltas (−old +new) and delete subtractions. Sums are integer
+    * CENTS, so the incremental fold is exact, not approximately
+    * commutative. */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val root = fixtureStore(s, "incview", d)
+    val dir = s"$root/t"; val cdf = s"$root/changes"; val view = s"$root/view"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val base = orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def merge(b: DataFrame): Unit =
+      graft.sources.Lake.mergeInto(s, dir, b, Seq("k"), Seq("ver"),
+        Some(col("is_delete")), changeDir = Some(cdf), cdfPreImages = true)
+    merge(base.where(col("k") % 3 =!= 0)
+      .withColumn("ver", lit(1L)).withColumn("is_delete", lit(false)))
+    graft.examples.IncrementalView.refresh(s, view, cdf,
+      Seq("status"), Seq("cents"))
+    val upd = base.where(col("k") % 3 =!= 0 && col("k") % 5 === 0)
+      .withColumn("cents", col("cents") + 100L)
+      .withColumn("is_delete", lit(false))
+    val del = base.where(col("k") % 3 =!= 0 && col("k") % 11 === 0 &&
+        col("k") % 5 =!= 0)
+      .withColumn("is_delete", lit(true))
+    val ins = base.where(col("k") % 3 === 0 && col("k") % 7 === 0)
+      .withColumn("is_delete", lit(false))
+    merge(upd.unionByName(del).unionByName(ins).withColumn("ver", lit(2L)))
+    graft.examples.IncrementalView.refresh(s, view, cdf,
+      Seq("status"), Seq("cents"))
+    graft.examples.IncrementalView.read(s, view)
+      .select(col("status"), col("n"), col("sum_cents"))
+      .transform(Det.emit(_, "status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cdc_envelope_roundtrip" -> q60,
     "q61_cdc_latest_by_key" -> q61,
@@ -234,7 +277,8 @@ object CdcQueries {
     "q63_cdc_delete_apply" -> q63,
     "q117_scd2_history" -> q117,
     "q136_scd2_asof" -> q136,
-    "q161_snapshot_diff" -> q161)
+    "q161_snapshot_diff" -> q161,
+    "q163_incremental_view" -> q163)
 
   val oracles: Map[String, String] = Map(
     // Oracle aggregates the base tables directly — the JSON round-trip
@@ -317,5 +361,25 @@ object CdcQueries {
          SELECT o_orderkey AS k, 'insert' AS op, NULL AS price_old,
                 o_totalprice AS price_new
          FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
-         ORDER BY k""")
+         ORDER BY k""",
+    // The oracle aggregates the RECONSTRUCTED final table directly —
+    // it never sees the store, the feed, or the view: a hash match
+    // proves merge -> pre-image diff -> signed-delta fold equals the
+    // relational aggregate exactly (integer cents, no float slack).
+    "q163_incremental_view" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                       FROM orders),
+          final AS (
+            SELECT k, status,
+                   CASE WHEN k % 5 = 0 THEN cents + 100 ELSE cents END AS cents
+            FROM base
+            WHERE k % 3 <> 0
+              AND NOT (k % 11 = 0 AND k % 5 <> 0)
+            UNION ALL
+            SELECT k, status, cents FROM base
+            WHERE k % 3 = 0 AND k % 7 = 0)
+          SELECT status, CAST(count(1) AS BIGINT) AS n,
+                 sum(cents) AS sum_cents
+          FROM final GROUP BY status ORDER BY status""")
 }
