@@ -195,8 +195,13 @@ object CdcQueries {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
-    val base = orders(s, d).select(col("o_orderkey").as("k"),
-      col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+    // k % 4 = 1 scopes the fixture to a quarter of orders: the key
+    // tests the snapshot PROTOCOL, not merge throughput, and 4 is
+    // coprime with every mod class below so all op kinds stay
+    // populated
+    val base = orders(s, d).where(col("o_orderkey") % 4 === 1)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
     val b1 = base.where(col("k") % 3 =!= 0)
       .withColumn("ver", lit(1L)).withColumn("is_delete", lit(false))
     graft.sources.Lake.mergeInto(s, dir, b1,
@@ -244,9 +249,12 @@ object CdcQueries {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
-    val base = orders(s, d).select(col("o_orderkey").as("k"),
-      col("o_orderstatus").as("status"),
-      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    // same quarter-scoped fixture as q161 (protocol test, not a
+    // throughput test)
+    val base = orders(s, d).where(col("o_orderkey") % 4 === 1)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
     def merge(b: DataFrame): Unit =
       graft.sources.Lake.mergeInto(s, dir, b, Seq("k"), Seq("ver"),
         Some(col("is_delete")), changeDir = Some(cdf), cdfPreImages = true)
@@ -349,8 +357,9 @@ object CdcQueries {
     // orders (it never sees the store): any row the snapshot protocol
     // dropped, duplicated, or failed to version diverges the hash.
     "q161_snapshot_diff" ->
-      """WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS price
-                     FROM orders WHERE o_orderkey % 3 <> 0)
+      """WITH b AS (SELECT o_orderkey AS k, o_totalprice AS price
+                    FROM orders WHERE o_orderkey % 4 = 1),
+          v1 AS (SELECT k, price FROM b WHERE k % 3 <> 0)
          SELECT k, 'update' AS op, price AS price_old,
                 price + 1.0 AS price_new
          FROM v1 WHERE k % 5 = 0
@@ -358,9 +367,9 @@ object CdcQueries {
          SELECT k, 'delete' AS op, price AS price_old, NULL AS price_new
          FROM v1 WHERE k % 11 = 0 AND k % 5 <> 0
          UNION ALL
-         SELECT o_orderkey AS k, 'insert' AS op, NULL AS price_old,
-                o_totalprice AS price_new
-         FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+         SELECT k, 'insert' AS op, NULL AS price_old,
+                price AS price_new
+         FROM b WHERE k % 3 = 0 AND k % 7 = 0
          ORDER BY k""",
     // The oracle aggregates the RECONSTRUCTED final table directly —
     // it never sees the store, the feed, or the view: a hash match
@@ -369,7 +378,7 @@ object CdcQueries {
     "q163_incremental_view" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
                               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-                       FROM orders),
+                       FROM orders WHERE o_orderkey % 4 = 1),
           final AS (
             SELECT k, status,
                    CASE WHEN k % 5 = 0 THEN cents + 100 ELSE cents END AS cents
