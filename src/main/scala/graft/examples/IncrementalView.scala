@@ -150,22 +150,35 @@ object IncrementalView {
     * Returns the partition dir names that had pending entries. */
   def refreshPartitioned(spark: SparkSession, viewRoot: String,
       changeRoot: String, partCol: String,
-      groupCols: Seq[String], sumCols: Seq[String]): Seq[String] = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      parallelism: Int = 4): Seq[String] = {
     val cr = new Path(changeRoot)
     val fs = cr.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cr)) return Nil
     val parts = fs.listStatus(cr).filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(_.startsWith(s"$partCol=")).sorted.toSeq
-    parts.filter { p =>
-      if (pendingFeedIds(spark, s"$viewRoot/$p", s"$changeRoot/$p").isEmpty)
-        false
-      else {
-        refresh(spark, s"$viewRoot/$p", s"$changeRoot/$p",
-          groupCols, sumCols)
-        true
-      }
-    }
+    val pending = parts.filter(p =>
+      pendingFeedIds(spark, s"$viewRoot/$p", s"$changeRoot/$p").nonEmpty)
+    if (pending.isEmpty) return Nil
+    // sub-views are independent stores (own dir, own watermark), so
+    // their refreshes run CONCURRENTLY — each is a couple of small
+    // Spark jobs, and a sequential driver loop would serialize
+    // #partitions × job-launch latency. Bounded pool: the win is
+    // overlapping job scheduling, not saturating the cluster.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, pending.length))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      Await.result(
+        Future.sequence(pending.map(p => Future {
+          refresh(spark, s"$viewRoot/$p", s"$changeRoot/$p",
+            groupCols, sumCols)
+        })), Duration.Inf)
+      pending
+    } finally pool.shutdown()
   }
 
   /** Feed RETENTION for this consumer: delete `merge=<k>` entries the
