@@ -840,6 +840,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IncrementalView: randomized merge sequences equal full recompute (seeded)") {
+    import graft.examples.IncrementalView
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val base = TestSpark.tmpDir(s"inc-fuzz-$seed")
+      val dir = s"$base/t"; val cdf = s"$base/changes"; val viewDir = s"$base/view"
+      val groups = Array("a", "b", "c", null)
+      var ver = 0L
+      for (_ <- 1 to 4) {
+        ver += 1
+        // random batch: keys 0..9, random group/value, ~20% tombstones
+        val rows = (0 until 6).map { _ =>
+          (rnd.nextInt(10).toLong, groups(rnd.nextInt(groups.length)),
+            rnd.nextInt(100).toLong, ver, rnd.nextInt(5) == 0)
+        }.distinct
+        // one row per key per batch (same-version ties are undefined)
+        val batch = rows.groupBy(_._1).map(_._2.head).toSeq
+          .toDF("k", "g", "x", "ver", "is_delete")
+        graft.sources.Lake.mergeInto(spark, dir, batch,
+          Seq("k"), Seq("ver"), Some(col("is_delete")),
+          changeDir = Some(cdf), cdfPreImages = true)
+        IncrementalView.refresh(spark, viewDir, cdf, Seq("g"), Seq("x"))
+        val viewMap = IncrementalView.read(spark, viewDir).collect()
+          .map(r => r.getAs[String]("g") ->
+            (r.getAs[Long]("n"), r.getAs[Long]("sum_x"))).toMap
+        val want = graft.sources.Lake.readStore(spark, dir)
+          .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"))
+          .collect().map(r => r.getAs[String]("g") ->
+            (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+        assert(viewMap == want,
+          s"seed=$seed ver=$ver: view $viewMap != recompute $want")
+      }
+    }
+  }
+
   test("Lake.publishCdfAt refuses to overwrite an existing feed entry (single-writer guard)") {
     import org.apache.hadoop.fs.Path
     val base = TestSpark.tmpDir("cdf-guard")
