@@ -73,12 +73,52 @@ object IncrementalView {
   /** Fold every unapplied feed entry into the view store; returns the
     * new applied-upto id (unchanged if the feed had nothing new). */
   def refresh(spark: SparkSession, viewDir: String, changeDir: String,
-      groupCols: Seq[String], sumCols: Seq[String]): Long = {
+      groupCols: Seq[String], sumCols: Seq[String]): Long =
+    refresh(spark, viewDir, changeDir, groupCols, sumCols, Nil, None)
+
+  /** `refresh` with MAX columns — the honest treatment of a
+    * NON-subtractable aggregate. Grows fold from the feed like any
+    * delta (new max = greatest(old max, max of post-images)); a
+    * SHRINK — a pre-image equal to the group's current max leaving,
+    * with no grow covering it — cannot be answered from the feed, so
+    * exactly those groups recompute their max from `baseDir` (the
+    * merged base store), filtered to the affected group set. Cost:
+    * zero base reads while maxes only grow; one group-pruned base
+    * aggregate when a max actually leaves.
+    *
+    * Max entries fold ONE AT A TIME (unlike the abelian count/sum
+    * path, which folds every pending entry in one aggregate): within
+    * a multi-entry window an insert's post-image can be superseded by
+    * a later entry's update (insert x=50, then update to 1 — a
+    * combined fold would see gmax=50 and keep a phantom max). A
+    * single merge diff carries each key at most once, so per-entry
+    * folding is sound. During a multi-entry catch-up the intermediate
+    * committed versions may transiently reflect the NEWER base on a
+    * recompute; the final (caught-up) version is exact — the
+    * single-writer, refresh-after-merge discipline every consumer of
+    * this store already follows. */
+  def refresh(spark: SparkSession, viewDir: String, changeDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      maxCols: Seq[String], baseDir: Option[String]): Long = {
+    require(maxCols.isEmpty || baseDir.isDefined,
+      "IncrementalView: maxCols need baseDir (shrinks recompute from the base)")
     val view = new Path(viewDir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = view.getFileSystem(conf)
+    val fs = view.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pending = pendingFeedIds(spark, viewDir, changeDir)
     if (pending.isEmpty) return appliedUpto(fs, view)
+    if (maxCols.isEmpty) applyEntries(spark, view, changeDir, pending,
+      groupCols, sumCols, Nil, None)
+    else pending.foreach(k => applyEntries(spark, view, changeDir, Seq(k),
+      groupCols, sumCols, maxCols, baseDir))
+    pending.max
+  }
+
+  private def applyEntries(spark: SparkSession, view: Path,
+      changeDir: String, ids: Seq[Long], groupCols: Seq[String],
+      sumCols: Seq[String], maxCols: Seq[String],
+      baseDir: Option[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = view.getFileSystem(conf)
     val sign = when(col("_op").isin("insert", "update_postimage"), 1L)
       .when(col("_op").isin("update_preimage", "delete"), -1L)
       .otherwise(raise_error(concat(
@@ -91,49 +131,112 @@ object IncrementalView {
     // columns (a null sum contribution is correct; a dropped column
     // is not)
     val feed = spark.read.option("mergeSchema", "true").parquet(
-      pending.map(k => s"$changeDir/merge=$k"): _*)
+      ids.map(k => s"$changeDir/merge=$k"): _*)
+    val grow = (c: String) =>
+      max(when(col("_op").isin("insert", "update_postimage"), col(c)))
+        .as(s"__gmax_$c")
+    val leave = (c: String) =>
+      max(when(col("_op").isin("update_preimage", "delete"), col(c)))
+        .as(s"__pmax_$c")
     val deltas = feed
       .groupBy(groupCols.map(col): _*)
       .agg(sum(sign).as("__dn"),
-        sumCols.map(c => sum(sign * col(c)).as(s"__d_$c")): _*)
+        sumCols.map(c => sum(sign * col(c)).as(s"__d_$c")) ++
+          maxCols.flatMap(c => Seq(grow(c), leave(c))): _*)
     val current: Option[DataFrame] =
       if (Snapshot.currentVersion(fs, view).isDefined)
-        Some(Lake.readStore(spark, viewDir))
+        Some(Lake.readStore(spark, view.toString))
       else None
-    val next = current match {
+    val merged = current match {
       case None =>
         deltas.where(col("__dn") =!= 0L)
           .select(groupCols.map(col) ++ (col("__dn").as("n") +:
-            sumCols.map(c => col(s"__d_$c").as(s"sum_$c"))): _*)
+            (sumCols.map(c => col(s"__d_$c").as(s"sum_$c")) ++
+              maxCols.map(c => col(s"__gmax_$c").as(s"max_$c")))): _*)
+          .withColumn("__recompute", lit(false))
       case Some(cur) =>
         // null-safe group match (<=>): a NULL group value must meet
         // its own delta row, not fork a duplicate group per refresh
         val d2 = deltas.select(
           groupCols.map(c => col(c).as(s"__g_$c")) ++
-            (col("__dn") +: sumCols.map(c => col(s"__d_$c"))): _*)
+            (col("__dn") +: (sumCols.map(c => col(s"__d_$c")) ++
+              maxCols.flatMap(c =>
+                Seq(col(s"__gmax_$c"), col(s"__pmax_$c"))))): _*)
         val cond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
           .reduce(_ && _)
+        // a group must recompute iff some max column's current
+        // champion LEFT (a pre-image equals it) and no grow covers it
+        val needs =
+          if (maxCols.isEmpty) lit(false)
+          else maxCols.map { c =>
+            col(s"max_$c").isNotNull &&
+              (col(s"__pmax_$c") <=> col(s"max_$c")) &&
+              (col(s"__gmax_$c").isNull ||
+                col(s"__gmax_$c") < col(s"max_$c"))
+          }.reduce(_ || _)
         cur.join(d2, cond, "full_outer")
           .select(groupCols.map(c =>
             coalesce(col(c), col(s"__g_$c")).as(c)) ++ (
             (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
               .as("n") +:
-            sumCols.map(c =>
+            (sumCols.map(c =>
               (coalesce(col(s"sum_$c"), lit(0)) +
-                coalesce(col(s"__d_$c"), lit(0))).as(s"sum_$c"))): _*)
+                coalesce(col(s"__d_$c"), lit(0))).as(s"sum_$c")) ++
+              maxCols.map(c =>
+                greatest(col(s"max_$c"), col(s"__gmax_$c"))
+                  .as(s"max_$c")) :+
+              needs.as("__recompute"))): _*)
           .where(col("n") =!= 0L)
     }
+    val pinned =
+      if (maxCols.isEmpty) None
+      else Some(merged.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+    val next =
+      if (maxCols.isEmpty) merged.drop("__recompute")
+      else {
+        val m = pinned.get
+        val needy = m.where(col("__recompute"))
+          .select(groupCols.map(col): _*)
+        if (needy.isEmpty) m.drop("__recompute")
+        else {
+          // authoritative maxes for exactly the affected groups: a
+          // group-pruned aggregate over the base store (the broadcast
+          // side is the needy-group set — bounded by this refresh's
+          // touched groups)
+          val n2 = needy.select(groupCols.map(c =>
+            col(c).as(s"__r_$c")): _*)
+          val jcond = groupCols.map(c => col(c) <=> col(s"__r_$c"))
+            .reduce(_ && _)
+          val authoritative = Lake.readStore(spark, baseDir.get)
+            .join(broadcast(n2), jcond, "inner")
+            .groupBy(groupCols.map(col): _*)
+            .agg(maxCols.head -> "max", maxCols.tail.map(_ -> "max"): _*)
+            .select(groupCols.map(c => col(c).as(s"__a_$c")) ++
+              maxCols.map(c => col(s"max($c)").as(s"__amax_$c")): _*)
+          val acond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
+            .reduce(_ && _)
+          m.join(authoritative, acond, "left")
+            .select(groupCols.map(col) ++ (col("n") +:
+              (sumCols.map(c => col(s"sum_$c")) ++
+                maxCols.map(c =>
+                  when(col("__recompute"),
+                    col(s"__amax_$c"))
+                    .otherwise(col(s"max_$c")).as(s"max_$c")))): _*)
+        }
+      }
     // stage HIDDEN, stamp the applied-upto marker INSIDE the staged
     // dir, commit with the atomic pointer rename — marker and data
     // are inseparable by construction
     val stageName = Snapshot.stageDirName(fs, view, "view")
     val staged = Snapshot.stagePath(view, stageName)
     next.write.mode("overwrite").parquet(staged.toString)
-    val marker = new Path(staged, s"_applied_upto_${pending.max}")
+    val marker = new Path(staged, s"_applied_upto_${ids.max}")
     val out = fs.create(marker, true); out.close()
     Snapshot.commit(fs, conf, view, Seq(stageName))
     Snapshot.vacuum(fs, view, keep = 2)
-    pending.max
+    } finally { pinned.foreach(_.unpersist()); () }
   }
 
   /** The view as a DataFrame (groupCols, n, sum_<c>…). */
