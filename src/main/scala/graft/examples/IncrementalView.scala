@@ -1,7 +1,7 @@
 package graft.examples
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{Lake, Snapshot}
@@ -99,23 +99,48 @@ object IncrementalView {
     * this store already follows. */
   def refresh(spark: SparkSession, viewDir: String, changeDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      maxCols: Seq[String], baseDir: Option[String]): Long = {
-    require(maxCols.isEmpty || baseDir.isDefined,
-      "IncrementalView: maxCols need baseDir (shrinks recompute from the base)")
+      maxCols: Seq[String], baseDir: Option[String]): Long =
+    refresh(spark, viewDir, changeDir, groupCols, sumCols, maxCols, Nil,
+      baseDir)
+
+  /** Full form: MAX and MIN columns (min is the exact mirror — the
+    * champion is the LOWEST value, a grow is a lower post-image, a
+    * leaving champion triggers the same group-pruned base
+    * recompute). */
+  def refresh(spark: SparkSession, viewDir: String, changeDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      maxCols: Seq[String], minCols: Seq[String],
+      baseDir: Option[String]): Long = {
+    val exts = maxCols.map(Ext(_, isMax = true)) ++
+      minCols.map(Ext(_, isMax = false))
+    require(exts.isEmpty || baseDir.isDefined,
+      "IncrementalView: max/min columns need baseDir (shrinks recompute from the base)")
     val view = new Path(viewDir)
     val fs = view.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pending = pendingFeedIds(spark, viewDir, changeDir)
     if (pending.isEmpty) return appliedUpto(fs, view)
-    if (maxCols.isEmpty) applyEntries(spark, view, changeDir, pending,
+    if (exts.isEmpty) applyEntries(spark, view, changeDir, pending,
       groupCols, sumCols, Nil, None)
     else pending.foreach(k => applyEntries(spark, view, changeDir, Seq(k),
-      groupCols, sumCols, maxCols, baseDir))
+      groupCols, sumCols, exts, baseDir))
     pending.max
+  }
+
+  /** An extreme-maintained column: direction + its view-column name,
+    * per-direction fold/compare helpers. */
+  private case class Ext(c: String, isMax: Boolean) {
+    val out: String = if (isMax) s"max_$c" else s"min_$c"
+    def fold(x: Column): Column = if (isMax) max(x) else min(x)
+    def better(a: Column, b: Column): Column =
+      if (isMax) greatest(a, b) else least(a, b)
+    def worseThan(a: Column, champ: Column): Column =
+      if (isMax) a < champ else a > champ
+    def agg: String = if (isMax) "max" else "min"
   }
 
   private def applyEntries(spark: SparkSession, view: Path,
       changeDir: String, ids: Seq[Long], groupCols: Seq[String],
-      sumCols: Seq[String], maxCols: Seq[String],
+      sumCols: Seq[String], exts: Seq[Ext],
       baseDir: Option[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = view.getFileSystem(conf)
@@ -132,17 +157,17 @@ object IncrementalView {
     // is not)
     val feed = spark.read.option("mergeSchema", "true").parquet(
       ids.map(k => s"$changeDir/merge=$k"): _*)
-    val grow = (c: String) =>
-      max(when(col("_op").isin("insert", "update_postimage"), col(c)))
-        .as(s"__gmax_$c")
-    val leave = (c: String) =>
-      max(when(col("_op").isin("update_preimage", "delete"), col(c)))
-        .as(s"__pmax_$c")
+    val grow = (e: Ext) =>
+      e.fold(when(col("_op").isin("insert", "update_postimage"),
+        col(e.c))).as(s"__g_${e.out}")
+    val leave = (e: Ext) =>
+      e.fold(when(col("_op").isin("update_preimage", "delete"),
+        col(e.c))).as(s"__p_${e.out}")
     val deltas = feed
       .groupBy(groupCols.map(col): _*)
       .agg(sum(sign).as("__dn"),
         sumCols.map(c => sum(sign * col(c)).as(s"__d_$c")) ++
-          maxCols.flatMap(c => Seq(grow(c), leave(c))): _*)
+          exts.flatMap(e => Seq(grow(e), leave(e))): _*)
     val current: Option[DataFrame] =
       if (Snapshot.currentVersion(fs, view).isDefined)
         Some(Lake.readStore(spark, view.toString))
@@ -152,7 +177,7 @@ object IncrementalView {
         deltas.where(col("__dn") =!= 0L)
           .select(groupCols.map(col) ++ (col("__dn").as("n") +:
             (sumCols.map(c => col(s"__d_$c").as(s"sum_$c")) ++
-              maxCols.map(c => col(s"__gmax_$c").as(s"max_$c")))): _*)
+              exts.map(e => col(s"__g_${e.out}").as(e.out)))): _*)
           .withColumn("__recompute", lit(false))
       case Some(cur) =>
         // null-safe group match (<=>): a NULL group value must meet
@@ -160,19 +185,19 @@ object IncrementalView {
         val d2 = deltas.select(
           groupCols.map(c => col(c).as(s"__g_$c")) ++
             (col("__dn") +: (sumCols.map(c => col(s"__d_$c")) ++
-              maxCols.flatMap(c =>
-                Seq(col(s"__gmax_$c"), col(s"__pmax_$c"))))): _*)
+              exts.flatMap(e =>
+                Seq(col(s"__g_${e.out}"), col(s"__p_${e.out}"))))): _*)
         val cond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
           .reduce(_ && _)
-        // a group must recompute iff some max column's current
+        // a group must recompute iff some extreme column's current
         // champion LEFT (a pre-image equals it) and no grow covers it
         val needs =
-          if (maxCols.isEmpty) lit(false)
-          else maxCols.map { c =>
-            col(s"max_$c").isNotNull &&
-              (col(s"__pmax_$c") <=> col(s"max_$c")) &&
-              (col(s"__gmax_$c").isNull ||
-                col(s"__gmax_$c") < col(s"max_$c"))
+          if (exts.isEmpty) lit(false)
+          else exts.map { e =>
+            col(e.out).isNotNull &&
+              (col(s"__p_${e.out}") <=> col(e.out)) &&
+              (col(s"__g_${e.out}").isNull ||
+                e.worseThan(col(s"__g_${e.out}"), col(e.out)))
           }.reduce(_ || _)
         cur.join(d2, cond, "full_outer")
           .select(groupCols.map(c =>
@@ -182,19 +207,19 @@ object IncrementalView {
             (sumCols.map(c =>
               (coalesce(col(s"sum_$c"), lit(0)) +
                 coalesce(col(s"__d_$c"), lit(0))).as(s"sum_$c")) ++
-              maxCols.map(c =>
-                greatest(col(s"max_$c"), col(s"__gmax_$c"))
-                  .as(s"max_$c")) :+
+              exts.map(e =>
+                e.better(col(e.out), col(s"__g_${e.out}"))
+                  .as(e.out)) :+
               needs.as("__recompute"))): _*)
           .where(col("n") =!= 0L)
     }
     val pinned =
-      if (maxCols.isEmpty) None
+      if (exts.isEmpty) None
       else Some(merged.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
     val next =
-      if (maxCols.isEmpty) merged.drop("__recompute")
+      if (exts.isEmpty) merged.drop("__recompute")
       else {
         val m = pinned.get
         val needy = m.where(col("__recompute"))
@@ -212,18 +237,19 @@ object IncrementalView {
           val authoritative = Lake.readStore(spark, baseDir.get)
             .join(broadcast(n2), jcond, "inner")
             .groupBy(groupCols.map(col): _*)
-            .agg(maxCols.head -> "max", maxCols.tail.map(_ -> "max"): _*)
+            .agg(exts.head.fold(col(exts.head.c)).as(s"__a_${exts.head.out}"),
+              exts.tail.map(e => e.fold(col(e.c)).as(s"__a_${e.out}")): _*)
             .select(groupCols.map(c => col(c).as(s"__a_$c")) ++
-              maxCols.map(c => col(s"max($c)").as(s"__amax_$c")): _*)
+              exts.map(e => col(s"__a_${e.out}")): _*)
           val acond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
             .reduce(_ && _)
           m.join(authoritative, acond, "left")
             .select(groupCols.map(col) ++ (col("n") +:
               (sumCols.map(c => col(s"sum_$c")) ++
-                maxCols.map(c =>
+                exts.map(e =>
                   when(col("__recompute"),
-                    col(s"__amax_$c"))
-                    .otherwise(col(s"max_$c")).as(s"max_$c")))): _*)
+                    col(s"__a_${e.out}"))
+                    .otherwise(col(e.out)).as(e.out)))): _*)
         }
       }
     // stage HIDDEN, stamp the applied-upto marker INSIDE the staged

@@ -851,35 +851,40 @@ class OperatorSpec extends AnyFunSuite {
         Seq("k"), Seq("ver"), Some(col("is_delete")),
         changeDir = Some(cdf), cdfPreImages = true)
     def refresh(): Long = IncrementalView.refresh(spark, viewDir, cdf,
-      Seq("g"), Seq("x"), maxCols = Seq("x"), baseDir = Some(dir))
+      Seq("g"), Seq("x"), maxCols = Seq("x"), minCols = Seq("x"),
+      baseDir = Some(dir))
     def viewMap = IncrementalView.read(spark, viewDir).collect()
       .map(r => r.getAs[String]("g") ->
         (r.getAs[Long]("n"), r.getAs[Long]("sum_x"),
-          r.getAs[Long]("max_x"))).toMap
+          r.getAs[Long]("max_x"), r.getAs[Long]("min_x"))).toMap
     def recompute = graft.sources.Lake.readStore(spark, dir)
       .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"),
-        max("x").as("m"))
+        max("x").as("m"), min("x").as("mn"))
       .collect().map(r => r.getAs[String]("g") ->
-        (r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("m"))).toMap
+        (r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("m"),
+          r.getAs[Long]("mn"))).toMap
     merge(df((1L, "a", 10L, 1L, false), (2L, "a", 5L, 1L, false),
       (3L, "b", 7L, 1L, false)))
     refresh()
-    assert(viewMap == Map("a" -> (2L, 15L, 10L), "b" -> (1L, 7L, 7L)))
+    assert(viewMap == Map("a" -> (2L, 15L, 10L, 5L), "b" -> (1L, 7L, 7L, 7L)))
     assert(viewMap == recompute)
     // grow: a non-max row rises above the champion — feed-only fold
+    // (for MIN this same update is a SHRINK of the 5-champion:
+    // base-assisted)
     merge(df((2L, "a", 30L, 2L, false)))
     refresh()
-    assert(viewMap("a") == ((2L, 40L, 30L)))
+    assert(viewMap("a") == ((2L, 40L, 30L, 10L)))
     assert(viewMap == recompute)
-    // shrink: DELETE the champion — needs the base-assisted recompute
+    // shrink: DELETE the max champion — base-assisted recompute
     merge(df((2L, "a", 30L, 3L, true)))
     refresh()
-    assert(viewMap("a") == ((1L, 10L, 10L)), s"shrink mis-folded: $viewMap")
+    assert(viewMap("a") == ((1L, 10L, 10L, 10L)), s"shrink mis-folded: $viewMap")
     assert(viewMap == recompute)
-    // shrink via UPDATE-DOWN of the champion
+    // shrink via UPDATE-DOWN of the max champion — simultaneously a
+    // min GROW (2 undercuts every survivor)
     merge(df((1L, "a", 2L, 4L, false), (5L, "a", 8L, 1L, false)))
     refresh()
-    assert(viewMap("a") == ((2L, 10L, 8L)), s"update-down mis-folded: $viewMap")
+    assert(viewMap("a") == ((2L, 10L, 8L, 2L)), s"update-down mis-folded: $viewMap")
     assert(viewMap == recompute)
     // the insert-then-reduce hazard across ENTRIES: key 6 arrives at
     // 50 (entry k), then updates to 1 (entry k+1) BEFORE any refresh —
@@ -887,13 +892,14 @@ class OperatorSpec extends AnyFunSuite {
     merge(df((6L, "b", 50L, 1L, false)))
     merge(df((6L, "b", 1L, 2L, false)))
     refresh()
-    assert(viewMap("b") == ((2L, 8L, 7L)), s"phantom max survived: $viewMap")
+    assert(viewMap("b") == ((2L, 8L, 7L, 1L)), s"phantom max survived: $viewMap")
     assert(viewMap == recompute)
     // champion migrates to another group: both sides settle right
     merge(df((5L, "b", 8L, 2L, false)))
     refresh()
     assert(viewMap == recompute)
-    assert(viewMap("a") == ((1L, 2L, 2L)) && viewMap("b") == ((3L, 16L, 8L)))
+    assert(viewMap("a") == ((1L, 2L, 2L, 2L)) &&
+      viewMap("b") == ((3L, 16L, 8L, 1L)))
   }
 
   test("IncrementalView: randomized merge sequences equal full recompute (seeded)") {
@@ -918,17 +924,17 @@ class OperatorSpec extends AnyFunSuite {
           Seq("k"), Seq("ver"), Some(col("is_delete")),
           changeDir = Some(cdf), cdfPreImages = true)
         IncrementalView.refresh(spark, viewDir, cdf, Seq("g"), Seq("x"),
-          maxCols = Seq("x"), baseDir = Some(dir))
+          maxCols = Seq("x"), minCols = Seq("x"), baseDir = Some(dir))
         val viewMap = IncrementalView.read(spark, viewDir).collect()
           .map(r => r.getAs[String]("g") ->
             (r.getAs[Long]("n"), r.getAs[Long]("sum_x"),
-              r.getAs[Long]("max_x"))).toMap
+              r.getAs[Long]("max_x"), r.getAs[Long]("min_x"))).toMap
         val want = graft.sources.Lake.readStore(spark, dir)
           .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"),
-            max("x").as("m"))
+            max("x").as("m"), min("x").as("mn"))
           .collect().map(r => r.getAs[String]("g") ->
             (r.getAs[Long]("n"), r.getAs[Long]("s"),
-              r.getAs[Long]("m"))).toMap
+              r.getAs[Long]("m"), r.getAs[Long]("mn"))).toMap
         assert(viewMap == want,
           s"seed=$seed ver=$ver: view $viewMap != recompute $want")
       }
