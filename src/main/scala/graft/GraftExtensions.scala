@@ -48,6 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.OpenJsonEntries].getName, "openjson_entries"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.OpenJsonEntries(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("json_modify"),
+      new ExpressionInfo(classOf[graft.functions.JsonModify].getName, "json_modify"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.JsonModify(exprs(0), exprs(1), exprs(2),
+          raw = exprs(2).isInstanceOf[graft.functions.JsonQuery])))
   }
 }
 
@@ -62,5 +68,6 @@ object GraftExtensions {
     graft.functions.IsJson.register(spark)
     graft.functions.JsonQuery.register(spark)
     graft.functions.OpenJsonEntries.register(spark)
+    graft.functions.JsonModify.register(spark)
   }
 }

@@ -1,10 +1,12 @@
 package graft.functions
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -84,8 +86,9 @@ object JsonValue {
   private lazy val mapper: ObjectMapper =
     new ObjectMapper().enable(DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
 
-  /** Paths are foldable literals — a handful per query; cache parses. */
-  private val pathCache =
+  /** Paths are foldable literals — a handful per query; cache parses.
+    * Shared with [[JsonQuery]] and [[JsonModify]]. */
+  private[functions] val pathCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Array[Seg])]()
 
   /** `lax $.a."b c"[0].d` → (strict?, segments). Throws on syntax
@@ -316,4 +319,232 @@ object IsJson {
         org.apache.spark.sql.catalyst.FunctionIdentifier("is_json")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "is_json", exprs => IsJson(exprs.head), "built-in")
+}
+
+/** T-SQL `JSON_MODIFY(json, path, newValue)` — the WRITE-path member
+  * completing the JSON family (JSON_VALUE scalars / JSON_QUERY
+  * fragments / OPENJSON shredding are the read side; origin I,
+  * /root/reference/README.md:173-192 invokes the T-SQL engine whose
+  * surface includes the modifier). Same path grammar, parser, cache,
+  * and malformed-text rule (error in BOTH modes) as [[JsonValue]],
+  * plus the modifier-only `append ` prefix.
+  *
+  * Semantics (pinned to the public T-SQL docs where they are
+  * unambiguous; documented here where they are not):
+  *
+  *  - **set, path exists** — replace in place (member keeps its
+  *    position; the document's other members are untouched).
+  *  - **set, member missing** (object parent exists): lax INSERTS the
+  *    member at the END of the object; strict errors ("property does
+  *    not exist"). A missing/scalar PARENT errors in both modes (the
+  *    modifier never fabricates intermediate objects — T-SQL's
+  *    "insertion may fail" rule, made loud).
+  *  - **set, array index** — in-range replaces; out-of-range APPENDS
+  *    in lax (the documented lax array rule), errors in strict.
+  *  - **delete (SQL NULL value)** — lax REMOVES the member/element
+  *    (the docs' delete idiom `JSON_MODIFY(j,'$.x',NULL)`); a missing
+  *    target is a lax no-op. Strict cannot delete: it writes a JSON
+  *    `null` when the target exists and errors when it does not —
+  *    the documented asymmetry (deletion is a lax-only behavior).
+  *  - **append prefix** (`append $.a`, `append strict $.a`) — target
+  *    array gets the value pushed; a non-array target errors in both
+  *    modes ("array cannot be found"); a missing target in lax
+  *    CREATES a one-element array on an existing object parent
+  *    (strict errors). SQL NULL appends a JSON null (the delete rule
+  *    is set-only).
+  *  - **value typing** — strings are inserted as escaped JSON
+  *    strings; numeric/boolean expressions as JSON numbers/booleans.
+  *    A value that is itself `json_query(...)` is inserted RAW as a
+  *    fragment — detected structurally at function resolution
+  *    (`exprs(2).isInstanceOf[JsonQuery]`), which is exactly how
+  *    T-SQL decides (JSON_QUERY's return carries a json-typed
+  *    provenance flag). An invalid raw fragment errors.
+  *  - **root** — `append $` pushes onto a root array; plain `$` set
+  *    errors loudly (replace the column, not the document).
+  *
+  * Output is the Jackson-compact re-serialization (no whitespace,
+  * member order = parse order with inserts at the end) — the same
+  * canonical form [[JsonQuery]] returns, so q164's oracle can
+  * reconstruct expected documents byte-for-byte from base columns.
+  *
+  * The path must be foldable (T-SQL contract). Codegen is a static
+  * call: null-of-json/path propagates NULL, but a null VALUE is
+  * meaningful (delete) so the generated code boxes it explicitly
+  * instead of short-circuiting — the expression stays inside
+  * whole-stage codegen like the rest of the family. */
+case class JsonModify(first: Expression, second: Expression,
+    third: Expression, raw: Boolean)
+    extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_modify"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (first.dataType != StringType || second.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("json_modify expects (string json, string path, value)")
+    else if (!second.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("json_modify: the path must be a constant (T-SQL contract)")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val j = first.eval(input)
+    if (j == null) return null
+    val p = second.eval(input)
+    if (p == null) return null
+    JsonModify.applyU(j.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String], third.eval(input), raw)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val jG = first.genCode(ctx)
+    val pG = second.genCode(ctx)
+    val vG = third.genCode(ctx)
+    val vBox = ctx.freshName("jmVal")
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${jG.code}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = null;
+      if (!${jG.isNull}) {
+        ${pG.code}
+        if (!${pG.isNull}) {
+          ${vG.code}
+          Object $vBox = ${vG.isNull} ? null : (Object) ${vG.value};
+          ${ev.value} = graft.functions.JsonModify.applyU(
+            ${jG.value}, ${pG.value}, $vBox, $raw);
+          ${ev.isNull} = (${ev.value} == null);
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): JsonModify =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object JsonModify {
+  import com.fasterxml.jackson.databind.node.JsonNodeFactory
+  private lazy val mapper: ObjectMapper =
+    new ObjectMapper().enable(DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+  private val nodes = JsonNodeFactory.instance
+
+  private def err(msg: String): Nothing =
+    throw new IllegalArgumentException(s"json_modify: $msg")
+
+  /** Boxed Spark value → Jackson node. `raw` parses a fragment. */
+  private def toNode(v: Any, raw: Boolean): JsonNode = v match {
+    case null => nodes.nullNode
+    case s @ (_: UTF8String | _: String) =>
+      if (raw)
+        try mapper.readTree(s.toString)
+        catch { case e: Exception =>
+          err(s"new value is not valid JSON: ${e.getMessage}") }
+      else nodes.textNode(s.toString)
+    case i: java.lang.Integer => nodes.numberNode(i.intValue)
+    case l: java.lang.Long    => nodes.numberNode(l.longValue)
+    case d: java.lang.Double  => nodes.numberNode(d.doubleValue)
+    case f: java.lang.Float   => nodes.numberNode(f.floatValue)
+    case s: java.lang.Short   => nodes.numberNode(s.shortValue)
+    case b: java.lang.Byte    => nodes.numberNode(b.byteValue)
+    case b: java.lang.Boolean => nodes.booleanNode(b.booleanValue)
+    case d: org.apache.spark.sql.types.Decimal =>
+      nodes.numberNode(d.toJavaBigDecimal)
+    case other => nodes.textNode(other.toString)
+  }
+
+  /** Core modifier; returns the compactly re-serialized document. */
+  def modify(json: String, path: String, value: Any, raw: Boolean): String = {
+    val (appendMode, rest) =
+      if (path.startsWith("append ")) (true, path.stripPrefix("append ").trim)
+      else (false, path)
+    val (strict, segs) =
+      JsonValue.pathCache.computeIfAbsent(rest, JsonValue.parsePath _)
+    val root: JsonNode =
+      try mapper.readTree(json)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"JSON text is not properly formatted: ${e.getMessage}") }
+
+    def walk(from: JsonNode, ss: Array[JsonValue.Seg]): JsonNode = {
+      var node = from; var i = 0
+      while (i < ss.length && node != null) {
+        node = ss(i) match {
+          case JsonValue.Member(n) => if (node.isObject) node.get(n) else null
+          case JsonValue.Index(n)  => if (node.isArray) node.get(n) else null
+        }
+        i += 1
+      }
+      node
+    }
+
+    if (appendMode) {
+      walk(root, segs) match {
+        case a: ArrayNode => a.add(toNode(value, raw))
+        case null =>
+          if (strict) err(s"(strict) array cannot be found at path '$path'")
+          else if (segs.isEmpty) err("cannot create an array at '$'")
+          else (walk(root, segs.init), segs.last) match {
+            // lax creates a fresh one-element array on an existing
+            // object parent; anything else is loud
+            case (o: ObjectNode, JsonValue.Member(n)) =>
+              val a = nodes.arrayNode(); a.add(toNode(value, raw)); o.set(n, a); ()
+            case _ => err(s"cannot create an array at path '$path'")
+          }
+        case _ => err(s"array cannot be found at path '$path'")
+      }
+    } else {
+      if (segs.isEmpty) err("cannot modify the root '$' — replace the column instead")
+      val parent = walk(root, segs.init)
+      val deleting = value == null
+      (parent, segs.last) match {
+        case (o: ObjectNode, JsonValue.Member(n)) =>
+          val exists = o.has(n)
+          if (deleting) {
+            if (exists) { if (strict) o.set(n, nodes.nullNode) else o.remove(n); () }
+            else if (strict) err(s"(strict) property does not exist at path '$path'")
+            // lax delete of a missing member: no-op
+          } else {
+            if (!exists && strict)
+              err(s"(strict) property does not exist at path '$path'")
+            o.set(n, toNode(value, raw)); ()
+          }
+        case (a: ArrayNode, JsonValue.Index(i)) =>
+          if (i < a.size) {
+            if (deleting) { if (strict) a.set(i, nodes.nullNode) else a.remove(i); () }
+            else { a.set(i, toNode(value, raw)); () }
+          } else {
+            if (strict) err(s"(strict) array index out of range at path '$path'")
+            else if (!deleting) { a.add(toNode(value, raw)); () }
+            // lax delete of a missing element: no-op
+          }
+        case _ =>
+          err(s"cannot insert on path '$path' (parent is missing, a scalar, or the wrong container kind)")
+      }
+    }
+    root.toString
+  }
+
+  def applyU(json: UTF8String, path: UTF8String, value: Any,
+      raw: Boolean): UTF8String = {
+    val r = modify(json.toString, path.toString, value, raw)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  /** Idempotent — see SimHash64.register. The raw-fragment flag is
+    * resolved structurally: a `json_query(...)` in value position
+    * injects its fragment unescaped, exactly T-SQL's provenance rule. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("json_modify")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "json_modify",
+        exprs => JsonModify(exprs(0), exprs(1), exprs(2),
+          raw = exprs(2).isInstanceOf[JsonQuery]),
+        "built-in")
 }

@@ -187,6 +187,37 @@ object ScalarQueries {
       .transform(Det.emitWide(_, "event_id", "pos"))
   }
 
+  /** q164: T-SQL JSON_MODIFY — the WRITE-path member completing the
+    * JSON family (q146 scalars / q155 fragments / q156 shredding are
+    * the read side). One document walks the full edit surface: replace
+    * a member in place, delete by SQL NULL, `append` onto an array,
+    * lax out-of-range index append, replace an array element with a
+    * NUMBER, inject a RAW fragment via the json_query provenance rule,
+    * and insert a brand-new member (lands at the object's end). Every
+    * edit is a map-side codegen'd expression; the oracle reconstructs
+    * each expected document byte-for-byte from the same base columns
+    * the fixture was built from — ground truth independent of any
+    * JSON engine (the q155 discipline). Error/strict branches are
+    * spec-pinned in OperatorSpec, not here. */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    graft.functions.JsonModify.register(s)
+    graft.functions.JsonQuery.register(s)
+    spread(s, events(s, d))
+      .withColumn("j", nestedJson)
+      .withColumn("m1", expr("json_modify(j, '$.y', upper(event_type))"))
+      .withColumn("m2", expr("json_modify(m1, '$.z', CAST(NULL AS STRING))"))
+      .withColumn("m3", expr("json_modify(m2, 'append $.arr', 'end')"))
+      .withColumn("m4", expr("json_modify(m3, '$.arr[0]', 7)"))
+      .withColumn("m5",
+        expr("""json_modify(m4, '$.o', json_query('{"v":2}', '$'))"""))
+      .withColumn("m6", expr("json_modify(m5, '$.w', 'nw')"))
+      .select(col("event_id"),
+        col("m2").as("after_delete"),
+        col("m4").as("after_array"),
+        col("m6").as("final_doc"))
+      .transform(Det.emitWide(_, "event_id"))
+  }
+
   /** q55: array functions over the 64-dim embedding column. Element
     * arithmetic is cast to double BEFORE any op so both engines do
     * identical double arithmetic (floats stay bitwise-comparable). */
@@ -261,7 +292,8 @@ object ScalarQueries {
     "q57_map_funcs" -> q57, "q58_struct_nested" -> q58,
     "q98_udaf_weighted_mean" -> q98, "q101_redact" -> q101,
     "q146_json_value" -> q146,
-    "q155_json_query" -> q155, "q156_openjson_shred" -> q156)
+    "q155_json_query" -> q155, "q156_openjson_shred" -> q156,
+    "q164_json_modify" -> q164)
 
   val oracles: Map[String, String] = Map(
     "q50_str_funcs" ->
@@ -356,6 +388,22 @@ object ScalarQueries {
            UNION ALL SELECT event_id, 4, 'arr', '[' || kk || ',"t"]', 4 FROM base
            UNION ALL SELECT event_id, 5, 'o', '{"u":1}', 5 FROM base)
          ORDER BY event_id, pos""",
+    // q164: expected documents reconstructed from the base columns —
+    // the edits' exact byte output (compact serialization, in-place
+    // replace keeps position, inserts land at the end, deletes drop
+    // the member) is the contract under test.
+    "q164_json_modify" ->
+      """SELECT event_id,
+                '{"x":' || k || ',"y":"' || et || '","b":true,"arr":['
+                  || k || ',"t"],"o":{"u":1}}' AS after_delete,
+                '{"x":' || k || ',"y":"' || et || '","b":true,"arr":[7,"t","end"],"o":{"u":1}}'
+                  AS after_array,
+                '{"x":' || k || ',"y":"' || et || '","b":true,"arr":[7,"t","end"],"o":{"v":2},"w":"nw"}'
+                  AS final_doc
+         FROM (SELECT event_id, upper(event_type) AS et,
+                      json_extract_string(props, '$.k') AS k
+               FROM events)
+         ORDER BY event_id""",
     "q55_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
                 round(CAST(embedding[1] AS DOUBLE), 4) AS first,

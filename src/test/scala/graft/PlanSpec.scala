@@ -389,6 +389,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p156.contains("Generate"),
       "q156 must fan out through Spark's Generate (posexplode)")
     assert(!p156.contains("Join"), s"q156 should not join:\n$p156")
+    // q164 (round 10): the six chained json_modify edits are native
+    // codegen'd expressions in ONE map-side pass — same contract as
+    // the read-side family
+    val p164 = plan("q164_json_modify")
+    assert(!p164.contains("Join") && !p164.contains("HashAggregate"),
+      s"q164 should be pure map-side:\n$p164")
+    assert(p164.contains("json_modify"),
+      "q164 lost the native expression")
     // q157: the only exchanges are the (day,bin)/(month,bin) aggregate
     // shuffles and the bins-sized window — the partial aggregate must
     // combine map-side before any exchange
