@@ -103,28 +103,76 @@ object IncrementalView {
     refresh(spark, viewDir, changeDir, groupCols, sumCols, maxCols, Nil,
       baseDir)
 
-  /** Full form: MAX and MIN columns (min is the exact mirror — the
+  /** `refresh` with MAX and MIN columns (min is the exact mirror — the
     * champion is the LOWEST value, a grow is a lower post-image, a
     * leaving champion triggers the same group-pruned base
     * recompute). */
   def refresh(spark: SparkSession, viewDir: String, changeDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
       maxCols: Seq[String], minCols: Seq[String],
-      baseDir: Option[String]): Long = {
+      baseDir: Option[String]): Long =
+    refresh(spark, viewDir, changeDir, groupCols, sumCols, Nil, maxCols,
+      minCols, baseDir)
+
+  /** Full form, adding SECOND-MOMENT columns (`m2Cols`): each keeps
+    * `sumsq_<c>` = Σ sign·c² next to `sum_<c>` and the group count —
+    * the abelian moment TRIPLE from which avg / variance / stddev
+    * derive at READ time ([[statsFrom]]). A signed square commutes
+    * exactly like a signed sum, so mean/spread views need ZERO base
+    * reads ever — unlike max/min there is no shrink case: a leaving
+    * row subtracts its own square. Keep the measure column integral
+    * (cents, bytes, tokens) and the stored moments stay EXACT; only
+    * the derived stats are floating-point. */
+  def refresh(spark: SparkSession, viewDir: String, changeDir: String,
+      groupCols: Seq[String], sumCols: Seq[String], m2Cols: Seq[String],
+      maxCols: Seq[String], minCols: Seq[String],
+      baseDir: Option[String]): Long =
+    refresh(spark, viewDir, changeDir, groupCols, sumCols, m2Cols,
+      maxCols, minCols, baseDir, Nil)
+
+  /** Full form with DERIVED group columns — the TIME-BUCKETED /
+    * windowed view shape: `derived` computes extra columns on every
+    * feed row before the fold (e.g. `"month" → year($ts)*100 +
+    * month($ts)`), and `groupCols` may name them. Because pre- and
+    * post-images both carry the FULL row, an update that moves a row
+    * across buckets (a backdated correction crossing a month
+    * boundary) is just a group migration — −1 on the old bucket's
+    * derived value, +1 on the new one — with no special casing. The
+    * same derivation is applied to the base store on a max/min shrink
+    * recompute, so extremes work per bucket too. Derivations must be
+    * DETERMINISTIC row-functions (they re-evaluate on every fold). */
+  def refresh(spark: SparkSession, viewDir: String, changeDir: String,
+      groupCols: Seq[String], sumCols: Seq[String], m2Cols: Seq[String],
+      maxCols: Seq[String], minCols: Seq[String],
+      baseDir: Option[String], derived: Seq[(String, Column)]): Long = {
     val exts = maxCols.map(Ext(_, isMax = true)) ++
       minCols.map(Ext(_, isMax = false))
     require(exts.isEmpty || baseDir.isDefined,
       "IncrementalView: max/min columns need baseDir (shrinks recompute from the base)")
+    val sums = sumSpecs(sumCols, m2Cols)
     val view = new Path(viewDir)
     val fs = view.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pending = pendingFeedIds(spark, viewDir, changeDir)
     if (pending.isEmpty) return appliedUpto(fs, view)
     if (exts.isEmpty) applyEntries(spark, view, changeDir, pending,
-      groupCols, sumCols, Nil, None)
+      groupCols, sums, Nil, None, derived)
     else pending.foreach(k => applyEntries(spark, view, changeDir, Seq(k),
-      groupCols, sumCols, exts, baseDir))
+      groupCols, sums, exts, baseDir, derived))
     pending.max
   }
+
+  /** A signed-sum view column: output name + the per-row measure it
+    * folds (`sum_<c>` folds c, `sumsq_<c>` folds c² — same abelian
+    * path, different measure). */
+  private case class SumSpec(out: String, e: Column)
+  private def sumSpecs(sumCols: Seq[String], m2Cols: Seq[String]): Seq[SumSpec] =
+    sumCols.map(c => SumSpec(s"sum_$c", col(c))) ++
+      // ×1L promotes an int measure to long BEFORE squaring (an int²
+      // wraps at 46341² under non-ANSI arithmetic) and leaves
+      // double/decimal measures alone; keep measures integral (cents,
+      // bytes, tokens) and the stored moment stays exact
+      m2Cols.map(c => SumSpec(s"sumsq_$c",
+        (col(c) * lit(1L)) * (col(c) * lit(1L))))
 
   /** An extreme-maintained column: direction + its view-column name,
     * per-direction fold/compare helpers. */
@@ -140,8 +188,9 @@ object IncrementalView {
 
   private def applyEntries(spark: SparkSession, view: Path,
       changeDir: String, ids: Seq[Long], groupCols: Seq[String],
-      sumCols: Seq[String], exts: Seq[Ext],
-      baseDir: Option[String]): Unit = {
+      sums: Seq[SumSpec], exts: Seq[Ext],
+      baseDir: Option[String],
+      derived: Seq[(String, Column)] = Nil): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = view.getFileSystem(conf)
     val sign = when(col("_op").isin("insert", "update_postimage"), 1L)
@@ -155,8 +204,11 @@ object IncrementalView {
     // takes one file's schema and silently drops the others' new
     // columns (a null sum contribution is correct; a dropped column
     // is not)
-    val feed = spark.read.option("mergeSchema", "true").parquet(
-      ids.map(k => s"$changeDir/merge=$k"): _*)
+    val feed = derived.foldLeft(
+      spark.read.option("mergeSchema", "true").parquet(
+        ids.map(k => s"$changeDir/merge=$k"): _*)) {
+      case (df, (n, e)) => df.withColumn(n, e)
+    }
     val grow = (e: Ext) =>
       e.fold(when(col("_op").isin("insert", "update_postimage"),
         col(e.c))).as(s"__g_${e.out}")
@@ -166,7 +218,7 @@ object IncrementalView {
     val deltas = feed
       .groupBy(groupCols.map(col): _*)
       .agg(sum(sign).as("__dn"),
-        sumCols.map(c => sum(sign * col(c)).as(s"__d_$c")) ++
+        sums.map(sp => sum(sign * sp.e).as(s"__d_${sp.out}")) ++
           exts.flatMap(e => Seq(grow(e), leave(e))): _*)
     val current: Option[DataFrame] =
       if (Snapshot.currentVersion(fs, view).isDefined)
@@ -176,7 +228,7 @@ object IncrementalView {
       case None =>
         deltas.where(col("__dn") =!= 0L)
           .select(groupCols.map(col) ++ (col("__dn").as("n") +:
-            (sumCols.map(c => col(s"__d_$c").as(s"sum_$c")) ++
+            (sums.map(sp => col(s"__d_${sp.out}").as(sp.out)) ++
               exts.map(e => col(s"__g_${e.out}").as(e.out)))): _*)
           .withColumn("__recompute", lit(false))
       case Some(cur) =>
@@ -184,7 +236,7 @@ object IncrementalView {
         // its own delta row, not fork a duplicate group per refresh
         val d2 = deltas.select(
           groupCols.map(c => col(c).as(s"__g_$c")) ++
-            (col("__dn") +: (sumCols.map(c => col(s"__d_$c")) ++
+            (col("__dn") +: (sums.map(sp => col(s"__d_${sp.out}")) ++
               exts.flatMap(e =>
                 Seq(col(s"__g_${e.out}"), col(s"__p_${e.out}"))))): _*)
         val cond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
@@ -204,9 +256,9 @@ object IncrementalView {
             coalesce(col(c), col(s"__g_$c")).as(c)) ++ (
             (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
               .as("n") +:
-            (sumCols.map(c =>
-              (coalesce(col(s"sum_$c"), lit(0)) +
-                coalesce(col(s"__d_$c"), lit(0))).as(s"sum_$c")) ++
+            (sums.map(sp =>
+              (coalesce(col(sp.out), lit(0)) +
+                coalesce(col(s"__d_${sp.out}"), lit(0))).as(sp.out)) ++
               exts.map(e =>
                 e.better(col(e.out), col(s"__g_${e.out}"))
                   .as(e.out)) :+
@@ -234,7 +286,10 @@ object IncrementalView {
             col(c).as(s"__r_$c")): _*)
           val jcond = groupCols.map(c => col(c) <=> col(s"__r_$c"))
             .reduce(_ && _)
-          val authoritative = Lake.readStore(spark, baseDir.get)
+          val authoritative = derived.foldLeft(
+              Lake.readStore(spark, baseDir.get)) {
+              case (df, (nm, e)) => df.withColumn(nm, e)
+            }
             .join(broadcast(n2), jcond, "inner")
             .groupBy(groupCols.map(col): _*)
             .agg(exts.head.fold(col(exts.head.c)).as(s"__a_${exts.head.out}"),
@@ -245,7 +300,7 @@ object IncrementalView {
             .reduce(_ && _)
           m.join(authoritative, acond, "left")
             .select(groupCols.map(col) ++ (col("n") +:
-              (sumCols.map(c => col(s"sum_$c")) ++
+              (sums.map(sp => col(sp.out)) ++
                 exts.map(e =>
                   when(col("__recompute"),
                     col(s"__a_${e.out}"))
@@ -269,6 +324,33 @@ object IncrementalView {
   def read(spark: SparkSession, viewDir: String): DataFrame =
     Lake.readStore(spark, viewDir)
 
+  /** Derived mean/spread statistics from the exact moment triple
+    * (n, sum_<c>, sumsq_<c>) kept by `m2Cols` — computed at READ time
+    * so the store holds only exact integers and the expensive thing
+    * (the fold) stays abelian. Sample variance by the EXPLICIT moment
+    * formula `(sumsq − sum²/n)/(n−1)` (NULL when n < 2), stddev its
+    * square root: three IEEE double ops on identical integer inputs
+    * that any oracle can replay bit-for-bit (the q162 determinism
+    * discipline) — deliberately NOT an engine-private streaming
+    * variance. Moments must stay within double's 2^53 integer range
+    * for the derived stats to be exact-input; the STORED triple is
+    * exact regardless. */
+  def statsFrom(view: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(view) { (df, c) =>
+      val sumD = col(s"sum_$c").cast("double")
+      val sqD = col(s"sumsq_$c").cast("double")
+      val nD = col("n").cast("double")
+      val varS = when(col("n") >= 2L, (sqD - sumD * sumD / nD) / (nD - 1d))
+      df.withColumn(s"avg_$c", sumD / nD)
+        .withColumn(s"var_$c", varS)
+        .withColumn(s"stddev_$c", sqrt(varS))
+    }
+
+  /** [[read]] + [[statsFrom]] in one call. */
+  def readStats(spark: SparkSession, viewDir: String,
+      m2Cols: Seq[String]): DataFrame =
+    statsFrom(read(spark, viewDir), m2Cols)
+
   /** The partitioned-lake form: `mergeIntoPartitioned` publishes its
     * feed one level deeper (`changeRoot/<partCol>=<v>/merge=<k>`,
     * with ids monotonic PER PARTITION), so the view keeps one
@@ -280,6 +362,7 @@ object IncrementalView {
   def refreshPartitioned(spark: SparkSession, viewRoot: String,
       changeRoot: String, partCol: String,
       groupCols: Seq[String], sumCols: Seq[String],
+      m2Cols: Seq[String] = Nil,
       parallelism: Int = 4): Seq[String] = {
     val cr = new Path(changeRoot)
     val fs = cr.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -304,7 +387,7 @@ object IncrementalView {
       Await.result(
         Future.sequence(pending.map(p => Future {
           refresh(spark, s"$viewRoot/$p", s"$changeRoot/$p",
-            groupCols, sumCols)
+            groupCols, sumCols, m2Cols, Nil, Nil, None)
         })), Duration.Inf)
       pending
     } finally pool.shutdown()
@@ -344,6 +427,105 @@ object IncrementalView {
     victims.length
   }
 
+  // ---- multi-consumer feed retention (round 10) ----------------------
+  //
+  // One merge change feed often serves SEVERAL independent downstream
+  // consumers — two views with different groupings, an audit archiver,
+  // a replica loader. `vacuumConsumedFeed` sweeps against ONE view's
+  // watermark; with several consumers the sweep must wait for the
+  // SLOWEST. The registry below makes that coordination explicit and
+  // crash-safe: each consumer records a named watermark as a file
+  // `_consumers/<id>.upto_<k>` whose VALUE IS ITS NAME — publishing is
+  // one atomic create (no read-modify-write, no rename-over-existing,
+  // which some filesystems refuse), a consumer's watermark is the MAX
+  // over its files (watermarks are monotone), and stale smaller-k
+  // files are swept lazily on the next record. `_consumers` never
+  // collides with feed entries (every feed reader and publishCdf
+  // filter on the `merge=` prefix).
+
+  private val consumerIdOk = "[A-Za-z0-9_-]+".r
+
+  private def consumersDir(cd: Path) = new Path(cd, "_consumers")
+
+  /** Record `consumerId`'s applied-upto watermark on a feed. Idempotent
+    * and monotone: recording at or below the current watermark is a
+    * no-op (a crash-replayed refresh re-records its old value
+    * harmlessly). */
+  def recordConsumer(spark: SparkSession, changeDir: String,
+      consumerId: String, upto: Long): Unit = {
+    require(consumerIdOk.pattern.matcher(consumerId).matches(),
+      s"consumer id must be [A-Za-z0-9_-]+: '$consumerId'")
+    val cd = new Path(changeDir)
+    val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = consumersDir(cd)
+    fs.mkdirs(dir)
+    val mine = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith(s"$consumerId.upto_"))
+    val cur = mine.map(_.stripPrefix(s"$consumerId.upto_").toLong)
+      .foldLeft(Long.MinValue)(math.max)
+    // first call registers even at upto = -1 (a consumer that has
+    // applied NOTHING yet must still hold the sweep floor down)
+    if (upto > cur) {
+      val out = fs.create(new Path(dir, s"$consumerId.upto_$upto"), true)
+      out.close()
+      // lazy cleanup: smaller-k files of THIS consumer only (a crash
+      // here leaves extras; max-per-consumer makes them harmless)
+      mine.foreach(n => fs.delete(new Path(dir, n), false))
+    }
+  }
+
+  /** Convenience: record a VIEW consumer's watermark straight from its
+    * store's applied-upto marker. */
+  def recordViewConsumer(spark: SparkSession, changeDir: String,
+      consumerId: String, viewDir: String): Unit = {
+    val view = new Path(viewDir)
+    val fs = view.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a view with no store yet records -1: registered, nothing applied
+    // — it holds the sweep floor down until its first refresh
+    recordConsumer(spark, changeDir, consumerId, appliedUpto(fs, view))
+  }
+
+  /** Every registered consumer's watermark (consumer id → max upto). */
+  def consumerWatermarks(spark: SparkSession,
+      changeDir: String): Map[String, Long] = {
+    val cd = new Path(changeDir)
+    val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = consumersDir(cd)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).map(_.getPath.getName)
+      .flatMap { n =>
+        val i = n.lastIndexOf(".upto_")
+        if (i <= 0) None
+        else scala.util.Try(n.substring(i + 6).toLong).toOption
+          .map(k => n.substring(0, i) -> k)
+      }
+      .groupBy(_._1).map { case (id, ks) => id -> ks.map(_._2).max }
+  }
+
+  /** Sweep feed entries every registered consumer has applied:
+    * delete `merge=<k>` with k ≤ min over consumer watermarks —
+    * always retaining the highest id present (the publishCdf
+    * id-watermark rule, same as [[vacuumConsumedFeed]]). A feed with
+    * NO registered consumers sweeps nothing (unknown lag is assumed
+    * infinite — the safe default). Returns entries deleted. */
+  def vacuumFeedMinWatermark(spark: SparkSession,
+      changeDir: String): Int = {
+    val marks = consumerWatermarks(spark, changeDir)
+    if (marks.isEmpty) return 0
+    val floor = marks.values.min
+    val cd = new Path(changeDir)
+    val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cd)) return 0
+    val ids = fs.listStatus(cd).map(_.getPath.getName)
+      .filter(_.startsWith("merge="))
+      .map(_.stripPrefix("merge=").toLong)
+    if (ids.isEmpty) return 0
+    val keep = ids.max
+    val victims = ids.filter(k => k <= floor && k != keep)
+    victims.foreach(k => fs.delete(new Path(cd, s"merge=$k"), true))
+    victims.length
+  }
+
   /** Partitioned twin: sweep each partition's feed against its own
     * sub-view watermark. */
   def vacuumConsumedFeedPartitioned(spark: SparkSession, viewRoot: String,
@@ -362,7 +544,17 @@ object IncrementalView {
     * a bounded (#partitions × #groups rows) aggregate, never a base
     * scan. */
   def readPartitioned(spark: SparkSession, viewRoot: String,
-      groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+      groupCols: Seq[String], sumCols: Seq[String]): DataFrame =
+    readPartitioned(spark, viewRoot, groupCols, sumCols, Nil)
+
+  /** `readPartitioned` with second-moment columns: `sumsq_<c>` adds
+    * across sub-views exactly like `sum_<c>` (both abelian), so the
+    * whole-lake moment triple comes out of the same bounded
+    * re-aggregate — compose with [[statsFrom]] for lake-wide
+    * avg/stddev. */
+  def readPartitioned(spark: SparkSession, viewRoot: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      m2Cols: Seq[String]): DataFrame = {
     val vr = new Path(viewRoot)
     val fs = vr.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val subs = fs.listStatus(vr).filter(_.isDirectory).map(_.getPath)
@@ -377,6 +569,7 @@ object IncrementalView {
     spark.read.option("mergeSchema", "true").parquet(paths.toSeq: _*)
       .groupBy(groupCols.map(col): _*)
       .agg(sum("n").as("n"),
-        sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
+        sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")) ++
+          m2Cols.map(c => sum(s"sumsq_$c").as(s"sumsq_$c")): _*)
   }
 }

@@ -278,6 +278,103 @@ object CdcQueries {
       .transform(Det.emit(_, "status"))
   }
 
+  /** q165: the incremental MEAN/SPREAD view, oracle-checked end to end
+    * (round 10) — q163's protocol probe extended to the second-moment
+    * triple: two pre-image-feed merges fold (n, Σx, Σx²) per status
+    * (`m2Cols` — a signed square commutes exactly like a signed sum,
+    * so avg/stddev views need zero base reads), then avg / sample
+    * variance / stddev derive at read time by the EXPLICIT moment
+    * formula. The oracle reconstructs the final table relationally
+    * and replays the SAME three IEEE double ops on the same exact
+    * integers — the floating-point outputs are bitwise identical by
+    * construction (the q162 determinism discipline), so they
+    * hash-match unrounded. Whole DOLLARS (not cents) and a 1/16
+    * fixture slice keep Σx² far inside both int64 and double's 2^53
+    * exact-integer range at every SF the driver runs. */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val root = fixtureStore(s, "incstats", d)
+    val dir = s"$root/t"; val cdf = s"$root/changes"; val view = s"$root/view"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val base = orders(s, d).where(col("o_orderkey") % 16 === 2)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice")).cast("long").as("usd"))
+    def merge(b: DataFrame): Unit =
+      graft.sources.Lake.mergeInto(s, dir, b, Seq("k"), Seq("ver"),
+        Some(col("is_delete")), changeDir = Some(cdf), cdfPreImages = true)
+    def refresh(): Unit = {
+      graft.examples.IncrementalView.refresh(s, view, cdf,
+        Seq("status"), Seq("usd"), Seq("usd"), Nil, Nil, None)
+      ()
+    }
+    merge(base.where(col("k") % 3 =!= 0)
+      .withColumn("ver", lit(1L)).withColumn("is_delete", lit(false)))
+    refresh()
+    val upd = base.where(col("k") % 3 =!= 0 && col("k") % 5 === 0)
+      .withColumn("usd", col("usd") + 7L)
+      .withColumn("is_delete", lit(false))
+    val del = base.where(col("k") % 3 =!= 0 && col("k") % 11 === 0 &&
+        col("k") % 5 =!= 0)
+      .withColumn("is_delete", lit(true))
+    val ins = base.where(col("k") % 3 === 0 && col("k") % 7 === 0)
+      .withColumn("is_delete", lit(false))
+    merge(upd.unionByName(del).unionByName(ins).withColumn("ver", lit(2L)))
+    refresh()
+    graft.examples.IncrementalView.readStats(s, view, Seq("usd"))
+      .select(col("status"), col("n"), col("sum_usd"), col("sumsq_usd"),
+        col("avg_usd"), col("var_usd"), col("stddev_usd"))
+      .transform(Det.emit(_, "status"))
+  }
+
+  /** q166: the TIME-BUCKETED incremental view, oracle-checked end to
+    * end (round 10) — the windowed-maintenance shape: the view groups
+    * on a DERIVED month bucket (`year*100+month` of the order date,
+    * an integer both engines compute identically), maintained purely
+    * from the pre-image feed. The second merge BACKDATES a slice of
+    * rows across a month boundary (+40 days for k%5=0) — on a derived
+    * bucket that is just a group migration (−1 old bucket, +1 new),
+    * the case that distinguishes real windowed maintenance from a
+    * static group key. Oracle reconstructs the final table with the
+    * same +40-day shift and the same bucket arithmetic. */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val root = fixtureStore(s, "incbucket", d)
+    val dir = s"$root/t"; val cdf = s"$root/changes"; val view = s"$root/view"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val base = orders(s, d).where(col("o_orderkey") % 16 === 3)
+      .select(col("o_orderkey").as("k"), col("o_orderdate").as("odate"),
+        round(col("o_totalprice")).cast("long").as("usd"))
+    def merge(b: DataFrame): Unit =
+      graft.sources.Lake.mergeInto(s, dir, b, Seq("k"), Seq("ver"),
+        Some(col("is_delete")), changeDir = Some(cdf), cdfPreImages = true)
+    val bucket = year(col("odate")) * 100 + month(col("odate"))
+    def refresh(): Unit = {
+      graft.examples.IncrementalView.refresh(s, view, cdf,
+        Seq("bucket"), Seq("usd"), Nil, Nil, Nil, None,
+        Seq("bucket" -> bucket))
+      ()
+    }
+    merge(base.where(col("k") % 3 =!= 0)
+      .withColumn("ver", lit(1L)).withColumn("is_delete", lit(false)))
+    refresh()
+    val moved = base.where(col("k") % 3 =!= 0 && col("k") % 5 === 0)
+      .withColumn("odate", date_add(col("odate"), 40))
+      .withColumn("is_delete", lit(false))
+    val del = base.where(col("k") % 3 =!= 0 && col("k") % 11 === 0 &&
+        col("k") % 5 =!= 0)
+      .withColumn("is_delete", lit(true))
+    val ins = base.where(col("k") % 3 === 0 && col("k") % 7 === 0)
+      .withColumn("is_delete", lit(false))
+    merge(moved.unionByName(del).unionByName(ins).withColumn("ver", lit(2L)))
+    refresh()
+    graft.examples.IncrementalView.read(s, view)
+      .select(col("bucket"), col("n"), col("sum_usd"))
+      .transform(Det.emit(_, "bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cdc_envelope_roundtrip" -> q60,
     "q61_cdc_latest_by_key" -> q61,
@@ -286,7 +383,9 @@ object CdcQueries {
     "q117_scd2_history" -> q117,
     "q136_scd2_asof" -> q136,
     "q161_snapshot_diff" -> q161,
-    "q163_incremental_view" -> q163)
+    "q163_incremental_view" -> q163,
+    "q165_incremental_stats" -> q165,
+    "q166_bucketed_view" -> q166)
 
   val oracles: Map[String, String] = Map(
     // Oracle aggregates the base tables directly — the JSON round-trip
@@ -390,5 +489,57 @@ object CdcQueries {
             WHERE k % 3 = 0 AND k % 7 = 0)
           SELECT status, CAST(count(1) AS BIGINT) AS n,
                  sum(cents) AS sum_cents
-          FROM final GROUP BY status ORDER BY status""")
+          FROM final GROUP BY status ORDER BY status""",
+    // q165: the oracle replays the IDENTICAL moment formula on the
+    // identical exact integers — three IEEE double ops in the same
+    // order → bitwise-equal unrounded doubles (q162 discipline)
+    "q165_incremental_stats" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                              CAST(round(o_totalprice) AS BIGINT) AS usd
+                       FROM orders WHERE o_orderkey % 16 = 2),
+          final AS (
+            SELECT k, status,
+                   CASE WHEN k % 5 = 0 THEN usd + 7 ELSE usd END AS usd
+            FROM base
+            WHERE k % 3 <> 0
+              AND NOT (k % 11 = 0 AND k % 5 <> 0)
+            UNION ALL
+            SELECT k, status, usd FROM base
+            WHERE k % 3 = 0 AND k % 7 = 0),
+          agg AS (SELECT status, CAST(count(1) AS BIGINT) AS n,
+                         CAST(sum(usd) AS BIGINT) AS sum_usd,
+                         CAST(sum(usd * usd) AS BIGINT) AS sumsq_usd
+                  FROM final GROUP BY status)
+          SELECT status, n, sum_usd, sumsq_usd,
+                 CAST(sum_usd AS DOUBLE) / CAST(n AS DOUBLE) AS avg_usd,
+                 CASE WHEN n >= 2 THEN
+                   (CAST(sumsq_usd AS DOUBLE)
+                     - CAST(sum_usd AS DOUBLE) * CAST(sum_usd AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1) END AS var_usd,
+                 CASE WHEN n >= 2 THEN
+                   sqrt((CAST(sumsq_usd AS DOUBLE)
+                     - CAST(sum_usd AS DOUBLE) * CAST(sum_usd AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1)) END AS stddev_usd
+          FROM agg ORDER BY status""",
+    "q166_bucketed_view" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderdate AS odate,
+                              CAST(round(o_totalprice) AS BIGINT) AS usd
+                       FROM orders WHERE o_orderkey % 16 = 3),
+          final AS (
+            SELECT k,
+                   CASE WHEN k % 5 = 0 THEN odate + INTERVAL 40 DAY
+                        ELSE odate END AS odate,
+                   usd
+            FROM base
+            WHERE k % 3 <> 0
+              AND NOT (k % 11 = 0 AND k % 5 <> 0)
+            UNION ALL
+            SELECT k, odate, usd FROM base
+            WHERE k % 3 = 0 AND k % 7 = 0)
+          SELECT CAST(year(odate) * 100 + month(odate) AS INT) AS bucket,
+                 CAST(count(1) AS BIGINT) AS n,
+                 CAST(sum(usd) AS BIGINT) AS sum_usd
+          FROM final GROUP BY 1 ORDER BY 1""")
 }
