@@ -453,7 +453,8 @@ object Lake {
       keyCols: Seq[String], orderCols: Seq[String],
       isDelete: Option[org.apache.spark.sql.Column] = None,
       changeDir: Option[String] = None,
-      cdfPreImages: Boolean = false): Seq[String] = {
+      cdfPreImages: Boolean = false,
+      parallelism: Int = 4): Seq[String] = {
     // the batch feeds the distinct probe plus one filtered pass per
     // touched partition — pin it for the loop's duration (idempotent
     // guard: a bench loop may re-merge an already-cached plan)
@@ -467,7 +468,7 @@ object Lake {
       require(!raw.contains(null),
         s"mergeIntoPartitioned: updates contain NULL $partCol — every row must route to a partition")
       val touched = raw.sorted
-      touched.foreach { v =>
+      def mergeOne(v: String): Unit = {
         // partition value lives in the DIRECTORY name, not the files
         // (Hive layout) — drop the column so file schemas stay identical
         // to writePartitioned's output. The value is Hive-ESCAPED with
@@ -481,6 +482,29 @@ object Lake {
         mergeInto(spark, s"$lakeRoot/$partCol=$esc", sub,
           keyCols, orderCols, isDelete,
           changeDir.map(cd => s"$cd/$partCol=$esc"), cdfPreImages)
+      }
+      // per-partition merges touch DISJOINT store+feed directories
+      // (each its own snapshot protocol, each already single-writer),
+      // so they run CONCURRENTLY on a bounded pool — a backfill
+      // touching hundreds of days was previously hundreds of
+      // SEQUENTIAL job groups serialized on the driver (round-7
+      // advice). The win is overlapping job scheduling/IO, not
+      // saturating the cluster — same discipline as
+      // IncrementalView.refreshPartitioned.
+      if (touched.length <= 1 || parallelism <= 1) touched.foreach(mergeOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, touched.length))
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          Await.result(
+            Future.sequence(touched.toSeq.map(v => Future(mergeOne(v)))),
+            Duration.Inf)
+          ()
+        } finally pool.shutdown()
       }
       touched.toSeq
     } finally {
