@@ -941,6 +941,159 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IncrementalView: second-moment columns derive avg/stddev with zero base reads") {
+    import graft.examples.IncrementalView
+    val base = TestSpark.tmpDir("inc-m2")
+    val dir = s"$base/t"; val cdf = s"$base/changes"
+    val viewDir = s"$base/views/p=0"
+    def df(rows: (Long, String, Long, Long, Boolean)*) =
+      rows.toDF("k", "g", "x", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true)
+    def refresh(): Long = IncrementalView.refresh(spark, viewDir, cdf,
+      Seq("g"), Seq("x"), Seq("x"), Nil, Nil, None)
+    def triple = IncrementalView.read(spark, viewDir).collect()
+      .map(r => r.getAs[String]("g") -> (r.getAs[Long]("n"),
+        r.getAs[Long]("sum_x"), r.getAs[Long]("sumsq_x"))).toMap
+    def recompute = graft.sources.Lake.readStore(spark, dir)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("sq"))
+      .collect().map(r => r.getAs[String]("g") -> (r.getAs[Long]("n"),
+        r.getAs[Long]("s"), r.getAs[Long]("sq"))).toMap
+
+    merge(df((1L, "a", 3L, 1L, false), (2L, "a", 5L, 1L, false),
+      (3L, "b", 7L, 1L, false)))
+    assert(refresh() == 0L)
+    assert(triple == Map("a" -> (2L, 8L, 34L), "b" -> (1L, 7L, 49L)))
+    assert(triple == recompute)
+    // update (3→4: squares net −9+16), group migration (k=2 a→b),
+    // delete (k=3): every delta subtracts its own square — no shrink
+    // case, no base read, ever
+    merge(df((1L, "a", 4L, 2L, false), (2L, "b", 5L, 2L, false),
+      (3L, "b", 7L, 2L, true)))
+    assert(refresh() == 1L)
+    assert(triple == Map("a" -> (1L, 4L, 16L), "b" -> (1L, 5L, 25L)))
+    assert(triple == recompute)
+    // derived stats: the documented moment formula, NULL spread at n=1
+    merge(df((4L, "a", 10L, 1L, false)))
+    assert(refresh() == 2L)
+    val stats = IncrementalView.readStats(spark, viewDir, Seq("x"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("avg_x"),
+          if (r.isNullAt(r.fieldIndex("var_x"))) None
+          else Some(r.getAs[Double]("var_x")))).toMap
+    assert(stats("a")._1 == 7.0)                       // (4+10)/2
+    assert(math.abs(stats("a")._2.get - 18.0) < 1e-12) // (116−98)/1
+    assert(stats("b") == ((5.0, None)), "n=1 spread must be NULL")
+    // the same triple survives the partitioned re-aggregate path
+    val whole = IncrementalView
+      .readPartitioned(spark, s"$base/views", Seq("g"), Seq("x"), Seq("x"))
+    assert(whole.columns.toSet == Set("g", "n", "sum_x", "sumsq_x"))
+    val wm = whole.collect().map(r => r.getAs[String]("g") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("sum_x"),
+        r.getAs[Long]("sumsq_x"))).toMap
+    assert(wm == triple)
+  }
+
+  test("IncrementalView: derived time buckets maintain a windowed view incrementally") {
+    import graft.examples.IncrementalView
+    val base = TestSpark.tmpDir("inc-bucket")
+    val dir = s"$base/t"; val cdf = s"$base/changes"; val viewDir = s"$base/view"
+    def df(rows: (Long, String, Long, Long, Boolean)*) =
+      rows.toDF("k", "day", "x", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true)
+    // bucket = month of an ISO day string — derived on every feed row
+    val month = substring(col("day"), 1, 7)
+    def refresh(): Long = IncrementalView.refresh(spark, viewDir, cdf,
+      Seq("month"), Seq("x"), Nil, Seq("x"), Nil, Some(dir),
+      Seq("month" -> month))
+    def viewMap = IncrementalView.read(spark, viewDir).collect()
+      .map(r => r.getAs[String]("month") -> (r.getAs[Long]("n"),
+        r.getAs[Long]("sum_x"), r.getAs[Long]("max_x"))).toMap
+    def recompute = graft.sources.Lake.readStore(spark, dir)
+      .withColumn("month", month)
+      .groupBy("month").agg(count(lit(1)).as("n"), sum("x").as("s"),
+        max("x").as("m"))
+      .collect().map(r => r.getAs[String]("month") -> (r.getAs[Long]("n"),
+        r.getAs[Long]("s"), r.getAs[Long]("m"))).toMap
+
+    merge(df((1L, "2026-01-03", 10L, 1L, false),
+      (2L, "2026-01-20", 5L, 1L, false),
+      (3L, "2026-02-01", 7L, 1L, false)))
+    assert(refresh() == 0L)
+    assert(viewMap == Map("2026-01" -> (2L, 15L, 10L),
+      "2026-02" -> (1L, 7L, 7L)))
+    assert(viewMap == recompute)
+    // a backdated correction CROSSES the month boundary (k=3 moves
+    // Feb→Jan): plain group migration on the derived bucket — the Feb
+    // bucket empties out of the view, Jan gains
+    merge(df((3L, "2026-01-31", 7L, 2L, false)))
+    assert(refresh() == 1L)
+    assert(viewMap == Map("2026-01" -> (3L, 22L, 10L)))
+    assert(viewMap == recompute)
+    // max-shrink inside a bucket: the champion (k=1, x=10) leaves —
+    // the group-pruned base recompute runs WITH the derivation applied
+    merge(df((1L, "2026-01-03", 10L, 3L, true)))
+    assert(refresh() == 2L)
+    assert(viewMap == Map("2026-01" -> (2L, 12L, 7L)))
+    assert(viewMap == recompute)
+  }
+
+  test("IncrementalView: multi-consumer watermark registry gates the feed sweep") {
+    import graft.examples.IncrementalView
+    val base = TestSpark.tmpDir("inc-consumers")
+    val dir = s"$base/t"; val cdf = s"$base/changes"; val viewDir = s"$base/view"
+    def df(rows: (Long, String, Long, Long, Boolean)*) =
+      rows.toDF("k", "g", "x", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true)
+    val fs = new org.apache.hadoop.fs.Path(cdf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def feedIds = fs.listStatus(new org.apache.hadoop.fs.Path(cdf))
+      .map(_.getPath.getName).filter(_.startsWith("merge="))
+      .map(_.stripPrefix("merge=").toLong).sorted.toSeq
+    (1 to 4).foreach(v => merge(df((v.toLong, "a", v.toLong, 1L, false))))
+    assert(feedIds == Seq(0L, 1L, 2L, 3L))
+    // no registered consumers: unknown lag is infinite — sweep nothing
+    assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 0)
+    // the view consumer catches up fully; a second consumer registers
+    // having applied NOTHING (-1) and holds the floor down
+    IncrementalView.refresh(spark, viewDir, cdf, Seq("g"), Seq("x"))
+    IncrementalView.recordViewConsumer(spark, cdf, "view", viewDir)
+    IncrementalView.recordViewConsumer(spark, cdf, "audit", s"$base/no-view-yet")
+    assert(IncrementalView.consumerWatermarks(spark, cdf) ==
+      Map("view" -> 3L, "audit" -> -1L))
+    assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 0,
+      "swept entries a registered laggard has not applied")
+    // the laggard advances partway: only the fully-consumed prefix goes
+    IncrementalView.recordConsumer(spark, cdf, "audit", 1L)
+    assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 2)
+    assert(feedIds == Seq(2L, 3L))
+    // fully caught up: everything sweeps EXCEPT the highest id (it
+    // carries publishCdf's id watermark)
+    IncrementalView.recordConsumer(spark, cdf, "audit", 3L)
+    assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 1)
+    assert(feedIds == Seq(3L))
+    merge(df((9L, "a", 9L, 1L, false)))
+    assert(feedIds == Seq(3L, 4L), "id sequence reset after the sweep")
+    // watermarks are monotone (a replayed refresh re-records
+    // harmlessly) and stale files sweep to one per consumer
+    IncrementalView.recordConsumer(spark, cdf, "audit", 2L)
+    assert(IncrementalView.consumerWatermarks(spark, cdf)("audit") == 3L)
+    val reg = fs.listStatus(new org.apache.hadoop.fs.Path(s"$cdf/_consumers"))
+      .map(_.getPath.getName).filter(_.startsWith("audit.")).toSeq
+    assert(reg == Seq("audit.upto_3"), s"stale watermark files: $reg")
+    intercept[IllegalArgumentException](
+      IncrementalView.recordConsumer(spark, cdf, "bad id!", 0L))
+  }
+
   test("Lake.publishCdfAt refuses to overwrite an existing feed entry (single-writer guard)") {
     import org.apache.hadoop.fs.Path
     val base = TestSpark.tmpDir("cdf-guard")
@@ -1087,6 +1240,56 @@ class OperatorSpec extends AnyFunSuite {
         .toDF("k", "v", "ver", "ingest_date", "is_delete"))
     }
     assert(state.size == 3)
+  }
+
+  test("Lake.mergeIntoPartitioned merges many touched partitions concurrently") {
+    // a backfill-shaped batch touching 8 days: the concurrent pool
+    // (default) must produce exactly the sequential result — disjoint
+    // store+feed dirs per partition make the merges independent
+    val root = TestSpark.tmpDir("merge-par")
+    def df(rows: (Long, String, Long, String, Boolean)*) =
+      rows.toDF("k", "v", "ver", "ingest_date", "is_delete")
+    val days = (1 to 8).map(i => f"2024-02-$i%02d")
+    val seed = df(days.zipWithIndex.map { case (d, i) =>
+      (i.toLong, s"v$i", 1L, d, false) }: _*)
+    val upd = df(days.zipWithIndex.flatMap { case (d, i) =>
+      Seq((i.toLong, s"u$i", 2L, d, false),          // update
+        (100L + i, s"n$i", 2L, d, false))            // insert
+    }: _*)
+    def run(lake: String, cdf: String, par: Int): Set[(Long, String, Long, String)] = {
+      graft.sources.Lake.mergeIntoPartitioned(spark, lake, seed,
+        "ingest_date", Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true, parallelism = par)
+      val touched = graft.sources.Lake.mergeIntoPartitioned(spark, lake,
+        upd, "ingest_date", Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true, parallelism = par)
+      assert(touched == days, s"touched=$touched")
+      graft.sources.Lake.read(spark, lake).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+          r.getAs[Long]("ver"), r.getAs[Any]("ingest_date").toString)).toSet
+    }
+    val par = run(s"$root/lakeP", s"$root/cdfP", 4)
+    val sequential = run(s"$root/lakeS", s"$root/cdfS", 1)
+    assert(par == sequential)
+    assert(par.size == 16)
+    // each partition's feed published independently: ids 0 (seed) and
+    // 1 (update) in every day dir, and the partitioned view folds the
+    // whole concurrent feed to the recompute
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    days.foreach { d =>
+      val ids = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$root/cdfP/ingest_date=$d"))
+        .map(_.getPath.getName).filter(_.startsWith("merge="))
+        .map(_.stripPrefix("merge=").toLong).sorted.toSeq
+      assert(ids == Seq(0L, 1L), s"day $d feed ids: $ids")
+    }
+    graft.examples.IncrementalView.refreshPartitioned(spark,
+      s"$root/view", s"$root/cdfP", "ingest_date", Seq("v"), Seq("ver"))
+    val vm = graft.examples.IncrementalView
+      .readPartitioned(spark, s"$root/view", Seq("v"), Seq("ver"))
+      .agg(sum("n")).head().getLong(0)
+    assert(vm == 16L)
   }
 
   test("examples.LakeOps: nightly loop maintains a partitioned incremental view") {
@@ -1611,6 +1814,81 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Seq((0, "a", "1", 2), (1, "b", "x", 1)))
     assert(spark.sql("""SELECT json_query('{"a":{"b":2}}', '$.a') q""")
       .head().getString(0) == """{"b":2}""")
+  }
+
+  test("json_modify replicates the T-SQL edit matrix") {
+    import graft.functions.JsonModify
+    def m(j: String, p: String, v: Any): String =
+      JsonModify.modify(j, p, v, raw = false)
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val j = """{"a":1,"b":"x","arr":[1,2],"o":{"u":1}}"""
+    // set existing: replace IN PLACE (member keeps its position)
+    assert(m(j, "$.a", u("y")) == """{"a":"y","b":"x","arr":[1,2],"o":{"u":1}}""")
+    assert(m(j, "$.a", java.lang.Long.valueOf(9L)) ==
+      """{"a":9,"b":"x","arr":[1,2],"o":{"u":1}}""")
+    // lax insert of a missing member lands at the END
+    assert(m(j, "$.w", u("nw")) ==
+      """{"a":1,"b":"x","arr":[1,2],"o":{"u":1},"w":"nw"}""")
+    // nested set through an existing parent
+    assert(m(j, "$.o.u", java.lang.Integer.valueOf(2)) ==
+      """{"a":1,"b":"x","arr":[1,2],"o":{"u":2}}""")
+    // strict insert of a missing member errors; strict replace works
+    intercept[IllegalArgumentException](m(j, "strict $.w", u("nw")))
+    assert(m(j, "strict $.a", u("y")).contains(""""a":"y""""))
+    // missing PARENT errors in both modes (no fabricated intermediates)
+    intercept[IllegalArgumentException](m(j, "$.nope.deep", u("v")))
+    intercept[IllegalArgumentException](m(j, "strict $.nope.deep", u("v")))
+    // delete by SQL NULL: lax removes; lax missing = no-op;
+    // strict writes JSON null on hit and errors on miss
+    assert(m(j, "$.b", null) == """{"a":1,"arr":[1,2],"o":{"u":1}}""")
+    assert(m(j, "$.nope", null) == j)
+    assert(m(j, "strict $.b", null) ==
+      """{"a":1,"b":null,"arr":[1,2],"o":{"u":1}}""")
+    intercept[IllegalArgumentException](m(j, "strict $.nope", null))
+    // array element: in-range replace, lax out-of-range appends,
+    // strict out-of-range errors, lax element delete shifts left
+    assert(m(j, "$.arr[0]", java.lang.Integer.valueOf(7)) ==
+      """{"a":1,"b":"x","arr":[7,2],"o":{"u":1}}""")
+    assert(m(j, "$.arr[5]", java.lang.Integer.valueOf(7)) ==
+      """{"a":1,"b":"x","arr":[1,2,7],"o":{"u":1}}""")
+    intercept[IllegalArgumentException](
+      m(j, "strict $.arr[5]", java.lang.Integer.valueOf(7)))
+    assert(m(j, "$.arr[0]", null) == """{"a":1,"b":"x","arr":[2],"o":{"u":1}}""")
+    // append: push to array; lax creates on a missing member; a
+    // non-array target is loud in both modes; NULL appends JSON null
+    assert(m(j, "append $.arr", u("e")) ==
+      """{"a":1,"b":"x","arr":[1,2,"e"],"o":{"u":1}}""")
+    assert(m(j, "append $.tags", u("t")) ==
+      """{"a":1,"b":"x","arr":[1,2],"o":{"u":1},"tags":["t"]}""")
+    intercept[IllegalArgumentException](m(j, "append strict $.tags", u("t")))
+    intercept[IllegalArgumentException](m(j, "append $.a", u("t")))
+    assert(m(j, "append $.arr", null) ==
+      """{"a":1,"b":"x","arr":[1,2,null],"o":{"u":1}}""")
+    // append onto a root array
+    assert(m("""[1]""", "append $", java.lang.Integer.valueOf(2)) == "[1,2]")
+    // root set is loud; malformed text is loud in both modes
+    intercept[IllegalArgumentException](m(j, "$", u("x")))
+    intercept[IllegalArgumentException](m("nope", "$.a", u("x")))
+    // raw fragment injection vs escaped-string insertion
+    assert(JsonModify.modify(j, "$.o", """{"v":2}""", raw = true) ==
+      """{"a":1,"b":"x","arr":[1,2],"o":{"v":2}}""")
+    assert(m(j, "$.o", u("""{"v":2}""")) ==
+      """{"a":1,"b":"x","arr":[1,2],"o":"{\"v\":2}"}""")
+    intercept[IllegalArgumentException](
+      JsonModify.modify(j, "$.o", "not json", raw = true))
+    // SQL surface through codegen: provenance rule picks raw for a
+    // json_query value and escaped-string otherwise
+    GraftExtensions.registerAll(spark)
+    val got = spark.sql(
+      """SELECT json_modify('{"a":1}', '$.o', json_query('{"v":2}', '$')) r,
+                json_modify('{"a":1}', '$.b', 'x') s,
+                json_modify('{"a":1}', '$.a', CAST(NULL AS STRING)) d""").head()
+    assert(got.getString(0) == """{"a":1,"o":{"v":2}}""")
+    assert(got.getString(1) == """{"a":1,"b":"x"}""")
+    assert(got.getString(2) == "{}")
+    // NULL json / NULL path propagate SQL NULL
+    assert(spark.sql(
+      "SELECT json_modify(CAST(NULL AS STRING), '$.a', 'x') r").head().isNullAt(0))
   }
 
   test("IntervalJoin raises loudly on inverted intervals (hi < lo)") {
