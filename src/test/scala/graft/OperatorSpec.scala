@@ -924,16 +924,18 @@ class OperatorSpec extends AnyFunSuite {
           Seq("k"), Seq("ver"), Some(col("is_delete")),
           changeDir = Some(cdf), cdfPreImages = true)
         IncrementalView.refresh(spark, viewDir, cdf, Seq("g"), Seq("x"),
-          maxCols = Seq("x"), minCols = Seq("x"), baseDir = Some(dir))
+          Seq("x"), Seq("x"), Seq("x"), Some(dir))
         val viewMap = IncrementalView.read(spark, viewDir).collect()
           .map(r => r.getAs[String]("g") ->
             (r.getAs[Long]("n"), r.getAs[Long]("sum_x"),
+              r.getAs[Long]("sumsq_x"),
               r.getAs[Long]("max_x"), r.getAs[Long]("min_x"))).toMap
         val want = graft.sources.Lake.readStore(spark, dir)
           .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"),
+            sum(col("x") * col("x")).as("sq"),
             max("x").as("m"), min("x").as("mn"))
           .collect().map(r => r.getAs[String]("g") ->
-            (r.getAs[Long]("n"), r.getAs[Long]("s"),
+            (r.getAs[Long]("n"), r.getAs[Long]("s"), r.getAs[Long]("sq"),
               r.getAs[Long]("m"), r.getAs[Long]("mn"))).toMap
         assert(viewMap == want,
           s"seed=$seed ver=$ver: view $viewMap != recompute $want")

@@ -1417,6 +1417,103 @@ class StreamingSpec extends AnyFunSuite {
     assert(refresh() == upto)
   }
 
+  test("s38: one streamed feed serves two view consumers; min-watermark gates the sweep") {
+    import graft.examples.IncrementalView
+    val src = TestSpark.tmpDir("s38-src")
+    val root = TestSpark.tmpDir("s38-tbl")
+    val table = s"$root/t"; val cdf = s"$root/changes"
+    val statsView = s"$root/stats"; val bucketView = s"$root/bucket"
+    val chk = TestSpark.tmpDir("s38-chk")
+    def run(): Unit = {
+      val post = CdcStreams.postImages(
+          CdcStreams.readEnvelopeStream(spark, src, rideSchema))
+        .withColumn("kid", element_at(col("key"), 2))
+        .withColumn("hlc", col("updated").cast("double"))
+        // integer CENTS keep the moment triple exact
+        .withColumn("cents",
+          round(col("revenue").cast("double") * 100).cast("long"))
+      val q = CdcStreams.mergeSink(post, table, chk,
+          Seq("kid"), Seq("hlc"), isDeleteCol = Some("is_delete"),
+          changeDir = Some(cdf), cdfPreImages = true)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // consumer 1: per-city moment-triple view (avg/stddev derivable)
+    def refreshStats(): Unit = {
+      IncrementalView.refresh(spark, statsView, cdf,
+        Seq("city"), Seq("cents"), Seq("cents"), Nil, Nil, None)
+      IncrementalView.recordViewConsumer(spark, cdf, "stats", statsView)
+    }
+    // consumer 2: view bucketed on the DERIVED integer second of the
+    // HLC — an update's new HLC moves its row across buckets
+    def refreshBucket(): Unit = {
+      IncrementalView.refresh(spark, bucketView, cdf,
+        Seq("bucket"), Seq("cents"), Nil, Nil, Nil, None,
+        Seq("bucket" -> floor(col("hlc")).cast("long")))
+      IncrementalView.recordViewConsumer(spark, cdf, "bucket", bucketView)
+    }
+    def statsMap = IncrementalView.read(spark, statsView).collect()
+      .map(r => r.getAs[String]("city") -> (r.getAs[Long]("n"),
+        r.getAs[Long]("sum_cents"), r.getAs[Long]("sumsq_cents"))).toMap
+    def bucketMap = IncrementalView.read(spark, bucketView).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_cents"))).toMap
+    def store = graft.sources.Lake.readStore(spark, table)
+    def statsWant = store.groupBy("city")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("sq"))
+      .collect().map(r => r.getAs[String]("city") -> (r.getAs[Long]("n"),
+        r.getAs[Long]("s"), r.getAs[Long]("sq"))).toMap
+    def bucketWant = store
+      .withColumn("bucket", floor(col("hlc")).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    def feedIds = {
+      val fs = new org.apache.hadoop.fs.Path(cdf)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(cdf))
+        .map(_.getPath.getName).filter(_.startsWith("merge="))
+        .map(_.stripPrefix("merge=").toLong).sorted.toSeq
+    }
+
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.25", "1.0"),
+      envLine("b", "boston", "5.50", "2.0"),
+      envLine("c", "amsterdam", "4.75", "2.5")))
+    run()
+    // the bucket consumer registers BEFORE ever refreshing (-1): the
+    // sweep must wait for it even after the stats consumer catches up
+    IncrementalView.recordViewConsumer(spark, cdf, "bucket", bucketView)
+    refreshStats()
+    assert(IncrementalView.consumerWatermarks(spark, cdf) ==
+      Map("stats" -> 0L, "bucket" -> -1L))
+    assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 0,
+      "swept an entry the registered bucket consumer has not applied")
+    refreshBucket()
+    assert(statsMap == statsWant)
+    assert(bucketMap == Map(1L -> (1L, 1025L), 2L -> (2L, 1025L)))
+    assert(bucketMap == bucketWant)
+    // restart: a's update moves its HLC bucket 1→3 and its price, b
+    // deletes — both views follow from the same feed entry
+    writeNdjson(src, "f2.ndjson", Seq(
+      envLine("a", "amsterdam", "12.00", "3.5"),
+      """{"after": null, "key": ["boston", "b"], "updated": "4.0"}"""))
+    run()
+    refreshStats(); refreshBucket()
+    assert(statsMap == statsWant)
+    assert(bucketMap == Map(2L -> (1L, 475L), 3L -> (1L, 1200L)))
+    assert(bucketMap == bucketWant)
+    // derived stats stay consistent with the documented formula
+    val st = IncrementalView.readStats(spark, statsView, Seq("cents"))
+      .where(col("city") === "amsterdam").head()
+    assert(st.getAs[Double]("avg_cents") == (475.0 + 1200.0) / 2)
+    // both consumers at 1 → the sweep takes entry 0, retains 1
+    assert(feedIds == Seq(0L, 1L))
+    assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 1)
+    assert(feedIds == Seq(1L))
+  }
+
   test("s30b: partition-routed merge sink rewrites only touched day-directories") {
     val src = TestSpark.tmpDir("s30b-src")
     val lake = TestSpark.tmpDir("s30b-lake") + "/lake"
