@@ -140,3 +140,38 @@ object OpenJsonEntries {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "openjson_entries", exprs => OpenJsonEntries(exprs(0), exprs(1)), "built-in")
 }
+
+/** T-SQL `OPENJSON(j) WITH (name TYPE '<path>' [AS JSON], …)` — the
+  * TYPED projection form of OPENJSON over a single object
+  * (the explicit-schema sibling of the default-schema shred above,
+  * README.md:173-192's engine exposes both). Each spec column walks
+  * the SAME document with the family's shared path machinery:
+  * scalars through JSON_VALUE (lax/strict rules apply per path),
+  * `AS JSON` columns through JSON_QUERY (fragments), then a CAST to
+  * the declared Spark SQL type — exactly how T-SQL binds the WITH
+  * clause. Pure composition of codegen'd expressions: one map-side
+  * pass, no generator, no shuffle.
+  */
+object OpenJsonWith {
+  /** One WITH-clause column: output name, JSON path, Spark SQL cast
+    * target (e.g. "int", "string"), and the `AS JSON` flag. */
+  final case class Spec(name: String, path: String, castTo: String,
+      asJson: Boolean = false)
+
+  /** Append every spec column to `df`, extracted from `jsonCol`. */
+  def shred(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, jsonCol: String,
+      specs: Seq[Spec]): org.apache.spark.sql.DataFrame = {
+    JsonValue.register(spark)
+    JsonQuery.register(spark)
+    specs.foldLeft(df) { (d, sp) =>
+      val fn = if (sp.asJson) "json_query" else "json_value"
+      // paths never contain single quotes (the grammar quotes members
+      // with double quotes); refuse rather than mis-escape
+      require(!sp.path.contains("'"),
+        s"openjson_with: path must not contain single quotes: '${sp.path}'")
+      d.withColumn(sp.name, org.apache.spark.sql.functions.expr(
+        s"CAST($fn($jsonCol, '${sp.path}') AS ${sp.castTo})"))
+    }
+  }
+}

@@ -218,6 +218,29 @@ object ScalarQueries {
       .transform(Det.emitWide(_, "event_id"))
   }
 
+  /** q167: T-SQL OPENJSON WITH — the TYPED projection form (q156 is
+    * the default-schema shred): each WITH-clause column binds a path
+    * to a declared type, scalars through JSON_VALUE, `AS JSON`
+    * fragments through JSON_QUERY, then a CAST — including a nested
+    * path, a missing member (lax NULL), and a bit-style boolean
+    * surfaced as 0/1. Pure composition of the family's codegen'd
+    * expressions: one map-side pass, no generator. Oracle rebuilds
+    * every typed value from the base columns. */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.OpenJsonWith.{shred, Spec}
+    val withJson = spread(s, events(s, d)).withColumn("j", nestedJson)
+    shred(s, withJson, "j", Seq(
+      Spec("x", "$.x", "int"),
+      Spec("y", "$.y", "string"),
+      Spec("b", "$.b", "boolean"),
+      Spec("nope", "$.nope", "string"),
+      Spec("u", "$.o.u", "int"),
+      Spec("frag", "$.o", "string", asJson = true)))
+      .select(col("event_id"), col("x"), col("y"),
+        col("b").cast("int").as("b01"), col("nope"), col("u"), col("frag"))
+      .transform(Det.emitWide(_, "event_id"))
+  }
+
   /** q55: array functions over the 64-dim embedding column. Element
     * arithmetic is cast to double BEFORE any op so both engines do
     * identical double arithmetic (floats stay bitwise-comparable). */
@@ -293,7 +316,7 @@ object ScalarQueries {
     "q98_udaf_weighted_mean" -> q98, "q101_redact" -> q101,
     "q146_json_value" -> q146,
     "q155_json_query" -> q155, "q156_openjson_shred" -> q156,
-    "q164_json_modify" -> q164)
+    "q164_json_modify" -> q164, "q167_openjson_with" -> q167)
 
   val oracles: Map[String, String] = Map(
     "q50_str_funcs" ->
@@ -401,6 +424,18 @@ object ScalarQueries {
                 '{"x":' || k || ',"y":"' || et || '","b":true,"arr":[7,"t","end"],"o":{"v":2},"w":"nw"}'
                   AS final_doc
          FROM (SELECT event_id, upper(event_type) AS et,
+                      json_extract_string(props, '$.k') AS k
+               FROM events)
+         ORDER BY event_id""",
+    "q167_openjson_with" ->
+      """SELECT event_id,
+                CAST(k AS INT) AS x,
+                et AS y,
+                1 AS b01,
+                CAST(NULL AS VARCHAR) AS nope,
+                1 AS u,
+                '{"u":1}' AS frag
+         FROM (SELECT event_id, event_type AS et,
                       json_extract_string(props, '$.k') AS k
                FROM events)
          ORDER BY event_id""",

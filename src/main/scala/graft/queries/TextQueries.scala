@@ -326,6 +326,29 @@ object TextQueries {
       .where(col("n_docs") > 1)
       .transform(Det.emitWide(_, "h"))
 
+  /** q168: SLIDING-WINDOW chunking with OVERLAP (round 10) — the
+    * RAG/embedding-prep chunker between cleaning and indexing:
+    * windows of 12 tokens at stride 8 (4-token overlap keeps
+    * retrieval context across boundaries), the tail window kept even
+    * when short; a doc at or under one window emits exactly one
+    * chunk. Chunk count is closed-form (1 + max(0, ⌈(n−12)/8⌉)), so
+    * the fan-out is a map-side `transform(sequence(...))` +
+    * posexplode — Spark's own Generate, no shuffle, no UDF (the q108
+    * non-overlapping dedup chunker's shape, generalized to
+    * stride < size). Oracle replays the identical slicing with
+    * DuckDB list ops. */
+  private def q168(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", expr(TOKS))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"), posexplode(expr(
+        "transform(sequence(0, greatest(cast(ceil((size(toks) - 12) / 8.0) as int), 0))," +
+          " i -> concat_ws(' ', slice(toks, i * 8 + 1, 12)))"))
+        .as(Seq("ci", "chunk")))
+      .select(col("doc_id"), col("ci"), col("chunk"),
+        size(expr("slice(toks, ci * 8 + 1, 12)")).as("nt"))
+      .transform(Det.emitWide(_, "doc_id", "ci"))
+
   /** q109: unigram-LM quality score — the cheap statistical-LM filter
     * (KenLM-style in spirit) a curation pipeline runs when a real LM
     * is too expensive: corpus unigram probabilities, then per doc the
@@ -416,7 +439,7 @@ object TextQueries {
     "q99_repetition" -> q99, "q103_simhash_neardup" -> q103,
     "q104_seq_pack" -> q104, "q106_hash_sample" -> q106,
     "q107_contamination" -> q107, "q108_chunk_dedup" -> q108,
-    "q109_unigram_logprob" -> q109)
+    "q109_unigram_logprob" -> q109, "q168_chunk_overlap" -> q168)
 
   private val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
@@ -515,6 +538,17 @@ object TextQueries {
                  CAST(count(1) AS BIGINT) AS n_occ, min(doc_id) AS keep_doc
           FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
           ORDER BY h""",
+    "q168_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+          ch AS (SELECT doc_id, ts,
+                        unnest(range(CAST(greatest(ceil((len(ts) - 12) / 8.0), 0) AS BIGINT) + 1)) AS ci,
+                        unnest(list_transform(
+                          range(CAST(greatest(ceil((len(ts) - 12) / 8.0), 0) AS BIGINT) + 1),
+                          i -> array_to_string(ts[i*8+1 : i*8+12], ' '))) AS chunk
+                 FROM t WHERE len(ts) >= 1)
+          SELECT doc_id, CAST(ci AS INT) AS ci, chunk,
+                 CAST(len(ts[ci*8+1 : ci*8+12]) AS INT) AS nt
+          FROM ch ORDER BY doc_id, ci""",
     "q81_text_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id,
                 CAST(count(1) AS BIGINT) AS n_dups
