@@ -815,4 +815,91 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
   }
+
+  // ---- JsonModify round-trip properties (round 10) -----------------
+
+  /** Small random JSON documents: identifier-keyed objects nesting
+    * scalars, arrays of scalars, and one more object level — the
+    * shapes the path grammar addresses without quoting. */
+  private val genScalar: Gen[String] = Gen.oneOf(
+    Gen.choose(-999, 999).map(_.toString),
+    Gen.alphaNumStr.map(s => "\"" + s.take(6) + "\""),
+    Gen.oneOf("true", "false", "null"))
+  private val genKey: Gen[String] =
+    Gen.choose(1, 3).flatMap(n => Gen.listOfN(n,
+      Gen.alphaChar).map(_.mkString))
+  private def genObj(depth: Int): Gen[String] =
+    Gen.choose(1, 4).flatMap { n =>
+      Gen.listOfN(n, for {
+        k <- genKey
+        v <- if (depth <= 0) genScalar
+          else Gen.frequency(
+            4 -> genScalar,
+            1 -> Gen.choose(0, 3).flatMap(m =>
+              Gen.listOfN(m, genScalar).map(_.mkString("[", ",", "]"))),
+            1 -> genObj(depth - 1))
+      } yield (k, v)).map(kvs =>
+        // duplicate keys collapse on parse; last-wins like Jackson
+        kvs.toMap.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}"))
+    }
+
+  /** All (path, member-name, parent-is-root) scalar MEMBER leaves of a
+    * parsed doc (array elements excluded — deleting one shifts its
+    * siblings, which is correct but complicates the frame test). */
+  private def memberLeaves(json: String): List[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    def walk(n: com.fasterxml.jackson.databind.JsonNode,
+        prefix: String): List[String] = {
+      import scala.jdk.CollectionConverters._
+      if (!n.isObject) Nil
+      else n.fields().asScala.toList.flatMap { e =>
+        val p = s"$prefix.${e.getKey}"
+        if (e.getValue.isValueNode) List(p)
+        else walk(e.getValue, p)
+      }
+    }
+    walk(mapper.readTree(json), "$")
+  }
+
+  property("json_modify: set/delete a member touches ONLY that member") =
+    forAll(genObj(2), genKey) { (doc, newVal) =>
+      import graft.functions.{JsonModify, JsonValue}
+      val leaves = memberLeaves(doc)
+      leaves.isEmpty || {
+        val target = leaves.head
+        val others = leaves.tail
+        val before = others.map(p => p -> JsonValue.extract(doc, p))
+        // set: read-back equals the new value, every other member
+        // leaf reads exactly as before (the FRAME condition)
+        val set = JsonModify.modify(doc, target, newVal, raw = false)
+        val setOk = JsonValue.extract(set, target) == newVal &&
+          before.forall { case (p, v) => JsonValue.extract(set, p) == v }
+        // delete: lax read of the target is NULL, frame holds, and
+        // the member is GONE (strict read now errors)
+        val del = JsonModify.modify(doc, target, null, raw = false)
+        val delOk = JsonValue.extract(del, target) == null &&
+          before.forall { case (p, v) => JsonValue.extract(del, p) == v } &&
+          (try { JsonValue.extract(del, "strict " + target)
+            ; false } catch { case _: IllegalArgumentException => true })
+        setOk && delOk
+      }
+    }
+
+  property("json_modify: append grows exactly the targeted array") =
+    forAll(genObj(1), genKey, genKey) { (doc, arrKey, v) =>
+      import graft.functions.{JsonModify, JsonQuery}
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val withArr = JsonModify.modify(doc, s"$$.$arrKey",
+        "[1,2]", raw = true)
+      val appended = JsonModify.modify(withArr, s"append $$.$arrKey",
+        v, raw = false)
+      val arr = mapper.readTree(
+        JsonQuery.extract(appended, s"$$.$arrKey"))
+      arr.size == 3 && arr.get(2).asText == v &&
+        // appending twice keeps growing (no replace semantics)
+        mapper.readTree(JsonQuery.extract(
+          JsonModify.modify(appended, s"append $$.$arrKey", v, raw = false),
+          s"$$.$arrKey")).size == 4
+    }
 }

@@ -397,6 +397,20 @@ class PlanSpec extends AnyFunSuite {
       s"q164 should be pure map-side:\n$p164")
     assert(p164.contains("json_modify"),
       "q164 lost the native expression")
+    // q167 (round 10): the WITH-clause typed projection is a
+    // composition of the family's expressions — still one map-side
+    // pass, no generator
+    val p167 = plan("q167_openjson_with")
+    assert(!p167.contains("Join") && !p167.contains("HashAggregate") &&
+      !p167.contains("Generate"), s"q167 should be pure map-side:\n$p167")
+    // q168 (round 10): overlap chunking fans out through Spark's own
+    // Generate with a closed-form chunk count — no shuffle before the
+    // deterministic emit, no join, no UDF
+    val p168 = plan("q168_chunk_overlap")
+    assert(p168.contains("Generate"),
+      "q168 must fan out through Spark's Generate (posexplode)")
+    assert(!p168.contains("Join") && !p168.contains("HashAggregate"),
+      s"q168 should not join or aggregate:\n$p168")
     // q157: the only exchanges are the (day,bin)/(month,bin) aggregate
     // shuffles and the bins-sized window — the partial aggregate must
     // combine map-side before any exchange
