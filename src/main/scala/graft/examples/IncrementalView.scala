@@ -232,6 +232,16 @@ object IncrementalView {
               exts.map(e => col(s"__g_${e.out}").as(e.out)))): _*)
           .withColumn("__recompute", lit(false))
       case Some(cur) =>
+        // growing NEW aggregate columns on an existing view cannot be
+        // done incrementally (their history is not in the feed) — say
+        // so instead of surfacing an unresolved-column analysis error
+        val missing = (sums.map(_.out) ++ exts.map(_.out))
+          .filterNot(cur.columns.contains)
+        require(missing.isEmpty,
+          s"IncrementalView: view store lacks column(s) " +
+            s"${missing.mkString(", ")} — an existing view cannot grow " +
+            "new aggregate columns from the feed; rebuild the view or " +
+            "drop the new columns")
         // null-safe group match (<=>): a NULL group value must meet
         // its own delta row, not fork a duplicate group per refresh
         val d2 = deltas.select(

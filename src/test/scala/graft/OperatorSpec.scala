@@ -989,6 +989,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(stats("a")._1 == 7.0)                       // (4+10)/2
     assert(math.abs(stats("a")._2.get - 18.0) < 1e-12) // (116−98)/1
     assert(stats("b") == ((5.0, None)), "n=1 spread must be NULL")
+    // growing a NEW aggregate column on an existing view is loud (its
+    // history is not in the feed — the view must be rebuilt)
+    merge(df((7L, "a", 2L, 1L, false)))
+    val exg = intercept[IllegalArgumentException] {
+      IncrementalView.refresh(spark, viewDir, cdf,
+        Seq("g"), Seq("x"), Seq("x"), Seq("x"), Nil, Some(dir))
+    }
+    assert(exg.getMessage.contains("max_x"))
+    IncrementalView.refresh(spark, viewDir, cdf,
+      Seq("g"), Seq("x"), Seq("x"), Nil, Nil, None)
+    assert(triple == recompute)
     // the same triple survives the partitioned re-aggregate path
     val whole = IncrementalView
       .readPartitioned(spark, s"$base/views", Seq("g"), Seq("x"), Seq("x"))
@@ -1891,6 +1902,24 @@ class OperatorSpec extends AnyFunSuite {
     // NULL json / NULL path propagate SQL NULL
     assert(spark.sql(
       "SELECT json_modify(CAST(NULL AS STRING), '$.a', 'x') r").head().isNullAt(0))
+    // the hand-written doGenCode (null-boxing ternary) must actually
+    // COMPILE — CODEGEN_ONLY turns a silent interpreted fallback into
+    // a loud failure
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql(
+        """SELECT json_modify(j, '$.b', v) r,
+                  json_modify(j, '$.a', CAST(NULL AS STRING)) d,
+                  json_modify(j, 'append $.t', 7) a
+           FROM (SELECT '{"a":1,"t":[]}' AS j, 'x' AS v)""").head()
+      assert(r.getString(0) == """{"a":1,"t":[],"b":"x"}""")
+      assert(r.getString(1) == """{"t":[]}""")
+      assert(r.getString(2) == """{"a":1,"t":[7]}""")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 
   test("IntervalJoin raises loudly on inverted intervals (hi < lo)") {
