@@ -536,6 +536,37 @@ object IncrementalView {
     victims.length
   }
 
+  /** Partitioned twins of the registry: each partition's feed keeps
+    * its OWN `_consumers` dir (per-partition ids → per-partition
+    * watermarks, same as the sub-views themselves). A consumer of the
+    * whole partitioned feed records one watermark per partition it
+    * has applied. */
+  def recordViewConsumerPartitioned(spark: SparkSession,
+      changeRoot: String, consumerId: String, viewRoot: String,
+      partCol: String): Unit = {
+    val cr = new Path(changeRoot)
+    val fs = cr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cr)) return
+    fs.listStatus(cr).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .foreach(p => recordViewConsumer(spark, s"$changeRoot/$p",
+        consumerId, s"$viewRoot/$p"))
+  }
+
+  /** Sweep every partition's feed at ITS min registered watermark;
+    * returns total entries deleted. Partitions whose `_consumers` is
+    * empty sweep nothing (the same safe default as the flat form). */
+  def vacuumFeedMinWatermarkPartitioned(spark: SparkSession,
+      changeRoot: String, partCol: String): Int = {
+    val cr = new Path(changeRoot)
+    val fs = cr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cr)) return 0
+    fs.listStatus(cr).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .map(p => vacuumFeedMinWatermark(spark, s"$changeRoot/$p"))
+      .sum
+  }
+
   /** Partitioned twin: sweep each partition's feed against its own
     * sub-view watermark. */
   def vacuumConsumedFeedPartitioned(spark: SparkSession, viewRoot: String,

@@ -1105,6 +1105,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(reg == Seq("audit.upto_3"), s"stale watermark files: $reg")
     intercept[IllegalArgumentException](
       IncrementalView.recordConsumer(spark, cdf, "bad id!", 0L))
+    // partitioned twins: one registry per partition feed, each swept
+    // at its own min watermark
+    val proot = TestSpark.tmpDir("inc-consumers-part")
+    val lake = s"$proot/lake"; val pcdf = s"$proot/changes"
+    val pview = s"$proot/view"
+    def pdf(rows: (Long, String, Long, Long, String, Boolean)*) =
+      rows.toDF("k", "g", "x", "ver", "d", "is_delete")
+    def pmerge(b: org.apache.spark.sql.DataFrame): Unit = {
+      graft.sources.Lake.mergeIntoPartitioned(spark, lake, b, "d",
+        Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(pcdf), cdfPreImages = true)
+      ()
+    }
+    pmerge(pdf((1L, "a", 1L, 1L, "d1", false), (2L, "a", 1L, 1L, "d2", false)))
+    pmerge(pdf((1L, "a", 2L, 2L, "d1", false), (2L, "a", 2L, 2L, "d2", false)))
+    IncrementalView.refreshPartitioned(spark, pview, pcdf, "d",
+      Seq("g"), Seq("x"))
+    IncrementalView.recordViewConsumerPartitioned(spark, pcdf, "view",
+      pview, "d")
+    // a second consumer that has applied NOTHING registers at -1 in
+    // every partition (no view dirs exist under its root yet)
+    IncrementalView.recordViewConsumerPartitioned(spark, pcdf, "audit",
+      s"$proot/audit-views", "d")
+    assert(IncrementalView.vacuumFeedMinWatermarkPartitioned(
+      spark, pcdf, "d") == 0, "swept past the lagging consumer")
+    // audit catches up to the view's watermarks → each day sweeps its
+    // consumed entry 0, retaining the highest id
+    IncrementalView.recordViewConsumerPartitioned(spark, pcdf, "audit",
+      pview, "d")
+    assert(IncrementalView.vacuumFeedMinWatermarkPartitioned(
+      spark, pcdf, "d") == 2)
+    val pfs = new org.apache.hadoop.fs.Path(pcdf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("d1", "d2").foreach { day =>
+      val ids = pfs.listStatus(new org.apache.hadoop.fs.Path(s"$pcdf/d=$day"))
+        .map(_.getPath.getName).filter(_.startsWith("merge="))
+        .map(_.stripPrefix("merge=").toLong).sorted.toSeq
+      assert(ids == Seq(1L), s"day $day: $ids")
+    }
   }
 
   test("Lake.publishCdfAt refuses to overwrite an existing feed entry (single-writer guard)") {
