@@ -63,7 +63,8 @@ object LakeOps {
       changeDir: Option[String] = None,
       viewDir: Option[String] = None,
       viewGroupCols: Seq[String] = Nil,
-      viewSumCols: Seq[String] = Nil): Seq[String] = {
+      viewSumCols: Seq[String] = Nil,
+      sweepConsumedFeed: Boolean = false): Seq[String] = {
     require(viewDir.isEmpty || (changeDir.isDefined && viewGroupCols.nonEmpty),
       "runNightly: a materialized view needs changeDir and viewGroupCols")
     // 1+2 fused: the MERGE is the ingest — it inserts unseen keys,
@@ -92,7 +93,20 @@ object LakeOps {
       case (Some(vd), Some(cd)) =>
         IncrementalView.refreshPartitioned(spark, vd, cd,
           "ingest_date", viewGroupCols, viewSumCols)
-        ()
+        // 6 (opt-in): feed retention through the CONSUMER REGISTRY —
+        // the view records its per-partition watermarks under the
+        // id "nightly_view" and each partition's feed sweeps at its
+        // min registered watermark. With only the view registered
+        // this equals the single-consumer sweep; any other consumer
+        // that registers (an auditor, a replica) automatically holds
+        // the floor down without touching this loop.
+        if (sweepConsumedFeed) {
+          IncrementalView.recordViewConsumerPartitioned(spark, cd,
+            "nightly_view", vd, "ingest_date")
+          IncrementalView.vacuumFeedMinWatermarkPartitioned(spark, cd,
+            "ingest_date")
+          ()
+        }
       case _ => ()
     }
     touched

@@ -1354,7 +1354,13 @@ class OperatorSpec extends AnyFunSuite {
       LakeOps.runNightly(spark, lake, b, Seq("k"), Seq("ver"),
         isDeleteCol = Some("is_delete"), changeDir = Some(cdf),
         viewDir = Some(view), viewGroupCols = Seq("g"),
-        viewSumCols = Seq("x"))
+        viewSumCols = Seq("x"), sweepConsumedFeed = true)
+    def feedEntries: Int = {
+      val fs = new org.apache.hadoop.fs.Path(cdf)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$cdf/ingest_date=*/merge=*")).length
+    }
     def viewMap = IncrementalView
       .readPartitioned(spark, view, Seq("g"), Seq("x")).collect()
       .map(r => r.getAs[String]("g") ->
@@ -1383,6 +1389,13 @@ class OperatorSpec extends AnyFunSuite {
     // replaying the night: empty feeds, view unmoved
     nightly(n2)
     assert(viewMap == recompute)
+    // registry-gated retention (step 6): applied entries sweep night
+    // by night — the feed stays BOUNDED at ≤ one retained entry per
+    // touched day instead of one per merge forever
+    assert(feedEntries <= 3, s"feed grew unbounded: $feedEntries entries")
+    val marks = graft.examples.IncrementalView
+      .consumerWatermarks(spark, s"$cdf/ingest_date=2024-01-02")
+    assert(marks.contains("nightly_view"), s"view not registered: $marks")
   }
 
   test("examples.LakeOps: composed nightly maintenance, crash mid-sequence, retention sweep") {
