@@ -174,6 +174,62 @@ object IncrementalView {
       m2Cols.map(c => SumSpec(s"sumsq_$c",
         (col(c) * lit(1L)) * (col(c) * lit(1L))))
 
+  /** BOOTSTRAP a view from the BASE STORE at the feed's current
+    * watermark — the missing first step for a NEW consumer of an
+    * EXISTING lake: the feed only carries diffs since it was enabled
+    * (and retention sweeps consumed entries), so a view that starts
+    * empty and folds the feed is correct only if the feed covers the
+    * store's entire history. Bootstrap instead aggregates the base
+    * store ONCE (the only full scan this consumer will ever pay),
+    * stamps the applied-upto marker at the highest feed id present,
+    * and commits as the view's first version — every later `refresh`
+    * folds only newer entries. This is also how a consumer joins
+    * AFTER `vacuumFeedMinWatermark` swept the early feed: swept
+    * history is unreplayable by construction, the base store IS its
+    * summary.
+    *
+    * Correctness leans on the house single-writer discipline: no
+    * merge may land between the feed listing and the store read (the
+    * same assumption every swap-protocol store already documents).
+    * Refuses to overwrite an existing view — rebuilding is a
+    * deliberate delete-then-bootstrap. */
+  def bootstrap(spark: SparkSession, viewDir: String, baseDir: String,
+      changeDir: String, groupCols: Seq[String], sumCols: Seq[String],
+      m2Cols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      derived: Seq[(String, Column)] = Nil): Long = {
+    val view = new Path(viewDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = view.getFileSystem(conf)
+    require(Snapshot.currentVersion(fs, view).isEmpty,
+      s"IncrementalView.bootstrap: $viewDir already holds a view — " +
+        "delete it first to rebuild")
+    val cd = new Path(changeDir)
+    val upto =
+      if (!fs.exists(cd)) -1L
+      else fs.listStatus(cd).map(_.getPath.getName)
+        .filter(_.startsWith("merge="))
+        .map(_.stripPrefix("merge=").toLong)
+        .foldLeft(-1L)(math.max)
+    val exts = maxCols.map(Ext(_, isMax = true)) ++
+      minCols.map(Ext(_, isMax = false))
+    val sums = sumSpecs(sumCols, m2Cols)
+    val base = derived.foldLeft(Lake.readStore(spark, baseDir)) {
+      case (df, (n, e)) => df.withColumn(n, e)
+    }
+    val agg = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sums.map(sp => sum(sp.e).as(sp.out)) ++
+          exts.map(e => e.fold(col(e.c)).as(e.out)): _*)
+    val stageName = Snapshot.stageDirName(fs, view, "view")
+    val staged = Snapshot.stagePath(view, stageName)
+    agg.write.mode("overwrite").parquet(staged.toString)
+    val marker = new Path(staged, s"_applied_upto_$upto")
+    val out = fs.create(marker, true); out.close()
+    Snapshot.commit(fs, conf, view, Seq(stageName))
+    upto
+  }
+
   /** An extreme-maintained column: direction + its view-column name,
     * per-direction fold/compare helpers. */
   private case class Ext(c: String, isMax: Boolean) {

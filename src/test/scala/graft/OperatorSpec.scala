@@ -1010,6 +1010,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(wm == triple)
   }
 
+  test("IncrementalView: bootstrap seeds a new consumer from the base at the feed watermark") {
+    import graft.examples.IncrementalView
+    val base = TestSpark.tmpDir("inc-boot")
+    val dir = s"$base/t"; val cdf = s"$base/changes"; val viewDir = s"$base/view"
+    def df(rows: (Long, String, Long, Long, Boolean)*) =
+      rows.toDF("k", "g", "x", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true)
+    def refresh(): Long = IncrementalView.refresh(spark, viewDir, cdf,
+      Seq("g"), Seq("x"), Seq("x"), Seq("x"), Nil, Some(dir))
+    def viewMap = IncrementalView.read(spark, viewDir).collect()
+      .map(r => r.getAs[String]("g") -> (r.getAs[Long]("n"),
+        r.getAs[Long]("sum_x"), r.getAs[Long]("sumsq_x"),
+        r.getAs[Long]("max_x"))).toMap
+    def recompute = graft.sources.Lake.readStore(spark, dir)
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("sq"), max("x").as("m"))
+      .collect().map(r => r.getAs[String]("g") -> (r.getAs[Long]("n"),
+        r.getAs[Long]("s"), r.getAs[Long]("sq"), r.getAs[Long]("m"))).toMap
+    merge(df((1L, "a", 3L, 1L, false), (2L, "b", 5L, 1L, false)))
+    merge(df((3L, "a", 7L, 1L, false)))
+    // retention already swept the first feed entry — the history a
+    // late-joining consumer can NEVER replay; the base store is its
+    // only summary
+    val fs = new org.apache.hadoop.fs.Path(cdf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$cdf/merge=0"), true)
+    assert(IncrementalView.bootstrap(spark, viewDir, dir, cdf,
+      Seq("g"), Seq("x"), m2Cols = Seq("x"), maxCols = Seq("x")) == 1L)
+    assert(viewMap == Map("a" -> (2L, 10L, 58L, 7L), "b" -> (1L, 5L, 25L, 5L)))
+    assert(viewMap == recompute)
+    // nothing pending at the bootstrap watermark
+    assert(refresh() == 1L)
+    assert(viewMap == recompute)
+    // incremental from here on: update, migration, delete, max-shrink
+    merge(df((3L, "a", 1L, 2L, false), (2L, "a", 5L, 2L, false),
+      (1L, "a", 3L, 2L, true)))
+    assert(refresh() == 2L)
+    assert(viewMap == recompute)
+    // a second bootstrap refuses to clobber the live view
+    intercept[IllegalArgumentException] {
+      IncrementalView.bootstrap(spark, viewDir, dir, cdf, Seq("g"), Seq("x"))
+    }
+  }
+
   test("IncrementalView: derived time buckets maintain a windowed view incrementally") {
     import graft.examples.IncrementalView
     val base = TestSpark.tmpDir("inc-bucket")
