@@ -390,6 +390,35 @@ object IncrementalView {
   def read(spark: SparkSession, viewDir: String): DataFrame =
     Lake.readStore(spark, viewDir)
 
+  /** EXACT distinct counts from a FINE-GRAINED view — the incremental
+    * COUNT(DISTINCT v) GROUP BY g, which is NOT abelian at the (g)
+    * grain (a departing duplicate must not decrement the distinct
+    * count) but IS abelian one level down: maintain the view at the
+    * (g, v) grain (groupCols = g ++ v — multiplicities fold as plain
+    * signed counts, zero-count pairs leave the store), then derive
+    * the distinct count at READ time as a bounded aggregate over the
+    * store: distinct v per g = the number of surviving (g, v) rows.
+    * Store size is the (g, v) DOMAIN (the same bound a shuffle-based
+    * exact COUNT(DISTINCT) pays in its partial aggregate), never the
+    * data; no base reads, ever. `fineCols` are the trailing columns
+    * of the maintained view's group key; the result carries
+    * `n_distinct` and the total row count `n`. */
+  def readDistinct(spark: SparkSession, viewDir: String,
+      groupCols: Seq[String], fineCols: Seq[String]): DataFrame =
+    distinctFrom(read(spark, viewDir), groupCols, fineCols)
+
+  /** [[readDistinct]] on an already-loaded fine-grained view frame.
+    * SQL's COUNT(DISTINCT v) ignores NULL v, so a surviving
+    * (g, NULL…) multiplicity row contributes to `n` but not to
+    * `n_distinct`. */
+  def distinctFrom(view: DataFrame, groupCols: Seq[String],
+      fineCols: Seq[String]): DataFrame = {
+    require(fineCols.nonEmpty, "readDistinct needs fineCols")
+    val allSet = fineCols.map(col(_).isNotNull).reduce(_ && _)
+    view.groupBy(groupCols.map(col): _*)
+      .agg(count(when(allSet, 1)).as("n_distinct"), sum("n").as("n"))
+  }
+
   /** Derived mean/spread statistics from the exact moment triple
     * (n, sum_<c>, sumsq_<c>) kept by `m2Cols` — computed at READ time
     * so the store holds only exact integers and the expensive thing

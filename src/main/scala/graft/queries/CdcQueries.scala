@@ -375,6 +375,157 @@ object CdcQueries {
       .transform(Det.emit(_, "bucket"))
   }
 
+  /** q169: the INCREMENTAL INVERTED INDEX, oracle-checked end to end —
+    * q130's one-shot postings build made continuous: two pre-image-feed
+    * merges over a documents slice (batch 2 APPENDS a marker token to
+    * k%5 docs — a text update whose unchanged tokens must cancel
+    * −pre/+post in the fold — plus deletes and inserts), each folded
+    * into the postings store by `examples.IncrementalIndex.refresh`
+    * (the index never re-reads the corpus). The oracle tokenizes the
+    * RELATIONALLY reconstructed final corpus and aggregates postings
+    * directly — the hash matches only if merge → pre-image diff →
+    * signed token fold ≡ tokenize-the-final-corpus, including the
+    * partial-update cancellation. Emitted at the q130 bound: per
+    * token, df + total tf + an md5 digest of the sorted doc-id list
+    * (content verified, payload bounded — a posting list is unbounded
+    * in corpus size by definition). */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    val root = fixtureStore(s, "incindex", d)
+    val dir = s"$root/t"; val cdf = s"$root/changes"; val idx = s"$root/idx"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val base = documents(s, d).where(col("doc_id") % 4 === 2)
+      .select(col("doc_id").as("k"), col("text"))
+    def merge(b: DataFrame): Unit =
+      graft.sources.Lake.mergeInto(s, dir, b, Seq("k"), Seq("ver"),
+        Some(col("is_delete")), changeDir = Some(cdf), cdfPreImages = true)
+    val toks = expr("filter(split(text, ' '), w -> w <> '')")
+    def refresh(): Unit = {
+      graft.examples.IncrementalIndex.refresh(s, idx, cdf, Seq("k"), toks)
+      ()
+    }
+    merge(base.where(col("k") % 3 =!= 0)
+      .withColumn("ver", lit(1L)).withColumn("is_delete", lit(false)))
+    refresh()
+    val upd = base.where(col("k") % 3 =!= 0 && col("k") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" qmarker")))
+      .withColumn("is_delete", lit(false))
+    val del = base.where(col("k") % 3 =!= 0 && col("k") % 11 === 0 &&
+        col("k") % 5 =!= 0)
+      .withColumn("is_delete", lit(true))
+    val ins = base.where(col("k") % 3 === 0 && col("k") % 7 === 0)
+      .withColumn("is_delete", lit(false))
+    merge(upd.unionByName(del).unionByName(ins).withColumn("ver", lit(2L)))
+    refresh()
+    graft.examples.IncrementalIndex.read(s, idx)
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf"),
+        md5(expr(
+          "array_join(transform(sort_array(collect_list(k)), x -> cast(x as string)), ',')"))
+          .as("digest"))
+      .transform(Det.emit(_, "token"))
+  }
+
+  /** q170: the incremental EXACT-DISTINCT view, oracle-checked end to
+    * end — COUNT(DISTINCT priority) per status maintained from the
+    * feed. Distinct is NOT abelian at the (status) grain, so the view
+    * is kept one level down at (status, priority) where
+    * multiplicities ARE plain signed counts
+    * (`IncrementalView.refresh` with the fine grain as the group
+    * key), and the distinct count derives at READ time as a bounded
+    * aggregate over the surviving pairs
+    * (`IncrementalView.readDistinct`). Batch 2 REWRITES k%5 rows'
+    * priority (a value migration: the old pair decrements, the new
+    * pair appears), deletes, and inserts; the oracle runs
+    * COUNT(DISTINCT) over the relationally reconstructed final
+    * table. */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val root = fixtureStore(s, "incdistinct", d)
+    val dir = s"$root/t"; val cdf = s"$root/changes"; val view = s"$root/view"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val base = orders(s, d).where(col("o_orderkey") % 16 === 5)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+    def merge(b: DataFrame): Unit =
+      graft.sources.Lake.mergeInto(s, dir, b, Seq("k"), Seq("ver"),
+        Some(col("is_delete")), changeDir = Some(cdf), cdfPreImages = true)
+    def refresh(): Unit = {
+      graft.examples.IncrementalView.refresh(s, view, cdf,
+        Seq("status", "priority"), Nil)
+      ()
+    }
+    merge(base.where(col("k") % 3 =!= 0)
+      .withColumn("ver", lit(1L)).withColumn("is_delete", lit(false)))
+    refresh()
+    val upd = base.where(col("k") % 3 =!= 0 && col("k") % 5 === 0)
+      .withColumn("priority", concat(lit("U-"), col("priority")))
+      .withColumn("is_delete", lit(false))
+    val del = base.where(col("k") % 3 =!= 0 && col("k") % 11 === 0 &&
+        col("k") % 5 =!= 0)
+      .withColumn("is_delete", lit(true))
+    val ins = base.where(col("k") % 3 === 0 && col("k") % 7 === 0)
+      .withColumn("is_delete", lit(false))
+    merge(upd.unionByName(del).unionByName(ins).withColumn("ver", lit(2L)))
+    refresh()
+    graft.examples.IncrementalView
+      .readDistinct(s, view, Seq("status"), Seq("priority"))
+      .select(col("status"), col("n_distinct"), col("n"))
+      .transform(Det.emit(_, "status"))
+  }
+
+  /** q171: INCREMENTAL SCD2 — q117's one-shot history build made
+    * continuous off the pre-image feed
+    * (`examples.IncrementalScd2.refresh`): validity stamped in merge
+    * ids (batch 1 commits as feed id 0, batch 2 as id 1), an update
+    * closing the key's current version and opening the replacement, a
+    * delete closing without opening, an insert opening fresh. The
+    * oracle reconstructs the SAME history relationally from orders —
+    * v1 rows (valid_from 0, closed at 1 iff updated-or-deleted) plus
+    * v2 opens (valid_from 1, open-ended) — so the hash matches only
+    * if the per-entry close/open fold produces exactly the interval
+    * set q117 would derive from the full log. */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val root = fixtureStore(s, "incscd2", d)
+    val dir = s"$root/t"; val cdf = s"$root/changes"; val hist = s"$root/hist"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val base = orders(s, d).where(col("o_orderkey") % 16 === 6)
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice")).cast("long").as("usd"))
+    def merge(b: DataFrame): Unit =
+      graft.sources.Lake.mergeInto(s, dir, b, Seq("k"), Seq("ver"),
+        Some(col("is_delete")), changeDir = Some(cdf), cdfPreImages = true)
+    def refresh(): Unit = {
+      graft.examples.IncrementalScd2.refresh(s, hist, cdf,
+        Seq("k"), Seq("status", "usd"))
+      ()
+    }
+    merge(base.where(col("k") % 3 =!= 0)
+      .withColumn("ver", lit(1L)).withColumn("is_delete", lit(false)))
+    refresh()
+    val upd = base.where(col("k") % 3 =!= 0 && col("k") % 5 === 0)
+      .withColumn("usd", col("usd") + 7L)
+      .withColumn("is_delete", lit(false))
+    val del = base.where(col("k") % 3 =!= 0 && col("k") % 11 === 0 &&
+        col("k") % 5 =!= 0)
+      .withColumn("is_delete", lit(true))
+    val ins = base.where(col("k") % 3 === 0 && col("k") % 7 === 0)
+      .withColumn("is_delete", lit(false))
+    merge(upd.unionByName(del).unionByName(ins).withColumn("ver", lit(2L)))
+    refresh()
+    graft.examples.IncrementalScd2.read(s, hist)
+      .select(col("k"), col("status"), col("usd"),
+        col("valid_from"), col("valid_to"),
+        col("is_current").cast("int").as("is_current"))
+      .transform(Det.emitWide(_, "k", "valid_from"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cdc_envelope_roundtrip" -> q60,
     "q61_cdc_latest_by_key" -> q61,
@@ -385,7 +536,10 @@ object CdcQueries {
     "q161_snapshot_diff" -> q161,
     "q163_incremental_view" -> q163,
     "q165_incremental_stats" -> q165,
-    "q166_bucketed_view" -> q166)
+    "q166_bucketed_view" -> q166,
+    "q169_incremental_index" -> q169,
+    "q170_distinct_view" -> q170,
+    "q171_scd2_incremental" -> q171)
 
   val oracles: Map[String, String] = Map(
     // Oracle aggregates the base tables directly — the JSON round-trip
@@ -541,5 +695,74 @@ object CdcQueries {
           SELECT CAST(year(odate) * 100 + month(odate) AS INT) AS bucket,
                  CAST(count(1) AS BIGINT) AS n,
                  CAST(sum(usd) AS BIGINT) AS sum_usd
-          FROM final GROUP BY 1 ORDER BY 1""")
+          FROM final GROUP BY 1 ORDER BY 1""",
+    // q169: the oracle tokenizes the RECONSTRUCTED final corpus — it
+    // never sees the store, the feed, or the postings: a hash match
+    // proves merge -> pre-image diff -> signed token fold equals
+    // tokenize-the-final-corpus, update cancellation included.
+    "q169_incremental_index" ->
+      """WITH base AS (SELECT doc_id AS k, text FROM documents
+                       WHERE doc_id % 4 = 2),
+          final AS (
+            SELECT k, CASE WHEN k % 5 = 0 THEN text || ' qmarker'
+                           ELSE text END AS text
+            FROM base
+            WHERE k % 3 <> 0
+              AND NOT (k % 11 = 0 AND k % 5 <> 0)
+            UNION ALL
+            SELECT k, text FROM base WHERE k % 3 = 0 AND k % 7 = 0),
+          toks AS (SELECT k,
+                          unnest(list_filter(string_split(text, ' '),
+                                             w -> w <> '')) AS token
+                   FROM final),
+          p AS (SELECT token, k, CAST(count(1) AS BIGINT) AS tf
+                FROM toks GROUP BY 1, 2)
+          SELECT token, CAST(count(1) AS BIGINT) AS df,
+                 CAST(sum(tf) AS BIGINT) AS tf,
+                 md5(array_to_string(list(k ORDER BY k), ',')) AS digest
+          FROM p GROUP BY token ORDER BY token""",
+    // q170: COUNT(DISTINCT) over the reconstructed final table — the
+    // view side derives it from surviving (status, priority)
+    // multiplicity rows.
+    "q170_distinct_view" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                              o_orderpriority AS priority
+                       FROM orders WHERE o_orderkey % 16 = 5),
+          final AS (
+            SELECT k, status,
+                   CASE WHEN k % 5 = 0 THEN 'U-' || priority
+                        ELSE priority END AS priority
+            FROM base
+            WHERE k % 3 <> 0
+              AND NOT (k % 11 = 0 AND k % 5 <> 0)
+            UNION ALL
+            SELECT k, status, priority FROM base
+            WHERE k % 3 = 0 AND k % 7 = 0)
+          SELECT status,
+                 CAST(count(DISTINCT priority) AS BIGINT) AS n_distinct,
+                 CAST(count(1) AS BIGINT) AS n
+          FROM final GROUP BY status ORDER BY status""",
+    // q171: the history reconstructed relationally — v1 rows closed
+    // at feed id 1 iff updated or deleted, v2 opens at id 1.
+    "q171_scd2_incremental" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                              CAST(round(o_totalprice) AS BIGINT) AS usd
+                       FROM orders WHERE o_orderkey % 16 = 6),
+          b1 AS (SELECT * FROM base WHERE k % 3 <> 0),
+          v1 AS (SELECT k, status, usd, CAST(0 AS BIGINT) AS valid_from,
+                        CASE WHEN k % 5 = 0
+                               OR (k % 11 = 0 AND k % 5 <> 0)
+                             THEN CAST(1 AS BIGINT) END AS valid_to
+                 FROM b1),
+          v2 AS (SELECT k, status, usd + 7 AS usd,
+                        CAST(1 AS BIGINT) AS valid_from,
+                        CAST(NULL AS BIGINT) AS valid_to
+                 FROM b1 WHERE k % 5 = 0
+                 UNION ALL
+                 SELECT k, status, usd, 1, NULL FROM base
+                 WHERE k % 3 = 0 AND k % 7 = 0)
+          SELECT k, status, usd, valid_from, valid_to,
+                 CAST(valid_to IS NULL AS INT) AS is_current
+          FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+          ORDER BY k, valid_from""")
 }

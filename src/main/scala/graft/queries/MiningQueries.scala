@@ -565,6 +565,36 @@ object MiningQueries {
       .transform(Det.emit(_, "lang"))
   }
 
+  /** q172: deterministic EPOCH SHUFFLE — the global permutation +
+    * sharding pass a training run makes over the corpus each epoch,
+    * rand()-free and replayable (the q152/q119 discipline): each doc's
+    * position is a salted 48-bit md5 key (seed in the salt — a new
+    * seed is a new permutation), its shard is the key mod the shard
+    * count, and its within-shard position is its rank by (key, id).
+    * The rank goes through DistributedRank, NOT a plain window: the
+    * window form would sort each of the 16 shards on ONE task at any
+    * cluster size, while the two-phase rank range-partitions on
+    * (shard, key) so the epoch sort parallelizes with the data (shard
+    * count itself scales by taking more hex digits — 16 here keeps
+    * the fixture's oracle readable). The key is uniform and
+    * collision-free in practice, so the probe job is skipped
+    * (declared continuous + un-skewed). Downstream,
+    * `examples.EpochShuffle.writeShards` lays the permutation out as
+    * one directory per shard. */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    val h = docs(s, d).select(col("doc_id"),
+      conv(substring(md5(concat(lit("ep7:"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10)
+        .cast("long").as("h64"))
+      .withColumn("shard", pmod(col("h64"), lit(16)).cast("int"))
+    graft.operators.DistributedRank.ranked(h,
+        pkeys = Seq("shard"), tieCols = Seq("h64"),
+        uniqueCols = Seq("doc_id"), ntileK = 2,
+        adaptiveCut = 0, hotTieCut = 0)
+      .select(col("doc_id"), col("shard"), col("rn"))
+      .transform(Det.emitWide(_, "shard", "rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
@@ -585,7 +615,8 @@ object MiningQueries {
     "q157_histogram_quantiles" -> q157,
     "q158_sequence_packing" -> q158,
     "q159_mixture_sample" -> q159,
-    "q160_winsorized_stats" -> q160)
+    "q160_winsorized_stats" -> q160,
+    "q172_epoch_shuffle" -> q172)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -895,5 +926,18 @@ object MiningQueries {
             UNION
             SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id)
           SELECT id, min(lbl) AS cluster
-          FROM reach GROUP BY id ORDER BY id""")
+          FROM reach GROUP BY id ORDER BY id""",
+    // q172: same 48-bit salted-md5 position key, shard = key mod 16,
+    // rank by (key, id) within shard — the window form of the
+    // two-phase rank the engine runs.
+    "q172_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+                           CAST('0x' || substr(md5('ep7:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                                AS BIGINT) AS h64
+                    FROM documents),
+          s AS (SELECT doc_id, h64, CAST(h64 % 16 AS INT) AS shard FROM h)
+          SELECT doc_id, shard,
+                 CAST(row_number() OVER (PARTITION BY shard
+                        ORDER BY h64, doc_id) AS INT) AS rn
+          FROM s ORDER BY shard, rn""")
 }

@@ -2070,4 +2070,197 @@ class OperatorSpec extends AnyFunSuite {
       Seq((1L, 5L), (2L, 5L)).toDF("doc_id", "len"), "doc_id", "len", 10L, 1)
       .count() == 2)
   }
+
+  test("IncrementalIndex: postings maintained exactly from the pre-image feed") {
+    import org.apache.hadoop.fs.Path
+    import graft.examples.IncrementalIndex
+    val base = TestSpark.tmpDir("inc-idx")
+    val dir = s"$base/t"; val cdf = s"$base/changes"; val idx = s"$base/idx"
+    def df(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("k", "text", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true)
+    val toks = expr("filter(split(text, ' '), w -> w <> '')")
+    def refresh(): Long =
+      IncrementalIndex.refresh(spark, idx, cdf, Seq("k"), toks)
+    def postings = IncrementalIndex.read(spark, idx).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("k")) ->
+        r.getAs[Long]("tf")).toMap
+    // ground truth: re-tokenize the merged base store from scratch
+    def recompute = graft.sources.Lake.readStore(spark, dir)
+      .select(col("k"), explode(toks).as("token"))
+      .groupBy("token", "k").agg(count(lit(1)).as("tf")).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("k")) ->
+        r.getAs[Long]("tf")).toMap
+
+    merge(df((1L, "the cat sat", 1L, false),
+      (2L, "the dog", 1L, false)))
+    assert(refresh() == 0L)
+    assert(postings(("the", 1L)) == 1L && postings(("cat", 1L)) == 1L)
+    assert(postings == recompute)
+    // update doc 1: "cat"→"bird"; unchanged tokens must cancel
+    // (−pre/+post), "cat" leaves, "bird" appears; delete doc 2 removes
+    // its whole contribution; repeated token counts fold (tf=2)
+    merge(df((1L, "the bird sat sat", 2L, false),
+      (2L, "the dog", 2L, true)))
+    assert(refresh() == 1L)
+    assert(!postings.contains(("cat", 1L)), "stale posting survived update")
+    assert(!postings.contains(("dog", 2L)), "deleted doc left postings")
+    assert(postings(("sat", 1L)) == 2L, "tf did not fold")
+    assert(postings == recompute)
+    // crash-replayed merge publishes an empty feed → index unmoved;
+    // empty refresh commits no new version
+    val store = new Path(idx)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = graft.sources.Snapshot.currentVersion(fs, store).get
+    merge(df((1L, "the bird sat sat", 2L, false)))
+    assert(refresh() == 1L)
+    assert(graft.sources.Snapshot.currentVersion(fs, store).get == v,
+      "an empty refresh committed a new index version")
+    assert(postings == recompute)
+    // conjunctive lookup probes only the queried terms
+    merge(df((3L, "bird sat tree", 1L, false)))
+    assert(refresh() == 2L)
+    val hits = IncrementalIndex.lookupAll(spark, idx, Seq("k"),
+      Seq("bird", "sat")).collect().map(r => r.getAs[Long]("k")).sorted
+    assert(hits.toSeq == Seq(1L, 3L), s"lookupAll: ${hits.toSeq}")
+    val scored = IncrementalIndex.lookupAll(spark, idx, Seq("k"),
+      Seq("sat")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("score")).toMap
+    assert(scored == Map(1L -> 2L, 3L -> 1L))
+    // a post-only feed fails loudly
+    val dir2 = s"$base/t2"; val cdf2 = s"$base/c2"
+    graft.sources.Lake.mergeInto(spark, dir2, df((1L, "a b", 1L, false)),
+      Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = Some(cdf2))
+    graft.sources.Lake.mergeInto(spark, dir2, df((1L, "a c", 2L, false)),
+      Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = Some(cdf2))
+    intercept[Exception] {
+      IncrementalIndex.refresh(spark, s"$base/idx2", cdf2, Seq("k"), toks)
+    }
+  }
+
+  test("IncrementalView.readDistinct: NULL fine values count rows, not distincts") {
+    import graft.examples.IncrementalView
+    val base = TestSpark.tmpDir("inc-distinct")
+    val dir = s"$base/t"; val cdf = s"$base/changes"; val viewDir = s"$base/view"
+    def df(rows: (Long, String, Option[String], Long, Boolean)*) =
+      rows.toDF("k", "g", "v", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true)
+    def refresh(): Long =
+      IncrementalView.refresh(spark, viewDir, cdf, Seq("g", "v"), Nil)
+    def distinct = IncrementalView
+      .readDistinct(spark, viewDir, Seq("g"), Seq("v")).collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("n"))).toMap
+    merge(df((1L, "a", Some("x"), 1L, false), (2L, "a", Some("x"), 1L, false),
+      (3L, "a", Some("y"), 1L, false), (4L, "a", None, 1L, false),
+      (5L, "b", Some("z"), 1L, false)))
+    refresh()
+    // a: values {x, x, y, NULL} → 2 distinct over 4 rows (SQL's
+    // COUNT(DISTINCT) ignores NULL)
+    assert(distinct == Map("a" -> (2L, 4L), "b" -> (1L, 1L)))
+    // drop one of the two x's: the distinct count must NOT decrement
+    // (the other x survives) — the reason the view lives at (g, v)
+    merge(df((1L, "a", Some("x"), 2L, true)))
+    refresh()
+    assert(distinct("a") == ((2L, 3L)), s"duplicate departure broke distinct: $distinct")
+    // drop the last x: now the value leaves
+    merge(df((2L, "a", Some("x"), 2L, true)))
+    refresh()
+    assert(distinct("a") == ((1L, 2L)))
+  }
+
+  test("IncrementalScd2: close/open intervals equal the replayed history; asOf time-travels") {
+    import graft.examples.IncrementalScd2
+    val base = TestSpark.tmpDir("inc-scd2")
+    val dir = s"$base/t"; val cdf = s"$base/changes"; val hist = s"$base/hist"
+    def df(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("k", "status", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true)
+    def refresh(): Long =
+      IncrementalScd2.refresh(spark, hist, cdf, Seq("k"), Seq("status"))
+    def rows = IncrementalScd2.read(spark, hist).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("status"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.longValue),
+        r.getAs[Boolean]("is_current"))).toSet
+
+    merge(df((1L, "new", 1L, false), (2L, "new", 1L, false)))
+    assert(refresh() == 0L)
+    assert(rows == Set((1L, "new", 0L, None, true),
+      (2L, "new", 0L, None, true)))
+    // update k=1 (close at 1, open at 1), delete k=2 (close only),
+    // insert k=3
+    merge(df((1L, "shipped", 2L, false), (2L, "new", 2L, true),
+      (3L, "new", 1L, false)))
+    assert(refresh() == 1L)
+    assert(rows == Set(
+      (1L, "new", 0L, Some(1L), false),
+      (1L, "shipped", 1L, None, true),
+      (2L, "new", 0L, Some(1L), false),
+      (3L, "new", 1L, None, true)), s"history wrong: $rows")
+    // asOf(0) = state after the first merge; asOf(1) = current state
+    def asOfSet(v: Long) = IncrementalScd2.asOf(spark, hist, v).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("status")).toSet
+    assert(asOfSet(0L) == Set(1L -> "new", 2L -> "new"))
+    assert(asOfSet(1L) == Set(1L -> "shipped", 3L -> "new"))
+    // crash-replayed merge → empty feed → history unmoved
+    merge(df((1L, "shipped", 2L, false)))
+    assert(refresh() == 1L)
+    assert(rows.size == 4)
+    // a second update of the same key chains intervals
+    merge(df((1L, "done", 3L, false)))
+    assert(refresh() == 2L)
+    assert(rows.contains((1L, "shipped", 1L, Some(2L), false)))
+    assert(rows.contains((1L, "done", 2L, None, true)))
+    assert(asOfSet(1L) == Set(1L -> "shipped", 3L -> "new"),
+      "history rewrote the past")
+  }
+
+  test("EpochShuffle.writeShards: deterministic layout, one file per shard, permutation order") {
+    import graft.examples.EpochShuffle
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out1 = TestSpark.tmpDir("epoch1") + "/e"
+    val out2 = TestSpark.tmpDir("epoch2") + "/e"
+    val n = EpochShuffle.writeShards(docs, col("doc_id"), "ep7", 8, out1)
+    assert(n == docs.count(), "rows lost in the shuffle write")
+    EpochShuffle.writeShards(docs, col("doc_id"), "ep7", 8, out2)
+    // every shard dir holds exactly one data file, rows inside in
+    // permutation (h64, doc_id) order
+    val fs = new org.apache.hadoop.fs.Path(out1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = fs.listStatus(new org.apache.hadoop.fs.Path(out1))
+      .map(_.getPath).filter(_.getName.startsWith("shard="))
+    assert(shards.nonEmpty)
+    shards.foreach { sh =>
+      val files = fs.listStatus(sh).map(_.getPath.getName)
+        .filter(f => !f.startsWith("_") && !f.startsWith("."))
+      assert(files.length == 1, s"${sh.getName}: ${files.toSeq}")
+      val got = spark.read.parquet(sh.toString)
+        .select("h64", "doc_id").collect()
+        .map(r => (r.getAs[Long]("h64"), r.getAs[Long]("doc_id")))
+      assert(got.sameElements(got.sortBy(identity)),
+        s"${sh.getName} not in permutation order")
+    }
+    // identical (seed, corpus) → identical shard contents, run to run
+    val a = spark.read.parquet(out1).select("doc_id", "shard", "h64")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("shard"), r.getLong(2))).sorted
+    val b = spark.read.parquet(out2).select("doc_id", "shard", "h64")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("shard"), r.getLong(2))).sorted
+    assert(a.sameElements(b), "epoch shuffle not replayable")
+    // a different seed is a different permutation
+    val out3 = TestSpark.tmpDir("epoch3") + "/e"
+    EpochShuffle.writeShards(docs, col("doc_id"), "ep8", 8, out3)
+    val c = spark.read.parquet(out3).select("doc_id", "shard", "h64")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("shard"), r.getLong(2))).sorted
+    assert(!a.sameElements(c), "seed does not vary the permutation")
+  }
 }
