@@ -379,6 +379,87 @@ object Lake {
     Snapshot.vacuum(fs, target, keep = 2)
   }
 
+  /** MERGE with row-level EXPECTATIONS — the batch twin of the
+    * streaming dead-letter split (s29): update rows that fail the
+    * `expect` predicate are QUARANTINED instead of merged, so one
+    * malformed upstream batch cannot poison the lake (the Delta
+    * constraints / DLT-expectations pattern, jar-free).
+    *
+    * Rules:
+    *  - `expect` evaluates per update row; NULL counts as FAIL (an
+    *    unevaluable expectation must not slip a row through — the
+    *    s29 null-routing lesson).
+    *  - TOMBSTONES ARE EXEMPT: a delete carries only its key (and
+    *    possibly null attributes), so attribute expectations would
+    *    spuriously quarantine every delete. Deletes always merge.
+    *  - The quarantine entry is `quarantineDir/batch=<batchId>`,
+    *    written via the `_SUCCESS`-guarded idempotent writer
+    *    (CdcStreams.writeIfUncommitted): a replayed batch re-merges
+    *    idempotently AND skips its already-committed quarantine entry
+    *    — no duplicate quarantine rows. `batchId` is the caller's
+    *    replay identity (a feed id, a file name, an ingest timestamp
+    *    pinned upstream — the same identity that makes the merge
+    *    batch itself replayable).
+    *  - Quarantined rows carry the full update row plus `_expect`
+    *    (the violated expectation, as text) — enough to repair and
+    *    re-submit as a later batch.
+    *
+    * Returns (merged update rows, quarantined rows). Scale shape: the
+    * split is one map-side predicate over the update batch; both
+    * sides stay distributed; the merge itself is unchanged. */
+  def mergeIntoChecked(spark: SparkSession, targetDir: String,
+      updates: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      expect: org.apache.spark.sql.Column, expectName: String,
+      quarantineDir: String, batchId: String,
+      isDelete: Option[org.apache.spark.sql.Column] = None,
+      changeDir: Option[String] = None,
+      cdfPreImages: Boolean = false): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    require(batchId.nonEmpty && !batchId.contains('/'),
+      s"batchId must be a plain name: '$batchId'")
+    val exempt = isDelete.getOrElse(lit(false))
+    // null-safe: coalesce(expect, false) — a NULL expectation FAILS
+    val good = coalesce(exempt, lit(false)) || coalesce(expect, lit(false))
+    val u = updates.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bad = u.where(!good).withColumn("_expect", lit(expectName))
+      val nBad = bad.count()
+      if (nBad > 0) {
+        val qdir = new Path(quarantineDir, s"batch=$batchId")
+        val conf = spark.sparkContext.hadoopConfiguration
+        graft.streaming.CdcStreams.writeIfUncommitted(
+          p => p.getFileSystem(conf), conf, qdir) {
+          bad.write.mode("overwrite").parquet(qdir.toString)
+        }
+      }
+      val pass = u.where(good)
+      val nPass = pass.count()
+      mergeInto(spark, targetDir, pass, keyCols, orderCols, isDelete,
+        changeDir, cdfPreImages)
+      (nPass, nBad)
+    } finally { u.unpersist(); () }
+  }
+
+  /** Every quarantined batch under `quarantineDir`, with its batch id
+    * (committed entries only — an in-flight or crashed write has no
+    * `_SUCCESS` and is invisible). */
+  def readQuarantine(spark: SparkSession, quarantineDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val qd = new Path(quarantineDir)
+    val fs = qd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      if (!fs.exists(qd)) Nil
+      else fs.listStatus(qd).filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") &&
+          fs.exists(new Path(p, "_SUCCESS")))
+        .toSeq
+    require(entries.nonEmpty, s"no committed quarantine entries under $quarantineDir")
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", quarantineDir)
+      .parquet(entries.map(_.toString): _*)
+  }
+
   /** Publish a staged change-feed directory into `changeDir` as the
     * next `merge=<k>` sub-directory (monotonic, derived from the
     * existing entries — readers glob `changeDir/merge=*`).

@@ -39,7 +39,7 @@ object CdcStreams {
     * compaction dir would lose ALL history) — so with markers off the
     * guard degrades to the dir-exists rule, trading the truncated-dir
     * recovery for never destroying committed data. */
-  private[streaming] def writeIfUncommitted(
+  private[graft] def writeIfUncommitted(
       fs: Path => org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
       dir: Path)(write: => Unit): Unit = {

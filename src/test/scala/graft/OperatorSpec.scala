@@ -2225,6 +2225,56 @@ class OperatorSpec extends AnyFunSuite {
       "history rewrote the past")
   }
 
+  test("mergeIntoChecked: expectations quarantine bad rows, exempt tombstones, replay-safe") {
+    import org.apache.hadoop.fs.Path
+    val base = TestSpark.tmpDir("merge-checked")
+    val dir = s"$base/t"; val qdir = s"$base/quarantine"
+    def df(rows: (Long, Option[Long], Long, Boolean)*) =
+      rows.toDF("k", "x", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame, batch: String) =
+      graft.sources.Lake.mergeIntoChecked(spark, dir, b,
+        Seq("k"), Seq("ver"), col("x") >= 0, "x >= 0", qdir, batch,
+        isDelete = Some(col("is_delete")))
+    def state = graft.sources.Lake.readStore(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") ->
+        Option(r.getAs[java.lang.Long]("x")).map(_.longValue)).toMap
+    // bad value (-5) and NULL expectation input both quarantine; the
+    // two good rows merge
+    val (p1, q1) = merge(df((1L, Some(10L), 1L, false),
+      (2L, Some(-5L), 1L, false), (3L, None, 1L, false),
+      (4L, Some(7L), 1L, false)), "b1")
+    assert((p1, q1) == ((2L, 2L)))
+    assert(state == Map(1L -> Some(10L), 4L -> Some(7L)))
+    val quarantined = graft.sources.Lake.readQuarantine(spark, qdir)
+      .collect().map(r => (r.getAs[Long]("k"),
+        r.getAs[String]("_expect"), r.getAs[String]("batch"))).toSet
+    assert(quarantined == Set((2L, "x >= 0", "b1"), (3L, "x >= 0", "b1")))
+    // a tombstone with a null attribute is EXEMPT: the delete applies
+    val (p2, q2) = merge(df((1L, None, 2L, true)), "b2")
+    assert((p2, q2) == ((1L, 0L)))
+    assert(state == Map(4L -> Some(7L)))
+    // replaying batch b1 re-merges idempotently and does NOT duplicate
+    // the quarantine entry
+    merge(df((1L, Some(10L), 1L, false), (2L, Some(-5L), 1L, false),
+      (3L, None, 1L, false), (4L, Some(7L), 1L, false)), "b1")
+    assert(graft.sources.Lake.readQuarantine(spark, qdir).count() == 2)
+    // physical-delete contract (same as q63/mergeInto): the b2
+    // tombstone was APPLIED and removed, so replaying the OLDER b1
+    // legitimately resurrects k=1 — replay identity protects the
+    // QUARANTINE from duplication, while per-key ordered redelivery
+    // (the changefeed's own guarantee) protects the store
+    assert(state == Map(1L -> Some(10L), 4L -> Some(7L)))
+    // a crash-truncated quarantine entry (no _SUCCESS) is rewritten on
+    // replay, not skipped
+    val fs = new Path(qdir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$qdir/batch=b1/_SUCCESS"), false)
+    merge(df((2L, Some(-5L), 1L, false)), "b1")
+    assert(fs.exists(new Path(s"$qdir/batch=b1/_SUCCESS")),
+      "truncated quarantine entry was not recovered")
+    assert(graft.sources.Lake.readQuarantine(spark, qdir)
+      .where(col("batch") === "b1").count() == 1)
+  }
+
   test("EpochShuffle.writeShards: deterministic layout, one file per shard, permutation order") {
     import graft.examples.EpochShuffle
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -1514,6 +1514,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(feedIds == Seq(1L))
   }
 
+  test("s39: streaming merge feed keeps the inverted index and SCD2 history fresh") {
+    import graft.examples.{IncrementalIndex, IncrementalScd2}
+    val docSchema = StructType(Seq(
+      StructField("id", StringType), StructField("body", StringType)))
+    def docLine(id: String, body: String, hlc: String): String =
+      s"""{"after": {"id": "$id", "body": "$body"}, "key": ["$id"], "updated": "$hlc"}"""
+    val src = TestSpark.tmpDir("s39-src")
+    val root = TestSpark.tmpDir("s39-tbl")
+    val table = s"$root/t"; val cdf = s"$root/changes"
+    val idx = s"$root/idx"; val hist = s"$root/hist"
+    val chk = TestSpark.tmpDir("s39-chk")
+    def run(): Unit = {
+      val post = CdcStreams.postImages(
+          CdcStreams.readEnvelopeStream(spark, src, docSchema))
+        .withColumn("kid", element_at(col("key"), 1))
+        .withColumn("hlc", col("updated").cast("double"))
+      val q = CdcStreams.mergeSink(post, table, chk,
+          Seq("kid"), Seq("hlc"), isDeleteCol = Some("is_delete"),
+          changeDir = Some(cdf), cdfPreImages = true)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val toks = expr("filter(split(body, ' '), w -> w <> '')")
+    def refresh(): (Long, Long) = (
+      IncrementalIndex.refresh(spark, idx, cdf, Seq("kid"), toks),
+      IncrementalScd2.refresh(spark, hist, cdf, Seq("kid"), Seq("body")))
+    def postings = IncrementalIndex.read(spark, idx).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[String]("kid")) ->
+        r.getAs[Long]("tf")).toMap
+    def recompute = graft.sources.Lake.readStore(spark, table)
+      .select(col("kid"), explode(toks).as("token"))
+      .groupBy("token", "kid").agg(count(lit(1)).as("tf")).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[String]("kid")) ->
+        r.getAs[Long]("tf")).toMap
+
+    writeNdjson(src, "f1.ndjson", Seq(
+      docLine("a", "the cat sat", "1.0"),
+      docLine("b", "the dog", "2.0")))
+    run()
+    assert(refresh() == ((0L, 0L)))
+    assert(postings == recompute)
+    // restart: update a (cat -> bird), delete b — postings follow the
+    // feed; history closes and opens intervals stamped in feed ids
+    writeNdjson(src, "f2.ndjson", Seq(
+      docLine("a", "the bird sat", "3.0"),
+      """{"after": null, "key": ["b"], "updated": "4.0"}"""))
+    run()
+    assert(refresh() == ((1L, 1L)))
+    assert(postings == recompute)
+    assert(!postings.contains(("cat", "a")) && !postings.contains(("dog", "b")))
+    val histRows = IncrementalScd2.read(spark, hist).collect()
+      .map(r => (r.getAs[String]("kid"), r.getAs[String]("body"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.longValue))).toSet
+    assert(histRows == Set(
+      ("a", "the cat sat", 0L, Some(1L)),
+      ("a", "the bird sat", 1L, None),
+      ("b", "the dog", 0L, Some(1L))), s"history: $histRows")
+    // time travel to the state after batch 1
+    val asOf0 = IncrementalScd2.asOf(spark, hist, 0L).collect()
+      .map(r => r.getAs[String]("kid") -> r.getAs[String]("body")).toMap
+    assert(asOf0 == Map("a" -> "the cat sat", "b" -> "the dog"))
+    // replay with nothing new: no feed entry, neither consumer moves
+    run()
+    assert(refresh() == ((1L, 1L)))
+    assert(postings == recompute)
+  }
+
   test("s30b: partition-routed merge sink rewrites only touched day-directories") {
     val src = TestSpark.tmpDir("s30b-src")
     val lake = TestSpark.tmpDir("s30b-lake") + "/lake"
