@@ -18,27 +18,43 @@ import graft.sources.{Lake, Snapshot}
   * (+1 · insert/update_postimage, −1 · update_preimage/delete applied
   * per exploded token), so any set of feed entries folds in ONE
   * aggregate: an update re-tokenizes only the changed document —
-  * −tokens(pre) cancels +tokens(pre) wherever the text didn't change
-  * semantically, and a delete subtracts the document's whole postings
-  * contribution. A posting whose tf reaches zero leaves the index.
+  * −tokens(pre) cancels +tokens(pre) wherever the text didn't change,
+  * and a delete subtracts the document's whole postings contribution.
   * Unlike max/min view columns there is NO shrink case and no base
   * re-read, ever: a leaving document subtracts its own tokens.
   *
-  * Exactly-once across crashes: same protocol as the view — the
-  * postings store is a versioned [[Snapshot]] store whose
-  * `_applied_upto_<k>` marker rides the atomic pointer commit with the
-  * data it describes, and a crash-replayed MERGE publishes an empty
-  * feed. See IncrementalView's scaladoc for the full argument; the
-  * marker/pending machinery is shared.
+  * SEGMENTED STORE — the load-bearing scale decision. The postings
+  * table is CORPUS-SIZED (a stopword's posting list at 100 TB is
+  * TB-sized), so a refresh that joined deltas against the store and
+  * rewrote it would pay an index-sized job per merge — the
+  * whole-table-MERGE mistake all over again. Instead each refresh
+  * APPENDS one segment: the delta aggregate (diff-sized — KBs–MBs)
+  * staged as a new snapshot member dir and committed by adding it to
+  * the manifest next to the carried members; the store is never read,
+  * joined, or rewritten on the hot path. Readers merge on read — one
+  * multi-path scan over the member dirs + a grain-keyed sum, dropping
+  * postings whose signed total reaches zero — and a fold of all
+  * segments into one ([[compact]], auto-triggered past `compactAt`
+  * members) bounds the segment count, exactly the
+  * Lucene-segment / LSM shape (and this library's own GlobalSketch
+  * store-outside-state discipline). Refresh cost is ∝ the merge diff;
+  * compaction cost is ∝ the index, paid every `compactAt` merges
+  * instead of every merge.
+  *
+  * Exactly-once across crashes: same protocol as the view — each
+  * segment carries the `_applied_upto_<k>` marker for the feed ids it
+  * folded, riding `Snapshot.commit`'s atomic pointer rename with the
+  * data it describes (the store watermark is the max over member
+  * markers, so compaction re-stamps the fold at the same watermark).
+  * A crash-replayed MERGE publishes an empty feed. See
+  * IncrementalView's scaladoc for the full argument.
   *
   * Scale shape: the fold is explode → map-side-combinable aggregate
-  * keyed on (token, docKey); the store join is keyed on the same
-  * grain. The store itself is corpus-token-sized (the q130 lesson:
-  * a stopword's postings at 100 TB are TB-sized) — which is exactly
-  * why it must be maintained incrementally and partitioned by token
-  * hash on a real cluster; nothing here ever collects it. Readers
-  * that want document-frequency or tf-idf derive them from the
-  * postings grain ([[docFreq]], [[lookupAll]]) as bounded aggregates
+  * keyed on (token, docKey). On a real cluster the segments (and the
+  * compacted base) would additionally hash-partition by token so a
+  * term probe prunes to its bucket; nothing here ever collects the
+  * index. Readers that want document-frequency or tf-idf derive them
+  * from the postings grain ([[docFreq]], [[lookupAll]]) as aggregates
   * over the probed terms only.
   */
 object IncrementalIndex {
@@ -50,14 +66,15 @@ object IncrementalIndex {
         .map(_.stripPrefix("_applied_upto_").toLong)
     }.foldLeft(-1L)(math.max)
 
-  /** Fold every unapplied feed entry's token deltas into the postings
-    * store; returns the new applied-upto id. `tokens` is a
-    * DETERMINISTIC expression over the feed row producing the
-    * document's token array (it re-evaluates on every fold — the
-    * house tokenizer `filter(split(text, ' '), w -> w <> '')` is the
-    * expected shape). */
+  /** Fold every unapplied feed entry's token deltas into a NEW
+    * segment of the postings store; returns the new applied-upto id.
+    * `tokens` is a DETERMINISTIC expression over the feed row
+    * producing the document's token array (it re-evaluates on every
+    * fold — the house tokenizer
+    * `filter(split(text, ' '), w -> w <> '')` is the expected shape).
+    * Past `compactAt` members the segments auto-fold into one. */
   def refresh(spark: SparkSession, indexDir: String, changeDir: String,
-      keyCols: Seq[String], tokens: Column): Long = {
+      keyCols: Seq[String], tokens: Column, compactAt: Int = 8): Long = {
     val store = new Path(indexDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = store.getFileSystem(conf)
@@ -72,46 +89,61 @@ object IncrementalIndex {
         lit(") — publish the feed with cdfPreImages = true"))))
     val feed = spark.read.option("mergeSchema", "true")
       .parquet(pending.map(k => s"$changeDir/merge=$k"): _*)
+    // the whole refresh: one diff-sized aggregate, zero store reads
     val deltas = feed
       .select((col("_op") +: keyCols.map(col)) :+
         explode(tokens).as("token"): _*)
       .groupBy(col("token") +: keyCols.map(col): _*)
-      .agg(sum(sign).as("__dtf"))
-    val current: Option[DataFrame] =
-      if (Snapshot.currentVersion(fs, store).isDefined)
-        Some(Lake.readStore(spark, indexDir))
-      else None
-    val next = current match {
-      case None =>
-        deltas.where(col("__dtf") =!= 0L)
-          .select((col("token") +: keyCols.map(col)) :+
-            col("__dtf").as("tf"): _*)
-      case Some(cur) =>
-        val grain = "token" +: keyCols
-        val d2 = deltas.select(
-          (col("token").as("__d_token") +:
-            keyCols.map(c => col(c).as(s"__d_$c"))) :+ col("__dtf"): _*)
-        val cond = grain.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
-        cur.join(d2, cond, "full_outer")
-          .select(grain.map(c =>
-            coalesce(col(c), col(s"__d_$c")).as(c)) :+
-            (coalesce(col("tf"), lit(0L)) +
-              coalesce(col("__dtf"), lit(0L))).as("tf"): _*)
-          .where(col("tf") =!= 0L)
-    }
-    val stageName = Snapshot.stageDirName(fs, store, "idx")
+      .agg(sum(sign).as("tf"))
+      .where(col("tf") =!= 0L)
+    val carried = Snapshot.resolve(fs, store).getOrElse(Nil)
+      .map(_.getName)
+    val stageName = Snapshot.stageDirName(fs, store, "seg")
     val staged = Snapshot.stagePath(store, stageName)
-    next.write.mode("overwrite").parquet(staged.toString)
+    deltas.write.mode("overwrite").parquet(staged.toString)
     val marker = new Path(staged, s"_applied_upto_${pending.max}")
     val out = fs.create(marker, true); out.close()
-    Snapshot.commit(fs, conf, store, Seq(stageName))
+    Snapshot.commit(fs, conf, store, carried :+ stageName)
     Snapshot.vacuum(fs, store, keep = 2)
+    if (carried.length + 1 >= compactAt) compact(spark, indexDir)
     pending.max
   }
 
-  /** The postings table (token, keyCols…, tf). */
-  def read(spark: SparkSession, indexDir: String): DataFrame =
-    Lake.readStore(spark, indexDir)
+  /** Fold every segment into one — the index-sized job refresh never
+    * pays. Zero-total postings leave physically; the fold re-stamps
+    * the store watermark. No-op below two members. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val store = new Path(indexDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = store.getFileSystem(conf)
+    val members = Snapshot.resolve(fs, store).getOrElse(Nil)
+    if (members.length < 2) return
+    val upto = appliedUpto(fs, store)
+    val folded = read(spark, indexDir)
+    val stageName = Snapshot.stageDirName(fs, store, "fold")
+    val staged = Snapshot.stagePath(store, stageName)
+    folded.write.mode("overwrite").parquet(staged.toString)
+    val marker = new Path(staged, s"_applied_upto_$upto")
+    val out = fs.create(marker, true); out.close()
+    Snapshot.commit(fs, conf, store, Seq(stageName))
+    Snapshot.vacuum(fs, store, keep = 2)
+  }
+
+  /** The postings table (token, keyCols…, tf) — merge-on-read over
+    * the segments: one multi-path scan + one grain-keyed sum (both
+    * map-side combinable); postings whose signed total reached zero
+    * drop out. */
+  def read(spark: SparkSession, indexDir: String): DataFrame = {
+    val store = new Path(indexDir)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val members = Snapshot.resolve(fs, store).getOrElse(Nil)
+    require(members.nonEmpty, s"no index at $indexDir")
+    val segs = spark.read.option("mergeSchema", "true")
+      .parquet(members.map(_.toString): _*)
+    val grain = segs.columns.filter(_ != "tf").toSeq
+    segs.groupBy(grain.map(col): _*).agg(sum("tf").as("tf"))
+      .where(col("tf") > 0L)
+  }
 
   /** Document frequency per token — one bounded aggregate over the
     * postings grain (each (token, doc) row counts once). */
@@ -120,10 +152,9 @@ object IncrementalIndex {
       .agg(count(lit(1)).as("df"), sum("tf").as("tf"))
 
   /** Conjunctive term lookup: documents containing ALL `terms`,
-    * scored by summed tf. The probe filters the postings to the
-    * queried terms FIRST (an n-term IN list — pushed to the postings
-    * scan), so the work is ∝ the probed terms' postings, never the
-    * index size. */
+    * scored by summed tf. The probe filters to the queried terms
+    * FIRST (an n-term IN list — pushed to the segment scans), so the
+    * work is ∝ the probed terms' postings, never the index size. */
   def lookupAll(spark: SparkSession, indexDir: String,
       keyCols: Seq[String], terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "lookupAll needs at least one term")

@@ -2141,6 +2141,67 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IncrementalIndex: refresh appends segments, never rewrites them; compaction folds") {
+    import org.apache.hadoop.fs.Path
+    import graft.examples.IncrementalIndex
+    val base = TestSpark.tmpDir("inc-idx-seg")
+    val dir = s"$base/t"; val cdf = s"$base/changes"; val idx = s"$base/idx"
+    def df(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("k", "text", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true)
+    val toks = expr("filter(split(text, ' '), w -> w <> '')")
+    def refresh(compactAt: Int = 8): Long =
+      IncrementalIndex.refresh(spark, idx, cdf, Seq("k"), toks, compactAt)
+    val store = new Path(idx)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def members = graft.sources.Snapshot.resolve(fs, store).get
+    def fileSizes(m: Path): Map[String, Long] =
+      fs.listStatus(m).filter(_.isFile).map(s =>
+        s.getPath.getName -> s.getLen).toMap
+    def postings = IncrementalIndex.read(spark, idx).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("k")) ->
+        r.getAs[Long]("tf")).toMap
+
+    merge(df((1L, "a b b", 1L, false)))
+    refresh()
+    assert(members.length == 1)
+    val seg1 = members.head
+    val seg1Files = fileSizes(seg1)
+    // second refresh APPENDS a diff-sized segment — the hot path
+    // never reads, joins, or rewrites the existing index
+    merge(df((2L, "b c", 1L, false), (1L, "a b", 2L, false)))
+    refresh()
+    assert(members.length == 2, s"expected append, got ${members.length} members")
+    assert(members.contains(seg1) && fileSizes(seg1) == seg1Files,
+      "refresh rewrote an existing segment")
+    // merge-on-read nets the signed totals: b in doc 1 went 2 -> 1
+    assert(postings == Map(("a", 1L) -> 1L, ("b", 1L) -> 1L,
+      ("b", 2L) -> 1L, ("c", 2L) -> 1L))
+    // explicit compaction folds to ONE member, preserves postings AND
+    // the watermark
+    IncrementalIndex.compact(spark, idx)
+    assert(members.length == 1)
+    assert(postings == Map(("a", 1L) -> 1L, ("b", 1L) -> 1L,
+      ("b", 2L) -> 1L, ("c", 2L) -> 1L))
+    assert(refresh() == 1L, "compaction moved the applied-upto watermark")
+    // auto-compaction: with compactAt = 2 the next refresh folds
+    merge(df((3L, "c d", 1L, false)))
+    refresh(compactAt = 2)
+    assert(members.length == 1, "auto-compaction did not trigger")
+    assert(postings(("d", 3L)) == 1L)
+    // a posting netted to zero by later segments is GONE from reads
+    // even before compaction folds it physically
+    merge(df((3L, "c d", 2L, true)))
+    refresh()
+    assert(members.length == 2)
+    assert(!postings.contains(("d", 3L)), "zero-total posting visible")
+    IncrementalIndex.compact(spark, idx)
+    assert(!postings.contains(("d", 3L)))
+  }
+
   test("IncrementalView.readDistinct: NULL fine values count rows, not distincts") {
     import graft.examples.IncrementalView
     val base = TestSpark.tmpDir("inc-distinct")
