@@ -2141,6 +2141,90 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IncrementalIndex/IncrementalScd2: randomized merge sequences equal recompute (seeded)") {
+    import graft.examples.{IncrementalIndex, IncrementalScd2}
+    val words = Array("alpha", "beta", "gamma", "delta", "eps")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val base = TestSpark.tmpDir(s"idx-fuzz-$seed")
+      val dir = s"$base/t"; val cdf = s"$base/changes"
+      val idx = s"$base/idx"; val hist = s"$base/hist"
+      val toks = expr("filter(split(text, ' '), w -> w <> '')")
+      // in-JVM reference history: key -> list of (text, from, to)
+      val ref = scala.collection.mutable.Map[Long,
+        scala.collection.mutable.ArrayBuffer[(String, Long, Option[Long])]]()
+      val live = scala.collection.mutable.Map[Long, String]()
+      var ver = 0L
+      for (_ <- 1 to 4) {
+        ver += 1
+        val rows = (0 until 5).map { _ =>
+          val k = rnd.nextInt(8).toLong
+          val text = (0 until 1 + rnd.nextInt(4))
+            .map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+          (k, text, ver, rnd.nextInt(4) == 0)
+        }.groupBy(_._1).map(_._2.head).toSeq
+        graft.sources.Lake.mergeInto(spark,
+          dir, rows.toDF("k", "text", "ver", "is_delete"),
+          Seq("k"), Seq("ver"), Some(col("is_delete")),
+          changeDir = Some(cdf), cdfPreImages = true)
+        // feed entry id k = ver - 1 (ids start at 0, one entry per
+        // CHANGE-carrying merge; every batch here changes something
+        // because ver strictly grows and texts/tombstones differ —
+        // but a batch CAN be a pure no-op if every row deletes
+        // already-absent keys; derive the id from the store watermark
+        // instead of assuming)
+        val entryId = IncrementalIndex.refresh(spark, idx, cdf, Seq("k"),
+          toks, compactAt = 3)
+        IncrementalScd2.refresh(spark, hist, cdf, Seq("k"), Seq("text"))
+        // maintain the reference history with the same close/open rule
+        for ((k, text, _, isDel) <- rows) {
+          val had = live.contains(k)
+          if (isDel) {
+            if (had) {
+              val buf = ref(k)
+              val i = buf.lastIndexWhere(_._3.isEmpty)
+              buf(i) = (buf(i)._1, buf(i)._2, Some(entryId))
+              live.remove(k)
+            }
+          } else {
+            // a matched key ALWAYS updates here: the feed publishes an
+            // update iff the ORDER tuple changed, and ver strictly
+            // grows per batch
+            if (had) {
+              val buf = ref(k)
+              val i = buf.lastIndexWhere(_._3.isEmpty)
+              buf(i) = (buf(i)._1, buf(i)._2, Some(entryId))
+            }
+            ref.getOrElseUpdate(k,
+              scala.collection.mutable.ArrayBuffer()) +=
+              ((text, entryId, None))
+            live(k) = text
+          }
+        }
+        // index equals re-tokenizing the merged store
+        val got = IncrementalIndex.read(spark, idx).collect()
+          .map(r => (r.getAs[String]("token"), r.getAs[Long]("k")) ->
+            r.getAs[Long]("tf")).toMap
+        val want = graft.sources.Lake.readStore(spark, dir)
+          .select(col("k"), explode(toks).as("token"))
+          .groupBy("token", "k").agg(count(lit(1)).as("tf")).collect()
+          .map(r => (r.getAs[String]("token"), r.getAs[Long]("k")) ->
+            r.getAs[Long]("tf")).toMap
+        assert(got == want, s"seed=$seed ver=$ver: index diverged")
+        // history equals the in-JVM reference fold
+        val gotHist = IncrementalScd2.read(spark, hist).collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[String]("text"),
+            r.getAs[Long]("valid_from"),
+            Option(r.getAs[java.lang.Long]("valid_to")).map(_.longValue)))
+          .toSet
+        val wantHist = ref.flatMap { case (k, buf) =>
+          buf.map { case (t, f, to) => (k, t, f, to) } }.toSet
+        assert(gotHist == wantHist,
+          s"seed=$seed ver=$ver: history ${gotHist.diff(wantHist)} / ${wantHist.diff(gotHist)}")
+      }
+    }
+  }
+
   test("IncrementalIndex: refresh appends segments, never rewrites them; compaction folds") {
     import org.apache.hadoop.fs.Path
     import graft.examples.IncrementalIndex
