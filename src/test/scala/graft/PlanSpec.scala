@@ -457,6 +457,37 @@ class PlanSpec extends AnyFunSuite {
       s"q162 lost the rank-limit pushdown:\n$p162")
   }
 
+  test("q169/q170/q172: round-11 key scale shapes") {
+    // q169: the emitted plan reads the SEGMENTED postings store — a
+    // multi-path scan + grain-keyed sums with map-side partials; the
+    // index read path has no join at all (merge-on-read is an
+    // aggregate, not a reconciliation join)
+    val p169 = plan("q169_incremental_index")
+    assert(p169.contains("partial"),
+      s"q169 postings merge-on-read lost map-side partials:\n$p169")
+    assert(!p169.contains("SortMergeJoin") && !p169.contains("BroadcastHashJoin"),
+      s"q169 read path should be join-free:\n$p169")
+    // q170: the distinct derives from the (g, v)-grain view store as
+    // ONE bounded aggregate — no join, no second store pass
+    val p170 = plan("q170_distinct_view")
+    assert(!p170.contains("Join"),
+      s"q170 distinct read should be join-free:\n$p170")
+    // q172: the epoch rank must not window raw table rows on the bare
+    // 16-value shard key (one task per shard at any cluster size) —
+    // the q30 contract applied to the shuffle pass
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow, WindowGroupLimit}
+    val lp172 = SparkEntry.queries("q172_epoch_shuffle")(spark, sf)
+      .queryExecution.optimizedPlan
+    val offending = lp172.collect { case w: LWindow
+        if w.partitionSpec.size < 2 &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty &&
+          w.child.collectFirst { case g: WindowGroupLimit => g }.isEmpty =>
+      w.windowExpressions.map(_.sql).mkString(", ")
+    }
+    assert(offending.isEmpty,
+      s"q172 windows raw rows on the bare shard key: $offending")
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —
