@@ -27,21 +27,33 @@ import graft.sources.{Lake, Snapshot}
   *   delete            → close the current version, open nothing
   *
   * A merge diff carries each key at most once, so "close then open"
-  * within one entry is unambiguous. The history is append-mostly:
-  * each fold touches exactly the entry's keys — implemented as one
-  * key-keyed join of the history against the entry's (bounded)
-  * closer-key set plus a union of the opened rows, then committed as
-  * the next snapshot version (atomic pointer rename, `_applied_upto`
-  * marker riding the commit — the exactly-once argument is
-  * IncrementalView's, verbatim).
+  * within one entry is unambiguous.
   *
-  * Scale: the fold rewrites the history store (copy-on-write, the
-  * same cost class as `Lake.mergeInto` itself); at 100 TB the history
-  * would be hash-partitioned by key (each partition folds its slice
-  * of the diff independently — the `mergeIntoPartitioned` shape) or
-  * partitioned by `valid_from` range so old, closed versions are
-  * never rewritten. The closer-key set is one merge diff — KBs–MBs —
-  * and broadcasts.
+  * STORE SHAPE — the load-bearing scale decision. SCD2 history grows
+  * FOREVER (every change ever, per key), so a fold that rewrote the
+  * whole history per merge would pay an ever-growing job for a
+  * diff-sized change. The store exploits that closed versions are
+  * IMMUTABLE: one snapshot manifest carries
+  *
+  *   - ONE `cur` member — the current (open) version per live key,
+  *     bounded by the LIVE key count (the merge target's own size
+  *     class) — the only dir a refresh rewrites; and
+  *   - APPEND-ONLY `closed` segments — the versions each entry
+  *     closed, with their valid_to stamped; written once, never
+  *     touched again.
+  *
+  * Both ride ONE `Snapshot.commit` (the manifest swap is the single
+  * atomic step — no two-store coordination problem), and the
+  * `_applied_upto` marker rides the new cur member. Per-entry cost:
+  * one broadcast closer-key join against the CURRENT table + a
+  * diff-sized closed segment — never proportional to history length.
+  * At 100 TB the closed segments would additionally partition by
+  * valid_to range (they arrive in id order, so that layout is free),
+  * making as-of reads range-prunable.
+  *
+  * Exactly-once across crashes: the marker rides the commit with the
+  * data (IncrementalView's argument verbatim); a crash-replayed MERGE
+  * publishes an empty feed.
   */
 object IncrementalScd2 {
 
@@ -51,6 +63,9 @@ object IncrementalScd2 {
         .filter(_.startsWith("_applied_upto_"))
         .map(_.stripPrefix("_applied_upto_").toLong)
     }.foldLeft(-1L)(math.max)
+
+  private def curMember(members: Seq[Path]): Option[Path] =
+    members.find(_.getName.endsWith("-cur"))
 
   /** Fold every unapplied feed entry into the history store; returns
     * the new applied-upto id. `attrCols` names the feed columns kept
@@ -82,43 +97,83 @@ object IncrementalScd2 {
       .where(col("_op").isin("insert", "update_postimage"))
       .select(keyCols.map(col) ++ attrCols.map(col): _*)
       .withColumn("valid_from", lit(k))
-      .withColumn("valid_to", lit(null).cast("long"))
-      .withColumn("is_current", lit(true))
     val closers = entry
       .where(col("_op").isin("update_preimage", "delete"))
       .select(keyCols.map(c => col(c).as(s"__c_$c")): _*)
       .distinct()
-      .withColumn("__close", lit(true))
-    val next =
-      if (Snapshot.currentVersion(fs, store).isEmpty) opens
-      else {
-        val hist = Lake.readStore(spark, store.toString)
+    val members = Snapshot.resolve(fs, store).getOrElse(Nil)
+    val (newCur, closedSeg) = curMember(members) match {
+      case None => (opens, None)
+      case Some(cur) =>
+        val curDf = spark.read.option("mergeSchema", "true")
+          .parquet(cur.toString)
         val cond = keyCols.map(c => col(c) <=> col(s"__c_$c"))
           .reduce(_ && _)
         // the closer set is one merge diff's keys — broadcast by
-        // construction; only is_current rows of those keys change
-        hist.join(broadcast(closers), cond, "left")
-          .withColumn("valid_to",
-            when(col("is_current") && col("__close") === true, lit(k))
-              .otherwise(col("valid_to")))
-          .withColumn("is_current",
-            col("is_current") && col("__close").isNull)
-          .drop((keyCols.map(c => s"__c_$c") :+ "__close"): _*)
-          .unionByName(opens)
-      }
-    val stageName = Snapshot.stageDirName(fs, store, "scd2")
-    val staged = Snapshot.stagePath(store, stageName)
-    next.write.mode("overwrite").parquet(staged.toString)
-    val marker = new Path(staged, s"_applied_upto_$k")
+        // construction; both jobs touch only the CURRENT table, never
+        // the closed history
+        val closed = curDf.join(broadcast(closers), cond, "left_semi")
+          .withColumn("valid_to", lit(k))
+        val kept = curDf.join(broadcast(closers), cond, "left_anti")
+        (kept.unionByName(opens), Some(closed))
+    }
+    // stage the new cur member and (if anything closed) one immutable
+    // closed segment; ONE manifest commit publishes both — carried
+    // closed segments are never rewritten
+    val carried = members.map(_.getName)
+      .filterNot(_.endsWith("-cur"))
+    val curName = Snapshot.stageDirName(fs, store, "cur")
+    val curStaged = Snapshot.stagePath(store, curName)
+    newCur.write.mode("overwrite").parquet(curStaged.toString)
+    val marker = new Path(curStaged, s"_applied_upto_$k")
     val out = fs.create(marker, true); out.close()
-    Snapshot.commit(fs, conf, store, Seq(stageName))
+    val segName = closedSeg.flatMap { seg =>
+      val s = seg.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (s.isEmpty) None
+        else {
+          val name = s"${curName.stripSuffix("-cur")}-closed"
+          // clear BOTH stranded forms a crashed attempt can leave
+          // (staged, or unhidden-but-uncommitted) — the same sweep
+          // stageDirName does for the cur member
+          val staged = Snapshot.stagePath(store, name)
+          Seq(new Path(store, name), staged)
+            .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+          s.write.mode("overwrite").parquet(staged.toString)
+          Some(name)
+        }
+      } finally { s.unpersist(); () }
+    }
+    Snapshot.commit(fs, conf, store, carried ++ segName :+ curName)
     Snapshot.vacuum(fs, store, keep = 2)
   }
 
   /** The full history (keyCols…, attrCols…, valid_from, valid_to,
-    * is_current). */
-  def read(spark: SparkSession, histDir: String): DataFrame =
-    Lake.readStore(spark, histDir)
+    * is_current): the immutable closed segments plus the current
+    * member (open-ended, is_current) — one multi-path scan. */
+  def read(spark: SparkSession, histDir: String): DataFrame = {
+    val store = new Path(histDir)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val members = Snapshot.resolve(fs, store).getOrElse(Nil)
+    require(members.nonEmpty, s"no history at $histDir")
+    val cur = curMember(members).map(p =>
+      spark.read.option("mergeSchema", "true").parquet(p.toString)
+        .withColumn("valid_to", lit(null).cast("long")))
+    val closedDirs = members.filterNot(_.getName.endsWith("-cur"))
+    val closed =
+      if (closedDirs.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(closedDirs.map(_.toString): _*))
+    val all = (closed, cur) match {
+      case (Some(c), Some(u)) => c.unionByName(u, allowMissingColumns = true)
+      case (Some(c), None) => c
+      case (None, Some(u)) => u
+      case (None, None) =>
+        throw new IllegalStateException(s"empty history at $histDir")
+    }
+    all.withColumn("is_current", col("valid_to").isNull)
+  }
 
   /** Point-in-time read: each key's version visible AS OF merge id
     * `v` — the state just after `merge=<v>` folded (closed lower

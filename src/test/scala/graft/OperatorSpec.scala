@@ -2361,6 +2361,18 @@ class OperatorSpec extends AnyFunSuite {
     merge(df((1L, "shipped", 2L, false)))
     assert(refresh() == 1L)
     assert(rows.size == 4)
+    // closed versions are IMMUTABLE segments: a later fold must not
+    // rewrite them (only the current member rewrites — bounded by
+    // live keys, never by history length)
+    val store = new org.apache.hadoop.fs.Path(hist)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def closedSegs = graft.sources.Snapshot.resolve(fs, store).get
+      .filterNot(_.getName.endsWith("-cur"))
+    def sizes(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(_.isFile)
+        .map(s => s.getPath.getName -> s.getLen).toMap
+    val seg0 = closedSegs.head
+    val seg0Files = sizes(seg0)
     // a second update of the same key chains intervals
     merge(df((1L, "done", 3L, false)))
     assert(refresh() == 2L)
@@ -2368,6 +2380,9 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.contains((1L, "done", 2L, None, true)))
     assert(asOfSet(1L) == Set(1L -> "shipped", 3L -> "new"),
       "history rewrote the past")
+    assert(closedSegs.length == 2, s"expected a new closed segment")
+    assert(closedSegs.contains(seg0) && sizes(seg0) == seg0Files,
+      "a fold rewrote an existing closed segment")
   }
 
   test("mergeIntoChecked: expectations quarantine bad rows, exempt tombstones, replay-safe") {
