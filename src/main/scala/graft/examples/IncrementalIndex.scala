@@ -151,6 +151,53 @@ object IncrementalIndex {
     read(spark, indexDir).groupBy("token")
       .agg(count(lit(1)).as("df"), sum("tf").as("tf"))
 
+  /** Maintain the DOC-LENGTH view next to the index — BM25's `dl`
+    * (total tokens per document) is a plain abelian signed sum over
+    * the same feed, so it rides [[IncrementalView]] wholesale:
+    * groupCols = the doc key, one derived `n_toks = size(tokens)`
+    * measure. Call with the same `changeDir` after each merge (its
+    * applied-upto watermark advances independently of the index's). */
+  def refreshDocLens(spark: SparkSession, dlViewDir: String,
+      changeDir: String, keyCols: Seq[String], tokens: Column): Long =
+    IncrementalView.refresh(spark, dlViewDir, changeDir,
+      keyCols, Seq("n_toks"), Nil, Nil, Nil, None,
+      Seq("n_toks" -> size(tokens)))
+
+  /** BM25 retrieval OVER THE INDEX — continuous full-text search off
+    * a CDC feed: every statistic the Robertson–Spärck Jones formula
+    * needs is already maintained incrementally (tf and df from the
+    * postings segments, dl from the doc-length view, N and avgdl as
+    * a 1-row aggregate of that view), so scoring a query probes the
+    * queried terms' postings plus one doc-keyed join against the
+    * length view — never re-tokenizing the corpus (q112 computes the
+    * identical formula from raw text; the spec pins equality). */
+  def bm25Lookup(spark: SparkSession, indexDir: String,
+      dlViewDir: String, keyCols: Seq[String], terms: Seq[String],
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Lookup needs at least one term")
+    val tf = read(spark, indexDir)
+      .where(col("token").isin(terms: _*))
+    val dfw = tf.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("__dfw"))
+    val dl = IncrementalView.read(spark, dlViewDir)
+      .select(keyCols.map(col) :+ col("sum_n_toks").as("__dl"): _*)
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
+      (sum("__dl").cast("double") / count(lit(1))).as("__avgdl"))
+    tf.join(broadcast(dfw), "token")
+      .join(dl, keyCols)
+      .crossJoin(broadcast(stats))
+      .select(keyCols.map(col) :+
+        (log((col("__n") - col("__dfw") + 0.5) / (col("__dfw") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("__sc"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("__sc").as("bm25"))
+      .orderBy(col("bm25").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topK)
+  }
+
   /** Conjunctive term lookup: documents containing ALL `terms`,
     * scored by summed tf. The probe filters to the queried terms
     * FIRST (an n-term IN list — pushed to the segment scans), so the

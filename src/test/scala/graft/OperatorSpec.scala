@@ -2225,6 +2225,65 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IncrementalIndex.bm25Lookup equals the direct BM25 over the merged store") {
+    import graft.examples.{IncrementalIndex, IncrementalView}
+    val base = TestSpark.tmpDir("idx-bm25")
+    val dir = s"$base/t"; val cdf = s"$base/changes"
+    val idx = s"$base/idx"; val dlv = s"$base/dl"
+    def df(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("k", "text", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, dir, b,
+        Seq("k"), Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true)
+    val toks = expr("filter(split(text, ' '), w -> w <> '')")
+    def refresh(): Unit = {
+      IncrementalIndex.refresh(spark, idx, cdf, Seq("k"), toks)
+      IncrementalIndex.refreshDocLens(spark, dlv, cdf, Seq("k"), toks)
+      ()
+    }
+    merge(df((1L, "join the stream join", 1L, false),
+      (2L, "window the stream", 1L, false),
+      (3L, "join a window now", 1L, false),
+      (4L, "nothing relevant here", 1L, false)))
+    refresh()
+    // update doc 2 (drops 'stream'), delete doc 4 — stats must follow
+    merge(df((2L, "window the table", 2L, false),
+      (4L, "nothing relevant here", 2L, true)))
+    refresh()
+    val terms = Seq("join", "stream", "window")
+    val got = IncrementalIndex.bm25Lookup(spark, idx, dlv, Seq("k"),
+      terms, topK = 10).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("bm25")).toMap
+    // the q112 formula computed directly from the merged store
+    val tk = graft.sources.Lake.readStore(spark, dir)
+      .select(col("k"), explode(toks).as("w"))
+    val dl = tk.groupBy("k").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tk.where(col("w").isin(terms: _*))
+      .groupBy("k", "w").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("w").agg(count(lit(1)).cast("double").as("dfw"))
+    val want = tf.join(broadcast(dfw), "w").join(dl, "k")
+      .crossJoin(broadcast(stats))
+      .select(col("k"),
+        (log((col("n") - col("dfw") + 0.5) / (col("dfw") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("sc"))
+      .groupBy("k").agg(sum("sc").as("bm25")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("bm25")).toMap
+    assert(got.keySet == want.keySet, s"bm25 candidate sets: $got vs $want")
+    got.foreach { case (k, sc) =>
+      assert(math.abs(sc - want(k)) < 1e-9, s"doc $k: $sc vs ${want(k)}")
+    }
+    // the doc-length view advanced with the feed (doc 2 shrank from
+    // pre-image cancellation; doc 4 left)
+    val dls = IncrementalView.read(spark, dlv).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("sum_n_toks")).toMap
+    assert(dls == Map(1L -> 4L, 2L -> 3L, 3L -> 4L))
+  }
+
   test("IncrementalIndex: refresh appends segments, never rewrites them; compaction folds") {
     import org.apache.hadoop.fs.Path
     import graft.examples.IncrementalIndex
