@@ -179,8 +179,12 @@ object IncrementalIndex {
       .where(col("token").isin(terms: _*))
     val dfw = tf.groupBy("token")
       .agg(count(lit(1)).cast("double").as("__dfw"))
+    // token-less documents can match no term and are excluded from
+    // N/avgdl — the same convention as deriving dl from exploded
+    // tokens (q112), where an empty token array drops the doc
     val dl = IncrementalView.read(spark, dlViewDir)
       .select(keyCols.map(col) :+ col("sum_n_toks").as("__dl"): _*)
+      .where(col("__dl") > 0L)
     val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
       (sum("__dl").cast("double") / count(lit(1))).as("__avgdl"))
     tf.join(broadcast(dfw), "token")
@@ -195,7 +199,7 @@ object IncrementalIndex {
       .groupBy(keyCols.map(col): _*)
       .agg(sum("__sc").as("bm25"))
       .orderBy(col("bm25").desc +: keyCols.map(col(_).asc): _*)
-      .limit(topK)
+      .transform(d => if (topK > 0) d.limit(topK) else d)
   }
 
   /** Conjunctive term lookup: documents containing ALL `terms`,

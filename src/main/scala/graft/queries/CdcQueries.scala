@@ -526,6 +526,57 @@ object CdcQueries {
       .transform(Det.emitWide(_, "k", "valid_from"))
   }
 
+  /** q173: BM25 retrieval OVER THE INCREMENTAL INDEX, oracle-checked
+    * end to end — continuous full-text search off the CDC feed: the
+    * q169 merge sequence maintains the postings segments AND the
+    * doc-length view, then a 3-term query scores by the exact q112
+    * Robertson–Spärck Jones formula using ONLY incrementally
+    * maintained statistics (tf/df from postings, dl/N/avgdl from the
+    * length view). The oracle reconstructs the final corpus
+    * relationally and computes the identical formula from raw text —
+    * a hash match proves the maintained statistics equal the
+    * from-scratch ones after updates (pre-image cancellation must
+    * shrink doc lengths), deletes, and inserts. q112's rounding
+    * discipline (4dp + epsilon, ordered on the rounded score). */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val root = fixtureStore(s, "incbm25", d)
+    val dir = s"$root/t"; val cdf = s"$root/changes"
+    val idx = s"$root/idx"; val dlv = s"$root/dl"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val base = documents(s, d).where(col("doc_id") % 4 === 3)
+      .select(col("doc_id").as("k"), col("text"))
+    def merge(b: DataFrame): Unit =
+      graft.sources.Lake.mergeInto(s, dir, b, Seq("k"), Seq("ver"),
+        Some(col("is_delete")), changeDir = Some(cdf), cdfPreImages = true)
+    val toks = expr("filter(split(text, ' '), w -> w <> '')")
+    def refresh(): Unit = {
+      graft.examples.IncrementalIndex.refresh(s, idx, cdf, Seq("k"), toks)
+      graft.examples.IncrementalIndex.refreshDocLens(s, dlv, cdf,
+        Seq("k"), toks)
+      ()
+    }
+    merge(base.where(col("k") % 3 =!= 0)
+      .withColumn("ver", lit(1L)).withColumn("is_delete", lit(false)))
+    refresh()
+    val upd = base.where(col("k") % 3 =!= 0 && col("k") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" stream")))
+      .withColumn("is_delete", lit(false))
+    val del = base.where(col("k") % 3 =!= 0 && col("k") % 11 === 0 &&
+        col("k") % 5 =!= 0)
+      .withColumn("is_delete", lit(true))
+    val ins = base.where(col("k") % 3 === 0 && col("k") % 7 === 0)
+      .withColumn("is_delete", lit(false))
+    merge(upd.unionByName(del).unionByName(ins).withColumn("ver", lit(2L)))
+    refresh()
+    graft.examples.IncrementalIndex.bm25Lookup(s, idx, dlv, Seq("k"),
+        Seq("join", "stream", "window"), topK = -1)
+      .select(col("k"), Det.r4e(col("bm25")).as("bm25"))
+      .orderBy(col("bm25").desc, col("k").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_cdc_envelope_roundtrip" -> q60,
     "q61_cdc_latest_by_key" -> q61,
@@ -539,7 +590,8 @@ object CdcQueries {
     "q166_bucketed_view" -> q166,
     "q169_incremental_index" -> q169,
     "q170_distinct_view" -> q170,
-    "q171_scd2_incremental" -> q171)
+    "q171_scd2_incremental" -> q171,
+    "q173_incremental_bm25" -> q173)
 
   val oracles: Map[String, String] = Map(
     // Oracle aggregates the base tables directly — the JSON round-trip
@@ -764,5 +816,42 @@ object CdcQueries {
           SELECT k, status, usd, valid_from, valid_to,
                  CAST(valid_to IS NULL AS INT) AS is_current
           FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
-          ORDER BY k, valid_from""")
+          ORDER BY k, valid_from""",
+    // q173: the oracle computes the identical BM25 formula from the
+    // RECONSTRUCTED final corpus's raw text — it never sees the
+    // index, the length view, or the feed; ' stream' appended to
+    // updated docs moves a QUERY term's df/tf, so stale maintained
+    // statistics diverge the hash.
+    "q173_incremental_bm25" ->
+      """WITH base AS (SELECT doc_id AS k, text FROM documents
+                       WHERE doc_id % 4 = 3),
+          final AS (
+            SELECT k, CASE WHEN k % 5 = 0 THEN text || ' stream'
+                           ELSE text END AS text
+            FROM base
+            WHERE k % 3 <> 0
+              AND NOT (k % 11 = 0 AND k % 5 <> 0)
+            UNION ALL
+            SELECT k, text FROM base WHERE k % 3 = 0 AND k % 7 = 0),
+          tk AS (SELECT k, unnest(list_filter(string_split(text, ' '),
+                                              w -> w <> '')) AS w
+                 FROM final),
+          dl AS (SELECT k, CAST(count(1) AS BIGINT) AS dl
+                 FROM tk GROUP BY k),
+          stats AS (SELECT CAST(count(1) AS DOUBLE) AS n,
+                           CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl
+                    FROM dl),
+          tf AS (SELECT k, w, CAST(count(1) AS BIGINT) AS tf
+                 FROM tk WHERE w IN ('join', 'stream', 'window')
+                 GROUP BY k, w),
+          dfw AS (SELECT w, CAST(count(1) AS DOUBLE) AS dfw
+                  FROM tf GROUP BY w),
+          sc AS (SELECT k,
+                        ln((n - dfw + 0.5) / (dfw + 0.5) + 1.0) *
+                          (tf * 2.2) /
+                          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS sc
+                 FROM tf JOIN dfw USING (w) JOIN dl USING (k), stats)
+          SELECT k, round(sum(sc) + 0.00000123, 4) AS bm25
+          FROM sc GROUP BY k
+          ORDER BY bm25 DESC, k ASC LIMIT 20""")
 }
