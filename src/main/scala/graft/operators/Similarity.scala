@@ -340,6 +340,27 @@ object Similarity {
       .where(col("cos_sim") > minCos)
   }
 
+  /** Cluster-scoped near-dup pairs, BOTH directions (a_id ≠ b_id) —
+    * the SemDeDup pairing step (q175). The join is a plain equi-join
+    * on the cluster key: a shuffle on both sides, pair fan-out ∝
+    * Σ cluster-size², so no side needs to broadcast and the operator
+    * scales with cluster OCCUPANCY, not corpus size (at 100 TB the
+    * cluster count grows with the corpus and occupancy stays fixed —
+    * the SemDeDup design point). Both directions are kept so a
+    * per-member dominance/partner fold is ONE groupBy on a_id. */
+  def clusterDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, minCos: Double): DataFrame = {
+    val a = df.select(col(clusterCol).as("__cl"), col(idCol).as("a_id"),
+      col(vecCol).as("a_emb"))
+    val b = df.select(col(clusterCol).as("__cl"), col(idCol).as("b_id"),
+      col(vecCol).as("b_emb"))
+    a.join(b, Seq("__cl"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.queries.Det.r4e(nativeCosine(df, "a_emb", "b_emb")).as("cos_sim"))
+      .where(col("cos_sim") >= minCos)
+  }
+
   /** Random-hyperplane (SRP / "SimHash for vectors") LSH bucket id per
     * vector: `bits` signed projections onto ±1 hyperplanes, packed into
     * one BIGINT bucket key. Candidate generation is then a plain

@@ -595,6 +595,68 @@ object MiningQueries {
       .transform(Det.emitWide(_, "shard", "rn"))
   }
 
+  /** q176: TEMPERATURE-scaled mixture sampling (α = 0.5) — the data-
+    * mixing generalization of q159's full balance: per-language
+    * keep-rate (min_cnt/cnt)^(1−α) = √(min_cnt/cnt) on the shared
+    * 10000-grid hash draw, so over-represented languages are damped
+    * toward — but not flattened to — the smallest one (the standard
+    * α-temperature diet of multilingual pretraining). sqrt and the
+    * one multiply are exactly-specified IEEE ops on exact integers →
+    * both engines derive the identical integer cut; the keep decision
+    * stays a pure map-side compare (one bounded aggregate broadcasts
+    * back, no corpus shuffle — q159's plan shape). */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("lang"))
+    val cnts = base.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val minc = cnts.agg(min("cnt").as("min_cnt"))
+    val cuts = cnts.crossJoin(broadcast(minc))
+      .withColumn("cut",
+        floor(sqrt(col("min_cnt").cast("double") / col("cnt")) * 10000)
+          .cast("long"))
+      .select(col("lang"), col("cut"))
+    base
+      .join(broadcast(cuts), Seq("lang"))
+      .withColumn("draw", TextDedup.hashDraw("doc_id", salt = "temp"))
+      .where(col("draw") < col("cut"))
+      .select(col("doc_id"), col("lang"), col("draw"), col("cut"))
+      .transform(Det.emitWide(_, "doc_id"))
+  }
+
+  /** q177: COUNT–MIN sketch token frequencies — the mergeable
+    * frequency sketch complementing q150's Misra–Gries (MG keeps the
+    * top-k identities; CMS answers point queries for ANY key): d=4
+    * md5-seeded rows × w=256 buckets of exact counts. The sketch is
+    * ONE map-side-combinable aggregate to 4×256 cells — constant
+    * state, and cells ADD, so per-day sketches union by bin-sum
+    * exactly like q149's HLLs and q157's histograms (the lakehouse
+    * incremental story; OperatorSpec pins sketch(A)+sketch(B) ≡
+    * sketch(A∪B) and est ≥ exact). Estimates for the exact top-20
+    * tokens: est = min over rows of the row's bucket count. Every
+    * step is deterministic integer arithmetic — the whole sketch is
+    * oracle-replayable, overcount included. */
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(explode(expr(TOKS)).as("w"))
+      .transform(Det.pin)
+    val bucket = (iCol: Column, wCol: Column) =>
+      conv(substring(md5(concat(lit("cms"), iCol.cast("string"),
+        lit(":"), wCol)), 1, 15), 16, 10).cast("long") % 256
+    val sketch = tk
+      .select(explode(sequence(lit(0), lit(3))).as("i"), col("w"))
+      .groupBy(col("i"), bucket(col("i"), col("w")).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val probes = tk.groupBy("w").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("w").asc).limit(20)
+    probes
+      .select(col("w"), col("exact"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .withColumn("b", bucket(col("i"), col("w")))
+      .join(broadcast(sketch), Seq("i", "b"))
+      .groupBy("w").agg(max("exact").as("exact"), min("c").as("est"))
+      .select(col("w"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("over"))
+      .transform(Det.emit(_, "w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
@@ -616,7 +678,9 @@ object MiningQueries {
     "q158_sequence_packing" -> q158,
     "q159_mixture_sample" -> q159,
     "q160_winsorized_stats" -> q160,
-    "q172_epoch_shuffle" -> q172)
+    "q172_epoch_shuffle" -> q172,
+    "q176_temperature_mix" -> q176,
+    "q177_cms_freq" -> q177)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -637,6 +701,41 @@ object MiningQueries {
                  ON s1.k = s2.k AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q176_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(1) AS cnt FROM documents GROUP BY lang),
+          m AS (SELECT min(cnt) AS min_cnt FROM c),
+          cuts AS (SELECT lang,
+                          CAST(floor(sqrt(CAST(min_cnt AS DOUBLE) / cnt) * 10000)
+                               AS BIGINT) AS cut
+                   FROM c, m)
+          SELECT d.doc_id, d.lang,
+                 CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 10000 AS draw,
+                 cuts.cut AS cut
+          FROM documents d JOIN cuts ON d.lang = cuts.lang
+          WHERE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 < cuts.cut
+          ORDER BY d.doc_id""",
+    "q177_cms_freq" ->
+      s"""WITH tk AS (SELECT unnest($TS) AS w FROM documents),
+          rows_ AS (SELECT * FROM (VALUES (0),(1),(2),(3)) r(i)),
+          cells AS (SELECT i,
+                           CAST('0x' || substr(md5('cms' || CAST(i AS VARCHAR)
+                                || ':' || w), 1, 15) AS BIGINT) % 256 AS b,
+                           CAST(count(1) AS BIGINT) AS c
+                    FROM tk, rows_ GROUP BY 1, 2),
+          probes AS (SELECT w, CAST(count(1) AS BIGINT) AS exact
+                     FROM tk GROUP BY w
+                     ORDER BY exact DESC, w LIMIT 20),
+          est AS (SELECT p.w, max(p.exact) AS exact, min(cl.c) AS est
+                  FROM probes p, rows_ r
+                  JOIN cells cl
+                    ON cl.i = r.i
+                   AND cl.b = CAST('0x' || substr(md5('cms' || CAST(r.i AS VARCHAR)
+                         || ':' || p.w), 1, 15) AS BIGINT) % 256
+                  GROUP BY p.w)
+          SELECT w, exact, est, est - exact AS over
+          FROM est ORDER BY w""",
     "q119_stratified_sample" ->
       """WITH h AS (SELECT lang, doc_id,
                            md5('smp:' || CAST(doc_id AS VARCHAR)) AS hk

@@ -34,7 +34,7 @@ object TextQueries {
 
   /** Whitespace tokens with empties dropped — keep in exact sync with
     * the DuckDB `list_filter(string_split(...))` twin. */
-  private val TOKS = "filter(split(text, ' '), w -> w <> '')"
+  private[queries] val TOKS = "filter(split(text, ' '), w -> w <> '')"
   import graft.operators.TextDedup
 
   /** q80: tokenize → explode → global top-k terms. */
@@ -307,6 +307,47 @@ object TextQueries {
       .transform(Det.emitWide(_, "doc_id"))
   }
 
+  /** q178: CROSS-corpus LSH dedup — dedup the TRAIN corpus against
+    * the EVAL benchmark (doc_id % 50 = 0, q107's convention), the
+    * fuzzy-decontamination step complementing q107's trigram-overlap
+    * screen: MinHash band signatures on both sides (one corpus
+    * signature pass, split by side), candidates from the (seed, sig)
+    * band equi-join ACROSS corpora, then the exact trigram-shingle
+    * Jaccard (same hash space as the signatures, q143's exact half)
+    * verifies every candidate. Pair count ∝ band-bucket occupancy —
+    * never |train|×|eval| — and the verify runs on candidates only;
+    * at 100 TB the eval side is tiny but nothing here relies on it
+    * (both join sides shuffle on their band/doc keys). */
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    val sigs = sigsOf(s, d).transform(Det.pin)
+    val cand = sigs.where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("t_id"), col("seed"), col("sig"))
+      .join(sigs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("e_id"), col("seed"), col("sig")),
+        Seq("seed", "sig"))
+      .select("t_id", "e_id").distinct()
+    // exact Jaccard on candidates only, over the signature hash space
+    val sh = TextDedup.withShingles(docs(s, d), "text")
+      .select(col("doc_id"), explode(expr(
+        "transform(shs, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) AS bigint) % 1000000007)"))
+        .as("h"))
+      .distinct()
+      .transform(Det.pin)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("t_id"), col("h")), "t_id")
+      .join(sh.select(col("doc_id").as("e_id"), col("h")), Seq("e_id", "h"))
+      .groupBy("t_id", "e_id").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("t_id", "e_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("t_id"), col("sz").as("szt")), "t_id")
+      .join(sizes.select(col("doc_id").as("e_id"), col("sz").as("sze")), "e_id")
+      .select(col("t_id"), col("e_id"),
+        Det.r4e(col("inter") / (col("szt") + col("sze") - col("inter")))
+          .as("jacc"))
+      .transform(Det.emitWide(_, "t_id", "e_id"))
+  }
+
   /** q108: chunk-level dedup — sub-document dedup à la CCNet/
     * RefinedWeb line-dedup, expressed on this fixture's unstructured
     * text as fixed 10-token chunks: hash each chunk, report chunks
@@ -439,11 +480,44 @@ object TextQueries {
     "q99_repetition" -> q99, "q103_simhash_neardup" -> q103,
     "q104_seq_pack" -> q104, "q106_hash_sample" -> q106,
     "q107_contamination" -> q107, "q108_chunk_dedup" -> q108,
-    "q109_unigram_logprob" -> q109, "q168_chunk_overlap" -> q168)
+    "q109_unigram_logprob" -> q109, "q168_chunk_overlap" -> q168,
+    "q178_cross_corpus_dedup" -> q178)
 
-  private val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
+  private[queries] val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q178_cross_corpus_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+          sh AS (SELECT doc_id,
+                        unnest(list_transform(range(len(ts) - 2),
+                          i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS s
+                 FROM t WHERE len(ts) >= 3),
+          hs AS (SELECT doc_id,
+                        CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1000000007 AS h
+                 FROM sh),
+          x AS (SELECT doc_id, k, ((2*k + 1) * h + 7 + 13*k) % 1000000007 AS v
+                FROM hs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(k)),
+          sig AS (SELECT doc_id, k, min(v) AS sig FROM x GROUP BY doc_id, k),
+          cand AS (SELECT DISTINCT s1.doc_id AS t_id, s2.doc_id AS e_id
+                   FROM sig s1 JOIN sig s2
+                     ON s1.k = s2.k AND s1.sig = s2.sig
+                   WHERE s1.doc_id % 50 <> 0 AND s2.doc_id % 50 = 0),
+          da AS (SELECT DISTINCT doc_id, h FROM hs),
+          sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS sz
+                 FROM da GROUP BY doc_id),
+          itr AS (SELECT c.t_id, c.e_id, CAST(count(1) AS BIGINT) AS inter
+                  FROM cand c JOIN da xa ON xa.doc_id = c.t_id
+                              JOIN da ya ON ya.doc_id = c.e_id AND ya.h = xa.h
+                  GROUP BY c.t_id, c.e_id)
+          SELECT c.t_id, c.e_id,
+                 round(COALESCE(i.inter, 0)
+                       / CAST(zt.sz + ze.sz - COALESCE(i.inter, 0) AS DOUBLE)
+                       + ${Det.E4}, 4) AS jacc
+          FROM cand c
+          LEFT JOIN itr i ON i.t_id = c.t_id AND i.e_id = c.e_id
+          JOIN sz zt ON zt.doc_id = c.t_id
+          JOIN sz ze ON ze.doc_id = c.e_id
+          ORDER BY c.t_id, c.e_id""",
     "q111_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($TS) AS w FROM documents),
           tf AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS tf

@@ -142,12 +142,122 @@ object VectorQueries {
       .transform(Det.emitWide(_, "qid", "rank"))
   }
 
+  /** q174: hybrid-retrieval RRF fusion (reciprocal rank fusion,
+    * Cormack et al.) — the standard lexical+vector ensemble step of a
+    * RAG stack: BM25 top-20 for a 3-term keyword query (q112's exact
+    * pipeline) fused with the cosine top-20 for the vec_id=0 query
+    * embedding (q84's pipeline) by score = Σ 1/(60+rank) over the
+    * lists a doc appears in; top-10 of the fused union out.
+    *
+    * Scale: each retriever's heavy half is its own proven plan (BM25's
+    * corpus-keyed shuffles, cosine's map-side scan through
+    * TakeOrderedAndProject); everything downstream is k-sized — the
+    * rank windows run over 20-row frames (single-partition by
+    * construction, not by accident) and the fusion join is a join of
+    * two 20-row lists AQE broadcasts. Ranks sit on 4dp-rounded scores
+    * with id tie-breaks, and 1/(60+rank) on an integer rank is a
+    * single exact IEEE division, so both engines order identically. */
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // lexical list: q112's BM25 formula, top-20, ranked within the
+    // 20-row frame (global rank == in-frame rank for the top k)
+    val terms = Seq("join", "stream", "window")
+    val tk = spread(s, documents(s, d))
+      .select(col("doc_id"), explode(expr(TextQueries.TOKS)).as("w"))
+    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tk.where(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy("w").agg(count(lit(1)).cast("double").as("dfw"))
+    val bm = tf.join(broadcast(dfw), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n") - col("dfw") + 0.5) / (col("dfw") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("sc"))
+      .groupBy("doc_id").agg(Det.r4e(sum("sc")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+    val rbl = bm.withColumn("rb", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("int"))
+      .select("doc_id", "rb")
+    // vector list: q84's cosine scan, top-20, ranked the same way
+    val em = embeddings(s, d)
+    val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val rvl = graft.operators.Similarity.cosineTopK(
+        em.where(col("vec_id") =!= 0), q, "vec_id", "embedding", k = 20)
+      .withColumn("rv", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("int"))
+      .select(col("vec_id").as("doc_id"), col("rv"))
+    rbl.join(rvl, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rb"), col("rv"),
+        Det.r6e(coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** q175: semantic dedup (the SemDeDup recipe, Abbas et al. 2023) —
+    * embedding-space near-dup pruning WITHIN pre-assigned clusters:
+    * pair docs only inside their `label` cluster (pair count ∝
+    * Σ cluster² — bounded by cluster occupancy, never corpus²; at
+    * 100 TB the cluster count scales with the corpus so occupancy
+    * stays fixed), flag pairs with cosine ≥ 0.35, and KEEP the member
+    * closest to its cluster centroid (rounded-cosine ties break to
+    * the smaller id). Emits per doc: centroid cosine, in-cluster
+    * near-dup partner count, and the keep/drop verdict.
+    *
+    * Shapes: centroid build is q85's bounded (label, pos) aggregate;
+    * member→centroid scoring joins the broadcast centroid frame; the
+    * pair join is label-keyed (a shuffle on the cluster key, both
+    * directions kept so dominance folds as one groupBy on a_id). */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity
+    val em = spread(s, embeddings(s, d))
+      .select("vec_id", "label", "embedding")
+    val cent = Similarity.ivfCentroids(em, "label", "embedding")
+      .transform(Det.pin)
+    val cnorm = cent.groupBy("clabel")
+      .agg(sqrt(sum(col("c") * col("c"))).as("cn"))
+    val ex = em.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("xf").cast("double").as("x"))
+    val base = ex.join(broadcast(cent),
+        col("label") === col("clabel") && ex("pos") === cent("pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("x") * col("c")).as("dot"),
+        sqrt(sum(col("x") * col("x"))).as("xn"))
+      .join(broadcast(cnorm), col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"),
+        Det.r4e(col("dot") / (col("xn") * col("cn"))).as("csim"))
+      .transform(Det.pin)
+    val pairs = Similarity.clusterDupPairs(em, "vec_id", "embedding",
+      "label", minCos = 0.35)
+    val flags = pairs
+      .join(base.select(col("vec_id").as("a_id"), col("csim").as("ca")), "a_id")
+      .join(base.select(col("vec_id").as("b_id"), col("csim").as("cb")), "b_id")
+      .groupBy("a_id")
+      .agg(count(lit(1)).cast("int").as("n_dups"),
+        max(when(col("cb") > col("ca") ||
+                 (col("cb") === col("ca") && col("b_id") < col("a_id")),
+          1).otherwise(0)).as("dom"))
+    base.join(flags, col("vec_id") === col("a_id"), "left")
+      .select(col("vec_id"), col("label"), col("csim"),
+        coalesce(col("n_dups"), lit(0)).as("n_dups"),
+        (coalesce(col("dom"), lit(0)) === 0).as("keep"))
+      .transform(Det.emitWide(_, "vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_vec_norm" -> q83, "q84_vec_cosine_topk" -> q84,
     "q85_vec_centroid" -> q85, "q90_embed_neardup" -> q90,
     "q95_ann_ivf" -> q95, "q100_knn_join" -> q100,
     "q113_rp_lsh_pairs" -> q113, "q114_vec_quantize" -> q114,
-    "q162_mmr_rerank" -> q162)
+    "q162_mmr_rerank" -> q162, "q174_rrf_fusion" -> q174,
+    "q175_semantic_dedup" -> q175)
 
   /** q162's oracle: the MMR greedy walk unrolled into five CTE stages
     * (generated — each stage scores the not-yet-selected candidates
@@ -214,6 +324,83 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q162_mmr_rerank" -> mmrOracle,
+    "q174_rrf_fusion" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${TextQueries.TS}) AS w FROM documents),
+          dl AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS dl
+                 FROM tk GROUP BY doc_id),
+          stats AS (SELECT CAST(count(1) AS DOUBLE) AS n,
+                           CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl
+                    FROM dl),
+          tf AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS tf
+                 FROM tk WHERE w IN ('join', 'stream', 'window')
+                 GROUP BY doc_id, w),
+          dfw AS (SELECT w, CAST(count(1) AS DOUBLE) AS dfw FROM tf GROUP BY w),
+          sc AS (SELECT doc_id,
+                        ln((n - dfw + 0.5) / (dfw + 0.5) + 1.0) *
+                          (tf * 2.2) /
+                          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS sc
+                 FROM tf JOIN dfw USING (w) JOIN dl USING (doc_id), stats),
+          bm AS (SELECT doc_id, round(sum(sc) + ${Det.E4}, 4) AS bm25
+                 FROM sc GROUP BY doc_id
+                 ORDER BY bm25 DESC, doc_id LIMIT 20),
+          rbl AS (SELECT doc_id, CAST(row_number() OVER (
+                    ORDER BY bm25 DESC, doc_id) AS INT) AS rb FROM bm),
+          qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          p AS (SELECT e.vec_id,
+                       unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                       unnest(list_transform(qv.qv, x -> CAST(x AS DOUBLE))) AS y
+                FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+          m AS (SELECT vec_id, sum(x*y) AS dot,
+                       sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+                FROM p GROUP BY vec_id),
+          cs AS (SELECT vec_id, round(dot/(na*nb) + ${Det.E4}, 4) AS cos_sim
+                 FROM m ORDER BY cos_sim DESC, vec_id LIMIT 20),
+          rvl AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (
+                    ORDER BY cos_sim DESC, vec_id) AS INT) AS rv FROM cs),
+          f AS (SELECT coalesce(rbl.doc_id, rvl.doc_id) AS doc_id, rb, rv
+                FROM rbl FULL OUTER JOIN rvl ON rbl.doc_id = rvl.doc_id)
+          SELECT doc_id, rb, rv,
+                 round(coalesce(1.0/(60+rb), 0) + coalesce(1.0/(60+rv), 0)
+                       + ${Det.E6}, 6) AS rrf
+          FROM f
+          ORDER BY rrf DESC, doc_id LIMIT 10""",
+    "q175_semantic_dedup" ->
+      s"""WITH el AS (SELECT vec_id, label,
+                 CAST(unnest(range(len(embedding))) AS INT) AS pos,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+               FROM embeddings),
+          cent AS (SELECT label AS clabel, pos, avg(x) AS c
+                   FROM el GROUP BY label, pos),
+          cn AS (SELECT clabel, sqrt(sum(c*c)) AS cn FROM cent GROUP BY clabel),
+          csd AS (SELECT e.vec_id, e.label, sum(e.x * c.c) AS dot,
+                         sqrt(sum(e.x * e.x)) AS xn
+                  FROM el e JOIN cent c ON e.label = c.clabel AND e.pos = c.pos
+                  GROUP BY e.vec_id, e.label),
+          base AS (SELECT vec_id, csd.label,
+                          round(dot/(xn*cn.cn) + ${Det.E4}, 4) AS csim
+                   FROM csd JOIN cn ON csd.label = cn.clabel),
+          p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       unnest(list_transform(a.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                       unnest(list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS y
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id <> b.vec_id),
+          m AS (SELECT a_id, b_id, sum(x*y) AS dot,
+                       sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+                FROM p GROUP BY a_id, b_id),
+          pr AS (SELECT a_id, b_id FROM m
+                 WHERE round(dot/(na*nb) + ${Det.E4}, 4) >= 0.35),
+          fl AS (SELECT pr.a_id, CAST(count(1) AS INT) AS n_dups,
+                        max(CASE WHEN cb.csim > ca.csim OR
+                                      (cb.csim = ca.csim AND pr.b_id < pr.a_id)
+                                 THEN 1 ELSE 0 END) AS dom
+                 FROM pr JOIN base ca ON pr.a_id = ca.vec_id
+                         JOIN base cb ON pr.b_id = cb.vec_id
+                 GROUP BY pr.a_id)
+          SELECT b.vec_id, b.label, b.csim,
+                 coalesce(fl.n_dups, 0) AS n_dups,
+                 coalesce(fl.dom, 0) = 0 AS keep
+          FROM base b LEFT JOIN fl ON b.vec_id = fl.a_id
+          ORDER BY b.vec_id""",
     "q113_rp_lsh_pairs" ->
       """WITH w AS (SELECT j, i,
                 CASE WHEN CAST('0x' || substr(md5('rp' || CAST(j AS VARCHAR)

@@ -2532,4 +2532,67 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getAs[Int]("shard"), r.getLong(2))).sorted
     assert(!a.sameElements(c), "seed does not vary the permutation")
   }
+
+  test("q177 CMS: estimates dominate exact counts; cells merge by addition") {
+    // the Count-Min guarantee: est >= exact for every probe (a cell
+    // only ever ADDS other keys' counts)
+    val out = SparkEntry.queries("q177_cms_freq")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"CMS under-counted '${r.getAs[String]("w")}'")
+      assert(r.getAs[Long]("over") >= 0L)
+    }
+    // mergeability: half-corpus sketches summed cell-wise == the
+    // whole-corpus sketch (cells ADD — the same incremental-lakehouse
+    // contract as q149's HLLs and q157's histogram bins)
+    val docsDf = graft.Tables.documents(spark, sf)
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .select(explode(sequence(lit(0), lit(3))).as("i"), col("w"))
+      .select(col("i"),
+        (conv(substring(md5(concat(lit("cms"), col("i").cast("string"),
+          lit(":"), col("w"))), 1, 15), 16, 10).cast("long") % 256).as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+    val whole = cells(docsDf)
+    val halves = cells(docsDf.where(col("doc_id") % 2 === 0))
+      .unionAll(cells(docsDf.where(col("doc_id") % 2 === 1)))
+      .groupBy("i", "b").agg(sum("c").as("c"))
+    assert(halves.exceptAll(whole).isEmpty &&
+      whole.exceptAll(halves).isEmpty, "CMS cells are not additive")
+  }
+
+  test("q175 semantic dedup: cluster champions survive, drops have partners") {
+    val out = SparkEntry.queries("q175_semantic_dedup")(spark, sf)
+      .transform(graft.queries.Det.pin)
+    // the dominance rule can never drop a cluster's centroid champion
+    // (max rounded csim, ties to the smaller id): nothing dominates it
+    import org.apache.spark.sql.expressions.Window
+    val champDropped = out.withColumn("rn", row_number().over(
+        Window.partitionBy("label")
+          .orderBy(col("csim").desc, col("vec_id").asc)))
+      .where(col("rn") === 1 && !col("keep")).count()
+    assert(champDropped == 0, "a cluster's centroid champion was dropped")
+    // and a dropped member always has at least one near-dup partner
+    assert(out.where(!col("keep") && col("n_dups") === 0).count() == 0,
+      "dropped a doc with no near-dup partner")
+    out.unpersist()
+  }
+
+  test("q176 temperature mix: cuts sit between full balance and identity") {
+    def cutsOf(key: String): Map[String, Long] =
+      SparkEntry.queries(key)(spark, sf)
+        .select("lang", "cut").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val temp = cutsOf("q176_temperature_mix")
+    val bal = cutsOf("q159_mixture_sample")
+    // the smallest language keeps everything under both diets
+    assert(temp.values.max == 10000L)
+    // α=0.5 damping is strictly gentler than full balance:
+    // balance-cut ≤ temperature-cut on every language both emit
+    (temp.keySet intersect bal.keySet).foreach { l =>
+      assert(bal(l) <= temp(l),
+        s"$l: balance cut ${bal(l)} > temperature cut ${temp(l)}")
+    }
+  }
 }

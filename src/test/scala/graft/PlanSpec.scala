@@ -488,6 +488,44 @@ class PlanSpec extends AnyFunSuite {
       s"q172 windows raw rows on the bare shard key: $offending")
   }
 
+  test("q174-q178: round-12 key scale shapes") {
+    // q174: both retrievers short-circuit their top-20 through
+    // TakeOrderedAndProject; the only windows run over the 20-row
+    // frames; nothing goes cartesian (the stats/query-vector
+    // crossJoins are 1-row broadcasts)
+    val p174 = plan("q174_rrf_fusion")
+    assert(p174.contains("TakeOrderedAndProject"),
+      s"q174 retriever top-k does a full sort:\n$p174")
+    assert(!p174.contains("CartesianProduct"),
+      s"q174 went cartesian:\n$p174")
+    // q175: the pair join is label-KEYED (equi join — no nested-loop
+    // fallback) and the centroid/norm frames broadcast back
+    val p175 = plan("q175_semantic_dedup")
+    assert(!p175.contains("BroadcastNestedLoopJoin") &&
+      !p175.contains("CartesianProduct"),
+      s"q175 pair join lost the cluster equi-key:\n$p175")
+    assert(p175.contains("BroadcastHashJoin"),
+      s"q175 centroid frame must broadcast:\n$p175")
+    // q176: q159's shape — the cut table broadcasts onto the corpus,
+    // the keep decision is map-side
+    val p176 = plan("q176_temperature_mix")
+    assert(p176.contains("BroadcastHashJoin") && !p176.contains("SortMergeJoin"),
+      s"q176 cut table must broadcast, not shuffle the corpus:\n$p176")
+    // q177: both the 1024-cell sketch build and the probe counts
+    // combine map-side; the sketch joins back as a broadcast
+    val p177 = plan("q177_cms_freq")
+    assert(p177.contains("partial"),
+      s"q177 sketch build lost map-side partials:\n$p177")
+    assert(p177.contains("BroadcastHashJoin"),
+      s"q177 sketch must broadcast onto the probes:\n$p177")
+    // q178: candidates come from the (seed, sig) band equi-join —
+    // never a nested loop across corpora
+    val p178 = plan("q178_cross_corpus_dedup")
+    assert(!p178.contains("BroadcastNestedLoopJoin") &&
+      !p178.contains("CartesianProduct"),
+      s"q178 cross-corpus join lost the band equi-key:\n$p178")
+  }
+
   test("q60: envelope pipeline is map-side until the group-by") {
     val p = plan("q60_cdc_envelope_roundtrip")
     // exactly the aggregation exchange + the spread/emit exchanges —
