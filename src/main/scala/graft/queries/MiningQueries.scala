@@ -635,21 +635,16 @@ object MiningQueries {
     * step is deterministic integer arithmetic — the whole sketch is
     * oracle-replayable, overcount included. */
   private def q177(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CountMin
     val tk = docs(s, d).select(explode(expr(TOKS)).as("w"))
       .transform(Det.pin)
-    val bucket = (iCol: Column, wCol: Column) =>
-      conv(substring(md5(concat(lit("cms"), iCol.cast("string"),
-        lit(":"), wCol)), 1, 15), 16, 10).cast("long") % 256
-    val sketch = tk
-      .select(explode(sequence(lit(0), lit(3))).as("i"), col("w"))
-      .groupBy(col("i"), bucket(col("i"), col("w")).as("b"))
-      .agg(count(lit(1)).as("c"))
+    val sketch = CountMin.cells(tk, "w", depth = 4, width = 256)
     val probes = tk.groupBy("w").agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("w").asc).limit(20)
     probes
       .select(col("w"), col("exact"),
         explode(sequence(lit(0), lit(3))).as("i"))
-      .withColumn("b", bucket(col("i"), col("w")))
+      .withColumn("b", CountMin.bucket(col("i"), col("w"), 256))
       .join(broadcast(sketch), Seq("i", "b"))
       .groupBy("w").agg(max("exact").as("exact"), min("c").as("est"))
       .select(col("w"), col("exact"), col("est"),

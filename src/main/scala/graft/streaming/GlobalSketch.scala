@@ -364,4 +364,76 @@ object GlobalSketch {
           .as("est"),
         max("n").as("n"))
   }
+
+  /** Streaming GLOBAL Count–Min frequencies (s40) — the fourth
+    * instance of the store-outside-state template (top-k s31,
+    * quantiles s33, distinct s34): each micro-batch lands its own
+    * sparse d×w CMS cells (q177's hashing — exact counts) in an
+    * idempotent `batch=<id>` directory; cells ADD across batches, so
+    * merge-on-read is a distributed `groupBy(i, b).sum` and point
+    * estimates are min-over-rows — no driver fold anywhere. Across
+    * restarts the `batch=<id>` protocol makes the store equal,
+    * cell-for-cell, to a one-shot sketch of every row ever streamed
+    * (s40 pins that equality, plus est ≥ exact per probe). Store
+    * growth is bounded the same way as the histogram store:
+    * `compactCms` folds old batches into a generation dir. */
+  def cmsSketchSink(df: DataFrame, keyCol: String, depth: Int, width: Int,
+      storePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(depth >= 1 && width >= 1, s"bad CMS config: $depth x $width")
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dir = new Path(s"$storePath/batch=$batchId")
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        CdcStreams.writeIfUncommitted(_.getFileSystem(conf), conf, dir) {
+          graft.functions.CountMin.cells(batch, keyCol, depth, width)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(dir.toString)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+  }
+
+  /** Merge-on-read CMS cells over the whole streamed history: the
+    * summed (i, b, c) table — ≤ depth×width rows. */
+  def globalCmsCells(spark: SparkSession, storePath: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      return Seq.empty[(Int, Long, Long)].toDF("i", "b", "c")
+    val live = liveBatchDirs(fs, root)
+    if (live.isEmpty)
+      return Seq.empty[(Int, Long, Long)].toDF("i", "b", "c")
+    spark.read.parquet(live.map(_.toString): _*)
+      .groupBy("i", "b").agg(sum("c").as("c"))
+  }
+
+  /** Point estimates for a probe-key frame (`keyCol`, bounded — the
+    * ad-hoc query side): est = min over rows of the key's bucket
+    * count, 0 for a never-seen key (its bucket may be absent from the
+    * sparse store). The ≤ d×w cell table broadcasts. */
+  def globalCmsEstimate(spark: SparkSession, storePath: String,
+      depth: Int, width: Int, probes: DataFrame, keyCol: String): DataFrame = {
+    val cells = globalCmsCells(spark, storePath)
+    probes
+      .select(col(keyCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .withColumn("b",
+        graft.functions.CountMin.bucket(col("i"), col(keyCol).cast("string"), width))
+      .join(broadcast(cells), Seq("i", "b"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** Bound CMS-store growth — `compactHistogram`'s sibling: fold live
+    * cell rows past the newest `keep` batches into one generation
+    * dir (cells just ADD, q177's mergeability). */
+  def compactCms(spark: SparkSession, storePath: String): Unit =
+    compactStore(spark, storePath) { (live, tmp) =>
+      spark.read.parquet(live.map(_.toString): _*)
+        .groupBy("i", "b").agg(sum("c").as("c"))
+        .coalesce(1).write.parquet(tmp.toString)
+    }
 }

@@ -2547,13 +2547,10 @@ class OperatorSpec extends AnyFunSuite {
     // whole-corpus sketch (cells ADD — the same incremental-lakehouse
     // contract as q149's HLLs and q157's histogram bins)
     val docsDf = graft.Tables.documents(spark, sf)
-    def cells(df: org.apache.spark.sql.DataFrame) = df
-      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
-      .select(explode(sequence(lit(0), lit(3))).as("i"), col("w"))
-      .select(col("i"),
-        (conv(substring(md5(concat(lit("cms"), col("i").cast("string"),
-          lit(":"), col("w"))), 1, 15), 16, 10).cast("long") % 256).as("b"))
-      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.CountMin.cells(df
+        .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w")),
+        "w", depth = 4, width = 256)
     val whole = cells(docsDf)
     val halves = cells(docsDf.where(col("doc_id") % 2 === 0))
       .unionAll(cells(docsDf.where(col("doc_id") % 2 === 1)))

@@ -1754,4 +1754,63 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("id")).sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L), s"lost/duplicated rows: $ids")
   }
+
+  test("s40: streaming global CMS — store equals one-shot sketch, est >= exact") {
+    import graft.streaming.GlobalSketch
+    val src = TestSpark.tmpDir("s40-src")
+    val store = TestSpark.tmpDir("s40-store") + "/cms"
+    val chk = TestSpark.tmpDir("s40-chk")
+    val (depth, width) = (4, 64)
+    def run(): Unit = {
+      val keys = spark.readStream
+        .schema(StructType(Seq(StructField("word", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+      val q = GlobalSketch.cmsSketchSink(keys, "word", depth, width, store, chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 300).map(i => s"w$i")
+    val all = scala.collection.mutable.ArrayBuffer[String]()
+    def emit(name: String, xs: Seq[String]): Unit = {
+      all ++= xs
+      writeNdjson(src, name, xs.map(x => s"""{"word": "$x"}"""))
+    }
+    emit("f1.ndjson", Seq.fill(900)(vocab(rnd.nextInt(vocab.size))))
+    emit("f2.ndjson", Seq.fill(700)(vocab(rnd.nextInt(200))))
+    run()
+    emit("f3.ndjson", Seq.fill(800)(vocab(100 + rnd.nextInt(200))))
+    run() // restart mid-history
+    def check(): Unit = {
+      import spark.implicits._
+      // exactly-once: the merged store must equal, cell for cell, a
+      // one-shot sketch over every row ever streamed
+      val streamed = GlobalSketch.globalCmsCells(spark, store)
+      val oneShot = graft.functions.CountMin.cells(
+        all.toSeq.toDF("word"), "word", depth, width)
+      assert(streamed.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(streamed).isEmpty,
+        "streamed CMS cells diverge from the one-shot sketch")
+      // CMS guarantee on every probed key over the whole history
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val probes = (vocab.take(50) :+ "never-seen").toDF("word")
+      val est = GlobalSketch.globalCmsEstimate(
+          spark, store, depth, width, probes, "word")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est("never-seen") >= 0L)
+      vocab.take(50).foreach { w =>
+        assert(est(w) >= exact.getOrElse(w, 0L),
+          s"CMS under-counted $w: ${est(w)} < ${exact.getOrElse(w, 0L)}")
+      }
+    }
+    check()
+    run() // idempotent replay: same store, same cells
+    check()
+    // compaction folds batches but never changes the merged cells
+    GlobalSketch.compactCms(spark, store)
+    check()
+    GlobalSketch.compactCms(spark, store)
+    check()
+  }
 }
