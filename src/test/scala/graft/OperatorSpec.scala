@@ -2576,6 +2576,62 @@ class OperatorSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("bloom index: native footer blooms, file pruning, probe/build hash parity") {
+    import graft.sources.BloomIndex
+    import scala.jdk.CollectionConverters._
+    val dir = TestSpark.tmpDir("bloomidx") + "/t"
+    val df = spark.range(0, 20000).select(
+      (col("id") * 2654435761L % 100000L).as("k"), col("id").as("v"))
+    BloomIndex.writeIndexed(df, "k", dir, files = 16,
+      expectedNdvPerFile = 1500L)
+    // build-side (md5/conv expressions) and probe-side (MessageDigest)
+    // hashing must agree position-for-position — drift here silently
+    // turns pruning into wrong-answers-by-omission
+    val parity = spark.range(0, 200).select(col("id").cast("string").as("s"))
+      .select(col("s") +: (0 until 4).map(j =>
+        (conv(substring(md5(concat(lit(s"bf$j:"), col("s"))), 1, 15), 16, 10)
+          .cast("long") % lit(8192L)).cast("int").as(s"p$j")): _*)
+      .collect()
+    parity.foreach { r =>
+      val want = BloomIndex.probePositions(r.getString(0), 8192, 4)
+      val got = (1 to 4).map(r.getInt)
+      assert(got == want, s"hash drift for '${r.getString(0)}': $got vs $want")
+    }
+    // native per-row-group parquet bloom present in every data file
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.length == 16)
+    dataFiles.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val off = r.getFooter.getBlocks.asScala.head.getColumns.asScala
+          .find(_.getPath.toDotString == "k").get.getBloomFilterOffset
+        assert(off >= 0, s"${f.getName}: no native bloom on k")
+      } finally r.close()
+    }
+    // point lookup: prunes to ~1 file (+fp), result equals a full scan
+    val key = df.where(col("v") === 1234).select("k").head().getLong(0)
+    val (hit, cand, total) = BloomIndex.pointLookup(spark, dir, "k", key.toString)
+    assert(total == 16 && cand >= 1 && cand <= total / 2,
+      s"weak pruning: $cand of $total files")
+    val expect = df.where(col("k") === key)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = hit.select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == expect, "pruned lookup lost rows")
+    // an absent key reads (almost) nothing and returns nothing
+    val (miss, candM, _) = BloomIndex.pointLookup(spark, dir, "k", "123456789")
+    assert(miss.count() == 0 && candM <= 2,
+      s"absent key matched $candM files")
+    // sidecar rebuild is idempotent
+    BloomIndex.rebuildSidecar(spark, dir, "k")
+    val (hit2, cand2, _) = BloomIndex.pointLookup(spark, dir, "k", key.toString)
+    assert(cand2 == cand && hit2.count() == hit.count())
+  }
+
   test("q176 temperature mix: cuts sit between full balance and identity") {
     def cutsOf(key: String): Map[String, Long] =
       SparkEntry.queries(key)(spark, sf)
