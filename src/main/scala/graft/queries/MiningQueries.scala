@@ -652,6 +652,64 @@ object MiningQueries {
       .transform(Det.emit(_, "w"))
   }
 
+  /** The q179 merge table: ranked BPE merges over in-word characters
+    * (q121 counts the LEARNING statistic; this is the APPLY side).
+    * Every pair has p1 ≠ p2 — the DISJOINT-PASS contract: with
+    * p1 ≠ p2 two matches of the same pair can never share a symbol,
+    * so one left-to-right pass merges all occurrences at once and
+    * both engines implement the pass without greedy tie-breaking
+    * (a self-pair like (a,a) on "aaa" would need run-splitting —
+    * excluded by construction, loudly). */
+  private[graft] val BPE_MERGES = Seq(("t", "h"), ("th", "e"), ("i", "n"),
+    ("a", "n"), ("e", "r"), ("o", "n"), ("an", "d"), ("in", "g"))
+
+  /** Build the nested rank-order merge expression over a symbol-array
+    * expression: one `aggregate` fold per rank (see q179's lemma;
+    * AlgebraProps pins fold ≡ the reference min-rank-first loop). */
+  private[graft] def bpeMergeExpr(inner: String,
+      merges: Seq[(String, String)]): String = {
+    require(merges.forall { case (a, b) => a != b },
+      "bpe: self-pair merge would need run-splitting (disjoint-pass contract)")
+    merges.foldLeft(inner) { case (e, (p1, p2)) =>
+      s"""aggregate($e, cast(array() as array<string>),
+          (acc, x) -> if(size(acc) > 0 and element_at(acc, -1) = '$p1' and x = '$p2',
+                         concat(slice(acc, 1, size(acc) - 1), array('$p1$p2')),
+                         concat(acc, array(x))))"""
+    }
+  }
+
+  /** q179: BPE tokenizer APPLY — run a ranked merge table over each
+    * word's character sequence (the GPT-2 encode loop) and report the
+    * per-doc symbol compression: the tokenization-cost statistic a
+    * data pipeline prices corpora with before training. Correctness
+    * lemma (why rank order ≡ the reference "min-rank pair first"
+    * loop): a merge at rank r replaces "p1 p2" with one NEW symbol;
+    * every adjacency it creates involves that new symbol, whose pairs
+    * can only appear LATER in a learned table — two old symbols never
+    * become newly adjacent — so processing ranks 1..R, one disjoint
+    * pass each, reaches the identical fixpoint. Each pass is a
+    * map-side array fold (`aggregate`); 8 ranks nest as 8 expressions
+    * over the exploded words — zero shuffles before the per-doc sum.
+    * The oracle replays the same 8 passes as unrolled lead/lag window
+    * stages over (doc, word, pos, sym) rows — an independent
+    * formulation of the pass (relational match-and-renumber vs
+    * sequential fold), so the hash-match proves the merge semantics,
+    * not just the arithmetic. */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    val merged = bpeMergeExpr("split(w, '')", BPE_MERGES)
+    docs(s, d)
+      .withColumn("toks", expr(TOKS))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .select(col("doc_id"), length(col("w")).as("nc"),
+        expr(s"size($merged)").as("ns"))
+      .groupBy("doc_id")
+      .agg(sum("nc").as("n_sym0"), sum("ns").as("n_sym"))
+      .select(col("doc_id"), col("n_sym0"), col("n_sym"),
+        Det.r4e(col("n_sym").cast("double") / col("n_sym0")).as("ratio"))
+      .transform(Det.emitWide(_, "doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
@@ -675,7 +733,8 @@ object MiningQueries {
     "q160_winsorized_stats" -> q160,
     "q172_epoch_shuffle" -> q172,
     "q176_temperature_mix" -> q176,
-    "q177_cms_freq" -> q177)
+    "q177_cms_freq" -> q177,
+    "q179_bpe_apply" -> q179)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -695,7 +754,47 @@ object MiningQueries {
                FROM sig s1 JOIN sig s2
                  ON s1.k = s2.k AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id)"""
 
+  /** q179's oracle: the 8 merge passes unrolled as generated lead/lag
+    * WINDOW stages over (doc, word, pos, sym) rows — relational
+    * match-and-renumber (merge the match, drop the consumed right
+    * symbol, renumber), independent of the Spark side's sequential
+    * array fold. Disjointness of same-pass matches (p1 ≠ p2, see
+    * BPE_MERGES) is what makes the single lead/lag sweep exact. */
+  private val bpeOracle: String = {
+    val stages = BPE_MERGES.zipWithIndex.map { case ((p1, p2), ix) =>
+      val i = ix + 1
+      s"""s$i AS (SELECT doc_id, wi,
+               row_number() OVER (PARTITION BY doc_id, wi ORDER BY pos) AS pos,
+               sym
+             FROM (SELECT doc_id, wi, pos,
+                     CASE WHEN sym = '$p1' AND lead(sym) OVER w = '$p2'
+                          THEN '$p1$p2' ELSE sym END AS sym,
+                     CASE WHEN sym = '$p2' AND lag(sym) OVER w = '$p1'
+                          THEN 1 ELSE 0 END AS drop_
+                   FROM s${i - 1}
+                   WINDOW w AS (PARTITION BY doc_id, wi ORDER BY pos))
+             WHERE drop_ = 0)"""
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+        wds AS (SELECT doc_id, unnest(range(len(ts))) AS wi, unnest(ts) AS w
+                FROM t WHERE len(ts) >= 1),
+        s0 AS (SELECT doc_id, wi,
+                unnest(range(len(string_split(w, '')))) + 1 AS pos,
+                unnest(string_split(w, '')) AS sym
+               FROM wds),
+        $stages,
+        n0 AS (SELECT doc_id, CAST(sum(len(w)) AS BIGINT) AS n_sym0
+               FROM wds GROUP BY doc_id),
+        n1 AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_sym
+               FROM s${BPE_MERGES.size} GROUP BY doc_id)
+        SELECT doc_id, n_sym0, n_sym,
+               round(CAST(n_sym AS DOUBLE) / n_sym0 + ${Det.E4}, 4) AS ratio
+        FROM n0 JOIN n1 USING (doc_id)
+        ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q179_bpe_apply" -> bpeOracle,
     "q176_temperature_mix" ->
       """WITH c AS (SELECT lang, count(1) AS cnt FROM documents GROUP BY lang),
           m AS (SELECT min(cnt) AS min_cnt FROM c),

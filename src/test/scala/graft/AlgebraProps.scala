@@ -902,4 +902,88 @@ object AlgebraProps extends Properties("graft.algebra") {
           JsonModify.modify(appended, s"append $$.$arrKey", v, raw = false),
           s"$$.$arrKey")).size == 4
     }
+
+  // ---- q179 BPE apply: the rank-order lemma ----------------------------
+
+  /** Reference GPT-2 encode loop: repeatedly merge all left-to-right
+    * non-overlapping occurrences of the MINIMUM-rank pair present. */
+  private def refBpe(word: List[String],
+      merges: Seq[(String, String)]): List[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word
+    var go = true
+    while (go) {
+      val present = syms.zip(syms.drop(1)).flatMap(p => rank.get(p).map(_ -> p))
+      if (present.isEmpty) go = false
+      else {
+        val (p1, p2) = present.minBy(_._1)._2
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+            out += (p1 + p2); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toList
+      }
+    }
+    syms
+  }
+
+  /** The engine's formulation: ranks in order, ONE disjoint pass each
+    * (the scala twin of MiningQueries.bpeMergeExpr's aggregate fold). */
+  private def foldBpe(word: List[String],
+      merges: Seq[(String, String)]): List[String] =
+    merges.foldLeft(word) { case (syms, (p1, p2)) =>
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == p1 && x == p2) acc.init :+ (p1 + p2)
+        else acc :+ x
+      }
+    }
+
+  private val bpeAlpha = List("a", "b", "c", "d")
+
+  /** Learned-shaped merge tables: each merge joins two DISTINCT
+    * existing symbols into a new one — the creation-order
+    * precondition of q179's lemma (a table ranking a pair before its
+    * symbols exist is not learnable and the lemma does not cover it). */
+  private val genMergeTable: Gen[List[(String, String)]] = {
+    def step(syms: List[String], acc: List[(String, String)],
+        n: Int, fuel: Int): Gen[List[(String, String)]] =
+      if (n == 0 || fuel == 0) Gen.const(acc.reverse)
+      else for {
+        p1 <- Gen.oneOf(syms)
+        p2 <- Gen.oneOf(syms)
+        res <- if (p1 == p2 || syms.contains(p1 + p2))
+                 step(syms, acc, n, fuel - 1)
+               else step((p1 + p2) :: syms, (p1, p2) :: acc, n - 1, fuel - 1)
+      } yield res
+    step(bpeAlpha, Nil, 6, 40)
+  }
+
+  private val genWord: Gen[List[String]] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(bpeAlpha)))
+
+  property("bpe rank-order fold equals the min-rank-first reference loop") =
+    forAll(genMergeTable, Gen.listOfN(8, genWord)) { (merges, words) =>
+      words.forall(w => foldBpe(w, merges) == refBpe(w, merges))
+    }
+
+  /** Words over the q179 table's own letters, so merges actually fire. */
+  private val genWordQ179: Gen[List[String]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(List("t", "h", "e", "i", "n", "a", "o", "r", "d", "g"))))
+
+  property("bpeMergeExpr (the q179 expression) equals the reference loop") =
+    forAll(Gen.listOfN(6, genWordQ179)) { words =>
+      import graft.queries.MiningQueries
+      val df = words.zipWithIndex
+        .map { case (w, i) => (i, w.mkString("")) }.toDF("i", "w")
+      val got = df.orderBy("i").select(expr(
+          MiningQueries.bpeMergeExpr("split(w, '')", MiningQueries.BPE_MERGES))
+          .as("m"))
+        .collect().map(_.getSeq[String](0).toList).toList
+      val want = words.map(w => refBpe(w, MiningQueries.BPE_MERGES))
+      got == want
+    }
 }
