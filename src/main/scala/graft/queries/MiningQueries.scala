@@ -723,6 +723,40 @@ object MiningQueries {
       .transform(Det.emitWide(_, "doc_id"))
   }
 
+  /** q180: dedup-ENSEMBLE canonicalization — production near-dup
+    * pipelines run SEVERAL candidate generators (each blind to what
+    * the others catch: MinHash sees shingle overlap, SimHash sees
+    * token-multiset proximity, embeddings see semantics) and
+    * canonicalize over the UNION of their verdicts, because
+    * transitivity only holds jointly: a∼b by text and b∼c by
+    * embedding must collapse a, b, c together. Edges = q87's LSH
+    * pairs ∪ q103's banded SimHash pairs (hamming ≤ 3) ∪ q90's
+    * cosine pairs (> 0.35, the vec_id<200 block); components by
+    * min-label propagation (q123's machinery); emit (id, cluster).
+    *
+    * Scale: each generator keeps its own proven bucketed plan; the
+    * union is edge-sized; dupClusters is the lineage-truncated
+    * propagation loop. The oracle re-derives all three edge sets
+    * BRUTE-FORCE (naive joins — proving the banded/LSH generators
+    * complete yet again) and replays the components as a recursive
+    * CTE. */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity
+    val base = docs(s, d)
+    val sigs = TextDedup.minhashSignatures(base, "doc_id", "text")
+    val mh = TextDedup.lshCandidatePairs(sigs, "doc_id")
+      .select("a_id", "b_id")
+    val sh = TextDedup.simhashNearDupPairs(base, "doc_id", "text",
+        maxHamming = 3)
+      .select("a_id", "b_id")
+    val cp = Similarity.nearDupPairs(
+        spread(s, embeddings(s, d).where(col("vec_id") < 200)),
+        "vec_id", "embedding", minCos = 0.35)
+      .select(col("a_id"), col("b_id"))
+    val edges = mh.unionAll(sh).unionAll(cp).distinct()
+    TextDedup.dupClusters(edges).transform(Det.emitWide(_, "id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
@@ -747,7 +781,8 @@ object MiningQueries {
     "q172_epoch_shuffle" -> q172,
     "q176_temperature_mix" -> q176,
     "q177_cms_freq" -> q177,
-    "q179_bpe_apply" -> q179)
+    "q179_bpe_apply" -> q179,
+    "q180_dedup_ensemble" -> q180)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -807,6 +842,57 @@ object MiningQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q180_dedup_ensemble" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $TS AS ts FROM documents),
+          shg AS (SELECT doc_id,
+                        unnest(list_transform(range(len(ts) - 2),
+                          i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS s
+                 FROM t WHERE len(ts) >= 3),
+          hsh AS (SELECT doc_id,
+                        CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1000000007 AS h
+                 FROM shg),
+          x AS (SELECT doc_id, k, ((2*k + 1) * h + 7 + 13*k) % 1000000007 AS v
+                FROM hsh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(k)),
+          sig AS (SELECT doc_id, k, min(v) AS sig FROM x GROUP BY doc_id, k),
+          mh AS (SELECT DISTINCT s1.doc_id AS a_id, s2.doc_id AS b_id
+                 FROM sig s1 JOIN sig s2
+                   ON s1.k = s2.k AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id),
+          tk2 AS (SELECT doc_id, unnest(ts) AS w FROM t),
+          hw AS (SELECT doc_id,
+                        CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv
+                 FROM tk2),
+          bits AS (SELECT doc_id, b,
+                          CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+                   FROM hw, (SELECT unnest(range(60)) AS b)),
+          sv AS (SELECT doc_id, b, sum(vote) AS sv FROM bits GROUP BY doc_id, b),
+          smh AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                                ELSE 0 END) AS BIGINT) AS simhash
+                  FROM sv GROUP BY doc_id),
+          sp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM smh a JOIN smh b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+          emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+          pp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                        unnest(list_transform(a.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                        unnest(list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS y
+                 FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+          pm AS (SELECT a_id, b_id, sum(x*y) AS dot,
+                        sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+                 FROM pp GROUP BY a_id, b_id),
+          cp AS (SELECT a_id, b_id FROM pm
+                 WHERE round(dot/(na*nb) + ${Det.E4}, 4) > 0.35),
+          pr AS (SELECT a_id, b_id FROM mh
+                 UNION SELECT a_id, b_id FROM sp
+                 UNION SELECT a_id, b_id FROM cp),
+          e AS (SELECT a_id AS src, b_id AS dst FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+          reach(id, lbl) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM e)
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id)
+          SELECT id, min(lbl) AS cluster
+          FROM reach GROUP BY id ORDER BY id""",
     "q179_bpe_apply" -> bpeOracle,
     "q176_temperature_mix" ->
       """WITH c AS (SELECT lang, count(1) AS cnt FROM documents GROUP BY lang),
