@@ -14,6 +14,12 @@ import graft.operators.TextDedup
   *   1. exact dedup         — md5 content groups, keep min id
   *   2. near-dup removal    — MinHash/LSH candidate pairs, drop all
   *                            but each cluster's min id (transitive)
+  *   2c. semantic dedup     — optional SemDeDup pass over doc
+  *                            embeddings: within each embedding
+  *                            cluster, drop members dominated by a
+  *                            near-duplicate closer to the centroid
+  *                            (q175's verdicts; skipped without
+  *                            embeddings or at minCos = 1.0)
   *   3. contamination screen— drop docs whose distinct-trigram overlap
   *                            with the eval `benchmark` exceeds
   *                            `maxContam` (skipped when no benchmark)
@@ -27,7 +33,11 @@ import graft.operators.TextDedup
   *   6. annotation          — whitespace + BPE-ish token counts
   *   7. mixing weights      — deterministic stratified hash-sample per
   *                            `lang` (`sampleRates`/`defaultRate`;
-  *                            rate 1.0 keeps everything)
+  *                            rate 1.0 keeps everything), or the
+  *                            DERIVED temperature diet
+  *                            (`temperatureAlpha` — q176's
+  *                            √-damping, cuts from the clean corpus'
+  *                            own counts)
   *
   * Every stage is a shuffle on a content/bucket key or a map-side
   * expression — nothing quadratic, nothing driver-side. Stage order
@@ -50,7 +60,9 @@ object CleanCorpus {
       benchmark: Option[DataFrame] = None, maxContam: Double = 0.5,
       maxNgramDupFrac: Double = 1.0,
       sampleRates: Map[String, Double] = Map.empty,
-      defaultRate: Double = 1.0): DataFrame = {
+      defaultRate: Double = 1.0,
+      embeddings: Option[DataFrame] = None, semanticMinCos: Double = 1.0,
+      temperatureAlpha: Option[Double] = None): DataFrame = {
     // 1. exact dedup — semi join against the canonical ids
     val keep = TextDedup.exactDupGroups(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
@@ -66,7 +78,26 @@ object CleanCorpus {
     val dropIds = TextDedup.dupClusters(pairs)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as("doc_id"))
-    val nearDeduped = exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
+    val nearDeduped0 = exactDeduped.join(dropIds, Seq("doc_id"), "left_anti")
+
+    // 2c. semantic dedup (optional) — SemDeDup verdicts over the doc
+    // embeddings (vec_id ≡ doc_id, `label` = the pre-assigned
+    // cluster): drop members DOMINATED by a near-duplicate closer to
+    // their cluster centroid (Similarity.semanticDedupVerdicts; the
+    // retained set never contains a within-cluster pair at or above
+    // the threshold). Runs after the text dedups on purpose — the
+    // cosine pass only pays for docs that survived the cheaper
+    // content-based stages.
+    val nearDeduped = embeddings match {
+      case Some(em) if semanticMinCos < 1.0 =>
+        val sem = graft.operators.Similarity.semanticDedupVerdicts(
+            em.join(nearDeduped0.select(col("doc_id").as("vec_id")), "vec_id"),
+            "vec_id", "embedding", "label", semanticMinCos)
+          .where(!col("keep"))
+          .select(col("vec_id").as("doc_id"))
+        nearDeduped0.join(sem, Seq("doc_id"), "left_anti")
+      case _ => nearDeduped0
+    }
 
     // 3. contamination screen — anti-join against the over-cap ids
     // (docs too short to shingle have no score and pass: nothing to
@@ -117,10 +148,18 @@ object CleanCorpus {
       .select("doc_id", "text", "lang", "nw", "bpe_tokens", "quality",
         "dup_word_ratio")
 
-    // 7. mixing weights — deterministic, map-side, replay-safe
-    if (sampleRates.isEmpty && defaultRate >= 1.0) annotated
-    else TextDedup.hashSample(annotated, "doc_id", "lang",
-      sampleRates, defaultRate)
+    // 7. mixing weights — deterministic, map-side, replay-safe.
+    // temperatureAlpha derives the per-lang cuts from the CLEAN
+    // corpus' own counts (TextDedup.temperatureSample — q176's diet);
+    // explicit sampleRates are the hand-tuned alternative.
+    temperatureAlpha match {
+      case Some(a) =>
+        TextDedup.temperatureSample(annotated, "doc_id", "lang", a)
+      case None =>
+        if (sampleRates.isEmpty && defaultRate >= 1.0) annotated
+        else TextDedup.hashSample(annotated, "doc_id", "lang",
+          sampleRates, defaultRate)
+    }
   }
 
   /** `run` → `Packing.packGreedy`: the MATERIALIZATION step that

@@ -361,6 +361,55 @@ object Similarity {
       .where(col("cos_sim") >= minCos)
   }
 
+  /** SemDeDup verdicts (q175; also CleanCorpus stage 2c): per member
+    * of a pre-clustered embedding corpus — centroid cosine `csim`,
+    * in-cluster near-dup partner count `n_dups` (pair cosine ≥
+    * `minCos`, both rounded), and `keep` = not DOMINATED (a partner
+    * with strictly higher csim, rounded ties to the smaller id). A
+    * pair's two members are totally ordered by (csim, −id), so of any
+    * qualifying pair exactly one side is dominated — the retained set
+    * never contains a within-cluster pair at or above the threshold
+    * (spec-pinned). Shapes: bounded centroid/norm aggregates
+    * broadcast back; the pair join is cluster-keyed (clusterDupPairs);
+    * dominance folds as one groupBy on a_id. */
+  def semanticDedupVerdicts(em: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, minCos: Double): DataFrame = {
+    import graft.queries.Det
+    val base0 = em.select(col(idCol).as("vec_id"),
+      col(clusterCol).as("label"), col(vecCol).as("embedding"))
+    val cent = ivfCentroids(base0, "label", "embedding")
+      .transform(Det.pin)
+    val cnorm = cent.groupBy("clabel")
+      .agg(sqrt(sum(col("c") * col("c"))).as("cn"))
+    val ex = base0.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        col("xf").cast("double").as("x"))
+    val base = ex.join(broadcast(cent),
+        col("label") === col("clabel") && ex("pos") === cent("pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("x") * col("c")).as("dot"),
+        sqrt(sum(col("x") * col("x"))).as("xn"))
+      .join(broadcast(cnorm), col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"),
+        Det.r4e(col("dot") / (col("xn") * col("cn"))).as("csim"))
+      .transform(Det.pin)
+    val pairs = clusterDupPairs(base0, "vec_id", "embedding",
+      "label", minCos)
+    val flags = pairs
+      .join(base.select(col("vec_id").as("a_id"), col("csim").as("ca")), "a_id")
+      .join(base.select(col("vec_id").as("b_id"), col("csim").as("cb")), "b_id")
+      .groupBy("a_id")
+      .agg(count(lit(1)).cast("int").as("n_dups"),
+        max(when(col("cb") > col("ca") ||
+                 (col("cb") === col("ca") && col("b_id") < col("a_id")),
+          1).otherwise(0)).as("dom"))
+    base.join(flags, col("vec_id") === col("a_id"), "left")
+      .select(col("vec_id"), col("label"), col("csim"),
+        coalesce(col("n_dups"), lit(0)).as("n_dups"),
+        (coalesce(col("dom"), lit(0)) === 0).as("keep"))
+  }
+
   /** Random-hyperplane (SRP / "SimHash for vectors") LSH bucket id per
     * vector: `bits` signed projections onto ±1 hyperplanes, packed into
     * one BIGINT bucket key. Candidate generation is then a plain

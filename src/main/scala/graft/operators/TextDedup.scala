@@ -275,6 +275,29 @@ object TextDedup {
     df.where(hashDraw(idCol, salt) < cut)
   }
 
+  /** TEMPERATURE-scaled mixture sampling (q176; CleanCorpus' derived
+    * alternative to explicit `hashSample` rates): per-stratum
+    * keep-rate (min_cnt/cnt)^(1−α) on the shared 10000-grid draw —
+    * α = 0 is q159's full balance, α = 1 keeps the natural mix,
+    * in-between damps over-represented strata toward the smallest.
+    * Cuts DERIVE from the input's own counts (one bounded aggregate
+    * broadcasts back; the keep decision stays map-side) so the same
+    * call re-balances any corpus without hand-tuned rates. */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double, salt: String = "temp"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val cnts = df.groupBy(strataCol).agg(count(lit(1)).as("__cnt"))
+    val minc = cnts.agg(min("__cnt").as("__min_cnt"))
+    val cuts = cnts.crossJoin(broadcast(minc))
+      .withColumn("__cut",
+        floor(pow(col("__min_cnt").cast("double") / col("__cnt"),
+          1.0 - alpha) * 10000).cast("long"))
+      .select(col(strataCol), col("__cut"))
+    df.join(broadcast(cuts), Seq(strataCol))
+      .where(hashDraw(idCol, salt) < col("__cut"))
+      .drop("__cut")
+  }
+
   /** Deterministic N-way split (train/val/test) — fractions map to
     * DISJOINT, EXHAUSTIVE bands of the same 10000-grid hash draw
     * hashSample uses: pure map-side, no rand(), identical assignment

@@ -213,43 +213,11 @@ object VectorQueries {
     * member→centroid scoring joins the broadcast centroid frame; the
     * pair join is label-keyed (a shuffle on the cluster key, both
     * directions kept so dominance folds as one groupBy on a_id). */
-  private def q175(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Similarity
-    val em = spread(s, embeddings(s, d))
-      .select("vec_id", "label", "embedding")
-    val cent = Similarity.ivfCentroids(em, "label", "embedding")
-      .transform(Det.pin)
-    val cnorm = cent.groupBy("clabel")
-      .agg(sqrt(sum(col("c") * col("c"))).as("cn"))
-    val ex = em.select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "xf")))
-      .select(col("vec_id"), col("label"), col("pos"),
-        col("xf").cast("double").as("x"))
-    val base = ex.join(broadcast(cent),
-        col("label") === col("clabel") && ex("pos") === cent("pos"))
-      .groupBy("vec_id", "label")
-      .agg(sum(col("x") * col("c")).as("dot"),
-        sqrt(sum(col("x") * col("x"))).as("xn"))
-      .join(broadcast(cnorm), col("label") === col("clabel"))
-      .select(col("vec_id"), col("label"),
-        Det.r4e(col("dot") / (col("xn") * col("cn"))).as("csim"))
-      .transform(Det.pin)
-    val pairs = Similarity.clusterDupPairs(em, "vec_id", "embedding",
-      "label", minCos = 0.35)
-    val flags = pairs
-      .join(base.select(col("vec_id").as("a_id"), col("csim").as("ca")), "a_id")
-      .join(base.select(col("vec_id").as("b_id"), col("csim").as("cb")), "b_id")
-      .groupBy("a_id")
-      .agg(count(lit(1)).cast("int").as("n_dups"),
-        max(when(col("cb") > col("ca") ||
-                 (col("cb") === col("ca") && col("b_id") < col("a_id")),
-          1).otherwise(0)).as("dom"))
-    base.join(flags, col("vec_id") === col("a_id"), "left")
-      .select(col("vec_id"), col("label"), col("csim"),
-        coalesce(col("n_dups"), lit(0)).as("n_dups"),
-        (coalesce(col("dom"), lit(0)) === 0).as("keep"))
+  private def q175(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity.semanticDedupVerdicts(
+        spread(s, embeddings(s, d)), "vec_id", "embedding", "label",
+        minCos = 0.35)
       .transform(Det.emitWide(_, "vec_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_vec_norm" -> q83, "q84_vec_cosine_topk" -> q84,

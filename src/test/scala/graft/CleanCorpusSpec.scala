@@ -125,4 +125,41 @@ class CleanCorpusSpec extends AnyFunSuite {
       clean.select("doc_id").collect().map(_.getLong(0)).toSet),
       "sample must be a subset of the unsampled clean corpus")
   }
+
+  test("semantic-dedup stage: no retained within-cluster pair at/above the cutoff") {
+    val em = Tables.embeddings(spark, sf)
+    val sem = CleanCorpus.run(input, embeddings = Some(em),
+      semanticMinCos = 0.35).cache()
+    val kept = sem.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    assert(kept.subsetOf(
+      clean.select("doc_id").collect().map(_.getLong(0)).toSet),
+      "semantic stage may only DROP relative to the base pipeline")
+    // the dominance rule's guarantee: among retained docs, no
+    // within-cluster pair at or above the threshold survives
+    val keptEm = em.join(sem.select(col("doc_id").as("vec_id")), "vec_id")
+    val survivors = graft.operators.Similarity.clusterDupPairs(
+      keptEm, "vec_id", "embedding", "label", minCos = 0.35).count()
+    assert(survivors == 0,
+      s"$survivors retained near-dup pairs survived semantic dedup")
+    sem.unpersist()
+  }
+
+  test("temperature mixing stage: derived cuts, deterministic, smallest lang keeps all") {
+    val t1 = CleanCorpus.run(input, temperatureAlpha = Some(0.5)).cache()
+    val t2 = CleanCorpus.run(input, temperatureAlpha = Some(0.5))
+    val ids1 = t1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == t2.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "temperature sampling must be replayable")
+    assert(ids1.nonEmpty && ids1.subsetOf(
+      clean.select("doc_id").collect().map(_.getLong(0)).toSet))
+    // the smallest language's cut is 10000 → every clean doc of that
+    // lang survives the diet
+    val counts = clean.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = counts.minBy { case (l, n) => (n, l) }._1
+    assert(t1.where(col("lang") === minLang).count() == counts(minLang),
+      s"smallest lang '$minLang' lost docs under temperature mixing")
+    t1.unpersist()
+  }
 }
