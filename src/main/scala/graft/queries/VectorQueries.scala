@@ -219,13 +219,37 @@ object VectorQueries {
         minCos = 0.35)
       .transform(Det.emitWide(_, "vec_id"))
 
+  /** q181: metadata-FILTERED vector search — "top-k neighbours WHERE
+    * lang = 'en' AND n_chars ≥ 200", the serving shape every vector
+    * store grows into. Strategy is PRE-filter: the metadata predicate
+    * is pushed into the documents parquet scan (PushedFilters,
+    * plan-gated), the surviving id set semi-joins the embedding
+    * corpus, and the exact cosine scan runs over the FILTERED subset
+    * only — so recall w.r.t. the filtered corpus is exact by
+    * construction. Post-filtering an unfiltered ANN top-k (the other
+    * production strategy) under-returns when the filter is selective
+    * — k survivors of a filtered top-k′ are not the filtered top-k;
+    * pre-filter + brute scan is the correct exact path, and for
+    * UN-selective filters the IVF machinery (q95/q100) composes the
+    * same way with its recall bound. */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val meta = documents(s, d)
+      .where(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id").as("vec_id"))
+    val em = embeddings(s, d)
+    val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    graft.operators.Similarity.cosineTopK(
+      em.where(col("vec_id") =!= 0).join(meta, "vec_id"),
+      q, "vec_id", "embedding", k = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_vec_norm" -> q83, "q84_vec_cosine_topk" -> q84,
     "q85_vec_centroid" -> q85, "q90_embed_neardup" -> q90,
     "q95_ann_ivf" -> q95, "q100_knn_join" -> q100,
     "q113_rp_lsh_pairs" -> q113, "q114_vec_quantize" -> q114,
     "q162_mmr_rerank" -> q162, "q174_rrf_fusion" -> q174,
-    "q175_semantic_dedup" -> q175)
+    "q175_semantic_dedup" -> q175, "q181_filtered_ann" -> q181)
 
   /** q162's oracle: the MMR greedy walk unrolled into five CTE stages
     * (generated — each stage scores the not-yet-selected candidates
@@ -292,6 +316,20 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q162_mmr_rerank" -> mmrOracle,
+    "q181_filtered_ann" ->
+      """WITH f AS (SELECT doc_id AS vec_id FROM documents
+                    WHERE lang = 'en' AND n_chars >= 200),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         p AS (SELECT e.vec_id,
+                      unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                      unnest(list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS y
+               FROM embeddings e JOIN f USING (vec_id) CROSS JOIN q
+               WHERE e.vec_id <> 0),
+         m AS (SELECT vec_id, sum(x*y) AS dot,
+                      sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+               FROM p GROUP BY vec_id)
+         SELECT vec_id, round(dot/(na*nb) + 0.00000123, 4) AS cos_sim
+         FROM m ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
     "q174_rrf_fusion" ->
       s"""WITH tk AS (SELECT doc_id, unnest(${TextQueries.TS}) AS w FROM documents),
           dl AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS dl

@@ -524,6 +524,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p178.contains("BroadcastNestedLoopJoin") &&
       !p178.contains("CartesianProduct"),
       s"q178 cross-corpus join lost the band equi-key:\n$p178")
+    // q181: the metadata predicate reaches the documents parquet scan
+    // (pre-filter strategy) and the filtered top-k short-circuits
+    val p181 = plan("q181_filtered_ann")
+    assert(p181.contains("PushedFilters") && p181.contains("n_chars"),
+      s"q181 metadata filter not pushed to the scan:\n$p181")
+    assert(p181.contains("TakeOrderedAndProject"),
+      s"q181 filtered top-k does a full sort:\n$p181")
   }
 
   test("q60: envelope pipeline is map-side until the group-by") {
