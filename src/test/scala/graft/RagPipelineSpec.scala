@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.examples.RagPipeline
+
+/** Drives `examples.RagPipeline` end to end on the fixture corpus:
+  * chunk → merge (pre-image feed) → incremental index → BM25 parent
+  * rollup → RRF fusion with a vector ranking → MMR diversify —
+  * including the chunk-grain CDC hazard (a shrinking update must
+  * tombstone vanished chunk ids) and index freshness across merges.
+  */
+class RagPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("rag journey: ingest, retrieve, update, delete, fuse, diversify") {
+    val root = TestSpark.tmpDir("rag")
+    val store = s"$root/store"; val cdf = s"$root/cdf"
+    val idx = s"$root/idx"; val dlv = s"$root/dl"
+
+    val docs = Tables.documents(spark, sf)
+      .where(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text"))
+    val v1 = RagPipeline.chunk(docs, "doc_id", "text").cache()
+
+    // v1: all inserts
+    RagPipeline.ingest(spark, store, cdf, v1, "doc_id", ver = 1L)
+    RagPipeline.refreshIndex(spark, idx, dlv, cdf, "doc_id")
+
+    // single term: BM25's tf-saturation means a one-term-spam doc
+    // loses to docs matching SEVERAL query terms (correct behavior —
+    // observed with a two-term query), so the rank-1 assertion below
+    // needs the query to be the term the update spams
+    val terms = Seq("stream")
+    val lex1 = RagPipeline.lexicalDocRanks(spark, idx, dlv,
+      "doc_id", terms, topN = 20).cache()
+    // membership: every ranked doc really contains a query term in
+    // some chunk, and ranks are 1..n without gaps
+    val hitIds = lex1.collect().map(_.getLong(0)).toSet
+    assert(hitIds.nonEmpty)
+    val withTerm = v1
+      .where(terms.map(t => array_contains(split(col("chunk"), " "), t))
+        .reduce(_ || _))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(hitIds.subsetOf(withTerm),
+      "ranked a doc containing no query term")
+    assert(lex1.collect().map(_.getInt(1)).sorted.toSeq ==
+      (1 to hitIds.size).toSeq)
+
+    // UPDATE: one doc becomes pure "stream" text with FEWER chunks
+    // than before (forces trailing-tombstone correctness); another
+    // doc is deleted outright
+    val updId = hitIds.min
+    val delId = (withTerm - updId).min
+    val v2docs = docs
+      .withColumn("text", when(col("doc_id") === updId,
+        lit(("stream " * 13).trim)).otherwise(col("text")))
+      .where(col("doc_id") =!= delId)
+    val v2 = RagPipeline.chunk(v2docs, "doc_id", "text")
+    val delta = RagPipeline.chunkDelta(v2, v1, "doc_id")
+    // the shrinking update really produced trailing tombstones
+    val updOld = v1.where(col("doc_id") === updId).count()
+    val updNew = v2.where(col("doc_id") === updId).count()
+    assert(updNew < updOld, "fixture must shrink the updated doc")
+    assert(delta.where(col("doc_id") === updId && col("is_delete")).count()
+      == updOld - updNew, "missing trailing tombstones for the shrink")
+    RagPipeline.ingest(spark, store, cdf, delta, "doc_id", ver = 2L)
+    RagPipeline.refreshIndex(spark, idx, dlv, cdf, "doc_id")
+
+    val lex2 = RagPipeline.lexicalDocRanks(spark, idx, dlv,
+      "doc_id", terms, topN = 20).cache()
+    val ranks2 = lex2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ranks2.get(updId).contains(1),
+      s"all-'stream' doc $updId should rank first: $ranks2")
+    assert(!ranks2.contains(delId), s"deleted doc $delId still ranked")
+    // the store itself serves no stale trailing chunk
+    val served = graft.sources.Lake.readStore(spark, store)
+      .where(col("doc_id") === updId).count()
+    assert(served == updNew, s"stale chunks served: $served vs $updNew")
+
+    // FUSE with a vector ranking over the surviving doc ids
+    import org.apache.spark.sql.expressions.Window
+    val em = Tables.embeddings(spark, sf)
+    val qv = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val surviving = v2docs.select(col("doc_id").as("vec_id"))
+    val vec = graft.operators.Similarity.cosineTopK(
+        em.join(surviving, "vec_id"), qv, "vec_id", "embedding", k = 20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("int"))
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    val fused = RagPipeline.rrfFuse(lex2, vec, "doc_id", k = 10).cache()
+    // hand-computed RRF over the two collected lists must agree
+    val vr = vec.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = (ranks2.keySet ++ vr.keySet).toSeq
+      .map { id =>
+        val s = ranks2.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          vr.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (id, s)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    val got = fused.collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"fusion drifted: $got vs $want")
+
+    // DIVERSIFY: k rows, a subset of the fused candidates, replayable
+    val cands = fused.select(col("doc_id").as("vec_id"))
+    val div1 = RagPipeline.diversify(cands, em, "vec_id", "embedding",
+      qv, k = 5).collect().map(r => (r.getInt(0), r.getLong(1)))
+    val div2 = RagPipeline.diversify(cands, em, "vec_id", "embedding",
+      qv, k = 5).collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(div1.length == 5 && div1.sameElements(div2))
+    assert(div1.map(_._2).toSet.subsetOf(got.toSet),
+      "diversified pick outside the fused candidate set")
+    v1.unpersist(); lex1.unpersist(); lex2.unpersist(); fused.unpersist()
+  }
+}
