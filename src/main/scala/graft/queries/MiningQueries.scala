@@ -757,6 +757,31 @@ object MiningQueries {
     TextDedup.dupClusters(edges).transform(Det.emitWide(_, "id"))
   }
 
+  /** q182: SOFT-dedup loss weights — the alternative to dropping
+    * near-duplicates: keep every doc but weight its training loss by
+    * 1/|dup-cluster| so each content cluster contributes one unit
+    * (the "count once" principle applied softly; exact-dedup-then-
+    * weight is how several production corpora price repeats).
+    * Clusters are q123's connected components over the LSH candidate
+    * pairs; docs in no pair are singletons at weight 1. One
+    * propagation loop + a bounded cluster-size aggregate + a left
+    * join back onto the corpus — nothing quadratic. */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    val sigs = TextDedup.minhashSignatures(docs(s, d), "doc_id", "text")
+    val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id")
+    val comp = TextDedup.dupClusters(pairs).transform(Det.pin)
+    val sizes = comp.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val labeled = comp.join(sizes, "cluster")
+    docs(s, d).select(col("doc_id"))
+      .join(labeled.select(col("id").as("doc_id"), col("cluster"),
+        col("csize")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        coalesce(col("csize"), lit(1L)).as("csize"),
+        Det.r4e(lit(1.0) / coalesce(col("csize"), lit(1L))).as("w"))
+      .transform(Det.emitWide(_, "doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
     "q120_heavy_hitters" -> q120,
@@ -782,7 +807,8 @@ object MiningQueries {
     "q176_temperature_mix" -> q176,
     "q177_cms_freq" -> q177,
     "q179_bpe_apply" -> q179,
-    "q180_dedup_ensemble" -> q180)
+    "q180_dedup_ensemble" -> q180,
+    "q182_dup_weights" -> q182)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -842,6 +868,38 @@ object MiningQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q182_dup_weights" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $TS AS ts FROM documents),
+          shg AS (SELECT doc_id,
+                        unnest(list_transform(range(len(ts) - 2),
+                          i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS s
+                 FROM t WHERE len(ts) >= 3),
+          hsh AS (SELECT doc_id,
+                        CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1000000007 AS h
+                 FROM shg),
+          x AS (SELECT doc_id, k, ((2*k + 1) * h + 7 + 13*k) % 1000000007 AS v
+                FROM hsh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) seeds(k)),
+          sig AS (SELECT doc_id, k, min(v) AS sig FROM x GROUP BY doc_id, k),
+          pr AS (SELECT DISTINCT s1.doc_id AS a_id, s2.doc_id AS b_id
+                 FROM sig s1 JOIN sig s2
+                   ON s1.k = s2.k AND s1.sig = s2.sig AND s1.doc_id < s2.doc_id),
+          e AS (SELECT a_id AS src, b_id AS dst FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+          reach(id, lbl) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM e)
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+          comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+          sz AS (SELECT cluster, CAST(count(1) AS BIGINT) AS csize
+                 FROM comp GROUP BY cluster)
+          SELECT d.doc_id,
+                 COALESCE(comp.cluster, d.doc_id) AS cluster,
+                 COALESCE(sz.csize, 1) AS csize,
+                 round(1.0 / COALESCE(sz.csize, 1) + ${Det.E4}, 4) AS w
+          FROM documents d
+          LEFT JOIN comp ON comp.id = d.doc_id
+          LEFT JOIN sz ON sz.cluster = comp.cluster
+          ORDER BY d.doc_id""",
     "q180_dedup_ensemble" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $TS AS ts FROM documents),
           shg AS (SELECT doc_id,
