@@ -1813,4 +1813,73 @@ class StreamingSpec extends AnyFunSuite {
     GlobalSketch.compactCms(spark, store)
     check()
   }
+
+  test("s41: adaptive temperature sampling — history-derived cuts, replay-deterministic") {
+    import graft.streaming.AdaptiveSample
+    val src = TestSpark.tmpDir("s41-src")
+    val counts = TestSpark.tmpDir("s41-counts") + "/c"
+    val smp = TestSpark.tmpDir("s41-sample") + "/s"
+    val chk = TestSpark.tmpDir("s41-chk")
+    def run(): Unit = {
+      val rows = spark.readStream
+        .schema(StructType(Seq(StructField("id", LongType),
+          StructField("lang", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+      val q = AdaptiveSample.temperatureSink(rows, "id", "lang",
+          alpha = 0.5, counts, smp, chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def line(id: Long, l: String) = s"""{"id": $id, "lang": "$l"}"""
+    // en-heavy start, a new language appearing mid-stream, then drift
+    val b0 = (0L until 200L).map(i => (i, if (i % 10 == 0) "fr" else "en"))
+    val b1 = (200L until 400L).map(i => (i, if (i % 4 == 0) "de" else "en"))
+    val b2 = (400L until 600L).map(i => (i, if (i % 5 == 0) "en" else "fr"))
+    // one run per file: two files with equal mtimes can be picked up
+    // in either order, and the prefix-cuts contract is order-sensitive
+    writeNdjson(src, "f0.ndjson", b0.map { case (i, l) => line(i, l) })
+    run()
+    writeNdjson(src, "f1.ndjson", b1.map { case (i, l) => line(i, l) })
+    run() // restart mid-history
+    writeNdjson(src, "f2.ndjson", b2.map { case (i, l) => line(i, l) })
+    run()
+    // the contract, replayed in scala: batch k's cuts derive from
+    // counts of batches < k; unseen strata keep everything
+    def draw(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"adapt:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    def cutsOf(hist: Seq[(Long, String)]): Map[String, Long] = {
+      val c = hist.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      if (c.isEmpty) Map.empty
+      else {
+        val m = c.values.min
+        c.map { case (l, n) =>
+          l -> math.floor(math.pow(m.toDouble / n, 0.5) * 10000).toLong }
+      }
+    }
+    val batches = Seq(b0, b1, b2)
+    val want = batches.zipWithIndex.flatMap { case (b, i) =>
+      val cs = cutsOf(batches.take(i).flatten)
+      b.filter { case (id, l) => draw(id) < cs.getOrElse(l, 10000L) }
+    }.toSet
+    def check(): Unit = {
+      val got = AdaptiveSample.readSample(spark, smp)
+        .select("id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want,
+        s"sample drifted from the prefix-cuts contract (${got.size} vs ${want.size})")
+    }
+    check()
+    // batch 0 (no history) kept everything; the mid-stream language
+    // was NOT damped on arrival
+    assert(want.count(_._1 < 200) == 200, "first batch must keep all")
+    assert(b1.filter(_._2 == "de").forall(want.contains),
+      "an unseen language must not be damped on arrival")
+    run() // idempotent replay: no new files — same sample
+    check()
+  }
 }
