@@ -36,6 +36,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop this key's pinned frames before the next key — 160+
+      // keys' caches otherwise accumulate in the storage pool for the
+      // whole dump (the Bench key-outer lesson)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
