@@ -275,6 +275,39 @@ object TextDedup {
     df.where(hashDraw(idCol, salt) < cut)
   }
 
+  /** CONTENT-DEFINED chunking (q184) — the FastCDC/rsync idea at token
+    * grain: a chunk boundary falls wherever the md5 of the `window`
+    * tokens ENDING at a position is ≡ 0 (mod `mod`), so boundaries are
+    * a function of LOCAL content only. A fixed-width chunker (q108)
+    * loses every chunk after an insertion (all offsets shift); CDC
+    * boundaries re-synchronize within one window, so sub-document
+    * dedup survives edits (OperatorSpec pins exactly this contrast).
+    * Expected chunk length ≈ `mod` tokens. All map-side per doc:
+    * boundary positions via one indexed transform, chunk strings via
+    * a zip over boundary-delimited ranges — no shuffle, no UDF.
+    * Returns (idCol, chunk). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, mod: Int = 64): DataFrame = {
+    require(window >= 1 && mod >= 2, s"bad cdc config: $window/$mod")
+    df.withColumn("__toks", tokensExpr(textCol))
+      .where(expr("size(__toks) >= 1"))
+      .withColumn("__bpos", expr(
+        s"""filter(transform(sequence(0, size(__toks) - 1),
+              i -> IF(i >= ${window - 1} AND
+                      cast(conv(substring(md5(concat_ws(' ',
+                        slice(__toks, i - ${window - 2}, $window))), 1, 15),
+                        16, 10) as bigint) % $mod = 0, i, -1)),
+            p -> p >= 0)"""))
+      .select(col(idCol), explode(expr(
+        s"""filter(zip_with(
+              transform(concat(array(-1), __bpos), p -> p + 1),
+              concat(__bpos, array(size(__toks) - 1)),
+              (st, en) -> IF(en >= st,
+                concat_ws(' ', slice(__toks, st + 1, en - st + 1)),
+                NULL)),
+            c -> c IS NOT NULL)""")).as("chunk"))
+  }
+
   /** TEMPERATURE-scaled mixture sampling (q176; CleanCorpus' derived
     * alternative to explicit `hashSample` rates): per-stratum
     * keep-rate (min_cnt/cnt)^(1−α) on the shared 10000-grid draw —

@@ -307,6 +307,40 @@ object TextQueries {
       .transform(Det.emitWide(_, "doc_id"))
   }
 
+  /** q183: BIGRAM-LM quality score — q109's unigram surprisal upgraded
+    * one order: corpus bigram counts with add-½ smoothing over the
+    * observed vocabulary, then per doc the mean −ln p(w₂|w₁) over its
+    * bigrams. The cheap statistical-LM filter that actually sees word
+    * ORDER (shuffled-word soup scores high here but normal under a
+    * unigram LM). Shapes: the bigram/unigram vocabulary joins are
+    * high-cardinality SHUFFLES (the q109/q111 vocabulary contract —
+    * at 100 TB the n-gram table is itself huge and never broadcasts);
+    * V is a 1-row broadcast; the per-doc fold is one hash aggregate.
+    * All-exact-integer inputs into ln → both engines bit-agree under
+    * the r4e epsilon. */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d)
+      .withColumn("toks", expr(TOKS))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+             i -> struct(toks[i] as w1, toks[i+1] as w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .transform(Det.pin)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = bg.select(col("w2")).union(bg.select(col("w1")))
+      .distinct().agg(count(lit(1)).cast("double").as("v"))
+    bg.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Det.r4e(avg(-log((col("c12") + 0.5) / (col("c1") + lit(0.5) * col("v")))))
+          .as("avg_nll"))
+      .transform(Det.emitWide(_, "doc_id"))
+  }
+
   /** q178: CROSS-corpus LSH dedup — dedup the TRAIN corpus against
     * the EVAL benchmark (doc_id % 50 = 0, q107's convention), the
     * fuzzy-decontamination step complementing q107's trigram-overlap
@@ -347,6 +381,24 @@ object TextQueries {
           .as("jacc"))
       .transform(Det.emitWide(_, "t_id", "e_id"))
   }
+
+  /** q184: content-defined chunking dedup — q108's fixed chunker made
+    * INSERTION-ROBUST (TextDedup.cdcChunks: boundaries where the
+    * 4-token window hash ≡ 0 mod 64, a function of local content
+    * only — an inserted sentence shifts every fixed chunk after it,
+    * but CDC boundaries re-synchronize within one window; the spec
+    * pins the contrast). Recurring chunks across docs emit with their
+    * canonical keeper, q108's output contract; chunking is all
+    * map-side, the only shuffle is the chunk-hash aggregation. */
+  private def q184(s: SparkSession, d: String): DataFrame =
+    TextDedup.cdcChunks(docs(s, d), "doc_id", "text")
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(chunk), 1, 15), 16, 10) as bigint)")
+          .as("chash"))
+      .groupBy("chash")
+      .agg(countDistinct("doc_id").as("n_docs"), min("doc_id").as("keeper"))
+      .where(col("n_docs") >= 2)
+      .transform(Det.emitWide(_, "chash"))
 
   /** q108: chunk-level dedup — sub-document dedup à la CCNet/
     * RefinedWeb line-dedup, expressed on this fixture's unstructured
@@ -481,11 +533,59 @@ object TextQueries {
     "q104_seq_pack" -> q104, "q106_hash_sample" -> q106,
     "q107_contamination" -> q107, "q108_chunk_dedup" -> q108,
     "q109_unigram_logprob" -> q109, "q168_chunk_overlap" -> q168,
-    "q178_cross_corpus_dedup" -> q178)
+    "q178_cross_corpus_dedup" -> q178, "q183_bigram_logprob" -> q183,
+    "q184_cdc_chunks" -> q184)
 
   private[queries] val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q184_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+          nn AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) >= 1),
+          bp AS (SELECT doc_id, ts, n,
+                   list_filter(list_transform(range(n),
+                     i -> CASE WHEN i >= 3 AND
+                            CAST('0x' || substr(md5(array_to_string(
+                              ts[i-2:i+1], ' ')), 1, 15) AS BIGINT) % 64 = 0
+                          THEN i ELSE CAST(-1 AS BIGINT) END),
+                     p -> p >= 0) AS bpos
+                 FROM nn),
+          z AS (SELECT doc_id, ts, n,
+                  list_transform(list_concat([CAST(-1 AS BIGINT)], bpos),
+                    p -> p + 1) AS sts,
+                  list_concat(bpos, [n - 1]) AS ens
+                FROM bp),
+          ch AS (SELECT doc_id,
+                   unnest(list_filter(list_transform(range(len(sts)),
+                     j -> CASE WHEN ens[j+1] >= sts[j+1]
+                          THEN array_to_string(
+                            ts[sts[j+1] + 1 : ens[j+1] + 1], ' ')
+                          ELSE NULL END), c -> c IS NOT NULL)) AS chunk
+                 FROM z)
+          SELECT CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS chash,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 min(doc_id) AS keeper
+          FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+          ORDER BY chash""",
+    "q183_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+          bg AS (SELECT doc_id,
+                        unnest(list_transform(range(len(ts) - 1),
+                          i -> {'w1': ts[i+1], 'w2': ts[i+2]})) AS b
+                 FROM t WHERE len(ts) >= 2),
+          bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+          c12 AS (SELECT w1, w2, CAST(count(1) AS BIGINT) AS c12
+                  FROM bb GROUP BY w1, w2),
+          c1 AS (SELECT w1, CAST(count(1) AS BIGINT) AS c1
+                 FROM bb GROUP BY w1),
+          v AS (SELECT CAST(count(1) AS DOUBLE) AS v FROM (
+                  SELECT DISTINCT w FROM (
+                    SELECT w2 AS w FROM bb UNION ALL SELECT w1 FROM bb)))
+          SELECT bb.doc_id, CAST(count(1) AS BIGINT) AS n_bigrams,
+                 round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * v))) + ${Det.E4}, 4)
+                   AS avg_nll
+          FROM bb JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+          GROUP BY bb.doc_id ORDER BY bb.doc_id""",
     "q178_cross_corpus_dedup" ->
       s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
           sh AS (SELECT doc_id,

@@ -2632,6 +2632,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(cand2 == cand && hit2.count() == hit.count())
   }
 
+  test("cdc chunking: lossless, re-synchronizes after an insertion where fixed chunking loses everything") {
+    val base = (1 to 400).map(i => s"w$i").mkString(" ")
+    val edited = "INSERTED " + base // one token prepended: every offset shifts
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val cdc = graft.operators.TextDedup
+      .cdcChunks(df, "doc_id", "text", window = 4, mod = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val c1 = cdc.filter(_._1 == 1L).map(_._2)
+    val c2 = cdc.filter(_._1 == 2L).map(_._2)
+    // lossless: chunks concatenate back to the original text, in order
+    assert(c1.mkString(" ") == base && c2.mkString(" ") == edited)
+    // boundaries are content-local: past the first window after the
+    // insertion the chunkings re-align, so most chunks are shared
+    val shared = c1.toSet intersect c2.toSet
+    assert(shared.nonEmpty && shared.size >= c1.length - 2,
+      s"CDC chunks failed to re-synchronize: ${shared.size} of ${c1.length}")
+    // the fixed 10-token chunker (q108's rule) shares NOTHING under
+    // the same one-token shift — the failure mode cdcChunks removes
+    def fixed(t: String) = t.split(" ").grouped(10).map(_.mkString(" ")).toSet
+    assert((fixed(base) intersect fixed(edited)).isEmpty,
+      "fixture must actually misalign the fixed chunker")
+  }
+
   test("q176 temperature mix: cuts sit between full balance and identity") {
     def cutsOf(key: String): Map[String, Long] =
       SparkEntry.queries(key)(spark, sf)
