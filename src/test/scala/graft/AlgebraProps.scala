@@ -986,4 +986,35 @@ object AlgebraProps extends Properties("graft.algebra") {
       val want = words.map(w => refBpe(w, MiningQueries.BPE_MERGES))
       got == want
     }
+
+  // ---- q184 content-defined chunking ----------------------------------
+
+  /** Token streams over a tiny alphabet so window hashes collide into
+    * boundaries often at every tested mod. */
+  private val genCdcText: Gen[String] =
+    Gen.choose(20, 150).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+        .map(_.mkString(" ")))
+
+  property("cdcChunks: lossless, and append-only edits preserve every closed chunk") =
+    forAll(genCdcText, genCdcText, Gen.oneOf(8, 16, 32)) { (base, suffix, mod) =>
+      import graft.operators.TextDedup
+      val df = Seq((1L, base), (2L, base + " " + suffix))
+        .toDF("doc_id", "text")
+      val ch = TextDedup.cdcChunks(df, "doc_id", "text",
+          window = 3, mod = mod)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val c1 = ch.filter(_._1 == 1L).map(_._2).toList
+      val c2 = ch.filter(_._1 == 2L).map(_._2).toList
+      // lossless reconstruction, in order
+      val lossless = c1.mkString(" ") == base &&
+        c2.mkString(" ") == (base + " " + suffix)
+      // a boundary at i depends only on the window ENDING at i, so
+      // appending text cannot move any boundary inside the base:
+      // every CLOSED chunk of the base (all but its boundary-less
+      // tail) reappears verbatim as a prefix of the extended doc's
+      // chunking
+      val appendStable = c2.startsWith(c1.init)
+      lossless && appendStable
+    }
 }
