@@ -285,7 +285,7 @@ object TextDedup {
     * Expected chunk length ≈ `mod` tokens. All map-side per doc:
     * boundary positions via one indexed transform, chunk strings via
     * a zip over boundary-delimited ranges — no shuffle, no UDF.
-    * Returns (idCol, chunk). */
+    * Returns (idCol, ci, chunk) — ci the in-doc chunk index. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int = 4, mod: Int = 64): DataFrame = {
     require(window >= 1 && mod >= 2, s"bad cdc config: $window/$mod")
@@ -298,14 +298,41 @@ object TextDedup {
                         slice(__toks, i - ${window - 2}, $window))), 1, 15),
                         16, 10) as bigint) % $mod = 0, i, -1)),
             p -> p >= 0)"""))
-      .select(col(idCol), explode(expr(
+      .select(col(idCol), posexplode(expr(
         s"""filter(zip_with(
               transform(concat(array(-1), __bpos), p -> p + 1),
               concat(__bpos, array(size(__toks) - 1)),
               (st, en) -> IF(en >= st,
                 concat_ws(' ', slice(__toks, st + 1, en - st + 1)),
                 NULL)),
-            c -> c IS NOT NULL)""")).as("chunk"))
+            c -> c IS NOT NULL)""")).as(Seq("ci", "chunk")))
+  }
+
+  /** EXACT sub-document dedup at CDC-chunk grain (Lee et al.'s
+    * remove-duplicate-substrings in spirit, q185): every chunk keeps
+    * its corpus-wide FIRST occurrence (min (doc, position)), later
+    * occurrences — across docs AND within one — are removed, and the
+    * survivors rejoin in position order. cdcChunks' boundary locality
+    * is what makes this robust to edits: a copied-then-lightly-edited
+    * paragraph still shares most chunks with its source. Docs whose
+    * every chunk is a repeat drop out entirely (nothing left to
+    * keep). Shuffles: one chunk-hash aggregate for keepers + one
+    * doc-keyed regroup; never corpus². Returns (idCol, textCol). */
+  def dedupCdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, mod: Int = 64): DataFrame = {
+    val ch = cdcChunks(df, idCol, textCol, window, mod)
+      .withColumn("__h",
+        expr("cast(conv(substring(md5(chunk), 1, 15), 16, 10) as bigint)"))
+    val keep = ch.groupBy("__h")
+      .agg(min(struct(col(idCol), col("ci"))).as("__first"))
+      .select(col("__h"), col(s"__first.$idCol").as("__kid"),
+        col("__first.ci").as("__kci"))
+    ch.join(keep, Seq("__h"))
+      .where(col(idCol) === col("__kid") && col("ci") === col("__kci"))
+      .groupBy(idCol)
+      .agg(expr(
+        "concat_ws(' ', transform(array_sort(collect_list(struct(ci, chunk))), s -> s.chunk))")
+        .as(textCol))
   }
 
   /** TEMPERATURE-scaled mixture sampling (q176; CleanCorpus' derived

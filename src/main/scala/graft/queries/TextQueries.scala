@@ -400,6 +400,18 @@ object TextQueries {
       .where(col("n_docs") >= 2)
       .transform(Det.emitWide(_, "chash"))
 
+  /** q185: exact SUB-DOCUMENT dedup — the corpus REWRITE form of
+    * q184 (Lee et al.'s remove-duplicate-substrings in spirit): every
+    * CDC chunk keeps its corpus-wide first occurrence (min
+    * (doc, position)), later occurrences are cut, survivors rejoin in
+    * order — so a paragraph copied across documents survives exactly
+    * once in the cleaned corpus. One chunk-hash aggregate + one
+    * doc-keyed regroup; boundary locality (q184) keeps the cut
+    * aligned even when the copy was lightly edited. */
+  private def q185(s: SparkSession, d: String): DataFrame =
+    TextDedup.dedupCdcChunks(docs(s, d), "doc_id", "text")
+      .transform(Det.emitWide(_, "doc_id"))
+
   /** q108: chunk-level dedup — sub-document dedup à la CCNet/
     * RefinedWeb line-dedup, expressed on this fixture's unstructured
     * text as fixed 10-token chunks: hash each chunk, report chunks
@@ -534,11 +546,43 @@ object TextQueries {
     "q107_contamination" -> q107, "q108_chunk_dedup" -> q108,
     "q109_unigram_logprob" -> q109, "q168_chunk_overlap" -> q168,
     "q178_cross_corpus_dedup" -> q178, "q183_bigram_logprob" -> q183,
-    "q184_cdc_chunks" -> q184)
+    "q184_cdc_chunks" -> q184, "q185_substring_dedup" -> q185)
 
   private[queries] val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q185_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
+          nn AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) >= 1),
+          bp AS (SELECT doc_id, ts, n,
+                   list_filter(list_transform(range(n),
+                     i -> CASE WHEN i >= 3 AND
+                            CAST('0x' || substr(md5(array_to_string(
+                              ts[i-2:i+1], ' ')), 1, 15) AS BIGINT) % 64 = 0
+                          THEN i ELSE CAST(-1 AS BIGINT) END),
+                     p -> p >= 0) AS bpos
+                 FROM nn),
+          z AS (SELECT doc_id, ts, n,
+                  list_transform(list_concat([CAST(-1 AS BIGINT)], bpos),
+                    p -> p + 1) AS sts,
+                  list_concat(bpos, [n - 1]) AS ens
+                FROM bp),
+          cl AS (SELECT doc_id,
+                   list_filter(list_transform(range(len(sts)),
+                     j -> CASE WHEN ens[j+1] >= sts[j+1]
+                          THEN array_to_string(
+                            ts[sts[j+1] + 1 : ens[j+1] + 1], ' ')
+                          ELSE NULL END), c -> c IS NOT NULL) AS cs
+                 FROM z),
+          ch AS (SELECT doc_id, unnest(range(len(cs))) AS ci,
+                        unnest(cs) AS chunk
+                 FROM cl),
+          k AS (SELECT doc_id, ci, chunk, row_number() OVER (
+                  PARTITION BY CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT)
+                  ORDER BY doc_id, ci) AS rn
+                FROM ch)
+          SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text
+          FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
     "q184_cdc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
           nn AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) >= 1),

@@ -1003,6 +1003,7 @@ object AlgebraProps extends Properties("graft.algebra") {
         .toDF("doc_id", "text")
       val ch = TextDedup.cdcChunks(df, "doc_id", "text",
           window = 3, mod = mod)
+        .orderBy("doc_id", "ci").select("doc_id", "chunk")
         .collect().map(r => (r.getLong(0), r.getString(1)))
       val c1 = ch.filter(_._1 == 1L).map(_._2).toList
       val c2 = ch.filter(_._1 == 2L).map(_._2).toList

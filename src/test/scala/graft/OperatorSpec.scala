@@ -2638,6 +2638,7 @@ class OperatorSpec extends AnyFunSuite {
     val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
     val cdc = graft.operators.TextDedup
       .cdcChunks(df, "doc_id", "text", window = 4, mod = 16)
+      .orderBy("doc_id", "ci").select("doc_id", "chunk")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val c1 = cdc.filter(_._1 == 1L).map(_._2)
     val c2 = cdc.filter(_._1 == 2L).map(_._2)
@@ -2653,6 +2654,31 @@ class OperatorSpec extends AnyFunSuite {
     def fixed(t: String) = t.split(" ").grouped(10).map(_.mkString(" ")).toSet
     assert((fixed(base) intersect fixed(edited)).isEmpty,
       "fixture must actually misalign the fixed chunker")
+  }
+
+  test("dedupCdcChunks: first occurrence survives, later copies are cut in place") {
+    val para = (1 to 120).map(i => s"p$i").mkString(" ")
+    val a = para + " " + (1 to 80).map(i => s"a$i").mkString(" ")
+    val b = (1 to 60).map(i => s"b$i").mkString(" ") + " " + para
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val m = graft.operators.TextDedup
+      .dedupCdcChunks(df, "doc_id", "text", window = 4, mod = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 owns every first occurrence (its tokens are unique) —
+    // rewritten text is byte-identical
+    assert(m(1L) == a, "keeper doc must survive unchanged")
+    // doc 2 loses the copied paragraph's interior: strictly shorter,
+    // and what survives is a contiguous-span subsequence of the
+    // original (chunks are spans; dedup only CUTS, never reorders)
+    assert(m(2L).length < b.length, "copied paragraph not cut")
+    val bToks = b.split(" ")
+    val kept = m(2L).split(" ")
+    var i = 0
+    kept.foreach { t => i = bToks.indexOf(t, i); assert(i >= 0); i += 1 }
+    // most of the 120 copied tokens are gone (boundary-edge chunks
+    // blending b-prefix into the paragraph may legitimately survive)
+    val pLeft = kept.count(_.startsWith("p"))
+    assert(pLeft <= 40, s"$pLeft of 120 copied tokens survived")
   }
 
   test("q176 temperature mix: cuts sit between full balance and identity") {
