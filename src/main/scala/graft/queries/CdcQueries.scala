@@ -694,7 +694,7 @@ object CdcQueries {
             SELECT k, status, cents FROM base
             WHERE k % 3 = 0 AND k % 7 = 0)
           SELECT status, CAST(count(1) AS BIGINT) AS n,
-                 sum(cents) AS sum_cents
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
           FROM final GROUP BY status ORDER BY status""",
     // q165: the oracle replays the IDENTICAL moment formula on the
     // identical exact integers — three IEEE double ops in the same

@@ -1178,8 +1178,10 @@ object MiningQueries {
                  max(th.lo) AS p05, max(th.hi) AS p95,
                  round(avg(greatest(th.lo, least(th.hi, d.n_chars))) + ${Det.E4}, 4)
                    AS wins_mean,
-                 sum(CASE WHEN d.n_chars < th.lo THEN 1 ELSE 0 END) AS clipped_lo,
-                 sum(CASE WHEN d.n_chars > th.hi THEN 1 ELSE 0 END) AS clipped_hi
+                 CAST(sum(CASE WHEN d.n_chars < th.lo THEN 1 ELSE 0 END)
+                      AS BIGINT) AS clipped_lo,
+                 CAST(sum(CASE WHEN d.n_chars > th.hi THEN 1 ELSE 0 END)
+                      AS BIGINT) AS clipped_hi
           FROM documents d JOIN th ON d.lang = th.lang
           GROUP BY d.lang ORDER BY d.lang""",
     "q157_histogram_quantiles" ->
