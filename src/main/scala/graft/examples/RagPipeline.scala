@@ -130,15 +130,22 @@ object RagPipeline {
 
   /** MMR-diversify fused candidates: re-rank the candidate ids'
     * embeddings against the query vector (Similarity.mmrRerank with
-    * one query). Returns (rank, id, score). */
+    * one query). The MMR pool must hold at least k candidates or the
+    * generic k silently truncates to the pool size, so `topN` scales
+    * with k (floor 12 keeps a diversity margin for small k; `poolCap`
+    * bounds the N² pair stage for large k). Returns
+    * (rank, id, score). */
   def diversify(candidates: DataFrame, embeddings: DataFrame,
       idCol: String, vecCol: String, queryVec: DataFrame,
-      k: Int, lambda: Double = 0.7): DataFrame = {
+      k: Int, lambda: Double = 0.7, poolCap: Int = 256): DataFrame = {
+    require(k <= poolCap,
+      s"diversify: k=$k exceeds the MMR pool cap $poolCap — raise poolCap " +
+        "(pair stage is O(poolCap^2) per query)")
     val cand = embeddings.join(candidates.select(idCol), idCol)
     graft.operators.Similarity.mmrRerank(cand,
         queryVec.select(lit(0L).as("__qid"), col("qv").as("__qv")),
         idCol, vecCol, "__qid", "__qv",
-        topN = 12, k = k, lambda = lambda)
+        topN = math.max(k, 12), k = k, lambda = lambda)
       .select(col("rank"), col("vec_id"), col("score"))
   }
 }

@@ -317,12 +317,15 @@ object TextDedup {
     * paragraph still shares most chunks with its source. Docs whose
     * every chunk is a repeat drop out entirely (nothing left to
     * keep). Shuffles: one chunk-hash aggregate for keepers + one
-    * doc-keyed regroup; never corpus². Returns (idCol, textCol). */
+    * doc-keyed regroup; never corpus². The keeper key is the FULL
+    * 128-bit md5 (not a truncation): at corpus scale a 60-bit key
+    * sees birthday collisions that silently delete distinct content,
+    * and no verification against the same truncated key could catch
+    * it. Returns (idCol, textCol). */
   def dedupCdcChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int = 4, mod: Int = 64): DataFrame = {
     val ch = cdcChunks(df, idCol, textCol, window, mod)
-      .withColumn("__h",
-        expr("cast(conv(substring(md5(chunk), 1, 15), 16, 10) as bigint)"))
+      .withColumn("__h", md5(col("chunk")))
     val keep = ch.groupBy("__h")
       .agg(min(struct(col(idCol), col("ci"))).as("__first"))
       .select(col("__h"), col(s"__first.$idCol").as("__kid"),

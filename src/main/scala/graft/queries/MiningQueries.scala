@@ -812,7 +812,7 @@ object MiningQueries {
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
-  private val SIG_CTES =
+  private[queries] val SIG_CTES =
     s"""t AS (SELECT doc_id, $TS AS ts FROM documents),
         sh AS (SELECT doc_id,
                       unnest(list_transform(range(len(ts) - 2),

@@ -389,12 +389,12 @@ object TextQueries {
     * but CDC boundaries re-synchronize within one window; the spec
     * pins the contrast). Recurring chunks across docs emit with their
     * canonical keeper, q108's output contract; chunking is all
-    * map-side, the only shuffle is the chunk-hash aggregation. */
+    * map-side, the only shuffle is the chunk-hash aggregation. The
+    * report key is the FULL md5 (q108's discipline) — a truncated
+    * key would merge colliding chunks at corpus scale. */
   private def q184(s: SparkSession, d: String): DataFrame =
     TextDedup.cdcChunks(docs(s, d), "doc_id", "text")
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(chunk), 1, 15), 16, 10) as bigint)")
-          .as("chash"))
+      .select(col("doc_id"), md5(col("chunk")).as("chash"))
       .groupBy("chash")
       .agg(countDistinct("doc_id").as("n_docs"), min("doc_id").as("keeper"))
       .where(col("n_docs") >= 2)
@@ -578,7 +578,7 @@ object TextQueries {
                         unnest(cs) AS chunk
                  FROM cl),
           k AS (SELECT doc_id, ci, chunk, row_number() OVER (
-                  PARTITION BY CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT)
+                  PARTITION BY md5(chunk)
                   ORDER BY doc_id, ci) AS rn
                 FROM ch)
           SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text
@@ -606,7 +606,7 @@ object TextQueries {
                             ts[sts[j+1] + 1 : ens[j+1] + 1], ' ')
                           ELSE NULL END), c -> c IS NOT NULL)) AS chunk
                  FROM z)
-          SELECT CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS chash,
+          SELECT md5(chunk) AS chash,
                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                  min(doc_id) AS keeper
           FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2

@@ -69,7 +69,8 @@ object Lake {
           })), Duration.Inf)
       } finally pool.shutdown()
     def isManaged(l: Array[FileStatus]): Boolean =
-      l.exists(_.getPath.getName == "_current")
+      l.exists(s => s.getPath.getName == "_current" ||
+        s.getPath.getName.matches("_commit\\.\\d+"))
     def strandedMember(l: Array[FileStatus]): Boolean =
       l.exists(s => s.isDirectory && s.getPath.getName.matches("d\\d+-.*"))
     if (!listings.exists { case (_, l) => isManaged(l) || strandedMember(l) })

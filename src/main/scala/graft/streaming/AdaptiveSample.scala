@@ -84,13 +84,23 @@ object AdaptiveSample {
       .option("checkpointLocation", checkpoint)
   }
 
-  /** All sampled rows so far (committed batches only). */
-  def readSample(spark: SparkSession, sampleDir: String): DataFrame = {
+  /** All sampled rows so far (committed batches only). Before any
+    * batch commits the sample's schema is unknowable from the store,
+    * so pass `schema` (the streamed frame's schema) to get a typed
+    * empty result a downstream `select` can still project — a
+    * zero-column `emptyDataFrame` would throw AnalysisException on
+    * the first column reference. Omitting it keeps the old behavior
+    * for callers that check `isEmpty` first. */
+  def readSample(spark: SparkSession, sampleDir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val root = new Path(sampleDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = committedIdsBelow(fs, root, Long.MaxValue)
     if (dirs.isEmpty)
-      spark.emptyDataFrame
+      schema.map(sc => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], sc))
+        .getOrElse(spark.emptyDataFrame)
     else
       spark.read.option("mergeSchema", "true")
         .parquet(dirs.map(_.toString): _*)

@@ -385,6 +385,8 @@ object GlobalSketch {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dir = new Path(s"$storePath/batch=$batchId")
         val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        writeCmsMeta(new Path(storePath).getFileSystem(conf),
+          new Path(storePath), depth, width)
         CdcStreams.writeIfUncommitted(_.getFileSystem(conf), conf, dir) {
           graft.functions.CountMin.cells(batch, keyCol, depth, width)
             .coalesce(1)
@@ -410,12 +412,58 @@ object GlobalSketch {
       .groupBy("i", "b").agg(sum("c").as("c"))
   }
 
+  /** The CMS store's (depth, width) are part of its identity: probing
+    * with a different shape makes every (i, b) join miss and silently
+    * returns est = 0 for seen keys — violating est ≥ true count, the
+    * one guarantee a CMS offers. The sink records the shape once in a
+    * `_cms_meta` root file (tmp-write + rename, first writer wins);
+    * the probe side validates and FAILS FAST on mismatch. */
+  private val CmsMetaFile = "_cms_meta"
+
+  private def writeCmsMeta(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, depth: Int, width: Int): Unit = {
+    val meta = new Path(root, CmsMetaFile)
+    if (!fs.exists(meta)) {
+      val tmp = new Path(root, s".$CmsMetaFile.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$depth $width".getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, meta)) fs.delete(tmp, false)
+    }
+    readCmsMeta(fs, root).foreach { case (d, w) =>
+      require(d == depth && w == width,
+        s"CMS store $root was built with depth=$d width=$w; " +
+          s"refusing to append a ${depth}x$width sketch to it")
+    }
+  }
+
+  private def readCmsMeta(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Option[(Int, Int)] = {
+    val meta = new Path(root, CmsMetaFile)
+    if (!fs.exists(meta)) None
+    else {
+      val in = fs.open(meta)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val parts = s.trim.split("\\s+")
+      Some((parts(0).toInt, parts(1).toInt))
+    }
+  }
+
   /** Point estimates for a probe-key frame (`keyCol`, bounded — the
     * ad-hoc query side): est = min over rows of the key's bucket
     * count, 0 for a never-seen key (its bucket may be absent from the
-    * sparse store). The ≤ d×w cell table broadcasts. */
+    * sparse store). The ≤ d×w cell table broadcasts. Fails fast when
+    * (depth, width) differ from what the store's `_cms_meta` records
+    * — a mismatched probe would return 0 for seen keys. */
   def globalCmsEstimate(spark: SparkSession, storePath: String,
       depth: Int, width: Int, probes: DataFrame, keyCol: String): DataFrame = {
+    val rootP = new Path(storePath)
+    val rootFs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rootFs.exists(rootP)) readCmsMeta(rootFs, rootP).foreach {
+      case (d, w) => require(d == depth && w == width,
+        s"CMS store $storePath was built with depth=$d width=$w; " +
+          s"probing with depth=$depth width=$width would miss every cell")
+    }
     val cells = globalCmsCells(spark, storePath)
     probes
       .select(col(keyCol),

@@ -1812,6 +1812,20 @@ class StreamingSpec extends AnyFunSuite {
     check()
     GlobalSketch.compactCms(spark, store)
     check()
+    // (depth, width) are part of the store's identity: a mismatched
+    // probe would miss every (i, b) cell and return est = 0 for SEEN
+    // keys — the sink records the shape in _cms_meta and the probe
+    // side must fail fast instead of lying
+    import spark.implicits._
+    val probe1 = Seq("alpha").toDF("word")
+    intercept[IllegalArgumentException] {
+      GlobalSketch.globalCmsEstimate(
+        spark, store, depth, width + 1, probe1, "word")
+    }
+    intercept[IllegalArgumentException] {
+      GlobalSketch.globalCmsEstimate(
+        spark, store, depth + 1, width, probe1, "word")
+    }
   }
 
   test("s41: adaptive temperature sampling — history-derived cuts, replay-deterministic") {
@@ -1881,5 +1895,18 @@ class StreamingSpec extends AnyFunSuite {
       "an unseen language must not be damped on arrival")
     run() // idempotent replay: no new files — same sample
     check()
+  }
+
+  test("s41: readSample on an empty store yields a typed, projectable empty frame") {
+    import graft.streaming.AdaptiveSample
+    val empty = TestSpark.tmpDir("s41-empty") + "/nothing-here"
+    val sc = StructType(Seq(StructField("id", LongType),
+      StructField("lang", StringType)))
+    // with the schema supplied, downstream projection works pre-first-commit
+    val typed = AdaptiveSample.readSample(spark, empty, Some(sc))
+    assert(typed.select("id", "lang").count() == 0)
+    assert(typed.schema == sc)
+    // legacy no-schema call still returns the zero-column frame
+    assert(AdaptiveSample.readSample(spark, empty).isEmpty)
   }
 }
