@@ -98,6 +98,10 @@ object PageRank {
       // (Cadence 1 measured faster than every-2 at sf0.1: the deeper
       // nested plan costs more in planning/AQE than the extra
       // materialization job saves.)
+      // Re-measured round 13, quiet host, solo median-of-5 at sf0.1:
+      // cadence 1 = 5.07 s vs cadence 2 = 13.73 s — the checkpoint
+      // every iteration stays (the r9 "regression" to 9.09 s was
+      // in-suite cache pressure + host noise, not the cadence).
       if (i < iters)
         ranks =
           if (checkpointDir.isDefined) ranks.checkpoint()

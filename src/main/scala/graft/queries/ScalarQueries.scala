@@ -85,10 +85,16 @@ object ScalarQueries {
       floor(col("o_totalprice")).cast("long").as("fl"),
       ceil(col("o_totalprice")).cast("long").as("ce"),
       round(pow(lit(2.0), col("o_orderkey") % 10), 6).as("pw"),
-      round(sqrt(col("o_totalprice")), 6).as("sq"),
-      round(log(col("o_totalprice")), 6).as("ln_"),
-      round(log10(col("o_totalprice")), 6).as("l10"),
-      round(exp(col("o_totalprice") / 100000.0), 6).as("ex"),
+      // sqrt/log/exp route through libm (java.lang.Math here, C libm
+      // in DuckDB) and can differ in the last ulp — epsilon-shift
+      // before rounding (Det doctrine) so a boundary-adjacent value
+      // can't round differently across engines; `ab`/`pw` stay plain
+      // round: 2dp-money arithmetic and integer powers of two are
+      // grid-exact
+      Det.r6e(sqrt(col("o_totalprice"))).as("sq"),
+      Det.r6e(log(col("o_totalprice"))).as("ln_"),
+      Det.r6e(log10(col("o_totalprice"))).as("l10"),
+      Det.r6e(exp(col("o_totalprice") / 100000.0)).as("ex"),
       (col("o_orderkey") % 7).as("md_"),
       signum(col("o_totalprice") - 200000.0).cast("int").as("sg"))
       .transform(Det.emitWide(_, "o_orderkey"))
@@ -352,10 +358,10 @@ object ScalarQueries {
                 CAST(floor(o_totalprice) AS BIGINT) AS fl,
                 CAST(ceil(o_totalprice) AS BIGINT) AS ce,
                 round(pow(2.0, o_orderkey % 10), 6) AS pw,
-                round(sqrt(o_totalprice), 6) AS sq,
-                round(ln(o_totalprice), 6) AS ln_,
-                round(log10(o_totalprice), 6) AS l10,
-                round(exp(o_totalprice / 100000.0), 6) AS ex,
+                round(sqrt(o_totalprice) + 0.0000000123, 6) AS sq,
+                round(ln(o_totalprice) + 0.0000000123, 6) AS ln_,
+                round(log10(o_totalprice) + 0.0000000123, 6) AS l10,
+                round(exp(o_totalprice / 100000.0) + 0.0000000123, 6) AS ex,
                 o_orderkey % 7 AS md_,
                 CAST(sign(o_totalprice - 200000.0) AS INT) AS sg
          FROM orders ORDER BY o_orderkey""",

@@ -27,7 +27,9 @@ object VectorQueries {
   /** q83: L2 norm per embedding — one map-side fold, no fan-out. */
   private def q83(s: SparkSession, d: String): DataFrame =
     Det.emitWide(spread(s, embeddings(s, d))
-      .select(col("vec_id"), round(norm(col("embedding")), 6).as("l2")), "vec_id")
+      // sqrt routes through libm — epsilon-shift before rounding so a
+      // boundary-adjacent norm can't round differently across engines
+      .select(col("vec_id"), Det.r6e(norm(col("embedding"))).as("l2")), "vec_id")
 
   /** q84: brute-force cosine top-10 vs the vec_id=0 query vector. The
     * 1-row query side is broadcast (no collect — stays a pure plan);
@@ -454,7 +456,7 @@ object VectorQueries {
     "q83_vec_norm" ->
       """SELECT vec_id,
                 round(sqrt(list_sum(list_transform(embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) + 0.0000000123, 6) AS l2
          FROM embeddings ORDER BY vec_id""",
     "q84_vec_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
