@@ -59,21 +59,40 @@ object Bench {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+    // A key that THROWS must not masquerade as a timing: the unbounded
+    // q186 draft failed RECURSION_ROW_LIMIT_EXCEEDED at sf0.1 and its
+    // exception-to-throw time read as a plausible "6-7 s key" for a
+    // whole recording (round 13). Track failures per key, surface them
+    // on stderr and in the JSON, and keep timing the rest.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = names.map { case (name, fn) =>
       val times = (1 to rounds).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case t: Throwable =>
+          if (failed.add(name))
+            Console.err.println(
+              s"[bench] $name FAILED: ${t.getClass.getSimpleName}: " +
+                String.valueOf(t.getMessage).linesIterator.take(1).mkString)
+        }
         (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache()
+      // clearCache drops DataFrame caches but NOT localCheckpoint RDD
+      // blocks (PageRank et al.) — those free via ContextCleaner only
+      // after a driver GC notices the dropped references. Nudge it so
+      // a key's storage footprint can't leak into later keys'
+      // timings (q115 measured 2x its solo time in-suite without
+      // this, with the whole gap in storage-pool pressure).
+      System.gc()
       name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","rounds":$rounds}"""
     // The driver keeps only the last ~2000 chars of stdout; the full
     // per-query dict (~3 KB at 95 keys) never fits, so rounds 2-3
     // recorded "parsed": null. Print a COMPACT line (short q-number
@@ -86,8 +105,11 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
     }.mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last
+    val errsShort = if (failed.isEmpty) "" else
+      failed.map("\"" + _.takeWhile(_ != '_') + "\"")
+        .mkString(""","errors":[""", ",", "]")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfShort","rounds":$rounds}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfShort","rounds":$rounds$errsShort}"""
     println(compact)
     Console.flush()
     // stdout gets prefixed/noised when launched via sbt, so ALSO write

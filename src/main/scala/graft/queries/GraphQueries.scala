@@ -79,37 +79,48 @@ object GraphQueries {
   /** q186: hop-bounded graph expansion as a RECURSIVE-CTE SQL
     * surface (Spark 4.x `WITH RECURSIVE`, the T-SQL-dialect feature
     * the round-9 verdict flagged as the missing SQL face of the
-    * engine's library closures): from every doc, the docs reachable
-    * within ≤ 3 hops over the MinHash-LSH near-dup pair graph, with
-    * the minimum hop count — the "expand related documents" query a
-    * retrieval pipeline runs around a match. Candidate edges come
-    * from the same bucketed LSH machinery q123 oracle-validates;
-    * only the closure is SQL.
+    * engine's library closures): from a SEED set of docs (every
+    * 100th id — the bounded "query matches" of a serving call), the
+    * docs reachable within ≤ 3 hops over the MinHash-LSH near-dup
+    * pair graph, with the minimum hop count — the "expand related
+    * documents" query a retrieval pipeline runs around a match.
+    * Candidate edges come from the same bucketed LSH machinery q123
+    * oracle-validates; only the closure is SQL.
     *
-    * Termination & scale shape: Spark recursion is UNION ALL only
-    * (no UNION-distinct working-table dedup), so the recursion is
-    * made finite BY CONSTRUCTION — `hop` strictly increases to a cap
-    * of 3, which bounds work at Σ_v deg(v)³ walks regardless of
-    * cycles. Each recursion level plans as one equi-join shuffle on
-    * the frontier's node key (level-synchronous BFS); the final
-    * GROUP BY collapses walks to min-hop pairs. An UNBOUNDED closure
-    * over a dup graph (components) stays on the library fixpoint
-    * path (TextDedup.dupClusters, q123) — lineage-truncated
-    * min-label propagation, the shape that survives 100 TB; the
-    * recursive CTE is the right tool exactly when the expansion is
-    * hop-bounded like here. */
+    * Termination & scale shape — three deliberate bounds:
+    *  1. `hop` strictly increases to a cap of 3, so the UNION ALL
+    *     recursion (Spark has no UNION-distinct working table) is
+    *     finite regardless of cycles;
+    *  2. each level applies DISTINCT — the frontier carries
+    *     (root, node) PAIRS, not walks. Without it the recursion
+    *     enumerates Σ deg³ walks (measured 167M at sf0.1 — over the
+    *     1M cteRecursionRowLimit); with it a level is ≤ seeds×nodes;
+    *  3. the ROOT set is seed-bounded, because the 3-hop closure of
+    *     a near-dup graph from EVERY node is component-dense
+    *     (measured 21M pairs at sf0.1 even deduped) — all-roots
+    *     closures (components) stay on the library fixpoint path
+    *     (TextDedup.dupClusters, q123: lineage-truncated min-label
+    *     propagation), which is the shape that survives 100 TB.
+    * Each recursion level plans as one equi-join shuffle of the
+    * frontier on its node key + a distinct aggregate (level-
+    * synchronous BFS); the final GROUP BY collapses levels to
+    * min-hop pairs. */
   private def q186(s: SparkSession, d: String): DataFrame = {
     val sigs = graft.operators.TextDedup.minhashSignatures(
       documents(s, d), "doc_id", "text")
     val pairs = graft.operators.TextDedup.lshCandidatePairs(sigs, "doc_id")
-    pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // pin the edge table: the recursion references it once per level
+    // (anchor + 2 frontier joins) and the LSH build must not re-run
+    // per reference
+    Det.pin(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
       .createOrReplaceTempView("q186_edges")
     s.sql("""
       WITH RECURSIVE reach(root, node, hop) AS (
-        SELECT src, dst, 1 FROM q186_edges
+        SELECT DISTINCT src, dst, 1 FROM q186_edges WHERE src % 100 = 0
         UNION ALL
-        SELECT r.root, e.dst, r.hop + 1
+        SELECT DISTINCT r.root, e.dst, r.hop + 1
         FROM reach r JOIN q186_edges e ON e.src = r.node
         WHERE r.hop < 3)
       SELECT root AS doc_id, node AS related_id,
@@ -134,9 +145,9 @@ object GraphQueries {
         e AS (SELECT a_id AS src, b_id AS dst FROM pr
               UNION ALL SELECT b_id, a_id FROM pr),
         reach(root, node, hop) AS (
-          SELECT src, dst, 1 FROM e
+          SELECT DISTINCT src, dst, 1 FROM e WHERE src % 100 = 0
           UNION ALL
-          SELECT r.root, e.dst, r.hop + 1
+          SELECT DISTINCT r.root, e.dst, r.hop + 1
           FROM reach r JOIN e ON e.src = r.node
           WHERE r.hop < 3)
         SELECT root AS doc_id, node AS related_id,
