@@ -477,4 +477,93 @@ object Similarity {
       .select(col("bucket"), col("a_id"), col("b_id"),
         graft.queries.Det.r4e(nativeCosine(sigs, "a_emb", "b_emb")).as("cos_sim"))
   }
+
+  /** PRODUCT-QUANTIZATION search with ADC + exact re-rank (q188) —
+    * the memory-bound ANN serving path (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): vectors compress to
+    * `m` small codes (one per subspace), query-time distance is m
+    * table lookups instead of a dim-wide float scan, and the exact
+    * score runs only on the ADC shortlist — at 100 TB the full float
+    * corpus never leaves disk for a query; only the m-byte code
+    * table (16–64× smaller) scans.
+    *
+    *  1. CODEBOOK: `kc` hash-chosen corpus vectors per the house
+    *     deterministic-draw rule (production PQ trains k-means
+    *     codebooks OFFLINE on a sample; codebook QUALITY is a
+    *     training concern — the engine's job, codes + ADC + re-rank,
+    *     is identical and is what this operator pins). kc rows —
+    *     broadcast everywhere.
+    *  2. CODES: per subspace i, code = argmin_j ‖subvec − c_j^(i)‖²
+    *     — one map-side pass over corpus × (broadcast kc), distances
+    *     as sequential double folds rounded r6e (Det discipline),
+    *     ties to the smaller j.
+    *  3. ADC: the query's kc×m distance table (1-row cross — tiny)
+    *     joins the codes on (i, j); per-vector approx distance =
+    *     Σ_i table[i, code_i]; `shortlist` smallest short-circuit
+    *     through TakeOrderedAndProject on (r6e distance, id).
+    *  4. RE-RANK: exact cosine on the shortlist only → top `k`.
+    *
+    * Returns (rank, idCol, adc, cos_sim). Every float that feeds a
+    * decision (argmin, shortlist order, final order) is rounded
+    * first with id/index tie-breaks — the class-E determinism
+    * discipline, which is what lets a DuckDB oracle replay all four
+    * stages. */
+  def pqTopK(corpus: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, kc: Int, shortlist: Int, k: Int,
+      salt: String = "pq"): DataFrame = {
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
+    require(shortlist >= k, s"pqTopK: shortlist $shortlist < k $k")
+    val sub = dim / m
+    import org.apache.spark.sql.expressions.Window
+    val Det = graft.queries.Det
+    // subspace-i squared L2 between two vector columns: sequential
+    // double fold over the sliced range (identical op sequence on
+    // both engines, the q162 discipline)
+    def dist2(a: String, b: String, i: Int): Column = expr(
+      s"""aggregate(zip_with(slice(`$a`, ${i * sub + 1}, $sub),
+                             slice(`$b`, ${i * sub + 1}, $sub),
+            (x, y) -> (cast(x as double) - cast(y as double)) *
+                      (cast(x as double) - cast(y as double))),
+          cast(0 as double), (acc, v) -> acc + v)""")
+    val drawn = corpus.select(col(idCol).as("__cbid"), col(vecCol).as("cv"),
+      expr(s"""cast(conv(substring(md5(concat('$salt:',
+             cast(`$idCol` as string))), 1, 15), 16, 10) as bigint)""")
+        .as("__h"))
+      .orderBy(col("__h"), col("__cbid")).limit(kc)
+    val cb = drawn.select(
+      (row_number().over(Window.orderBy(col("__h"), col("__cbid"))) - 1)
+        .as("j"), col("cv"))
+    // codes: one map-side pass, m rows per (vector, centroid) via a
+    // generated struct array, then the bounded (id, i) argmin
+    val stacked = corpus.crossJoin(broadcast(cb))
+      .select(col(idCol), col("j"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("i"), Det.r6e(dist2(vecCol, "cv", i)).as("d2"))): _*))
+        .as("s"))
+      .select(col(idCol), col("s.i").as("i"), col("j"), col("s.d2").as("d2"))
+    val codes = stacked.groupBy(idCol, "i")
+      .agg(min(struct(col("d2"), col("j"))).as("mn"))
+      .select(col(idCol), col("i"), col("mn.j").as("code"))
+    // the query's ADC lookup table: kc × m rows, broadcast
+    val qtable = query.select(col("qv")).crossJoin(broadcast(cb))
+      .select(col("j"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("i"), Det.r6e(dist2("qv", "cv", i)).as("qd2"))): _*))
+        .as("s"))
+      .select(col("s.i").as("i"), col("j"), col("s.qd2").as("qd2"))
+    val short = codes
+      .join(broadcast(qtable), codes("i") === qtable("i") &&
+        codes("code") === qtable("j"))
+      .groupBy(idCol).agg(Det.r6e(sum("qd2")).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(shortlist)
+    // exact re-rank over the shortlist only
+    graft.functions.CosineSim.register(corpus.sparkSession)
+    short.join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .crossJoin(broadcast(query.select(col("qv"))))
+      .select(col(idCol), col("adc"),
+        Det.r4e(expr(s"cosine_sim(`$vecCol`, `qv`)")).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col(idCol).asc)).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col(idCol), col("adc"), col("cos_sim"))
+  }
 }

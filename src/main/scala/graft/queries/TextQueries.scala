@@ -281,6 +281,29 @@ object TextQueries {
         TextDedup.hashDraw("doc_id").as("ub"))
       .transform(Det.emitWide(_, "doc_id"))
 
+  /** q187: per-source COVERAGE CAP (round 13) — "keep at most K docs
+    * per source", the domain-cap rule a crawl-curation pipeline runs
+    * so one hot domain cannot dominate the mixture (C4/RefinedWeb
+    * keep per-domain quotas for exactly this). Selection is the
+    * deterministic content-keyed hash draw (q106's machinery —
+    * identical on any engine, any retry, any partitioning), ranked
+    * WITHIN the source, K = 5. Scale shape: the rank ≤ K filter
+    * plans through WindowGroupLimit — each map task pre-trims to its
+    * local top-K per source BEFORE the source-keyed exchange, so a
+    * hot domain with 10^9 docs ships K·partitions rows, not 10^9
+    * (plan-gated); one shuffle total. */
+  private def q187(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("cast(conv(substring(md5(concat('cap:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+          .as("__h"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("__h"), col("doc_id"))).cast("int"))
+      .where(col("rk") <= 5)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .transform(Det.emitWide(_, "doc_id"))
+
   /** q107: benchmark-contamination screen — the n-gram-overlap check a
     * training pipeline runs against an eval set BEFORE training: for
     * each candidate doc, the fraction of its distinct word-trigrams
@@ -543,6 +566,7 @@ object TextQueries {
     "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96,
     "q99_repetition" -> q99, "q103_simhash_neardup" -> q103,
     "q104_seq_pack" -> q104, "q106_hash_sample" -> q106,
+    "q187_source_cap" -> q187,
     "q107_contamination" -> q107, "q108_chunk_dedup" -> q108,
     "q109_unigram_logprob" -> q109, "q168_chunk_overlap" -> q168,
     "q178_cross_corpus_dedup" -> q178, "q183_bigram_logprob" -> q183,
@@ -709,6 +733,14 @@ object TextQueries {
                              AS BIGINT) % 10000 AS ub
                  FROM documents))
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q187_source_cap" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT), doc_id) AS INT) AS rk
+           FROM documents)
+         WHERE rk <= 5 ORDER BY doc_id""",
     "q106_hash_sample" ->
       """SELECT doc_id, lang, ub FROM (
            SELECT doc_id, lang,

@@ -42,6 +42,25 @@ object VectorQueries {
       em.where(col("vec_id") =!= 0), q, "vec_id", "embedding", k = 10)
   }
 
+  /** q188: product-quantization ANN with ADC + exact re-rank (round
+    * 13 — Similarity.pqTopK: Jégou et al.'s memory-bound serving
+    * path): 64-dim vectors compress to m=4 subspace codes against a
+    * 16-entry hash-chosen codebook; the query's 4×16 distance table
+    * broadcasts, the ADC shortlist (20) short-circuits on the summed
+    * lookups, and exact cosine runs on the shortlist only — the full
+    * float corpus never scans at query time, only the code table.
+    * Every decision float is rounded first (argmin r6e + j
+    * tie-break, shortlist r6e + id, re-rank r4e + id), which is what
+    * lets the oracle replay all four stages. */
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    val em = spread(s, embeddings(s, d))
+    val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    graft.operators.Similarity.pqTopK(
+        em.where(col("vec_id") =!= 0), q, "vec_id", "embedding",
+        dim = 64, m = 4, kc = 16, shortlist = 20, k = 10)
+      .orderBy("rank")
+  }
+
   /** q85: per-label mean vector — positional explode, then a hash
     * aggregate on (label,pos): bounded state (labels × dim). */
   private def q85(s: SparkSession, d: String): DataFrame =
@@ -247,6 +266,7 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_vec_norm" -> q83, "q84_vec_cosine_topk" -> q84,
+    "q188_pq_topk" -> q188,
     "q85_vec_centroid" -> q85, "q90_embed_neardup" -> q90,
     "q95_ann_ivf" -> q95, "q100_knn_join" -> q100,
     "q113_rp_lsh_pairs" -> q113, "q114_vec_quantize" -> q114,
@@ -458,6 +478,56 @@ object VectorQueries {
                 round(sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) + 0.0000000123, 6) AS l2
          FROM embeddings ORDER BY vec_id""",
+    "q188_pq_topk" ->
+      """WITH cb0 AS (SELECT vec_id AS cbid, embedding AS cv,
+                 CAST('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS h
+               FROM embeddings WHERE vec_id <> 0
+               ORDER BY h, cbid LIMIT 16),
+         cb AS (SELECT CAST(row_number() OVER (ORDER BY h, cbid) AS INT) - 1 AS j,
+                       cv FROM cb0),
+         base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         d AS (SELECT b.vec_id, s.i, cb.j,
+                 round(list_sum(list_transform(range(16), t ->
+                   (CAST(b.embedding[s.i*16 + t + 1] AS DOUBLE) -
+                    CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE)) *
+                   (CAST(b.embedding[s.i*16 + t + 1] AS DOUBLE) -
+                    CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE))))
+                   + 0.0000000123, 6) AS d2
+               FROM base b CROSS JOIN cb
+               CROSS JOIN (VALUES (0),(1),(2),(3)) s(i)),
+         codes AS (SELECT vec_id, i, j AS code FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY vec_id, i ORDER BY d2, j) AS rn FROM d)
+                   WHERE rn = 1),
+         qt AS (SELECT s.i, cb.j,
+                  round(list_sum(list_transform(range(16), t ->
+                    (CAST(q.qv[s.i*16 + t + 1] AS DOUBLE) -
+                     CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE)) *
+                    (CAST(q.qv[s.i*16 + t + 1] AS DOUBLE) -
+                     CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE))))
+                    + 0.0000000123, 6) AS qd2
+                FROM q CROSS JOIN cb
+                CROSS JOIN (VALUES (0),(1),(2),(3)) s(i)),
+         sl AS (SELECT c.vec_id, round(sum(qt.qd2) + 0.0000000123, 6) AS adc
+                FROM codes c JOIN qt ON qt.i = c.i AND qt.j = c.code
+                GROUP BY c.vec_id ORDER BY adc ASC, vec_id ASC LIMIT 20),
+         p AS (SELECT b.vec_id, sl.adc,
+                      unnest(list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                      unnest(list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS y
+               FROM base b JOIN sl USING (vec_id) CROSS JOIN q),
+         mtr AS (SELECT vec_id, adc, sum(x*y) AS dot,
+                        sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+                 FROM p GROUP BY vec_id, adc),
+         r AS (SELECT vec_id, adc,
+                      round(dot/(nx*ny) + 0.00000123, 4) AS cos_sim FROM mtr)
+         SELECT rank, vec_id, adc, cos_sim FROM (
+           SELECT CAST(row_number() OVER (
+                    ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank,
+                  vec_id, adc, cos_sim
+           FROM r)
+         WHERE rank <= 10 ORDER BY rank""",
     "q84_vec_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          p AS (SELECT e.vec_id,

@@ -216,6 +216,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q187/q188: source cap pre-trims map-side; PQ broadcasts codebook and short-circuits both top-Ks") {
+    // q187: the rank<=5 filter must plan as Partial + Final
+    // WindowGroupLimit — each map task pre-trims to its local top-5
+    // per source BEFORE the source exchange, so a hot domain ships
+    // 5·partitions rows, not its full population.
+    val p187 = plan("q187_source_cap")
+    assert(p187.contains("WindowGroupLimit") &&
+      p187.linesIterator.exists(l => l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"q187 lost the map-side WindowGroupLimit pre-trim:\n$p187")
+    // q188: the kc-row codebook and the kc×m query table broadcast
+    // (never shuffle the corpus against them), and BOTH bounded
+    // orders — the ADC shortlist and the final re-rank — plan as
+    // TakeOrderedAndProject, never a global sort.
+    val p188 = plan("q188_pq_topk")
+    assert(p188.contains("BroadcastExchange"),
+      s"q188 codebook/query table must broadcast:\n$p188")
+    assert(p188.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2,
+      s"q188 shortlist + re-rank must both short-circuit:\n$p188")
+  }
+
   test("q105-q108: curation-operator scale shapes") {
     // q105: both windows (lag + running sum) key on user_id with the
     // same ordering — ONE hash exchange total, reused by both.
