@@ -61,6 +61,38 @@ object VectorQueries {
       .orderBy("rank")
   }
 
+  /** q189: PQ RECALL CALIBRATION (round 13) — the q143 discipline
+    * ("measure the approximation, don't guess") applied to q188:
+    * recall@10 of the PQ-ADC pipeline against the exact cosine
+    * top-10, plus the SHORTLIST recall (did the 20-row ADC shortlist
+    * even contain the true neighbours — the number that bounds what
+    * any re-rank can recover). Both sides are exactly computable, so
+    * the key is oracle-checked, and the emitted fractions are exact
+    * integer divisions (class C — no float hazard). Everything after
+    * the two top-k stages is 10/20-row frames — broadcast-trivial. */
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    val em = spread(s, embeddings(s, d))
+    val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val corpus = em.where(col("vec_id") =!= 0)
+    val exact = graft.operators.Similarity.cosineTopK(
+      corpus, q, "vec_id", "embedding", k = 10).select("vec_id")
+    // k = shortlist: the re-ranked output IS the ADC shortlist set,
+    // and rank <= 10 recovers q188's final answer — one PQ pass
+    // serves both measurements
+    val sl = graft.operators.Similarity.pqTopK(
+      corpus, q, "vec_id", "embedding",
+      dim = 64, m = 4, kc = 16, shortlist = 20, k = 20)
+    val h10 = sl.where(col("rank") <= 10)
+      .join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits10"))
+    val hsl = sl.join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits_sl"))
+    h10.crossJoin(broadcast(hsl))
+      .select(col("hits10"), col("hits_sl"),
+        (col("hits10") / lit(10.0)).as("recall_at10"),
+        (col("hits_sl") / lit(10.0)).as("shortlist_recall"))
+  }
+
   /** q85: per-label mean vector — positional explode, then a hash
     * aggregate on (label,pos): bounded state (labels × dim). */
   private def q85(s: SparkSession, d: String): DataFrame =
@@ -266,7 +298,7 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_vec_norm" -> q83, "q84_vec_cosine_topk" -> q84,
-    "q188_pq_topk" -> q188,
+    "q188_pq_topk" -> q188, "q189_pq_recall" -> q189,
     "q85_vec_centroid" -> q85, "q90_embed_neardup" -> q90,
     "q95_ann_ivf" -> q95, "q100_knn_join" -> q100,
     "q113_rp_lsh_pairs" -> q113, "q114_vec_quantize" -> q114,
@@ -335,6 +367,51 @@ object VectorQueries {
         UNION ALL $finals
         ORDER BY qid, rank"""
   }
+
+  private val PQ_CTES =
+    """cb0 AS (SELECT vec_id AS cbid, embedding AS cv,
+                 CAST('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS h
+               FROM embeddings WHERE vec_id <> 0
+               ORDER BY h, cbid LIMIT 16),
+         cb AS (SELECT CAST(row_number() OVER (ORDER BY h, cbid) AS INT) - 1 AS j,
+                       cv FROM cb0),
+         base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         d AS (SELECT b.vec_id, s.i, cb.j,
+                 round(list_sum(list_transform(range(16), t ->
+                   (CAST(b.embedding[s.i*16 + t + 1] AS DOUBLE) -
+                    CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE)) *
+                   (CAST(b.embedding[s.i*16 + t + 1] AS DOUBLE) -
+                    CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE))))
+                   + 0.0000000123, 6) AS d2
+               FROM base b CROSS JOIN cb
+               CROSS JOIN (VALUES (0),(1),(2),(3)) s(i)),
+         codes AS (SELECT vec_id, i, j AS code FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY vec_id, i ORDER BY d2, j) AS rn FROM d)
+                   WHERE rn = 1),
+         qt AS (SELECT s.i, cb.j,
+                  round(list_sum(list_transform(range(16), t ->
+                    (CAST(q.qv[s.i*16 + t + 1] AS DOUBLE) -
+                     CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE)) *
+                    (CAST(q.qv[s.i*16 + t + 1] AS DOUBLE) -
+                     CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE))))
+                    + 0.0000000123, 6) AS qd2
+                FROM q CROSS JOIN cb
+                CROSS JOIN (VALUES (0),(1),(2),(3)) s(i)),
+         sl AS (SELECT c.vec_id, round(sum(qt.qd2) + 0.0000000123, 6) AS adc
+                FROM codes c JOIN qt ON qt.i = c.i AND qt.j = c.code
+                GROUP BY c.vec_id ORDER BY adc ASC, vec_id ASC LIMIT 20),
+         p AS (SELECT b.vec_id, sl.adc,
+                      unnest(list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                      unnest(list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS y
+               FROM base b JOIN sl USING (vec_id) CROSS JOIN q),
+         mtr AS (SELECT vec_id, adc, sum(x*y) AS dot,
+                        sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+                 FROM p GROUP BY vec_id, adc),
+         r AS (SELECT vec_id, adc,
+                      round(dot/(nx*ny) + 0.00000123, 4) AS cos_sim FROM mtr)"""
 
   val oracles: Map[String, String] = Map(
     "q162_mmr_rerank" -> mmrOracle,
@@ -479,55 +556,38 @@ object VectorQueries {
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) + 0.0000000123, 6) AS l2
          FROM embeddings ORDER BY vec_id""",
     "q188_pq_topk" ->
-      """WITH cb0 AS (SELECT vec_id AS cbid, embedding AS cv,
-                 CAST('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15)
-                      AS BIGINT) AS h
-               FROM embeddings WHERE vec_id <> 0
-               ORDER BY h, cbid LIMIT 16),
-         cb AS (SELECT CAST(row_number() OVER (ORDER BY h, cbid) AS INT) - 1 AS j,
-                       cv FROM cb0),
-         base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
-         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         d AS (SELECT b.vec_id, s.i, cb.j,
-                 round(list_sum(list_transform(range(16), t ->
-                   (CAST(b.embedding[s.i*16 + t + 1] AS DOUBLE) -
-                    CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE)) *
-                   (CAST(b.embedding[s.i*16 + t + 1] AS DOUBLE) -
-                    CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE))))
-                   + 0.0000000123, 6) AS d2
-               FROM base b CROSS JOIN cb
-               CROSS JOIN (VALUES (0),(1),(2),(3)) s(i)),
-         codes AS (SELECT vec_id, i, j AS code FROM (
-                     SELECT *, row_number() OVER (
-                       PARTITION BY vec_id, i ORDER BY d2, j) AS rn FROM d)
-                   WHERE rn = 1),
-         qt AS (SELECT s.i, cb.j,
-                  round(list_sum(list_transform(range(16), t ->
-                    (CAST(q.qv[s.i*16 + t + 1] AS DOUBLE) -
-                     CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE)) *
-                    (CAST(q.qv[s.i*16 + t + 1] AS DOUBLE) -
-                     CAST(cb.cv[s.i*16 + t + 1] AS DOUBLE))))
-                    + 0.0000000123, 6) AS qd2
-                FROM q CROSS JOIN cb
-                CROSS JOIN (VALUES (0),(1),(2),(3)) s(i)),
-         sl AS (SELECT c.vec_id, round(sum(qt.qd2) + 0.0000000123, 6) AS adc
-                FROM codes c JOIN qt ON qt.i = c.i AND qt.j = c.code
-                GROUP BY c.vec_id ORDER BY adc ASC, vec_id ASC LIMIT 20),
-         p AS (SELECT b.vec_id, sl.adc,
-                      unnest(list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS x,
-                      unnest(list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS y
-               FROM base b JOIN sl USING (vec_id) CROSS JOIN q),
-         mtr AS (SELECT vec_id, adc, sum(x*y) AS dot,
-                        sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
-                 FROM p GROUP BY vec_id, adc),
-         r AS (SELECT vec_id, adc,
-                      round(dot/(nx*ny) + 0.00000123, 4) AS cos_sim FROM mtr)
+      s"""WITH $PQ_CTES
          SELECT rank, vec_id, adc, cos_sim FROM (
            SELECT CAST(row_number() OVER (
                     ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank,
                   vec_id, adc, cos_sim
            FROM r)
          WHERE rank <= 10 ORDER BY rank""",
+    // q189's oracle shares the full PQ chain and intersects with the
+    // exact top-10 (q84's formulation: r4e-rounded cosine, id
+    // tie-break — the same rule cosineTopK applies)
+    "q189_pq_recall" ->
+      s"""WITH $PQ_CTES,
+         rr AS (SELECT vec_id, row_number() OVER (
+                  ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM r),
+         pex AS (SELECT e.vec_id,
+                        unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                        unnest(list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS y
+                 FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         mex AS (SELECT vec_id, sum(x*y) AS dot,
+                        sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+                 FROM pex GROUP BY vec_id),
+         ex AS (SELECT vec_id FROM mex
+                ORDER BY round(dot/(na*nb) + 0.00000123, 4) DESC, vec_id ASC
+                LIMIT 10),
+         h10 AS (SELECT CAST(count(1) AS BIGINT) AS c
+                 FROM rr JOIN ex USING (vec_id) WHERE rank <= 10),
+         hsl AS (SELECT CAST(count(1) AS BIGINT) AS c
+                 FROM (SELECT vec_id FROM sl) s JOIN ex USING (vec_id))
+         SELECT h10.c AS hits10, hsl.c AS hits_sl,
+                CAST(h10.c AS DOUBLE) / 10 AS recall_at10,
+                CAST(hsl.c AS DOUBLE) / 10 AS shortlist_recall
+         FROM h10, hsl""",
     "q84_vec_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          p AS (SELECT e.vec_id,
