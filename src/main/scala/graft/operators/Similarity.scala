@@ -508,39 +508,119 @@ object Similarity {
     * first with id/index tie-breaks — the class-E determinism
     * discipline, which is what lets a DuckDB oracle replay all four
     * stages. */
-  def pqTopK(corpus: DataFrame, query: DataFrame, idCol: String,
-      vecCol: String, dim: Int, m: Int, kc: Int, shortlist: Int, k: Int,
-      salt: String = "pq"): DataFrame = {
-    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
-    require(shortlist >= k, s"pqTopK: shortlist $shortlist < k $k")
+  /** Subspace-i squared L2 between two vector columns: sequential
+    * double fold over the sliced range (identical op sequence on
+    * both engines, the q162 discipline). */
+  private def pqDist2(a: String, b: String, i: Int, sub: Int): Column = expr(
+    s"""aggregate(zip_with(slice(`$a`, ${i * sub + 1}, $sub),
+                           slice(`$b`, ${i * sub + 1}, $sub),
+          (x, y) -> (cast(x as double) - cast(y as double)) *
+                    (cast(x as double) - cast(y as double))),
+        cast(0 as double), (acc, v) -> acc + v)""")
+
+  /** Per-(vector, subspace) distances to every codebook entry:
+    * (idCol, i, j, d2) — one map-side pass over corpus × broadcast
+    * codebook, d2 rounded r6e so the downstream argmin is
+    * cross-engine deterministic with the j tie-break. */
+  private def pqStack(corpus: DataFrame, cb: DataFrame, idCol: String,
+      vecCol: String, m: Int, sub: Int): DataFrame = {
+    val Det = graft.queries.Det
+    corpus.crossJoin(broadcast(cb))
+      .select(col(idCol), col("j"), explode(array((0 until m).map(i =>
+        struct(lit(i).as("i"), Det.r6e(pqDist2(vecCol, "cv", i, sub)).as("d2"))): _*))
+        .as("s"))
+      .select(col(idCol), col("s.i").as("i"), col("j"), col("s.d2").as("d2"))
+  }
+
+  /** The PQ codebook: `kc` hash-drawn corpus vectors (the house
+    * deterministic-draw rule), optionally refined by `iters` Lloyd
+    * k-means steps per subspace — assign every subvector to its
+    * nearest centroid (rounded distance + j tie-break, the same
+    * argmin rule the coding stage uses), re-center each (subspace,
+    * centroid) cell as the positional mean, rebuild the packed
+    * vectors; a cell no subvector chose keeps its previous value
+    * (the standard empty-cell rule). All refinement state is
+    * bounded: assignments reduce to an (id, i) argmin, re-centering
+    * is an m × kc × sub hash aggregate. Returns (j, cv).
+    *
+    * NOTE (measured, q189's whole point): a Lloyd step provably
+    * does not increase the QUANTIZATION error (`pqQuantError`, spec-
+    * pinned) but recall@shortlist on a given query may still move
+    * either way — MSE and recall are different objectives; calibrate
+    * with q189 before turning this knob in production. */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kc: Int, salt: String = "pq",
+      iters: Int = 0): DataFrame = {
+    require(dim % m == 0, s"pqCodebook: dim $dim not divisible by m $m")
     val sub = dim / m
     import org.apache.spark.sql.expressions.Window
     val Det = graft.queries.Det
-    // subspace-i squared L2 between two vector columns: sequential
-    // double fold over the sliced range (identical op sequence on
-    // both engines, the q162 discipline)
-    def dist2(a: String, b: String, i: Int): Column = expr(
-      s"""aggregate(zip_with(slice(`$a`, ${i * sub + 1}, $sub),
-                             slice(`$b`, ${i * sub + 1}, $sub),
-            (x, y) -> (cast(x as double) - cast(y as double)) *
-                      (cast(x as double) - cast(y as double))),
-          cast(0 as double), (acc, v) -> acc + v)""")
     val drawn = corpus.select(col(idCol).as("__cbid"), col(vecCol).as("cv"),
       expr(s"""cast(conv(substring(md5(concat('$salt:',
              cast(`$idCol` as string))), 1, 15), 16, 10) as bigint)""")
         .as("__h"))
       .orderBy(col("__h"), col("__cbid")).limit(kc)
-    val cb = drawn.select(
+    var cb = drawn.select(
       (row_number().over(Window.orderBy(col("__h"), col("__cbid"))) - 1)
         .as("j"), col("cv"))
-    // codes: one map-side pass, m rows per (vector, centroid) via a
-    // generated struct array, then the bounded (id, i) argmin
-    val stacked = corpus.crossJoin(broadcast(cb))
-      .select(col(idCol), col("j"), explode(array((0 until m).map(i =>
-        struct(lit(i).as("i"), Det.r6e(dist2(vecCol, "cv", i)).as("d2"))): _*))
-        .as("s"))
-      .select(col(idCol), col("s.i").as("i"), col("j"), col("s.d2").as("d2"))
-    val codes = stacked.groupBy(idCol, "i")
+    for (_ <- 1 to iters) {
+      val asg = corpus.crossJoin(broadcast(cb))
+        .select(col(idCol), col("j"), col(vecCol).as("__v"),
+          explode(array((0 until m).map(i =>
+            struct(lit(i).as("i"), Det.r6e(pqDist2(vecCol, "cv", i, sub)).as("d2"))): _*))
+            .as("s"))
+        .select(col(idCol), col("s.i").as("i"), col("j"), col("s.d2").as("d2"),
+          col("__v"))
+        .groupBy(idCol, "i")
+        .agg(min(struct(col("d2"), col("j"))).as("mn"), first(col("__v")).as("__v"))
+        .select(col("i"), col("mn.j").as("j"),
+          expr(s"slice(__v, i * $sub + 1, $sub)").as("sv"))
+      val means = asg
+        .select(col("i"), col("j"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("i", "j", "pos")
+        .agg(Det.r6e(avg(col("x").cast("double"))).as("c"))
+      val refreshed = cb
+        .select(col("j"), posexplode(col("cv")).as(Seq("__p", "__old")))
+        .select(col("j"), col("__p"),
+          (col("__p") / sub).cast("int").as("i"), (col("__p") % sub).as("pos"),
+          col("__old").cast("double").as("old"))
+        .join(means, Seq("i", "j", "pos"), "left")
+        .groupBy("j")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(__p, coalesce(c, old) as x))), s -> cast(s.x as float))")
+          .as("cv"))
+      cb = Det.pin(refreshed)
+    }
+    cb
+  }
+
+  /** The k-means objective the codebook refinement optimizes: mean
+    * over (vector, subspace) of the squared distance to the NEAREST
+    * codebook entry. A Lloyd step does not increase it (up to the
+    * r6e rounding grid and float-mean noise — the spec allows 1e-6);
+    * recall is a different objective (see pqCodebook note). */
+  def pqQuantError(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kc: Int, salt: String = "pq",
+      iters: Int = 0): Double = {
+    val cb = pqCodebook(corpus, idCol, vecCol, dim, m, kc, salt, iters)
+    pqStack(corpus, cb, idCol, vecCol, m, dim / m)
+      .groupBy(col(idCol), col("i")).agg(min("d2").as("mind"))
+      .agg(avg("mind")).head().getDouble(0)
+  }
+
+  def pqTopK(corpus: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, kc: Int, shortlist: Int, k: Int,
+      salt: String = "pq", iters: Int = 0): DataFrame = {
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
+    require(shortlist >= k, s"pqTopK: shortlist $shortlist < k $k")
+    val sub = dim / m
+    import org.apache.spark.sql.expressions.Window
+    val Det = graft.queries.Det
+    def dist2(a: String, b: String, i: Int): Column = pqDist2(a, b, i, sub)
+    val cb = pqCodebook(corpus, idCol, vecCol, dim, m, kc, salt, iters)
+    // codes: one map-side pass, then the bounded (id, i) argmin
+    val codes = pqStack(corpus, cb, idCol, vecCol, m, sub)
+      .groupBy(idCol, "i")
       .agg(min(struct(col("d2"), col("j"))).as("mn"))
       .select(col(idCol), col("i"), col("mn.j").as("code"))
     // the query's ADC lookup table: kc × m rows, broadcast

@@ -590,6 +590,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(byAdc.head._1 >= 0.0, s"negative ADC distance: ${byAdc.head}")
   }
 
+  test("pq codebook: Lloyd refinement does not increase the quantization objective") {
+    // the property a Lloyd step actually guarantees — mean squared
+    // distance to the nearest codebook entry is non-increasing (up to
+    // the r6e grid + float-mean noise). Recall is a DIFFERENT
+    // objective and measurably moves either way on a single query
+    // (sf0.01: shortlist hits 4 → 3 after one step) — which is
+    // exactly why q189's calibration key exists.
+    import graft.operators.Similarity
+    val corpus = Tables.embeddings(spark, sf).where(col("vec_id") =!= 0)
+    val e0 = Similarity.pqQuantError(corpus, "vec_id", "embedding",
+      dim = 64, m = 4, kc = 16, iters = 0)
+    val e1 = Similarity.pqQuantError(corpus, "vec_id", "embedding",
+      dim = 64, m = 4, kc = 16, iters = 1)
+    val e2 = Similarity.pqQuantError(corpus, "vec_id", "embedding",
+      dim = 64, m = 4, kc = 16, iters = 2)
+    assert(e1 <= e0 + 1e-6, s"Lloyd step 1 raised the objective: $e0 -> $e1")
+    assert(e2 <= e1 + 1e-6, s"Lloyd step 2 raised the objective: $e1 -> $e2")
+    assert(e1 < e0, s"refinement did nothing on the fixture: $e0 -> $e1")
+  }
+
   test("ivfSearchIndexed on a prebuilt index equals ivfSearchBatch") {
     import graft.operators.Similarity
     val em = Tables.embeddings(spark, sf)
