@@ -608,27 +608,24 @@ object Similarity {
       .agg(avg("mind")).head().getDouble(0)
   }
 
-  def pqTopK(corpus: DataFrame, query: DataFrame, idCol: String,
-      vecCol: String, dim: Int, m: Int, kc: Int, shortlist: Int, k: Int,
-      salt: String = "pq", iters: Int = 0): DataFrame = {
-    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
-    require(shortlist >= k, s"pqTopK: shortlist $shortlist < k $k")
-    val sub = dim / m
-    import org.apache.spark.sql.expressions.Window
+  /** The query's ADC lookup table: kc × m rows (i, j, qd2), r6e
+    * distances — broadcast into the code join. */
+  private def pqQueryTable(query: DataFrame, cb: DataFrame,
+      m: Int, sub: Int): DataFrame = {
     val Det = graft.queries.Det
-    def dist2(a: String, b: String, i: Int): Column = pqDist2(a, b, i, sub)
-    val cb = pqCodebook(corpus, idCol, vecCol, dim, m, kc, salt, iters)
-    // codes: one map-side pass, then the bounded (id, i) argmin
-    val codes = pqStack(corpus, cb, idCol, vecCol, m, sub)
-      .groupBy(idCol, "i")
-      .agg(min(struct(col("d2"), col("j"))).as("mn"))
-      .select(col(idCol), col("i"), col("mn.j").as("code"))
-    // the query's ADC lookup table: kc × m rows, broadcast
-    val qtable = query.select(col("qv")).crossJoin(broadcast(cb))
+    query.select(col("qv")).crossJoin(broadcast(cb))
       .select(col("j"), explode(array((0 until m).map(i =>
-        struct(lit(i).as("i"), Det.r6e(dist2("qv", "cv", i)).as("qd2"))): _*))
+        struct(lit(i).as("i"), Det.r6e(pqDist2("qv", "cv", i, sub)).as("qd2"))): _*))
         .as("s"))
       .select(col("s.i").as("i"), col("j"), col("s.qd2").as("qd2"))
+  }
+
+  /** ADC shortlist + exact re-rank, given per-(id, i) codes. */
+  private def pqServe(codes: DataFrame, qtable: DataFrame,
+      corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+      shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Det = graft.queries.Det
     val short = codes
       .join(broadcast(qtable), codes("i") === qtable("i") &&
         codes("code") === qtable("j"))
@@ -645,5 +642,77 @@ object Similarity {
         Window.orderBy(col("cos_sim").desc, col(idCol).asc)).cast("int"))
       .where(col("rank") <= k)
       .select(col("rank"), col(idCol), col("adc"), col("cos_sim"))
+  }
+
+  def pqTopK(corpus: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, kc: Int, shortlist: Int, k: Int,
+      salt: String = "pq", iters: Int = 0): DataFrame = {
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
+    require(shortlist >= k, s"pqTopK: shortlist $shortlist < k $k")
+    val sub = dim / m
+    val cb = pqCodebook(corpus, idCol, vecCol, dim, m, kc, salt, iters)
+    // codes: one map-side pass, then the bounded (id, i) argmin
+    val codes = pqStack(corpus, cb, idCol, vecCol, m, sub)
+      .groupBy(idCol, "i")
+      .agg(min(struct(col("d2"), col("j"))).as("mn"))
+      .select(col(idCol), col("i"), col("mn.j").as("code"))
+    pqServe(codes, pqQueryTable(query, cb, m, sub), corpus, query,
+      idCol, vecCol, shortlist, k)
+  }
+
+  /** PERSISTED PQ index — the serving artifact (writeIvfIndex's PQ
+    * sibling): the encode pass over the float corpus runs ONCE and
+    * lands `path/codebook` (kc packed vectors — KBs) plus
+    * `path/codes` (one array<int> of length m per vector — the
+    * m-byte-per-vector table that is the entire point of PQ: at
+    * 100 TB of floats the codes are 16–64× smaller, and a query
+    * scans ONLY them). `_pq_meta` records (dim, m, kc) the way the
+    * CMS store records its shape: probing a PQ store with a
+    * different geometry would silently join zero cells, so
+    * `pqSearchIndexed` reads the geometry from the store and fails
+    * fast if the codebook on disk disagrees. */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, kc: Int, path: String,
+      salt: String = "pq", iters: Int = 0): Unit = {
+    val cb = pqCodebook(corpus, idCol, vecCol, dim, m, kc, salt, iters)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    pqStack(corpus, cb, idCol, vecCol, m, dim / m)
+      .groupBy(idCol, "i")
+      .agg(min(struct(col("d2"), col("j"))).as("mn"))
+      .select(col(idCol), col("i"), col("mn.j").as("c"))
+      .groupBy(idCol)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(i, c))), s -> cast(s.c as int))")
+        .as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val p = new org.apache.hadoop.fs.Path(path, "_pq_meta")
+    val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$dim $m $kc".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Query a persisted PQ index: the ADC shortlist comes from the
+    * STORED codes (the float corpus is touched only to fetch the
+    * `shortlist` re-rank vectors). Geometry comes from `_pq_meta`;
+    * results are identical to the in-memory `pqTopK` at the same
+    * build parameters (spec-pinned). */
+  def pqSearchIndexed(corpus: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, path: String, shortlist: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val metaP = new org.apache.hadoop.fs.Path(path, "_pq_meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaP), s"pqSearchIndexed: no _pq_meta at $path")
+    val in = fs.open(metaP)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Array(dim, m, kc) = meta.trim.split("\\s+").map(_.toInt)
+    val cb = spark.read.parquet(s"$path/codebook")
+    val nCb = cb.count()
+    require(nCb == kc,
+      s"pqSearchIndexed: codebook at $path has $nCb entries, _pq_meta says $kc")
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col(idCol), posexplode(col("codes")).as(Seq("i", "code")))
+    pqServe(codes, pqQueryTable(query, cb, m, dim / m), corpus, query,
+      idCol, vecCol, shortlist, k)
   }
 }

@@ -610,6 +610,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(e1 < e0, s"refinement did nothing on the fixture: $e0 -> $e1")
   }
 
+  test("pq index: persisted codes serve identically to the in-memory path; meta guards the store") {
+    import graft.operators.Similarity
+    val em = Tables.embeddings(spark, sf)
+    val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val corpus = em.where(col("vec_id") =!= 0)
+    val path = TestSpark.tmpDir("pq-idx") + "/idx"
+    Similarity.writePqIndex(corpus, "vec_id", "embedding",
+      dim = 64, m = 4, kc = 16, path = path)
+    val direct = Similarity.pqTopK(corpus, q, "vec_id", "embedding",
+        dim = 64, m = 4, kc = 16, shortlist = 20, k = 10).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adc"), r.getAs[Double]("cos_sim"))).toSeq
+    val served = Similarity.pqSearchIndexed(corpus, q, "vec_id", "embedding",
+        path, shortlist = 20, k = 10).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adc"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(served == direct, s"served=$served direct=$direct")
+    // the stored artifact really is the m-codes-per-vector table
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == corpus.count())
+    assert(codes.select(expr("max(size(codes))")).head().getInt(0) == 4)
+    // geometry guard: a store without its meta must refuse to serve
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_pq_meta"), false)
+    intercept[IllegalArgumentException] {
+      Similarity.pqSearchIndexed(corpus, q, "vec_id", "embedding",
+        path, shortlist = 20, k = 10)
+    }
+  }
+
   test("ivfSearchIndexed on a prebuilt index equals ivfSearchBatch") {
     import graft.operators.Similarity
     val em = Tables.embeddings(spark, sf)
