@@ -663,33 +663,13 @@ object MiningQueries {
   private[graft] val BPE_MERGES = Seq(("t", "h"), ("th", "e"), ("i", "n"),
     ("a", "n"), ("e", "r"), ("o", "n"), ("an", "d"), ("in", "g"))
 
-  /** Build the nested rank-order merge expression over a symbol-array
-    * expression (see q179's lemma; AlgebraProps pins it ≡ the
-    * reference min-rank-first loop). Each pass is the RELATIONAL
-    * match-drop form (the same formulation as the oracle's window
-    * stages, exact because same-pass matches are provably disjoint
-    * under p1 ≠ p2): merge a left match in place, null out the
-    * consumed right symbol, filter — O(len) per pass vs an
-    * accumulate-and-copy fold's O(len²) (measured 1.5× on the sf0.1
-    * corpus). The `transform(array(inner), aN -> …)[0]` wrapper
-    * let-binds each pass's input so the index lookups don't
-    * re-evaluate the whole nested chain. */
+  /** Nested rank-order merge expression (see q179's lemma; AlgebraProps
+    * pins it ≡ the reference min-rank-first loop). The pass itself
+    * lives in BpeTrain.mergeExpr since round 14 — q190 learns with the
+    * identical pass it is applied with. */
   private[graft] def bpeMergeExpr(inner: String,
-      merges: Seq[(String, String)]): String = {
-    require(merges.forall { case (a, b) => a != b },
-      "bpe: self-pair merge would need run-splitting (disjoint-pass contract)")
-    merges.zipWithIndex.foldLeft(inner) { case (e, ((p1, p2), ix)) =>
-      val a = s"a$ix"
-      s"""element_at(transform(array($e), $a ->
-            filter(transform($a, (x, i) -> CASE
-                WHEN x = '$p2' AND i > 0
-                     AND element_at($a, i) = '$p1' THEN NULL
-                WHEN x = '$p1' AND i + 2 <= size($a)
-                     AND element_at($a, i + 2) = '$p2' THEN '$p1$p2'
-                ELSE x END),
-              y -> y IS NOT NULL)), 1)"""
-    }
-  }
+      merges: Seq[(String, String)]): String =
+    graft.operators.BpeTrain.mergeExpr(inner, merges)
 
   /** q179: BPE tokenizer APPLY — run a ranked merge table over each
     * word's character sequence (the GPT-2 encode loop) and report the
@@ -721,6 +701,71 @@ object MiningQueries {
       .select(col("doc_id"), col("n_sym0"), col("n_sym"),
         Det.r4e(col("n_sym").cast("double") / col("n_sym0")).as("ratio"))
       .transform(Det.emitWide(_, "doc_id"))
+  }
+
+  /** q190: BPE merge-rule TRAINING — the loop that PRODUCES a ranked
+    * merge table (q121 counts round one's statistic, q179 applies a
+    * learned table; this closes the triangle). Six rounds of
+    * (pair-count → argmax → disjoint merge pass) over the
+    * word-frequency table — see BpeTrain for the scale contract (the
+    * corpus is scanned once for the count aggregate; every round after
+    * is vocabulary-sized) and the p1 ≠ p2 self-pair exclusion both
+    * engines share. Output = the learned table itself: (rnk, lhs,
+    * rhs, pair_cnt), rounds-sized, assembled from the per-round
+    * 1-row argmax collects (the dupClusters-style driver decision).
+    * The oracle replays the identical six rounds UNROLLED as DuckDB
+    * CTEs — pair fan-out via lateral unnest, argmax via ORDER BY …
+    * LIMIT 1, the merge pass via an index lambda — an independent
+    * formulation of every step, so the hash-match proves the LEARNING
+    * semantics (tie-breaks included), not just arithmetic. */
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    val words = Det.pin(docs(s, d)
+      .select(explode(expr(TOKS)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt")))
+    val ms = graft.operators.BpeTrain.learnMerges(words, "w", "cnt", rounds = 6)
+    import s.implicits._
+    ms.map(m => (m.rank, m.lhs, m.rhs, m.pairCnt))
+      .toDF("rnk", "lhs", "rhs", "pair_cnt")
+      .transform(Det.emit(_, "rnk"))
+  }
+
+  private val Q190_ROUNDS = 6
+
+  /** q190's oracle: the training loop unrolled — v0 is the word-count
+    * table, then per round r: p{r} adjacent-pair counts (lateral
+    * unnest over positions; `range(1, len)` is naturally empty for
+    * 1-symbol words), b{r} the argmax under the identical
+    * (count desc, lexicographic) tie-break, v{r+1} the merge pass as
+    * a DuckDB index lambda (match-drop form, disjoint under
+    * p1 ≠ p2). Counts CAST to BIGINT (DuckDB sums to HUGEINT — the
+    * q160 lesson). */
+  private val q190Oracle: String = {
+    val rounds = (0 until Q190_ROUNDS).map { r =>
+      s"""p$r AS (
+           SELECT syms[i] AS p1, syms[i + 1] AS p2, sum(cnt) AS c
+           FROM v$r, unnest(range(1, len(syms))) AS t(i)
+           GROUP BY 1, 2),
+         b$r AS (
+           SELECT p1, p2, CAST(c AS BIGINT) AS c
+           FROM p$r WHERE p1 <> p2
+           ORDER BY c DESC, p1 ASC, p2 ASC LIMIT 1),
+         v${r + 1} AS (
+           SELECT w, cnt,
+             list_filter(list_transform(syms, (x, i) -> CASE
+               WHEN x = b.p2 AND i > 1 AND syms[i - 1] = b.p1 THEN NULL
+               WHEN x = b.p1 AND i < len(syms) AND syms[i + 1] = b.p2
+                 THEN b.p1 || b.p2
+               ELSE x END), y -> y IS NOT NULL) AS syms
+           FROM v$r, b$r b)"""
+    }
+    val sel = (0 until Q190_ROUNDS)
+      .map(r => s"SELECT ${r + 1} AS rnk, p1 AS lhs, p2 AS rhs, c AS pair_cnt FROM b$r")
+      .mkString("\n          UNION ALL ")
+    s"""WITH v0 AS (
+          SELECT w, CAST(count(1) AS BIGINT) AS cnt, string_split(w, '') AS syms
+          FROM (SELECT unnest($TS) AS w FROM documents) GROUP BY w),
+        ${rounds.mkString(",\n        ")}
+        $sel ORDER BY rnk"""
   }
 
   /** q180: dedup-ENSEMBLE canonicalization — production near-dup
@@ -808,7 +853,8 @@ object MiningQueries {
     "q177_cms_freq" -> q177,
     "q179_bpe_apply" -> q179,
     "q180_dedup_ensemble" -> q180,
-    "q182_dup_weights" -> q182)
+    "q182_dup_weights" -> q182,
+    "q190_bpe_train" -> q190)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -868,6 +914,7 @@ object MiningQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q190_bpe_train" -> q190Oracle,
     "q182_dup_weights" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $TS AS ts FROM documents),
           shg AS (SELECT doc_id,

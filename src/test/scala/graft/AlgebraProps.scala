@@ -987,6 +987,54 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  // ---- q190 BPE training -----------------------------------------------
+
+  /** Reference subword-nmt trainer (heterogeneous pairs only — the
+    * shared self-pair contract): per round, weighted adjacent-pair
+    * counts over the vocabulary, argmax under (count desc, then
+    * lexicographic), one disjoint merge pass. The scala twin of
+    * BpeTrain.learnMerges' plan. */
+  private def refTrain(words: List[(String, Long)],
+      rounds: Int): List[graft.operators.BpeTrain.Merge] = {
+    var v = words.map { case (w, c) => (w.toList.map(_.toString), c) }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[graft.operators.BpeTrain.Merge]
+    var r = 0
+    var stop = false
+    while (r < rounds && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      v.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          if (p._1 != p._2) counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((p1, p2), c) =
+          counts.toList.minBy { case ((a, b), n) => (-n, a, b) }
+        out += graft.operators.BpeTrain.Merge(r + 1, p1, p2, c)
+        v = v.map { case (s, c0) => (foldBpe(s, Seq((p1, p2))), c0) }
+        r += 1
+      }
+    }
+    out.toList
+  }
+
+  /** Duplicated small words so counts differ from 1 and ties occur. */
+  private val genCorpusWords: Gen[List[String]] =
+    Gen.listOfN(10, Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(bpeAlpha)).map(_.mkString(""))))
+
+  property("BpeTrain.learnMerges equals the reference trainer (argmax, tie-breaks, passes)") =
+    forAll(genCorpusWords) { ws =>
+      import graft.operators.BpeTrain
+      val counted = ws.groupBy(identity).view
+        .mapValues(_.size.toLong).toList.sortBy(_._1)
+      val df = counted.toDF("w", "cnt")
+      BpeTrain.learnMerges(df, "w", "cnt", rounds = 3) ==
+        refTrain(counted, rounds = 3)
+    }
+
   // ---- q184 content-defined chunking ----------------------------------
 
   /** Token streams over a tiny alphabet so window hashes collide into
