@@ -715,4 +715,50 @@ object Similarity {
     pqServe(codes, pqQueryTable(query, cb, m, dim / m), corpus, query,
       idCol, vecCol, shortlist, k)
   }
+
+  /** IVF-PQ ANN — the COMPOSED serving architecture (Jégou et al.
+    * 2011's IVFADC, the FAISS `IVFx,PQy` layout): the corpus is
+    * coarsely partitioned into IVF cells (`ivfAssign`, probe=1) and
+    * PQ-coded; a query probes its top-`probe` cells by centroid dot
+    * score and the ADC shortlist runs over the codes OF THOSE CELLS
+    * ONLY, then exact cosine re-ranks the shortlist. This is what
+    * actually serves at 100 TB: per query the engine touches
+    * probe/#cells of the m-byte code table (itself 16–64× smaller
+    * than the floats) and fetches only `shortlist` float vectors for
+    * the re-rank — neither the float corpus nor even the full code
+    * table scans. Candidate codes are computed here for the probed
+    * cells only: a vector's code depends only on the codebook, so
+    * coding the candidates is equivalent to slicing a precomputed
+    * code table (the persisted form composes `writePqIndex` with a
+    * cell column). Centroids are caller-supplied (`ivfCentroids` /
+    * `kmeansIterate` on a bootstrap sample — the training knob);
+    * the codebook is the house hash-draw over the full corpus so its
+    * geometry is independent of which cells a query probes.
+    * Determinism: cell argmax = round(sc,6) + clabel tie-break
+    * (`ivfAssign`'s rule); PQ stages r6e/r4e + id tie-breaks exactly
+    * as `pqTopK` — every stage replays in the DuckDB oracle (q191). */
+  def ivfPqSearch(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryId: Long, dim: Int, m: Int, kc: Int,
+      shortlist: Int, k: Int, probe: Int = 1, salt: String = "pq",
+      iters: Int = 0): DataFrame = {
+    require(dim % m == 0, s"ivfPqSearch: dim $dim not divisible by m $m")
+    require(shortlist >= k, s"ivfPqSearch: shortlist $shortlist < k $k")
+    val sub = dim / m
+    val rest = corpus.where(col(idCol) =!= queryId)
+    val index = ivfAssign(rest, idCol, vecCol, centroids)
+    val qRow = corpus.where(col(idCol) === queryId)
+    val qCells = ivfAssign(qRow, idCol, vecCol, centroids, probe)
+      .select(col("clabel").as("qc"))
+    val cand = index.join(broadcast(qCells), col("clabel") === col("qc"))
+      .select(idCol)
+      .join(rest.select(col(idCol), col(vecCol)), Seq(idCol))
+    val cb = pqCodebook(rest, idCol, vecCol, dim, m, kc, salt, iters)
+    val codes = pqStack(cand, cb, idCol, vecCol, m, sub)
+      .groupBy(idCol, "i")
+      .agg(min(struct(col("d2"), col("j"))).as("mn"))
+      .select(col(idCol), col("i"), col("mn.j").as("code"))
+    val qv = qRow.select(col(vecCol).as("qv"))
+    pqServe(codes, pqQueryTable(qv, cb, m, sub), cand, qv,
+      idCol, vecCol, shortlist, k)
+  }
 }

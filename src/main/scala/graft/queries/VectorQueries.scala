@@ -93,6 +93,28 @@ object VectorQueries {
         (col("hits_sl") / lit(10.0)).as("shortlist_recall"))
   }
 
+  /** q191: IVF-PQ COMPOSED ANN (round 15 — Similarity.ivfPqSearch,
+    * Jégou et al. 2011's IVFADC / the FAISS `IVFx,PQy` layout; the
+    * capstone of the vector family: q84 exact, q95/q100 IVF, q188 PQ,
+    * and here the two composed the way a production index actually
+    * ships): label-trained IVF centroids coarse-partition the corpus,
+    * the vec_id=0 query probes its top-2 cells by centroid dot score,
+    * the m=4/kc=16 ADC shortlist (20) scans ONLY the probed cells'
+    * codes, and exact cosine re-ranks the shortlist to the final
+    * top 10. At 100 TB the per-query cost is probe/#cells of the
+    * m-byte code table + `shortlist` float fetches — the corpus never
+    * scans. Every stage is rounded-then-tie-broken (cell argmax
+    * round(sc,6)+clabel, PQ argmin/shortlist r6e+id, re-rank r4e+id),
+    * so the DuckDB oracle replays the full five-stage pipeline. */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val em = spread(s, embeddings(s, d))
+    val cent = graft.operators.Similarity.ivfCentroids(em, "label", "embedding")
+    graft.operators.Similarity.ivfPqSearch(em, "vec_id", "embedding", cent,
+        queryId = 0, dim = 64, m = 4, kc = 16, shortlist = 20, k = 10,
+        probe = 2)
+      .orderBy("rank")
+  }
+
   /** q85: per-label mean vector — positional explode, then a hash
     * aggregate on (label,pos): bounded state (labels × dim). */
   private def q85(s: SparkSession, d: String): DataFrame =
@@ -301,6 +323,7 @@ object VectorQueries {
     "q188_pq_topk" -> q188, "q189_pq_recall" -> q189,
     "q85_vec_centroid" -> q85, "q90_embed_neardup" -> q90,
     "q95_ann_ivf" -> q95, "q100_knn_join" -> q100,
+    "q191_ivfpq_topk" -> q191,
     "q113_rp_lsh_pairs" -> q113, "q114_vec_quantize" -> q114,
     "q162_mmr_rerank" -> q162, "q174_rrf_fusion" -> q174,
     "q175_semantic_dedup" -> q175, "q181_filtered_ann" -> q181)
@@ -368,15 +391,21 @@ object VectorQueries {
         ORDER BY qid, rank"""
   }
 
-  private val PQ_CTES =
-    """cb0 AS (SELECT vec_id AS cbid, embedding AS cv,
+  /** The PQ oracle chain (q188/q189/q191): codebook draw + coding +
+    * ADC shortlist + exact re-rank, parameterized on the `base` CTE —
+    * q188 codes the whole non-query corpus, q191 codes only the
+    * IVF-probed candidate cells. The codebook always draws from the
+    * FULL corpus (geometry must not depend on which cells a query
+    * probes — Similarity.ivfPqSearch's contract). */
+  private def pqCtes(base: String): String =
+    s"""cb0 AS (SELECT vec_id AS cbid, embedding AS cv,
                  CAST('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15)
                       AS BIGINT) AS h
                FROM embeddings WHERE vec_id <> 0
                ORDER BY h, cbid LIMIT 16),
          cb AS (SELECT CAST(row_number() OVER (ORDER BY h, cbid) AS INT) - 1 AS j,
                        cv FROM cb0),
-         base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+         base AS ($base),
          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          d AS (SELECT b.vec_id, s.i, cb.j,
                  round(list_sum(list_transform(range(16), t ->
@@ -412,6 +441,33 @@ object VectorQueries {
                  FROM p GROUP BY vec_id, adc),
          r AS (SELECT vec_id, adc,
                       round(dot/(nx*ny) + 0.00000123, 4) AS cos_sim FROM mtr)"""
+
+  private val PQ_CTES =
+    pqCtes("SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0")
+
+  /** q191's candidate set: the IVF half replayed (q95's CTEs,
+    * centroids over the full table, round(sc,6)+clabel argmax) with
+    * the query's top-2 cells, feeding the PQ chain a cell-restricted
+    * base. */
+  private val IVFPQ_CTES =
+    s"""el AS (SELECT vec_id, label,
+                CAST(unnest(range(len(embedding))) AS INT) AS pos,
+                unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+              FROM embeddings),
+         cent AS (SELECT label AS clabel, pos, avg(x) AS c
+                  FROM el GROUP BY label, pos),
+         sc AS (SELECT e.vec_id, c.clabel, sum(e.x * c.c) AS sc
+                FROM el e JOIN cent c ON e.pos = c.pos
+                GROUP BY e.vec_id, c.clabel),
+         rnk AS (SELECT vec_id, clabel, row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY round(sc, 6) DESC, clabel ASC) AS rn
+                 FROM sc),
+         asg AS (SELECT vec_id, clabel FROM rnk WHERE rn = 1 AND vec_id <> 0),
+         qc AS (SELECT clabel FROM rnk WHERE vec_id = 0 AND rn <= 2),
+         candset AS (SELECT a.vec_id FROM asg a JOIN qc USING (clabel)),
+         ${pqCtes(
+      "SELECT e.vec_id, e.embedding FROM embeddings e JOIN candset USING (vec_id)")}"""
 
   val oracles: Map[String, String] = Map(
     "q162_mmr_rerank" -> mmrOracle,
@@ -557,6 +613,14 @@ object VectorQueries {
          FROM embeddings ORDER BY vec_id""",
     "q188_pq_topk" ->
       s"""WITH $PQ_CTES
+         SELECT rank, vec_id, adc, cos_sim FROM (
+           SELECT CAST(row_number() OVER (
+                    ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank,
+                  vec_id, adc, cos_sim
+           FROM r)
+         WHERE rank <= 10 ORDER BY rank""",
+    "q191_ivfpq_topk" ->
+      s"""WITH $IVFPQ_CTES
          SELECT rank, vec_id, adc, cos_sim FROM (
            SELECT CAST(row_number() OVER (
                     ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank,

@@ -590,6 +590,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(byAdc.head._1 >= 0.0, s"negative ADC distance: ${byAdc.head}")
   }
 
+  test("ivfPqSearch: candidates honor the probed cells; probe=all recovers pqTopK") {
+    import graft.operators.Similarity
+    val em = Tables.embeddings(spark, sf)
+    val cent = Similarity.ivfCentroids(em, "label", "embedding")
+    val nCells = cent.select("clabel").distinct().count().toInt
+    // 1. cell restriction is real: every served id is INDEXED in one
+    //    of the query's probed cells (probe=2 — q191's setting)
+    val got = Similarity.ivfPqSearch(em, "vec_id", "embedding", cent,
+      queryId = 0, dim = 64, m = 4, kc = 16, shortlist = 20, k = 10,
+      probe = 2).collect()
+    assert(got.length == 10, s"expected 10 rows, got ${got.length}")
+    val qCells = Similarity.ivfAssign(em.where(col("vec_id") === 0),
+        "vec_id", "embedding", cent, probe = 2)
+      .collect().map(_.getAs[Int]("clabel")).toSet
+    val idx = Similarity.ivfAssign(em.where(col("vec_id") =!= 0),
+        "vec_id", "embedding", cent)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("clabel"))
+      .toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(qCells.contains(idx(id)),
+        s"id $id served from unprobed cell ${idx(id)} (probed $qCells)")
+    }
+    // 2. probing every cell collapses IVF-PQ to plain PQ — identical
+    //    (rank, id, adc, cos) rows to pqTopK at the same geometry
+    val all = Similarity.ivfPqSearch(em, "vec_id", "embedding", cent,
+        queryId = 0, dim = 64, m = 4, kc = 16, shortlist = 20, k = 10,
+        probe = nCells).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adc"), r.getAs[Double]("cos_sim"))).toSeq
+    val pq = Similarity.pqTopK(em.where(col("vec_id") =!= 0),
+        em.where(col("vec_id") === 0).select(col("embedding").as("qv")),
+        "vec_id", "embedding",
+        dim = 64, m = 4, kc = 16, shortlist = 20, k = 10).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adc"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(all == pq, s"probe=all diverges from pqTopK:\n$all\nvs\n$pq")
+  }
+
   test("pq codebook: Lloyd refinement does not increase the quantization objective") {
     // the property a Lloyd step actually guarantees — mean squared
     // distance to the nearest codebook entry is non-increasing (up to
