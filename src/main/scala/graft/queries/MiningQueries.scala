@@ -827,8 +827,125 @@ object MiningQueries {
       .transform(Det.emitWide(_, "doc_id"))
   }
 
+  /** q192: DSIR importance weights (round 15 — Xie et al. 2023's
+    * Data Selection via Importance Resampling, the hashed-n-gram
+    * form): score every RAW-corpus doc by how target-like its token
+    * distribution is. Features are unigrams hashed into B=64 buckets
+    * (the paper's dimensionality-reduction trick — bag-of-hashed-
+    * ngrams makes the per-domain LM a B-sized table instead of a
+    * vocabulary); target = the 'en' slice, raw = everything else;
+    * λ[b] = ln p̂_target(b) − ln p̂_raw(b) with add-1 smoothing, and a
+    * doc's log importance weight is Σ_tokens λ[bucket(token)]. The
+    * top-25 raw docs by weight are the ones DSIR would resample into
+    * the training mix. Scale: the bucket aggregates are B-cardinality
+    * (map-side combined), the λ table is B rows → BROADCAST into the
+    * token stream (unlike the q109/q111 vocabulary joins there is no
+    * corpus-sized vocabulary table here — that is DSIR's point), the
+    * per-doc fold is one hash aggregate, and the top-25 is a
+    * TakeOrdered. ln on exact-integer ratios + r4e epsilon (the
+    * q109/q183 discipline); ordering ties break on the rounded
+    * weight then doc_id. */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    val B = 64
+    val tk = docs(s, d)
+      .select(col("doc_id"), col("lang"), explode(expr(TOKS)).as("w"))
+      .withColumn("b", expr(
+        s"CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % $B"))
+      .transform(Det.pin)
+    val ct = tk.where(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = tk.where(col("lang") =!= "en")
+      .groupBy("b").agg(count(lit(1)).as("cr"))
+    val totals = ct.agg(sum("ct").as("nt"))
+      .crossJoin(cr.agg(sum("cr").as("nr")))
+    val lam = s.range(B).select(col("id").as("b"))
+      .join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1L)) / (col("nt") + lit(64.0))) -
+         log((coalesce(col("cr"), lit(0L)) + lit(1L)) / (col("nr") + lit(64.0))))
+          .as("lam"))
+    tk.where(col("lang") =!= "en")
+      .join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), Det.r4e(sum("lam")).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id").asc)
+      .limit(25)
+  }
+
+  /** q194: data-quality EXPECTATIONS report (round 15 — the
+    * great-expectations / Delta-constraints audit shape, batch twin
+    * of Lake.mergeIntoChecked's per-merge gate): a declared rule set
+    * over orders/lineitem — domain checks, range checks, referential
+    * integrity, cross-table temporal consistency — evaluated into one
+    * (rule, checked, violations, rate, exemplar) report row each.
+    * Scale: all single-table rules for one table fold in ONE scan
+    * (sum(CASE)/min(CASE) per rule inside a single aggregate, then
+    * `stack` pivots the 1-row aggregate into rule rows — no
+    * rule-count × table-size rescans); FK rules are anti-joins on the
+    * key (shuffle joins at scale — never a collect); the temporal
+    * rule is one key-equi-join + fold. Exemplar = min violating key,
+    * −1 when clean (a NULL here would flip the pandas column dtype).
+    * viol_rate is an exact-integer division — identical IEEE op both
+    * engines, no epsilon needed (the q189 discipline). */
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d); val l = lineitem(s, d); val c = customer(s, d)
+    def pass(tbl: DataFrame, key: String, tname: String,
+        rules: Seq[(String, Column)]): DataFrame = {
+      val aggs = rules.zipWithIndex.flatMap { case ((_, bad), i) => Seq(
+        sum(when(bad, lit(1L)).otherwise(lit(0L))).as(s"v$i"),
+        coalesce(min(when(bad, col(key))), lit(-1L)).as(s"k$i")) }
+      val stackArgs = rules.zipWithIndex
+        .map { case ((rid, _), i) => s"'$rid', v$i, k$i" }.mkString(", ")
+      val one = tbl.agg(count(lit(1)).as("n"), aggs: _*)
+      one.selectExpr(
+          s"stack(${rules.size}, $stackArgs) AS (rule_id, n_viol, sample_key)",
+          "n AS n_checked")
+        .select(col("rule_id"), lit(tname).as("tbl"), col("n_checked"),
+          col("n_viol"), col("sample_key"))
+    }
+    val oRules = pass(o, "o_orderkey", "orders", Seq(
+      "r01_price_positive" -> !(col("o_totalprice") > 0),
+      "r02_status_domain" -> !col("o_orderstatus").isin("O", "F", "P"),
+      "r03_date_present" -> col("o_orderdate").isNull))
+    val lRules = pass(l, "l_orderkey", "lineitem", Seq(
+      "r04_qty_range" -> !(col("l_quantity") >= 1 && col("l_quantity") <= 45),
+      "r05_disc_range" -> !(col("l_discount") >= 0 && col("l_discount") <= 0.08),
+      "r06_extprice_positive" -> !(col("l_extendedprice") > 0)))
+    def fk(child: DataFrame, key: String, tname: String, rid: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.join(parent, col(key) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("n_viol"),
+          coalesce(min(col(key)), lit(-1L)).as("sample_key"))
+        .crossJoin(broadcast(child.agg(count(lit(1)).as("n_checked"))))
+        .select(lit(rid).as("rule_id"), lit(tname).as("tbl"),
+          col("n_checked"), col("n_viol"), col("sample_key"))
+    val fk1 = fk(o.select(col("o_custkey")), "o_custkey",
+      "orders", "r07_fk_order_customer", c.select(col("c_custkey")), "c_custkey")
+    val fk2 = fk(l.select(col("l_orderkey")), "l_orderkey",
+      "lineitem", "r08_fk_lineitem_order", o.select(col("o_orderkey")),
+      "o_orderkey")
+    val late = col("l_shipdate") < col("o_orderdate")
+    val shp = l.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(late, lit(1L)).otherwise(lit(0L))).as("n_viol"),
+        coalesce(min(when(late, col("l_orderkey"))), lit(-1L)).as("sample_key"))
+      .select(lit("r09_ship_after_order").as("rule_id"),
+        lit("lineitem_orders").as("tbl"), col("n_checked"), col("n_viol"),
+        col("sample_key"))
+    Seq(oRules, lRules, fk1, fk2, shp).reduce(_ unionByName _)
+      .select(col("rule_id"), col("tbl"), col("n_checked"), col("n_viol"),
+        (col("n_viol").cast("double") / col("n_checked")).as("viol_rate"),
+        col("sample_key"))
+      .transform(Det.emit(_, "rule_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_stratified_sample" -> q119,
+    "q192_dsir_weights" -> q192,
+    "q194_expectations_report" -> q194,
     "q120_heavy_hitters" -> q120,
     "q121_bpe_pairs" -> q121,
     "q122_minhash_est" -> q122,
@@ -914,6 +1031,78 @@ object MiningQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q194_expectations_report" ->
+      """WITH onr AS (
+           SELECT CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             coalesce(min(CASE WHEN NOT (o_totalprice > 0) THEN o_orderkey END), -1) AS k0,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             coalesce(min(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN o_orderkey END), -1) AS k1,
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             coalesce(min(CASE WHEN o_orderdate IS NULL THEN o_orderkey END), -1) AS k2
+           FROM orders),
+         lnr AS (
+           SELECT CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 45) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             coalesce(min(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 45) THEN l_orderkey END), -1) AS k0,
+             CAST(sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             coalesce(min(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.08) THEN l_orderkey END), -1) AS k1,
+             CAST(sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             coalesce(min(CASE WHEN NOT (l_extendedprice > 0) THEN l_orderkey END), -1) AS k2
+           FROM lineitem),
+         fk1 AS (SELECT CAST(count(1) AS BIGINT) AS v,
+                        coalesce(min(o_custkey), -1) AS k
+                 FROM orders o WHERE NOT EXISTS (
+                   SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+         fk2 AS (SELECT CAST(count(1) AS BIGINT) AS v,
+                        coalesce(min(l_orderkey), -1) AS k
+                 FROM lineitem l WHERE NOT EXISTS (
+                   SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+         shp AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS v,
+                   coalesce(min(CASE WHEN l.l_shipdate < o.o_orderdate THEN l.l_orderkey END), -1) AS k
+                 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         rws AS (
+           SELECT 'r01_price_positive' AS rule_id, 'orders' AS tbl,
+                  n AS n_checked, v0 AS n_viol, k0 AS sample_key FROM onr
+           UNION ALL SELECT 'r02_status_domain', 'orders', n, v1, k1 FROM onr
+           UNION ALL SELECT 'r03_date_present', 'orders', n, v2, k2 FROM onr
+           UNION ALL SELECT 'r04_qty_range', 'lineitem', n, v0, k0 FROM lnr
+           UNION ALL SELECT 'r05_disc_range', 'lineitem', n, v1, k1 FROM lnr
+           UNION ALL SELECT 'r06_extprice_positive', 'lineitem', n, v2, k2 FROM lnr
+           UNION ALL SELECT 'r07_fk_order_customer', 'orders',
+                  (SELECT n FROM onr), v, k FROM fk1
+           UNION ALL SELECT 'r08_fk_lineitem_order', 'lineitem',
+                  (SELECT n FROM lnr), v, k FROM fk2
+           UNION ALL SELECT 'r09_ship_after_order', 'lineitem_orders',
+                  n, v, k FROM shp)
+         SELECT rule_id, tbl, n_checked, n_viol,
+                CAST(n_viol AS DOUBLE) / n_checked AS viol_rate, sample_key
+         FROM rws ORDER BY rule_id""",
+    "q192_dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, lang, unnest($TS) AS w FROM documents),
+          tb AS (SELECT doc_id, lang,
+                        CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 64 AS b
+                 FROM tk),
+          ct AS (SELECT b, CAST(count(1) AS BIGINT) AS ct
+                 FROM tb WHERE lang = 'en' GROUP BY b),
+          cr AS (SELECT b, CAST(count(1) AS BIGINT) AS cr
+                 FROM tb WHERE lang <> 'en' GROUP BY b),
+          tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM ct) AS nt,
+                         (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS nr),
+          lam AS (SELECT r.b,
+                         ln((coalesce(ct, 0) + 1) / (nt + 64.0)) -
+                         ln((coalesce(cr, 0) + 1) / (nr + 64.0)) AS lam
+                  FROM range(0, 64) r(b)
+                  LEFT JOIN ct ON ct.b = r.b
+                  LEFT JOIN cr ON cr.b = r.b
+                  CROSS JOIN tot)
+          SELECT tb.doc_id, CAST(count(1) AS BIGINT) AS n_toks,
+                 round(sum(lam) + ${Det.E4}, 4) AS logw
+          FROM tb JOIN lam USING (b)
+          WHERE tb.lang <> 'en'
+          GROUP BY tb.doc_id
+          ORDER BY logw DESC, doc_id ASC LIMIT 25""",
     "q190_bpe_train" -> q190Oracle,
     "q182_dup_weights" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $TS AS ts FROM documents),

@@ -341,7 +341,12 @@ object TextQueries {
     * V is a 1-row broadcast; the per-doc fold is one hash aggregate.
     * All-exact-integer inputs into ln → both engines bit-agree under
     * the r4e epsilon. */
-  private def q183(s: SparkSession, d: String): DataFrame = {
+  private def q183(s: SparkSession, d: String): DataFrame =
+    bigramNll(s, d).transform(Det.emitWide(_, "doc_id"))
+
+  /** The bigram-LM doc scores (doc_id, n_bigrams, avg_nll) — q183's
+    * body, shared with q193's perplexity bucketing. */
+  private def bigramNll(s: SparkSession, d: String): DataFrame = {
     val bg = docs(s, d)
       .withColumn("toks", expr(TOKS))
       .where(size(col("toks")) >= 2)
@@ -361,7 +366,35 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"),
         Det.r4e(avg(-log((col("c12") + 0.5) / (col("c1") + lit(0.5) * col("v")))))
           .as("avg_nll"))
-      .transform(Det.emitWide(_, "doc_id"))
+  }
+
+  /** q193: PERPLEXITY BUCKETING (round 15 — CCNet's head/middle/tail
+    * split, Wenzek et al. 2020): rank every doc by its statistical-LM
+    * score (q183's bigram avg −ln p, shared via `bigramNll`) WITHIN
+    * its language and cut into tertiles — the standard curation move
+    * that keeps quality thresholds per-language instead of letting
+    * low-resource languages lose to an absolute cut. Bucketing runs
+    * through DistributedRank.ranked (ntile over partitionBy(lang)
+    * would funnel each whole language through ONE task — the exact
+    * skew q30's two-phase rank exists to avoid; at 100 TB a language
+    * is terabytes); ordering is the ROUNDED r4e score with doc_id
+    * tie-break, so both engines cut identically. Output is the
+    * (lang, bucket) profile — counts and integer token sums plus the
+    * bucket's min/max score (exact element picks of already-rounded
+    * values, no fresh float hazard). */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val scored = bigramNll(s, d)
+      .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+    graft.operators.DistributedRank.ranked(scored, Seq("lang"),
+        Seq("avg_nll"), Seq("doc_id"), ntileK = 3)
+      .groupBy(col("lang"), col("nt"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("sum_bigrams"),
+        min("avg_nll").as("min_nll"),
+        max("avg_nll").as("max_nll"))
+      .select(col("lang"), col("nt").as("bucket"), col("n_docs"),
+        col("sum_bigrams"), col("min_nll"), col("max_nll"))
+      .transform(Det.emit(_, "lang", "bucket"))
   }
 
   /** q178: CROSS-corpus LSH dedup — dedup the TRAIN corpus against
@@ -570,9 +603,32 @@ object TextQueries {
     "q107_contamination" -> q107, "q108_chunk_dedup" -> q108,
     "q109_unigram_logprob" -> q109, "q168_chunk_overlap" -> q168,
     "q178_cross_corpus_dedup" -> q178, "q183_bigram_logprob" -> q183,
+    "q193_ppl_buckets" -> q193,
     "q184_cdc_chunks" -> q184, "q185_substring_dedup" -> q185)
 
   private[queries] val TS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  /** The q183 bigram-LM scoring chain (shared with q193): per-doc
+    * (doc_id, n_bigrams, avg_nll) as CTE `scnll`. */
+  private val BIGRAM_NLL_CTES =
+    s"""t AS (SELECT doc_id, $TS AS ts FROM documents),
+          bg AS (SELECT doc_id,
+                        unnest(list_transform(range(len(ts) - 1),
+                          i -> {'w1': ts[i+1], 'w2': ts[i+2]})) AS b
+                 FROM t WHERE len(ts) >= 2),
+          bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+          c12 AS (SELECT w1, w2, CAST(count(1) AS BIGINT) AS c12
+                  FROM bb GROUP BY w1, w2),
+          c1 AS (SELECT w1, CAST(count(1) AS BIGINT) AS c1
+                 FROM bb GROUP BY w1),
+          v AS (SELECT CAST(count(1) AS DOUBLE) AS v FROM (
+                  SELECT DISTINCT w FROM (
+                    SELECT w2 AS w FROM bb UNION ALL SELECT w1 FROM bb))),
+          scnll AS (SELECT bb.doc_id, CAST(count(1) AS BIGINT) AS n_bigrams,
+                 round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * v))) + ${Det.E4}, 4)
+                   AS avg_nll
+          FROM bb JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+          GROUP BY bb.doc_id)"""
 
   val oracles: Map[String, String] = Map(
     "q185_substring_dedup" ->
@@ -636,24 +692,19 @@ object TextQueries {
           FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
           ORDER BY chash""",
     "q183_bigram_logprob" ->
-      s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
-          bg AS (SELECT doc_id,
-                        unnest(list_transform(range(len(ts) - 1),
-                          i -> {'w1': ts[i+1], 'w2': ts[i+2]})) AS b
-                 FROM t WHERE len(ts) >= 2),
-          bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
-          c12 AS (SELECT w1, w2, CAST(count(1) AS BIGINT) AS c12
-                  FROM bb GROUP BY w1, w2),
-          c1 AS (SELECT w1, CAST(count(1) AS BIGINT) AS c1
-                 FROM bb GROUP BY w1),
-          v AS (SELECT CAST(count(1) AS DOUBLE) AS v FROM (
-                  SELECT DISTINCT w FROM (
-                    SELECT w2 AS w FROM bb UNION ALL SELECT w1 FROM bb)))
-          SELECT bb.doc_id, CAST(count(1) AS BIGINT) AS n_bigrams,
-                 round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * v))) + ${Det.E4}, 4)
-                   AS avg_nll
-          FROM bb JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
-          GROUP BY bb.doc_id ORDER BY bb.doc_id""",
+      s"""WITH $BIGRAM_NLL_CTES
+          SELECT doc_id, n_bigrams, avg_nll FROM scnll ORDER BY doc_id""",
+    "q193_ppl_buckets" ->
+      s"""WITH $BIGRAM_NLL_CTES,
+          sl AS (SELECT s.doc_id, s.n_bigrams, s.avg_nll, d.lang,
+                        ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY s.avg_nll ASC, s.doc_id ASC) AS bucket
+                 FROM scnll s JOIN documents d USING (doc_id))
+          SELECT lang, CAST(bucket AS INT) AS bucket,
+                 CAST(count(1) AS BIGINT) AS n_docs,
+                 CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+                 min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
+          FROM sl GROUP BY lang, bucket ORDER BY lang, bucket""",
     "q178_cross_corpus_dedup" ->
       s"""WITH t AS (SELECT doc_id, $TS AS ts FROM documents),
           sh AS (SELECT doc_id,
