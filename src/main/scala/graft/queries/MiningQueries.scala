@@ -729,6 +729,45 @@ object MiningQueries {
       .transform(Det.emit(_, "rnk"))
   }
 
+  /** q195: TOKENIZER FERTILITY by language (round 15 — the
+    * tokenizer-evaluation statistic multilingual LM work reports:
+    * pieces-per-word / pieces-per-char under a LEARNED subword
+    * vocabulary; a tokenizer trained on an English-heavy mix
+    * over-fragments other languages, and this is the table that
+    * shows it). Composes the BPE triangle end-to-end: q190's
+    * training loop LEARNS the 6-rank merge table from the corpus
+    * word-frequency aggregate, q179's disjoint pass APPLIES it to
+    * every word occurrence, and the per-language fold reports
+    * (words, chars, pieces, fertility, pieces/char). Scale: training
+    * is vocabulary-sized after one corpus scan (BpeTrain's
+    * contract), the apply is a zero-shuffle map-side fold over the
+    * exploded token stream, the output is languages-sized; the
+    * divisions are exact-integer (q189 discipline). Oracle = q190's
+    * unrolled training CTEs, whose final v6 IS the merged form of
+    * every vocab word (the rank-order lemma), joined back onto the
+    * (lang, word) stream — so the hash-match proves train+apply
+    * compose identically in both engines. */
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val words = Det.pin(docs(s, d)
+      .select(explode(expr(TOKS)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt")))
+    val ms = graft.operators.BpeTrain.learnMerges(words, "w", "cnt",
+      rounds = Q190_ROUNDS)
+    val merged = graft.operators.BpeTrain.mergeExpr("split(w, '')",
+      ms.map(m => (m.lhs, m.rhs)))
+    docs(s, d)
+      .select(col("lang"), explode(expr(TOKS)).as("w"))
+      .select(col("lang"), length(col("w")).cast("long").as("nc"),
+        expr(s"size($merged)").cast("long").as("ns"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("nc").as("n_chars"),
+        sum("ns").as("n_pieces"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words")).as("fertility"),
+        (col("n_pieces").cast("double") / col("n_chars")).as("pieces_per_char"))
+      .transform(Det.emit(_, "lang"))
+  }
+
   private val Q190_ROUNDS = 6
 
   /** q190's oracle: the training loop unrolled — v0 is the word-count
@@ -739,7 +778,12 @@ object MiningQueries {
     * a DuckDB index lambda (match-drop form, disjoint under
     * p1 ≠ p2). Counts CAST to BIGINT (DuckDB sums to HUGEINT — the
     * q160 lesson). */
-  private val q190Oracle: String = {
+  /** The training rounds as a reusable CTE chain ending at
+    * v$Q190_ROUNDS — the fully-merged vocabulary (each distinct
+    * word's symbol sequence after all learned ranks). q190 selects
+    * the learned table out of b0..b5; q195 joins v6 back onto the
+    * (lang, word) stream for fertility. */
+  private val bpeTrainCtes: String = {
     val rounds = (0 until Q190_ROUNDS).map { r =>
       s"""p$r AS (
            SELECT syms[i] AS p1, syms[i + 1] AS p2, sum(cnt) AS c
@@ -758,15 +802,33 @@ object MiningQueries {
                ELSE x END), y -> y IS NOT NULL) AS syms
            FROM v$r, b$r b)"""
     }
+    s"""v0 AS (
+          SELECT w, CAST(count(1) AS BIGINT) AS cnt, string_split(w, '') AS syms
+          FROM (SELECT unnest($TS) AS w FROM documents) GROUP BY w),
+        ${rounds.mkString(",\n        ")}"""
+  }
+
+  private val q190Oracle: String = {
     val sel = (0 until Q190_ROUNDS)
       .map(r => s"SELECT ${r + 1} AS rnk, p1 AS lhs, p2 AS rhs, c AS pair_cnt FROM b$r")
       .mkString("\n          UNION ALL ")
-    s"""WITH v0 AS (
-          SELECT w, CAST(count(1) AS BIGINT) AS cnt, string_split(w, '') AS syms
-          FROM (SELECT unnest($TS) AS w FROM documents) GROUP BY w),
-        ${rounds.mkString(",\n        ")}
+    s"""WITH $bpeTrainCtes
         $sel ORDER BY rnk"""
   }
+
+  /** q195's oracle: the same unrolled training chain, then the merged
+    * vocabulary (v6) joined back onto the per-language word stream. */
+  private val q195Oracle: String =
+    s"""WITH $bpeTrainCtes,
+        wl AS (SELECT lang, unnest($TS) AS w FROM documents),
+        pc AS (SELECT w, len(syms) AS ns, len(w) AS nc FROM v$Q190_ROUNDS)
+        SELECT lang, CAST(count(1) AS BIGINT) AS n_words,
+               CAST(sum(nc) AS BIGINT) AS n_chars,
+               CAST(sum(ns) AS BIGINT) AS n_pieces,
+               CAST(sum(ns) AS DOUBLE) / count(1) AS fertility,
+               CAST(sum(ns) AS DOUBLE) / sum(nc) AS pieces_per_char
+        FROM wl JOIN pc USING (w)
+        GROUP BY lang ORDER BY lang"""
 
   /** q180: dedup-ENSEMBLE canonicalization — production near-dup
     * pipelines run SEVERAL candidate generators (each blind to what
@@ -971,7 +1033,8 @@ object MiningQueries {
     "q179_bpe_apply" -> q179,
     "q180_dedup_ensemble" -> q180,
     "q182_dup_weights" -> q182,
-    "q190_bpe_train" -> q190)
+    "q190_bpe_train" -> q190,
+    "q195_token_fertility" -> q195)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1104,6 +1167,7 @@ object MiningQueries {
           GROUP BY tb.doc_id
           ORDER BY logw DESC, doc_id ASC LIMIT 25""",
     "q190_bpe_train" -> q190Oracle,
+    "q195_token_fertility" -> q195Oracle,
     "q182_dup_weights" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $TS AS ts FROM documents),
           shg AS (SELECT doc_id,
