@@ -761,4 +761,75 @@ object Similarity {
     pqServe(codes, pqQueryTable(qv, cb, m, sub), cand, qv,
       idCol, vecCol, shortlist, k)
   }
+
+  /** PERSISTED IVF-PQ index — the serving artifact `ivfPqSearch`
+    * models (writePqIndex's cell-partitioned sibling). Layout:
+    *
+    *   path/centroids          (clabel, pos, c) — cells × dim rows, KBs
+    *   path/codebook           (j, cv)          — kc packed vectors, KBs
+    *   path/codes/clabel=<c>/  (id, codes array<int> of length m)
+    *   path/_ivfpq_meta        "dim m kc"
+    *
+    * `codes` is PARTITIONED BY the IVF cell, so a probed query reads
+    * only its cells' directories — the probe/#cells I/O claim becomes
+    * literal partition pruning in the FileScan (OperatorSpec asserts
+    * the served plan's input files all come from probed `clabel=`
+    * dirs). `_ivfpq_meta` follows the CMS-store discipline: geometry
+    * drift would silently join zero ADC cells, so reads fail fast. */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dim: Int, m: Int, kc: Int, path: String,
+      salt: String = "pq", iters: Int = 0): Unit = {
+    require(dim % m == 0, s"writeIvfPqIndex: dim $dim not divisible by m $m")
+    val cb = pqCodebook(corpus, idCol, vecCol, dim, m, kc, salt, iters)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val asg = ivfAssign(corpus, idCol, vecCol, centroids)
+    pqStack(corpus, cb, idCol, vecCol, m, dim / m)
+      .groupBy(idCol, "i")
+      .agg(min(struct(col("d2"), col("j"))).as("mn"))
+      .select(col(idCol), col("i"), col("mn.j").as("c"))
+      .groupBy(idCol)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(i, c))), s -> cast(s.c as int))")
+        .as("codes"))
+      .join(asg, Seq(idCol))
+      .write.mode("overwrite").partitionBy("clabel").parquet(s"$path/codes")
+    val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta")
+    val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$dim $m $kc".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Query a persisted IVF-PQ index: centroids (KBs) pick the query's
+    * top-`probe` cells; the cell labels — ≤ probe ints, the house
+    * metadata-sized collect — become a partition-pruning IN filter on
+    * the `codes` read, so ONLY the probed directories scan; ADC +
+    * exact re-rank then run exactly as `ivfPqSearch` (spec-pinned
+    * identical at the same build parameters). `corpus` is touched
+    * only for the `shortlist` re-rank vectors. */
+  def ivfPqSearchIndexed(corpus: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, path: String, shortlist: Int, k: Int,
+      probe: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    val metaP = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaP), s"ivfPqSearchIndexed: no _ivfpq_meta at $path")
+    val in = fs.open(metaP)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val Array(dim, m, kc) = meta.trim.split("\\s+").map(_.toInt)
+    val cb = spark.read.parquet(s"$path/codebook")
+    val nCb = cb.count()
+    require(nCb == kc,
+      s"ivfPqSearchIndexed: codebook at $path has $nCb entries, _ivfpq_meta says $kc")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val qDf = query.select(lit(0L).as(idCol), col("qv").as(vecCol))
+    val probed = ivfAssign(qDf, idCol, vecCol, centroids, probe)
+      .select("clabel").collect().map(_.get(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("clabel").isin(probed: _*))
+      .select(col(idCol), posexplode(col("codes")).as(Seq("i", "code")))
+    pqServe(codes, pqQueryTable(query, cb, m, dim / m), corpus, query,
+      idCol, vecCol, shortlist, k)
+  }
 }

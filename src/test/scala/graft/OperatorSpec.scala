@@ -629,6 +629,58 @@ class OperatorSpec extends AnyFunSuite {
     assert(all == pq, s"probe=all diverges from pqTopK:\n$all\nvs\n$pq")
   }
 
+  test("ivfpq index: cell-partitioned codes serve identically; scan touches only probed dirs; meta guards") {
+    import graft.operators.Similarity
+    val em = Tables.embeddings(spark, sf)
+    val corpus = em.where(col("vec_id") =!= 0)
+    val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cent = Similarity.ivfCentroids(em, "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", cent,
+      dim = 64, m = 4, kc = 16, path = dir)
+    // 1. served ≡ in-memory ivfPqSearch at the same build parameters
+    val served = Similarity.ivfPqSearchIndexed(corpus, q, "vec_id",
+        "embedding", dir, shortlist = 20, k = 10, probe = 2).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adc"), r.getAs[Double]("cos_sim"))).toSeq
+    val direct = Similarity.ivfPqSearch(em, "vec_id", "embedding", cent,
+        queryId = 0, dim = 64, m = 4, kc = 16, shortlist = 20, k = 10,
+        probe = 2).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adc"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(served == direct, s"served\n$served\nvs direct\n$direct")
+    // 2. the probe/#cells I/O claim is literal: the pruned codes scan
+    //    reads files ONLY from the probed clabel= directories
+    val probed = Similarity.ivfAssign(
+        em.where(col("vec_id") === 0), "vec_id", "embedding", cent,
+        probe = 2)
+      .collect().map(_.getAs[Int]("clabel")).toSet
+    val pruned = spark.read.parquet(s"$dir/codes")
+      .where(col("clabel").isin(probed.toSeq: _*))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty => f
+    }
+    assert(scans.nonEmpty, "codes scan carries no PartitionFilters")
+    val sel = scans.head.selectedPartitions
+    assert(sel.partitionCount == probed.size,
+      s"scan selected ${sel.partitionCount} cell dirs, want ${probed.size} ($probed)")
+    val nCells = spark.read.parquet(s"$dir/codes")
+      .select("clabel").distinct().count()
+    assert(probed.size < nCells,
+      s"fixture degenerate: probed ${probed.size} of $nCells cells")
+    // 3. a store without meta refuses to serve (geometry drift would
+    //    silently join zero ADC cells — the CMS-store discipline)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_ivfpq_meta"), false)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfPqSearchIndexed(corpus, q, "vec_id", "embedding",
+        dir, shortlist = 20, k = 10, probe = 2)
+    }
+    assert(ex.getMessage.contains("_ivfpq_meta"))
+  }
+
   test("pq codebook: Lloyd refinement does not increase the quantization objective") {
     // the property a Lloyd step actually guarantees — mean squared
     // distance to the nearest codebook entry is non-increasing (up to
