@@ -136,6 +136,62 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 
+  /** EXACT shingle CONTAINMENT self-join (Broder's asymmetric
+    * C(A,B) = |A∩B| / |A|): every DIRECTED pair where at least
+    * `threshold` of A's n-gram shingles also occur in B — the
+    * near-subset detector Jaccard can't express (a 50-gram quote
+    * inside a 5000-gram doc has J ≈ 0.01 but C = 1.0): sub-document
+    * duplication, quotation mining, and the eval-question-inside-
+    * train-doc decontamination case. Candidate generation is the
+    * one-sided prefix filter: if C(A,B) ≥ t then at most
+    * |A| − ⌈t·|A|⌉ of A's grams miss B, so A's
+    * |A| − ⌈t·|A|⌉ + 1 RAREST grams (global-df order — the q148
+    * rule, same ceil guard) must intersect B's full gram set;
+    * joining A-prefix grams against ALL grams finds every qualifying
+    * directed pair, and the oracle IS the naive all-grams join, so
+    * completeness is hash-proven per run. Shapes: gram explode +
+    * distinct is (doc, gram)-keyed; the df rank is the q148 window;
+    * the candidate join is a gram equi-join ∝ prefix-gram df
+    * occupancy (never docs²); verification joins candidates only.
+    * Containment is an exact-integer division. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, threshold: Double = 0.8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val grams = df
+      .withColumn("__toks", tokensExpr(textCol))
+      .where(expr(s"size(__toks) >= $n"))
+      .select(col(idCol).as("__id"), explode(expr(
+        s"""transform(sequence(0, size(__toks) - $n),
+              i -> concat_ws(' ', slice(__toks, i + 1, $n)))""")).as("__g"))
+      .distinct()
+    val dfreq = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__df").asc, col("__g").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("__id")
+    val ranked = grams.join(dfreq, "__g")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val pref = ranked.where(
+      col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n") - 1e-9) + 1)
+    val cand = pref.select(col("__id").as("a_id"), col("__g"))
+      .join(grams.select(col("__id").as("b_id"), col("__g")), "__g")
+      .where(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sizes = grams.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val inter = cand
+      .join(grams.select(col("__id").as("a_id"), col("__g")), "a_id")
+      .join(grams.select(col("__id").as("b_id"), col("__g")), Seq("b_id", "__g"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__id").as("a_id"), col("__sz").as("sa")), "a_id")
+      .withColumn("containment", col("inter") / col("sa"))
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"), col("sa"),
+        col("containment"))
+  }
+
   /** Exact dedup groups by full-content hash; keeps the min id as the
     * canonical representative. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

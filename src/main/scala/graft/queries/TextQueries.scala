@@ -123,6 +123,25 @@ object TextQueries {
         Det.r4e(col("jaccard")).as("jaccard"))
       .transform(Det.emitWide(_, "a_id", "b_id"))
 
+  /** q196: EXACT shingle CONTAINMENT ≥ 0.8 self-join (round 15 —
+    * TextDedup.containmentJoin; Broder's asymmetric C(A,B) =
+    * |A∩B|/|A|, the near-SUBSET detector Jaccard can't see: a short
+    * doc quoted inside a long one has J ≈ |A|/|B| but C = 1 — the
+    * sub-document duplication / decontamination case q107 screens by
+    * overlap fraction and q148 misses by symmetry). Directed pairs
+    * via the ONE-SIDED prefix filter: A's rarest |A| − ⌈t·|A|⌉ + 1
+    * grams must hit B's full gram set — candidates fan out on
+    * prefix-gram df occupancy, never docs². The oracle is the NAIVE
+    * all-grams join, so the filter's completeness is hash-proven per
+    * run (the q148 discipline, one-sided form). */
+  private def q196(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextDedup
+      .containmentJoin(spread(s, docs(s, d)), "doc_id", "text",
+        n = 4, threshold = 0.8)
+      .select(col("a_id"), col("b_id"), col("inter"), col("sa"),
+        Det.r4e(col("containment")).as("containment"))
+      .transform(Det.emitWide(_, "a_id", "b_id"))
+
   /** q152: deterministic 80/10/10 train/val/test split
     * (TextDedup.hashSplit) rolled up per (split, lang) — the
     * assignment every training run and contamination audit must be
@@ -594,6 +613,7 @@ object TextQueries {
     "q82_text_stats" -> q82, "q86_minhash_sig" -> q86,
     "q87_minhash_lsh_pairs" -> q87, "q88_simhash" -> q88,
     "q89_ngram_jaccard" -> q89, "q148_prefix_jaccard" -> q148,
+    "q196_containment" -> q196,
     "q152_hash_split" -> q152, "q91_lang_id" -> q91,
     "q92_quality_score" -> q92, "q93_token_count" -> q93,
     "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96,
@@ -939,6 +959,26 @@ object TextQueries {
           JOIN sizes sa ON sa.doc_id = a_id
           JOIN sizes sb ON sb.doc_id = b_id
           WHERE inter / (sa.sz + sb.sz - inter) >= 0.6
+          ORDER BY a_id, b_id""",
+    "q196_containment" ->
+      s"""WITH g AS (SELECT DISTINCT doc_id, bg FROM (
+                   SELECT doc_id,
+                          unnest(list_transform(range(len(ts) - 3),
+                            i -> ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                                 ts[i+3] || ' ' || ts[i+4])) AS bg
+                   FROM (SELECT doc_id, $TS AS ts FROM documents)
+                   WHERE len(ts) >= 4)),
+          sizes AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS sz
+                    FROM g GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                           CAST(count(1) AS BIGINT) AS inter
+                    FROM g a JOIN g b ON a.bg = b.bg AND a.doc_id <> b.doc_id
+                    GROUP BY 1, 2)
+          SELECT a_id, b_id, inter, sa.sz AS sa,
+                 round(inter / sa.sz + ${Det.E4}, 4) AS containment
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          WHERE inter / sa.sz >= 0.8
           ORDER BY a_id, b_id""",
     "q91_lang_id" ->
       """WITH tri AS (SELECT doc_id, lang,
