@@ -365,6 +365,29 @@ object RelationalQueries {
         Det.r2e(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qp"))
       .orderBy("l_returnflag")
 
+  /** q197: OLS REGRESSION aggregates (round 15 — the SQL-standard
+    * regr_* family, completing q27's second-moment stats with the
+    * fitted line itself): per return flag, regr_count/slope/
+    * intercept/r2/avgx/avgy of extendedprice on quantity — the
+    * one-pass distributed least-squares every profiling/drift
+    * dashboard runs. All six are ratios of co-moment sums — one
+    * map-side-combined hash aggregate, O(groups) state, no second
+    * pass. Rounding grids sized to each statistic's magnitude
+    * (slope/avgx r4e; intercept/avgy price-scaled r2e; r2 ~1e-5 on
+    * this data → r6e), epsilon-shifted per the Det contract since
+    * both engines accumulate co-moments in different orders. */
+  private def q197(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("regr_count(l_extendedprice, l_quantity)").as("rc"),
+        Det.r4e(expr("regr_slope(l_extendedprice, l_quantity)")).as("slope"),
+        Det.r2e(expr("regr_intercept(l_extendedprice, l_quantity)")).as("icept"),
+        Det.r6e(expr("regr_r2(l_extendedprice, l_quantity)")).as("r2"),
+        Det.r4e(expr("regr_avgx(l_extendedprice, l_quantity)")).as("avgx"),
+        Det.r2e(expr("regr_avgy(l_extendedprice, l_quantity)")).as("avgy"))
+      .orderBy("l_returnflag")
+
   /** q28: HLL approximate distinct — constant memory per group at any
     * scale (vs exact distinct's O(n) state). No SQL oracle (approx);
     * bounded vs exact in ApproxSpec (SURVEY §2.4). */
@@ -555,6 +578,7 @@ object RelationalQueries {
     "q20_agg_global" -> q20, "q21_agg_group" -> q21, "q22_agg_distinct" -> q22,
     "q23_agg_having" -> q23, "q24_agg_rollup" -> q24, "q25_agg_cube" -> q25,
     "q26_agg_grouping_sets" -> q26, "q27_agg_stats" -> q27,
+    "q197_regression" -> q197,
     "q28_agg_approx_distinct" -> q28, "q29_percentiles" -> q29,
     "q37_percentiles_approx" -> q37, "q118_histogram" -> q118)
 
@@ -803,6 +827,15 @@ object RelationalQueries {
                 round(var_samp(l_quantity) + 0.00000123, 4) AS var_qty,
                 round(corr(l_quantity, l_extendedprice) + 0.00000123, 4) AS corr_qp,
                 round(covar_samp(l_quantity, l_extendedprice) + 0.000123, 2) AS covar_qp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q197_regression" ->
+      """SELECT l_returnflag,
+                CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS rc,
+                round(regr_slope(l_extendedprice, l_quantity) + 0.00000123, 4) AS slope,
+                round(regr_intercept(l_extendedprice, l_quantity) + 0.000123, 2) AS icept,
+                round(regr_r2(l_extendedprice, l_quantity) + 0.0000000123, 6) AS r2,
+                round(regr_avgx(l_extendedprice, l_quantity) + 0.00000123, 4) AS avgx,
+                round(regr_avgy(l_extendedprice, l_quantity) + 0.000123, 2) AS avgy
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q29_percentiles" ->
       """SELECT l_returnflag,
