@@ -424,6 +424,81 @@ object MiningQueries {
       .transform(Det.emitWide(_, "a_id", "b_id"))
   }
 
+  /** q198: SIMHASH CALIBRATION (round 15 — q143's "measure the
+    * approximation" discipline applied to the suite's OTHER sketch:
+    * SimHash bits estimate the angle between TF vectors via
+    * P(bit flip) = θ/π, so est_cos = cos(π·hd/60); this key reports
+    * est vs the EXACT TF-cosine on every banded candidate pair
+    * (hamming ≤ 5 — 6 bands of 10 bits, exact by pigeonhole), the
+    * table an operator reads before trusting a hamming threshold.
+    * Scale: candidates from the band equi-join (∝ bucket occupancy,
+    * never docs²); the exact side is the (doc, word) TF table — a
+    * vocabulary-keyed SHUFFLE (q109/q111 contract) joined on
+    * candidates only; norms one bounded aggregate. The oracle
+    * re-derives pairs BRUTE-FORCE (all-pairs hamming), so band
+    * completeness at hd ≤ 5 is hash-proven per run (the q148/q103
+    * argument), and replays cos/π bit-identically (both engines'
+    * π is the same correctly-rounded double). */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val pairs = TextDedup
+      .simhashNearDupPairs(base, "doc_id", "text", maxHamming = 5)
+      .transform(Det.pin)
+    val tf = base.select(col("doc_id"), explode(expr(TOKS)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .transform(Det.pin)
+    val norms = tf.groupBy("doc_id")
+      .agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+    val dot = pairs
+      .join(tf.select(col("doc_id").as("a_id"), col("w"), col("c").as("ca")),
+        "a_id")
+      .join(tf.select(col("doc_id").as("b_id"), col("w"), col("c").as("cb")),
+        Seq("b_id", "w"))
+      .groupBy("a_id", "b_id").agg(sum(col("ca") * col("cb")).as("dot"))
+    val estC = cos(lit(math.Pi) * col("hd") / lit(60.0))
+    val exC = col("dot") / (col("na") * col("nb"))
+    pairs.join(dot, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("dot"))
+      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("hd"),
+        Det.r4e(estC).as("est_cos"),
+        Det.r4e(exC).as("exact_cos"),
+        Det.r4e(abs(estC - exC)).as("abs_err"))
+      .transform(Det.emitWide(_, "a_id", "b_id"))
+  }
+
+  /** q199: ZIPF FIT of the corpus frequency spectrum (round 15 — the
+    * vocabulary-health diagnostic: natural text follows
+    * freq ∝ rank^(−s) with s ≈ 1; a corpus whose fitted s drifts —
+    * template spam flattens the head, boilerplate dedup failures
+    * fatten it — fails this check before it poisons a tokenizer or
+    * a mixture weight). ln freq on ln rank over the TOP-1000
+    * vocabulary, fitted with q197's one-pass regr_* aggregates, plus
+    * the corpus type/token totals. Scale: the (word, count)
+    * aggregate is the one corpus-sized shuffle (q109/q111 contract);
+    * top-1000 is a TakeOrdered with the (cnt desc, w) tie-break; the
+    * rank window and the fit run on ≤1000 rows — bounded by
+    * construction at ANY corpus size. ln of exact integers + r4e
+    * epsilon (q109 discipline). */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    val v = docs(s, d).select(explode(expr(TOKS)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .transform(Det.pin)
+    val tot = v.agg(count(lit(1)).as("n_types"), sum("cnt").as("n_tokens"))
+    val top = v.orderBy(col("cnt").desc, col("w").asc).limit(1000)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("w").asc)))
+    val fit = top.agg(
+      Det.r4e(expr("regr_slope(ln(cnt), ln(rnk))")).as("slope"),
+      Det.r4e(expr("regr_intercept(ln(cnt), ln(rnk))")).as("icept"),
+      Det.r4e(expr("regr_r2(ln(cnt), ln(rnk))")).as("r2"))
+    tot.crossJoin(broadcast(fit))
+      .select(col("n_types"), col("n_tokens"), col("slope"), col("icept"),
+        col("r2"))
+  }
+
   /** q157: MERGEABLE fixed-bin histogram quantiles — the pattern that
     * makes PERCENTILES incremental at lake scale, the quantile twin of
     * q149's HLL story: bin each day's order totals ONCE (exact counts
@@ -1034,7 +1109,9 @@ object MiningQueries {
     "q180_dedup_ensemble" -> q180,
     "q182_dup_weights" -> q182,
     "q190_bpe_train" -> q190,
-    "q195_token_fertility" -> q195)
+    "q195_token_fertility" -> q195,
+    "q198_simhash_calibration" -> q198,
+    "q199_zipf_fit" -> q199)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1094,6 +1171,55 @@ object MiningQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q199_zipf_fit" ->
+      s"""WITH v AS (SELECT w, CAST(count(1) AS BIGINT) AS cnt
+                     FROM (SELECT unnest($TS) AS w FROM documents) GROUP BY w),
+          tot AS (SELECT CAST(count(1) AS BIGINT) AS n_types,
+                         CAST(sum(cnt) AS BIGINT) AS n_tokens FROM v),
+          top AS (SELECT cnt, row_number() OVER (
+                    ORDER BY cnt DESC, w ASC) AS rnk
+                  FROM v ORDER BY cnt DESC, w ASC LIMIT 1000),
+          fit AS (SELECT round(regr_slope(ln(cnt), ln(rnk)) + ${Det.E4}, 4) AS slope,
+                         round(regr_intercept(ln(cnt), ln(rnk)) + ${Det.E4}, 4) AS icept,
+                         round(regr_r2(ln(cnt), ln(rnk)) + ${Det.E4}, 4) AS r2
+                  FROM top)
+          SELECT t.n_types, t.n_tokens, f.slope, f.icept, f.r2
+          FROM tot t, fit f""",
+    "q198_simhash_calibration" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TS) AS w FROM documents),
+          h AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv
+                FROM tk),
+          bits AS (SELECT doc_id, b,
+                          CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+                   FROM h, (SELECT unnest(range(60)) AS b)),
+          sv AS (SELECT doc_id, b, sum(vote) AS sv FROM bits GROUP BY doc_id, b),
+          shh AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                                 ELSE 0 END) AS BIGINT) AS simhash
+                  FROM sv GROUP BY doc_id),
+          pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+                 FROM shh a JOIN shh b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+          tf AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS c
+                 FROM tk GROUP BY doc_id, w),
+          nr AS (SELECT doc_id, sqrt(CAST(sum(c*c) AS DOUBLE)) AS nrm
+                 FROM tf GROUP BY doc_id),
+          dt AS (SELECT p.a_id, p.b_id, CAST(sum(ta.c * tb.c) AS BIGINT) AS dot
+                 FROM pr p JOIN tf ta ON ta.doc_id = p.a_id
+                           JOIN tf tb ON tb.doc_id = p.b_id AND tb.w = ta.w
+                 GROUP BY p.a_id, p.b_id)
+          SELECT p.a_id, p.b_id, p.hd,
+                 round(cos(pi() * p.hd / 60.0) + ${Det.E4}, 4) AS est_cos,
+                 round(coalesce(dot, 0) / (na.nrm * nb.nrm) + ${Det.E4}, 4) AS exact_cos,
+                 round(abs(cos(pi() * p.hd / 60.0) -
+                           coalesce(dot, 0) / (na.nrm * nb.nrm)) + ${Det.E4}, 4) AS abs_err
+          FROM pr p
+          LEFT JOIN dt ON dt.a_id = p.a_id AND dt.b_id = p.b_id
+          JOIN nr na ON na.doc_id = p.a_id
+          JOIN nr nb ON nb.doc_id = p.b_id
+          ORDER BY p.a_id, p.b_id""",
     "q194_expectations_report" ->
       """WITH onr AS (
            SELECT CAST(count(1) AS BIGINT) AS n,
