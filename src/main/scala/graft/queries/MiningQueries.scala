@@ -499,6 +499,81 @@ object MiningQueries {
         col("r2"))
   }
 
+  /** q200: PSI DISTRIBUTION DRIFT (round 15 — the population
+    * stability index every production scoring/data pipeline monitors:
+    * PSI = Σ (p−q)·ln(p/q) over shared histogram bins; < 0.1 stable,
+    * > 0.25 drifted): order totals before vs since 1998-01-01, 10
+    * equi-width bins on the GLOBAL min/max (one shared grid — binning
+    * each window on its own range would hide exactly the shift being
+    * measured), add-½ smoothing so empty bins stay finite (the q183
+    * convention). Emits the per-bin decomposition (counts, smoothed
+    * shares, signed contribution) — the table that says WHERE the
+    * distribution moved, not just that it did. Scale: one scan, one
+    * bounded (bin)-keyed aggregate, 1-row min/max + totals
+    * broadcasts, dense 10-row bin spine; shares and contributions
+    * are identical-IEEE-op chains on exact integers (ln under r6e). */
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(col("o_totalprice").as("p"),
+        (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("isref"))
+      .transform(Det.pin)
+    val mm = o.agg(min("p").as("mn"), max("p").as("mx"))
+    val counts = o.crossJoin(broadcast(mm))
+      .select(least(floor((col("p") - col("mn")) /
+          ((col("mx") - col("mn")) / 10.0)), lit(9.0)).cast("int").as("bin"),
+        col("isref"))
+      .groupBy("bin")
+      .agg(sum(when(col("isref"), lit(1L)).otherwise(lit(0L))).as("ref_cnt"),
+        sum(when(!col("isref"), lit(1L)).otherwise(lit(0L))).as("cur_cnt"))
+    val tot = counts.agg(sum("ref_cnt").as("nr"), sum("cur_cnt").as("nc"))
+    val rs = (col("ref_cnt") + lit(0.5)) / (col("nr") + lit(5.0))
+    val cs = (col("cur_cnt") + lit(0.5)) / (col("nc") + lit(5.0))
+    s.range(10).select(col("id").cast("int").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("ref_cnt", "cur_cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        Det.r6e(rs).as("ref_share"), Det.r6e(cs).as("cur_share"),
+        Det.r6e((rs - cs) * log(rs / cs)).as("psi_contrib"))
+      .transform(Det.emit(_, "bin"))
+  }
+
+  /** q201: DEDUP SURVIVORSHIP (round 15 — the MDM "golden record"
+    * consolidation step after clustering: q123 finds WHO is a
+    * duplicate; this key decides WHAT SURVIVES): per multi-member
+    * LSH dup cluster, the keeper (min doc_id — the deterministic
+    * earliest-wins rule q108/q185 already use), the keeper's
+    * lang/source, and the merged evidence (member count, distinct
+    * langs/sources, total chars) — the record a curation pipeline
+    * writes back in place of the duplicates. Scale: clustering is
+    * q123's lineage-truncated propagation; the metadata join keys on
+    * doc id; the rollup is cluster-keyed; the keeper join is
+    * aggregate-sized. Oracle = q123's recursive-CTE components +
+    * the same relational rollup. */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val sigs = TextDedup.minhashSignatures(base, "doc_id", "text")
+    val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id")
+    val clusters = TextDedup.dupClusters(pairs)
+    val agg = clusters
+      .join(base.select(col("doc_id").as("id"), col("lang"), col("source"),
+        col("n_chars")), "id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min("id").as("keep_doc"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum("n_chars").as("total_chars"))
+      .where(col("n_members") > 1)
+    agg.join(base.select(col("doc_id").as("keep_doc"),
+        col("lang").as("keep_lang"), col("source").as("keep_source")),
+        "keep_doc")
+      .select(col("cluster"), col("n_members"), col("keep_doc"),
+        col("keep_lang"), col("keep_source"), col("n_langs"),
+        col("n_sources"), col("total_chars"))
+      .transform(Det.emitWide(_, "cluster"))
+  }
+
   /** q157: MERGEABLE fixed-bin histogram quantiles — the pattern that
     * makes PERCENTILES incremental at lake scale, the quantile twin of
     * q149's HLL story: bin each day's order totals ONCE (exact counts
@@ -1111,7 +1186,9 @@ object MiningQueries {
     "q190_bpe_train" -> q190,
     "q195_token_fertility" -> q195,
     "q198_simhash_calibration" -> q198,
-    "q199_zipf_fit" -> q199)
+    "q199_zipf_fit" -> q199,
+    "q200_psi_drift" -> q200,
+    "q201_survivorship" -> q201)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1171,6 +1248,52 @@ object MiningQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q200_psi_drift" ->
+      """WITH o AS (SELECT o_totalprice AS p,
+                           o_orderdate < TIMESTAMP '1998-01-01' AS isref
+                    FROM orders),
+          mm AS (SELECT min(p) AS mn, max(p) AS mx FROM o),
+          binned AS (SELECT CAST(least(floor((p - mn) / ((mx - mn) / 10.0)), 9.0) AS INT) AS bin,
+                            isref
+                     FROM o, mm),
+          counts AS (SELECT bin,
+                       CAST(sum(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+                       CAST(sum(CASE WHEN NOT isref THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+                     FROM binned GROUP BY bin),
+          tot AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS nr,
+                         CAST(sum(cur_cnt) AS BIGINT) AS nc FROM counts),
+          dense AS (SELECT CAST(r.b AS INT) AS bin,
+                           coalesce(ref_cnt, 0) AS ref_cnt,
+                           coalesce(cur_cnt, 0) AS cur_cnt
+                    FROM range(0, 10) r(b) LEFT JOIN counts ON counts.bin = r.b)
+          SELECT bin, ref_cnt, cur_cnt,
+                 round((ref_cnt + 0.5) / (nr + 5.0) + 0.0000000123, 6) AS ref_share,
+                 round((cur_cnt + 0.5) / (nc + 5.0) + 0.0000000123, 6) AS cur_share,
+                 round(((ref_cnt + 0.5) / (nr + 5.0) - (cur_cnt + 0.5) / (nc + 5.0)) *
+                       ln(((ref_cnt + 0.5) / (nr + 5.0)) / ((cur_cnt + 0.5) / (nc + 5.0)))
+                       + 0.0000000123, 6) AS psi_contrib
+          FROM dense, tot ORDER BY bin""",
+    "q201_survivorship" ->
+      s"""WITH RECURSIVE $SIG_CTES,
+          e AS (SELECT a_id AS src, b_id AS dst FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+          reach(id, lbl) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM e)
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+          cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+          ag AS (SELECT cluster, CAST(count(1) AS BIGINT) AS n_members,
+                        min(d.doc_id) AS keep_doc,
+                        CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+                        CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+                        CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+                 FROM cl JOIN documents d ON d.doc_id = cl.id
+                 GROUP BY cluster)
+          SELECT a.cluster, a.n_members, a.keep_doc, k.lang AS keep_lang,
+                 k.source AS keep_source, a.n_langs, a.n_sources, a.total_chars
+          FROM ag a JOIN documents k ON k.doc_id = a.keep_doc
+          WHERE a.n_members > 1
+          ORDER BY a.cluster""",
     "q199_zipf_fit" ->
       s"""WITH v AS (SELECT w, CAST(count(1) AS BIGINT) AS cnt
                      FROM (SELECT unnest($TS) AS w FROM documents) GROUP BY w),
