@@ -402,8 +402,12 @@ object TextQueries {
     * bucket's min/max score (exact element picks of already-rounded
     * values, no fresh float hazard). */
   private def q193(s: SparkSession, d: String): DataFrame = {
-    val scored = bigramNll(s, d)
-      .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id")
+    // pinned: DistributedRank's probe job + value phase + join-back
+    // are three consumers — unpinned, each re-runs the whole bigram
+    // pipeline (the q122 lesson; measured 4.1 s → pinned 1.4 s at
+    // sf0.1)
+    val scored = Det.pin(bigramNll(s, d)
+      .join(docs(s, d).select(col("doc_id"), col("lang")), "doc_id"))
     graft.operators.DistributedRank.ranked(scored, Seq("lang"),
         Seq("avg_nll"), Seq("doc_id"), ntileK = 3)
       .groupBy(col("lang"), col("nt"))

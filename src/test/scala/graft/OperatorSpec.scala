@@ -629,6 +629,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(all == pq, s"probe=all diverges from pqTopK:\n$all\nvs\n$pq")
   }
 
+  test("corpus audit: versioned reports, PSI drift vs previous run, time travel") {
+    import graft.examples.CorpusAudit
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("audit").toString
+    // v1: first run — expectations/mix/zipf sections, NO drift (no
+    // previous histogram to compare against)
+    val v1 = CorpusAudit.runAudit(spark, docs, dir)
+    assert(v1 == 1L)
+    val r1 = CorpusAudit.report(spark, dir).collect()
+    val sections1 = r1.map(_.getAs[String]("section")).toSet
+    assert(sections1 == Set("expectations", "lang_mix", "zipf"),
+      s"v1 sections: $sections1")
+    val mixShare = r1.filter(_.getAs[String]("section") == "lang_mix")
+      .map(_.getAs[Double]("metric")).sum
+    assert(math.abs(mixShare - 1.0) < 1e-9, s"lang shares sum to $mixShare")
+    // v2: audit a SHIFTED corpus (short docs dropped) — drift section
+    // appears and is positive (the length histogram moved)
+    val v2 = CorpusAudit.runAudit(spark, docs.where(col("n_chars") >= 250), dir)
+    assert(v2 == 2L)
+    val psi2 = CorpusAudit.report(spark, dir).collect()
+      .find(r => r.getAs[String]("section") == "drift").get
+      .getAs[Double]("metric")
+    assert(psi2 > 0.1, s"dropping half the length distribution gave PSI $psi2")
+    // v3: identical corpus to v2 — PSI exactly 0 (same counts, every
+    // per-bin contribution is (p-p)·ln(1))
+    CorpusAudit.runAudit(spark, docs.where(col("n_chars") >= 250), dir)
+    val psi3 = CorpusAudit.report(spark, dir).collect()
+      .find(r => r.getAs[String]("section") == "drift").get
+      .getAs[Double]("metric")
+    assert(psi3 == 0.0, s"identical corpora gave PSI $psi3")
+    // time travel: the v1 report is still served unchanged
+    val r1Again = CorpusAudit.report(spark, dir, Some(1L)).collect()
+    assert(r1Again.map(_.toString).sorted.toSeq ==
+      r1.map(_.toString).sorted.toSeq, "v1 report changed under later commits")
+  }
+
   test("ivfpq index: cell-partitioned codes serve identically; scan touches only probed dirs; meta guards") {
     import graft.operators.Similarity
     val em = Tables.embeddings(spark, sf)
