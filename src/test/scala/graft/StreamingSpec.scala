@@ -1897,6 +1897,50 @@ class StreamingSpec extends AnyFunSuite {
     check()
   }
 
+  test("s42: streaming PSI drift monitor — prefix reference, shift alarm, idempotent replay") {
+    import graft.streaming.DriftMonitor
+    val src = TestSpark.tmpDir("s42-src")
+    val store = TestSpark.tmpDir("s42-store") + "/m"
+    val chk = TestSpark.tmpDir("s42-chk")
+    def run(checkpoint: String = chk): Unit = {
+      val rows = spark.readStream
+        .schema(StructType(Seq(StructField("v", DoubleType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+      val q = DriftMonitor.driftSink(rows, "v", lo = 0.0, hi = 100.0,
+          bins = 10, store, checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // b0/b1: the same uniform shape; b2: mass shifted into the top bins
+    val b0 = (0 until 500).map(i => (i * 7919 % 100).toDouble)
+    val b1 = (0 until 500).map(i => (i * 104729 % 100).toDouble)
+    val b2 = (0 until 500).map(i => 80.0 + (i * 7919 % 20))
+    writeNdjson(src, "f0.ndjson", b0.map(v => s"""{"v": $v}"""))
+    run()
+    writeNdjson(src, "f1.ndjson", b1.map(v => s"""{"v": $v}"""))
+    run() // restart mid-history
+    writeNdjson(src, "f2.ndjson", b2.map(v => s"""{"v": $v}"""))
+    run()
+    def history() = DriftMonitor.driftHistory(spark, store).collect()
+      .map(r => (r.getAs[Long]("batch_id"),
+        Option(r.getAs[java.lang.Double]("psi")).map(_.doubleValue),
+        r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"))).toSeq
+    val h = history()
+    assert(h.map(_._1) == Seq(0L, 1L, 2L), s"batches: $h")
+    assert(h(0)._2.isEmpty, "first batch must have NULL psi (no reference)")
+    assert(h(0)._3 == 0L && h(0)._4 == 500L)
+    val psi1 = h(1)._2.get; val psi2 = h(2)._2.get
+    assert(psi1 < 0.05, s"same-shape batch alarmed: psi=$psi1")
+    assert(psi2 > 0.5, s"shifted batch did not alarm: psi=$psi2")
+    assert(h(2)._3 == 1000L, "batch 2's reference must merge batches 0+1")
+    // idempotent replay from a FRESH checkpoint: every batch re-offers,
+    // writeIfUncommitted skips committed dirs — history is unchanged
+    // (in particular psi rows did NOT recompute against later history)
+    run(checkpoint = TestSpark.tmpDir("s42-chk2"))
+    assert(history() == h, "replay changed the drift history")
+  }
+
   test("s41: readSample on an empty store yields a typed, projectable empty frame") {
     import graft.streaming.AdaptiveSample
     val empty = TestSpark.tmpDir("s41-empty") + "/nothing-here"
