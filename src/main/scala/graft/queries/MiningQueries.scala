@@ -574,6 +574,39 @@ object MiningQueries {
       .transform(Det.emitWide(_, "cluster"))
   }
 
+  /** q202: DUP-GRAPH PROFILE (round 15 — the health check ON the
+    * dedup graph itself: a near-dup graph whose giant component
+    * swallows the corpus means the banding threshold collapsed —
+    * SemDeDup/MinHash pipelines watch the component-size spectrum
+    * exactly like q199 watches the frequency spectrum): component
+    * size histogram over the q123 LSH clusters, with per-size node
+    * shares against the WHOLE corpus (so the "share un-clustered"
+    * is visible too: size-1 rows are the docs no pair touched).
+    * Scale: q123's lineage-truncated propagation; everything after
+    * is cluster-keyed then size-keyed — two bounded aggregates;
+    * corpus total is a 1-row broadcast; shares exact-integer
+    * divisions. Oracle = the recursive-CTE components + the same
+    * rollup, singletons restored by an anti-join. */
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val sigs = TextDedup.minhashSignatures(base, "doc_id", "text")
+    val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id")
+    val clusters = TextDedup.dupClusters(pairs)
+    // docs in no pair are their own singleton component
+    val all = base.select(col("doc_id").as("id"))
+      .join(clusters, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val sizes = all.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val tot = base.agg(count(lit(1)).as("n_docs"))
+    sizes.groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("csize"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_nodes"),
+        ((col("csize") * col("n_clusters")).cast("double") / col("n_docs"))
+          .as("node_share"))
+      .transform(Det.emit(_, "csize"))
+  }
+
   /** q157: MERGEABLE fixed-bin histogram quantiles — the pattern that
     * makes PERCENTILES incremental at lake scale, the quantile twin of
     * q149's HLL story: bin each day's order totals ONCE (exact counts
@@ -1188,7 +1221,8 @@ object MiningQueries {
     "q198_simhash_calibration" -> q198,
     "q199_zipf_fit" -> q199,
     "q200_psi_drift" -> q200,
-    "q201_survivorship" -> q201)
+    "q201_survivorship" -> q201,
+    "q202_dup_graph_profile" -> q202)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1273,6 +1307,25 @@ object MiningQueries {
                        ln(((ref_cnt + 0.5) / (nr + 5.0)) / ((cur_cnt + 0.5) / (nc + 5.0)))
                        + 0.0000000123, 6) AS psi_contrib
           FROM dense, tot ORDER BY bin""",
+    "q202_dup_graph_profile" ->
+      s"""WITH RECURSIVE $SIG_CTES,
+          e AS (SELECT a_id AS src, b_id AS dst FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+          reach(id, lbl) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM e)
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+          cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+          alln AS (SELECT d.doc_id AS id, coalesce(cl.cluster, d.doc_id) AS cluster
+                   FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+          sizes AS (SELECT cluster, CAST(count(1) AS BIGINT) AS csize
+                    FROM alln GROUP BY cluster),
+          tot AS (SELECT CAST(count(1) AS BIGINT) AS n_docs FROM documents)
+          SELECT csize, CAST(count(1) AS BIGINT) AS n_clusters,
+                 csize * CAST(count(1) AS BIGINT) AS n_nodes,
+                 CAST(csize * count(1) AS DOUBLE) / n_docs AS node_share
+          FROM sizes, tot
+          GROUP BY csize, n_docs ORDER BY csize""",
     "q201_survivorship" ->
       s"""WITH RECURSIVE $SIG_CTES,
           e AS (SELECT a_id AS src, b_id AS dst FROM pr
