@@ -130,7 +130,9 @@ object Multimodal {
     * signal). The oracle replays the full resize + compare arithmetic
     * in SQL — integer division and zero-padding agree
     * index-for-index. */
-  def q151(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc dHash bands (doc_id, h0..h3) — q151's body, shared with
+    * q203's banded near-dup join. */
+  private def dHashFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     toMediaDocs(graft.Tables.spread(s, graft.Tables.documents(s, d)))
       .map { m =>
@@ -140,7 +142,46 @@ object Multimodal {
         (m.doc_id, h0, h1, h2, h3)
       }
       .toDF("doc_id", "h0", "h1", "h2", "h3")
-      .transform(graft.queries.Det.emitWide(_, "doc_id"))
+  }
+
+  def q151(s: SparkSession, d: String): DataFrame =
+    dHashFrame(s, d).transform(graft.queries.Det.emitWide(_, "doc_id"))
+
+  /** q203: MEDIA NEAR-DUP pairs (round 15 — the image twin of q103's
+    * SimHash banding, completing the multimodal family's dedup path:
+    * decode→hash is q151's fused map-side pass, and only the 8-byte
+    * signature ever shuffles): perceptual-hash pairs at hamming ≤ 3
+    * over the 64-bit dHash, candidates from the 16-bit band
+    * equi-join — ≤ 3 flipped bits leave ≥ 1 of 4 bands intact
+    * (pigeonhole, exact), so the bucket join ∝ band occupancy, never
+    * media². The oracle is the BRUTE-FORCE all-pairs hamming join
+    * over the SQL-replayed resize+compare arithmetic, so the banding
+    * completeness is hash-proven per run (q103/q148 discipline). */
+  def q203(s: SparkSession, d: String): DataFrame = {
+    val hashes = graft.queries.Det.pin(dHashFrame(s, d))
+    val banded = hashes.select(col("doc_id"), col("h0"), col("h1"),
+      col("h2"), col("h3"),
+      explode(expr("""array(named_struct('bi', 0, 'bv', h0),
+                           named_struct('bi', 1, 'bv', h1),
+                           named_struct('bi', 2, 'bv', h2),
+                           named_struct('bi', 3, 'bv', h3))""")).as("b"))
+      .select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = banded.select(col("doc_id").as("a_id"), col("h0").as("a0"),
+      col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"),
+      col("bi"), col("bv"))
+    val b = banded.select(col("doc_id").as("b_id"), col("h0").as("b0"),
+      col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3"),
+      col("bi").as("bi2"), col("bv").as("bv2"))
+    a.join(b, col("bi") === col("bi2") && col("bv") === col("bv2") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("""bit_count(a0 ^ b0) + bit_count(a1 ^ b1) +
+                bit_count(a2 ^ b2) + bit_count(a3 ^ b3)""")
+          .cast("int").as("hd"))
+      .distinct()
+      .where(col("hd") <= 3)
+      .transform(graft.queries.Det.emitWide(_, "a_id", "b_id"))
   }
 
   /** q97: the full pipeline as a query — binary wrap → batched decode
@@ -174,22 +215,12 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q97_multimodal_features" -> q97, "q102_frame_sample" -> q102,
-      "q151_dhash_bands" -> q151)
+      "q151_dhash_bands" -> q151, "q203_media_neardup" -> q203)
 
-  val oracles: Map[String, String] = Map(
-    "q97_multimodal_features" ->
-      """SELECT doc_id,
-                CAST(32 + strlen(text) % 97 AS INT) AS width,
-                CAST(32 + (strlen(text) * 7) % 97 AS INT) AS height,
-                round(CAST(ascii(substr(text, 1, 1)) AS DOUBLE) / 255.0, 4) AS f0
-         FROM documents ORDER BY doc_id""",
-    "q102_frame_sample" ->
-      """SELECT doc_id,
-                CAST(ceil(ceil(strlen(text) / 64.0) / 2.0) AS INT) AS n_frames,
-                md5(substr(text, 1, 64)) AS first_md5
-         FROM documents ORDER BY doc_id""",
-    "q151_dhash_bands" ->
-      """WITH d AS (SELECT doc_id, text, strlen(text) AS n,
+  /** The q151 dHash oracle chain, shared with q203: `ph` holds the
+    * per-doc band values from the SQL-replayed resize + compare. */
+  private val DHASH_CTES =
+    """d AS (SELECT doc_id, text, strlen(text) AS n,
                            32 + strlen(text) % 97 AS w,
                            greatest(1, (strlen(text) + 32 + strlen(text) % 97 - 1)
                                        // (32 + strlen(text) % 97)) AS h
@@ -206,11 +237,37 @@ object Multimodal {
                         THEN ascii(substr(text,
                                ((j // 8) * h // 8) * w + (((j % 8) + 1) * w // 9) + 1, 1))
                         ELSE 0 END AS pxb
-                 FROM (SELECT unnest(generate_series(0, 63)) AS j)) u)
-         SELECT doc_id,
+                 FROM (SELECT unnest(generate_series(0, 63)) AS j)) u),
+         ph AS (SELECT doc_id,
                 CAST(sum(CASE WHEN band = 0 THEN v ELSE 0 END) AS INT) AS h0,
                 CAST(sum(CASE WHEN band = 1 THEN v ELSE 0 END) AS INT) AS h1,
                 CAST(sum(CASE WHEN band = 2 THEN v ELSE 0 END) AS INT) AS h2,
                 CAST(sum(CASE WHEN band = 3 THEN v ELSE 0 END) AS INT) AS h3
-         FROM b GROUP BY doc_id ORDER BY doc_id""")
+         FROM b GROUP BY doc_id)"""
+
+  val oracles: Map[String, String] = Map(
+    "q97_multimodal_features" ->
+      """SELECT doc_id,
+                CAST(32 + strlen(text) % 97 AS INT) AS width,
+                CAST(32 + (strlen(text) * 7) % 97 AS INT) AS height,
+                round(CAST(ascii(substr(text, 1, 1)) AS DOUBLE) / 255.0, 4) AS f0
+         FROM documents ORDER BY doc_id""",
+    "q102_frame_sample" ->
+      """SELECT doc_id,
+                CAST(ceil(ceil(strlen(text) / 64.0) / 2.0) AS INT) AS n_frames,
+                md5(substr(text, 1, 64)) AS first_md5
+         FROM documents ORDER BY doc_id""",
+    "q151_dhash_bands" ->
+      s"""WITH $DHASH_CTES
+         SELECT doc_id, h0, h1, h2, h3 FROM ph ORDER BY doc_id""",
+    "q203_media_neardup" ->
+      s"""WITH $DHASH_CTES
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) +
+                     bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3))
+                     AS INT) AS hd
+         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) +
+               bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3
+         ORDER BY a_id, b_id""")
 }
