@@ -285,6 +285,31 @@ object AlgebraProps extends Properties("graft.algebra") {
       got == want
     }
 
+  property("containmentJoin equals brute-force directed containment") =
+    forAll(Gen.listOfN(10, for {
+      len <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+    } yield ws.mkString(" "))) { texts =>
+      // tiny alphabet + bigrams → subset-heavy pairs; directionality
+      // means BOTH (a,b) and (b,a) can qualify independently
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.TextDedup
+        .containmentJoin(df, "doc_id", "text", n = 2, threshold = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def gramsOf(s: String): Set[String] =
+        s.split(" ").filter(_.nonEmpty).sliding(2)
+          .filter(_.length == 2).map(_.mkString(" ")).toSet
+      val g = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> gramsOf(t) }.filter(_._2.nonEmpty)
+      val want = (for {
+        (a, ga) <- g; (b, gb) <- g if a != b
+        inter = (ga & gb).size
+        if inter.toDouble / ga.size >= 0.6
+      } yield (a, b, inter.toLong)).toSet
+      got == want
+    }
+
   property("Triangles.perNode equals brute-force triangle membership") =
     forAll(Gen.listOfN(25, for {
       a <- Gen.choose(0L, 9L)
