@@ -1941,6 +1941,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(history() == h, "replay changed the drift history")
   }
 
+  test("s43: streaming expectations gate — three-way split, one-scan metrics, idempotent replay") {
+    import graft.streaming.QualityGate
+    val src = TestSpark.tmpDir("s43-src")
+    val store = TestSpark.tmpDir("s43-store") + "/g"
+    val chk = TestSpark.tmpDir("s43-chk")
+    val rules = Seq(
+      "r_v_range" -> (col("v") < 0 || col("v") > 100),
+      "r_lang_domain" -> !col("lang").isin("en", "de"))
+    def run(checkpoint: String = chk): Unit = {
+      val rows = spark.readStream
+        .schema(StructType(Seq(StructField("id", LongType),
+          StructField("v", LongType), StructField("lang", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+      val q = QualityGate.gateSink(rows, rules, store, checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def line(id: Long, v: Long, l: String) =
+      s"""{"id": $id, "v": $v, "lang": "$l"}"""
+    // b0: 2 range violations, 1 domain violation, 1 row failing BOTH
+    val b0 = Seq((0L, 5L, "en"), (1L, -3L, "en"), (2L, 200L, "de"),
+      (3L, 50L, "fr"), (4L, 999L, "xx"), (5L, 7L, "de"))
+    // b1: all clean
+    val b1 = Seq((6L, 1L, "en"), (7L, 2L, "de"))
+    writeNdjson(src, "f0.ndjson", b0.map((line _).tupled))
+    run()
+    writeNdjson(src, "f1.ndjson", b1.map((line _).tupled))
+    run() // restart mid-history
+    val clean = QualityGate.gated(spark, store).get
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(0L, 5L, 6L, 7L), s"clean feed: $clean")
+    val quar = QualityGate.quarantined(spark, store).get
+      .select(col("id"), col("bad_rules")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(quar == Map(
+      1L -> Set("r_v_range"), 2L -> Set("r_v_range"),
+      3L -> Set("r_lang_domain"),
+      4L -> Set("r_v_range", "r_lang_domain")), s"quarantine: $quar")
+    val m = QualityGate.metrics(spark, store).get.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("rule_id")) ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_viol"))).toMap
+    assert(m == Map(
+      (0L, "r_v_range") -> (6L, 3L), (0L, "r_lang_domain") -> (6L, 2L),
+      (1L, "r_v_range") -> (2L, 0L), (1L, "r_lang_domain") -> (2L, 0L)),
+      s"metrics: $m")
+    // idempotent replay from a fresh checkpoint: all three stores
+    // unchanged (committed batch dirs are skipped)
+    run(checkpoint = TestSpark.tmpDir("s43-chk2"))
+    assert(QualityGate.gated(spark, store).get.count() == 4)
+    assert(QualityGate.quarantined(spark, store).get.count() == 4)
+    assert(QualityGate.metrics(spark, store).get.count() == 4)
+  }
+
   test("s41: readSample on an empty store yields a typed, projectable empty frame") {
     import graft.streaming.AdaptiveSample
     val empty = TestSpark.tmpDir("s41-empty") + "/nothing-here"
