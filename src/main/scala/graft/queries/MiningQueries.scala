@@ -607,6 +607,39 @@ object MiningQueries {
       .transform(Det.emit(_, "csize"))
   }
 
+  /** q204: EFFECTIVE TOKEN BUDGET by source (round 15 — the question
+    * every mixture plan starts from: "how many tokens do I really
+    * have?": raw counts double-count near-duplicates, so each doc
+    * weighs 1/|its dup cluster| (q182's soft-dedup rule — the
+    * cluster's content contributes one document's worth of signal
+    * split across its members) and the per-source budget is
+    * Σ tokens·weight, beside the raw count and the dedup ratio that
+    * says how inflated each source is. Scale: q123's propagation for
+    * clusters, a cluster-keyed size aggregate, a doc-keyed weight
+    * join (docs in no pair weigh 1), one token-count scan, a
+    * source-keyed rollup. The weighted sum is ints × exact rationals
+    * under the r4e epsilon; the ratio divides the ROUNDED sum by the
+    * exact raw count (identical op both engines). */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val sigs = TextDedup.minhashSignatures(base, "doc_id", "text")
+    val clusters = TextDedup.dupClusters(
+      TextDedup.lshCandidatePairs(sigs, "doc_id"))
+    val csize = clusters.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    val w = clusters.join(csize, "cluster")
+      .select(col("id").as("doc_id"), (lit(1.0) / col("csize")).as("w"))
+    base.select(col("doc_id"), col("source"),
+        size(expr(TOKS)).cast("long").as("nt"))
+      .join(w, Seq("doc_id"), "left")
+      .na.fill(1.0, Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("raw_tokens"),
+        Det.r4e(sum(col("nt") * col("w"))).as("effective_tokens"))
+      .withColumn("dedup_ratio",
+        Det.r4e(col("effective_tokens") / col("raw_tokens")))
+      .transform(Det.emitWide(_, "source"))
+  }
+
   /** q157: MERGEABLE fixed-bin histogram quantiles — the pattern that
     * makes PERCENTILES incremental at lake scale, the quantile twin of
     * q149's HLL story: bin each day's order totals ONCE (exact counts
@@ -1222,7 +1255,8 @@ object MiningQueries {
     "q199_zipf_fit" -> q199,
     "q200_psi_drift" -> q200,
     "q201_survivorship" -> q201,
-    "q202_dup_graph_profile" -> q202)
+    "q202_dup_graph_profile" -> q202,
+    "q204_effective_tokens" -> q204)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1307,6 +1341,28 @@ object MiningQueries {
                        ln(((ref_cnt + 0.5) / (nr + 5.0)) / ((cur_cnt + 0.5) / (nc + 5.0)))
                        + 0.0000000123, 6) AS psi_contrib
           FROM dense, tot ORDER BY bin""",
+    "q204_effective_tokens" ->
+      s"""WITH RECURSIVE $SIG_CTES,
+          e AS (SELECT a_id AS src, b_id AS dst FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+          reach(id, lbl) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM e)
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+          cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+          cs AS (SELECT cluster, count(1) AS csize FROM cl GROUP BY cluster),
+          wt AS (SELECT cl.id AS doc_id, 1.0 / cs.csize AS w
+                 FROM cl JOIN cs ON cs.cluster = cl.cluster),
+          tk AS (SELECT d.doc_id, d.source, CAST(len($TS) AS BIGINT) AS nt,
+                        coalesce(wt.w, 1.0) AS w
+                 FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id),
+          ag AS (SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+                        CAST(sum(nt) AS BIGINT) AS raw_tokens,
+                        round(sum(nt * w) + ${Det.E4}, 4) AS effective_tokens
+                 FROM tk GROUP BY source)
+          SELECT source, n_docs, raw_tokens, effective_tokens,
+                 round(effective_tokens / raw_tokens + ${Det.E4}, 4) AS dedup_ratio
+          FROM ag ORDER BY source""",
     "q202_dup_graph_profile" ->
       s"""WITH RECURSIVE $SIG_CTES,
           e AS (SELECT a_id AS src, b_id AS dst FROM pr
