@@ -57,6 +57,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k does a full sort")
   }
 
+  test("q192: the λ table broadcasts into the token stream; top-25 short-circuits") {
+    // DSIR's whole point is the BOUNDED feature space: the scoring
+    // join must be a broadcast of the 64-row λ table, never a
+    // vocabulary-sized sort-merge (the q109/q111 shuffle is correct
+    // THERE because the vocabulary is corpus-sized — here it must not
+    // appear)
+    val p = plan("q192_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), s"λ join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join appeared in the bounded-feature pipeline")
+    assert(p.contains("TakeOrderedAndProject"), "top-25 does a full sort")
+  }
+
+  test("q194: each table's rules fold in ONE aggregate; FK scans read only the key") {
+    val p = plan("q194_expectations_report")
+    // one stack-generate per single-table pass — rule count never
+    // multiplies table scans
+    assert("stack\\(3,".r.findAllIn(p).length == 2,
+      s"expected exactly two stack(3, ...) pivots:\n$p")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"),
+      "orders FK scan reads more than the key column")
+    assert(p.contains("LeftAnti"), "FK rules are not anti-joins")
+  }
+
   test("q88: simhash64 expression stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q88_simhash")(spark, sf)
     // AQE only finalizes stages on execution; run it, then inspect the
