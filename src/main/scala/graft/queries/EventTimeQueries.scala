@@ -237,6 +237,7 @@ object EventTimeQueries {
     "q140_user_features" -> q140,
     "q141_rolling_wau" -> q141,
     "q144_session_cooccurrence" -> q144,
+    "q205_interarrival" -> q205,
     "q145_partition_prune" -> q145,
     "q149_hll_union" -> q149,
     "q150_mg_heavy_hitters" -> q150)
@@ -333,6 +334,43 @@ object EventTimeQueries {
     * here), so the within-session pair fan-out is a bounded map-side
     * self-join on the (user, sess) key; counts land on the bounded
     * (type, type) key and the session total is a 1-row broadcast. */
+  /** q205: INTER-ARRIVAL profile per event type (round 15 — the
+    * cadence statistic behind session-gap tuning (q72/q105's 30-min
+    * threshold is exactly a cut on THIS distribution), rate-limit
+    * sizing, and bot detection): consecutive same-user gaps in
+    * seconds, rolled up per the FOLLOWING event's type with count /
+    * mean / max / exact median. Scale: one per-user lag window
+    * (user_id is the suite's standard high-cardinality partition key
+    * — the q105 contract; ordering tie-breaks on event_id so equal
+    * timestamps rank identically in both engines), then a
+    * type-keyed rollup and DistributedRank.quantiles for the exact
+    * p50 (the q29 machinery — no whole-multiset buffer). Gaps are
+    * exact integer seconds; mean under r4e; median interpolation
+    * bit-identical to percentile() on both engines (q29's contract). */
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
+          .as("gap_s"))
+      .transform(Det.pin)
+    val stats = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        Det.r4e(avg("gap_s")).as("avg_gap_s"),
+        max("gap_s").as("max_gap_s"))
+    val med = graft.operators.DistributedRank.quantiles(
+        gaps.select(col("event_type"), col("gap_s").cast("double")),
+        Seq("event_type"), "gap_s", Seq("p50" -> 0.5), adaptiveCut = 0)
+      .select(col("event_type"), Det.r4e(col("p50")).as("p50_gap_s"))
+    stats.join(med, "event_type")
+      .transform(Det.emit(_, "event_type"))
+  }
+
   private def q144(s: SparkSession, d: String): DataFrame = {
     val sess = graft.operators.Sessionize.assign(
         events(s, d).withColumn("tsec", date_trunc("second", col("ts"))),
@@ -523,6 +561,21 @@ object EventTimeQueries {
                   ORDER BY tsec, event_id
                   ROWS UNBOUNDED PRECEDING) AS INT) AS sess
          FROM g ORDER BY event_id""",
+    "q205_interarrival" ->
+      """WITH g AS (SELECT event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) -
+                           CAST(floor(epoch(lag(ts, 1) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC))) AS BIGINT) AS gap_s
+                    FROM events),
+          gg AS (SELECT event_type, CAST(gap_s AS BIGINT) AS gap_s
+                 FROM g WHERE gap_s IS NOT NULL)
+          SELECT event_type, CAST(count(1) AS BIGINT) AS n_gaps,
+                 round(avg(gap_s) + 0.00000123, 4) AS avg_gap_s,
+                 max(gap_s) AS max_gap_s,
+                 round(quantile_cont(CAST(gap_s AS DOUBLE), 0.5) + 0.00000123, 4)
+                   AS p50_gap_s
+          FROM gg GROUP BY event_type ORDER BY event_type""",
     "q144_session_cooccurrence" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type,
                             date_trunc('second', ts) AS tsec FROM events),
