@@ -238,6 +238,7 @@ object EventTimeQueries {
     "q141_rolling_wau" -> q141,
     "q144_session_cooccurrence" -> q144,
     "q205_interarrival" -> q205,
+    "q206_mad_outliers" -> q206,
     "q145_partition_prune" -> q145,
     "q149_hll_union" -> q149,
     "q150_mg_heavy_hitters" -> q150)
@@ -368,6 +369,48 @@ object EventTimeQueries {
         Seq("event_type"), "gap_s", Seq("p50" -> 0.5), adaptiveCut = 0)
       .select(col("event_type"), Det.r4e(col("p50")).as("p50_gap_s"))
     stats.join(med, "event_type")
+      .transform(Det.emit(_, "event_type"))
+  }
+
+  /** q206: MAD-based robust outlier screen per event type (round 16 —
+    * the robust complement to q160's winsorization: median absolute
+    * deviation is the 50%-breakdown scale estimator, so a burst of
+    * corrupt values cannot inflate its own detection threshold the
+    * way it inflates a stddev z-score): per type, the exact median of
+    * `value`, the exact MAD, and how many events fall outside
+    * med ± 4.4478·MAD (3σ under the normal-consistency constant
+    * 1.4826, folded into ONE literal so both engines multiply
+    * identically). Scale: two DistributedRank.quantiles passes (the
+    * q29 machinery — heavy state is the per-(type, value) count
+    * frame, never a type's row multiset), each #types-row result
+    * broadcast back for a map-side deviation/compare; the only
+    * corpus-keyed shuffles are (type, value)-grained. Floats: med and
+    * MAD are bit-identical to percentile_cont on both engines (the
+    * quantiles contract); |v−med| and 4.4478·mad are the same IEEE op
+    * sequence in the oracle, so the strict `>` can only disagree on
+    * an exact tie — which both engines then resolve the same way. */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).select(col("event_type"), col("value"))
+      .transform(Det.pin)
+    val med = graft.operators.DistributedRank.quantiles(
+        base, Seq("event_type"), "value", Seq("med" -> 0.5),
+        adaptiveCut = 0)
+    val dev = base.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("dev"))
+      .transform(Det.pin)
+    val mad = graft.operators.DistributedRank.quantiles(
+        dev, Seq("event_type"), "dev", Seq("mad" -> 0.5),
+        adaptiveCut = 0)
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        Det.r4e(max("med")).as("med"),
+        Det.r4e(max("mad")).as("mad"),
+        sum(when(col("dev") > lit(4.4478) * col("mad"), 1L)
+          .otherwise(0L)).as("n_out"))
+      .withColumn("out_rate",
+        Det.r4e(col("n_out") / col("n").cast("double")))
       .transform(Det.emit(_, "event_type"))
   }
 
@@ -576,6 +619,25 @@ object EventTimeQueries {
                  round(quantile_cont(CAST(gap_s AS DOUBLE), 0.5) + 0.00000123, 4)
                    AS p50_gap_s
           FROM gg GROUP BY event_type ORDER BY event_type""",
+    "q206_mad_outliers" ->
+      s"""WITH base AS (SELECT event_type, value FROM events),
+          med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                  FROM base GROUP BY event_type),
+          dev AS (SELECT b.event_type, m.med, abs(b.value - m.med) AS dev
+                  FROM base b JOIN med m USING (event_type)),
+          mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                  FROM dev GROUP BY event_type)
+          SELECT d.event_type, CAST(count(1) AS BIGINT) AS n,
+                 round(max(d.med) + ${Det.E4}, 4) AS med,
+                 round(max(a.mad) + ${Det.E4}, 4) AS mad,
+                 CAST(sum(CASE WHEN d.dev > 4.4478 * a.mad
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+                 round(sum(CASE WHEN d.dev > 4.4478 * a.mad
+                               THEN 1 ELSE 0 END)
+                       / CAST(count(1) AS DOUBLE) + ${Det.E4}, 4)
+                   AS out_rate
+          FROM dev d JOIN mad a USING (event_type)
+          GROUP BY d.event_type ORDER BY d.event_type""",
     "q144_session_cooccurrence" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type,
                             date_trunc('second', ts) AS tsec FROM events),

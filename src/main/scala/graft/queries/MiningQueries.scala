@@ -499,6 +499,59 @@ object MiningQueries {
         col("r2"))
   }
 
+  /** q208: HEAPS-LAW vocabulary growth (round 16 — the companion
+    * corpus-health curve to q199's Zipf slope: V(N) ≈ k·N^β tells an
+    * n-gram-index / dedup planner how fast NEW types keep arriving as
+    * the corpus grows — a β that stops falling flags boilerplate or
+    * synthetic runaway): distinct 3-word-SHINGLE types (the suite's
+    * minhash/dedup unit — word-level V saturates on any bounded
+    * vocabulary, exactly as it does on this fixture, so the shingle
+    * grain is the one whose growth a pipeline actually plans for) at
+    * 20 corpus prefixes (by doc_id ingest order), with the log-log
+    * OLS fit (β, ln k, R²) over the checkpoints. Scale: prefixes come
+    * from a 1-row min/max agg → 20 id-value thresholds
+    * (calendar-sized, the q129 spine discipline — never a data-sized
+    * rank window); per-shingle FIRST-SEEN doc is one
+    * vocabulary-keyed min aggregate (the vocab-shuffle contract), and
+    * each cumulative point is a ×20 map-side broadcast fanout over
+    * the doc-grain / vocab-grain frames — the corpus itself is
+    * scanned twice, never joined to itself. Floats: ln over exact
+    * integers + regr_* under r4e (the q199/q197 discipline). */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val perDoc = docs(s, d)
+      .select(col("doc_id"), expr(s"size($TOKS)").cast("long").as("m"))
+      .transform(Det.pin)
+    val firstSeen = graft.operators.TextDedup
+      .withShingles(docs(s, d), "text")
+      .select(col("doc_id"), explode(col("shs")).as("g"))
+      .groupBy("g").agg(min("doc_id").as("first_doc"))
+    val mm = perDoc.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val chk = mm
+      .select(explode(sequence(lit(1L), lit(20L))).as("i"),
+        col("mn"), col("mx"))
+      .select(col("i"), expr("mn + ((mx - mn) * i) div 20").as("thr"))
+    val tokCum = perDoc.crossJoin(broadcast(chk))
+      .where(col("doc_id") <= col("thr"))
+      .groupBy("i", "thr")
+      .agg(count(lit(1)).as("docs_n"), sum("m").as("tokens_cum"))
+    val vocCum = firstSeen.crossJoin(broadcast(chk))
+      .where(col("first_doc") <= col("thr"))
+      .groupBy("i").agg(count(lit(1)).as("vocab_cum"))
+    val pts = tokCum.join(vocCum, "i").transform(Det.pin)
+    val fit = pts
+      .where(col("vocab_cum") > 0 && col("tokens_cum") > 0)
+      .agg(
+        Det.r4e(expr("regr_slope(ln(vocab_cum), ln(tokens_cum))"))
+          .as("beta"),
+        Det.r4e(expr("regr_intercept(ln(vocab_cum), ln(tokens_cum))"))
+          .as("logk"),
+        Det.r4e(expr("regr_r2(ln(vocab_cum), ln(tokens_cum))")).as("r2"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("i"), col("thr"), col("docs_n"), col("tokens_cum"),
+        col("vocab_cum"), col("beta"), col("logk"), col("r2"))
+      .transform(Det.emit(_, "i"))
+  }
+
   /** q200: PSI DISTRIBUTION DRIFT (round 15 — the population
     * stability index every production scoring/data pipeline monitors:
     * PSI = Σ (p−q)·ln(p/q) over shared histogram bins; < 0.1 stable,
@@ -1253,6 +1306,7 @@ object MiningQueries {
     "q195_token_fertility" -> q195,
     "q198_simhash_calibration" -> q198,
     "q199_zipf_fit" -> q199,
+    "q208_heaps_law" -> q208,
     "q200_psi_drift" -> q200,
     "q201_survivorship" -> q201,
     "q202_dup_graph_profile" -> q202,
@@ -1417,6 +1471,38 @@ object MiningQueries {
                   FROM top)
           SELECT t.n_types, t.n_tokens, f.slope, f.icept, f.r2
           FROM tot t, fit f""",
+    "q208_heaps_law" ->
+      s"""WITH pd AS (SELECT doc_id,
+                             CAST(len($TS) AS BIGINT) AS m FROM documents),
+          fs AS (SELECT g, min(doc_id) AS first_doc
+                 FROM (SELECT doc_id,
+                              unnest(list_transform(range(len(ts) - 2),
+                                i -> ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                                     ts[i+3])) AS g
+                       FROM (SELECT doc_id, $TS AS ts FROM documents)
+                       WHERE len(ts) >= 3)
+                 GROUP BY g),
+          mm AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM pd),
+          chk AS (SELECT t.i, mm.mn + ((mm.mx - mm.mn) * t.i) // 20 AS thr
+                  FROM mm, range(1, 21) t(i)),
+          tc AS (SELECT c.i, c.thr, CAST(count(1) AS BIGINT) AS docs_n,
+                        CAST(sum(p.m) AS BIGINT) AS tokens_cum
+                 FROM chk c JOIN pd p ON p.doc_id <= c.thr GROUP BY 1, 2),
+          vc AS (SELECT c.i, CAST(count(1) AS BIGINT) AS vocab_cum
+                 FROM chk c JOIN fs f ON f.first_doc <= c.thr GROUP BY 1),
+          pts AS (SELECT tc.i, tc.thr, tc.docs_n, tc.tokens_cum,
+                         vc.vocab_cum
+                  FROM tc JOIN vc USING (i)),
+          fit AS (SELECT round(regr_slope(ln(vocab_cum), ln(tokens_cum))
+                           + ${Det.E4}, 4) AS beta,
+                         round(regr_intercept(ln(vocab_cum), ln(tokens_cum))
+                           + ${Det.E4}, 4) AS logk,
+                         round(regr_r2(ln(vocab_cum), ln(tokens_cum))
+                           + ${Det.E4}, 4) AS r2
+                  FROM pts WHERE vocab_cum > 0 AND tokens_cum > 0)
+          SELECT p.i, p.thr, p.docs_n, p.tokens_cum, p.vocab_cum,
+                 f.beta, f.logk, f.r2
+          FROM pts p, fit f ORDER BY p.i""",
     "q198_simhash_calibration" ->
       s"""WITH tk AS (SELECT doc_id, unnest($TS) AS w FROM documents),
           h AS (SELECT doc_id,

@@ -260,6 +260,44 @@ object TextQueries {
         col("total").as("n_words"))
       .transform(Det.emitWide(_, "doc_id"))
 
+  /** q207: word-distribution ENTROPY quality signal (round 16 — the
+    * information-theoretic complement to q99's ratio filters: a
+    * keyword-stuffed or template page has low Shannon entropy even
+    * when no single word dominates, so H catches boilerplate q99's
+    * top-word/dup-word cuts miss): per doc
+    * H = ln n − (Σ c·ln c)/n over word counts, normalized by the
+    * ln n maximum, rolled up per language with the count of
+    * low-entropy (H < 4.0) docs. Scale: the same two hash aggregates
+    * as q99 — (doc, word) counts then a per-doc fold of two numbers
+    * — so per-doc state is two accumulators, never the token list;
+    * the rollup is a #langs-key aggregate. Floats: ln is libm on
+    * both engines (≤ 1 ulp apart) and the Σ c·ln c summation order
+    * differs across engines, so per-doc H carries ~1e-15 relative
+    * noise — absorbed by r4e on the averages; the H < 4.0 count can
+    * only flip for a doc whose true H sits within that noise of the
+    * threshold (a measure-zero coincidence on integer count
+    * multisets; the float-determinism table in NOTES carries the
+    * argument). Zero-token docs have no word rows and drop out of
+    * both engines identically. */
+  private def q207(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("lang"), explode(expr(TOKS)).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("c").as("n"),
+        sum(col("c") * log(col("c").cast("double"))).as("clc"))
+      .select(col("lang"), col("n"),
+        (log(col("n").cast("double")) -
+          col("clc") / col("n").cast("double")).as("h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.r4e(avg("h")).as("avg_h"),
+        Det.r4e(avg(when(col("n") > 1,
+          col("h") / log(col("n").cast("double")))
+          .otherwise(lit(0.0)))).as("avg_hnorm"),
+        sum(when(col("h") < 4.0, 1L).otherwise(0L)).as("n_low"))
+      .transform(Det.emit(_, "lang"))
+
   /** q103: simhash-banded near-dup pairs — EXACT for hamming ≤ 3 by
     * pigeonhole banding (TextDedup.simhashNearDupPairs): 4 bands of 15
     * bits, qualifying pairs must share a band, candidates join on the
@@ -621,7 +659,8 @@ object TextQueries {
     "q152_hash_split" -> q152, "q91_lang_id" -> q91,
     "q92_quality_score" -> q92, "q93_token_count" -> q93,
     "q94_doc_fingerprint" -> q94, "q96_binary_meta" -> q96,
-    "q99_repetition" -> q99, "q103_simhash_neardup" -> q103,
+    "q99_repetition" -> q99, "q207_entropy_quality" -> q207,
+    "q103_simhash_neardup" -> q103,
     "q104_seq_pack" -> q104, "q106_hash_sample" -> q106,
     "q187_source_cap" -> q187,
     "q107_contamination" -> q107, "q108_chunk_dedup" -> q108,
@@ -1089,5 +1128,22 @@ object TextQueries {
                  round(topc / total + ${Det.E4}, 4) AS top_word_ratio,
                  round(1 - dist / total + ${Det.E4}, 4) AS dup_word_ratio,
                  CAST(total AS BIGINT) AS n_words
-          FROM a ORDER BY doc_id""")
+          FROM a ORDER BY doc_id""",
+    "q207_entropy_quality" ->
+      s"""WITH w AS (SELECT doc_id, lang, unnest($TS) AS w FROM documents),
+          wc AS (SELECT doc_id, lang, w, count(*) AS c
+                 FROM w GROUP BY 1, 2, 3),
+          h AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n,
+                       ln(CAST(sum(c) AS DOUBLE)) -
+                         sum(c * ln(CAST(c AS DOUBLE)))
+                         / CAST(sum(c) AS DOUBLE) AS h
+                FROM wc GROUP BY 1, 2)
+          SELECT lang, CAST(count(1) AS BIGINT) AS n_docs,
+                 round(avg(h) + ${Det.E4}, 4) AS avg_h,
+                 round(avg(CASE WHEN n > 1
+                               THEN h / ln(CAST(n AS DOUBLE))
+                               ELSE 0.0 END) + ${Det.E4}, 4) AS avg_hnorm,
+                 CAST(sum(CASE WHEN h < 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low
+          FROM h GROUP BY lang ORDER BY lang""")
 }

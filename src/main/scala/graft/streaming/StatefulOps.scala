@@ -705,4 +705,70 @@ object StatefulOps extends Serializable {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** Streaming STRICT-ORDER funnel (s44) — the continuous twin of
+    * `operators.Funnel.strictOrder` / q116: per key, stage k's anchor
+    * is the key's FIRST stage-k event strictly after its stage-(k−1)
+    * anchor; every stage advance emits immediately as
+    * (key, stage_idx 1-based, stage, anchor_ts), so the last stage's
+    * row IS the conversion event a downstream alert consumes — no
+    * batch recomputation, no per-key event log. State is two numbers
+    * (stages reached, last anchor second) regardless of event volume:
+    * the greedy chronological scan picks the first qualifying stage-k
+    * event, which is exactly the batch form's min-after-anchor, so
+    * parity holds whenever a key's events arrive in event-time order
+    * across batches (the family's s18/s23 ordering contract; within a
+    * batch any order is fine — rows sort on (ts, event_id) first).
+    * A regressed key never re-fires: once a stage is anchored it is
+    * final, matching the batch semantics where anchors are mins over
+    * the full history. */
+  class FunnelProcessor(stages: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String, java.sql.Timestamp),
+        (Long, Int, String, java.sql.Timestamp)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Int, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Int, Long)]("funnel",
+        org.apache.spark.sql.Encoders.product[(Int, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Int, String, java.sql.Timestamp)] = {
+      var (idx, anchorMs) =
+        if (st.exists()) st.get() else (0, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, String, java.sql.Timestamp)]
+      rows.toSeq.sortBy(r => (r._4.getTime, r._1)).foreach {
+        case (_, _, et, ts) =>
+          if (idx < stages.length && et == stages(idx) &&
+              (idx == 0 || ts.getTime > anchorMs)) {
+            anchorMs = ts.getTime
+            idx += 1
+            out += ((user, idx, stages(idx - 1), ts))
+          }
+      }
+      st.update((idx, anchorMs))
+      out.iterator
+    }
+  }
+
+  /** `FunnelProcessor` wired through `transformWithState`. Input rows
+    * are (event_id, key, type, ts); stage names select rows exactly as
+    * the batch form's `typeCol` filter does. */
+  def funnelStreamTws(
+      events: Dataset[(Long, Long, String, java.sql.Timestamp)],
+      stages: Seq[String])
+      : Dataset[(Long, Int, String, java.sql.Timestamp)] = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"funnelStreamTws: bad stage list $stages")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new FunnelProcessor(stages),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -2007,4 +2007,46 @@ class StreamingSpec extends AnyFunSuite {
     // legacy no-schema call still returns the zero-column frame
     assert(AdaptiveSample.readSample(spark, empty).isEmpty)
   }
+
+  test("s44: streaming strict-order funnel — advances match the batch anchors") {
+    withRocksDB {
+      def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+      val stages = Seq("view", "click", "purchase")
+      // user 1 converts across batches (batch 1 scrambled; a click AT
+      // the view's timestamp must NOT anchor — strictly-after rule);
+      // user 2 stalls at click; user 3 only purchases (never enters)
+      val b1 = Seq(
+        (11L, 1L, "click", t(0)), (12L, 1L, "click", t(5)),
+        (10L, 1L, "view", t(0)),
+        (20L, 2L, "view", t(0)), (30L, 3L, "purchase", t(0)))
+      val b2 = Seq(
+        (13L, 1L, "purchase", t(45)), (21L, 2L, "click", t(29)),
+        (31L, 3L, "purchase", t(10)))
+      val ms = MemoryStream[(Long, Long, String, Timestamp)]
+      val q = graft.streaming.StatefulOps
+        .funnelStreamTws(ms.toDS(), stages)
+        .toDF("user_id", "stage_idx", "stage", "ts")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("s44").start()
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("s44").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getTimestamp(3))).toSet
+      // batch twin on the same rows: every non-null anchor is an advance
+      val batch = graft.operators.Funnel.strictOrder(
+        (b1 ++ b2).toDF("event_id", "user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", stages)
+      val want = batch.collect().flatMap { r =>
+        stages.zipWithIndex.flatMap { case (st, i) =>
+          Option(r.getAs[Timestamp](s"t_$st"))
+            .map(ts => (r.getAs[Long]("user_id"), i + 1, st, ts))
+        }
+      }.toSet
+      assert(got == want, s"streaming funnel drifted: got=$got want=$want")
+      // the conversion row is the last stage's advance, and only user 1 has it
+      assert(got.filter(_._2 == stages.length).map(_._1) == Set(1L))
+    }
+  }
 }
