@@ -424,6 +424,60 @@ object MiningQueries {
       .transform(Det.emitWide(_, "a_id", "b_id"))
   }
 
+  /** q209: LSH BANDING PLANNER (round 16 — the question q143's
+    * calibration table feeds but never answers: which (bands, rows)
+    * layout of the 8-slot MinHash signature should the NEXT dedup run
+    * use? For each config b·r = 8, the S-curve collision probability
+    * p(s) = 1−(1−s^r)^b is joined against the OBSERVED exact-Jaccard
+    * histogram of the current corpus's candidate pairs, yielding the
+    * expected caught-pair mass per similarity bucket plus the
+    * config's s50 threshold (p = ½) — the table that says "(2,4)
+    * drops 90% of your 0.3-bucket noise and keeps the 0.8 bucket").
+    * Scale: the pair pipeline is q143's exact half (band equi-join
+    * candidates, shingle-hash join-backs — never docs²); the
+    * histogram is a ≤11-row frame, the config spine 4 literal rows,
+    * so everything after the pair aggregate is constant-sized.
+    * Floats: exact_j is the q143 class-C division, r4e'd BEFORE
+    * bucketing (class E); the S-curve pow chains are libm under r4e
+    * (class D) and feed no decision. */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = TextDedup.minhashSignatures(docs(s, d), "doc_id", "text")
+    val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id")
+    val sh = TextDedup.withShingles(docs(s, d), "text")
+      .select(col("doc_id"), explode(expr(
+        "transform(shs, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) AS bigint) % 1000000007)"))
+        .as("h"))
+      .distinct()
+      .transform(Det.pin)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val hist = pairs.select("a_id", "b_id")
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
+      .select(Det.r4e(col("inter") /
+        (col("sza") + col("szb") - col("inter"))).as("exact_j"))
+      .groupBy(floor(col("exact_j") * 10).cast("int").as("bkt"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val cfg = Seq((8, 1), (4, 2), (2, 4), (1, 8)).toDF("b", "r")
+    hist.crossJoin(broadcast(cfg))
+      .withColumn("s_mid", (col("bkt") + lit(0.5)) / 10.0)
+      .withColumn("p",
+        lit(1.0) - pow(lit(1.0) - pow(col("s_mid"), col("r")), col("b")))
+      .select(col("b"), col("r"), col("bkt"), col("n_pairs"),
+        Det.r4e(col("s_mid")).as("s_mid"),
+        Det.r4e(col("p")).as("p_collide"),
+        Det.r4e(col("n_pairs") * col("p")).as("exp_caught"),
+        Det.r4e(pow(lit(1.0) - pow(lit(0.5), lit(1.0) / col("b")),
+          lit(1.0) / col("r"))).as("s50"))
+      .transform(Det.emit(_, "b", "r", "bkt"))
+  }
+
   /** q198: SIMHASH CALIBRATION (round 15 — q143's "measure the
     * approximation" discipline applied to the suite's OTHER sketch:
     * SimHash bits estimate the angle between TF vectors via
@@ -1307,6 +1361,7 @@ object MiningQueries {
     "q198_simhash_calibration" -> q198,
     "q199_zipf_fit" -> q199,
     "q208_heaps_law" -> q208,
+    "q209_lsh_planner" -> q209,
     "q200_psi_drift" -> q200,
     "q201_survivorship" -> q201,
     "q202_dup_graph_profile" -> q202,
@@ -1869,6 +1924,39 @@ object MiningQueries {
                  round(exact + ${Det.E4}, 4) AS exact_j,
                  round(abs(est - exact) + ${Det.E4}, 4) AS abs_err
           FROM ex ORDER BY a_id, b_id""",
+    "q209_lsh_planner" ->
+      s"""WITH $SIG_CTES,
+          da AS (SELECT DISTINCT doc_id, h FROM hs),
+          sz AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS sz
+                 FROM da GROUP BY doc_id),
+          itr AS (SELECT p.a_id, p.b_id, CAST(count(1) AS BIGINT) AS inter
+                  FROM pr p JOIN da x ON x.doc_id = p.a_id
+                            JOIN da y ON y.doc_id = p.b_id AND y.h = x.h
+                  GROUP BY p.a_id, p.b_id),
+          ex AS (SELECT round(COALESCE(i.inter, 0)
+                          / CAST(za.sz + zb.sz - COALESCE(i.inter, 0)
+                                 AS DOUBLE) + ${Det.E4}, 4) AS exact_j
+                 FROM pr p
+                 LEFT JOIN itr i ON i.a_id = p.a_id AND i.b_id = p.b_id
+                 JOIN sz za ON za.doc_id = p.a_id
+                 JOIN sz zb ON zb.doc_id = p.b_id),
+          hist AS (SELECT CAST(floor(exact_j * 10) AS INTEGER) AS bkt,
+                          CAST(count(1) AS BIGINT) AS n_pairs
+                   FROM ex GROUP BY 1),
+          cfg AS (SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4), (1, 8))
+                  t(b, r)),
+          j AS (SELECT c.b, c.r, h.bkt, h.n_pairs,
+                       (h.bkt + 0.5) / 10.0 AS s_mid,
+                       1.0 - power(1.0 - power((h.bkt + 0.5) / 10.0, c.r),
+                                   c.b) AS p,
+                       power(1.0 - power(0.5, 1.0 / c.b), 1.0 / c.r) AS s50
+                FROM hist h, cfg c)
+          SELECT b, r, bkt, n_pairs,
+                 round(s_mid + ${Det.E4}, 4) AS s_mid,
+                 round(p + ${Det.E4}, 4) AS p_collide,
+                 round(n_pairs * p + ${Det.E4}, 4) AS exp_caught,
+                 round(s50 + ${Det.E4}, 4) AS s50
+          FROM j ORDER BY b, r, bkt""",
     "q158_sequence_packing" ->
       s"""WITH RECURSIVE d AS (
             SELECT doc_id,

@@ -124,6 +124,46 @@ object VectorQueries {
       .agg(Det.r6e(avg(col("v").cast("double"))).as("centroid"))
       .orderBy("label", "pos")
 
+  /** q210: per-source embedding CENTROID DRIFT (round 16 — the
+    * embedding-space view of q200's PSI: a source whose centroid
+    * swings away from the corpus centroid is off-distribution —
+    * scraper drift, language shift, synthetic contamination — before
+    * any scalar feature moves): per source, the vector count, the
+    * cosine of the source centroid to the GLOBAL centroid, and the
+    * centroid norm (a mean that collapses toward 0 flags an
+    * internally incoherent source). Scale: one vec_id-keyed
+    * corpus-to-corpus equi join tags vectors with their doc's source
+    * (two corpus-sized tables — a co-located SMJ is the right shape,
+    * nothing to broadcast), then the (source, pos) hash aggregate
+    * bounds all remaining state at #sources × dim; the global
+    * centroid derives from the per-source sums (map-side over the
+    * bounded frame — the corpus is never re-scanned). Floats:
+    * float-sum order noise under r4e/r6e; no decisions. */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    val ev = embeddings(s, d)
+      .join(documents(s, d).select(col("doc_id").as("vec_id"),
+        col("source")), "vec_id")
+      .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("source"), col("pos"), col("v").cast("double").as("v"))
+    val per = ev.groupBy("source", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .transform(Det.pin)
+    val glob = per.groupBy("pos")
+      .agg(sum("sv").as("gv"), sum("n").as("gn"))
+    per.join(glob, "pos")
+      .select(col("source"), col("n"),
+        (col("sv") / col("n")).as("c"), (col("gv") / col("gn")).as("g"))
+      .groupBy("source")
+      .agg(max("n").as("n_vecs"),
+        sum(col("c") * col("g")).as("dot"),
+        sqrt(sum(col("c") * col("c"))).as("nc"),
+        sqrt(sum(col("g") * col("g"))).as("ng"))
+      .select(col("source"), col("n_vecs"),
+        Det.r4e(col("dot") / (col("nc") * col("ng"))).as("cos_to_global"),
+        Det.r6e(col("nc")).as("centroid_norm"))
+      .transform(Det.emit(_, "source"))
+  }
+
   /** q90: embedding-cosine near-dup pairs (cos > 0.35) within the
     * vec_id<200 block. Pairing is a bounded block (the dedup pattern:
     * shard the corpus into blocks / LSH buckets, pair within) — the
@@ -322,6 +362,7 @@ object VectorQueries {
     "q83_vec_norm" -> q83, "q84_vec_cosine_topk" -> q84,
     "q188_pq_topk" -> q188, "q189_pq_recall" -> q189,
     "q85_vec_centroid" -> q85, "q90_embed_neardup" -> q90,
+    "q210_centroid_drift" -> q210,
     "q95_ann_ivf" -> q95, "q100_knn_join" -> q100,
     "q191_ivfpq_topk" -> q191,
     "q113_rp_lsh_pairs" -> q113, "q114_vec_quantize" -> q114,
@@ -670,6 +711,28 @@ object VectorQueries {
                       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
                FROM embeddings)
          GROUP BY label, pos ORDER BY label, pos""",
+    "q210_centroid_drift" ->
+      s"""WITH ev AS (SELECT d.source,
+                             unnest(range(len(e.embedding))) AS pos,
+                             unnest(list_transform(e.embedding,
+                               x -> CAST(x AS DOUBLE))) AS v
+                      FROM embeddings e
+                      JOIN documents d ON d.doc_id = e.vec_id),
+          per AS (SELECT source, pos, sum(v) AS sv,
+                         CAST(count(1) AS BIGINT) AS n
+                  FROM ev GROUP BY 1, 2),
+          gl AS (SELECT pos, sum(sv) AS gv,
+                        CAST(sum(n) AS BIGINT) AS gn
+                 FROM per GROUP BY pos),
+          cg AS (SELECT p.source, p.n, p.sv / p.n AS c, g.gv / g.gn AS g
+                 FROM per p JOIN gl g USING (pos)),
+          agg AS (SELECT source, max(n) AS n_vecs, sum(c * g) AS dot,
+                         sqrt(sum(c * c)) AS nc, sqrt(sum(g * g)) AS ng
+                  FROM cg GROUP BY source)
+          SELECT source, CAST(n_vecs AS BIGINT) AS n_vecs,
+                 round(dot / (nc * ng) + ${Det.E4}, 4) AS cos_to_global,
+                 round(nc + ${Det.E6}, 6) AS centroid_norm
+          FROM agg ORDER BY source""",
     "q90_embed_neardup" ->
       """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
          p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,

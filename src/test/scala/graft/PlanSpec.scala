@@ -501,6 +501,32 @@ class PlanSpec extends AnyFunSuite {
       s"q162 lost the rank-limit pushdown:\n$p162")
   }
 
+  test("q206-q208: round-16 key scale shapes") {
+    // q206: both quantile results are #types-row frames that must
+    // broadcast back onto the events scan — a SortMergeJoin here
+    // would shuffle the corpus twice for two tiny tables
+    val p206 = plan("q206_mad_outliers")
+    assert(p206.contains("BroadcastHashJoin"),
+      s"q206 med/mad must broadcast back:\n$p206")
+    assert(!p206.contains("SortMergeJoin"),
+      s"q206 shuffled the corpus against a bounded frame:\n$p206")
+    // q207: two stacked hash aggregates and a rollup — no join
+    // anywhere, and the (doc, word) count must combine map-side
+    val p207 = plan("q207_entropy_quality")
+    assert(!p207.contains("Join"),
+      s"q207 should be join-free:\n$p207")
+    assert(p207.contains("partial"),
+      s"q207 lost map-side partials:\n$p207")
+    // q208: the 20-row checkpoint spine fans out as a broadcast
+    // nested-loop (non-equi ≤), never a corpus shuffle; the corpus is
+    // scanned, not self-joined
+    val p208 = plan("q208_heaps_law")
+    assert(p208.contains("BroadcastNestedLoopJoin"),
+      s"q208 checkpoint fanout must broadcast:\n$p208")
+    assert(!p208.contains("SortMergeJoin"),
+      s"q208 shuffled the corpus against the 20-row spine:\n$p208")
+  }
+
   test("q169/q170/q172: round-11 key scale shapes") {
     // q169: the emitted plan reads the SEGMENTED postings store — a
     // multi-path scan + grain-keyed sums with map-side partials; the
