@@ -102,6 +102,23 @@ object CorpusAudit {
                     'n_tokens', n_tokens, CAST(n_tokens AS DOUBLE))
            AS (k, cnt, metric)""")
       .select(lit("zipf").as("section"), col("k"), col("cnt"), col("metric"))
+    // 4. entropy health (the q207 shape: two stacked hash aggregates,
+    // per-doc state is two accumulators) — per-language mean word
+    // entropy; a language whose mean H collapses between versions is
+    // filling with boilerplate even when its mix share is stable
+    val ent = docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("c").as("n"),
+        sum(col("c") * log(col("c").cast("double"))).as("clc"))
+      .select(col("lang"), (log(col("n").cast("double")) -
+        col("clc") / col("n").cast("double")).as("h"))
+      .groupBy(col("lang").as("k"))
+      .agg(count(lit(1)).as("cnt"), avg("h").as("metric"))
+      .select(lit("entropy").as("section"), col("k"), col("cnt"),
+        col("metric"))
     // 5. PSI vs the previous version's stored histogram (q200's math)
     val drift = prevHist.map { ph =>
       val cur = histogram(docs)
@@ -117,7 +134,7 @@ object CorpusAudit {
         .select(lit("drift").as("section"), lit("psi").as("k"),
           lit(null).cast("long").as("cnt"), col("psi").as("metric"))
     }
-    (Seq(expect, mix, zipf) ++ drift).reduce(_ unionByName _)
+    (Seq(expect, mix, zipf, ent) ++ drift).reduce(_ unionByName _)
   }
 
   /** Run one audit over `docs`, committing (report, histogram) as the

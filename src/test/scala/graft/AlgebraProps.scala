@@ -1091,4 +1091,79 @@ object AlgebraProps extends Properties("graft.algebra") {
       val appendStable = c2.startsWith(c1.init)
       lossless && appendStable
     }
+
+  /** (group, integer value) rows for the quantile shift property:
+    * integer-valued doubles keep percentile interpolation exact
+    * (f ∈ {0, ½} ⇒ lo+c, hi+c, and ½(lo+hi) are all exact IEEE). */
+  private val genGrouped: Gen[List[(String, Long)]] =
+    Gen.listOfN(30, for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-100L, 100L)
+    } yield (g, v))
+
+  property("q206 algebra: shifting values moves the median and fixes the MAD") =
+    forAll(genGrouped, Gen.choose(-50L, 50L)) { (rows, c) =>
+      rows.isEmpty || {
+        import graft.operators.DistributedRank
+        def medMad(df: org.apache.spark.sql.DataFrame)
+            : Map[String, (Double, Double)] = {
+          val med = DistributedRank.quantiles(df, Seq("g"), "v",
+            Seq("med" -> 0.5))
+          val dev = df.join(broadcast(med), "g")
+            .select(col("g"), abs(col("v") - col("med")).as("dv"))
+          val mad = DistributedRank.quantiles(dev, Seq("g"), "dv",
+            Seq("mad" -> 0.5))
+          med.join(mad, "g").collect()
+            .map(r => r.getAs[String]("g") ->
+              (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+        }
+        val df = rows.toDF("g", "v0")
+          .select(col("g"), col("v0").cast("double").as("v"))
+        val base = medMad(df)
+        val shifted = medMad(df.select(col("g"),
+          (col("v") + lit(c.toDouble)).as("v")))
+        // location estimator translates, scale estimator is invariant —
+        // EXACTLY (integer grid, see genGrouped)
+        base.forall { case (g, (m, d)) =>
+          shifted(g) == (m + c, d) }
+      }
+    }
+
+  /** Funnel rows: (event_id, user, stage-or-noise type, offset sec). */
+  private val genFunnelRows: Gen[List[(Long, Long, String, Long)]] =
+    Gen.listOfN(35, for {
+      u <- Gen.choose(0L, 3L)
+      s <- Gen.oneOf("view", "click", "purchase", "noise")
+      t <- Gen.choose(0L, 600L)
+    } yield (u, s, t)).map(_.zipWithIndex.map { case ((u, s, t), i) =>
+      (i.toLong, u, s, t) })
+
+  property("strictOrder funnel equals the per-user reference fold") =
+    forAll(genFunnelRows) { rows =>
+      val stages = Seq("view", "click", "purchase")
+      val df = rows.map { case (e, u, s, t) =>
+        (e, u, s, new Timestamp(base + t * 1000)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+      val got = graft.operators.Funnel
+        .strictOrder(df, "user_id", "event_type", "ts", stages)
+        .collect().map { r =>
+          r.getAs[Long]("user_id") ->
+            stages.map(st => Option(r.getAs[Timestamp](s"t_$st"))
+              .map(_.getTime)) }.toMap
+      // reference: anchor k = min ts of stage-k events strictly after
+      // anchor k−1 (stage 0 unconstrained), per user
+      val want = rows.groupBy(_._2).flatMap { case (u, rs) =>
+        val byStage = stages.map(st =>
+          rs.filter(_._3 == st).map(t => base + t._4 * 1000).sorted)
+        val anchors = byStage.foldLeft(List.empty[Option[Long]]) {
+          (acc, ts) =>
+            val prev = acc.lastOption.getOrElse(Some(Long.MinValue))
+            val nxt = prev.flatMap { p =>
+              ts.find(t => if (acc.isEmpty) true else t > p) }
+            acc :+ nxt
+        }
+        if (anchors.head.isEmpty) None else Some(u -> anchors)
+      }
+      got == want
+    }
 }

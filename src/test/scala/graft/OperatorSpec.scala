@@ -639,8 +639,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(v1 == 1L)
     val r1 = CorpusAudit.report(spark, dir).collect()
     val sections1 = r1.map(_.getAs[String]("section")).toSet
-    assert(sections1 == Set("expectations", "lang_mix", "zipf"),
+    assert(sections1 == Set("expectations", "lang_mix", "zipf", "entropy"),
       s"v1 sections: $sections1")
+    // entropy rows: one per language, counts covering the corpus
+    val entDocs = r1.filter(_.getAs[String]("section") == "entropy")
+      .map(_.getAs[Long]("cnt")).sum
+    assert(entDocs == docs.where(length(col("text")) > 0).count(),
+      s"entropy section covers $entDocs docs")
     val mixShare = r1.filter(_.getAs[String]("section") == "lang_mix")
       .map(_.getAs[Double]("metric")).sum
     assert(math.abs(mixShare - 1.0) < 1e-9, s"lang shares sum to $mixShare")
