@@ -239,6 +239,8 @@ object EventTimeQueries {
     "q144_session_cooccurrence" -> q144,
     "q205_interarrival" -> q205,
     "q206_mad_outliers" -> q206,
+    "q212_attribution" -> q212,
+    "q213_seasonal_anomaly" -> q213,
     "q145_partition_prune" -> q145,
     "q149_hll_union" -> q149,
     "q150_mg_heavy_hitters" -> q150)
@@ -412,6 +414,87 @@ object EventTimeQueries {
       .withColumn("out_rate",
         Det.r4e(col("n_out") / col("n").cast("double")))
       .transform(Det.emit(_, "event_type"))
+  }
+
+  /** q212: SESSION ATTRIBUTION (round 17 — the marketing-analytics
+    * question every event pipeline answers after q72's sessionize and
+    * q116's funnel: WHICH entry point gets credit for a conversion?):
+    * each purchase is attributed to its 30-min session's FIRST event
+    * type (first-touch) and to the event immediately BEFORE it in the
+    * session (last-touch; a purchase that opens its session credits
+    * 'entry'), rolled up to the (first_touch, last_touch) matrix with
+    * purchase counts and revenue. Session definition is exactly
+    * q144/q105's (Sessionize.assign, 1800 s gap on second-truncated
+    * ts, event_id tie-break) so the three keys agree on what a
+    * session IS. Scale: one user-keyed shuffle for the session
+    * window, the same partition carrying the (user, sess) windows —
+    * no second shuffle (partitionBy(user, sess) is a prefix-refining
+    * key); the rollup is #types². Floats: revenue is a double sum
+    * under r2e — summation-order noise is ~1e-7 absolute against a
+    * 1e-4 boundary shift. */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = graft.operators.Sessionize.assign(
+        events(s, d).withColumn("tsec", date_trunc("second", col("ts"))),
+        "user_id", "tsec", gapSec = 1800L, orderCols = Seq("event_id"))
+    val ws = Window.partitionBy("user_id", "sess")
+      .orderBy(col("tsec").asc, col("event_id").asc)
+    sess
+      .withColumn("first_touch", first(col("event_type")).over(ws))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(ws))
+      .where(col("event_type") === "purchase")
+      .select(col("first_touch"),
+        coalesce(col("prev_type"), lit("entry")).as("last_touch"),
+        col("value"))
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        Det.r2e(sum("value")).as("revenue"))
+      .transform(Det.emit(_, "first_touch", "last_touch"))
+  }
+
+  /** q213: SEASONAL-BASELINE anomaly screen (round 17 — the
+    * seasonality-aware complement to q131's global z-score: traffic
+    * has an hour-of-day shape, so "3× the average" at 4 am is an
+    * incident while the same count at noon is Tuesday; the baseline
+    * must be per (type, hour-of-day) before a residual means
+    * anything): per (event_type, hr) the count of (day, hr) cells,
+    * the mean cell count, the max, and how many cells run hot —
+    * cnt > 2×mean, decided as the EXACT integer compare
+    * cnt·n_cells > 2·sum_cnt so no float threshold exists. Absent
+    * cells count as zero via a dense day×hour×type spine (the q129
+    * calendar discipline — built from a 1-row bounds aggregate by
+    * explode, types from a 1-row collect_set broadcast; never a
+    * data-sized join). Scale: one (type, day, hr) hash aggregate over
+    * the corpus (map-side combinable); everything after is
+    * calendar-sized. */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      to_date(col("ts")).as("day"), hour(col("ts")).as("hr"))
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val types = ev.agg(sort_array(collect_set("event_type")).as("tps"))
+    val spine = broadcast(bounds)
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .select(col("day"), explode(expr("sequence(0, 23)")).as("hr"))
+      .crossJoin(broadcast(types))
+      .select(col("day"), col("hr"), explode(col("tps")).as("event_type"))
+    val cellCnt = ev.groupBy("event_type", "day", "hr")
+      .agg(count(lit(1)).as("cnt"))
+    val cells = spine
+      .join(broadcast(cellCnt), Seq("event_type", "day", "hr"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .transform(Det.pin)
+    val stats = cells.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n_cells"), sum("cnt").as("sum_cnt"),
+        max("cnt").as("max_cnt"))
+    cells.join(broadcast(stats), Seq("event_type", "hr"))
+      .groupBy("event_type", "hr")
+      .agg(max("n_cells").as("n_cells"),
+        Det.r4e(max("sum_cnt") / max("n_cells").cast("double"))
+          .as("avg_cnt"),
+        max("max_cnt").as("max_cnt"),
+        sum(when(col("cnt") * col("n_cells") > lit(2L) * col("sum_cnt"),
+          1L).otherwise(0L)).as("n_hot"))
+      .transform(Det.emit(_, "event_type", "hr"))
   }
 
   private def q144(s: SparkSession, d: String): DataFrame = {
@@ -619,6 +702,69 @@ object EventTimeQueries {
                  round(quantile_cont(CAST(gap_s AS DOUBLE), 0.5) + 0.00000123, 4)
                    AS p50_gap_s
           FROM gg GROUP BY event_type ORDER BY event_type""",
+    // q212: q144's session arithmetic (second-truncated epoch, 1800 s
+    // strict gap, event_id tie-break), then first_value/lag inside the
+    // (user, sess) window.
+    "q212_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+                            CAST(floor(epoch(date_trunc('second', ts)))
+                                 AS BIGINT) AS tsec
+                     FROM events),
+          b AS (SELECT *, CASE WHEN tsec - lag(tsec) OVER (
+                            PARTITION BY user_id
+                            ORDER BY tsec ASC, event_id ASC) > 1800
+                          THEN 1 ELSE 0 END AS brk
+                FROM e),
+          sesh AS (SELECT *, sum(brk) OVER (
+                     PARTITION BY user_id ORDER BY tsec ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sess
+                   FROM b),
+          tg AS (SELECT event_type, value,
+                        first_value(event_type) OVER ws AS first_touch,
+                        lag(event_type) OVER ws AS prev_type
+                 FROM sesh
+                 WINDOW ws AS (PARTITION BY user_id, sess
+                               ORDER BY tsec ASC, event_id ASC))
+          SELECT first_touch, coalesce(prev_type, 'entry') AS last_touch,
+                 CAST(count(1) AS BIGINT) AS n_purchases,
+                 round(sum(value) + ${Det.E2}, 2) AS revenue
+          FROM tg WHERE event_type = 'purchase'
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q213: dense day×hour×type spine; the hot decision is the exact
+    // integer compare cnt·n_cells > 2·sum_cnt on both engines.
+    "q213_seasonal_anomaly" ->
+      s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(hour(ts) AS INT) AS hr
+                     FROM events),
+          bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+          days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                            INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+          hrs AS (SELECT CAST(unnest(range(24)) AS INT) AS hr),
+          tps AS (SELECT DISTINCT event_type FROM e),
+          cellcnt AS (SELECT event_type, day, hr,
+                             CAST(count(1) AS BIGINT) AS cnt
+                      FROM e GROUP BY 1, 2, 3),
+          spine AS (SELECT t.event_type, d.day, h.hr
+                    FROM days d, hrs h, tps t),
+          cells AS (SELECT s.event_type, s.day, s.hr,
+                           coalesce(c.cnt, 0) AS cnt
+                    FROM spine s LEFT JOIN cellcnt c
+                      USING (event_type, day, hr)),
+          st AS (SELECT event_type, hr,
+                        CAST(count(1) AS BIGINT) AS n_cells,
+                        CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+                        max(cnt) AS max_cnt
+                 FROM cells GROUP BY 1, 2)
+          SELECT c.event_type, c.hr,
+                 max(st.n_cells) AS n_cells,
+                 round(max(st.sum_cnt) / CAST(max(st.n_cells) AS DOUBLE)
+                       + ${Det.E4}, 4) AS avg_cnt,
+                 max(st.max_cnt) AS max_cnt,
+                 CAST(sum(CASE WHEN c.cnt * st.n_cells > 2 * st.sum_cnt
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+          FROM cells c JOIN st USING (event_type, hr)
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q206_mad_outliers" ->
       s"""WITH base AS (SELECT event_type, value FROM events),
           med AS (SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -747,6 +747,87 @@ object MiningQueries {
       .transform(Det.emitWide(_, "source"))
   }
 
+  /** q211: LEAKAGE-SAFE train/val/test split (round 17 — the split
+    * discipline dedup exists to protect: q152's naive per-doc hash
+    * split lets two near-duplicates land in train AND test, leaking
+    * test content into training; the fix every curation pipeline
+    * applies is to split at the DUP-CLUSTER grain — all members of a
+    * cluster inherit the split of the cluster's representative, so no
+    * LSH pair can straddle a boundary BY CONSTRUCTION). Each doc's
+    * representative is its cluster's min id (pair-free docs represent
+    * themselves — and draw the SAME band as q152, so the cluster-aware
+    * split only ever MOVES duplicate members); the split is q152's
+    * 80/10/10 md5 band arithmetic applied to the representative.
+    * Output: per (split, lang) doc counts plus how many of those docs
+    * are duplicate-cluster members (the mass the naive split would
+    * have scattered). Scale: clustering is q123's lineage-truncated
+    * propagation; the representative aggregate is cluster-keyed and
+    * pair-bounded; both joins are doc-keyed equi-joins; the split
+    * itself is a pure map-side md5 band on the representative; the
+    * rollup is #splits×#langs. OperatorSpec pins the invariant the
+    * key exists for: zero LSH pairs straddle splits (while the naive
+    * q152 assignment does straddle on the same fixture). */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val sigs = TextDedup.minhashSignatures(base, "doc_id", "text")
+    val clusters = TextDedup.dupClusters(
+      TextDedup.lshCandidatePairs(sigs, "doc_id"))
+    val rep = clusters.groupBy("cluster").agg(min("id").as("rep"))
+    val assigned = base.select(col("doc_id"), col("lang"))
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(rep, Seq("cluster"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("rep"), col("doc_id")).as("rep"),
+        col("cluster").isNotNull.as("is_dup"))
+    TextDedup.hashSplit(assigned, "rep",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+      .transform(Det.emit(_, "split", "lang"))
+  }
+
+  /** q214: pairwise CORRELATION MATRIX over lineitem's numeric columns
+    * (round 17 — the profiling pass q138 stops short of: q138 sees
+    * each column alone, feature selection and drift review need the
+    * RELATIONSHIPS): Pearson r for all 6 column pairs of (quantity,
+    * extendedprice, discount, tax). Shape is the point: ONE corpus
+    * scan folds every moment the matrix needs — n, Σx and Σx² per
+    * column, Σxy per pair — into a single map-side-combinable 1-row
+    * aggregate, and the 6 output rows assemble from that frame with
+    * stack(); a naive unpivot-and-self-join would shuffle the corpus
+    * against itself per pair. Floats: r is computed from the explicit
+    * moment formula (n·Σxy − ΣxΣy)/√((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)) —
+    * the IDENTICAL op chain in the oracle (never the engine's corr(),
+    * whose accumulation scheme is engine-private); sums carry
+    * summation-order noise under r4e, √ and ÷ are correctly-rounded
+    * IEEE. */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val moments = lineitem(s, d).agg(
+      count(lit(1)).cast("double").as("n"),
+      (cols.flatMap(c => Seq(
+        sum(col(c)).as(s"s_$c"),
+        sum(col(c) * col(c)).as(s"ss_$c"))) ++
+       pairs.map { case (a, b) =>
+         sum(col(a) * col(b)).as(s"sp_${a}_$b") }): _*)
+    val rs = pairs.zipWithIndex.foldLeft(moments) {
+      case (df, ((a, b), i)) => df.withColumn(s"r_$i", Det.r4e(
+        (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+               (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")))))
+    }
+    val stackArgs = pairs.zipWithIndex
+      .map { case ((a, b), i) => s"'$a', '$b', r_$i" }.mkString(", ")
+    rs.select(col("n").cast("long").as("n_rows"), expr(
+        s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, r)"))
+      .select(col("col_a"), col("col_b"), col("n_rows"), col("r"))
+      .transform(Det.emit(_, "col_a", "col_b"))
+  }
+
   /** q157: MERGEABLE fixed-bin histogram quantiles — the pattern that
     * makes PERCENTILES incremental at lake scale, the quantile twin of
     * q149's HLL story: bin each day's order totals ONCE (exact counts
@@ -1365,7 +1446,9 @@ object MiningQueries {
     "q200_psi_drift" -> q200,
     "q201_survivorship" -> q201,
     "q202_dup_graph_profile" -> q202,
-    "q204_effective_tokens" -> q204)
+    "q204_effective_tokens" -> q204,
+    "q211_leakage_split" -> q211,
+    "q214_corr_matrix" -> q214)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1512,6 +1595,58 @@ object MiningQueries {
           FROM ag a JOIN documents k ON k.doc_id = a.keep_doc
           WHERE a.n_members > 1
           ORDER BY a.cluster""",
+    // q211: recursive-CTE components (q123's oracle), representative =
+    // min id per cluster (singletons self-represent), then q152's md5
+    // band arithmetic applied to the REPRESENTATIVE.
+    "q211_leakage_split" ->
+      s"""WITH RECURSIVE $SIG_CTES,
+          e AS (SELECT a_id AS src, b_id AS dst FROM pr
+                UNION ALL SELECT b_id, a_id FROM pr),
+          reach(id, lbl) AS (
+            SELECT src, src FROM (SELECT DISTINCT src FROM e)
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+          cl AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+          rp AS (SELECT cluster, min(id) AS rep FROM cl GROUP BY cluster),
+          dr AS (SELECT d.doc_id, d.lang,
+                        coalesce(rp.rep, d.doc_id) AS rep,
+                        CASE WHEN cl.id IS NULL THEN 0 ELSE 1 END AS is_dup
+                 FROM documents d
+                 LEFT JOIN cl ON cl.id = d.doc_id
+                 LEFT JOIN rp ON rp.cluster = cl.cluster),
+          sp AS (SELECT lang, is_dup,
+                        CASE WHEN ub < 8000 THEN 'train'
+                             WHEN ub < 9000 THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM (SELECT lang, is_dup,
+                              CAST('0x' || substr(md5('spl:' || CAST(rep AS VARCHAR)), 1, 15)
+                                   AS BIGINT) % 10000 AS ub
+                       FROM dr))
+          SELECT split, lang, CAST(count(1) AS BIGINT) AS n_docs,
+                 CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
+          FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q214: identical moment formula per pair off ONE 1-row aggregate
+    // (never DuckDB's corr() — its accumulation is engine-private).
+    "q214_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val prs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      val sums = cols.flatMap(c => Seq(
+        s"sum($c) AS s_$c", s"sum($c * $c) AS ss_$c")) ++
+        prs.map { case (a, b) => s"sum($a * $b) AS sp_${a}_$b" }
+      val arms = prs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+                   CAST(n AS BIGINT) AS n_rows,
+                   round((n * sp_${a}_$b - s_$a * s_$b) /
+                         sqrt((n * ss_$a - s_$a * s_$a) *
+                              (n * ss_$b - s_$b * s_$b)) + ${Det.E4}, 4)
+                     AS r FROM m""" }.mkString("\n          UNION ALL ")
+      s"""WITH m AS (SELECT CAST(count(1) AS DOUBLE) AS n,
+                            ${sums.mkString(", ")}
+                     FROM lineitem)
+          $arms
+          ORDER BY 1, 2"""
+    },
     "q199_zipf_fit" ->
       s"""WITH v AS (SELECT w, CAST(count(1) AS BIGINT) AS cnt
                      FROM (SELECT unnest($TS) AS w FROM documents) GROUP BY w),

@@ -629,6 +629,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(all == pq, s"probe=all diverges from pqTopK:\n$all\nvs\n$pq")
   }
 
+  test("q211: cluster-aware split leaks zero LSH pairs; naive split does leak") {
+    import graft.operators.TextDedup
+    val base = Tables.documents(spark, sf)
+    val sigs = TextDedup.minhashSignatures(base, "doc_id", "text")
+    val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id")
+      .localCheckpoint(true)
+    assert(pairs.count() > 0, "fixture has no LSH pairs — test is vacuous")
+    val clusters = TextDedup.dupClusters(pairs)
+    val rep = clusters.groupBy("cluster").agg(min("id").as("rep"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val aware = TextDedup.hashSplit(
+        base.select(col("doc_id"))
+          .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .join(rep, Seq("cluster"), "left")
+          .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep")),
+        "rep", splits)
+      .select(col("doc_id"), col("split"))
+    val naive = TextDedup.hashSplit(base.select(col("doc_id")), "doc_id", splits)
+      .select(col("doc_id"), col("split"))
+    def straddles(asg: org.apache.spark.sql.DataFrame): Long = pairs
+      .join(asg.select(col("doc_id").as("a_id"), col("split").as("sa")), "a_id")
+      .join(asg.select(col("doc_id").as("b_id"), col("split").as("sb")), "b_id")
+      .where(col("sa") =!= col("sb")).count()
+    // the invariant the key exists for: no pair straddles a boundary
+    assert(straddles(aware) == 0L, "cluster-aware split leaked a pair")
+    // ...and it is not vacuous: the naive per-doc split DOES leak here
+    assert(straddles(naive) > 0L, "fixture never leaks — invariant untested")
+    // totality: every doc gets exactly one split
+    assert(aware.count() == base.count())
+    // minimality: docs in no dup cluster keep their q152 naive split —
+    // the cluster-aware rule only ever MOVES duplicate members
+    val moved = naive.withColumnRenamed("split", "ns")
+      .join(aware, "doc_id")
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+      .where(col("ns") =!= col("split")).count()
+    assert(moved == 0L, s"$moved pair-free docs changed split")
+  }
+
   test("corpus audit: versioned reports, PSI drift vs previous run, time travel") {
     import graft.examples.CorpusAudit
     val docs = Tables.documents(spark, sf)

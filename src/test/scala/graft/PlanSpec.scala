@@ -81,6 +81,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "FK rules are not anti-joins")
   }
 
+  test("q214: the whole correlation matrix folds in ONE scan, no joins") {
+    // the anti-pattern is unpivot + self-join per pair (shuffles the
+    // corpus against itself 6 times); the contract is one map-side
+    // moment fold and a stack() over the 1-row frame
+    val p = plan("q214_corr_matrix")
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"correlation matrix reads the table more than once:\n$p")
+    assert(!p.contains("Join"), s"a join appeared in the one-scan fold:\n$p")
+    assert(p.contains("stack("), s"rows not assembled via stack():\n$p")
+  }
+
   test("q88: simhash64 expression stays inside whole-stage codegen") {
     val df = SparkEntry.queries("q88_simhash")(spark, sf)
     // AQE only finalizes stages on execution; run it, then inspect the
