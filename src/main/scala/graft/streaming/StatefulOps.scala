@@ -755,6 +755,73 @@ object StatefulOps extends Serializable {
     }
   }
 
+  /** s45: streaming CADENCE anomaly monitor — the continuous twin of
+    * q205's inter-arrival profile and q206's robust screen: per key,
+    * an EWMA of inter-arrival gaps (α = 1/4: ewma' = (3·ewma + gap)/4
+    * — a power-of-two blend, so the op chain is reproducible exactly
+    * by any reference fold) and an alert whenever a gap exceeds
+    * `mult` × the PRE-gap EWMA after `minGaps` gaps of warm-up. The
+    * alert compares against the ewma BEFORE the offending gap enters
+    * it (the gap is real traffic, so it then folds in — a stalled
+    * source recovers its baseline instead of alerting forever).
+    * O(1) state per key — (lastSec, ewma, nGaps) — regardless of
+    * volume; gaps are exact integer seconds on the family's
+    * second-truncated grain (s18/s23's contract), and rows fold in
+    * (ts, event_id) order so replays are deterministic. */
+  class CadenceProcessor(mult: Double, minGaps: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp),
+        (Long, java.sql.Timestamp, Long, Double)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Long)]("cadence",
+        org.apache.spark.sql.Encoders.product[(Long, Double, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, java.sql.Timestamp, Long, Double)] = {
+      var (last, ewma, n) =
+        if (st.exists()) st.get() else (Long.MinValue, 0.0, 0L)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, java.sql.Timestamp, Long, Double)]
+      rows.toSeq.sortBy(r => (r._3.getTime, r._1)).foreach {
+        case (_, _, ts) =>
+          val sec = ts.getTime / 1000L
+          if (last != Long.MinValue) {
+            val gap = sec - last
+            if (n >= minGaps && gap.toDouble > mult * ewma)
+              out += ((key, ts, gap, ewma))
+            ewma = if (n == 0L) gap.toDouble
+                   else (3.0 * ewma + gap.toDouble) / 4.0
+            n += 1
+          }
+          last = sec
+      }
+      st.update((last, ewma, n))
+      out.iterator
+    }
+  }
+
+  /** `CadenceProcessor` wired through `transformWithState`. Input rows
+    * are (event_id, key, ts); output rows are
+    * (key, ts, gap_s, ewma_before). */
+  def cadenceStreamTws(
+      events: Dataset[(Long, Long, java.sql.Timestamp)],
+      mult: Double = 4.0, minGaps: Long = 3L)
+      : Dataset[(Long, java.sql.Timestamp, Long, Double)] = {
+    require(mult > 1.0 && minGaps >= 1L,
+      s"cadenceStreamTws: bad config mult=$mult minGaps=$minGaps")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new CadenceProcessor(mult, minGaps),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** `FunnelProcessor` wired through `transformWithState`. Input rows
     * are (event_id, key, type, ts); stage names select rows exactly as
     * the batch form's `typeCol` filter does. */

@@ -2008,6 +2008,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(AdaptiveSample.readSample(spark, empty).isEmpty)
   }
 
+  test("s45: streaming cadence monitor — warm-up, pre-gap EWMA alert, baseline recovery") {
+    withRocksDB {
+      def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+      val mult = 4.0; val minGaps = 3L
+      // user 1: steady 60 s cadence, then a cross-batch stall (alert),
+      // then the stall folds into the baseline (recovery dynamics: the
+      // next normal gap does NOT alert, a second long stall does)
+      val b1 = Seq(
+        (10L, 1L, t(0)), (11L, 1L, t(1)), (12L, 1L, t(2)),
+        (13L, 1L, t(3)), (14L, 1L, t(4)),
+        // user 2: a huge gap inside warm-up must NOT alert
+        (20L, 2L, t(0)), (21L, 2L, t(1)), (22L, 2L, t(500)))
+      val b2 = Seq(
+        (15L, 1L, t(60)), (16L, 1L, t(61)), (17L, 1L, t(121)),
+        (23L, 2L, t(501)))
+      val ms = MemoryStream[(Long, Long, Timestamp)]
+      val q = graft.streaming.StatefulOps
+        .cadenceStreamTws(ms.toDS(), mult, minGaps)
+        .toDF("user_id", "ts", "gap_s", "ewma_before")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("s45").start()
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("s45").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // reference fold: the identical op chain over the same rows
+      val want = (b1 ++ b2).groupBy(_._2).flatMap { case (u, rs) =>
+        var last = Long.MinValue; var ewma = 0.0; var n = 0L
+        rs.sortBy(r => (r._3.getTime, r._1)).flatMap { case (_, _, ts) =>
+          val sec = ts.getTime / 1000L
+          val alert =
+            if (last != Long.MinValue) {
+              val gap = sec - last
+              val a = if (n >= minGaps && gap.toDouble > mult * ewma)
+                Some((u, ts, gap, ewma)) else None
+              ewma = if (n == 0L) gap.toDouble
+                     else (3.0 * ewma + gap.toDouble) / 4.0
+              n += 1; a
+            } else None
+          last = sec
+          alert
+        }
+      }.toSet
+      assert(got == want, s"cadence monitor drifted: got=$got want=$want")
+      // shape pins: exactly user 1's two stalls alert (warm-up mutes
+      // user 2); the first alert's baseline is the steady 60 s
+      assert(got.map(x => (x._1, x._2)) == Set((1L, t(60)), (1L, t(121))))
+      assert(got.find(_._2 == t(60)).get._4 == 60.0)
+    }
+  }
+
   test("s44: streaming strict-order funnel — advances match the batch anchors") {
     withRocksDB {
       def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
