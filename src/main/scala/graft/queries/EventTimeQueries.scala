@@ -241,6 +241,8 @@ object EventTimeQueries {
     "q206_mad_outliers" -> q206,
     "q212_attribution" -> q212,
     "q213_seasonal_anomaly" -> q213,
+    "q215_seq_pattern" -> q215,
+    "q216_funnel_latency" -> q216,
     "q145_partition_prune" -> q145,
     "q149_hll_union" -> q149,
     "q150_mg_heavy_hitters" -> q150)
@@ -495,6 +497,88 @@ object EventTimeQueries {
         sum(when(col("cnt") * col("n_cells") > lit(2L) * col("sum_cnt"),
           1L).otherwise(0L)).as("n_hot"))
       .transform(Det.emit(_, "event_type", "hr"))
+  }
+
+  /** q215: EVENT-SEQUENCE pattern counts (round 17 — the CEP-lite
+    * query between q132's adjacent-transition matrix and q116's
+    * anywhere-in-history funnel: how often does a LITERAL CONSECUTIVE
+    * type chain occur inside a session?): per pattern, total
+    * occurrences, sessions containing it, distinct users. Each
+    * session's type chain is rendered once as a token-terminated
+    * string (`view>click>...>` — every token ends in `>`, and no
+    * event type is a suffix of another, so a pattern can only match
+    * at token boundaries); occurrences are counted by the
+    * replace-shrink identity (len − len(replace(seq, p, ''))) / len(p)
+    * — left-to-right non-overlapping greedy in both engines, no regex
+    * engine semantics to diverge on. Scale: one user-keyed shuffle
+    * for sessionize; the per-session array is bounded by session
+    * length (the q104/q179 array discipline) and array_sort makes
+    * collect_list order-free; the ×#patterns fanout is a map-side
+    * explode of a literal array (no join); the rollup is #patterns. */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    val pats = Seq("view>click>purchase>", "error>error>",
+      "signup>purchase>")
+    val sess = graft.operators.Sessionize.assign(
+        events(s, d).withColumn("tsec", date_trunc("second", col("ts"))),
+        "user_id", "tsec", gapSec = 1800L, orderCols = Seq("event_id"))
+    sess.groupBy("user_id", "sess")
+      .agg(array_sort(collect_list(struct(
+        col("tsec").cast("long").as("t"), col("event_id").as("e"),
+        col("event_type").as("ty")))).as("evs"))
+      .select(col("user_id"), concat(
+        array_join(expr("transform(evs, x -> x.ty)"), ">"), lit(">"))
+        .as("seq"))
+      .withColumn("pattern", explode(array(pats.map(lit): _*)))
+      .withColumn("occ", expr(
+        "cast((length(seq) - length(replace(seq, pattern, '')))" +
+          " div length(pattern) as bigint)"))
+      .groupBy("pattern")
+      .agg(sum("occ").as("n_occ"),
+        sum(when(col("occ") > 0L, 1L).otherwise(0L)).as("n_sessions"),
+        countDistinct(when(col("occ") > 0L, col("user_id")))
+          .as("n_users"))
+      .transform(Det.emit(_, "pattern"))
+  }
+
+  /** q216: FUNNEL LATENCY profile (round 17 — the statistic q116's
+    * anchors exist to feed: not just WHO converts but HOW FAST): per
+    * funnel transition, users reaching the source stage, users
+    * converting to the target, the conversion rate, and exact
+    * latency stats (mean / exact median / max seconds between the
+    * strict-order anchors). Scale: Funnel.strictOrder's join–agg
+    * cascade (one user-keyed shuffle per stage); the latency frame is
+    * user-grain; the median goes through DistributedRank (q29
+    * machinery — no transition's latencies ever sit on one task);
+    * latencies are exact integer seconds on second-truncated anchors.
+    * Floats: avg/rate r4e'd; the median is integer-valued or an
+    * exact midpoint (the q206 quantile contract). */
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    val stages = Seq("view", "click", "purchase")
+    val f = graft.operators.Funnel.strictOrder(
+      events(s, d).withColumn("tsec", date_trunc("second", col("ts"))),
+      "user_id", "event_type", "tsec", stages)
+      .transform(Det.pin)
+    val diffs = stages.sliding(2).map { case Seq(a, b) =>
+      f.select(lit(s"$a->$b").as("transition"),
+        col(s"t_$a").isNotNull.cast("long").as("reached"),
+        col(s"t_$b").isNotNull.cast("long").as("conv"),
+        (unix_timestamp(col(s"t_$b")) - unix_timestamp(col(s"t_$a")))
+          .as("lat_s"))
+    }.reduce(_ unionByName _).transform(Det.pin)
+    val agg = diffs.groupBy("transition").agg(
+      sum("reached").as("n_reached"), sum("conv").as("n_converted"),
+      Det.r4e(avg("lat_s")).as("avg_s"), max("lat_s").as("max_s"))
+    val med = graft.operators.DistributedRank.quantiles(
+        diffs.where(col("lat_s").isNotNull)
+          .select(col("transition"), col("lat_s").cast("double")),
+        Seq("transition"), "lat_s", Seq("p50" -> 0.5), adaptiveCut = 0)
+      .select(col("transition"), Det.r4e(col("p50")).as("p50_s"))
+    agg.join(med, "transition")
+      .withColumn("conv_rate", Det.r4e(
+        col("n_converted").cast("double") / col("n_reached")))
+      .select(col("transition"), col("n_reached"), col("n_converted"),
+        col("conv_rate"), col("avg_s"), col("p50_s"), col("max_s"))
+      .transform(Det.emit(_, "transition"))
   }
 
   private def q144(s: SparkSession, d: String): DataFrame = {
@@ -765,6 +849,80 @@ object EventTimeQueries {
                                THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
           FROM cells c JOIN st USING (event_type, hr)
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q215: q144's session arithmetic; token-terminated chain string;
+    // occurrences by the replace-shrink identity (greedy
+    // non-overlapping, identical in both engines).
+    "q215_seq_pattern" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+                            CAST(floor(epoch(date_trunc('second', ts)))
+                                 AS BIGINT) AS tsec
+                     FROM events),
+          b AS (SELECT *, CASE WHEN tsec - lag(tsec) OVER (
+                            PARTITION BY user_id
+                            ORDER BY tsec ASC, event_id ASC) > 1800
+                          THEN 1 ELSE 0 END AS brk
+                FROM e),
+          sesh AS (SELECT *, sum(brk) OVER (
+                     PARTITION BY user_id ORDER BY tsec ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sess
+                   FROM b),
+          sq AS (SELECT user_id,
+                        string_agg(event_type || '>', ''
+                          ORDER BY tsec ASC, event_id ASC) AS seq
+                 FROM sesh GROUP BY user_id, sess),
+          pt AS (SELECT unnest(['view>click>purchase>', 'error>error>',
+                                'signup>purchase>']) AS pattern),
+          oc AS (SELECT user_id, pattern,
+                        CAST((len(seq) - len(replace(seq, pattern, '')))
+                             // len(pattern) AS BIGINT) AS occ
+                 FROM sq, pt)
+          SELECT pattern, CAST(sum(occ) AS BIGINT) AS n_occ,
+                 CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sessions,
+                 CAST(count(DISTINCT CASE WHEN occ > 0 THEN user_id END)
+                      AS BIGINT) AS n_users
+          FROM oc GROUP BY 1 ORDER BY 1""",
+    // q216: q116's strict-order anchor CTEs, then per-transition
+    // latency stats; quantile_cont matches the engine's exact median.
+    "q216_funnel_latency" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+                            date_trunc('second', ts) AS t FROM events),
+          v AS (SELECT user_id, min(t) AS tv FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, min(e.t) AS tc
+                FROM e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.t > v.tv
+                GROUP BY e.user_id),
+          p AS (SELECT e.user_id, min(e.t) AS tp
+                FROM e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.t > c.tc
+                GROUP BY e.user_id),
+          f AS (SELECT v.user_id, v.tv, c.tc, p.tp
+                FROM v LEFT JOIN c USING (user_id)
+                       LEFT JOIN p USING (user_id)),
+          d AS (SELECT 'view->click' AS transition,
+                       1 AS reached,
+                       CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS conv,
+                       CAST(floor(epoch(tc)) AS BIGINT)
+                         - CAST(floor(epoch(tv)) AS BIGINT) AS lat_s
+                FROM f
+                UNION ALL
+                SELECT 'click->purchase',
+                       CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END,
+                       CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END,
+                       CAST(floor(epoch(tp)) AS BIGINT)
+                         - CAST(floor(epoch(tc)) AS BIGINT)
+                FROM f)
+          SELECT transition, CAST(sum(reached) AS BIGINT) AS n_reached,
+                 CAST(sum(conv) AS BIGINT) AS n_converted,
+                 round(CAST(sum(conv) AS DOUBLE) / sum(reached)
+                       + ${Det.E4}, 4) AS conv_rate,
+                 round(avg(lat_s) + ${Det.E4}, 4) AS avg_s,
+                 round(quantile_cont(CAST(lat_s AS DOUBLE), 0.5)
+                       + ${Det.E4}, 4) AS p50_s,
+                 max(lat_s) AS max_s
+          FROM d GROUP BY transition ORDER BY transition""",
     "q206_mad_outliers" ->
       s"""WITH base AS (SELECT event_type, value FROM events),
           med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
