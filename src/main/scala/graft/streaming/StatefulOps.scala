@@ -822,6 +822,69 @@ object StatefulOps extends Serializable {
         OutputMode.Update())
   }
 
+  /** s46: streaming SESSION ATTRIBUTION — the continuous twin of
+    * q212: each purchase emits immediately with its session's
+    * first-touch type and the immediately-preceding event's type
+    * (last-touch; a purchase that OPENS its session credits 'entry').
+    * The session boundary is the batch family's exact rule (q144/
+    * q105/q212: strict > gapSec on the second-truncated grain), so
+    * the emitted rows equal the batch form's per-purchase frame on
+    * the same events. O(1) state per key — (lastSec, firstTouch,
+    * prevType) — a session's history is never buffered; rows fold in
+    * (ts, event_id) order under the family's per-key event-time-order
+    * contract. */
+  class AttributionProcessor(gapSec: Long, convType: String)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String, Double, java.sql.Timestamp),
+        (Long, java.sql.Timestamp, String, String, Double)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, String, String)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, String, String)]("attrib",
+        org.apache.spark.sql.Encoders.product[(Long, String, String)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, String, Double, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, java.sql.Timestamp, String, String, Double)] = {
+      var (last, firstTouch, prevType) =
+        if (st.exists()) st.get() else (Long.MinValue, "", "")
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, java.sql.Timestamp, String, String, Double)]
+      rows.toSeq.sortBy(r => (r._5.getTime, r._1)).foreach {
+        case (_, _, et, value, ts) =>
+          val sec = ts.getTime / 1000L
+          if (last == Long.MinValue || sec - last > gapSec) {
+            firstTouch = et; prevType = ""
+          }
+          if (et == convType)
+            out += ((key, ts, firstTouch,
+              if (prevType.isEmpty) "entry" else prevType, value))
+          prevType = et
+          last = sec
+      }
+      st.update((last, firstTouch, prevType))
+      out.iterator
+    }
+  }
+
+  /** `AttributionProcessor` wired through `transformWithState`. Input
+    * rows are (event_id, key, type, value, ts); output rows are
+    * (key, ts, first_touch, last_touch, value) — one per conversion. */
+  def attributionStreamTws(
+      events: Dataset[(Long, Long, String, Double, java.sql.Timestamp)],
+      gapSec: Long = 1800L, convType: String = "purchase")
+      : Dataset[(Long, java.sql.Timestamp, String, String, Double)] = {
+    require(gapSec > 0L, s"attributionStreamTws: bad gapSec $gapSec")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new AttributionProcessor(gapSec, convType),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** `FunnelProcessor` wired through `transformWithState`. Input rows
     * are (event_id, key, type, ts); stage names select rows exactly as
     * the batch form's `typeCol` filter does. */

@@ -2061,6 +2061,63 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s46: streaming attribution — purchases credit first/last touch, parity with the batch windows") {
+    withRocksDB {
+      def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+      // user 1: view→click→purchase across the batch boundary (one
+      // session — the state must carry first_touch over); a SECOND
+      // purchase in the same session credits the purchase before it;
+      // user 2: a >30-min gap, then a session-opening purchase →
+      // 'entry'; batch 1 arrives scrambled
+      val b1 = Seq(
+        (11L, 1L, "click", 0.0, t(5)), (10L, 1L, "view", 0.0, t(0)),
+        (20L, 2L, "view", 0.0, t(0)))
+      val b2 = Seq(
+        (12L, 1L, "purchase", 30.0, t(20)),
+        (13L, 1L, "purchase", 40.0, t(25)),
+        (21L, 2L, "purchase", 50.0, t(60)))
+      val ms = MemoryStream[(Long, Long, String, Double, Timestamp)]
+      val q = graft.streaming.StatefulOps
+        .attributionStreamTws(ms.toDS())
+        .toDF("user_id", "ts", "first_touch", "last_touch", "value")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("s46").start()
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("s46").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+          r.getString(3), r.getDouble(4))).toSet
+      // batch twin: q212's pre-aggregation frame on the same rows
+      import org.apache.spark.sql.expressions.Window
+      val df = (b1 ++ b2)
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+        .withColumn("tsec", date_trunc("second", col("ts")))
+      val sess = graft.operators.Sessionize.assign(
+        df, "user_id", "tsec", gapSec = 1800L, orderCols = Seq("event_id"))
+      val ws = Window.partitionBy("user_id", "sess")
+        .orderBy(col("tsec").asc, col("event_id").asc)
+      val want = sess
+        .withColumn("first_touch", first(col("event_type")).over(ws))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(ws))
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("first_touch"),
+          coalesce(col("prev_type"), lit("entry")).as("last_touch"),
+          col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+          r.getString(3), r.getDouble(4))).toSet
+      assert(got == want, s"attribution drifted: got=$got want=$want")
+      // shape pins: cross-batch first_touch survived; the back-to-back
+      // purchase credits the purchase before it; the gapped purchase
+      // opens its session
+      assert(got == Set(
+        (1L, t(20), "view", "click", 30.0),
+        (1L, t(25), "view", "purchase", 40.0),
+        (2L, t(60), "purchase", "entry", 50.0)))
+    }
+  }
+
   test("s44: streaming strict-order funnel — advances match the batch anchors") {
     withRocksDB {
       def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
