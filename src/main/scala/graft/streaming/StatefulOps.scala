@@ -768,6 +768,36 @@ object StatefulOps extends Serializable {
     * volume; gaps are exact integer seconds on the family's
     * second-truncated grain (s18/s23's contract), and rows fold in
     * (ts, event_id) order so replays are deterministic. */
+  /** The cadence fold as a PURE function — the processor below is a
+    * thin state-store shell around it, and AlgebraProps pins the
+    * invariant that makes the streaming form honest: folding any
+    * batch-split of a key's event-time-ordered rows yields the same
+    * (state, alerts) as one fold over everything. State is
+    * (lastSec, ewma, nGaps); `initState` marks "no event seen". */
+  val cadenceInit: (Long, Double, Long) = (Long.MinValue, 0.0, 0L)
+  def cadenceFold(state: (Long, Double, Long), key: Long,
+      mult: Double, minGaps: Long,
+      rows: Seq[(Long, Long, java.sql.Timestamp)])
+      : ((Long, Double, Long),
+         Seq[(Long, java.sql.Timestamp, Long, Double)]) = {
+    var (last, ewma, n) = state
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp, Long, Double)]
+    rows.sortBy(r => (r._3.getTime, r._1)).foreach { case (_, _, ts) =>
+      val sec = ts.getTime / 1000L
+      if (last != Long.MinValue) {
+        val gap = sec - last
+        if (n >= minGaps && gap.toDouble > mult * ewma)
+          out += ((key, ts, gap, ewma))
+        ewma = if (n == 0L) gap.toDouble
+               else (3.0 * ewma + gap.toDouble) / 4.0
+        n += 1
+      }
+      last = sec
+    }
+    ((last, ewma, n), out.toSeq)
+  }
+
   class CadenceProcessor(mult: Double, minGaps: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, java.sql.Timestamp),
@@ -783,24 +813,10 @@ object StatefulOps extends Serializable {
         rows: Iterator[(Long, Long, java.sql.Timestamp)],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(Long, java.sql.Timestamp, Long, Double)] = {
-      var (last, ewma, n) =
-        if (st.exists()) st.get() else (Long.MinValue, 0.0, 0L)
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, java.sql.Timestamp, Long, Double)]
-      rows.toSeq.sortBy(r => (r._3.getTime, r._1)).foreach {
-        case (_, _, ts) =>
-          val sec = ts.getTime / 1000L
-          if (last != Long.MinValue) {
-            val gap = sec - last
-            if (n >= minGaps && gap.toDouble > mult * ewma)
-              out += ((key, ts, gap, ewma))
-            ewma = if (n == 0L) gap.toDouble
-                   else (3.0 * ewma + gap.toDouble) / 4.0
-            n += 1
-          }
-          last = sec
-      }
-      st.update((last, ewma, n))
+      val (next, out) = cadenceFold(
+        if (st.exists()) st.get() else cadenceInit,
+        key, mult, minGaps, rows.toSeq)
+      st.update(next)
       out.iterator
     }
   }

@@ -1166,4 +1166,63 @@ object AlgebraProps extends Properties("graft.algebra") {
       }
       got == want
     }
+
+  /** q215's counting identity: on token-TERMINATED strings over an
+    * alphabet where no symbol is a suffix of another, the
+    * replace-shrink count (len − len(replace(s, p, '')))/len(p)
+    * equals the greedy non-overlapping scan over the TOKEN list —
+    * i.e. the string trick never matches across token boundaries and
+    * never over- or under-counts. */
+  private val patAlphabet =
+    Vector("click", "error", "purchase", "signup", "view")
+
+  property("q215 identity: replace-shrink equals the greedy token scan") =
+    forAll(Gen.listOfN(30, Gen.choose(0, 4)),
+        Gen.choose(1, 3), Gen.choose(0, 4)) { (idxs, plen, pstart) =>
+      val toks = idxs.map(patAlphabet)
+      val pat = (0 until plen).map(i => patAlphabet((pstart + i) % 5))
+      val s = toks.map(_ + ">").mkString
+      val p = pat.map(_ + ">").mkString
+      val shrink = (s.length - s.replace(p, "").length) / p.length
+      var i = 0; var cnt = 0
+      while (i + pat.length <= toks.length) {
+        if (toks.slice(i, i + pat.length) == pat) { cnt += 1; i += pat.length }
+        else i += 1
+      }
+      shrink == cnt
+    }
+
+  /** s45's streaming honesty invariant: folding ANY batch-split of a
+    * key's event-time-ordered rows (each batch internally scrambled —
+    * the processor sorts within a batch) produces the same final
+    * state AND the same alert sequence as one fold over everything.
+    * Exact equality including the ewma doubles: the op chain is
+    * identical, only the call boundaries move. */
+  private val genCadence: Gen[(List[Long], List[Int], Long)] = for {
+    gaps <- Gen.listOfN(25, Gen.choose(0L, 5000L))
+    cuts <- Gen.listOfN(3, Gen.choose(0, 25))
+    seed <- Gen.choose(0L, 1000L)
+  } yield (gaps, cuts, seed)
+
+  property("s45 cadence fold is batch-split invariant") =
+    forAll(genCadence) { case (gaps, cuts, seed) =>
+      import graft.streaming.StatefulOps
+      val rows = gaps.scanLeft(0L)(_ + _).zipWithIndex.map {
+        case (off, i) => (i.toLong, 7L, new Timestamp(base + off * 1000L)) }
+      val whole = StatefulOps.cadenceFold(
+        StatefulOps.cadenceInit, 7L, 4.0, 3L, rows)
+      val rnd = new scala.util.Random(seed)
+      val bounds = (cuts.map(_ min rows.length) :+ 0 :+ rows.length)
+        .distinct.sorted
+      val batches = bounds.zip(bounds.tail).map { case (a, b) =>
+        rnd.shuffle(rows.slice(a, b)) }
+      val split = batches.foldLeft(
+          (StatefulOps.cadenceInit,
+           Seq.empty[(Long, Timestamp, Long, Double)])) {
+        case ((st, acc), batch) =>
+          val (next, out) = StatefulOps.cadenceFold(st, 7L, 4.0, 3L, batch)
+          (next, acc ++ out)
+      }
+      split == whole
+    }
 }
