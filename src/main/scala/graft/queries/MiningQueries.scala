@@ -828,6 +828,85 @@ object MiningQueries {
       .transform(Det.emit(_, "col_a", "col_b"))
   }
 
+  /** q217: JOIN-SIZE profile (round 17 — the diagnostic a planner
+    * runs BEFORE a self-join, and the quantitative form of q126's
+    * single-table skew screen: an equi self-join on key k emits
+    * Σ n(k)² rows, and one hot key can own the output): for the
+    * l_partkey self-join (the q147-style "co-ordered parts" prelude),
+    * the total key count, distinct keys, total output pairs Σ n², and
+    * the top-10 keys by contribution with their exact pair share —
+    * the number that decides between a plain shuffle join and
+    * SkewJoin's salting. Scale: ONE key-grain hash aggregate
+    * (map-side combinable), a 1-row totals broadcast, and a top-10 —
+    * the join itself is never run; every emitted number except the
+    * r6e'd shares is exact integer arithmetic. */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val counts = lineitem(s, d).groupBy("l_partkey")
+      .agg(count(lit(1)).as("cnt"))
+      .transform(Det.pin)
+    val tot = counts.agg(
+      sum("cnt").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt") * col("cnt")).as("tot_pairs"))
+    counts.crossJoin(broadcast(tot))
+      .orderBy(col("cnt").desc, col("l_partkey").asc)
+      .limit(10)
+      .select(col("l_partkey"), col("cnt"),
+        (col("cnt") * col("cnt")).as("pairs"),
+        Det.r6e((col("cnt") * col("cnt")).cast("double")
+          / col("tot_pairs")).as("pair_share"),
+        col("n_rows"), col("n_keys"), col("tot_pairs"))
+  }
+
+  /** q218: PARETO frontier over (lang, source) corpus cells (round 17
+    * — the multi-objective form of q142's scalar reputation ranking:
+    * a mixture planner keeps the cells no other cell beats on EVERY
+    * axis): maximize (avg tokens per doc, unique-doc share), where a
+    * unique doc is one touched by NO LSH candidate pair. The whole
+    * point of the construction: dominance is decided ENTIRELY in
+    * exact BIGINT cross-multiplication — a/b ≥ c/d becomes a·d ≥ c·b
+    * on integer sums, so the frontier membership decision carries NO
+    * float anywhere (the emitted ratios are r4e'd display only). The
+    * strict-inequality arm also makes self-comparison a non-dominator
+    * for free. Scale: pair membership needs no propagation loop (just
+    * the pair endpoints, distinct); one doc-grain aggregate to the
+    * #langs×#sources cell frame; the dominance anti-join runs on that
+    * aggregate-sized frame (broadcast nested-loop by construction —
+    * the house-allowed bounded shape). */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val sigs = TextDedup.minhashSignatures(base, "doc_id", "text")
+    val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id")
+    val dupIds = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+      .withColumn("isdup", lit(1L))
+    val cells = base
+      .join(dupIds, Seq("doc_id"), "left")
+      .select(col("lang"), col("source"),
+        size(expr(TOKS)).cast("long").as("nt"),
+        coalesce(col("isdup"), lit(0L)).as("isdup"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"),
+        sum(lit(1L) - col("isdup")).as("uniq"))
+      .transform(Det.pin)
+    val other = cells.select(col("tokens").as("ot"),
+      col("uniq").as("ou"), col("n_docs").as("od"))
+    cells.join(broadcast(other),
+        col("ot") * col("n_docs") >= col("tokens") * col("od") &&
+        col("ou") * col("n_docs") >= col("uniq") * col("od") &&
+        (col("ot") * col("n_docs") > col("tokens") * col("od") ||
+         col("ou") * col("n_docs") > col("uniq") * col("od")),
+        "left_anti")
+      .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+        col("uniq"),
+        Det.r4e(col("tokens").cast("double") / col("n_docs"))
+          .as("avg_tokens"),
+        Det.r4e(col("uniq").cast("double") / col("n_docs"))
+          .as("uniq_share"))
+      .transform(Det.emit(_, "lang", "source"))
+  }
+
   /** q157: MERGEABLE fixed-bin histogram quantiles — the pattern that
     * makes PERCENTILES incremental at lake scale, the quantile twin of
     * q149's HLL story: bin each day's order totals ONCE (exact counts
@@ -1448,7 +1527,9 @@ object MiningQueries {
     "q202_dup_graph_profile" -> q202,
     "q204_effective_tokens" -> q204,
     "q211_leakage_split" -> q211,
-    "q214_corr_matrix" -> q214)
+    "q214_corr_matrix" -> q214,
+    "q217_join_size_profile" -> q217,
+    "q218_pareto_cells" -> q218)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1625,6 +1706,48 @@ object MiningQueries {
           SELECT split, lang, CAST(count(1) AS BIGINT) AS n_docs,
                  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
           FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q217: the join is never run — Σ n² off the key-grain aggregate.
+    "q217_join_size_profile" ->
+      s"""WITH c AS (SELECT l_partkey, CAST(count(1) AS BIGINT) AS cnt
+                     FROM lineitem GROUP BY l_partkey),
+          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                       CAST(count(1) AS BIGINT) AS n_keys,
+                       CAST(sum(cnt * cnt) AS BIGINT) AS tot_pairs
+                FROM c)
+          SELECT l_partkey, cnt, cnt * cnt AS pairs,
+                 round(CAST(cnt * cnt AS DOUBLE) / tot_pairs
+                       + ${Det.E6}, 6) AS pair_share,
+                 n_rows, n_keys, tot_pairs
+          FROM c, t
+          ORDER BY cnt DESC, l_partkey ASC LIMIT 10""",
+    // q218: dup membership is just the pair endpoints (no recursion);
+    // dominance entirely in BIGINT cross-multiplication.
+    "q218_pareto_cells" ->
+      s"""WITH $SIG_CTES,
+          dup AS (SELECT DISTINCT id FROM (
+                    SELECT a_id AS id FROM pr
+                    UNION ALL SELECT b_id FROM pr)),
+          cells AS (SELECT d.lang, d.source,
+                           CAST(count(1) AS BIGINT) AS n_docs,
+                           CAST(sum(len($TS)) AS BIGINT) AS tokens,
+                           CAST(sum(CASE WHEN dup.id IS NULL
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS uniq
+                    FROM documents d LEFT JOIN dup ON dup.id = d.doc_id
+                    GROUP BY d.lang, d.source)
+          SELECT lang, source, n_docs, tokens, uniq,
+                 round(CAST(tokens AS DOUBLE) / n_docs + ${Det.E4}, 4)
+                   AS avg_tokens,
+                 round(CAST(uniq AS DOUBLE) / n_docs + ${Det.E4}, 4)
+                   AS uniq_share
+          FROM cells c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM cells o
+            WHERE o.tokens * c.n_docs >= c.tokens * o.n_docs
+              AND o.uniq * c.n_docs >= c.uniq * o.n_docs
+              AND (o.tokens * c.n_docs > c.tokens * o.n_docs
+                   OR o.uniq * c.n_docs > c.uniq * o.n_docs))
+          ORDER BY lang, source""",
     // q214: identical moment formula per pair off ONE 1-row aggregate
     // (never DuckDB's corr() — its accumulation is engine-private).
     "q214_corr_matrix" -> {
