@@ -61,6 +61,49 @@ object VectorQueries {
       .orderBy("rank")
   }
 
+  /** q219: IVF RECALL CURVE over nprobe (round 17 — the calibration
+    * that SIZES q95's one free parameter, exactly as q189 calibrates
+    * q188's PQ and q143 calibrates MinHash banding: how much recall
+    * does each additional probed cell buy?): recall@10 of the IVF
+    * candidate set against the exact top-10, at nprobe ∈ {1, 2, 4}.
+    * Because IVF scores candidates with the SAME exact cosine as the
+    * flat search, a true top-10 member is recovered iff its indexed
+    * cell is probed — so recall = |probed-cells' members ∩ exact
+    * top-10| / 10, and the curve isolates pure PARTITION loss (no
+    * quantization term, unlike q189). Scale: centroid frame is tiny
+    * (broadcast); the corpus assignment is q95's positional
+    * join + hash aggregate; the three probe runs rescore only the
+    * 1-row query; hits are ≤10-row semi-joins. Assignment argmax is
+    * round(sc,6)+label tie-broken (the q95 contract), so the oracle
+    * replays the full chain. */
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    val em = spread(s, embeddings(s, d))
+    val cent = graft.operators.Similarity
+      .ivfCentroids(em, "label", "embedding").transform(Det.pin)
+    val corpus = em.where(col("vec_id") =!= 0)
+    val qRow = em.where(col("vec_id") === 0)
+    val exact = graft.operators.Similarity.cosineTopK(
+        corpus, qRow.select(col("embedding").as("qv")),
+        "vec_id", "embedding", k = 10)
+      .select("vec_id").transform(Det.pin)
+    val index = graft.operators.Similarity
+      .ivfAssign(corpus, "vec_id", "embedding", cent)
+      .transform(Det.pin)
+    Seq(1, 2, 4).map { p =>
+      val cells = graft.operators.Similarity
+        .ivfAssign(qRow, "vec_id", "embedding", cent, probe = p)
+        .select("clabel")
+      index.join(broadcast(cells), "clabel")
+        .join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p).as("nprobe"), col("hits"))
+    }.reduce(_ unionByName _)
+      .select(col("nprobe"), col("hits"),
+        Det.r4e(col("hits").cast("double") / lit(10.0))
+          .as("recall_at10"))
+      .transform(Det.emit(_, "nprobe"))
+  }
+
   /** q189: PQ RECALL CALIBRATION (round 13) — the q143 discipline
     * ("measure the approximation, don't guess") applied to q188:
     * recall@10 of the PQ-ADC pipeline against the exact cosine
@@ -361,6 +404,7 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_vec_norm" -> q83, "q84_vec_cosine_topk" -> q84,
     "q188_pq_topk" -> q188, "q189_pq_recall" -> q189,
+    "q219_ivf_recall_curve" -> q219,
     "q85_vec_centroid" -> q85, "q90_embed_neardup" -> q90,
     "q210_centroid_drift" -> q210,
     "q95_ann_ivf" -> q95, "q100_knn_join" -> q100,
@@ -671,6 +715,47 @@ object VectorQueries {
     // q189's oracle shares the full PQ chain and intersects with the
     // exact top-10 (q84's formulation: r4e-rounded cosine, id
     // tie-break — the same rule cosineTopK applies)
+    // q219: q95's assignment chain replayed; recall per nprobe via the
+    // probe-rank inequality join on ≤10-row frames.
+    "q219_ivf_recall_curve" ->
+      s"""WITH el AS (SELECT vec_id, label,
+                CAST(unnest(range(len(embedding))) AS INT) AS pos,
+                unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+              FROM embeddings),
+          cent AS (SELECT label AS clabel, pos, avg(x) AS c
+                   FROM el GROUP BY label, pos),
+          sc AS (SELECT e.vec_id, c.clabel, sum(e.x * c.c) AS sc
+                 FROM el e JOIN cent c ON e.pos = c.pos
+                 GROUP BY e.vec_id, c.clabel),
+          rk AS (SELECT vec_id, clabel, row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY round(sc, 6) DESC, clabel ASC) AS rn
+                 FROM sc),
+          asg AS (SELECT vec_id, clabel FROM rk
+                  WHERE rn = 1 AND vec_id <> 0),
+          qc AS (SELECT clabel, rn FROM rk WHERE vec_id = 0 AND rn <= 4),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          p AS (SELECT e.vec_id,
+                       unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                       unnest(list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS y
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> 0),
+          m AS (SELECT vec_id, sum(x*y) AS dot,
+                       sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+                FROM p GROUP BY vec_id),
+          ex AS (SELECT vec_id FROM (
+                   SELECT vec_id, round(dot/(na*nb) + ${Det.E4}, 4) AS cs
+                   FROM m)
+                 ORDER BY cs DESC, vec_id ASC LIMIT 10),
+          mem AS (SELECT a.vec_id, qc.rn FROM asg a
+                  JOIN qc ON a.clabel = qc.clabel
+                  JOIN ex ON ex.vec_id = a.vec_id),
+          pr AS (SELECT CAST(unnest([1, 2, 4]) AS INT) AS nprobe)
+          SELECT pr.nprobe, CAST(count(mem.vec_id) AS BIGINT) AS hits,
+                 round(CAST(count(mem.vec_id) AS DOUBLE) / 10.0
+                       + ${Det.E4}, 4) AS recall_at10
+          FROM pr LEFT JOIN mem ON mem.rn <= pr.nprobe
+          GROUP BY pr.nprobe ORDER BY pr.nprobe""",
     "q189_pq_recall" ->
       s"""WITH $PQ_CTES,
          rr AS (SELECT vec_id, row_number() OVER (
