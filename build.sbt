@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one SparkSession, and several tests legitimately mutate
+// session confs (broadcast thresholds for the skew/bucketing gates,
+// codegen CODEGEN_ONLY, parquet nanos flags) with restore-in-finally.
+// Under parallel suite execution those windows race against the
+// plan-shape gates in OTHER suites (a q206 plan built while the skew
+// test holds autoBroadcastJoinThreshold=-1 loses its broadcasts and
+// trips the no-SMJ assert — observed round 17). Suites run serially;
+// each already saturates the local[32] session on its own.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -188,15 +188,19 @@ class PlanSpec extends AnyFunSuite {
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      import spark.implicits._
+    // An ISOLATED child session (own SQLConf, shared SparkContext):
+    // these conf overrides must never be visible to a plan built
+    // elsewhere — even with serial suites this test mutates nothing
+    // another test could observe.
+    val s = spark.newSession()
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    locally {
+      import s.implicits._
       // one key holds ~90% of the fact side
-      val fact = spark.range(0, 220000).select(
+      val fact = s.range(0, 220000).select(
         when(col("id") < 200000, lit(7L)).otherwise(col("id") % 1000).as("k"),
         col("id").as("v"))
-      val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val dim = s.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
       val joined = fact.join(dim, "k")
       val plainAgg = joined.agg(count(lit(1)), sum("v"), sum("w")).head()
       // AQE finalizes THIS QueryExecution's plan only on ITS execution
@@ -217,9 +221,6 @@ class PlanSpec extends AnyFunSuite {
       assert(sp.linesIterator.exists(l =>
           l.contains("Join") && l.contains("__salt")),
         s"salted join not keyed on (k, __salt):\n$sp")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 
