@@ -907,6 +907,45 @@ object MiningQueries {
       .transform(Det.emit(_, "lang", "source"))
   }
 
+  /** q220: WEIGHTED median doc length per language (round 17 — the
+    * statistic q160's order-statistics machinery doesn't cover: a
+    * doc-grain median says where the median DOCUMENT sits, but
+    * training cost lives at the token grain, so the question is
+    * "what document length does the median TOKEN sit in?" — a corpus
+    * of many short docs and a few huge ones has wildly different
+    * answers, and the gap IS the length-skew diagnostic): per
+    * language, the unweighted exact median of n_chars beside the
+    * token-weighted one, both as LOWER medians on the integer rule
+    * 2·cum ≥ total — every compare is exact BIGINT, no interpolation,
+    * no float anywhere (weights are token counts — integers by
+    * construction, which is what makes weighted quantiles
+    * oracle-exact where 1/csize-style rational weights would not be).
+    * Scale: q160's discipline — heavy state is the (lang, n_chars)
+    * count/weight frame (map-side combinable); the cumulative window
+    * runs over that BOUNDED distinct-value frame, never over rows;
+    * the #langs totals broadcast back. */
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("lang"), col("n_chars"),
+      size(expr(TOKS)).cast("long").as("nt"))
+    val g = base.groupBy("lang", "n_chars")
+      .agg(count(lit(1)).as("c"), sum("nt").as("w"))
+    val wCum = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("cn", sum("c").over(wCum))
+      .withColumn("cw", sum("w").over(wCum))
+    val tot = base.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("tot_tokens"))
+    cum.join(broadcast(tot), "lang")
+      .groupBy("lang")
+      .agg(max("n_docs").as("n_docs"),
+        max("tot_tokens").as("tot_tokens"),
+        min(when(lit(2L) * col("cn") >= col("n_docs"), col("n_chars")))
+          .as("med_chars"),
+        min(when(lit(2L) * col("cw") >= col("tot_tokens"), col("n_chars")))
+          .as("wmed_chars"))
+      .transform(Det.emit(_, "lang"))
+  }
+
   /** q157: MERGEABLE fixed-bin histogram quantiles — the pattern that
     * makes PERCENTILES incremental at lake scale, the quantile twin of
     * q149's HLL story: bin each day's order totals ONCE (exact counts
@@ -1529,7 +1568,8 @@ object MiningQueries {
     "q211_leakage_split" -> q211,
     "q214_corr_matrix" -> q214,
     "q217_join_size_profile" -> q217,
-    "q218_pareto_cells" -> q218)
+    "q218_pareto_cells" -> q218,
+    "q220_weighted_median" -> q220)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1706,6 +1746,35 @@ object MiningQueries {
           SELECT split, lang, CAST(count(1) AS BIGINT) AS n_docs,
                  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
           FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q220: the same 2·cum >= total integer rule on the (lang, value)
+    // grain — weighted quantiles stay oracle-exact because weights are
+    // integer token counts.
+    "q220_weighted_median" ->
+      s"""WITH base AS (SELECT lang, n_chars,
+                               CAST(len($TS) AS BIGINT) AS nt
+                        FROM documents),
+          g AS (SELECT lang, n_chars, CAST(count(1) AS BIGINT) AS c,
+                       CAST(sum(nt) AS BIGINT) AS w
+                FROM base GROUP BY lang, n_chars),
+          cum AS (SELECT lang, n_chars,
+                         sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cn,
+                         sum(w) OVER (PARTITION BY lang ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cw
+                  FROM g),
+          tot AS (SELECT lang, CAST(count(1) AS BIGINT) AS n_docs,
+                         CAST(sum(nt) AS BIGINT) AS tot_tokens
+                  FROM base GROUP BY lang)
+          SELECT c.lang, max(t.n_docs) AS n_docs,
+                 max(t.tot_tokens) AS tot_tokens,
+                 min(CASE WHEN 2 * c.cn >= t.n_docs
+                          THEN c.n_chars END) AS med_chars,
+                 min(CASE WHEN 2 * c.cw >= t.tot_tokens
+                          THEN c.n_chars END) AS wmed_chars
+          FROM cum c JOIN tot t USING (lang)
+          GROUP BY c.lang ORDER BY c.lang""",
     // q217: the join is never run — Σ n² off the key-grain aggregate.
     "q217_join_size_profile" ->
       s"""WITH c AS (SELECT l_partkey, CAST(count(1) AS BIGINT) AS cnt

@@ -849,6 +849,34 @@ object StatefulOps extends Serializable {
     * prevType) — a session's history is never buffered; rows fold in
     * (ts, event_id) order under the family's per-key event-time-order
     * contract. */
+  /** The attribution fold as a PURE function (the cadence-fold
+    * discipline): state is (lastSec, firstTouch, prevType) with
+    * lastSec = Long.MinValue marking "no event seen"; AlgebraProps
+    * pins batch-split invariance. */
+  val attributionInit: (Long, String, String) = (Long.MinValue, "", "")
+  def attributionFold(state: (Long, String, String), key: Long,
+      gapSec: Long, convType: String,
+      rows: Seq[(Long, Long, String, Double, java.sql.Timestamp)])
+      : ((Long, String, String),
+         Seq[(Long, java.sql.Timestamp, String, String, Double)]) = {
+    var (last, firstTouch, prevType) = state
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp, String, String, Double)]
+    rows.sortBy(r => (r._5.getTime, r._1)).foreach {
+      case (_, _, et, value, ts) =>
+        val sec = ts.getTime / 1000L
+        if (last == Long.MinValue || sec - last > gapSec) {
+          firstTouch = et; prevType = ""
+        }
+        if (et == convType)
+          out += ((key, ts, firstTouch,
+            if (prevType.isEmpty) "entry" else prevType, value))
+        prevType = et
+        last = sec
+    }
+    ((last, firstTouch, prevType), out.toSeq)
+  }
+
   class AttributionProcessor(gapSec: Long, convType: String)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, String, Double, java.sql.Timestamp),
@@ -864,23 +892,10 @@ object StatefulOps extends Serializable {
         rows: Iterator[(Long, Long, String, Double, java.sql.Timestamp)],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(Long, java.sql.Timestamp, String, String, Double)] = {
-      var (last, firstTouch, prevType) =
-        if (st.exists()) st.get() else (Long.MinValue, "", "")
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, java.sql.Timestamp, String, String, Double)]
-      rows.toSeq.sortBy(r => (r._5.getTime, r._1)).foreach {
-        case (_, _, et, value, ts) =>
-          val sec = ts.getTime / 1000L
-          if (last == Long.MinValue || sec - last > gapSec) {
-            firstTouch = et; prevType = ""
-          }
-          if (et == convType)
-            out += ((key, ts, firstTouch,
-              if (prevType.isEmpty) "entry" else prevType, value))
-          prevType = et
-          last = sec
-      }
-      st.update((last, firstTouch, prevType))
+      val (next, out) = attributionFold(
+        if (st.exists()) st.get() else attributionInit,
+        key, gapSec, convType, rows.toSeq)
+      st.update(next)
       out.iterator
     }
   }

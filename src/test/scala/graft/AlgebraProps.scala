@@ -1204,6 +1204,40 @@ object AlgebraProps extends Properties("graft.algebra") {
     seed <- Gen.choose(0L, 1000L)
   } yield (gaps, cuts, seed)
 
+  /** s46's twin invariant: any batch-split of a key's ordered rows,
+    * each batch internally scrambled, folds to the same state and the
+    * same conversion rows — including sessions that straddle batch
+    * boundaries (first_touch carried in state, never re-derived). */
+  property("s46 attribution fold is batch-split invariant") =
+    forAll(Gen.listOfN(25, for {
+        t <- Gen.oneOf("view", "click", "purchase", "signup")
+        g <- Gen.choose(0L, 2400L)
+        v <- Gen.choose(0, 99)
+      } yield (t, g, v.toDouble)),
+      Gen.listOfN(3, Gen.choose(0, 25)), Gen.choose(0L, 1000L)) {
+      (evs, cuts, seed) =>
+      import graft.streaming.StatefulOps
+      val offs = evs.map(_._2).scanLeft(0L)(_ + _).tail
+      val rows = evs.zip(offs).zipWithIndex.map {
+        case (((t, _, v), off), i) =>
+          (i.toLong, 3L, t, v, new Timestamp(base + off * 1000L)) }
+      val whole = StatefulOps.attributionFold(
+        StatefulOps.attributionInit, 3L, 1800L, "purchase", rows)
+      val rnd = new scala.util.Random(seed)
+      val bounds = (cuts.map(_ min rows.length) :+ 0 :+ rows.length)
+        .distinct.sorted
+      val split = bounds.zip(bounds.tail).map { case (a, b) =>
+        rnd.shuffle(rows.slice(a, b)) }
+        .foldLeft((StatefulOps.attributionInit,
+            Seq.empty[(Long, Timestamp, String, String, Double)])) {
+          case ((st, acc), batch) =>
+            val (next, out) = StatefulOps.attributionFold(
+              st, 3L, 1800L, "purchase", batch)
+            (next, acc ++ out)
+        }
+      split == whole
+    }
+
   property("s45 cadence fold is batch-split invariant") =
     forAll(genCadence) { case (gaps, cuts, seed) =>
       import graft.streaming.StatefulOps
