@@ -946,6 +946,93 @@ object MiningQueries {
       .transform(Det.emit(_, "lang"))
   }
 
+  /** q221: two-sample KOLMOGOROV–SMIRNOV drift statistic (round 17 —
+    * the distribution-free companion to q200's binned PSI: PSI needs
+    * a bin grid and smoothing constants; KS is the exact sup-gap of
+    * the two empirical CDFs, bin-free): D = max over distinct values
+    * of |F_ref − F_cur| for order totals before vs since 1998-01-01,
+    * plus WHERE the gap peaks. The decision arithmetic is the q218
+    * discipline: |cr/nr − cc/nc| maximized as |cr·nc − cc·nr| on
+    * EXACT integers (cumulatives cast to decimal(38,0) before the
+    * cross-multiply, so the argmax never overflows at any plausible
+    * scale — 1e15 rows per side is still 1e30 < 1e38); only the
+    * displayed D divides, under r6e. Scale: one (value)-grain
+    * map-side-combinable aggregate, then TWO DistributedRank global
+    * prefix sums over the distinct-value frame (a bare unpartitioned
+    * window here would serialize the whole CDF onto one task — the
+    * exact anti-pattern the operator exists for), a 1-row totals
+    * broadcast, a 1-row max broadcast back for the argmin-value pick. */
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = orders(s, d).select(col("o_totalprice").as("p"),
+      (col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .as("isref"))
+      .transform(Det.pin)
+    val g = o.groupBy("p").agg(
+      sum(when(col("isref"), 1L).otherwise(0L)).as("rc"),
+      sum(when(!col("isref"), 1L).otherwise(0L)).as("cc"))
+    val cum = graft.operators.DistributedRank.prefixSum(
+        graft.operators.DistributedRank.prefixSum(g, "p", "rc")
+          .withColumnRenamed("cum_sum", "cr"),
+        "p", "cc")
+      .withColumnRenamed("cum_sum", "ccu")
+    val tot = o.agg(
+      sum(when(col("isref"), 1L).otherwise(0L)).as("nr"),
+      sum(when(!col("isref"), 1L).otherwise(0L)).as("nc"))
+    val dec = DecimalType(38, 0)
+    val gap = cum.crossJoin(broadcast(tot))
+      .select(col("p"), col("nr"), col("nc"),
+        abs(col("cr").cast(dec) * col("nc").cast(dec)
+          - col("ccu").cast(dec) * col("nr").cast(dec)).as("gnum"))
+      .transform(Det.pin)
+    val mx = gap.agg(max("gnum").as("mxnum"))
+    gap.join(broadcast(mx), col("gnum") === col("mxnum"))
+      .agg(max("nr").as("n_ref"), max("nc").as("n_cur"),
+        max("gnum").cast("long").as("ks_num"),
+        min("p").as("ks_at"))
+      .select(col("n_ref"), col("n_cur"), col("ks_num"),
+        Det.r6e(col("ks_num").cast("double") /
+          (col("n_ref").cast("double") * col("n_cur").cast("double")))
+          .as("ks_d"),
+        col("ks_at"))
+  }
+
+  /** q222: BENFORD first-digit audit of order totals (round 17 — the
+    * classic fabricated-data / unit-mixup screen a data-quality pass
+    * runs over any money column: organic multiplicative amounts
+    * follow P(d) = log10(1 + 1/d); a flat or spiked digit profile
+    * flags synthetic or truncated data): per leading digit 1–9 the
+    * count, observed share, Benford expectation, and deviation. The
+    * digit is extracted with NO float anywhere: floor to BIGINT, then
+    * the first character of the LONG's decimal string (integer
+    * formatting is identical in every engine — unlike float
+    * formatting or a log10-based exponent, which can flip at powers
+    * of ten). Scale: one map-side digit projection + a 9-key hash
+    * aggregate; the digit spine is a 9-row literal. */
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    val digits = orders(s, d)
+      .select(floor(col("o_totalprice")).cast("long").as("i"))
+      .where(col("i") >= 1L)
+      .select(substring(col("i").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").as("total"))
+    val benford = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    spark_range9(s)
+      .join(digits, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        Det.r6e(col("n").cast("double") / col("total")).as("share"),
+        Det.r6e(benford).as("benford_p"),
+        Det.r6e(col("n").cast("double") / col("total") - benford)
+          .as("deviation"))
+      .transform(Det.emit(_, "digit"))
+  }
+
+  private def spark_range9(s: SparkSession): DataFrame =
+    s.range(1, 10).select(col("id").cast("int").as("digit"))
+
   /** q157: MERGEABLE fixed-bin histogram quantiles — the pattern that
     * makes PERCENTILES incremental at lake scale, the quantile twin of
     * q149's HLL story: bin each day's order totals ONCE (exact counts
@@ -1569,7 +1656,9 @@ object MiningQueries {
     "q214_corr_matrix" -> q214,
     "q217_join_size_profile" -> q217,
     "q218_pareto_cells" -> q218,
-    "q220_weighted_median" -> q220)
+    "q220_weighted_median" -> q220,
+    "q221_ks_drift" -> q221,
+    "q222_benford" -> q222)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1746,6 +1835,64 @@ object MiningQueries {
           SELECT split, lang, CAST(count(1) AS BIGINT) AS n_docs,
                  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
           FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q221: cumulative cross-multiply in HUGEINT (int128 — DuckDB's
+    // exact twin of the Spark side's decimal(38,0)); only the final
+    // output casts down.
+    "q221_ks_drift" ->
+      s"""WITH o AS (SELECT o_totalprice AS p,
+                            (o_orderdate < TIMESTAMP '1998-01-01')
+                              AS isref
+                     FROM orders),
+          g AS (SELECT p,
+                       CAST(sum(CASE WHEN isref THEN 1 ELSE 0 END)
+                            AS BIGINT) AS rc,
+                       CAST(sum(CASE WHEN NOT isref THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cc
+                FROM o GROUP BY p),
+          cum AS (SELECT p,
+                         sum(rc) OVER w AS cr, sum(cc) OVER w AS ccu
+                  FROM g WINDOW w AS (ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          tot AS (SELECT CAST(sum(CASE WHEN isref THEN 1 ELSE 0 END)
+                              AS BIGINT) AS nr,
+                         CAST(sum(CASE WHEN NOT isref THEN 1 ELSE 0 END)
+                              AS BIGINT) AS nc
+                  FROM o),
+          gap AS (SELECT p, nr, nc,
+                         abs(CAST(cr AS HUGEINT) * nc
+                             - CAST(ccu AS HUGEINT) * nr) AS gnum
+                  FROM cum, tot),
+          mx AS (SELECT max(gnum) AS mxnum FROM gap)
+          SELECT max(g.nr) AS n_ref, max(g.nc) AS n_cur,
+                 CAST(max(g.gnum) AS BIGINT) AS ks_num,
+                 round(CAST(max(g.gnum) AS DOUBLE) /
+                       (CAST(max(g.nr) AS DOUBLE)
+                        * CAST(max(g.nc) AS DOUBLE)) + ${Det.E6}, 6)
+                   AS ks_d,
+                 min(g.p) AS ks_at
+          FROM gap g JOIN mx m ON g.gnum = m.mxnum""",
+    // q222: digit via the LONG's decimal string — integer formatting
+    // is engine-identical where float formatting and log10 are not.
+    "q222_benford" ->
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+                              AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                              AS digit
+                     FROM orders
+                     WHERE CAST(floor(o_totalprice) AS BIGINT) >= 1),
+          c AS (SELECT digit, CAST(count(1) AS BIGINT) AS n
+                FROM d GROUP BY digit),
+          sp AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+          SELECT sp.digit, coalesce(c.n, 0) AS n,
+                 round(CAST(coalesce(c.n, 0) AS DOUBLE) / t.total
+                       + ${Det.E6}, 6) AS share,
+                 round(log10(1.0 + 1.0 / sp.digit) + ${Det.E6}, 6)
+                   AS benford_p,
+                 round(CAST(coalesce(c.n, 0) AS DOUBLE) / t.total
+                       - log10(1.0 + 1.0 / sp.digit) + ${Det.E6}, 6)
+                   AS deviation
+          FROM sp LEFT JOIN c USING (digit), t
+          ORDER BY sp.digit""",
     // q220: the same 2·cum >= total integer rule on the (lang, value)
     // grain — weighted quantiles stay oracle-exact because weights are
     // integer token counts.
