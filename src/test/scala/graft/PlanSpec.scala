@@ -123,7 +123,13 @@ class PlanSpec extends AnyFunSuite {
         w.windowExpressions.map(_.sql).mkString(", ")
       }
     }
-    for (q <- Seq("q30_win_rank", "q34_win_frame_range", "q35_win_first_last"))
+    // q220/q221 carry the round-17 cumulative-CDF windows: legal only
+    // because each runs over the (key, value)-grain AGGREGATE (q220)
+    // or DistributedRank's bucket-keyed prefix machinery (q221) —
+    // never raw rows on a bare key. Keep them in the sweep so a
+    // refactor that drops the aggregate gets caught here.
+    for (q <- Seq("q30_win_rank", "q34_win_frame_range",
+        "q35_win_first_last", "q220_weighted_median", "q221_ks_drift"))
       assert(offending(q).isEmpty,
         s"$q windows raw table rows on a bare low-cardinality key: ${offending(q)}")
     // q30's table-scale shuffle must be keyed on (key, tie value) —
