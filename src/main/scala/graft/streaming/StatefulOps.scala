@@ -916,6 +916,93 @@ object StatefulOps extends Serializable {
         OutputMode.Update())
   }
 
+  /** s47: streaming CONSECUTIVE-pattern detector — the continuous
+    * twin of q215's session-chain pattern counts, as a KMP automaton:
+    * per key the state is just (lastSec, matchedPrefixLen) — O(1)
+    * regardless of volume and O(pattern) regardless of session length
+    * (no chain string is ever built). A session gap (strict > gapSec,
+    * the family's rule) resets the automaton; a COMPLETED match
+    * emits immediately and resets to zero — reset-on-complete is what
+    * makes the automaton count EXACTLY q215's greedy non-overlapping
+    * replace-shrink occurrences (leftmost non-overlapping matching ≡
+    * KMP with restart after each hit — AlgebraProps pins the
+    * equivalence against the string form on arbitrary streams). The
+    * failure table handles self-overlapping patterns (error,error)
+    * that a naive restart-at-zero would undercount mid-stream. */
+  def kmpFailure(pattern: Seq[String]): Array[Int] = {
+    val fail = Array.fill(pattern.length)(0)
+    var k = 0
+    for (i <- 1 until pattern.length) {
+      while (k > 0 && pattern(i) != pattern(k)) k = fail(k - 1)
+      if (pattern(i) == pattern(k)) k += 1
+      fail(i) = k
+    }
+    fail
+  }
+
+  /** The pattern fold as a PURE function (the cadence/attribution
+    * discipline); state = (lastSec, matched). */
+  val patternInit: (Long, Int) = (Long.MinValue, 0)
+  def patternFold(state: (Long, Int), key: Long, gapSec: Long,
+      pattern: Seq[String], fail: Array[Int],
+      rows: Seq[(Long, Long, String, java.sql.Timestamp)])
+      : ((Long, Int), Seq[(Long, java.sql.Timestamp)]) = {
+    var (last, m) = state
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp)]
+    rows.sortBy(r => (r._4.getTime, r._1)).foreach { case (_, _, et, ts) =>
+      val sec = ts.getTime / 1000L
+      if (last == Long.MinValue || sec - last > gapSec) m = 0
+      while (m > 0 && pattern(m) != et) m = fail(m - 1)
+      if (pattern(m) == et) m += 1
+      if (m == pattern.length) { out += ((key, ts)); m = 0 }
+      last = sec
+    }
+    ((last, m), out.toSeq)
+  }
+
+  class PatternProcessor(gapSec: Long, pattern: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String, java.sql.Timestamp),
+        (Long, java.sql.Timestamp)] {
+    private val fail = kmpFailure(pattern)
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Int)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Int)]("pattern",
+        org.apache.spark.sql.Encoders.product[(Long, Int)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, String, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, java.sql.Timestamp)] = {
+      val (next, out) = patternFold(
+        if (st.exists()) st.get() else patternInit,
+        key, gapSec, pattern, fail, rows.toSeq)
+      st.update(next)
+      out.iterator
+    }
+  }
+
+  /** `PatternProcessor` wired through `transformWithState`. Input
+    * rows are (event_id, key, type, ts); output rows are (key, ts)
+    * — one per completed occurrence, stamped with the completing
+    * event's time. */
+  def patternStreamTws(
+      events: Dataset[(Long, Long, String, java.sql.Timestamp)],
+      pattern: Seq[String], gapSec: Long = 1800L)
+      : Dataset[(Long, java.sql.Timestamp)] = {
+    require(pattern.nonEmpty, "patternStreamTws: empty pattern")
+    require(gapSec > 0L, s"patternStreamTws: bad gapSec $gapSec")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._2)
+      .transformWithState(new PatternProcessor(gapSec, pattern),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** `FunnelProcessor` wired through `transformWithState`. Input rows
     * are (event_id, key, type, ts); stage names select rows exactly as
     * the batch form's `typeCol` filter does. */

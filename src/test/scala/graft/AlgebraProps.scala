@@ -1238,6 +1238,58 @@ object AlgebraProps extends Properties("graft.algebra") {
       split == whole
     }
 
+  /** s47 ≡ q215: the KMP automaton with session-gap reset and
+    * reset-on-complete counts EXACTLY the greedy non-overlapping
+    * replace-shrink occurrences over the per-session token-terminated
+    * chain strings — on ARBITRARY streams, including self-overlapping
+    * patterns (a,a) that exercise the failure table. Also pins
+    * batch-split invariance in the same pass (three-way equality). */
+  property("s47 pattern fold equals q215's replace-shrink count and splits freely") =
+    forAll(
+      Gen.listOfN(30, for {
+        t <- Gen.oneOf("a", "b", "c")
+        g <- Gen.choose(0L, 2400L)
+      } yield (t, g)),
+      Gen.choose(1, 3), Gen.listOfN(2, Gen.oneOf("a", "b", "c")),
+      Gen.listOfN(3, Gen.choose(0, 30)), Gen.choose(0L, 1000L)) {
+      (evs, plen, pseed, cuts, seed) =>
+      import graft.streaming.StatefulOps
+      val pattern = (pseed ++ pseed).take(plen)
+      val fail = StatefulOps.kmpFailure(pattern)
+      val offs = evs.map(_._2).scanLeft(0L)(_ + _).tail
+      val rows = evs.zip(offs).zipWithIndex.map {
+        case (((t, _), off), i) =>
+          (i.toLong, 5L, t, new Timestamp(base + off * 1000L)) }
+      val (endState, hits) = StatefulOps.patternFold(
+        StatefulOps.patternInit, 5L, 1800L, pattern, fail, rows)
+      // reference: sessionize in plain scala, count via replace-shrink
+      // on the q215 token-terminated string form
+      val secs = rows.map(r => r._4.getTime / 1000L)
+      val sess = secs.zipWithIndex.map { case (_, i) =>
+        secs.take(i + 1).zip(secs.drop(1).take(i))
+          .count { case (prev, next) => next - prev > 1800L } }
+      val want = rows.map(_._3).zip(sess).groupBy(_._2).map { case (_, g) =>
+        val s = g.map(_._1 + ">").mkString
+        val p = pattern.map(_ + ">").mkString
+        (s.length - s.replace(p, "").length) / p.length
+      }.sum
+      val whole = hits.length == want
+      // batch-split invariance on the same rows
+      val rnd = new scala.util.Random(seed)
+      val bounds = (cuts.map(_ min rows.length) :+ 0 :+ rows.length)
+        .distinct.sorted
+      val split = bounds.zip(bounds.tail).map { case (a, b) =>
+        rnd.shuffle(rows.slice(a, b)) }
+        .foldLeft((StatefulOps.patternInit,
+            Seq.empty[(Long, Timestamp)])) {
+          case ((st, acc), batch) =>
+            val (next, out) = StatefulOps.patternFold(
+              st, 5L, 1800L, pattern, fail, batch)
+            (next, acc ++ out)
+        }
+      whole && split == ((endState, hits))
+    }
+
   property("s45 cadence fold is batch-split invariant") =
     forAll(genCadence) { case (gaps, cuts, seed) =>
       import graft.streaming.StatefulOps

@@ -2118,6 +2118,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s47: streaming KMP pattern detector — consecutive hits, session resets, overlap rule") {
+    withRocksDB {
+      def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+      // user 1: view,click,purchase completes ACROSS the batch
+      // boundary (automaton state carries); then view,ERROR,click,
+      // purchase must NOT fire (consecutive rule — q116's funnel
+      // would anchor through the error, this key must not);
+      // user 2: error,error,error = 1 hit of (error,error), not 2
+      // (reset-on-complete / non-overlap), then a >30-min gap resets
+      // a half-matched prefix
+      val b1 = Seq(
+        (10L, 1L, "view", t(0)), (11L, 1L, "click", t(1)),
+        (20L, 2L, "error", t(0)), (21L, 2L, "error", t(1)),
+        (22L, 2L, "error", t(2)))
+      val b2 = Seq(
+        (12L, 1L, "purchase", t(2)),
+        (13L, 1L, "view", t(10)), (14L, 1L, "error", t(11)),
+        (15L, 1L, "click", t(12)), (16L, 1L, "purchase", t(13)),
+        (23L, 2L, "error", t(60)), (24L, 2L, "error", t(120)))
+      val msA = MemoryStream[(Long, Long, String, Timestamp)]
+      val qA = graft.streaming.StatefulOps
+        .patternStreamTws(msA.toDS().filter(_._2 == 1L),
+          Seq("view", "click", "purchase"))
+        .toDF("user_id", "ts")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("s47a").start()
+      val msB = MemoryStream[(Long, Long, String, Timestamp)]
+      val qB = graft.streaming.StatefulOps
+        .patternStreamTws(msB.toDS().filter(_._2 == 2L),
+          Seq("error", "error"))
+        .toDF("user_id", "ts")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("s47b").start()
+      msA.addData(b1: _*); msB.addData(b1: _*)
+      qA.processAllAvailable(); qB.processAllAvailable()
+      msA.addData(b2: _*); msB.addData(b2: _*)
+      qA.processAllAvailable(); qB.processAllAvailable()
+      qA.stop(); qB.stop()
+      val gotA = spark.table("s47a").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      val gotB = spark.table("s47b").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      // user 1: exactly the cross-batch completion at t(2); the
+      // error-interrupted run never fires
+      assert(gotA == Set((1L, t(2))), s"gotA=$gotA")
+      // user 2: one hit at t(1) (non-overlap kills t(2)'s pair); the
+      // gapped error at t(60) starts a fresh session whose second
+      // error at t(120)... is ANOTHER session (60 min gap > 30) — no
+      // second hit
+      assert(gotB == Set((2L, t(1))), s"gotB=$gotB")
+    }
+  }
+
   test("s44: streaming strict-order funnel — advances match the batch anchors") {
     withRocksDB {
       def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
