@@ -1033,6 +1033,55 @@ object MiningQueries {
   private def spark_range9(s: SparkSession): DataFrame =
     s.range(1, 10).select(col("id").cast("int").as("digit"))
 
+  /** q223: RFM SEGMENTATION (round 17 — the classic
+    * customer/behavior segmentation rollup: quintile-code every user
+    * on Recency / Frequency / Monetary and profile the 5×5×5 cells):
+    * codes come from the q133 discipline — exact global row numbers
+    * through DistributedRank.prefixSumBy (the user frame is
+    * data-sized, so a bare ORDER BY window is the one-task
+    * anti-pattern), then the pure-integer tile formula
+    * (rn−1)·5 div n + 1 replayed verbatim in the oracle (NOT the
+    * engine's ntile(), whose remainder placement is a different
+    * split). Recency ranks on the NEGATED staleness so higher code =
+    * better on every axis; monetary sums exact integer CENTS
+    * (round(value·100) per event — identical positive-half rounding
+    * in both engines — summed as longs). Scale: one event scan to
+    * the user grain, three (metric, user)-keyed prefix-sum passes,
+    * bounded 125-cell rollup. */
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      unix_timestamp(col("ts")).as("tsec"),
+      col("event_type"), col("value"))
+    val users = ev.groupBy("user_id").agg(
+      max("tsec").as("last_s"),
+      count(lit(1)).as("freq"),
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+    val mx = users.agg(max("last_s").as("mx_s"))
+    val base = users.crossJoin(broadcast(mx))
+      .select(col("user_id"), col("freq"), col("cents"),
+        (col("last_s") - col("mx_s")).as("neg_rec"))
+      .transform(Det.pin)
+    val n1 = base.agg(count(lit(1)).as("__n"))
+    // pin each coded frame: the next pass's quantile-bounds action
+    // would otherwise re-execute the whole preceding chain (3× the
+    // pipeline by the third code — measured 4.7 s → 1.6 s at sf0.1)
+    def codify(df: DataFrame, metric: String, out: String): DataFrame =
+      Det.pin(graft.operators.DistributedRank.prefixSumBy(
+          df.withColumn("__one", lit(1L)), Seq(metric, "user_id"), "__one")
+        .crossJoin(broadcast(n1))
+        .withColumn(out,
+          expr("cast((cum_sum - 1) * 5 div __n as int) + 1"))
+        .drop("cum_sum", "__one", "__n"))
+    val coded = codify(codify(codify(base, "neg_rec", "r_code"),
+      "freq", "f_code"), "cents", "m_code")
+    coded.groupBy("r_code", "f_code", "m_code")
+      .agg(count(lit(1)).as("n_users"),
+        Det.r4e(avg("cents") / 100.0).as("avg_purchase"),
+        max("freq").as("max_freq"))
+      .transform(Det.emit(_, "r_code", "f_code", "m_code"))
+  }
+
   /** q157: MERGEABLE fixed-bin histogram quantiles — the pattern that
     * makes PERCENTILES incremental at lake scale, the quantile twin of
     * q149's HLL story: bin each day's order totals ONCE (exact counts
@@ -1658,7 +1707,8 @@ object MiningQueries {
     "q218_pareto_cells" -> q218,
     "q220_weighted_median" -> q220,
     "q221_ks_drift" -> q221,
-    "q222_benford" -> q222)
+    "q222_benford" -> q222,
+    "q223_rfm_segments" -> q223)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1835,6 +1885,36 @@ object MiningQueries {
           SELECT split, lang, CAST(count(1) AS BIGINT) AS n_docs,
                  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
           FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q223: row_number replay of the prefix-sum ranks; the tile
+    // formula (rn-1)*5 // n + 1 verbatim (never ntile()).
+    "q223_rfm_segments" ->
+      s"""WITH ev AS (SELECT user_id,
+                             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                             event_type, value
+                      FROM events),
+          u AS (SELECT user_id, max(tsec) AS last_s,
+                       CAST(count(1) AS BIGINT) AS freq,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS cents
+                FROM ev GROUP BY user_id),
+          m AS (SELECT max(last_s) AS mx FROM u),
+          b AS (SELECT user_id, last_s - mx AS neg_rec, freq, cents
+                FROM u, m),
+          n AS (SELECT CAST(count(1) AS BIGINT) AS nn FROM b),
+          c AS (SELECT freq, cents,
+                       CAST((row_number() OVER (ORDER BY neg_rec, user_id)
+                             - 1) * 5 // nn AS INT) + 1 AS r_code,
+                       CAST((row_number() OVER (ORDER BY freq, user_id)
+                             - 1) * 5 // nn AS INT) + 1 AS f_code,
+                       CAST((row_number() OVER (ORDER BY cents, user_id)
+                             - 1) * 5 // nn AS INT) + 1 AS m_code
+                FROM b, n)
+          SELECT r_code, f_code, m_code,
+                 CAST(count(1) AS BIGINT) AS n_users,
+                 round(avg(cents) / 100.0 + ${Det.E4}, 4) AS avg_purchase,
+                 max(freq) AS max_freq
+          FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // q221: cumulative cross-multiply in HUGEINT (int128 — DuckDB's
     // exact twin of the Spark side's decimal(38,0)); only the final
     // output casts down.
