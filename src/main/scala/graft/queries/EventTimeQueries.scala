@@ -573,7 +573,10 @@ object EventTimeQueries {
           .select(col("transition"), col("lat_s").cast("double")),
         Seq("transition"), "lat_s", Seq("p50" -> 0.5), adaptiveCut = 0)
       .select(col("transition"), Det.r4e(col("p50")).as("p50_s"))
-    agg.join(med, "transition")
+    // LEFT join: med derives from the lat-notnull FILTERED frame, so a
+    // transition with zero conversions exists in `agg` but not `med` —
+    // an inner join would drop the row the oracle emits with NULL p50
+    agg.join(med, Seq("transition"), "left")
       .withColumn("conv_rate", Det.r4e(
         col("n_converted").cast("double") / col("n_reached")))
       .select(col("transition"), col("n_reached"), col("n_converted"),
