@@ -470,8 +470,11 @@ object EventTimeQueries {
     * the corpus (map-side combinable); everything after is
     * calendar-sized. */
   private def q213(s: SparkSession, d: String): DataFrame = {
+    // pinned: bounds, the type set, and the cell counts all fold from
+    // this one projection — without the pin the events scan runs 3×
     val ev = events(s, d).select(col("event_type"),
       to_date(col("ts")).as("day"), hour(col("ts")).as("hr"))
+      .transform(Det.pin)
     val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
     val types = ev.agg(sort_array(collect_set("event_type")).as("tps"))
     val spine = broadcast(bounds)

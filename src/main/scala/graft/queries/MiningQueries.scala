@@ -925,8 +925,11 @@ object MiningQueries {
     * runs over that BOUNDED distinct-value frame, never over rows;
     * the #langs totals broadcast back. */
   private def q220(s: SparkSession, d: String): DataFrame = {
+    // pinned: the (lang, value) grain AND the totals fold from this
+    // one tokenizing projection — unpinned, the corpus scans twice
     val base = docs(s, d).select(col("lang"), col("n_chars"),
       size(expr(TOKS)).cast("long").as("nt"))
+      .transform(Det.pin)
     val g = base.groupBy("lang", "n_chars")
       .agg(count(lit(1)).as("c"), sum("nt").as("w"))
     val wCum = Window.partitionBy("lang").orderBy("n_chars")
@@ -1016,6 +1019,7 @@ object MiningQueries {
       .select(substring(col("i").cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
+      .transform(Det.pin)  // totals + spine join share the one scan
     val tot = digits.agg(sum("n").as("total"))
     val benford = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
     spark_range9(s)
