@@ -63,6 +63,42 @@ object TextDedup {
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
 
+  /** Multi-row-band LSH candidates — the general (bands × rowsPerBand)
+    * layout q209's planner scores: a band collides only when ALL of
+    * its `rowsPerBand` slots agree, so candidate PRECISION rises with
+    * r (the S-curve p(s) = 1 − (1 − s^r)^b sharpens) at the price of
+    * recall below the threshold — exactly the dial the planner turns.
+    * rowsPerBand = 1 degenerates to `lshCandidatePairs` (OperatorSpec
+    * pins the set equality). The band key is the ':'-joined slot
+    * values in seed order — a deterministic, engine-neutral string,
+    * so the DuckDB oracle replays it with string_agg. Scale: one
+    * (id, band) fold to the band keys (map-side combinable), one
+    * (band, key) bucket aggregate; pairs enumerate per bucket ∝
+    * occupancy, never corpus². */
+  def lshCandidatePairsBanded(signatures: DataFrame, idCol: String,
+      rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1,
+      s"lshCandidatePairsBanded: rowsPerBand must be >= 1, got $rowsPerBand")
+    signatures
+      .withColumn("band", expr(s"seed div $rowsPerBand"))
+      .groupBy(col(idCol), col("band"))
+      .agg(sort_array(collect_list(struct(col("seed"), col("sig"))))
+        .as("sl"))
+      .select(col(idCol), col("band"),
+        expr("concat_ws(':', transform(sl, x -> cast(x.sig as string)))")
+          .as("bkey"))
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids,
+             (a, i) -> transform(slice(ids, i + 2, size(ids)),
+                                 b -> named_struct('a_id', a, 'b_id', b))))"""))
+        .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+  }
+
   /** EXACT Jaccard similarity self-join via prefix filtering (the
     * AllPairs/PPJoin candidate rule) — the scale path for exact
     * near-dup thresholds, complementing MinHash/LSH (probabilistic,

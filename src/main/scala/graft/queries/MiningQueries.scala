@@ -1086,6 +1086,35 @@ object MiningQueries {
       .transform(Det.emit(_, "r_code", "f_code", "m_code"))
   }
 
+  /** q224: BANDED (4×2) MinHash LSH candidates (round 17 — closing
+    * the loop q209 opened: the planner scores (bands, rowsPerBand)
+    * layouts, and until now the engine could only RUN r = 1; this key
+    * executes the b=4, r=2 layout the planner's S-curve table covers,
+    * with each candidate's 8-slot Jaccard estimate attached): a band
+    * collides only when BOTH its slots agree — sharper precision than
+    * q87's r=1 at the same signature budget. Scale: TextDedup
+    * .lshCandidatePairsBanded — (id, band) fold, (band, key) bucket
+    * aggregate, pairs ∝ occupancy; the estimate join-back keys on
+    * (id, seed). Oracle replays the banding with string_agg over the
+    * same ':' key, so the candidate set — not just the estimates —
+    * is hash-proven. */
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    val sigs = TextDedup.minhashSignatures(docs(s, d), "doc_id", "text")
+      .transform(Det.pin)
+    val pairs = TextDedup.lshCandidatePairsBanded(sigs, "doc_id",
+      rowsPerBand = 2)
+    val sa = sigs.select(col("doc_id").as("a_id"), col("seed"),
+      col("sig").as("siga"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("seed"),
+      col("sig").as("sigb"))
+    pairs.join(sa, "a_id").join(sb, Seq("b_id", "seed"))
+      .groupBy("a_id", "b_id")
+      .agg(Det.r4e(
+        sum(when(col("siga") === col("sigb"), 1.0).otherwise(0.0)) / 8.0)
+        .as("est_jaccard"))
+      .transform(Det.emitWide(_, "a_id", "b_id"))
+  }
+
   /** q157: MERGEABLE fixed-bin histogram quantiles — the pattern that
     * makes PERCENTILES incremental at lake scale, the quantile twin of
     * q149's HLL story: bin each day's order totals ONCE (exact counts
@@ -1712,7 +1741,8 @@ object MiningQueries {
     "q220_weighted_median" -> q220,
     "q221_ks_drift" -> q221,
     "q222_benford" -> q222,
-    "q223_rfm_segments" -> q223)
+    "q223_rfm_segments" -> q223,
+    "q224_lsh_banded" -> q224)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1889,6 +1919,27 @@ object MiningQueries {
           SELECT split, lang, CAST(count(1) AS BIGINT) AS n_docs,
                  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
           FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q224: the banding replayed with string_agg over the same ':'
+    // key; the 8-slot estimate is q122's arithmetic.
+    "q224_lsh_banded" ->
+      s"""WITH $SIG_CTES,
+          bk AS (SELECT doc_id, CAST(k // 2 AS INT) AS band,
+                        string_agg(CAST(sig AS VARCHAR), ':' ORDER BY k)
+                          AS bkey
+                 FROM sig GROUP BY doc_id, k // 2),
+          cp AS (SELECT DISTINCT b1.doc_id AS a_id, b2.doc_id AS b_id
+                 FROM bk b1 JOIN bk b2
+                   ON b1.band = b2.band AND b1.bkey = b2.bkey
+                  AND b1.doc_id < b2.doc_id)
+          SELECT cp.a_id, cp.b_id,
+                 round(sum(CASE WHEN s1.sig = s2.sig
+                           THEN 1.0 ELSE 0.0 END) / 8.0 + ${Det.E4}, 4)
+                   AS est_jaccard
+          FROM cp
+          JOIN sig s1 ON s1.doc_id = cp.a_id
+          JOIN sig s2 ON s2.doc_id = cp.b_id AND s2.k = s1.k
+          GROUP BY cp.a_id, cp.b_id
+          ORDER BY a_id, b_id""",
     // q223: row_number replay of the prefix-sum ranks; the tile
     // formula (rn-1)*5 // n + 1 verbatim (never ntile()).
     "q223_rfm_segments" ->

@@ -629,6 +629,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(all == pq, s"probe=all diverges from pqTopK:\n$all\nvs\n$pq")
   }
 
+  test("q224: banded LSH degenerates to r=1 exactly; r=2 candidates are a strict subset") {
+    import graft.operators.TextDedup
+    val sigs = TextDedup.minhashSignatures(
+        Tables.documents(spark, sf), "doc_id", "text")
+      .localCheckpoint(true)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val r1 = pairSet(TextDedup.lshCandidatePairs(sigs, "doc_id"))
+    val b1 = pairSet(TextDedup.lshCandidatePairsBanded(sigs, "doc_id", 1))
+    val b2 = pairSet(TextDedup.lshCandidatePairsBanded(sigs, "doc_id", 2))
+    // rowsPerBand = 1 IS the single-row-band operator
+    assert(b1 == r1, s"banded r=1 diverged: ${b1.size} vs ${r1.size}")
+    // a 2-slot band agreement implies both slots agree individually,
+    // so every r=2 candidate is an r=1 candidate — and on this fixture
+    // the sharpening is strict (precision is the point of r>1)
+    assert(b2.subsetOf(r1), s"r=2 emitted pairs r=1 missed: ${b2 -- r1}")
+    assert(b2.size < r1.size, s"r=2 did not sharpen: ${b2.size} vs ${r1.size}")
+  }
+
   test("q211: cluster-aware split leaks zero LSH pairs; naive split does leak") {
     import graft.operators.TextDedup
     val base = Tables.documents(spark, sf)
