@@ -18,8 +18,20 @@ class PlanSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  /** Build a key's plan against an EMPTY cache. The suites share one
+    * SparkContext-wide CacheManager, and pins materialized by earlier
+    * tests (e.g. OperatorSpec's every-key sweep) legally change
+    * STATIC join picks in unhinted operators — DistributedRank's
+    * internals deliberately leave small-side joins to AQE, so with
+    * ambient cache stats the pre-execution plan can flip BHJ↔SMJ and
+    * flake the shape gates (observed twice, round 17). Clearing first
+    * makes every gate's plan a pure function of the query + parquet
+    * stats; a key's OWN pins re-register during construction, so the
+    * InMemoryTableScan gates (q115/q122/q143) still see them. */
+  private def plan(name: String): String = {
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   test("q02: filter is pushed into the parquet scan") {
     val p = plan("q02_scan_pushdown")
@@ -522,12 +534,24 @@ class PlanSpec extends AnyFunSuite {
   test("q206-q208: round-16 key scale shapes") {
     // q206: both quantile results are #types-row frames that must
     // broadcast back onto the events scan — a SortMergeJoin here
-    // would shuffle the corpus twice for two tiny tables
-    val p206 = plan("q206_mad_outliers")
-    assert(p206.contains("BroadcastHashJoin"),
-      s"q206 med/mad must broadcast back:\n$p206")
-    assert(!p206.contains("SortMergeJoin"),
-      s"q206 shuffled the corpus against a bounded frame:\n$p206")
+    // would shuffle the corpus twice for two tiny tables. Assert on
+    // the physical TREE, not the plan string: the string renders each
+    // pinned frame's CAPTURED plan under its InMemoryRelation, and
+    // that embedded text can legitimately show an SMJ that AQE
+    // converts at runtime (DistributedRank leaves small-side joins
+    // unhinted by contract) — a text match there flaked this gate
+    // twice in suite context while every LIVE join was broadcast.
+    // Tree collect stops at the InMemoryTableScan leaf.
+    spark.catalog.clearCache()
+    val qe206 = SparkEntry.queries("q206_mad_outliers")(spark, sf)
+      .queryExecution
+    val live206 = qe206.sparkPlan
+    assert(live206.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.nonEmpty, s"q206 med/mad must broadcast back:\n$live206")
+    assert(live206.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty, s"q206 shuffled the corpus against a bounded frame:\n$live206")
     // q207: two stacked hash aggregates and a rollup — no join
     // anywhere, and the (doc, word) count must combine map-side
     val p207 = plan("q207_entropy_quality")
