@@ -91,6 +91,15 @@ def main():
     for k in sorted(results):
         print(f"{results[k]:60s}  {k}")
     print(f"-- {npass}/{len(results)} pass")
-    sys.exit(0 if npass == len(results) else 1)
+    # Oracle output-type lint (VERDICT r10 item 5): run it on every
+    # check so a new oracle can't silently reintroduce the HUGEINT
+    # class. Same sf tables, same oracle_sql.json.
+    import subprocess
+    lint = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "lint_oracle_types.py"), sf_dir, out_dir])
+    print(f"-- oracle type lint: {'clean' if lint.returncode == 0 else 'VIOLATIONS'}")
+    sys.exit(0 if npass == len(results) and lint.returncode == 0 else 1)
 
 main()

@@ -482,10 +482,17 @@ object EventTimeQueries {
       .select(col("day"), explode(expr("sequence(0, 23)")).as("hr"))
       .crossJoin(broadcast(types))
       .select(col("day"), col("hr"), explode(col("tps")).as("event_type"))
+    // cellCnt is (type, day, hr)-grain — calendar-bounded but
+    // type-cardinality-sensitive (10 yr × 1000 types ≈ 88M rows), so
+    // it carries NO broadcast hint: a data-derived domain's size grows
+    // with a domain cardinality, and the planner/AQE will broadcast it
+    // at any scale where that's actually safe (it does at fixture
+    // scale). Only the provably tiny frames (1-row bounds, 1-row type
+    // set, (type, hr)-grain stats ≤ 24·|types|) keep their hints.
     val cellCnt = ev.groupBy("event_type", "day", "hr")
       .agg(count(lit(1)).as("cnt"))
     val cells = spine
-      .join(broadcast(cellCnt), Seq("event_type", "day", "hr"), "left")
+      .join(cellCnt, Seq("event_type", "day", "hr"), "left")
       .na.fill(0L, Seq("cnt"))
       .transform(Det.pin)
     val stats = cells.groupBy("event_type", "hr")

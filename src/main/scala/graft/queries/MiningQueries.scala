@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 import graft.operators.{TextDedup, TopK}
 
@@ -838,8 +839,18 @@ object MiningQueries {
     * the number that decides between a plain shuffle join and
     * SkewJoin's salting. Scale: ONE key-grain hash aggregate
     * (map-side combinable), a 1-row totals broadcast, and a top-10 —
-    * the join itself is never run; every emitted number except the
-    * r6e'd shares is exact integer arithmetic. */
+    * the join itself is never run. Overflow bound (the q221 caveat,
+    * stated here because `pairs`/`tot_pairs` are EMITTED columns and
+    * the oracle emission contract is the portable-type allow-set in
+    * scripts/lint_oracle_types.py, which excludes DECIMAL — unlike
+    * q218/q221 where the wide arithmetic is decision-internal and so
+    * runs in decimal(38,0)): the Long arithmetic is exact while
+    * max n(k) ≤ 3.03e9 (n² < 2⁶³) and Σ n² ≤ 9.22e18 — i.e. up to a
+    * ~3-billion-row hot key. Past that bound, route the squares
+    * through decimal(38,0) and emit the profile as a report artifact
+    * (corpus_audit-style) instead of an oracle-checked frame. The
+    * pair_share doubles are already bound-free (squares taken in
+    * binary64). */
   private def q217(s: SparkSession, d: String): DataFrame = {
     val counts = lineitem(s, d).groupBy("l_partkey")
       .agg(count(lit(1)).as("cnt"))
@@ -853,8 +864,8 @@ object MiningQueries {
       .limit(10)
       .select(col("l_partkey"), col("cnt"),
         (col("cnt") * col("cnt")).as("pairs"),
-        Det.r6e((col("cnt") * col("cnt")).cast("double")
-          / col("tot_pairs")).as("pair_share"),
+        Det.r6e(col("cnt").cast("double") * col("cnt").cast("double")
+          / col("tot_pairs").cast("double")).as("pair_share"),
         col("n_rows"), col("n_keys"), col("tot_pairs"))
   }
 
@@ -864,9 +875,11 @@ object MiningQueries {
     * axis): maximize (avg tokens per doc, unique-doc share), where a
     * unique doc is one touched by NO LSH candidate pair. The whole
     * point of the construction: dominance is decided ENTIRELY in
-    * exact BIGINT cross-multiplication — a/b ≥ c/d becomes a·d ≥ c·b
-    * on integer sums, so the frontier membership decision carries NO
-    * float anywhere (the emitted ratios are r4e'd display only). The
+    * exact integer cross-multiplication — a/b ≥ c/d becomes a·d ≥ c·b
+    * on integer sums, carried in decimal(38,0) so the products never
+    * wrap (q221's discipline) — the frontier membership decision
+    * carries NO float anywhere (emitted ratios are r4e'd display
+    * only). The
     * strict-inequality arm also makes self-comparison a non-dominator
     * for free. Scale: pair membership needs no propagation loop (just
     * the pair endpoints, distinct); one doc-grain aggregate to the
@@ -890,13 +903,22 @@ object MiningQueries {
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"),
         sum(lit(1L) - col("isdup")).as("uniq"))
       .transform(Det.pin)
+    // Cross-multiplies in decimal(38,0) (q221's overflow discipline):
+    // cell token sums × doc counts reach ~1e22 at the 100 TB scale —
+    // Long would wrap silently and flip dominance decisions.
+    val dec = DecimalType(38, 0)
+    def dm(c: Column): Column = c.cast(dec)
     val other = cells.select(col("tokens").as("ot"),
       col("uniq").as("ou"), col("n_docs").as("od"))
     cells.join(broadcast(other),
-        col("ot") * col("n_docs") >= col("tokens") * col("od") &&
-        col("ou") * col("n_docs") >= col("uniq") * col("od") &&
-        (col("ot") * col("n_docs") > col("tokens") * col("od") ||
-         col("ou") * col("n_docs") > col("uniq") * col("od")),
+        dm(col("ot")) * dm(col("n_docs")) >=
+          dm(col("tokens")) * dm(col("od")) &&
+        dm(col("ou")) * dm(col("n_docs")) >=
+          dm(col("uniq")) * dm(col("od")) &&
+        (dm(col("ot")) * dm(col("n_docs")) >
+           dm(col("tokens")) * dm(col("od")) ||
+         dm(col("ou")) * dm(col("n_docs")) >
+           dm(col("uniq")) * dm(col("od"))),
         "left_anti")
       .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
         col("uniq"),
@@ -2058,6 +2080,8 @@ object MiningQueries {
           FROM cum c JOIN tot t USING (lang)
           GROUP BY c.lang ORDER BY c.lang""",
     // q217: the join is never run — Σ n² off the key-grain aggregate.
+    // Emitted BIGINT by the oracle portability contract; validity
+    // bound documented at the query (max n(k) ≤ 3.03e9).
     "q217_join_size_profile" ->
       s"""WITH c AS (SELECT l_partkey, CAST(count(1) AS BIGINT) AS cnt
                      FROM lineitem GROUP BY l_partkey),
@@ -2066,7 +2090,8 @@ object MiningQueries {
                        CAST(sum(cnt * cnt) AS BIGINT) AS tot_pairs
                 FROM c)
           SELECT l_partkey, cnt, cnt * cnt AS pairs,
-                 round(CAST(cnt * cnt AS DOUBLE) / tot_pairs
+                 round(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+                       / CAST(tot_pairs AS DOUBLE)
                        + ${Det.E6}, 6) AS pair_share,
                  n_rows, n_keys, tot_pairs
           FROM c, t
@@ -2094,10 +2119,14 @@ object MiningQueries {
           FROM cells c
           WHERE NOT EXISTS (
             SELECT 1 FROM cells o
-            WHERE o.tokens * c.n_docs >= c.tokens * o.n_docs
-              AND o.uniq * c.n_docs >= c.uniq * o.n_docs
-              AND (o.tokens * c.n_docs > c.tokens * o.n_docs
-                   OR o.uniq * c.n_docs > c.uniq * o.n_docs))
+            WHERE CAST(o.tokens AS DECIMAL(38,0)) * c.n_docs
+                    >= CAST(c.tokens AS DECIMAL(38,0)) * o.n_docs
+              AND CAST(o.uniq AS DECIMAL(38,0)) * c.n_docs
+                    >= CAST(c.uniq AS DECIMAL(38,0)) * o.n_docs
+              AND (CAST(o.tokens AS DECIMAL(38,0)) * c.n_docs
+                     > CAST(c.tokens AS DECIMAL(38,0)) * o.n_docs
+                   OR CAST(o.uniq AS DECIMAL(38,0)) * c.n_docs
+                        > CAST(c.uniq AS DECIMAL(38,0)) * o.n_docs))
           ORDER BY lang, source""",
     // q214: identical moment formula per pair off ONE 1-row aggregate
     // (never DuckDB's corr() — its accumulation is engine-private).
