@@ -522,7 +522,7 @@ object Similarity {
     * (idCol, i, j, d2) — one map-side pass over corpus × broadcast
     * codebook, d2 rounded r6e so the downstream argmin is
     * cross-engine deterministic with the j tie-break. */
-  private def pqStack(corpus: DataFrame, cb: DataFrame, idCol: String,
+  private[graft] def pqStack(corpus: DataFrame, cb: DataFrame, idCol: String,
       vecCol: String, m: Int, sub: Int): DataFrame = {
     val Det = graft.queries.Det
     corpus.crossJoin(broadcast(cb))
@@ -610,7 +610,7 @@ object Similarity {
 
   /** The query's ADC lookup table: kc × m rows (i, j, qd2), r6e
     * distances — broadcast into the code join. */
-  private def pqQueryTable(query: DataFrame, cb: DataFrame,
+  private[graft] def pqQueryTable(query: DataFrame, cb: DataFrame,
       m: Int, sub: Int): DataFrame = {
     val Det = graft.queries.Det
     query.select(col("qv")).crossJoin(broadcast(cb))
@@ -621,7 +621,7 @@ object Similarity {
   }
 
   /** ADC shortlist + exact re-rank, given per-(id, i) codes. */
-  private def pqServe(codes: DataFrame, qtable: DataFrame,
+  private[graft] def pqServe(codes: DataFrame, qtable: DataFrame,
       corpus: DataFrame, query: DataFrame, idCol: String, vecCol: String,
       shortlist: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -762,6 +762,32 @@ object Similarity {
       idCol, vecCol, shortlist, k)
   }
 
+  /** Encode `corpus` against a FIXED (codebook, centroids) geometry:
+    * (idCol, codes array<int> of length m, clabel). The shared encode
+    * primitive of `writeIvfPqIndex` (one-shot) and
+    * `examples.IncrementalIvfPq` (per-diff): a vector's code and cell
+    * depend ONLY on the stored geometry, never on the rest of the
+    * corpus, which is exactly what makes the codes store incrementally
+    * maintainable — encoding a diff with the stored geometry produces
+    * the same rows a full re-encode would (spec-pinned row-for-row).
+    * All stages bounded: one map-side pass over corpus × broadcast
+    * codebook, an (id, i) argmin, a broadcast-centroid assign. */
+  private[graft] def encodeCodes(corpus: DataFrame, cb: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, m: Int,
+      sub: Int): DataFrame = {
+    val asg = ivfAssign(corpus, idCol, vecCol, centroids)
+    pqStack(corpus, cb, idCol, vecCol, m, sub)
+      .groupBy(idCol, "i")
+      .agg(min(struct(col("d2"), col("j"))).as("mn"))
+      .select(col(idCol), col("i"), col("mn.j").as("c"))
+      .groupBy(idCol)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(i, c))), s -> cast(s.c as int))")
+        .as("codes"))
+      .join(asg, Seq(idCol))
+      .select(col(idCol), col("codes"), col("clabel"))
+  }
+
   /** PERSISTED IVF-PQ index — the serving artifact `ivfPqSearch`
     * models (writePqIndex's cell-partitioned sibling). Layout:
     *
@@ -783,16 +809,7 @@ object Similarity {
     val cb = pqCodebook(corpus, idCol, vecCol, dim, m, kc, salt, iters)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val asg = ivfAssign(corpus, idCol, vecCol, centroids)
-    pqStack(corpus, cb, idCol, vecCol, m, dim / m)
-      .groupBy(idCol, "i")
-      .agg(min(struct(col("d2"), col("j"))).as("mn"))
-      .select(col(idCol), col("i"), col("mn.j").as("c"))
-      .groupBy(idCol)
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(i, c))), s -> cast(s.c as int))")
-        .as("codes"))
-      .join(asg, Seq(idCol))
+    encodeCodes(corpus, cb, centroids, idCol, vecCol, m, dim / m)
       .write.mode("overwrite").partitionBy("clabel").parquet(s"$path/codes")
     val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta")
     val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)

@@ -779,6 +779,144 @@ class OperatorSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("_ivfpq_meta"))
   }
 
+  test("incremental ivfpq: diff-sized segments serve ≡ full re-encode across update/delete/replay; probe prunes every segment") {
+    import graft.operators.Similarity
+    import graft.examples.IncrementalIvfPq
+    val em = Tables.embeddings(spark, sf)
+    val base = TestSpark.tmpDir("inc-ivfpq")
+    val table = s"$base/t"; val cdf = s"$base/changes"; val idx = s"$base/idx"
+    val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cent = Similarity.ivfCentroids(em, "label", "embedding")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      graft.sources.Lake.mergeInto(spark, table, b, Seq("vec_id"),
+        Seq("ver"), Some(col("is_delete")),
+        changeDir = Some(cdf), cdfPreImages = true)
+    def batch(ids: Seq[Long], ver: Long, del: Boolean = false,
+        perturb: Boolean = false) = {
+      val rows = em.where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"),
+          (if (perturb)
+             expr("transform(embedding, x -> cast(x + 0.5 as float))")
+           else col("embedding")).as("embedding"),
+          lit(ver).as("ver"), lit(del).as("is_delete"))
+      rows
+    }
+    def corpusNow = graft.sources.Lake.readStore(spark, table)
+      .select(col("vec_id"), col("embedding"))
+    def cbStored = spark.read.parquet(s"$idx/codebook")
+    def centStored = spark.read.parquet(s"$idx/centroids")
+    // ground truth: re-encode the CURRENT merged corpus against the
+    // STORED geometry (geometry is frozen at bootstrap by design)
+    def recompute = Similarity.encodeCodes(corpusNow, cbStored,
+        centStored, "vec_id", "embedding", 4, 16).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Int]]("codes"), r.getAs[Int]("clabel")))
+      .sortBy(t => (t._1, t._3)).toSeq
+    def served = IncrementalIvfPq.readCodes(spark, idx).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Int]]("codes"), r.getAs[Int]("clabel")))
+      .sortBy(t => (t._1, t._3)).toSeq
+    def refresh(): Long = IncrementalIvfPq.refresh(spark, idx, cdf,
+      "vec_id", "embedding", compactAt = 4)
+
+    // merge 0: vectors 1..40; bootstrap at watermark 0
+    merge(batch(1L to 40L, ver = 1))
+    IncrementalIvfPq.bootstrap(spark, idx, corpusNow, "vec_id",
+      "embedding", cent, dim = 64, m = 4, kc = 16, upto = 0L)
+    assert(served == recompute, "bootstrap store != re-encode")
+    // bootstrap parity with the adjudicated one-shot artifact: same
+    // corpus, same training → identical serving, rank for rank
+    val oneShot = java.nio.file.Files.createTempDirectory("ivfpq-one").toString
+    Similarity.writeIvfPqIndex(corpusNow, "vec_id", "embedding", cent,
+      dim = 64, m = 4, kc = 16, path = oneShot)
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("adc"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(
+      top(IncrementalIvfPq.search(corpusNow, q, "vec_id", "embedding",
+        idx, shortlist = 20, k = 10, probe = 2)) ==
+      top(Similarity.ivfPqSearchIndexed(corpusNow, q, "vec_id",
+        "embedding", oneShot, shortlist = 20, k = 10, probe = 2)),
+      "bootstrap serving != one-shot ivfPqSearchIndexed")
+    // merge 1: update 1..5 (perturbed vectors), insert 41..45,
+    // delete 6..8 — the refresh encodes ONLY the diff
+    merge(batch(1L to 5L, ver = 2, perturb = true)
+      .unionByName(batch(41L to 45L, ver = 1))
+      .unionByName(batch(6L to 8L, ver = 2, del = true)))
+    assert(refresh() == 1L)
+    assert(served == recompute, "post-merge store != re-encode")
+    assert(!served.exists(t => Set(6L, 7L, 8L).contains(t._1)),
+      "deleted vectors still served")
+    // diff-sized claim: the new segment holds 2·5 update rows +
+    // 5 inserts + 3 deletes = 18 signed rows, not the 42-vector corpus
+    val store = new org.apache.hadoop.fs.Path(s"$idx/codes")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = graft.sources.Snapshot.resolve(fs, store).get
+    val newest = segs.map(_.toString).maxBy(p =>
+      p.split("/").last.stripPrefix("d").takeWhile(_.isDigit).toLong)
+    assert(spark.read.parquet(newest).count() == 18L,
+      "refresh segment is not diff-sized")
+    // replay of the same merge: empty feed → no movement
+    val vBefore = graft.sources.Snapshot.currentVersion(fs, store).get
+    merge(batch(1L to 5L, ver = 2, perturb = true)
+      .unionByName(batch(41L to 45L, ver = 1))
+      .unionByName(batch(6L to 8L, ver = 2, del = true)))
+    refresh()
+    assert(served == recompute, "replayed merge moved the store")
+    // a ver-only touch (same vectors) telescopes to zero rows but
+    // still advances the watermark via a marker-only member
+    merge(batch(9L to 12L, ver = 3))
+    val upto2 = refresh()
+    assert(served == recompute, "no-op vector update moved the codes")
+    assert(refresh() == upto2, "watermark did not advance past the no-op")
+    // merge again: auto-compaction at compactAt=4 folds to one member
+    merge(batch(20L to 22L, ver = 4, perturb = true))
+    refresh()
+    assert(graft.sources.Snapshot.resolve(fs, store).get.length == 1,
+      "auto-compaction did not fold the segments")
+    assert(served == recompute, "compaction changed the served codes")
+    // search equality vs an ADC reference over the re-encoded corpus,
+    // and the probe/#cells claim stays literal partition pruning
+    val probed = Similarity.ivfAssign(
+        q.select(lit(0L).as("vec_id"), col("qv").as("embedding")),
+        "vec_id", "embedding", centStored, probe = 2)
+      .collect().map(_.get(1)).toSeq
+    val refCodes = Similarity.encodeCodes(corpusNow, cbStored, centStored,
+        "vec_id", "embedding", 4, 16)
+      .where(col("clabel").isin(probed: _*))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("i", "code")))
+    val refTop = top(Similarity.pqServe(refCodes,
+      Similarity.pqQueryTable(q, cbStored, 4, 16), corpusNow, q,
+      "vec_id", "embedding", 20, 10))
+    assert(top(IncrementalIvfPq.search(corpusNow, q, "vec_id",
+      "embedding", idx, shortlist = 20, k = 10, probe = 2)) == refTop,
+      "incremental serving != ADC reference after maintenance")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sparkPlan, not executedPlan: the AQE wrapper hides its inner
+    val prunedPlan = IncrementalIvfPq.readCodes(spark, idx, Some(probed))
+      .queryExecution.sparkPlan
+    val scans = prunedPlan.collect {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty => f
+    }
+    assert(scans.nonEmpty, "probed codes read carries no PartitionFilters")
+    scans.foreach { f =>
+      val files = f.selectedPartitions.toPartitionArray
+        .map(_.urlEncodedPath).toSeq
+      assert(files.forall(p => probed.exists(c => p.contains(s"clabel=$c"))),
+        s"probed read selected unprobed cell files: $files")
+    }
+    val nCells = IncrementalIvfPq.readCodes(spark, idx)
+      .select("clabel").distinct().count()
+    assert(probed.size < nCells, "fixture degenerate: probe covers all cells")
+    // geometry guard: no meta → refuse to serve
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "_ivfpq_meta"), false)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalIvfPq.search(corpusNow, q, "vec_id", "embedding", idx,
+        shortlist = 20, k = 10, probe = 2)
+    }
+    assert(ex.getMessage.contains("_ivfpq_meta"))
+  }
+
   test("pq codebook: Lloyd refinement does not increase the quantization objective") {
     // the property a Lloyd step actually guarantees — mean squared
     // distance to the nearest codebook entry is non-increasing (up to

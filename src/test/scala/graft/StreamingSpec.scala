@@ -2212,4 +2212,81 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.filter(_._2 == stages.length).map(_._1) == Set(1L))
     }
   }
+
+  test("s48: streaming merge feed keeps the incremental IVF-PQ index fresh across restarts") {
+    import graft.examples.IncrementalIvfPq
+    import graft.operators.Similarity
+    val src = TestSpark.tmpDir("s48-src")
+    val root = TestSpark.tmpDir("s48-tbl")
+    val table = s"$root/t"; val cdf = s"$root/changes"; val idx = s"$root/idx"
+    val chk = TestSpark.tmpDir("s48-chk")
+    val em = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("ver", LongType),
+      StructField("is_delete", BooleanType)))
+    def ship(name: String, ids: Seq[Long], ver: Long,
+        del: Boolean = false, perturb: Boolean = false): Unit =
+      em.where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"),
+          (if (perturb)
+             expr("transform(embedding, x -> cast(x + 0.5 as float))")
+           else col("embedding")).as("embedding"),
+          lit(ver).as("ver"), lit(del).as("is_delete"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/$name")
+    // one micro-batch run of the merge sink over everything new
+    def run(): Unit = {
+      val in = spark.readStream.schema(vecSchema)
+        .option("recursiveFileLookup", "true").parquet(src)
+      val q = CdcStreams.mergeSink(in, table, chk,
+          Seq("vec_id"), Seq("ver"), isDeleteCol = Some("is_delete"),
+          changeDir = Some(cdf), cdfPreImages = true)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def refresh(): Long = IncrementalIvfPq.refresh(spark, idx, cdf,
+      "vec_id", "embedding", compactAt = 8)
+    def corpusNow = graft.sources.Lake.readStore(spark, table)
+      .select(col("vec_id"), col("embedding"))
+    def recompute = Similarity.encodeCodes(corpusNow,
+        spark.read.parquet(s"$idx/codebook"),
+        spark.read.parquet(s"$idx/centroids"),
+        "vec_id", "embedding", 4, 16).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Int]]("codes"), r.getAs[Int]("clabel")))
+      .sortBy(t => (t._1, t._3)).toSeq
+    def served = IncrementalIvfPq.readCodes(spark, idx).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Int]]("codes"), r.getAs[Int]("clabel")))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // batch 1 streams in; bootstrap the index at its watermark
+    ship("f1", 1L to 30L, ver = 1)
+    run()
+    IncrementalIvfPq.bootstrap(spark, idx, corpusNow, "vec_id",
+      "embedding", Similarity.ivfCentroids(em, "label", "embedding"),
+      dim = 64, m = 4, kc = 16, upto = 0L)
+    assert(served == recompute)
+    // restart: updates + inserts + deletes arrive as new files
+    ship("f2", 1L to 3L, ver = 2, perturb = true)
+    ship("f3", 31L to 35L, ver = 1)
+    ship("f4", 4L to 5L, ver = 2, del = true)
+    run(); refresh()
+    assert(served == recompute, "streamed diff mis-applied to the codes store")
+    assert(!served.exists(t => Set(4L, 5L).contains(t._1)),
+      "streamed deletes still served")
+    // replay with nothing new: no feed entry, no index movement
+    run()
+    val upto = refresh()
+    assert(served == recompute)
+    assert(refresh() == upto, "empty replay moved the watermark")
+    // the maintained index serves: top hit for a shipped vector's own
+    // query is itself (exact re-rank guarantees it when indexed)
+    val q31 = em.where(col("vec_id") === 31L)
+      .select(col("embedding").as("qv"))
+    val hits = IncrementalIvfPq.search(corpusNow, q31, "vec_id",
+        "embedding", idx, shortlist = 10, k = 3, probe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(hits.head == 31L, s"self-query missed itself: $hits")
+  }
 }
