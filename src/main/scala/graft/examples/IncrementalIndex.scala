@@ -133,10 +133,21 @@ object IncrementalIndex {
     * the segments: one multi-path scan + one grain-keyed sum (both
     * map-side combinable); postings whose signed total reached zero
     * drop out. */
-  def read(spark: SparkSession, indexDir: String): DataFrame = {
+  def read(spark: SparkSession, indexDir: String): DataFrame =
+    read(spark, indexDir, None)
+
+  /** [[read]] pinned to a specific committed snapshot version —
+    * the member a [[graft.sources.PublishSet]] manifest names (valid
+    * while the store's retention holds that version). */
+  def read(spark: SparkSession, indexDir: String,
+      at: Option[Long]): DataFrame = {
     val store = new Path(indexDir)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val members = Snapshot.resolve(fs, store).getOrElse(Nil)
+    val members = at match {
+      case Some(v) => Snapshot.members(fs, store, v)
+        .map(n => new Path(store, n))
+      case None => Snapshot.resolve(fs, store).getOrElse(Nil)
+    }
     require(members.nonEmpty, s"no index at $indexDir")
     val segs = spark.read.option("mergeSchema", "true")
       .parquet(members.map(_.toString): _*)
@@ -173,16 +184,18 @@ object IncrementalIndex {
     * identical formula from raw text; the spec pins equality). */
   def bm25Lookup(spark: SparkSession, indexDir: String,
       dlViewDir: String, keyCols: Seq[String], terms: Seq[String],
-      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      topK: Int, k1: Double = 1.2, b: Double = 0.75,
+      atIndex: Option[Long] = None, atView: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "bm25Lookup needs at least one term")
-    val tf = read(spark, indexDir)
+    val tf = read(spark, indexDir, atIndex)
       .where(col("token").isin(terms: _*))
     val dfw = tf.groupBy("token")
       .agg(count(lit(1)).cast("double").as("__dfw"))
     // token-less documents can match no term and are excluded from
     // N/avgdl — the same convention as deriving dl from exploded
     // tokens (q112), where an empty token array drops the doc
-    val dl = IncrementalView.read(spark, dlViewDir)
+    val dl = atView.map(v => Lake.readStoreAt(spark, dlViewDir, v))
+      .getOrElse(IncrementalView.read(spark, dlViewDir))
       .select(keyCols.map(col) :+ col("sum_n_toks").as("__dl"): _*)
       .where(col("__dl") > 0L)
     val stats = dl.agg(count(lit(1)).cast("double").as("__n"),

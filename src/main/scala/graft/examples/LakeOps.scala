@@ -123,6 +123,78 @@ object LakeOps {
     * atomic pointer protocol, shared with mergeInto/compactDay — a
     * crash leaves at worst an uncommitted staging dir, readers never
     * see a missing day). Returns the days rewritten. */
+  /** Publish the night's artifacts as ONE unit (round 18 — the
+    * cross-store composed commit, [[graft.sources.PublishSet]]):
+    * every committed day store under the lake plus every committed
+    * view sub-store, each at its CURRENT snapshot version, named in
+    * one manifest made visible by one atomic step. Call it AFTER
+    * [[runNightly]]: a crash between the night's member commits (a
+    * day merged but the view not yet refreshed) leaves the previous
+    * manifest current, so [[readPublishedDay]]/[[readPublishedView]]
+    * keep serving the previous consistent night — lake and view move
+    * together or not at all. Returns the published version. */
+  def publishNightly(spark: SparkSession, pubDir: String, lake: String,
+      viewDir: Option[String] = None): Long = {
+    import graft.sources.{PublishSet, Snapshot}
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dayMembers(root: String, tag: String): Seq[(String, Long)] = {
+      val rp = new Path(root)
+      val fs = rp.getFileSystem(conf)
+      if (!fs.exists(rp)) Nil
+      else fs.listStatus(rp).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("ingest_date="))
+        .flatMap(p => Snapshot.currentVersion(fs, p)
+          .map(v => s"$tag/${p.getName}" -> v)).toSeq
+    }
+    val members = dayMembers(lake, "lake") ++
+      viewDir.toSeq.flatMap(vd => dayMembers(vd, "view"))
+    require(members.nonEmpty, s"publishNightly: nothing committed under $lake")
+    val pub = new Path(pubDir)
+    PublishSet.publish(pub.getFileSystem(conf), conf, pub, members.toMap)
+  }
+
+  private def pinnedMembers(spark: SparkSession,
+      pubDir: String): Map[String, Long] = {
+    import graft.sources.PublishSet
+    val pub = new Path(pubDir)
+    val fs = pub.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PublishSet.resolve(fs, pub).getOrElse(
+      throw new IllegalStateException(s"nothing published at $pubDir"))
+  }
+
+  /** One lake day pinned to the published manifest — a reader racing
+    * tonight's run sees last night's day until the composed publish
+    * lands. */
+  def readPublishedDay(spark: SparkSession, pubDir: String, lake: String,
+      day: String): DataFrame = {
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(day)
+    val key = s"lake/ingest_date=$esc"
+    val v = pinnedMembers(spark, pubDir).getOrElse(key,
+      throw new IllegalStateException(s"day $day not in the published set"))
+    Lake.readStoreAt(spark, s"$lake/ingest_date=$esc", v)
+  }
+
+  /** The whole-lake materialized view pinned to the published
+    * manifest: each sub-view reads at its PINNED version, then the
+    * bounded cross-partition re-aggregate (counts and sums are
+    * abelian) — the published twin of
+    * `IncrementalView.readPartitioned`. */
+  def readPublishedView(spark: SparkSession, pubDir: String,
+      viewDir: String, groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val pins = pinnedMembers(spark, pubDir).collect {
+      case (k, v) if k.startsWith("view/") => k.stripPrefix("view/") -> v
+    }
+    require(pins.nonEmpty, s"no view members published at $pubDir")
+    pins.toSeq.sortBy(_._1)
+      .map { case (sub, v) => Lake.readStoreAt(spark, s"$viewDir/$sub", v) }
+      .reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum("n").as("n"),
+        sumCols.map(c => sum(s"sum_$c").as(s"sum_$c")): _*)
+  }
+
   def retentionSweep(spark: SparkSession, lake: String, days: Seq[String],
       keyCols: Seq[String], orderCols: Seq[String],
       isDeleteCol: String): Seq[String] = {

@@ -101,16 +101,68 @@ object RagPipeline {
     * (rounded score, id) order, top-N. The rank window runs over the
     * N-row frame only (q174's discipline). */
   def lexicalDocRanks(spark: SparkSession, idxDir: String, dlDir: String,
-      idCol: String, terms: Seq[String], topN: Int): DataFrame = {
+      idCol: String, terms: Seq[String], topN: Int): DataFrame =
+    docRanksFrom(IncrementalIndex.bm25Lookup(spark, idxDir, dlDir,
+      Seq(idCol, "ci"), terms, topK = 0), idCol, topN)
+
+  private def docRanksFrom(bm25: DataFrame, idCol: String,
+      topN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    IncrementalIndex.bm25Lookup(spark, idxDir, dlDir,
-        Seq(idCol, "ci"), terms, topK = 0)
+    bm25
       .groupBy(idCol)
       .agg(graft.queries.Det.r4e(max("bm25")).as("__sc"))
       .orderBy(col("__sc").desc, col(idCol).asc).limit(topN)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("__sc").desc, col(idCol).asc)).cast("int"))
       .select(col(idCol), col("rank"))
+  }
+
+  /** [[refreshIndex]] with the COMPOSED COMMIT (round 18 — the
+    * cross-store atomic publish): refresh both derived stores, then
+    * publish ONE [[graft.sources.PublishSet]] manifest naming the
+    * (index, doc-length view) version PAIR. A crash between the two
+    * member refreshes leaves the previous manifest current, so
+    * [[lexicalDocRanksPublished]] keeps serving the previous
+    * CONSISTENT pair — never a fresh index against a stale view's
+    * N/avgdl (the torn-state window the unpublished path has).
+    * Returns the published version. */
+  def refreshIndexPublished(spark: SparkSession, idxDir: String,
+      dlDir: String, cdfDir: String, pubDir: String,
+      idCol: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{PublishSet, Snapshot}
+    refreshIndex(spark, idxDir, dlDir, cdfDir, idCol)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def v(d: String): Long = {
+      val p = new Path(d)
+      Snapshot.currentVersion(p.getFileSystem(conf), p).getOrElse(
+        throw new IllegalStateException(s"no committed store at $d"))
+    }
+    val pub = new Path(pubDir)
+    PublishSet.publish(pub.getFileSystem(conf), conf, pub,
+      Map("index" -> v(idxDir), "doclen" -> v(dlDir)))
+  }
+
+  /** [[lexicalDocRanks]] pinned to the last PUBLISHED (index, view)
+    * pair — the only read path that is torn-state-free by
+    * construction: both stores resolve from one manifest, so a
+    * reader racing a multi-store refresh sees the old pair or the
+    * new pair, never a mix. */
+  def lexicalDocRanksPublished(spark: SparkSession, idxDir: String,
+      dlDir: String, pubDir: String, idCol: String, terms: Seq[String],
+      topN: Int): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.PublishSet
+    val pub = new Path(pubDir)
+    val fs = pub.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pinned = PublishSet.resolve(fs, pub).getOrElse(
+      throw new IllegalStateException(s"nothing published at $pubDir"))
+    require(pinned.contains("index") && pinned.contains("doclen"),
+      s"publish manifest at $pubDir lacks index/doclen members: $pinned")
+    docRanksFrom(IncrementalIndex.bm25Lookup(spark, idxDir, dlDir,
+      Seq(idCol, "ci"), terms, topK = 0,
+      atIndex = pinned.get("index"), atView = pinned.get("doclen")),
+      idCol, topN)
   }
 
   /** Reciprocal-rank fusion of two ranked lists (idCol, rank):

@@ -112,8 +112,9 @@ object Snapshot {
     * crash before the pointer swap. */
   val MarkerCommitKey = "graft.snapshot.markerCommit"
 
-  /** Read a tiny whole file as UTF-8 (pointer / manifest). */
-  private def readSmall(fs: FileSystem, p: Path): String = {
+  /** Read a tiny whole file as UTF-8 (pointer / manifest). Shared
+    * with [[PublishSet]], the cross-store manifest. */
+  private[sources] def readSmall(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -124,7 +125,7 @@ object Snapshot {
     } finally in.close()
   }
 
-  private def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
+  private[sources] def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -1912,6 +1912,37 @@ class OperatorSpec extends AnyFunSuite {
     val marks = graft.examples.IncrementalView
       .consumerWatermarks(spark, s"$cdf/ingest_date=2024-01-02")
     assert(marks.contains("nightly_view"), s"view not registered: $marks")
+    // COMPOSED PUBLISH (round 18): the night's day stores + view
+    // sub-stores land in one manifest; a mid-night crash (day merged,
+    // view not refreshed) leaves published readers on the previous
+    // consistent night
+    val pub = s"$base/pub"
+    LakeOps.publishNightly(spark, pub, lake, Some(view))
+    def pubView = LakeOps
+      .readPublishedView(spark, pub, view, Seq("g"), Seq("x")).collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_x"))).toMap
+    val night2View = pubView
+    assert(night2View == recompute)
+    val day2Before = LakeOps
+      .readPublishedDay(spark, pub, lake, "2024-01-02").count()
+    // night 3 crashes AFTER the lake merge, BEFORE the view refresh +
+    // publish: simulate by merging directly without the view step
+    graft.sources.Lake.mergeIntoPartitioned(spark, lake,
+      upd((5L, "c", 9L, 1L, "2024-01-02", false)), "ingest_date",
+      Seq("k"), Seq("ver"), Some(col("is_delete")), Some(cdf),
+      cdfPreImages = true)
+    // live lake moved; the published day + view pair did not
+    assert(pubView == night2View, "published view moved mid-night")
+    assert(LakeOps.readPublishedDay(spark, pub, lake, "2024-01-02")
+      .count() == day2Before, "published day moved mid-night")
+    // restart completes the night (empty re-merge + view refresh) and
+    // publishes: both stores flip together
+    nightly(upd((5L, "c", 9L, 1L, "2024-01-02", false)))
+    LakeOps.publishNightly(spark, pub, lake, Some(view))
+    assert(pubView == recompute, s"composed publish did not flip: $pubView")
+    assert(LakeOps.readPublishedDay(spark, pub, lake, "2024-01-02")
+      .count() == day2Before + 1)
   }
 
   test("examples.LakeOps: composed nightly maintenance, crash mid-sequence, retention sweep") {

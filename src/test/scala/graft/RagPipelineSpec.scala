@@ -116,4 +116,72 @@ class RagPipelineSpec extends AnyFunSuite {
       "diversified pick outside the fused candidate set")
     v1.unpersist(); lex1.unpersist(); lex2.unpersist(); fused.unpersist()
   }
+
+  test("composed publish: readers see only consistent (index, view) pairs across a mid-refresh crash") {
+    import org.apache.hadoop.fs.Path
+    import graft.examples.IncrementalIndex
+    import graft.sources.PublishSet
+    val root = TestSpark.tmpDir("rag-pub")
+    val store = s"$root/store"; val cdf = s"$root/cdf"
+    val idx = s"$root/idx"; val dlv = s"$root/dl"; val pub = s"$root/pub"
+    // the first test's slice — known to contain 'stream' docs
+    val docs = Tables.documents(spark, sf)
+      .where(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text"))
+    val v1 = RagPipeline.chunk(docs, "doc_id", "text").cache()
+    RagPipeline.ingest(spark, store, cdf, v1, "doc_id", ver = 1L)
+    assert(RagPipeline.refreshIndexPublished(spark, idx, dlv, cdf, pub,
+      "doc_id") == 1L)
+    val terms = Seq("stream")
+    def published = RagPipeline.lexicalDocRanksPublished(spark, idx, dlv,
+        pub, "doc_id", terms, topN = 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq.sorted
+    val r1 = published
+    assert(r1.nonEmpty)
+    val fs = new Path(pub)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pins1 = PublishSet.resolveAt(fs, new Path(pub), 1L)
+    val postings1 = IncrementalIndex
+      .read(spark, idx, Some(pins1("index"))).collect()
+      .map(_.toString).sorted.toSeq
+    // a second batch merges, then CRASH between the member refreshes:
+    // the index folds the feed, the view does NOT, no manifest lands
+    val updId = r1.head._1
+    val v2docs = docs.withColumn("text",
+      when(col("doc_id") === updId, lit(("stream " * 13).trim))
+        .otherwise(col("text")))
+    val v2 = RagPipeline.chunk(v2docs, "doc_id", "text")
+    RagPipeline.ingest(spark, store, cdf,
+      RagPipeline.chunkDelta(v2, v1, "doc_id"), "doc_id", ver = 2L)
+    IncrementalIndex.refresh(spark, idx, cdf, Seq("doc_id", "ci"),
+      expr("filter(split(chunk, ' '), w -> w <> '')"))
+    // the index store MOVED (torn window exists for an unpinned
+    // reader pairing it with the stale view)...
+    val postingsTorn = IncrementalIndex.read(spark, idx).collect()
+      .map(_.toString).sorted.toSeq
+    assert(postingsTorn != postings1, "fixture: index refresh was a no-op")
+    // ...but the PUBLISHED read path still serves the old consistent
+    // pair — all-or-nothing visibility across the store set
+    assert(published == r1,
+      "published read moved before the composed commit")
+    // restart completes the night: the index refresh no-ops (feed
+    // consumed), the view catches up, ONE manifest publishes the pair
+    assert(RagPipeline.refreshIndexPublished(spark, idx, dlv, cdf, pub,
+      "doc_id") == 2L)
+    val r2 = published
+    assert(r2.toMap.get(updId).contains(1),
+      s"all-'stream' doc $updId should rank first after the publish: $r2")
+    // the published pair now equals the live pair (everything current)
+    val live = RagPipeline.lexicalDocRanks(spark, idx, dlv, "doc_id",
+        terms, topN = 20)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq.sorted
+    assert(r2 == live)
+    // cross-store time travel: publish v1 still resolves and its
+    // pinned index read is byte-stable under later commits
+    assert(PublishSet.resolveAt(fs, new Path(pub), 1L) == pins1)
+    assert(IncrementalIndex.read(spark, idx, Some(pins1("index")))
+      .collect().map(_.toString).sorted.toSeq == postings1,
+      "pinned v1 index read changed under later commits")
+    v1.unpersist()
+  }
 }
