@@ -149,6 +149,59 @@ object IncrementalScd2 {
     Snapshot.vacuum(fs, store, keep = 2)
   }
 
+  /** GDPR purge (round 18 — VERDICT r10 item 3's SCD2 leg): closed
+    * segments are write-once by the store's own contract, so a
+    * right-to-be-forgotten delete needs this COMPACTION-STYLE rewrite
+    * path — every history row matching `cond` (current AND closed
+    * versions, i.e. the key's entire lineage) leaves PHYSICALLY in
+    * one commit: the cur member rewrites minus the key (re-stamping
+    * its `_applied_upto` watermark — a purge is not a feed fold), the
+    * closed segments fold into ONE segment minus the key, and
+    * `vacuum(keep = 1)` drops every pre-purge manifest and member so
+    * time travel at pre-purge versions REFUSES instead of
+    * resurfacing the key. Idempotent: re-running finds nothing to
+    * drop and skips the rewrite. Single-writer, like every store
+    * maintenance op. `cond` must be null-safe for rows that must
+    * survive (a NULL match drops the row), and must reference only
+    * columns present in EVERY member (key/attr/valid_from — not the
+    * derived valid_to/is_current, which the cur member lacks). */
+  def purge(spark: SparkSession, histDir: String,
+      cond: org.apache.spark.sql.Column): Boolean = {
+    val store = new Path(histDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = store.getFileSystem(conf)
+    val members = Snapshot.resolve(fs, store).getOrElse(Nil)
+    require(members.nonEmpty, s"no history at $histDir")
+    val upto = appliedUpto(fs, store)
+    val hasTrace = !read(spark, histDir).where(cond).isEmpty
+    if (!hasTrace) return false
+    val newMembers = scala.collection.mutable.Buffer[String]()
+    curMember(members).foreach { cur =>
+      val curName = Snapshot.stageDirName(fs, store, "cur")
+      val staged = Snapshot.stagePath(store, curName)
+      spark.read.option("mergeSchema", "true").parquet(cur.toString)
+        .where(!cond).write.mode("overwrite").parquet(staged.toString)
+      val marker = new Path(staged, s"_applied_upto_$upto")
+      val out = fs.create(marker, true); out.close()
+      newMembers += curName
+    }
+    val closedDirs = members.filterNot(_.getName.endsWith("-cur"))
+    if (closedDirs.nonEmpty) {
+      val name = Snapshot.stageDirName(fs, store, "closedpurge")
+      val staged = Snapshot.stagePath(store, name)
+      val folded = spark.read.option("mergeSchema", "true")
+        .parquet(closedDirs.map(_.toString): _*).where(!cond)
+      if (!folded.isEmpty) {
+        folded.write.mode("overwrite").parquet(staged.toString)
+        newMembers += name
+      }
+    }
+    require(newMembers.nonEmpty, s"purge would empty the history at $histDir")
+    Snapshot.commit(fs, conf, store, newMembers.toSeq)
+    Snapshot.vacuum(fs, store, keep = 1)
+    true
+  }
+
   /** The full history (keyCols…, attrCols…, valid_from, valid_to,
     * is_current): the immutable closed segments plus the current
     * member (open-ended, is_current) — one multi-path scan. */

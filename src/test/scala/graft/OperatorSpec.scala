@@ -2641,6 +2641,109 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("composed GDPR purge: zero physical trace across lake/feed/view/index/scd2/codes; time travel refuses or redacts; replay adds nothing") {
+    import org.apache.hadoop.fs.Path
+    import graft.examples.{IncrementalIndex, IncrementalIvfPq,
+      IncrementalScd2, IncrementalView, KeyPurge}
+    import graft.operators.Similarity
+    import graft.sources.{Lake, Snapshot}
+    val base = TestSpark.tmpDir("purge")
+    val lake = s"$base/t"; val cdf = s"$base/cdf"
+    val view = s"$base/view"; val idx = s"$base/idx"
+    val hist = s"$base/scd2"; val ivf = s"$base/ivf"
+    def vec(s: Float*) = s.toArray
+    // rows: key, group, text, measure, embedding, cluster label, ver, tombstone
+    def df(rows: (Long, String, String, Long, Array[Float], Int, Long, Boolean)*) =
+      rows.toDF("k", "g", "text", "x", "emb", "lbl", "ver", "is_delete")
+    def merge(b: org.apache.spark.sql.DataFrame): Unit =
+      Lake.mergeInto(spark, lake, b, Seq("k"), Seq("ver"),
+        Some(col("is_delete")), changeDir = Some(cdf), cdfPreImages = true)
+    val toks = expr("filter(split(text, ' '), w -> w <> '')")
+    def refreshAll(): Unit = {
+      IncrementalView.refresh(spark, view, cdf, Seq("k"), Seq("x"))
+      IncrementalIndex.refresh(spark, idx, cdf, Seq("k"), toks)
+      IncrementalScd2.refresh(spark, hist, cdf, Seq("k"), Seq("text", "x"))
+      IncrementalIvfPq.refresh(spark, ivf, cdf, "k", "emb")
+      ()
+    }
+    val kCond = col("k") === 1L
+    // merge 0: three users; bootstrap the ANN store at its watermark
+    merge(df(
+      (1L, "a", "alice private secret", 10L, vec(1f, 0f, 0f, 0f), 0, 1L, false),
+      (2L, "a", "bob public text", 5L, vec(0f, 1f, 0f, 0f), 1, 1L, false),
+      (3L, "b", "carol other words", 7L, vec(0f, 0f, 1f, 0f), 0, 1L, false)))
+    val corpus0 = Lake.readStore(spark, lake).select(col("k"), col("emb"))
+    IncrementalIvfPq.bootstrap(spark, ivf, corpus0, "k", "emb",
+      Similarity.ivfCentroids(Lake.readStore(spark, lake), "lbl", "emb"),
+      dim = 4, m = 2, kc = 2, upto = 0L)
+    // merge 1: user 1's data CHANGES (more history to forget)
+    merge(df(
+      (1L, "a", "alice revised secret", 12L, vec(1f, 1f, 0f, 0f), 0, 2L, false)))
+    refreshAll()
+    // the version that still HOLDS the key — the time-travel probe
+    val lakeVPre = Snapshot.currentVersion(
+      new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(lake)).get
+    assert(Lake.readStoreAt(spark, lake, lakeVPre).where(kCond).count() > 0)
+    // user 1 invokes the right to be forgotten. STEP 1 — normal ops:
+    // tombstone merge + consumer refreshes; current state goes clean
+    merge(df(
+      (1L, "a", "alice revised secret", 12L, vec(1f, 1f, 0f, 0f), 0, 3L, true)))
+    refreshAll()
+    // history still physically holds the key everywhere
+    val roots = Seq(lake, cdf, view, idx, hist, s"$ivf/codes")
+    assert(KeyPurge.verifyNoTrace(spark, roots, kCond, Seq("k")).nonEmpty,
+      "fixture broken: nothing to purge")
+    // STEP 2+3 — the composed scrub
+    val fed = KeyPurge.scrubFeed(spark, cdf, kCond,
+      consumers = Seq(view, idx, hist, s"$ivf/codes"))
+    assert(fed > 0, "feed scrub found nothing")
+    // the tombstone merge already rewrote the lake's CURRENT member,
+    // so its scrub is retention-collapse only (returns false); the
+    // pre-purge versions it vacuums are what the audit checks below
+    KeyPurge.scrubStore(spark, lake, kCond)
+    KeyPurge.scrubStore(spark, view, kCond)
+    KeyPurge.scrubIndex(spark, idx)
+    KeyPurge.scrubIvfPq(spark, ivf)
+    assert(IncrementalScd2.purge(spark, hist, kCond), "scd2 purge found nothing")
+    // STEP 4 — zero-trace audit over every file of every store
+    val offenders = KeyPurge.verifyNoTrace(spark, roots, kCond, Seq("k"))
+    assert(offenders.isEmpty, s"key bytes survive in: $offenders")
+    // survivors intact, store by store
+    assert(Lake.readStore(spark, lake).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(IncrementalView.read(spark, view).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("sum_x")).toMap ==
+      Map(2L -> 5L, 3L -> 7L))
+    assert(IncrementalIndex.lookupAll(spark, idx, Seq("k"), Seq("public"))
+      .collect().map(_.getAs[Long]("k")).toSeq == Seq(2L))
+    assert(IncrementalIndex.lookupAll(spark, idx, Seq("k"), Seq("secret"))
+      .collect().isEmpty, "purged doc's token still resolves")
+    val h = IncrementalScd2.read(spark, hist).collect()
+    assert(h.map(_.getAs[Long]("k")).toSet == Set(2L, 3L))
+    assert(IncrementalIvfPq.readCodes(spark, ivf).collect()
+      .map(_.getAs[Long]("k")).sorted.toSeq == Seq(2L, 3L))
+    // time travel: the lake REFUSES pre-purge versions (manifests
+    // vacuumed); SCD2 as-of REDACTS (the key's entire lineage is gone)
+    intercept[Exception] { Lake.readStoreAt(spark, lake, lakeVPre) }
+    assert(IncrementalScd2.asOf(spark, hist, 1L).collect()
+      .map(_.getAs[Long]("k")).toSet == Set(2L, 3L),
+      "pre-purge as-of resurfaced the key")
+    // replay adds nothing: the tombstone re-merges to an empty feed,
+    // every scrub re-runs idempotently, the audit stays clean
+    merge(df(
+      (1L, "a", "alice revised secret", 12L, vec(1f, 1f, 0f, 0f), 0, 3L, true)))
+    refreshAll()
+    assert(KeyPurge.scrubFeed(spark, cdf, kCond,
+      Seq(view, idx, hist, s"$ivf/codes")) == 0)
+    assert(!KeyPurge.scrubStore(spark, lake, kCond))
+    KeyPurge.scrubIndex(spark, idx)
+    KeyPurge.scrubIvfPq(spark, ivf)
+    assert(!IncrementalScd2.purge(spark, hist, kCond))
+    assert(KeyPurge.verifyNoTrace(spark, roots, kCond, Seq("k")).isEmpty)
+    assert(Lake.readStore(spark, lake).count() == 2)
+  }
+
   test("IncrementalIndex/IncrementalScd2: randomized merge sequences equal recompute (seeded)") {
     import graft.examples.{IncrementalIndex, IncrementalScd2}
     val words = Array("alpha", "beta", "gamma", "delta", "eps")

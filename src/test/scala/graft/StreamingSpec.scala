@@ -1127,6 +1127,69 @@ class StreamingSpec extends AnyFunSuite {
     check()
   }
 
+  test("s31/purge: MG sketch-store key purge removes the literal everywhere, preserves other estimates exactly") {
+    import graft.examples.KeyPurge
+    import graft.streaming.GlobalSketch
+    val src = TestSpark.tmpDir("s31p-src")
+    val store = TestSpark.tmpDir("s31p-store") + "/sk"
+    val chk = TestSpark.tmpDir("s31p-chk")
+    val k = 8
+    def run(): Unit = {
+      val keys = spark.readStream
+        .schema(StructType(Seq(StructField("key", LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+      val q = GlobalSketch.mgSketchSink(keys, "key", k, store, chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def lines(xs: Seq[Long]): Seq[String] = xs.map(x => s"""{"key": $x}""")
+    writeNdjson(src, "f1.ndjson",
+      lines(Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(20)(3L)))
+    writeNdjson(src, "f2.ndjson",
+      lines(Seq.fill(40)(1L) ++ Seq.fill(25)(2L) ++ Seq.fill(10)(4L)))
+    run()
+    val before = GlobalSketch.globalTopK(spark, store, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(before.exists(_._1 == 1L), "fixture: key 1 must be reported")
+    // purge key 1: gone from the summary AND from every file's bytes
+    KeyPurge.scrubMgStore(spark, store, k, key = 1L)
+    val after = GlobalSketch.globalTopK(spark, store, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(!after.exists(_._1 == 1L), s"purged key still reported: $after")
+    // every OTHER key's estimate and the total n are exactly as before
+    assert(after.toSet == before.filterNot(_._1 == 1L).toSet,
+      s"purge disturbed surviving estimates: $before -> $after")
+    // zero physical trace: no file under the store carries key 1 in
+    // its keys array (raw audit, including any superseded dirs)
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val offenders = scala.collection.mutable.Buffer[String]()
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-") && !f.getName.endsWith(".crc")) {
+        if (!spark.read.parquet(f.toString)
+            .where(array_contains(col("keys"), 1L)).isEmpty)
+          offenders += f.toString
+      }
+    }
+    assert(offenders.isEmpty, s"key bytes survive in: $offenders")
+    // idempotent re-run; and a restart folding NEW data (without the
+    // purged key) continues the store cleanly
+    KeyPurge.scrubMgStore(spark, store, k, key = 1L)
+    assert(GlobalSketch.globalTopK(spark, store, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == after)
+    writeNdjson(src, "f3.ndjson", lines(Seq.fill(15)(2L)))
+    run()
+    val grown = GlobalSketch.globalTopK(spark, store, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(grown.getOrElse(2L, 0L) >=
+      after.find(_._1 == 2L).map(_._2).getOrElse(0L) + 15L - (205L / (k + 1)),
+      s"post-purge fold lost key 2 mass: $grown")
+    assert(!grown.contains(1L))
+  }
+
   test("s31b: sketch-store compaction folds batches without changing the summary") {
     import graft.streaming.GlobalSketch
     import org.apache.hadoop.fs.Path
