@@ -433,7 +433,7 @@ object Similarity {
     * projection null, and every affected bit would silently fall to 0
     * (wrong buckets, no error), so mismatch raises instead. */
   def rpLshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 8, dims: Int = 64): DataFrame = {
+      bits: Int = 8, dims: Int = 64, carry: Seq[String] = Nil): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
     // weight w(j,i) = parity of the first md5 hex digit of "rp<j>:<i>"
     // → ±1; the DuckDB twin recomputes the same matrix in SQL.
@@ -452,14 +452,16 @@ object Similarity {
         lit(s"rpLshBuckets: dims=$dims but $vecCol has length "),
         size(col(vecCol)).cast("string"))))
     val sized = corpus
-      .select(col(idCol), col(vecCol), guarded.as("__qv"))
+      .select(col(idCol) +: col(vecCol) +: guarded.as("__qv") +:
+        carry.map(col): _*)
     val bucket = (0 until bits).map { j =>
       val proj = aggregate(
         zip_with(typedLit(wts(j)), col("__qv"), (w, x) => w * x),
         lit(0L), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    sized.select(col(idCol), col(vecCol), bucket.as("bucket"))
+    sized.select(col(idCol) +: col(vecCol) +: bucket.as("bucket") +:
+      carry.map(col): _*)
   }
 
   /** Candidate near-dup pairs sharing an SRP bucket, scored with exact

@@ -104,36 +104,49 @@ object VectorQueries {
       .transform(Det.emit(_, "nprobe"))
   }
 
-  /** q189: PQ RECALL CALIBRATION (round 13) — the q143 discipline
+  /** q189: PQ RECALL CALIBRATION (round 13; round 18 adds the
+    * TRAINED-codebook leg — VERDICT r10 item 8) — the q143 discipline
     * ("measure the approximation, don't guess") applied to q188:
     * recall@10 of the PQ-ADC pipeline against the exact cosine
     * top-10, plus the SHORTLIST recall (did the 20-row ADC shortlist
     * even contain the true neighbours — the number that bounds what
-    * any re-rank can recover). Both sides are exactly computable, so
-    * the key is oracle-checked, and the emitted fractions are exact
-    * integer divisions (class C — no float hazard). Everything after
-    * the two top-k stages is 10/20-row frames — broadcast-trivial. */
+    * any re-rank can recover) — ONE ROW PER CODEBOOK: iters=0 (the
+    * hash-draw) and iters=1 (one Lloyd refinement through
+    * `pqCodebook`'s loop). The delta between the rows IS the product
+    * answer to "does training the codebook help on this corpus" —
+    * MSE provably improves (the spec's monotone pin) while recall may
+    * move either way, which is exactly why it's measured, not
+    * assumed. The oracle replays the Lloyd step end-to-end (argmin
+    * assignment by the same rounded-distance + j rule, per-(i,j,pos)
+    * r6e'd means, empty cells keep their entry, refreshed entries
+    * cast back to float32), so the trained geometry is hash-checked
+    * too. Both sides exactly computable; emitted fractions are exact
+    * integer divisions (class C). Everything after the top-k stages
+    * is 10/20-row frames — broadcast-trivial. */
   private def q189(s: SparkSession, d: String): DataFrame = {
     val em = spread(s, embeddings(s, d))
     val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
     val corpus = em.where(col("vec_id") =!= 0)
-    val exact = graft.operators.Similarity.cosineTopK(
-      corpus, q, "vec_id", "embedding", k = 10).select("vec_id")
+    val exact = Det.pin(graft.operators.Similarity.cosineTopK(
+      corpus, q, "vec_id", "embedding", k = 10).select("vec_id"))
     // k = shortlist: the re-ranked output IS the ADC shortlist set,
     // and rank <= 10 recovers q188's final answer — one PQ pass
-    // serves both measurements
-    val sl = graft.operators.Similarity.pqTopK(
-      corpus, q, "vec_id", "embedding",
-      dim = 64, m = 4, kc = 16, shortlist = 20, k = 20)
-    val h10 = sl.where(col("rank") <= 10)
-      .join(exact, Seq("vec_id"), "left_semi")
-      .agg(count(lit(1)).as("hits10"))
-    val hsl = sl.join(exact, Seq("vec_id"), "left_semi")
-      .agg(count(lit(1)).as("hits_sl"))
-    h10.crossJoin(broadcast(hsl))
-      .select(col("hits10"), col("hits_sl"),
-        (col("hits10") / lit(10.0)).as("recall_at10"),
-        (col("hits_sl") / lit(10.0)).as("shortlist_recall"))
+    // serves both measurements per codebook
+    def leg(iters: Int): DataFrame = {
+      val sl = graft.operators.Similarity.pqTopK(
+        corpus, q, "vec_id", "embedding",
+        dim = 64, m = 4, kc = 16, shortlist = 20, k = 20, iters = iters)
+      val h10 = sl.where(col("rank") <= 10)
+        .join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits10"))
+      val hsl = sl.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_sl"))
+      h10.crossJoin(broadcast(hsl))
+        .select(lit(iters).as("iters"), col("hits10"), col("hits_sl"),
+          (col("hits10") / lit(10.0)).as("recall_at10"),
+          (col("hits_sl") / lit(10.0)).as("shortlist_recall"))
+    }
+    leg(0).unionByName(leg(1)).orderBy("iters")
   }
 
   /** q191: IVF-PQ COMPOSED ANN (round 15 — Similarity.ivfPqSearch,
@@ -773,11 +786,84 @@ object VectorQueries {
          h10 AS (SELECT CAST(count(1) AS BIGINT) AS c
                  FROM rr JOIN ex USING (vec_id) WHERE rank <= 10),
          hsl AS (SELECT CAST(count(1) AS BIGINT) AS c
-                 FROM (SELECT vec_id FROM sl) s JOIN ex USING (vec_id))
-         SELECT h10.c AS hits10, hsl.c AS hits_sl,
-                CAST(h10.c AS DOUBLE) / 10 AS recall_at10,
-                CAST(hsl.c AS DOUBLE) / 10 AS shortlist_recall
-         FROM h10, hsl""",
+                 FROM (SELECT vec_id FROM sl) s JOIN ex USING (vec_id)),
+         -- ONE LLOYD STEP over the drawn codebook (pqCodebook
+         -- iters=1): assignment by the same rounded-distance + j
+         -- rule the coding stage uses, per-(i, j, pos) r6e'd means,
+         -- empty cells keep their entry, refreshed entries back to
+         -- float32 — then the whole ADC chain again over cb1
+         asg1 AS (SELECT vec_id, i, j FROM (
+                    SELECT vec_id, i, j, row_number() OVER (
+                      PARTITION BY vec_id, i ORDER BY d2, j) AS rn FROM d)
+                  WHERE rn = 1),
+         m1 AS (SELECT a.i, a.j, s.t AS pos,
+                  round(avg(CAST(b.embedding[a.i*16 + s.t + 1] AS DOUBLE))
+                        + 0.0000000123, 6) AS c
+                FROM asg1 a JOIN base b USING (vec_id)
+                CROSS JOIN (SELECT CAST(unnest(range(16)) AS INT) AS t) s
+                GROUP BY a.i, a.j, s.t),
+         oldpos AS (SELECT j, CAST(unnest(range(64)) AS INT) AS p,
+                           unnest(list_transform(cv, x -> CAST(x AS DOUBLE))) AS old
+                    FROM cb),
+         cb1 AS (SELECT o.j, list(CAST(coalesce(m1.c, o.old) AS FLOAT)
+                                  ORDER BY o.p) AS cv
+                 FROM oldpos o LEFT JOIN m1
+                   ON m1.i = o.p // 16 AND m1.pos = o.p % 16
+                      AND m1.j = o.j
+                 GROUP BY o.j),
+         d1 AS (SELECT b.vec_id, s.i, c1.j,
+                  round(list_sum(list_transform(range(16), t ->
+                    (CAST(b.embedding[s.i*16 + t + 1] AS DOUBLE) -
+                     CAST(c1.cv[s.i*16 + t + 1] AS DOUBLE)) *
+                    (CAST(b.embedding[s.i*16 + t + 1] AS DOUBLE) -
+                     CAST(c1.cv[s.i*16 + t + 1] AS DOUBLE))))
+                    + 0.0000000123, 6) AS d2
+                FROM base b CROSS JOIN cb1 c1
+                CROSS JOIN (VALUES (0),(1),(2),(3)) s(i)),
+         codes1 AS (SELECT vec_id, i, j AS code FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY vec_id, i ORDER BY d2, j) AS rn FROM d1)
+                    WHERE rn = 1),
+         qt1 AS (SELECT s.i, c1.j,
+                   round(list_sum(list_transform(range(16), t ->
+                     (CAST(q.qv[s.i*16 + t + 1] AS DOUBLE) -
+                      CAST(c1.cv[s.i*16 + t + 1] AS DOUBLE)) *
+                     (CAST(q.qv[s.i*16 + t + 1] AS DOUBLE) -
+                      CAST(c1.cv[s.i*16 + t + 1] AS DOUBLE))))
+                     + 0.0000000123, 6) AS qd2
+                 FROM q CROSS JOIN cb1 c1
+                 CROSS JOIN (VALUES (0),(1),(2),(3)) s(i)),
+         sl1 AS (SELECT c.vec_id, round(sum(qt1.qd2) + 0.0000000123, 6) AS adc
+                 FROM codes1 c JOIN qt1 ON qt1.i = c.i AND qt1.j = c.code
+                 GROUP BY c.vec_id ORDER BY adc ASC, vec_id ASC LIMIT 20),
+         p1 AS (SELECT b.vec_id,
+                       unnest(list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS x,
+                       unnest(list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS y
+                FROM base b JOIN sl1 USING (vec_id) CROSS JOIN q),
+         mtr1 AS (SELECT vec_id, sum(x*y) AS dot,
+                         sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+                  FROM p1 GROUP BY vec_id),
+         r1 AS (SELECT vec_id,
+                       round(dot/(nx*ny) + 0.00000123, 4) AS cos_sim
+                FROM mtr1),
+         rr1 AS (SELECT vec_id, row_number() OVER (
+                   ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM r1),
+         h101 AS (SELECT CAST(count(1) AS BIGINT) AS c
+                  FROM rr1 JOIN ex USING (vec_id) WHERE rank <= 10),
+         hsl1 AS (SELECT CAST(count(1) AS BIGINT) AS c
+                  FROM (SELECT vec_id FROM sl1) s JOIN ex USING (vec_id))
+         SELECT * FROM (
+           SELECT CAST(0 AS INTEGER) AS iters,
+                  h10.c AS hits10, hsl.c AS hits_sl,
+                  CAST(h10.c AS DOUBLE) / 10 AS recall_at10,
+                  CAST(hsl.c AS DOUBLE) / 10 AS shortlist_recall
+           FROM h10, hsl
+           UNION ALL
+           SELECT CAST(1 AS INTEGER),
+                  h101.c, hsl1.c,
+                  CAST(h101.c AS DOUBLE) / 10, CAST(hsl1.c AS DOUBLE) / 10
+           FROM h101, hsl1)
+         ORDER BY iters""",
     "q84_vec_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          p AS (SELECT e.vec_id,

@@ -583,6 +583,46 @@ object StatefulOps extends Serializable {
         timeMode, OutputMode.Update())
   }
 
+  /** EMBEDDING-SPACE streaming near-dup gate (round 18 — VERDICT r10
+    * item 6, completing the multimodal ingest story): s15/s25 gate
+    * TEXT arrivals by MinHash bucket state; this is the identical
+    * gate for VECTOR arrivals, keyed by q113's signed-random-
+    * projection bucket over the integer-quantized embedding
+    * (`Similarity.rpLshBuckets` — the same deterministic ±1 matrix
+    * and ⌊x·1000⌋ quantization, so streamed buckets equal the batch
+    * operator's bit for bit, which is what makes s49's
+    * flagged ≡ batch-q113-candidates parity exact). State and
+    * emission discipline are LshGateProcessor's verbatim — per-bucket
+    * prior ids in MapState (a redelivered id is one point lookup, no
+    * re-emission), pairs emitted (min, max) once per shared bucket,
+    * optional event-time TTL evicting idle buckets. More `bits` →
+    * smaller buckets → higher precision/lower recall; stack several
+    * gates (batch stacks seeds) for the banded form. */
+  def vectorNearDupStreamTws(vecs: DataFrame, idCol: String,
+      vecCol: String, bits: Int = 8, dims: Int = 64,
+      eventTimeCol: Option[String] = None,
+      stateTtlMs: Option[Long] = None): Dataset[(Long, Long)] = {
+    import vecs.sparkSession.implicits._
+    require(eventTimeCol.isDefined == stateTtlMs.isDefined,
+      "stateTtlMs needs eventTimeCol (and vice versa): the TTL is measured against the watermark")
+    val src = eventTimeCol.fold(vecs)(c =>
+      vecs.withWatermark(c, "0 milliseconds"))
+    val sigs = graft.operators.Similarity
+      .rpLshBuckets(src, idCol, vecCol, bits, dims,
+        carry = eventTimeCol.toSeq)
+    val id = col(idCol).cast("long").as("id")
+    val ts = eventTimeCol.fold(lit(null).cast("timestamp"))(col)
+    val timeMode =
+      if (eventTimeCol.isDefined)
+        org.apache.spark.sql.streaming.TimeMode.EventTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    sigs.select(col("bucket").cast("string").as("bucket"), id, ts.as("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new LshGateProcessor(stateTtlMs),
+        timeMode, OutputMode.Update())
+  }
+
   /** One emitted state row: the key's current value, or a final
     * `deleted = true` marker when a tombstone removed it. */
   case class KeyState(key: Long, value: String, deleted: Boolean)

@@ -2276,6 +2276,63 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s49: streaming vector near-dup gate flags exactly the batch RP-LSH candidates across restarts") {
+    withRocksDB {
+      import graft.operators.Similarity
+      val src = TestSpark.tmpDir("s49-src")
+      val out = TestSpark.tmpDir("s49-out") + "/pairs"
+      val chk = TestSpark.tmpDir("s49-chk")
+      val em = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+      val vecSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      def ship(name: String, ids: Seq[Long]): Unit =
+        em.where(col("vec_id").isin(ids: _*))
+          .select(col("vec_id"), col("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$src/$name")
+      def run(): Unit = {
+        val in = spark.readStream.schema(vecSchema)
+          .option("recursiveFileLookup", "true").parquet(src)
+        val q = graft.streaming.StatefulOps
+          .vectorNearDupStreamTws(in, "vec_id", "embedding")
+          .toDF("a_id", "b_id")
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // two batches, then a RESTART with a third — pairs must form
+      // against bucket state persisted across the restart
+      ship("f1", 1L to 25L)
+      run()
+      ship("f2", 26L to 40L)
+      run()
+      ship("f3", 41L to 60L)
+      run()
+      val flagged = spark.read.parquet(out)
+        .select("a_id", "b_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch q113 candidates on the SAME accumulated corpus
+      val batch = Similarity.rpLshPairs(
+          em.where(col("vec_id").between(1L, 60L)), "vec_id", "embedding")
+        .select("a_id", "b_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty, "fixture degenerate: no batch candidates")
+      assert(flagged == batch,
+        s"streamed gate != batch q113 candidates: " +
+          s"missing ${batch -- flagged}, extra ${flagged -- batch}")
+      // replay with nothing new adds nothing
+      run()
+      val again = spark.read.parquet(out)
+        .select("a_id", "b_id").distinct().count()
+      assert(again == flagged.size, "empty replay re-emitted pairs")
+      em.unpersist(); ()
+    }
+  }
+
   test("s48: streaming merge feed keeps the incremental IVF-PQ index fresh across restarts") {
     import graft.examples.IncrementalIvfPq
     import graft.operators.Similarity
