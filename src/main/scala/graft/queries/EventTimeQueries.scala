@@ -243,6 +243,7 @@ object EventTimeQueries {
     "q213_seasonal_anomaly" -> q213,
     "q215_seq_pattern" -> q215,
     "q216_funnel_latency" -> q216,
+    "q226_cusum_changepoint" -> q226,
     "q145_partition_prune" -> q145,
     "q149_hll_union" -> q149,
     "q150_mg_heavy_hitters" -> q150)
@@ -507,6 +508,66 @@ object EventTimeQueries {
         sum(when(col("cnt") * col("n_cells") > lit(2L) * col("sum_cnt"),
           1L).otherwise(0L)).as("n_hot"))
       .transform(Det.emit(_, "event_type", "hr"))
+  }
+
+  /** q226: CUSUM CHANGEPOINT screen per event type (round 18 — the
+    * level-shift detector between q213's seasonal baseline and s45's
+    * cadence EWMA: q213 asks "which hours are hot vs their own
+    * seasonal cell", this asks "WHEN did the type's daily rate shift"
+    * — the classic single-changepoint CUSUM statistic, argmax over i
+    * of |Σ_{j≤i}(x_j − x̄)|): per type over the DENSE daily spine
+    * (q213's discipline — a missing day is a zero, not a gap), the
+    * day where the cumulative deviation from the global mean peaks,
+    * that peak's exact value, and the before/after mean rates. The
+    * decision is EXACT INTEGER arithmetic: S_i ∝ n·prefix_i − i·total
+    * (the x̄ division cross-multiplied away), argmax on |dev| with
+    * the EARLIEST day breaking ties; i = n is excluded (S_n ≡ 0 —
+    * not a changepoint). Overflow bound (q217's discipline, since
+    * `dev` is EMITTED): |dev| ≤ n·total — exact in BIGINT while
+    * #days × per-type rows ≤ 9.2e18 (10 years × 2.5e14 rows/type);
+    * past that, decimal(38,0) internally and report-artifact
+    * emission. Scale: one map-side-combinable (type, day) aggregate;
+    * every window runs over the BOUNDED types×days spine, never over
+    * rows (the q220/q221 prefix discipline). */
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .transform(Det.pin)
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val types = ev.agg(sort_array(collect_set("event_type")).as("tps"))
+    val spine = broadcast(bounds)
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(broadcast(types))
+      .select(col("day"), explode(col("tps")).as("event_type"))
+    val dayCnt = ev.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("cnt"))
+    val cells = spine.join(dayCnt, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cnt")).transform(Det.pin)
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("event_type")
+    val dev = cells
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      .withColumn("pre", sum("cnt").over(w))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("total", sum("cnt").over(whole))
+      .where(col("i") < col("n"))
+      .withColumn("dev", col("n") * col("pre") - col("i") * col("total"))
+    dev.groupBy("event_type")
+      .agg(max(struct(abs(col("dev")).as("a"), (-col("i")).as("ni"),
+        col("day").as("dy"), col("dev").as("dv"), col("i").as("ix"),
+        col("pre").as("pr"), col("n").as("nn"),
+        col("total").as("tt"))).as("m"))
+      .select(col("event_type"),
+        date_format(col("m.dy"), "yyyy-MM-dd").as("cp_day"),
+        col("m.nn").as("n_days"), col("m.tt").as("total"),
+        col("m.dv").as("dev"),
+        Det.r4e(col("m.pr").cast("double") / col("m.ix")).as("pre_mean"),
+        Det.r4e((col("m.tt") - col("m.pr")).cast("double")
+          / (col("m.nn") - col("m.ix"))).as("post_mean"))
+      .transform(Det.emit(_, "event_type"))
   }
 
   /** q215: EVENT-SEQUENCE pattern counts (round 17 — the CEP-lite
@@ -862,6 +923,45 @@ object EventTimeQueries {
                                THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
           FROM cells c JOIN st USING (event_type, hr)
           GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q226: same dense day spine; the argmax decision is the exact
+    // integer |n·prefix − i·total| with the earliest-day tie-break.
+    "q226_cusum_changepoint" ->
+      s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day
+                     FROM events),
+          bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+          days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                            INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+          tps AS (SELECT DISTINCT event_type FROM e),
+          daycnt AS (SELECT event_type, day,
+                            CAST(count(1) AS BIGINT) AS cnt
+                     FROM e GROUP BY 1, 2),
+          cells AS (SELECT t.event_type, d.day, coalesce(c.cnt, 0) AS cnt
+                    FROM days d CROSS JOIN tps t
+                    LEFT JOIN daycnt c USING (event_type, day)),
+          cum AS (SELECT event_type, day,
+                         CAST(row_number() OVER w AS BIGINT) AS i,
+                         CAST(sum(cnt) OVER w AS BIGINT) AS pre,
+                         CAST(count(1) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS n,
+                         CAST(sum(cnt) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS total
+                  FROM cells
+                  WINDOW w AS (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)),
+          dv AS (SELECT *, n * pre - i * total AS dev FROM cum
+                 WHERE i < n),
+          pick AS (SELECT *, row_number() OVER (
+                     PARTITION BY event_type
+                     ORDER BY abs(dev) DESC, i ASC) AS rn FROM dv)
+          SELECT event_type, strftime(day, '%Y-%m-%d') AS cp_day,
+                 n AS n_days, total,
+                 CAST(dev AS BIGINT) AS dev,
+                 round(CAST(pre AS DOUBLE) / i + ${Det.E4}, 4)
+                   AS pre_mean,
+                 round(CAST(total - pre AS DOUBLE) / (n - i)
+                       + ${Det.E4}, 4) AS post_mean
+          FROM pick WHERE rn = 1 ORDER BY event_type""",
     // q215: q144's session arithmetic; token-terminated chain string;
     // occurrences by the replace-shrink identity (greedy
     // non-overlapping, identical in both engines).

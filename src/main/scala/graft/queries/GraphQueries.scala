@@ -130,9 +130,54 @@ object GraphQueries {
       .transform(Det.emitWide(_, "doc_id", "related_id"))
   }
 
+  /** q225: K-CORE (k = 2) of the MinHash-LSH near-dup pair graph
+    * (round 18 — the graph-robustness cut between q202's component
+    * SIZE spectrum and q123's membership: a component can be large
+    * yet chained — one weak link and it splits; its 2-core is the
+    * part where every doc has ≥ 2 near-dup partners, the
+    * high-confidence duplication NUCLEUS a curation pass deletes
+    * first, and the standard peel diagnostic for dup-graph quality).
+    * Iterative peel to a FIXPOINT: drop nodes with degree < k,
+    * recompute, repeat — each round is one node-keyed hash aggregate
+    * + two semi-joins over a SHRINKING edge set, lineage-pinned per
+    * round (the q123 fixpoint discipline; peel rounds on a near-dup
+    * graph are few — its components are near-cliques, which peel in
+    * one or two rounds). Emits each 2-core member with its in-core
+    * degree. The oracle unrolls 8 peel rounds over the same SIG_CTES
+    * pair graph; the hash-match itself proves the fixture converges
+    * within the unroll (the q190/BpeTrain contract). */
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    val k = 2
+    val sigs = graft.operators.TextDedup.minhashSignatures(
+      documents(s, d), "doc_id", "text")
+    val pairs = graft.operators.TextDedup.lshCandidatePairs(sigs, "doc_id")
+    var edges = Det.pin(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    var m = edges.count()
+    var done = m == 0L
+    while (!done) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("__keep"))
+      val next = Det.pin(edges
+        .join(keep.withColumnRenamed("__keep", "src"), Seq("src"),
+          "left_semi")
+        .join(keep.withColumnRenamed("__keep", "dst"), Seq("dst"),
+          "left_semi")
+        .select("src", "dst"))
+      val m2 = next.count()
+      done = m2 == m || m2 == 0L
+      edges = next; m = m2
+    }
+    edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("core_deg"))
+      .transform(Det.emitWide(_, "doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q115_pagerank" -> q115,
     "q147_knn_triangles" -> q147,
+    "q225_kcore" -> q225,
     "q186_recursive_reach" -> q186)
 
   // q186's oracle replays the identical hop-bounded UNION ALL
@@ -155,8 +200,33 @@ object GraphQueries {
         FROM reach WHERE root <> node
         GROUP BY root, node ORDER BY doc_id, related_id"""
 
+  // q225: 8 unrolled peel rounds over the shared LSH pair graph; the
+  // hash-match proves the fixture fixpoint lands inside the unroll.
+  // Every round CTE is MATERIALIZED: each e<r> references e<r-1>
+  // three times (via d<r> twice), so an inlined chain expands 3^8
+  // references of the whole SIG pipeline — DuckDB runs out of file
+  // handles before it runs out of CPU.
+  private val q225Oracle: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""d$r AS MATERIALIZED (
+            SELECT src, count(1) AS dg FROM e${r - 1} GROUP BY src),
+          e$r AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e${r - 1} e
+            JOIN d$r a ON a.src = e.src AND a.dg >= 2
+            JOIN d$r b ON b.src = e.dst AND b.dg >= 2)"""
+    }.mkString(",\n")
+    s"""WITH ${MiningQueries.SIG_CTES},
+        e0 AS MATERIALIZED (
+          SELECT a_id AS src, b_id AS dst FROM pr
+          UNION ALL SELECT b_id, a_id FROM pr),
+        $rounds
+        SELECT src AS doc_id, CAST(count(1) AS BIGINT) AS core_deg
+        FROM e8 GROUP BY src ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q186_recursive_reach" -> q186Oracle,
+    "q225_kcore" -> q225Oracle,
     "q115_pagerank" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
                      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

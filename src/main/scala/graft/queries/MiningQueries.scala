@@ -1108,6 +1108,58 @@ object MiningQueries {
       .transform(Det.emit(_, "r_code", "f_code", "m_code"))
   }
 
+  /** q227: token-budget WATER-FILLING across sources (round 18 — the
+    * ALLOCATOR q204's effective-budget diagnostic feeds: given a
+    * global training-token budget B, how many tokens may each source
+    * contribute so no source exceeds its supply and the remainder
+    * spreads evenly — maximize the minimum allocation, the classic
+    * water-filling / max-min fairness rule a mixture planner runs
+    * before q159/q176 sampling. EXACT integer construction: sources
+    * sort ascending by (supply, source); source j is fully funded iff
+    * s_j·(n−j+1) ≤ B − p_{j−1} (the per-head fair share covers it —
+    * cross-multiplied, decimal(38,0) so the product never wraps;
+    * fundedness is PREFIX-CLOSED under this order: if C_j fails,
+    * s_j·(c_j−1) > B−p_j and s_{j+1} ≥ s_j force C_{j+1} to fail);
+    * the unfunded n−m sources get ⌊(B−p_m)/(n−m)⌋ each, the first
+    * (B−p_m) mod (n−m) of them (same sort order) one extra token —
+    * so Σ alloc = B exactly when anything is unfunded, and every
+    * alloc ≤ supply (λ < s_j on the unfunded side). B = ⌊total/2⌋
+    * here — the declared fixture knob. Scale: one corpus scan to the
+    * source-grain supply frame; every window runs over that BOUNDED
+    * frame (#sources rows); two 1-row broadcasts. */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    def dm(c: org.apache.spark.sql.Column) = c.cast(dec)
+    val sup = docs(s, d)
+      .select(col("source"), size(expr(TOKS)).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("supply"))
+      .transform(Det.pin)
+    val tot = sup.agg(sum("supply").as("t"), count(lit(1)).as("n"))
+      .select(expr("t div 2").as("budget"), col("n"))
+    val w = Window.orderBy(col("supply").asc, col("source").asc)
+    val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = sup.crossJoin(broadcast(tot))
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("p", sum("supply").over(ws))
+      .withColumn("funded",
+        dm(col("supply")) * dm(col("n") - col("j") + 1) <=
+          dm(col("budget")) - dm(col("p") - col("supply")))
+      .transform(Det.pin)
+    val cut = ranked.agg(
+      sum(when(col("funded"), 1L).otherwise(0L)).as("m"),
+      sum(when(col("funded"), col("supply")).otherwise(0L)).as("pm"))
+    ranked.crossJoin(broadcast(cut))
+      .withColumn("alloc", when(col("funded"), col("supply"))
+        .otherwise(expr("(budget - pm) div (n - m)") +
+          when(col("j") - col("m") <= expr("(budget - pm) % (n - m)"),
+            1L).otherwise(0L)))
+      .select(col("source"), col("supply"), col("alloc"), col("funded"),
+        Det.r4e(col("alloc").cast("double") / col("budget")).as("share"),
+        col("budget"))
+      .transform(Det.emit(_, "source"))
+  }
+
   /** q224: BANDED (4×2) MinHash LSH candidates (round 17 — closing
     * the loop q209 opened: the planner scores (bands, rowsPerBand)
     * layouts, and until now the engine could only RUN r = 1; this key
@@ -1764,7 +1816,8 @@ object MiningQueries {
     "q221_ks_drift" -> q221,
     "q222_benford" -> q222,
     "q223_rfm_segments" -> q223,
-    "q224_lsh_banded" -> q224)
+    "q224_lsh_banded" -> q224,
+    "q227_budget_waterfill" -> q227)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -1941,6 +1994,41 @@ object MiningQueries {
           SELECT split, lang, CAST(count(1) AS BIGINT) AS n_docs,
                  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
           FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q227: identical exact-integer water-fill; `//` and `%` match
+    // Spark's `div`/`%` on the nonnegative operands by construction.
+    "q227_budget_waterfill" ->
+      s"""WITH sup AS (SELECT source, CAST(sum(len($TS)) AS BIGINT)
+                         AS supply
+                       FROM documents GROUP BY source),
+          tot AS (SELECT CAST(sum(supply) AS BIGINT) // 2 AS budget,
+                         CAST(count(1) AS BIGINT) AS n FROM sup),
+          rk AS (SELECT s.source, s.supply, t.budget, t.n,
+                   CAST(row_number() OVER o AS BIGINT) AS j,
+                   CAST(sum(supply) OVER (o ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+                 FROM sup s CROSS JOIN tot t
+                 WINDOW o AS (ORDER BY s.supply ASC, s.source ASC)),
+          fl AS (SELECT *,
+                   supply * (n - j + 1) <= budget - (p - supply)
+                     AS funded
+                 FROM rk),
+          cut AS (SELECT CAST(sum(CASE WHEN funded THEN 1 ELSE 0 END)
+                              AS BIGINT) AS m,
+                         CAST(sum(CASE WHEN funded THEN supply
+                                       ELSE 0 END) AS BIGINT) AS pm
+                  FROM fl),
+          al AS (SELECT f.*, c.m, c.pm,
+                   CASE WHEN funded THEN supply
+                        ELSE (budget - pm) // (n - m)
+                             + (CASE WHEN j - m <=
+                                       (budget - pm) % (n - m)
+                                THEN 1 ELSE 0 END) END AS alloc
+                 FROM fl f CROSS JOIN cut c)
+          SELECT source, supply, CAST(alloc AS BIGINT) AS alloc, funded,
+                 round(CAST(alloc AS DOUBLE) / budget + ${Det.E4}, 4)
+                   AS share,
+                 budget
+          FROM al ORDER BY source""",
     // q224: the banding replayed with string_agg over the same ':'
     // key; the 8-slot estimate is q122's arithmetic.
     "q224_lsh_banded" ->

@@ -861,6 +861,81 @@ object StatefulOps extends Serializable {
     }
   }
 
+  /** s50: streaming CUSUM level-shift monitor — q226's continuous
+    * twin (the batch key finds WHERE a type's rate shifted in
+    * history; this flags the shift AS IT HAPPENS): per key, the
+    * first `warm` values fix the baseline as their EXACT mean
+    * (carried as the integer pair (warm, sumW) — never a float), and
+    * every later value folds into the exact cumulative deviation
+    * dev_i = warm·Σx − i·sumW (the μ0 division cross-multiplied
+    * away, q226's trick); an alert row emits whenever
+    * |dev_i| > thresh·warm, i.e. |Σx − i·μ0| > thresh. The
+    * deviation is SIGNED — a sustained drop alerts like a spike.
+    * O(1) state per key: (nWarm, sumW, i, cum); all integer, so the
+    * fold is bit-exact under any batch split (AlgebraProps pins it).
+    * Overflow bound (q226's): |dev| ≤ warm·Σx — Long-exact while
+    * warm × the key's value total ≤ 9.2e18. */
+  val cusumInit: (Long, Long, Long, Long) = (0L, 0L, 0L, 0L)
+  def cusumFold(state: (Long, Long, Long, Long), key: Long,
+      warm: Long, thresh: Long,
+      rows: Seq[(Long, Long, java.sql.Timestamp, Long)])
+      : ((Long, Long, Long, Long),
+         Seq[(Long, java.sql.Timestamp, Long, Long)]) = {
+    var (nw, sumW, i, cum) = state
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp, Long, Long)]
+    rows.sortBy(r => (r._3.getTime, r._1)).foreach { case (_, _, ts, x) =>
+      if (nw < warm) { nw += 1; sumW += x }
+      else {
+        i += 1; cum += x
+        val dev = warm * cum - i * sumW
+        if (math.abs(dev) > thresh * warm) out += ((key, ts, dev, i))
+      }
+    }
+    ((nw, sumW, i, cum), out.toSeq)
+  }
+
+  class CusumProcessor(warm: Long, thresh: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp, Long),
+        (Long, java.sql.Timestamp, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming
+      .ValueState[(Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("cusum",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, java.sql.Timestamp, Long, Long)] = {
+      val (next, out) = cusumFold(
+        if (st.exists()) st.get() else cusumInit,
+        key, warm, thresh, rows.toSeq)
+      st.update(next)
+      out.iterator
+    }
+  }
+
+  /** `CusumProcessor` wired through `transformWithState`. Input rows
+    * are (event_id, key, ts, value); output rows are
+    * (key, ts, dev, i) — dev the exact warm-scaled cumulative
+    * deviation, i the post-warm-up index. */
+  def cusumStreamTws(
+      rows: Dataset[(Long, Long, java.sql.Timestamp, Long)],
+      warm: Long = 4L, thresh: Long = 10L)
+      : Dataset[(Long, java.sql.Timestamp, Long, Long)] = {
+    require(warm >= 1L && thresh >= 0L,
+      s"cusumStreamTws: bad config warm=$warm thresh=$thresh")
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._2)
+      .transformWithState(new CusumProcessor(warm, thresh),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** `CadenceProcessor` wired through `transformWithState`. Input rows
     * are (event_id, key, ts); output rows are
     * (key, ts, gap_s, ewma_before). */

@@ -1290,6 +1290,35 @@ object AlgebraProps extends Properties("graft.algebra") {
       whole && split == ((endState, hits))
     }
 
+  /** s50's twin invariant: the cusum fold is all-integer, so
+    * batch-split equality is exact (no float blend to worry about);
+    * warm-up rows, the split point, and alert rows all land
+    * identically wherever the batch boundaries fall. */
+  property("s50 cusum fold is batch-split invariant") =
+    forAll(for {
+      xs <- Gen.listOfN(25, Gen.choose(0L, 100L))
+      cuts <- Gen.listOfN(3, Gen.choose(0, 25))
+      seed <- Gen.choose(0L, 1000L)
+    } yield (xs, cuts, seed)) { case (xs, cuts, seed) =>
+      import graft.streaming.StatefulOps
+      val rows = xs.zipWithIndex.map { case (x, i) =>
+        (i.toLong, 7L, new Timestamp(base + i * 1000L), x) }
+      val whole = StatefulOps.cusumFold(
+        StatefulOps.cusumInit, 7L, 4L, 20L, rows)
+      val rnd = new scala.util.Random(seed)
+      val bounds = (cuts.map(_ min rows.length) :+ 0 :+ rows.length)
+        .distinct.sorted
+      val split = bounds.zip(bounds.tail)
+        .map { case (a, b) => rnd.shuffle(rows.slice(a, b)) }
+        .foldLeft((StatefulOps.cusumInit,
+            Seq.empty[(Long, Timestamp, Long, Long)])) {
+          case ((st, acc), batch) =>
+            val (next, out) = StatefulOps.cusumFold(st, 7L, 4L, 20L, batch)
+            (next, acc ++ out)
+        }
+      split == whole
+    }
+
   property("s45 cadence fold is batch-split invariant") =
     forAll(genCadence) { case (gaps, cuts, seed) =>
       import graft.streaming.StatefulOps

@@ -2124,6 +2124,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s50: streaming CUSUM level-shift monitor — warm-up baseline, spike and drop alerts, reference-fold parity") {
+    withRocksDB {
+      import graft.streaming.StatefulOps
+      def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+      // key 1: steady 10s, then a level shift up; key 3: steady, then
+      // a sustained DROP (signed deviation must alert too); key 2:
+      // huge values ENTIRELY inside warm-up — they define the
+      // baseline, they must not alert against it
+      val b1 = Seq(
+        (10L, 1L, t(0), 10L), (11L, 1L, t(1), 10L), (12L, 1L, t(2), 10L),
+        (13L, 1L, t(3), 10L),
+        (30L, 3L, t(0), 10L), (31L, 3L, t(1), 10L), (32L, 3L, t(2), 10L),
+        (40L, 2L, t(0), 999L), (41L, 2L, t(1), 999L))
+      val b2 = Seq(
+        (14L, 1L, t(4), 25L), (15L, 1L, t(5), 30L),
+        (33L, 3L, t(3), 2L), (34L, 3L, t(4), 2L))
+      val ms = MemoryStream[(Long, Long, Timestamp, Long)]
+      val q = StatefulOps.cusumStreamTws(ms.toDS(), warm = 3L, thresh = 10L)
+        .toDF("key", "ts", "dev", "i")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("s50").start()
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("s50").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // reference: the identical pure fold over everything per key
+      val want = (b1 ++ b2).groupBy(_._2).flatMap { case (k, rs) =>
+        StatefulOps.cusumFold(StatefulOps.cusumInit, k, 3L, 10L, rs)._2
+      }.toSet
+      assert(got == want, s"cusum monitor drifted: got=$got want=$want")
+      // shape pins: key 1's shift alerts at t(4) (dev 45) and t(5)
+      // (dev 105); key 3's drop alerts signed-negative at t(4); key 2
+      // never alerts
+      assert(got.map(a => (a._1, a._2, a._3)) ==
+        Set((1L, t(4), 45L), (1L, t(5), 105L), (3L, t(4), -48L)),
+        s"alert set: $got")
+    }
+  }
+
   test("s46: streaming attribution — purchases credit first/last touch, parity with the batch windows") {
     withRocksDB {
       def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
