@@ -117,6 +117,38 @@ class RagPipelineSpec extends AnyFunSuite {
     v1.unpersist(); lex1.unpersist(); lex2.unpersist(); fused.unpersist()
   }
 
+  test("PublishSet marker-commit mode: write-once PUT publishes, strands stay invisible, modes interoperate") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{PublishSet, Snapshot}
+    val dir = new Path(TestSpark.tmpDir("pubset") + "/pub")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    // v1 publishes in POINTER mode
+    assert(PublishSet.publish(fs, conf, dir, Map("a" -> 3L, "b" -> 7L)) == 1L)
+    assert(PublishSet.resolve(fs, dir).get == Map("a" -> 3L, "b" -> 7L))
+    // v2 publishes in MARKER mode (object-store path) — modes
+    // interoperate on one store, resolve takes the max
+    conf.setBoolean(Snapshot.MarkerCommitKey, true)
+    try {
+      assert(PublishSet.publish(fs, conf, dir, Map("a" -> 4L, "b" -> 7L)) == 2L)
+      assert(PublishSet.resolve(fs, dir).get == Map("a" -> 4L, "b" -> 7L))
+      // a crashed publish strands a FUTURE manifest without its
+      // marker: invisible — current stays v2
+      val strand = new Path(dir, "_pub_v3.list")
+      val out = fs.create(strand, true)
+      out.write("a=99\nb=99".getBytes("UTF-8")); out.close()
+      assert(PublishSet.currentVersion(fs, dir).contains(2L),
+        "unmarked future manifest became visible")
+      assert(PublishSet.resolve(fs, dir).get == Map("a" -> 4L, "b" -> 7L))
+      // the next publish overwrites the strand at the same version
+      assert(PublishSet.publish(fs, conf, dir, Map("a" -> 5L, "b" -> 8L)) == 3L)
+      assert(PublishSet.resolve(fs, dir).get == Map("a" -> 5L, "b" -> 8L))
+      // time travel across both modes
+      assert(PublishSet.resolveAt(fs, dir, 1L) == Map("a" -> 3L, "b" -> 7L))
+      assert(PublishSet.resolveAt(fs, dir, 2L) == Map("a" -> 4L, "b" -> 7L))
+    } finally conf.setBoolean(Snapshot.MarkerCommitKey, false)
+  }
+
   test("composed publish: readers see only consistent (index, view) pairs across a mid-refresh crash") {
     import org.apache.hadoop.fs.Path
     import graft.examples.IncrementalIndex
