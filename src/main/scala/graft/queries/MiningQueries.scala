@@ -1160,6 +1160,312 @@ object MiningQueries {
       .transform(Det.emit(_, "source"))
   }
 
+  /** q228: exact MANN–WHITNEY U rank-sum drift test (round 18 — the
+    * third two-sample drift statistic beside q200's binned PSI and
+    * q221's sup-gap KS: PSI needs a grid, KS reacts to ANY shape
+    * change, Mann–Whitney asks the directional question a pricing or
+    * score regression cares about — "did the CURRENT sample shift
+    * stochastically above the reference?"): for order totals before
+    * vs since 1998-01-01, the exact tie-adjusted U via midranks. The
+    * whole decision lives on integers: for a tie group of g rows
+    * ending at cumulative position c, 2·midrank = 2·(c − g) + g + 1
+    * — an integer even though the midrank itself is k+½ — so
+    * 2·R_ref = Σ rc·(2·cum − tc + 1) and 2·U_ref = 2·R_ref −
+    * n_ref·(n_ref+1) are EXACT in decimal(38,0) (the q218/q221
+    * cross-multiply discipline; 1e15 rows per side stays < 1e38).
+    * Emitted beside the downcast u2: the common-language effect size
+    * U/(n_ref·n_cur) — which is exactly the ROC-AUC of "reference"
+    * against the value column, ties counted half — and the
+    * tie-corrected normal z, both display-only floats under r6e
+    * built from the same exact integers in the same IEEE op order on
+    * both engines. Scale: one (value)-grain map-side aggregate, ONE
+    * DistributedRank global prefix sum over the distinct-value frame
+    * (a bare unpartitioned window would serialize the CDF onto one
+    * task), then a 1-row aggregate — no second scan, no join. */
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dm(c: Column) = c.cast(dec)
+    val o = orders(s, d).select(col("o_totalprice").as("p"),
+      (col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .as("isref"))
+    val g = o.groupBy("p").agg(
+        sum(when(col("isref"), 1L).otherwise(0L)).as("rc"),
+        sum(when(!col("isref"), 1L).otherwise(0L)).as("cc"))
+      .withColumn("tc", col("rc") + col("cc"))
+    val cum = graft.operators.DistributedRank.prefixSum(g, "p", "tc")
+    val agg = cum.agg(
+      sum("rc").as("nr"), sum("cc").as("nc"),
+      sum(dm(col("rc")) * (lit(2L) * dm(col("cum_sum")) - dm(col("tc"))
+        + lit(1L).cast(dec))).as("r2"),
+      // tie correction Σ(g³−g) — zero unless values repeat
+      sum(dm(col("tc")) * dm(col("tc")) * dm(col("tc")) - dm(col("tc")))
+        .as("tie3"))
+    val u2 = col("r2") - dm(col("nr")) * (dm(col("nr")) + lit(1L).cast(dec))
+    // display floats: every operand below is an exact integer, and the
+    // op order is mirrored token-for-token in the oracle, so the IEEE
+    // results agree bit-for-bit before the r6e guard even applies
+    val nrd = col("nr").cast("double"); val ncd = col("nc").cast("double")
+    val nd = (col("nr") + col("nc")).cast("double")
+    val sigma2x4 = nrd * ncd *
+      ((nd + lit(1.0)) - col("tie3").cast("double") / (nd * (nd - lit(1.0)))) / lit(3.0)
+    agg.select(col("nr").as("n_ref"), col("nc").as("n_cur"),
+      u2.cast("long").as("u2_ref"),
+      Det.r6e(u2.cast("double") / (lit(2.0) * (nrd * ncd))).as("auc_ref"),
+      Det.r6e((u2.cast("double") - nrd * ncd) / sqrt(sigma2x4)).as("z"))
+  }
+
+  /** q229: GINI / LORENZ concentration audit of corpus mass (round
+    * 18 — the inequality statistic a mixture planner reads before
+    * q227 allocates and q176 samples: "how concentrated is each
+    * source's character mass in its biggest documents?" — a source
+    * whose top decile holds 90% of the mass packs and dedups very
+    * differently from a uniform one, and the Gini is the standard
+    * single-number summary): per source, the exact Gini numerator
+    * G_num = 2·Σ(rank·x) − (n+1)·Σx over docs ranked ascending by
+    * (n_chars, doc_id) — rank·x products in decimal(38,0), and the
+    * statistic is TIE-SAFE (permuting equal x across adjacent ranks
+    * leaves Σ rank·x unchanged), so the deterministic doc_id
+    * tie-break is for the rank frame only, never the answer — plus
+    * the top-decile mass share on the integer rule
+    * rn > n − (n div 10). Scale: ranks come from DistributedRank
+    * .ranked keyed on (source, value) — the q133/q223 discipline; a
+    * per-source ORDER BY window would pin each source, a data-sized
+    * partition, onto one task — and the per-source totals frame
+    * (#sources rows) broadcasts back. */
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = docs(s, d)
+      .select(col("source"), col("n_chars").as("x"), col("doc_id"))
+    val r = graft.operators.DistributedRank.ranked(
+        base, Seq("source"), Seq("x"), Seq("doc_id"), ntileK = 2)
+      .select(col("source"), col("x"), col("rn"))
+      .transform(Det.pin)
+    val tot = r.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val num = lit(2L).cast(dec) * col("srx") -
+      (col("n_docs") + lit(1L)).cast(dec) * col("tot_chars").cast(dec)
+    r.join(broadcast(tot), "source")
+      .groupBy("source")
+      .agg(max("n").as("n_docs"), max("sx").as("tot_chars"),
+        sum(col("rn").cast(dec) * col("x").cast(dec)).as("srx"),
+        sum(when(col("rn") > col("n") - expr("n div 10"), col("x"))
+          .otherwise(0L)).as("top_chars"))
+      .select(col("source"), col("n_docs"), col("tot_chars"),
+        num.cast("long").as("gini_num"),
+        Det.r6e(num.cast("double") /
+          (col("n_docs").cast("double") * col("tot_chars").cast("double")))
+          .as("gini"),
+        Det.r6e(col("top_chars").cast("double") /
+          col("tot_chars").cast("double")).as("top_decile_share"))
+      .transform(Det.emit(_, "source"))
+  }
+
+  /** q230: score CALIBRATION / reliability deciles (round 18 — the
+    * model-eval companion to q228's AUC column: AUC says whether the
+    * score RANKS positives above negatives; calibration says whether
+    * the score's LEVEL means what it claims — the reliability diagram
+    * every eval harness draws): events decile-binned by exact integer
+    * cents (q223's discipline: global row numbers through
+    * DistributedRank.prefixSumBy — the score frame is data-sized, so
+    * a bare ORDER BY window is the one-task anti-pattern — then the
+    * pure-integer tile formula (rn−1)·10 div n + 1, never ntile()),
+    * and per decile the positive ("purchase") rate beside the mean
+    * score. The fixture's flat profile is the point — value is
+    * independent of type there, so every decile's rate sits near the
+    * base rate; a real scorer shows the monotone staircase. Exact
+    * bin edges emit as integer cents; the two rates are display
+    * floats from exact integers. Scale: one scan to the
+    * (cents, id) grain, one prefix-sum pass, a 10-row rollup. */
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).select(
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("event_type") === "purchase").as("pos"),
+        col("event_id"))
+      .transform(Det.pin)
+    val n1 = base.agg(count(lit(1)).as("__n"))
+    val coded = graft.operators.DistributedRank.prefixSumBy(
+        base.withColumn("__one", lit(1L)),
+        Seq("cents", "event_id"), "__one")
+      .crossJoin(broadcast(n1))
+      .withColumn("decile",
+        expr("cast((cum_sum - 1) * 10 div __n as int) + 1"))
+    coded.groupBy("decile")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        min("cents").as("lo_cents"), max("cents").as("hi_cents"),
+        sum("cents").as("sum_cents"))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        col("lo_cents"), col("hi_cents"),
+        Det.r6e(col("n_pos").cast("double") / col("n_rows").cast("double"))
+          .as("pos_rate"),
+        Det.r4e(col("sum_cents").cast("double") /
+          (lit(100.0) * col("n_rows").cast("double"))).as("mean_value"))
+      .transform(Det.emit(_, "decile"))
+  }
+
+  /** q231: CHI-SQUARE independence audit of event_type × ISO weekday
+    * (round 18 — the categorical twin of q214's numeric correlation
+    * matrix: "does behavior depend on the day?" is the first question
+    * a seasonality or bot screen asks of two discrete columns): the
+    * full contingency table over a DENSE spine (observed types × the
+    * 7-day literal — an absent cell still owes its expected-count
+    * contribution, the q226 dense-spine rule), expected counts as the
+    * exact integer product row_total·col_total in decimal(38,0)
+    * (downcast at emission — Long wraps at N > 3e9 events, the
+    * q217/q218 lesson), and the per-cell contribution
+    * (obs·N − rt·ct)²/(N·rt·ct) — the cross-multiplied form whose
+    * numerator gap is an EXACT integer before the one display
+    * division. Weekday is engine-neutral ISO (1 = Monday): Spark
+    * derives it from dayofweek's Sunday-start integer, DuckDB
+    * extracts ISODOW directly — both exact int arithmetic on the
+    * same timestamp. Scale: one scan to the (type, dow) cell grain
+    * (map-side combinable); margins and spine are bounded frames
+    * (#types × 7) that broadcast. */
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = events(s, d).select(col("event_type"),
+        (((dayofweek(col("ts")) + lit(5)) % lit(7)) + lit(1))
+          .cast("int").as("isodow"))
+      .groupBy("event_type", "isodow").agg(count(lit(1)).as("obs"))
+      .transform(Det.pin)
+    val spine = cells.select("event_type").distinct()
+      .crossJoin(s.range(1, 8).select(col("id").cast("int").as("isodow")))
+    val dense = spine.join(cells, Seq("event_type", "isodow"), "left")
+      .na.fill(0L, Seq("obs"))
+    val rt = dense.groupBy("event_type").agg(sum("obs").as("rt"))
+    val ct = dense.groupBy("isodow").agg(sum("obs").as("ct"))
+    val nn = dense.agg(sum("obs").as("nn"))
+    val gap = col("obs").cast(dec) * col("nn").cast(dec) -
+      col("rt").cast(dec) * col("ct").cast(dec)
+    val rtd = col("rt").cast("double"); val ctd = col("ct").cast("double")
+    val nnd = col("nn").cast("double")
+    dense.join(broadcast(rt), "event_type")
+      .join(broadcast(ct), "isodow")
+      .crossJoin(broadcast(nn))
+      .select(col("event_type"), col("isodow"), col("obs"),
+        (col("rt").cast(dec) * col("ct").cast(dec)).cast("long")
+          .as("exp_num"),
+        Det.r6e((rtd * ctd) / nnd).as("expected"),
+        Det.r6e((gap.cast("double") * gap.cast("double")) /
+          (nnd * (rtd * ctd))).as("contrib"))
+      .transform(Det.emit(_, "event_type", "isodow"))
+  }
+
+  /** Poisson(1) CDF thresholds scaled to 2⁶⁰ (15 md5 hex chars = 60
+    * uniform bits): w = k iff u < T_k, else 8. Fixed integer literals
+    * pasted VERBATIM into the q232 oracle — the weight draw is an
+    * all-integer decision, never a float compare. */
+  private val POIS1_T = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
+    1152825534095764608L, 1152909688087595776L)
+
+  /** q232: POISSON-BOOTSTRAP confidence interval for the mean (round
+    * 19 — the at-scale bootstrap: classical resampling draws n rows
+    * WITH replacement per replicate, which requires a global sample —
+    * impossible to distribute; the Poisson bootstrap replaces each
+    * row's multiplicity with an independent Poisson(1) weight, so all
+    * B replicates fall out of ONE scan with map-side-combinable
+    * weighted sums — the standard trick behind every production
+    * bootstrap/BLB pipeline): B = 40 replicates of the mean of order
+    * totals, CI = the 2nd-smallest / 2nd-largest replicate means
+    * (the declared ~95% convention at B = 40). Determinism: the
+    * weight is drawn from md5("bs:rep:key") — the house replayable
+    * substitute for rand() — by comparing the 60-bit hash integer
+    * against the fixed POIS1_T thresholds: an ALL-INTEGER draw, and
+    * replicate sums are exact integer cents (Long — bound documented
+    * at the aggregate), so the 40 replicate means are exact rationals
+    * and their sort order is engine-identical before any display
+    * rounding. Scale: the B× amplification touches only the
+    * (key, cents) projection, never storage; one groupBy(rep) → 40
+    * rows; the order-statistic window runs over that bounded frame. */
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    // (decimal deliberately absent here — see the aggregate comment)
+    // key-hashed repartition BEFORE the B× fan-out: the narrow orders
+    // projection reads as ONE file split at bench scale, and without
+    // the shuffle the whole 6M-hash map side runs on a single task
+    // (measured 7.8 s → 2.1 s); the shuffle moves 16-byte rows only
+    val base = orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartition(col("o_orderkey"))
+      .transform(Det.pin)
+    val reps = s.range(0, 40).select(col("id").cast("int").as("rep"))
+    // one md5 per (rep-pair, key): the 128-bit digest yields TWO
+    // independent 60-bit draws (hex windows [1,15] and [17,31]) —
+    // halving the hash work, the dominant cost of the B× pass
+    val u = conv(md5(concat(lit("bs:"),
+        expr("cast(rep div 2 as string)"), lit(":"),
+        col("o_orderkey").cast("string")))
+      .substr((col("rep") % 2) * lit(16) + lit(1), lit(15)),
+      16, 10).cast("long")
+    val w = POIS1_T.zipWithIndex.foldRight(lit(8L)) {
+      case ((t, k), rest) => when(col("u") < t, k.toLong).otherwise(rest)
+    }
+    // Long sums, not decimal: w·cents ≤ 8·cents, so the partials are
+    // Long-exact while 8 × total cents ≤ 9.2e18 (~$10¹⁴ per
+    // replicate) — and Spark's decimal hash-aggregate measured 6.5×
+    // this key's whole runtime (12.5 s vs 1.9 s for the same 6M-row
+    // fold). Past that volume, lift ONLY this aggregate to
+    // decimal(38,0) — the one-line trade documented here.
+    val g = base.crossJoin(broadcast(reps))
+      .withColumn("u", u).withColumn("w", w)
+      .groupBy("rep")
+      .agg(sum(col("w") * col("cents")).as("swc"),
+        sum("w").as("sw"))
+    val m = g.select(col("rep"),
+      (col("swc").cast("double") / col("sw").cast("double")).as("m"))
+    // bounded 40-row frame — the unpartitioned window is O(B)
+    val rk = m.withColumn("rn",
+      row_number().over(Window.orderBy(col("m"), col("rep"))))
+    val tot = base.agg(count(lit(1)).as("n_orders"),
+      sum("cents").as("sc"))
+    rk.agg(min(when(col("rn") === 2, col("m"))).as("lo"),
+        min(when(col("rn") === 39, col("m"))).as("hi"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_orders"), lit(40).as("b_reps"),
+        Det.r4e(col("sc").cast("double") / col("n_orders").cast("double")
+          / lit(100.0)).as("mean_value"),
+        Det.r4e(col("lo") / lit(100.0)).as("ci_lo"),
+        Det.r4e(col("hi") / lit(100.0)).as("ci_hi"))
+  }
+
+  /** q233: token BURSTINESS / dispersion screen (round 19 — the
+    * boilerplate detector the quality family lacked: q120's heavy
+    * hitters rank tokens by TOTAL count, but a navigation-chrome
+    * token appearing 50× in 2% of docs and a function word appearing
+    * once everywhere can have the SAME total — the variance-to-mean
+    * ratio over per-doc counts (zeros included) separates them:
+    * Poisson-like scatter ⇒ D ≈ 1, bursty boilerplate ⇒ D ≫ 1, the
+    * classic Church–Gale diagnostic): for the top-20 tokens by total
+    * count, D = (N·Σc² − tot²)/(N·tot) with the numerator an EXACT
+    * integer in decimal(38,0) (Σc² summed in decimal — the q217
+    * overflow lesson; bound ~1e38, far past any corpus) and zeros
+    * handled implicitly (absent docs add nothing to Σc² and the N
+    * factor carries them). Scale: one (doc, token) map-side count,
+    * one token-keyed rollup (vocabulary-sized, same contract as
+    * q109/q111), a global top-20 TakeOrdered, a 1-row N broadcast. */
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val counts = docs(s, d)
+      .select(col("doc_id"), explode(expr(TOKS)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val tok = counts.groupBy("w").agg(count(lit(1)).as("n_docs"),
+      sum("c").as("tot"),
+      sum((col("c") * col("c")).cast(dec)).as("sc2"))
+    val nn = docs(s, d).agg(count(lit(1)).as("nn"))
+    val num = col("nn").cast(dec) * col("sc2") -
+      col("tot").cast(dec) * col("tot").cast(dec)
+    tok.crossJoin(broadcast(nn))
+      .orderBy(col("tot").desc, col("w"))
+      .limit(20)
+      .select(col("w"), col("n_docs"), col("tot"),
+        num.cast("long").as("burst_num"),
+        Det.r6e(num.cast("double") /
+          (col("nn").cast("double") * col("tot").cast("double")))
+          .as("dispersion"))
+      .transform(Det.emit(_, col("tot").desc, col("w")))
+  }
+
   /** q224: BANDED (4×2) MinHash LSH candidates (round 17 — closing
     * the loop q209 opened: the planner scores (bands, rowsPerBand)
     * layouts, and until now the engine could only RUN r = 1; this key
@@ -1817,7 +2123,13 @@ object MiningQueries {
     "q222_benford" -> q222,
     "q223_rfm_segments" -> q223,
     "q224_lsh_banded" -> q224,
-    "q227_budget_waterfill" -> q227)
+    "q227_budget_waterfill" -> q227,
+    "q228_mannwhitney_drift" -> q228,
+    "q229_gini_concentration" -> q229,
+    "q230_calibration_deciles" -> q230,
+    "q231_chisq_independence" -> q231,
+    "q232_bootstrap_ci" -> q232,
+    "q233_burstiness" -> q233)
 
   /** Shared DuckDB CTE chain reproducing minhashSignatures +
     * lshCandidatePairs (same constants as the q86/q87 oracles). */
@@ -2029,6 +2341,217 @@ object MiningQueries {
                    AS share,
                  budget
           FROM al ORDER BY source""",
+    // q228: 2·midrank integers in HUGEINT; the z/auc floats are built
+    // from the same exact integers in the same IEEE op order as the
+    // Spark side — r6e only guards the final rounding.
+    "q228_mannwhitney_drift" ->
+      s"""WITH o AS (SELECT o_totalprice AS p,
+                            (o_orderdate < TIMESTAMP '1998-01-01')
+                              AS isref
+                     FROM orders),
+          g AS (SELECT p,
+                       CAST(sum(CASE WHEN isref THEN 1 ELSE 0 END)
+                            AS BIGINT) AS rc,
+                       CAST(sum(CASE WHEN NOT isref THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cc
+                FROM o GROUP BY p),
+          cum AS (SELECT rc, cc, rc + cc AS tc,
+                         sum(rc + cc) OVER (ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS ct
+                  FROM g),
+          a AS (SELECT CAST(sum(rc) AS BIGINT) AS nr,
+                       CAST(sum(cc) AS BIGINT) AS nc,
+                       sum(CAST(rc AS HUGEINT)
+                           * (2 * CAST(ct AS HUGEINT)
+                              - CAST(tc AS HUGEINT) + 1)) AS r2,
+                       sum(CAST(tc AS HUGEINT) * CAST(tc AS HUGEINT)
+                           * CAST(tc AS HUGEINT)
+                           - CAST(tc AS HUGEINT)) AS tie3
+                FROM cum),
+          u AS (SELECT nr, nc, tie3,
+                       r2 - CAST(nr AS HUGEINT) * (CAST(nr AS HUGEINT)
+                         + 1) AS u2
+                FROM a)
+          SELECT nr AS n_ref, nc AS n_cur,
+                 CAST(u2 AS BIGINT) AS u2_ref,
+                 round(CAST(u2 AS DOUBLE)
+                       / (2.0 * (CAST(nr AS DOUBLE)
+                                 * CAST(nc AS DOUBLE)))
+                       + ${Det.E6}, 6) AS auc_ref,
+                 round((CAST(u2 AS DOUBLE) - CAST(nr AS DOUBLE)
+                          * CAST(nc AS DOUBLE))
+                       / sqrt(CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+                          * ((CAST(nr + nc AS DOUBLE) + 1.0)
+                             - CAST(tie3 AS DOUBLE)
+                               / (CAST(nr + nc AS DOUBLE)
+                                  * (CAST(nr + nc AS DOUBLE) - 1.0)))
+                          / 3.0)
+                       + ${Det.E6}, 6) AS z
+          FROM u""",
+    // q229: per-source row_number replayed; rank·x in HUGEINT; the
+    // top-decile rule uses `//` ≡ Spark's `div` on the nonnegative
+    // operands (the q227 precedent).
+    "q229_gini_concentration" ->
+      s"""WITH b AS (SELECT source, n_chars AS x, doc_id,
+                            CAST(row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+                     FROM documents),
+          t AS (SELECT source, CAST(count(1) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx
+                FROM b GROUP BY source),
+          a AS (SELECT b.source, max(t.n) AS n_docs,
+                       max(t.sx) AS tot_chars,
+                       sum(CAST(b.rn AS HUGEINT) * b.x) AS srx,
+                       CAST(sum(CASE WHEN b.rn > t.n - t.n // 10
+                                THEN b.x ELSE 0 END) AS BIGINT)
+                         AS top_chars
+                FROM b JOIN t USING (source) GROUP BY b.source)
+          SELECT source, n_docs, tot_chars,
+                 CAST(2 * srx - CAST(n_docs + 1 AS HUGEINT) * tot_chars
+                      AS BIGINT) AS gini_num,
+                 round(CAST(2 * srx - CAST(n_docs + 1 AS HUGEINT)
+                              * tot_chars AS DOUBLE)
+                       / (CAST(n_docs AS DOUBLE)
+                          * CAST(tot_chars AS DOUBLE))
+                       + ${Det.E6}, 6) AS gini,
+                 round(CAST(top_chars AS DOUBLE)
+                       / CAST(tot_chars AS DOUBLE) + ${Det.E6}, 6)
+                   AS top_decile_share
+          FROM a ORDER BY source""",
+    // q230: q223's tile formula replayed; round(value*100) is the
+    // identical positive-half rounding in both engines.
+    "q230_calibration_deciles" ->
+      s"""WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                            (event_type = 'purchase') AS pos, event_id
+                     FROM events),
+          r AS (SELECT *,
+                       CAST(row_number() OVER (ORDER BY cents, event_id)
+                            AS BIGINT) AS rn,
+                       CAST(count(1) OVER () AS BIGINT) AS n
+                FROM b),
+          c AS (SELECT *, CAST((rn - 1) * 10 // n AS INT) + 1 AS decile
+                FROM r)
+          SELECT decile, CAST(count(1) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+                 min(cents) AS lo_cents, max(cents) AS hi_cents,
+                 round(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                       / CAST(count(1) AS DOUBLE) + ${Det.E6}, 6)
+                   AS pos_rate,
+                 round(CAST(sum(cents) AS DOUBLE)
+                       / (100.0 * CAST(count(1) AS DOUBLE))
+                       + ${Det.E4}, 4) AS mean_value
+          FROM c GROUP BY decile ORDER BY decile""",
+    // q231: ISODOW extracted natively; the dense spine and the
+    // cross-multiplied gap mirror the Spark side exactly.
+    "q231_chisq_independence" ->
+      s"""WITH cells AS (SELECT event_type,
+                                CAST(EXTRACT(ISODOW FROM ts) AS INT)
+                                  AS isodow,
+                                CAST(count(1) AS BIGINT) AS obs
+                         FROM events GROUP BY 1, 2),
+          spine AS (SELECT t.event_type, d.isodow
+                    FROM (SELECT DISTINCT event_type FROM cells) t
+                    CROSS JOIN (SELECT CAST(unnest(range(1, 8)) AS INT)
+                                  AS isodow) d),
+          dense AS (SELECT s.event_type, s.isodow,
+                           coalesce(c.obs, 0) AS obs
+                    FROM spine s LEFT JOIN cells c
+                      ON s.event_type = c.event_type
+                     AND s.isodow = c.isodow),
+          rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt
+                 FROM dense GROUP BY 1),
+          ct AS (SELECT isodow, CAST(sum(obs) AS BIGINT) AS ct
+                 FROM dense GROUP BY 1),
+          nn AS (SELECT CAST(sum(obs) AS BIGINT) AS nn FROM dense)
+          SELECT d.event_type, d.isodow, d.obs,
+                 CAST(CAST(r.rt AS HUGEINT) * c.ct AS BIGINT) AS exp_num,
+                 round((CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE))
+                       / CAST(n.nn AS DOUBLE) + ${Det.E6}, 6)
+                   AS expected,
+                 round((CAST(CAST(d.obs AS HUGEINT) * n.nn
+                               - CAST(r.rt AS HUGEINT) * c.ct AS DOUBLE)
+                        * CAST(CAST(d.obs AS HUGEINT) * n.nn
+                               - CAST(r.rt AS HUGEINT) * c.ct AS DOUBLE))
+                       / (CAST(n.nn AS DOUBLE)
+                          * (CAST(r.rt AS DOUBLE)
+                             * CAST(c.ct AS DOUBLE)))
+                       + ${Det.E6}, 6) AS contrib
+          FROM dense d
+          JOIN rt r ON d.event_type = r.event_type
+          JOIN ct c ON d.isodow = c.isodow
+          CROSS JOIN nn n
+          ORDER BY d.event_type, d.isodow""",
+    // q232: the Poisson(1) thresholds are the SAME integer literals
+    // as POIS1_T; replicate sums in HUGEINT; replicate means are
+    // exact rationals so the rank order is engine-identical.
+    "q232_bootstrap_ci" ->
+      s"""WITH b AS (SELECT o_orderkey,
+                            CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS cents
+                     FROM orders),
+          r AS (SELECT CAST(unnest(range(0, 40)) AS INT) AS rep),
+          x AS (SELECT rep, cents,
+                       CAST('0x' || substr(md5('bs:'
+                           || CAST(rep // 2 AS VARCHAR) || ':'
+                           || CAST(o_orderkey AS VARCHAR)),
+                           (rep % 2) * 16 + 1, 15)
+                         AS BIGINT) AS u
+                FROM b CROSS JOIN r),
+          wz AS (SELECT rep, cents,
+                   CASE WHEN u < 424136118829305344 THEN 0
+                        WHEN u < 848272237658610688 THEN 1
+                        WHEN u < 1060340297073263360 THEN 2
+                        WHEN u < 1131029650211480960 THEN 3
+                        WHEN u < 1148701988496035328 THEN 4
+                        WHEN u < 1152236456152946176 THEN 5
+                        WHEN u < 1152825534095764608 THEN 6
+                        WHEN u < 1152909688087595776 THEN 7
+                        ELSE 8 END AS w
+                 FROM x),
+          g AS (SELECT rep,
+                       sum(CAST(w AS HUGEINT) * cents) AS swc,
+                       CAST(sum(w) AS BIGINT) AS sw
+                FROM wz GROUP BY rep),
+          m AS (SELECT rep, CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE)
+                         AS m,
+                       row_number() OVER (ORDER BY
+                         CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE), rep)
+                         AS rn
+                FROM g),
+          t AS (SELECT CAST(count(1) AS BIGINT) AS n_orders,
+                       CAST(sum(cents) AS BIGINT) AS sc
+                FROM b)
+          SELECT t.n_orders, 40 AS b_reps,
+                 round(CAST(t.sc AS DOUBLE) / CAST(t.n_orders AS DOUBLE)
+                       / 100.0 + ${Det.E4}, 4) AS mean_value,
+                 round(max(CASE WHEN m.rn = 2 THEN m.m END) / 100.0
+                       + ${Det.E4}, 4) AS ci_lo,
+                 round(max(CASE WHEN m.rn = 39 THEN m.m END) / 100.0
+                       + ${Det.E4}, 4) AS ci_hi
+          FROM m CROSS JOIN t
+          GROUP BY t.n_orders, t.sc""",
+    // q233: Σc² in HUGEINT; zeros enter through the N factor only.
+    "q233_burstiness" ->
+      s"""WITH t AS (SELECT doc_id, unnest($TS) AS w FROM documents),
+          c AS (SELECT doc_id, w, CAST(count(1) AS BIGINT) AS c
+                FROM t GROUP BY 1, 2),
+          tok AS (SELECT w, CAST(count(1) AS BIGINT) AS n_docs,
+                         CAST(sum(c) AS BIGINT) AS tot,
+                         sum(CAST(c AS HUGEINT) * c) AS sc2
+                  FROM c GROUP BY w),
+          nn AS (SELECT CAST(count(1) AS BIGINT) AS nn FROM documents)
+          SELECT w, n_docs, tot,
+                 CAST(nn * sc2 - CAST(tot AS HUGEINT) * tot AS BIGINT)
+                   AS burst_num,
+                 round(CAST(nn * sc2 - CAST(tot AS HUGEINT) * tot
+                            AS DOUBLE)
+                       / (CAST(nn AS DOUBLE) * CAST(tot AS DOUBLE))
+                       + ${Det.E6}, 6) AS dispersion
+          FROM tok CROSS JOIN nn
+          ORDER BY tot DESC, w LIMIT 20""",
     // q224: the banding replayed with string_agg over the same ':'
     // key; the 8-slot estimate is q122's arithmetic.
     "q224_lsh_banded" ->

@@ -936,6 +936,102 @@ object StatefulOps extends Serializable {
         OutputMode.Update())
   }
 
+  /** s51: streaming BENFORD first-digit monitor — q222's continuous
+    * twin (the batch key audits a money column's digit profile in
+    * history; this flags a source whose LIVE profile diverges — the
+    * fraud / unit-mixup screen an ingest gate runs per source): per
+    * key the state is the 9-cell digit histogram plus its total — 10
+    * longs, O(1) per key — and every arrival ≥ 1 folds its leading
+    * digit in (q222's extraction: the first char of the LONG's
+    * decimal string; amounts < 1 are skipped and don't count). The
+    * alert rule is ALL-INTEGER: Benford's irrational expectations are
+    * pinned as the fixed ppm constants round(log10(1+1/d)·10⁶), and
+    * after a warm-up of `warm` counted rows an alert emits whenever
+    * max_d |c_d·10⁶ − ppm_d·n| > tauPpm·n — the cross-multiplied
+    * form of "some digit's share is off by more than tauPpm
+    * millionths", no float anywhere, so the fold is bit-exact under
+    * any batch split (AlgebraProps pins it). Overflow bound:
+    * c_d·10⁶ ≤ n·10⁶ — Long-exact to 9.2e12 rows per key. */
+  val BENFORD_PPM: Array[Long] = Array(
+    301030L, 176091L, 124939L, 96910L, 79181L,
+    66947L, 57992L, 51153L, 45757L)
+  val benfordInit: (Long, Long, Long, Long, Long, Long, Long, Long,
+      Long, Long) = (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+  def benfordFold(
+      state: (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long),
+      key: Long, warm: Long, tauPpm: Long,
+      rows: Seq[(Long, Long, java.sql.Timestamp, Long)])
+      : ((Long, Long, Long, Long, Long, Long, Long, Long, Long, Long),
+         Seq[(Long, java.sql.Timestamp, Long, Int, Long)]) = {
+    var n = state._1
+    val c = Array(state._2, state._3, state._4, state._5, state._6,
+      state._7, state._8, state._9, state._10)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp, Long, Int, Long)]
+    rows.sortBy(r => (r._3.getTime, r._1)).foreach { case (_, _, ts, x) =>
+      if (x >= 1L) {
+        val d = x.toString.charAt(0) - '1' // 0-based digit index
+        n += 1; c(d) += 1
+        if (n >= warm) {
+          var wi = 0; var wdev = -1L
+          var i = 0
+          while (i < 9) {
+            val dev = math.abs(c(i) * 1000000L - BENFORD_PPM(i) * n)
+            if (dev > wdev) { wdev = dev; wi = i }
+            i += 1
+          }
+          if (wdev > tauPpm * n) out += ((key, ts, n, wi + 1, wdev))
+        }
+      }
+    }
+    ((n, c(0), c(1), c(2), c(3), c(4), c(5), c(6), c(7), c(8)), out.toSeq)
+  }
+
+  class BenfordProcessor(warm: Long, tauPpm: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp, Long),
+        (Long, java.sql.Timestamp, Long, Int, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming
+      .ValueState[(Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long, Long, Long,
+          Long, Long, Long, Long)]("benford",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long,
+          Long, Long, Long, Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, java.sql.Timestamp, Long, Int, Long)] = {
+      val (next, out) = benfordFold(
+        if (st.exists()) st.get() else benfordInit,
+        key, warm, tauPpm, rows.toSeq)
+      st.update(next)
+      out.iterator
+    }
+  }
+
+  /** `BenfordProcessor` wired through `transformWithState`. Input
+    * rows are (event_id, key, ts, amount); output rows are
+    * (key, ts, n, digit, devnum) — digit the worst-deviating leading
+    * digit, devnum the exact integer |c_d·10⁶ − ppm_d·n| (divide by
+    * n for ppm). */
+  def benfordStreamTws(
+      rows: Dataset[(Long, Long, java.sql.Timestamp, Long)],
+      warm: Long = 10L, tauPpm: Long = 100000L)
+      : Dataset[(Long, java.sql.Timestamp, Long, Int, Long)] = {
+    require(warm >= 1L && tauPpm >= 0L,
+      s"benfordStreamTws: bad config warm=$warm tauPpm=$tauPpm")
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._2)
+      .transformWithState(new BenfordProcessor(warm, tauPpm),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** `CadenceProcessor` wired through `transformWithState`. Input rows
     * are (event_id, key, ts); output rows are
     * (key, ts, gap_s, ewma_before). */

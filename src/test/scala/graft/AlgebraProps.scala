@@ -1319,6 +1319,79 @@ object AlgebraProps extends Properties("graft.algebra") {
       split == whole
     }
 
+  /** q228's integer-midrank trick, pinned against the definition:
+    * U = #{(r,c) : r > c} + ½·#{(r,c) : r = c}, so 2U must equal the
+    * brute-force 2·greater + equal pair count — and the two one-sided
+    * statistics must partition the pair grid (2U_ref + 2U_cur =
+    * 2·n₁·n₂) for ANY tie structure. */
+  property("q228 midrank prefix form equals brute-force pair count") =
+    forAll(for {
+      rs <- Gen.listOf(Gen.choose(0, 12))
+      cs <- Gen.listOf(Gen.choose(0, 12))
+    } yield (rs, cs)) { case (rs, cs) =>
+      def u2of(a: Seq[Int], b: Seq[Int]): Long = {
+        val vals = (a ++ b).distinct.sorted
+        var cum = 0L; var r2 = 0L
+        vals.foreach { v =>
+          val ac = a.count(_ == v).toLong; val bc = b.count(_ == v).toLong
+          val tc = ac + bc; cum += tc
+          r2 += ac * (2L * cum - tc + 1L)
+        }
+        r2 - a.length.toLong * (a.length + 1L)
+      }
+      val brute = rs.map(r => cs.map(c =>
+        if (r > c) 2L else if (r == c) 1L else 0L).sum).sum
+      u2of(rs, cs) == brute &&
+        u2of(rs, cs) + u2of(cs, rs) ==
+          2L * rs.length.toLong * cs.length.toLong
+    }
+
+  /** q229's rank-form numerator, pinned against the mean-absolute-
+    * difference definition: 2·(2·Σ rank·x − (n+1)·Σx) = Σᵢⱼ|xᵢ−xⱼ|
+    * over ALL ordered pairs — exact integers on both sides, ties
+    * included (the rank form is tie-safe because permuting equal x
+    * across adjacent ranks leaves Σ rank·x unchanged). */
+  property("q229 gini rank form equals pairwise absolute differences") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 50L))) { xs =>
+      val n = xs.length.toLong
+      val srx = xs.sorted.zipWithIndex
+        .map { case (x, i) => (i + 1L) * x }.sum
+      val num = 2L * srx - (n + 1L) * xs.sum
+      val pair = xs.map(a => xs.map(b => math.abs(a - b)).sum).sum
+      2L * num == pair
+    }
+
+  /** s51's twin invariant: the benford fold's alert rule is the
+    * all-integer cross-multiply max_d |c_d·10⁶ − ppm_d·n| > tau·n,
+    * so batch-split equality is exact; zero amounts (skipped rows),
+    * the warm-up boundary, and worst-digit tie-breaks all land
+    * identically wherever the batch boundaries fall. */
+  property("s51 benford fold is batch-split invariant") =
+    forAll(for {
+      xs <- Gen.listOfN(30, Gen.choose(0L, 999L))
+      cuts <- Gen.listOfN(3, Gen.choose(0, 30))
+      seed <- Gen.choose(0L, 1000L)
+    } yield (xs, cuts, seed)) { case (xs, cuts, seed) =>
+      import graft.streaming.StatefulOps
+      val rows = xs.zipWithIndex.map { case (x, i) =>
+        (i.toLong, 7L, new Timestamp(base + i * 1000L), x) }
+      val whole = StatefulOps.benfordFold(
+        StatefulOps.benfordInit, 7L, 5L, 200000L, rows)
+      val rnd = new scala.util.Random(seed)
+      val bounds = (cuts.map(_ min rows.length) :+ 0 :+ rows.length)
+        .distinct.sorted
+      val split = bounds.zip(bounds.tail)
+        .map { case (a, b) => rnd.shuffle(rows.slice(a, b)) }
+        .foldLeft((StatefulOps.benfordInit,
+            Seq.empty[(Long, Timestamp, Long, Int, Long)])) {
+          case ((st, acc), batch) =>
+            val (next, out) = StatefulOps.benfordFold(
+              st, 7L, 5L, 200000L, batch)
+            (next, acc ++ out)
+        }
+      split == whole
+    }
+
   property("s45 cadence fold is batch-split invariant") =
     forAll(genCadence) { case (gaps, cuts, seed) =>
       import graft.streaming.StatefulOps

@@ -2165,6 +2165,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s51: streaming Benford monitor — near-conformant profile silent, spiked digit alerts, sub-1 amounts don't count, reference-fold parity") {
+    withRocksDB {
+      import graft.streaming.StatefulOps
+      def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+      // key 1: ten amounts whose digit profile {1×3,2×2,3,4,5,6,9}
+      // sits inside tau=100000 ppm at n=10 (worst digit is the EMPTY
+      // 7 at 57992 ppm) — the warm-up boundary row must stay silent;
+      // key 2: zeros are skipped (q222's x ≥ 1 rule) so it never
+      // leaves warm-up
+      val b1 = Seq(
+        (10L, 1L, t(0), 1L), (11L, 1L, t(1), 12L), (12L, 1L, t(2), 150L),
+        (13L, 1L, t(3), 2L), (14L, 1L, t(4), 25L), (15L, 1L, t(5), 3L),
+        (16L, 1L, t(6), 4L), (17L, 1L, t(7), 5L), (18L, 1L, t(8), 6L),
+        (19L, 1L, t(9), 9L),
+        (20L, 2L, t(0), 0L), (21L, 2L, t(1), 0L), (22L, 2L, t(2), 5L))
+      // then a digit-9 burst: every post-burst row alerts on digit 9
+      val b2 = Seq(
+        (30L, 1L, t(10), 9L), (31L, 1L, t(11), 90L),
+        (32L, 1L, t(12), 99L), (33L, 1L, t(13), 950L))
+      val ms = MemoryStream[(Long, Long, Timestamp, Long)]
+      val q = StatefulOps.benfordStreamTws(ms.toDS(),
+          warm = 10L, tauPpm = 100000L)
+        .toDF("key", "ts", "n", "digit", "devnum")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("s51").start()
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("s51").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getInt(3), r.getLong(4))).toSet
+      val want = (b1 ++ b2).groupBy(_._2).flatMap { case (k, rs) =>
+        StatefulOps.benfordFold(StatefulOps.benfordInit, k,
+          10L, 100000L, rs)._2
+      }.toSet
+      assert(got == want, s"benford monitor drifted: got=$got want=$want")
+      // shape pins: exactly the four burst rows alert, all key 1,
+      // all digit 9, n climbing 11..14 with the exact integer devnums
+      assert(got == Set(
+        (1L, t(10), 11L, 9, 1496673L), (1L, t(11), 12L, 9, 2450916L),
+        (1L, t(12), 13L, 9, 3405159L), (1L, t(13), 14L, 9, 4359402L)),
+        s"alert set: $got")
+    }
+  }
+
   test("s46: streaming attribution — purchases credit first/last touch, parity with the batch windows") {
     withRocksDB {
       def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
