@@ -244,6 +244,9 @@ object EventTimeQueries {
     "q215_seq_pattern" -> q215,
     "q216_funnel_latency" -> q216,
     "q226_cusum_changepoint" -> q226,
+    "q234_km_survival" -> q234,
+    "q235_cuped" -> q235,
+    "q236_mann_kendall" -> q236,
     "q145_partition_prune" -> q145,
     "q149_hll_union" -> q149,
     "q150_mg_heavy_hitters" -> q150)
@@ -586,6 +589,175 @@ object EventTimeQueries {
     * length (the q104/q179 array discipline) and array_sort makes
     * collect_list order-free; the ×#patterns fanout is a map-side
     * explode of a literal array (no join); the rollup is #patterns. */
+  /** q234: KAPLAN–MEIER retention survival curve (round 19 — the
+    * survival-analysis statistic the retention family lacked:
+    * q125/q139 report cohort retention at FIXED horizons, but "how
+    * long does a user stay active?" with RIGHT-CENSORING — users
+    * still active when observation ends must not count as churned —
+    * is the product-limit estimator's job, the standard lifetime
+    * readout): per user, lifetime = last-active − first-active in
+    * days; censored iff last activity falls within 7 days of the
+    * observation edge (a 7-day-quiet user is declared churned — the
+    * fixture knob). At each death time t: d = churns at exactly t,
+    * n = users with lifetime ≥ t (suffix count — total minus the
+    * prefix, all integers over the BOUNDED lifetime-grain frame,
+    * ≤ #calendar-days rows), and S(t) = Π(1 − d/n) computed as
+    * exp(Σ ln((n−d)/n)) — each ln argument an exact rational from
+    * integers, the cumulative sum over the bounded frame in a fixed
+    * ascending order (r6e absorbs the last-bit fold-order freedom);
+    * a final death that empties the risk set takes a −1000 sentinel
+    * ln-term (exp underflows to exact 0.0 in both engines — Spark's
+    * log(0) is null while DuckDB's errors, so the boundary never
+    * reaches either). Scale: one scan to the user grain, one
+    * lifetime-grain rollup, windows over the bounded frame only. */
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val mx = ev.agg(max("day").as("dmax"))
+    val users = ev.groupBy("user_id")
+      .agg(min("day").as("f"), max("day").as("l"))
+      .crossJoin(broadcast(mx))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+        (datediff(col("dmax"), col("l")) < 7).as("censored"))
+      .transform(Det.pin)
+    val g = users.groupBy("t").agg(
+      sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("m"))
+    val tot = users.agg(count(lit(1)).as("ntot"))
+    val wc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deaths = g.withColumn("cm", sum("m").over(wc))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("ntot") - col("cm") + col("m"))
+      .where(col("d") > 0)
+    deaths
+      .withColumn("lnterm", when(col("n_risk") > col("d"),
+          log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double")))
+        .otherwise(lit(-1000.0)))
+      .withColumn("surv", exp(sum("lnterm").over(wc)))
+      .select(col("t").as("t_days"), col("d").as("n_churn"),
+        col("n_risk"), Det.r6e(col("surv")).as("survival"))
+      .transform(Det.emit(_, "t_days"))
+  }
+
+  /** q235: CUPED experiment readout (round 19 — the A/B-test
+    * variance-reduction standard: adjust the post-period metric by
+    * the PRE-period covariate, Y' = Y − θ(X − X̄), shrinking variance
+    * by the squared correlation — every experimentation platform's
+    * default readout; here variant = user_id parity, the fixture's
+    * declared assignment, X/Y = purchase cents before/since the
+    * mid-window split): θ = cov(X,Y)/var(X) from EXACT integer
+    * moments — θ's numerator n·Σxy − Σx·Σy and denominator
+    * n·Σx² − (Σx)² in decimal(38,0) (the q214/q217 discipline; the
+    * user-grain frame is small enough that decimal aggregation
+    * costs nothing here, unlike q232's 6M-row fold), ONE division to
+    * double each; lifts and the ρ² variance-reduction ratio are
+    * display floats from those exact integers in mirrored op order.
+    * Scale: one event scan to the user grain, ONE 1-row moments
+    * aggregate (conditional sums fold both variants in the same
+    * pass), no join at all. */
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def dm(c: org.apache.spark.sql.Column) = c.cast(dec)
+    val ev = events(s, d).select(col("user_id"),
+      (to_date(col("ts")) < lit("2024-01-16").cast("date")).as("pre"),
+      when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+    val users = ev.groupBy("user_id").agg(
+        sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("v", (col("user_id") % 2).cast("int"))
+    val m = users.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(dm(col("x")) * dm(col("x"))).as("sxx"),
+      sum(dm(col("x")) * dm(col("y"))).as("sxy"),
+      sum(dm(col("y")) * dm(col("y"))).as("syy"),
+      sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("v") === 1, col("x")).otherwise(0L)).as("sx1"),
+      sum(when(col("v") === 1, col("y")).otherwise(0L)).as("sy1"),
+      sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("v") === 0, col("x")).otherwise(0L)).as("sx0"),
+      sum(when(col("v") === 0, col("y")).otherwise(0L)).as("sy0"))
+    val numxy = dm(col("n")) * col("sxy") - dm(col("sx")) * dm(col("sy"))
+    val denx = dm(col("n")) * col("sxx") - dm(col("sx")) * dm(col("sx"))
+    val deny = dm(col("n")) * col("syy") - dm(col("sy")) * dm(col("sy"))
+    val theta = numxy.cast("double") / denx.cast("double")
+    val rawLift = (col("sy1").cast("double") / col("n1").cast("double")
+      - col("sy0").cast("double") / col("n0").cast("double")) / lit(100.0)
+    val xGap = (col("sx1").cast("double") / col("n1").cast("double")
+      - col("sx0").cast("double") / col("n0").cast("double")) / lit(100.0)
+    m.select(col("n").as("n_users"), col("n1"), col("n0"),
+      Det.r6e(theta).as("theta"),
+      Det.r4e(rawLift).as("raw_lift"),
+      Det.r4e(rawLift - theta * xGap).as("adj_lift"),
+      Det.r6e((numxy.cast("double") * numxy.cast("double")) /
+        (denx.cast("double") * deny.cast("double"))).as("var_reduction"))
+  }
+
+  /** q236: MANN–KENDALL trend test per event type (round 19 — the
+    * monotone-trend companion completing the time-series screen
+    * triad: q213 finds SEASONAL anomalies, q226 finds LEVEL SHIFTS,
+    * this asks "is the daily rate drifting up or down at all?" —
+    * distribution-free, the hydrology/monitoring standard): over the
+    * dense daily spine (q226's cells — zero days are real
+    * observations), S = Σ_{i<j} sign(c_j − c_i) as an exact integer
+    * from the per-type pairwise self-join of the BOUNDED spine
+    * (calendar-bounded quadratic: 10 years ≈ 13M pairs per type —
+    * fine; far past that, the O(n log n) inversion-count form is the
+    * documented successor), the tie-corrected variance numerator
+    * n(n−1)(2n+5) − Σt(t−1)(2t+5) exact (n ≤ days, Long-safe to
+    * ~1.5M days), and the continuity-corrected z = (S∓1)/√(var) a
+    * display float from those integers. Scale: the self-join keys on
+    * event_type but both sides are the bounded cells frame; the tie
+    * rollup is a (type, count)-grain aggregate. */
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .transform(Det.pin)
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val types = ev.agg(sort_array(collect_set("event_type")).as("tps"))
+    val spine = broadcast(bounds)
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(broadcast(types))
+      .select(col("day"), explode(col("tps")).as("event_type"))
+    val dayCnt = ev.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("cnt"))
+    val cells = spine.join(dayCnt, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cnt")).transform(Det.pin)
+    val a = cells.select(col("event_type"), col("day").as("di"),
+      col("cnt").as("ci"))
+    val b = cells.select(col("event_type"), col("day").as("dj"),
+      col("cnt").as("cj"))
+    val sstat = a.join(b, Seq("event_type"))
+      .where(col("di") < col("dj"))
+      .groupBy("event_type")
+      .agg(sum(when(col("cj") > col("ci"), 1L)
+        .when(col("cj") < col("ci"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = cells.groupBy("event_type", "cnt")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("tsum"),
+        sum(col("t")).as("n"))
+    val varNum = col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+      col("tsum")
+    val z = when(varNum === 0L, lit(0.0))
+      .when(col("s_stat") > 0L,
+        (col("s_stat").cast("double") - lit(1.0)) /
+          sqrt(varNum.cast("double") / lit(18.0)))
+      .when(col("s_stat") < 0L,
+        (col("s_stat").cast("double") + lit(1.0)) /
+          sqrt(varNum.cast("double") / lit(18.0)))
+      .otherwise(lit(0.0))
+    sstat.join(ties, "event_type")
+      .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+        varNum.as("var_num"), Det.r6e(z).as("z"))
+      .transform(Det.emit(_, "event_type"))
+  }
+
   private def q215(s: SparkSession, d: String): DataFrame = {
     val pats = Seq("view>click>purchase>", "error>error>",
       "signup>purchase>")
@@ -962,6 +1134,152 @@ object EventTimeQueries {
                  round(CAST(total - pre AS DOUBLE) / (n - i)
                        + ${Det.E4}, 4) AS post_mean
           FROM pick WHERE rn = 1 ORDER BY event_type""",
+    // q234: the suffix risk set from the same prefix subtraction; ln
+    // arguments are exact rationals; the −1000 sentinel underflows
+    // exp to exact 0.0 in both engines.
+    "q234_km_survival" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+          mx AS (SELECT max(day) AS dmax FROM e),
+          u AS (SELECT CAST(date_diff('day', min(day), max(day))
+                         AS BIGINT) AS t,
+                       (date_diff('day', max(day),
+                          (SELECT dmax FROM mx)) < 7) AS censored
+                FROM e GROUP BY user_id),
+          g AS (SELECT t,
+                       CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0
+                                END) AS BIGINT) AS d,
+                       CAST(count(1) AS BIGINT) AS m
+                FROM u GROUP BY t),
+          tot AS (SELECT CAST(count(1) AS BIGINT) AS ntot FROM u),
+          dth AS (SELECT t, d,
+                         ntot - CAST(sum(m) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) + m AS n_risk
+                  FROM g CROSS JOIN tot),
+          s AS (SELECT t, d, n_risk,
+                       sum(CASE WHEN n_risk > d
+                                THEN ln(CAST(n_risk - d AS DOUBLE)
+                                        / CAST(n_risk AS DOUBLE))
+                                ELSE -1000.0 END)
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS lnsum
+                FROM dth WHERE d > 0)
+          SELECT t AS t_days, d AS n_churn, n_risk,
+                 round(exp(lnsum) + ${Det.E6}, 6) AS survival
+          FROM s ORDER BY t""",
+    // q235: one conditional-sum moments pass; decimal products in
+    // HUGEINT; every display float mirrors the Spark op order.
+    "q235_cuped" ->
+      s"""WITH e AS (SELECT user_id,
+                            (CAST(ts AS DATE) < DATE '2024-01-16')
+                              AS pre,
+                            CASE WHEN event_type = 'purchase'
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END AS cents
+                     FROM events),
+          u AS (SELECT user_id,
+                       CAST(sum(CASE WHEN pre THEN cents ELSE 0 END)
+                            AS BIGINT) AS x,
+                       CAST(sum(CASE WHEN NOT pre THEN cents ELSE 0 END)
+                            AS BIGINT) AS y,
+                       CAST(user_id % 2 AS INT) AS v
+                FROM e GROUP BY user_id),
+          m AS (SELECT CAST(count(1) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       sum(CAST(x AS HUGEINT) * x) AS sxx,
+                       sum(CAST(x AS HUGEINT) * y) AS sxy,
+                       sum(CAST(y AS HUGEINT) * y) AS syy,
+                       CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN v = 1 THEN x ELSE 0 END)
+                            AS BIGINT) AS sx1,
+                       CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END)
+                            AS BIGINT) AS sy1,
+                       CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n0,
+                       CAST(sum(CASE WHEN v = 0 THEN x ELSE 0 END)
+                            AS BIGINT) AS sx0,
+                       CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END)
+                            AS BIGINT) AS sy0
+                FROM u)
+          SELECT n AS n_users, n1, n0,
+                 round(CAST(CAST(n AS HUGEINT) * sxy
+                              - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * sxx
+                              - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                       + ${Det.E6}, 6) AS theta,
+                 round((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       / 100.0 + ${Det.E4}, 4) AS raw_lift,
+                 round((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       / 100.0
+                       - (CAST(CAST(n AS HUGEINT) * sxy
+                                - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                          / CAST(CAST(n AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                         * ((CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                             - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                            / 100.0)
+                       + ${Det.E4}, 4) AS adj_lift,
+                 round((CAST(CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                        * CAST(CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy AS DOUBLE))
+                       / (CAST(CAST(n AS HUGEINT) * sxx
+                               - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                          * CAST(CAST(n AS HUGEINT) * syy
+                               - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                       + ${Det.E6}, 6) AS var_reduction
+          FROM m""",
+    // q236: the dense q226 spine; the pairwise S on an exact sign
+    // sum; tie-corrected variance numerator exact BIGINT.
+    "q236_mann_kendall" ->
+      s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day
+                     FROM events),
+          bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+          days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                            INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+          tps AS (SELECT DISTINCT event_type FROM e),
+          daycnt AS (SELECT event_type, day,
+                            CAST(count(1) AS BIGINT) AS cnt
+                     FROM e GROUP BY 1, 2),
+          cells AS (SELECT t.event_type, d.day, coalesce(c.cnt, 0) AS cnt
+                    FROM days d CROSS JOIN tps t
+                    LEFT JOIN daycnt c USING (event_type, day)),
+          sst AS (SELECT a.event_type,
+                         CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                                       WHEN b.cnt < a.cnt THEN -1
+                                       ELSE 0 END) AS BIGINT) AS s_stat
+                  FROM cells a JOIN cells b
+                    ON a.event_type = b.event_type AND a.day < b.day
+                  GROUP BY a.event_type),
+          tie AS (SELECT event_type,
+                         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                           AS tsum,
+                         CAST(sum(t) AS BIGINT) AS n
+                  FROM (SELECT event_type, cnt,
+                               CAST(count(1) AS BIGINT) AS t
+                        FROM cells GROUP BY 1, 2)
+                  GROUP BY event_type)
+          SELECT s.event_type, t.n AS n_days, s.s_stat,
+                 t.n * (t.n - 1) * (2 * t.n + 5) - t.tsum AS var_num,
+                 round(CASE
+                   WHEN t.n * (t.n - 1) * (2 * t.n + 5) - t.tsum = 0
+                     THEN 0.0
+                   WHEN s.s_stat > 0 THEN
+                     (CAST(s.s_stat AS DOUBLE) - 1.0)
+                     / sqrt(CAST(t.n * (t.n - 1) * (2 * t.n + 5)
+                                 - t.tsum AS DOUBLE) / 18.0)
+                   WHEN s.s_stat < 0 THEN
+                     (CAST(s.s_stat AS DOUBLE) + 1.0)
+                     / sqrt(CAST(t.n * (t.n - 1) * (2 * t.n + 5)
+                                 - t.tsum AS DOUBLE) / 18.0)
+                   ELSE 0.0 END + ${Det.E6}, 6) AS z
+          FROM sst s JOIN tie t USING (event_type)
+          ORDER BY s.event_type""",
     // q215: q144's session arithmetic; token-terminated chain string;
     // occurrences by the replace-shrink identity (greedy
     // non-overlapping, identical in both engines).
