@@ -247,6 +247,7 @@ object EventTimeQueries {
     "q234_km_survival" -> q234,
     "q235_cuped" -> q235,
     "q236_mann_kendall" -> q236,
+    "q237_logrank" -> q237,
     "q145_partition_prune" -> q145,
     "q149_hll_union" -> q149,
     "q150_mg_heavy_hitters" -> q150)
@@ -640,6 +641,69 @@ object EventTimeQueries {
       .select(col("t").as("t_days"), col("d").as("n_churn"),
         col("n_risk"), Det.r6e(col("surv")).as("survival"))
       .transform(Det.emit(_, "t_days"))
+  }
+
+  /** q237: LOG-RANK test between two retention cohorts (round 19 —
+    * q234's comparative companion: the KM curve describes ONE
+    * cohort's survival; "do the two variants retain differently?" is
+    * the log-rank question, the survival-analysis standard for
+    * comparing censored lifetimes; cohort = user_id parity, q235's
+    * declared assignment): same lifetime/censoring construction as
+    * q234, then at each pooled death time the hypergeometric
+    * expectation — O₁ = Σd₁ stays an EXACT integer; E₁ = Σ d·n₁/n
+    * and V = Σ d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1) are float sums of
+    * exact-rational terms over the BOUNDED lifetime frame (r6e
+    * absorbs fold-order freedom, the q207 precedent); the n = 1
+    * variance term is zero by rule. χ² = (O₁−E₁)²/V display-only.
+    * All risk sets are the q234 suffix-count subtraction — per
+    * cohort and pooled, integers throughout. Scale: one scan to the
+    * user grain, one (lifetime)-grain conditional rollup, windows
+    * over the bounded frame, a 1-row totals broadcast. */
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val mx = ev.agg(max("day").as("dmax"))
+    val users = ev.groupBy("user_id")
+      .agg(min("day").as("f"), max("day").as("l"))
+      .crossJoin(broadcast(mx))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+        (datediff(col("dmax"), col("l")) < 7).as("censored"),
+        (col("user_id") % 2).cast("int").as("g"))
+      .transform(Det.pin)
+    val g = users.groupBy("t").agg(
+      sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("m"),
+      sum(when(!col("censored") && col("g") === 1, 1L).otherwise(0L))
+        .as("d1"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("m1"))
+    val tot = users.agg(count(lit(1)).as("ntot"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1tot"))
+    val wc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deaths = g
+      .withColumn("cm", sum("m").over(wc))
+      .withColumn("cm1", sum("m1").over(wc))
+      .crossJoin(broadcast(tot))
+      .withColumn("n", col("ntot") - col("cm") + col("m"))
+      .withColumn("n1", col("n1tot") - col("cm1") + col("m1"))
+      .where(col("d") > 0)
+    val dd = col("d").cast("double"); val nd = col("n").cast("double")
+    val n1d = col("n1").cast("double")
+    val e1t = (dd * n1d) / nd
+    val vt = when(col("n") > 1L,
+      ((dd * n1d) / nd * (lit(1.0) - n1d / nd)) *
+        ((nd - dd) / (nd - lit(1.0)))).otherwise(lit(0.0))
+    val agg = deaths.agg(max("ntot").as("n_users"),
+      max("n1tot").as("n_g1"),
+      sum("d").as("deaths"), sum("d1").as("o1"),
+      sum(e1t).as("e1"), sum(vt).as("v"))
+    agg.select(col("n_users"), col("n_g1"), col("deaths"), col("o1"),
+      Det.r6e(col("e1")).as("e1"), Det.r6e(col("v")).as("v"),
+      Det.r6e(when(col("v") > 0.0,
+        (col("o1").cast("double") - col("e1")) *
+          (col("o1").cast("double") - col("e1")) / col("v"))
+        .otherwise(lit(0.0))).as("chi2"))
   }
 
   /** q235: CUPED experiment readout (round 19 — the A/B-test
@@ -1168,6 +1232,61 @@ object EventTimeQueries {
           SELECT t AS t_days, d AS n_churn, n_risk,
                  round(exp(lnsum) + ${Det.E6}, 6) AS survival
           FROM s ORDER BY t""",
+    // q237: the q234 construction per cohort; O1 exact; E1/V float
+    // sums of exact-rational terms over the bounded frame (r6e).
+    "q237_logrank" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+          mx AS (SELECT max(day) AS dmax FROM e),
+          u AS (SELECT CAST(date_diff('day', min(day), max(day))
+                         AS BIGINT) AS t,
+                       (date_diff('day', max(day),
+                          (SELECT dmax FROM mx)) < 7) AS censored,
+                       CAST(user_id % 2 AS INT) AS g
+                FROM e GROUP BY user_id),
+          gr AS (SELECT t,
+                        CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0
+                                 END) AS BIGINT) AS d,
+                        CAST(count(1) AS BIGINT) AS m,
+                        CAST(sum(CASE WHEN NOT censored AND g = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                        CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS m1
+                 FROM u GROUP BY t),
+          tot AS (SELECT CAST(count(1) AS BIGINT) AS ntot,
+                         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n1tot
+                  FROM u),
+          dth AS (SELECT t, d, d1, ntot, n1tot,
+                         ntot - CAST(sum(m) OVER w AS BIGINT) + m AS n,
+                         n1tot - CAST(sum(m1) OVER w AS BIGINT) + m1
+                           AS n1
+                  FROM gr CROSS JOIN tot
+                  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW)),
+          dd AS (SELECT * FROM dth WHERE d > 0),
+          a AS (SELECT max(ntot) AS n_users, max(n1tot) AS n_g1,
+                       CAST(sum(d) AS BIGINT) AS deaths,
+                       CAST(sum(d1) AS BIGINT) AS o1,
+                       sum((CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE))
+                           / CAST(n AS DOUBLE)) AS e1,
+                       sum(CASE WHEN n > 1 THEN
+                             ((CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE))
+                              / CAST(n AS DOUBLE)
+                              * (1.0 - CAST(n1 AS DOUBLE)
+                                       / CAST(n AS DOUBLE)))
+                             * ((CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                                / (CAST(n AS DOUBLE) - 1.0))
+                           ELSE 0.0 END) AS v
+                FROM dd)
+          SELECT n_users, n_g1, deaths, o1,
+                 round(e1 + ${Det.E6}, 6) AS e1,
+                 round(v + ${Det.E6}, 6) AS v,
+                 round(CASE WHEN v > 0.0 THEN
+                         (CAST(o1 AS DOUBLE) - e1)
+                         * (CAST(o1 AS DOUBLE) - e1) / v
+                       ELSE 0.0 END + ${Det.E6}, 6) AS chi2
+          FROM a""",
     // q235: one conditional-sum moments pass; decimal products in
     // HUGEINT; every display float mirrors the Spark op order.
     "q235_cuped" ->
