@@ -694,10 +694,17 @@ object EventTimeQueries {
     val vt = when(col("n") > 1L,
       ((dd * n1d) / nd * (lit(1.0) - n1d / nd)) *
         ((nd - dd) / (nd - lit(1.0)))).otherwise(lit(0.0))
-    val agg = deaths.agg(max("ntot").as("n_users"),
-      max("n1tot").as("n_g1"),
-      sum("d").as("deaths"), sum("d1").as("o1"),
-      sum(e1t).as("e1"), sum(vt).as("v"))
+    // totals come from the broadcast, sums coalesce — a corpus whose
+    // every lifetime is censored (no death times at all) still reads
+    // as one zeroed row, never an all-null one
+    val agg = deaths
+      .agg(coalesce(sum("d"), lit(0L)).as("deaths"),
+        coalesce(sum("d1"), lit(0L)).as("o1"),
+        coalesce(sum(e1t), lit(0.0)).as("e1"),
+        coalesce(sum(vt), lit(0.0)).as("v"))
+      .crossJoin(broadcast(tot))
+      .select(col("ntot").as("n_users"), col("n1tot").as("n_g1"),
+        col("deaths"), col("o1"), col("e1"), col("v"))
     agg.select(col("n_users"), col("n_g1"), col("deaths"), col("o1"),
       Det.r6e(col("e1")).as("e1"), Det.r6e(col("v")).as("v"),
       Det.r6e(when(col("v") > 0.0,
@@ -1265,20 +1272,23 @@ object EventTimeQueries {
                   WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED
                                PRECEDING AND CURRENT ROW)),
           dd AS (SELECT * FROM dth WHERE d > 0),
-          a AS (SELECT max(ntot) AS n_users, max(n1tot) AS n_g1,
-                       CAST(sum(d) AS BIGINT) AS deaths,
-                       CAST(sum(d1) AS BIGINT) AS o1,
-                       sum((CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE))
-                           / CAST(n AS DOUBLE)) AS e1,
-                       sum(CASE WHEN n > 1 THEN
+          a AS (SELECT coalesce(CAST(sum(d) AS BIGINT), 0) AS deaths,
+                       coalesce(CAST(sum(d1) AS BIGINT), 0) AS o1,
+                       coalesce(sum((CAST(d AS DOUBLE)
+                             * CAST(n1 AS DOUBLE))
+                           / CAST(n AS DOUBLE)), 0.0) AS e1,
+                       coalesce(sum(CASE WHEN n > 1 THEN
                              ((CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE))
                               / CAST(n AS DOUBLE)
                               * (1.0 - CAST(n1 AS DOUBLE)
                                        / CAST(n AS DOUBLE)))
                              * ((CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
                                 / (CAST(n AS DOUBLE) - 1.0))
-                           ELSE 0.0 END) AS v
-                FROM dd)
+                           ELSE 0.0 END), 0.0) AS v
+                FROM dd),
+          af AS (SELECT t.ntot AS n_users, t.n1tot AS n_g1,
+                        a.deaths, a.o1, a.e1, a.v
+                 FROM a CROSS JOIN tot t)
           SELECT n_users, n_g1, deaths, o1,
                  round(e1 + ${Det.E6}, 6) AS e1,
                  round(v + ${Det.E6}, 6) AS v,
@@ -1286,7 +1296,7 @@ object EventTimeQueries {
                          (CAST(o1 AS DOUBLE) - e1)
                          * (CAST(o1 AS DOUBLE) - e1) / v
                        ELSE 0.0 END + ${Det.E6}, 6) AS chi2
-          FROM a""",
+          FROM af""",
     // q235: one conditional-sum moments pass; decimal products in
     // HUGEINT; every display float mirrors the Spark op order.
     "q235_cuped" ->

@@ -132,11 +132,69 @@ object WindowQueries {
       .orderBy("o_orderstatus", "rn")
   }
 
+  /** q238: PERCENT_RANK / CUME_DIST at the VALUE grain (round 19 —
+    * the two T-SQL ranking functions q30's family left out; Synapse
+    * users lean on both for score normalization): emitted per
+    * distinct (flag, quantity) — the row-grain form is one equi-join
+    * back, q30's join-back discipline — with rank = cum − c + 1 from
+    * integer prefix sums over the BOUNDED value frame (l_quantity's
+    * ~50-value domain, q30's argument: a row-grain window here would
+    * run the fact table on 3 tasks forever), percent_rank =
+    * (rank−1)/(N−1) and cume_dist = cum/N exact rationals → r6e. */
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    val g = lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wc = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy("l_returnflag")
+    g.withColumn("cum", sum("n_rows").over(wc))
+      .withColumn("n", sum("n_rows").over(wp))
+      .select(col("l_returnflag"), col("l_quantity"),
+        (col("cum") - col("n_rows") + 1).as("rnk"), col("n_rows"),
+        Det.r6e((col("cum") - col("n_rows")).cast("double") /
+          (col("n") - 1).cast("double")).as("percent_rank"),
+        Det.r6e(col("cum").cast("double") / col("n").cast("double"))
+          .as("cume_dist"))
+      .transform(Det.emit(_, "l_returnflag", "l_quantity"))
+  }
+
+  /** q239: PERCENTILE_DISC(¼, ½, ¾) WITHIN GROUP (round 19 — the
+    * discrete-percentile T-SQL surface; q29/DistributedRank.quantiles
+    * cover the CONTINUOUS interpolating form, this returns an actual
+    * population value): by the SQL-standard definition — the first
+    * value whose cume_dist ≥ p — decided on the ALL-INTEGER rule
+    * 4·cum ≥ 4p·N over the same bounded value frame as q238, no
+    * float anywhere in the pick; OperatorSpec pins the result equal
+    * to Spark's own `percentile_disc ... WITHIN GROUP` built-in on
+    * the same table (the built-in buffers each group's multiset —
+    * exactly why the cum-rule form is the one that scales). */
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    val g = lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy("l_returnflag")
+    g.withColumn("cum", sum("c").over(wc))
+      .withColumn("n", sum("c").over(wp))
+      .groupBy("l_returnflag")
+      .agg(max("n").as("n_rows"),
+        min(when(lit(4L) * col("cum") >= col("n"), col("l_quantity")))
+          .as("p25"),
+        min(when(lit(4L) * col("cum") >= lit(2L) * col("n"),
+          col("l_quantity"))).as("p50"),
+        min(when(lit(4L) * col("cum") >= lit(3L) * col("n"),
+          col("l_quantity"))).as("p75"))
+      .transform(Det.emit(_, "l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_win_rank" -> q30, "q31_win_running" -> q31,
     "q32_win_lead_lag" -> q32, "q33_win_frame_rows" -> q33,
     "q34_win_frame_range" -> q34, "q35_win_first_last" -> q35,
-    "q36_topk_pergroup" -> q36)
+    "q36_topk_pergroup" -> q36,
+    "q238_win_rank_dist" -> q238, "q239_percentile_disc" -> q239)
 
   val oracles: Map[String, String] = Map(
     "q30_win_rank" ->
@@ -198,5 +256,45 @@ object WindowQueries {
                  PARTITION BY o_orderstatus
                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
                FROM orders)
-         WHERE rn <= 3 ORDER BY o_orderstatus, rn""")
+         WHERE rn <= 3 ORDER BY o_orderstatus, rn""",
+    // q238: same value-grain prefix sums; exact rationals → r6e.
+    "q238_win_rank_dist" ->
+      s"""WITH g AS (SELECT l_returnflag, l_quantity,
+                            CAST(count(1) AS BIGINT) AS n_rows
+                     FROM lineitem GROUP BY 1, 2),
+          w AS (SELECT l_returnflag, l_quantity, n_rows,
+                       CAST(sum(n_rows) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_quantity ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                       CAST(sum(n_rows) OVER (PARTITION BY l_returnflag)
+                            AS BIGINT) AS n
+                FROM g)
+          SELECT l_returnflag, l_quantity, cum - n_rows + 1 AS rnk,
+                 n_rows,
+                 round(CAST(cum - n_rows AS DOUBLE)
+                       / CAST(n - 1 AS DOUBLE) + ${Det.E6}, 6)
+                   AS percent_rank,
+                 round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)
+                       + ${Det.E6}, 6) AS cume_dist
+          FROM w ORDER BY l_returnflag, l_quantity""",
+    // q239: the SQL-standard first-value-with-cume_dist≥p rule on
+    // the all-integer 4·cum ≥ 4p·N compare.
+    "q239_percentile_disc" ->
+      s"""WITH g AS (SELECT l_returnflag, l_quantity,
+                            CAST(count(1) AS BIGINT) AS c
+                     FROM lineitem GROUP BY 1, 2),
+          w AS (SELECT l_returnflag, l_quantity, c,
+                       CAST(sum(c) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_quantity ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                       CAST(sum(c) OVER (PARTITION BY l_returnflag)
+                            AS BIGINT) AS n
+                FROM g)
+          SELECT l_returnflag, max(n) AS n_rows,
+                 min(CASE WHEN 4 * cum >= n THEN l_quantity END) AS p25,
+                 min(CASE WHEN 4 * cum >= 2 * n THEN l_quantity END)
+                   AS p50,
+                 min(CASE WHEN 4 * cum >= 3 * n THEN l_quantity END)
+                   AS p75
+          FROM w GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
