@@ -167,6 +167,19 @@ object Lake {
       .parquet(members.map(m => new Path(p, m).toString): _*)
   }
 
+  /** Time travel by NAMED TAG — resolve `_tag.<name>` and read that
+    * pinned version's members (`Snapshot.tag` + vacuum retention make
+    * the pin durable past the keep window: the "exact corpus run X
+    * trained on" read). */
+  def readStoreTag(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = Snapshot.tagVersion(fs, p, name).getOrElse(
+      throw new IllegalArgumentException(s"no tag '$name' on $dir"))
+    readStoreAt(spark, dir, v)
+  }
+
   /** Bucketed table write — co-located joins. Two tables bucketed (and
     * sorted) the same way on their join key join WITHOUT any shuffle:
     * the scan's bucketing satisfies the join's required distribution,

@@ -286,6 +286,58 @@ object Snapshot {
     name
   }
 
+  /** Named TAGS — Delta/Iceberg-style refs over retained versions:
+    * `_tag.<name>` holds one line, the pinned version. The feature a
+    * training pipeline needs from its corpus store: "tag the exact
+    * snapshot run X trained on" — `vacuum` RETAINS every tagged
+    * version's manifest and member dirs past the keep window, so the
+    * pin stays readable until `untag` releases it (the next vacuum
+    * then reclaims). Contract notes: a tag pins the version's
+    * MEMBERS — the `readStoreAt`/`members` time-travel contract;
+    * flat files appended outside the protocol belong to no version
+    * and are never pinned. Tags RETARGET (single-writer store, so
+    * the overwrite is unobserved-torn only by readers mid-swap —
+    * hence the same pointer-rename publish as `_current`; marker
+    * mode uses a plain PUT, atomic per object-store visibility).
+    * Tag state is consulted by vacuum ONLY — resolution of `current`
+    * never reads tags, so a deleted tag can't strand a reader. */
+  private def tagFile(dir: Path, name: String) = new Path(dir, s"_tag.$name")
+  private val TagRe = "_tag\\.([A-Za-z0-9][A-Za-z0-9._-]*)".r
+
+  def tag(fs: FileSystem, conf: Configuration, dir: Path,
+      name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
+        !name.endsWith(".tmp"),
+      s"tag name must be [A-Za-z0-9][A-Za-z0-9._-]* (not .tmp-suffixed): $name")
+    val cur = currentVersion(fs, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir is not a managed store"))
+    require(version >= 1 && version <= cur &&
+        fs.exists(listFile(dir, version)),
+      s"tag target $version not a retained committed version of $dir (current $cur)")
+    if (conf.getBoolean(MarkerCommitKey, false)) {
+      writeSmall(fs, tagFile(dir, name), version.toString)
+    } else {
+      val tmp = new Path(dir, s"_tag.$name.tmp")
+      writeSmall(fs, tmp, version.toString)
+      val fc = FileContext.getFileContext(dir.toUri, conf)
+      fc.rename(tmp, tagFile(dir, name), Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** All tags: name → pinned version. */
+  def tags(fs: FileSystem, dir: Path): Map[String, Long] =
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).map(_.getPath.getName).collect {
+      case n @ TagRe(name) if !n.endsWith(".tmp") =>
+        name -> readSmall(fs, new Path(dir, n)).trim.toLong
+    }.toMap
+
+  def tagVersion(fs: FileSystem, dir: Path, name: String): Option[Long] =
+    tags(fs, dir).get(name)
+
+  def untag(fs: FileSystem, dir: Path, name: String): Unit =
+    fs.delete(tagFile(dir, name), false)
+
   /** Drop manifests older than the last `keep` versions (and stale
     * FUTURE manifests a crashed attempt left above `_current`) and
     * every data dir no retained manifest references. Only the
@@ -315,9 +367,13 @@ object Snapshot {
         .filter(p => consumedOld.contains(p.getName))
         .foreach(fs.delete(_, false))
       // a stale future manifest (crash after manifest, before swap)
-      // must not pin its stranded dirs alive
+      // must not pin its stranded dirs alive; a TAGGED version's
+      // manifest (and, via `referenced` below, its member dirs)
+      // survives past the keep window until untag releases it
+      val tagged = tags(fs, dir).values.toSet
       val (retainedLists, deadLists) =
-        lists.partition(l => vOf(l) >= floor && vOf(l) <= cur)
+        lists.partition(l => (vOf(l) >= floor || tagged.contains(vOf(l))) &&
+          vOf(l) <= cur)
       val referenced = retainedLists.flatMap(l =>
         manifestLines(fs, dir, vOf(l)).filterNot(_.startsWith("!"))).toSet
       st.map(_.getPath)

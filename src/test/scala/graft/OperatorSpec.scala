@@ -267,6 +267,58 @@ class OperatorSpec extends AnyFunSuite {
       .agg(sum("id")).head().getLong(0) == 4950L)
   }
 
+  test("Lake snapshot: named tags pin versions past vacuum, untag/retarget releases, bad tags fail loudly") {
+    import org.apache.hadoop.fs.Path
+    val base = TestSpark.tmpDir("snap-tags")
+    val dir = s"$base/t"
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def merge(rows: (Long, String, Long, Boolean)*): Unit =
+      graft.sources.Lake.mergeInto(spark, dir,
+        rows.toDF("k", "v", "ver", "is_delete"),
+        Seq("k"), Seq("ver"), Some(col("is_delete")))
+    merge((1L, "a", 1L, false), (2L, "b", 1L, false))
+    merge((1L, "a2", 2L, false))
+    graft.sources.Snapshot.tag(fs, conf, p, "train-run.1", 1L)
+    // two more merges push v1 TWO past the keep=2 window — the tag
+    // must hold its manifest and member dirs through both vacuums
+    merge((3L, "c", 3L, false))
+    merge((4L, "d", 4L, false))
+    assert(fs.exists(new Path(p, "_v1.list")),
+      "tagged v1 manifest was vacuumed")
+    val pinned = graft.sources.Lake.readStoreTag(spark, dir, "train-run.1")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSet
+    assert(pinned == Set(1L -> "a", 2L -> "b"),
+      s"tag read drifted from the pinned snapshot: $pinned")
+    // the UNTAGGED v2 aged out normally — tags pin only their target
+    assert(!fs.exists(new Path(p, "_v2.list")),
+      "untagged v2 survived past retention")
+    intercept[Exception] {
+      graft.sources.Lake.readStoreAt(spark, dir, 2L).collect()
+    }
+    // RETARGET the tag to current; the next vacuum reclaims v1
+    val cur = graft.sources.Snapshot.currentVersion(fs, p).get
+    graft.sources.Snapshot.tag(fs, conf, p, "train-run.1", cur)
+    assert(graft.sources.Snapshot.tagVersion(fs, p, "train-run.1")
+      .contains(cur))
+    merge((5L, "e", 5L, false))
+    assert(!fs.exists(new Path(p, "_v1.list")),
+      "retargeted-away v1 survived vacuum")
+    // untag releases entirely; unknown/illegal/future tags fail loudly
+    graft.sources.Snapshot.untag(fs, p, "train-run.1")
+    assert(graft.sources.Snapshot.tags(fs, p).isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.sources.Lake.readStoreTag(spark, dir, "train-run.1")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Snapshot.tag(fs, conf, p, "bad/name", cur)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Snapshot.tag(fs, conf, p, "future", cur + 9L)
+    }
+  }
+
   test("Lake snapshot: concurrent reader sees old-or-new, time travel, vacuum retention") {
     import org.apache.hadoop.fs.Path
     val base = TestSpark.tmpDir("snap-iso")
