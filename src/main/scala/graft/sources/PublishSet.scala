@@ -97,4 +97,50 @@ object PublishSet {
         require(i > 0, s"malformed publish manifest line: $line")
         line.substring(0, i) -> line.substring(i + 1).toLong
       }.toMap
+
+  /** COMPOSED named tag over a published set — the durable form of
+    * the retention coupling the scaladoc above leaves to the caller:
+    * `resolveAt` reproduces a past cross-store state only WHILE
+    * member vacuums still hold those versions. `tagPublished` pins
+    * the CURRENT publish's member versions for real: it places a
+    * `Snapshot.tag` named `pub.<name>` on every member store at its
+    * pinned version (member vacuums then retain those manifests and
+    * dirs indefinitely — the round-19 tag retention clause) and
+    * records the publish version in `_pubtag.<name>`. Member tags
+    * land BEFORE the pubtag file, so a crash mid-tag strands only
+    * over-retention (re-running completes it; nothing is ever
+    * under-pinned once the pubtag exists). `untagPublished` releases
+    * in the reverse order. `storeDir` maps a manifest's member NAME
+    * to its store directory — the pipeline wrapper owns that
+    * mapping, exactly as it does for reads. */
+  def tagPublished(fs: FileSystem, conf: Configuration, dir: Path,
+      name: String, storeDir: String => Path): Long = {
+    val v = currentVersion(fs, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir has no published set"))
+    resolveAt(fs, dir, v).foreach { case (member, mv) =>
+      Snapshot.tag(fs, conf, storeDir(member), s"pub.$name", mv)
+    }
+    Snapshot.writeSmall(fs, new Path(dir, s"_pubtag.$name"), v.toString)
+    v
+  }
+
+  /** The publish version a composed tag pins, or None. */
+  def resolveTag(fs: FileSystem, dir: Path, name: String): Option[Long] = {
+    val p = new Path(dir, s"_pubtag.$name")
+    if (fs.exists(p)) Some(Snapshot.readSmall(fs, p).trim.toLong) else None
+  }
+
+  /** Release a composed tag: member tags first (their next vacuum
+    * reclaims), the pubtag file last — the reverse of tagPublished,
+    * so a crash mid-release leaves the pubtag visible and a re-run
+    * completes it. */
+  def untagPublished(fs: FileSystem, dir: Path, name: String,
+      storeDir: String => Path): Unit = {
+    resolveTag(fs, dir, name).foreach { v =>
+      resolveAt(fs, dir, v).keys.foreach { member =>
+        Snapshot.untag(fs, storeDir(member), s"pub.$name")
+      }
+      fs.delete(new Path(dir, s"_pubtag.$name"), false)
+    }
+  }
 }

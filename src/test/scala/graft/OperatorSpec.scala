@@ -319,6 +319,54 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("PublishSet composed tag pins every member store against member vacuums; untag releases") {
+    import org.apache.hadoop.fs.Path
+    val base = TestSpark.tmpDir("pub-tags")
+    val dirs = Map("a" -> s"$base/a", "b" -> s"$base/b")
+    val pub = new Path(s"$base/pub")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = pub.getFileSystem(conf)
+    def merge(store: String, rows: (Long, String, Long, Boolean)*): Unit =
+      graft.sources.Lake.mergeInto(spark, dirs(store),
+        rows.toDF("k", "v", "ver", "is_delete"),
+        Seq("k"), Seq("ver"), Some(col("is_delete")))
+    def storeDir(n: String) = new Path(dirs(n))
+    merge("a", (1L, "a1", 1L, false))
+    merge("b", (1L, "b1", 1L, false))
+    graft.sources.PublishSet.publish(fs, conf, pub,
+      Map("a" -> 1L, "b" -> 1L))
+    graft.sources.PublishSet.tagPublished(fs, conf, pub, "run1", storeDir)
+    // three refreshes per member push v1 well past keep=2 — the
+    // composed tag must hold BOTH stores' v1 through every vacuum
+    for (i <- 2L to 4L) {
+      merge("a", (1L, s"a$i", i, false))
+      merge("b", (1L, s"b$i", i, false))
+    }
+    assert(graft.sources.PublishSet.resolveTag(fs, pub, "run1")
+      .contains(1L))
+    val pinned = graft.sources.PublishSet.resolveAt(fs, pub, 1L)
+    val got = pinned.map { case (n, v) =>
+      n -> graft.sources.Lake.readStoreAt(spark, dirs(n), v)
+        .collect().map(_.getAs[String]("v")).toSeq
+    }
+    assert(got == Map("a" -> Seq("a1"), "b" -> Seq("b1")),
+      s"composed tag failed to pin the published pair: $got")
+    // the member-store view of the same pin
+    assert(graft.sources.Lake.readStoreTag(spark, dirs("a"), "pub.run1")
+      .collect().map(_.getAs[String]("v")).toSeq == Seq("a1"))
+    // release: the next member vacuums reclaim both v1s
+    graft.sources.PublishSet.untagPublished(fs, pub, "run1", storeDir)
+    assert(graft.sources.PublishSet.resolveTag(fs, pub, "run1").isEmpty)
+    merge("a", (1L, "a5", 5L, false))
+    merge("b", (1L, "b5", 5L, false))
+    intercept[Exception] {
+      graft.sources.Lake.readStoreAt(spark, dirs("a"), 1L).collect()
+    }
+    intercept[Exception] {
+      graft.sources.Lake.readStoreAt(spark, dirs("b"), 1L).collect()
+    }
+  }
+
   test("Lake snapshot: concurrent reader sees old-or-new, time travel, vacuum retention") {
     import org.apache.hadoop.fs.Path
     val base = TestSpark.tmpDir("snap-iso")
