@@ -1251,6 +1251,9 @@ object MiningQueries {
         sum(when(col("rn") > col("n") - expr("n div 10"), col("x"))
           .otherwise(0L)).as("top_chars"))
       .select(col("source"), col("n_docs"), col("tot_chars"),
+        // emission downcast (the q221 ks_num convention — the lint
+        // bans DECIMAL columns): Long-exact while n·Σx per source
+        // ≤ 9.2e18; the DECISION arithmetic above stayed decimal
         num.cast("long").as("gini_num"),
         Det.r6e(num.cast("double") /
           (col("n_docs").cast("double") * col("tot_chars").cast("double")))
