@@ -477,6 +477,41 @@ class OperatorSpec extends AnyFunSuite {
     } finally conf.setBoolean(graft.sources.Snapshot.MarkerCommitKey, false)
   }
 
+  test("Snapshot tags in marker mode: PUT publish, no pointer tmp, retention + retarget hold") {
+    import org.apache.hadoop.fs.Path
+    val base = TestSpark.tmpDir("snap-tags-marker")
+    val dir = s"$base/t"
+    val p = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    def merge(rows: (Long, String, Long, Boolean)*): Unit =
+      graft.sources.Lake.mergeInto(spark, dir,
+        rows.toDF("k", "v", "ver", "is_delete"),
+        Seq("k"), Seq("ver"), Some(col("is_delete")))
+    conf.setBoolean(graft.sources.Snapshot.MarkerCommitKey, true)
+    try {
+      merge((1L, "a", 1L, false))
+      merge((1L, "a2", 2L, false))
+      graft.sources.Snapshot.tag(fs, conf, p, "run", 1L)
+      // marker-mode tag is a plain PUT — no rename tmp may exist
+      assert(!fs.exists(new Path(p, "_tag.run.tmp")),
+        "marker-mode tag left a rename tmp")
+      merge((1L, "a3", 3L, false))
+      merge((1L, "a4", 4L, false))
+      assert(fs.exists(new Path(p, "_v1.list")),
+        "marker-mode tagged v1 was vacuumed")
+      assert(graft.sources.Lake.readStoreTag(spark, dir, "run")
+        .collect().map(_.getAs[String]("v")).toSeq == Seq("a"))
+      // retarget by PUT overwrite, then the pin releases v1
+      graft.sources.Snapshot.tag(fs, conf, p, "run", 4L)
+      merge((1L, "a5", 5L, false))
+      assert(!fs.exists(new Path(p, "_v1.list")),
+        "marker-mode retargeted-away v1 survived vacuum")
+      assert(graft.sources.Lake.readStoreTag(spark, dir, "run")
+        .collect().map(_.getAs[String]("v")).toSeq == Seq("a4"))
+    } finally conf.setBoolean(graft.sources.Snapshot.MarkerCommitKey, false)
+  }
+
   test("Lake.writeBucketed: co-bucketed tables join without a shuffle") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
