@@ -1358,7 +1358,7 @@ object MiningQueries {
     * uniform bits): w = k iff u < T_k, else 8. Fixed integer literals
     * pasted VERBATIM into the q232 oracle — the weight draw is an
     * all-integer decision, never a float compare. */
-  private val POIS1_T = Seq(
+  private[graft] val POIS1_T = Seq(
     424136118829305344L, 848272237658610688L, 1060340297073263360L,
     1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
     1152825534095764608L, 1152909688087595776L)

@@ -38,6 +38,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(empties.forall(allowedEmpty.contains), s"unexpected empty: $empties")
   }
 
+  test("pinned constants recompute: q232 Poisson-CDF thresholds and s51 Benford ppm") {
+    // both constant tables are pasted VERBATIM into their DuckDB
+    // oracles, so a typo would still hash-match — only an
+    // independent recomputation can catch one
+    val pois = {
+      var p = math.exp(-1.0); var f = 0.0
+      (0 until 8).map { k =>
+        f += p; p /= (k + 1); math.floor(f * math.pow(2, 60)).toLong
+      }
+    }
+    assert(pois == graft.queries.MiningQueries.POIS1_T,
+      s"POIS1_T drifted from floor(F_k·2^60): $pois")
+    val ppm = (1 to 9).map(d =>
+      math.round(math.log10(1.0 + 1.0 / d) * 1000000.0))
+    assert(ppm == graft.streaming.StatefulOps.BENFORD_PPM.toSeq,
+      s"BENFORD_PPM drifted from round(log10(1+1/d)·1e6): $ppm")
+  }
+
   test("q239 cum-rule percentile_disc equals Spark's WITHIN GROUP built-in") {
     val mine = SparkEntry.queries("q239_percentile_disc")(spark, sf)
       .select("l_returnflag", "p25", "p50", "p75")
