@@ -149,6 +149,7 @@ object CorpusAudit {
         .getOrElse(sys.error(s"audit store $store v$pv has no -hist member"))
       spark.read.parquet(new Path(dir, histName).toString)
     }
+    val baseV = Snapshot.currentVersion(fs, dir).getOrElse(0L)
     val reportName = Snapshot.stageDirName(fs, dir, "report")
     val histName = Snapshot.stageDirName(fs, dir, "hist")
     buildReport(docs, prevHist)
@@ -159,7 +160,7 @@ object CorpusAudit {
       .coalesce(1)
       .write.mode("overwrite")
       .parquet(Snapshot.stagePath(dir, histName).toString)
-    Snapshot.commit(fs, conf, dir, Seq(reportName, histName))
+    Snapshot.commit(fs, conf, dir, Seq(reportName, histName), base = baseV)
   }
 
   /** Read the audit report at `version` (default: current) — time

@@ -96,6 +96,7 @@ object IncrementalIndex {
       .groupBy(col("token") +: keyCols.map(col): _*)
       .agg(sum(sign).as("tf"))
       .where(col("tf") =!= 0L)
+    val baseV = Snapshot.currentVersion(fs, store).getOrElse(0L)
     val carried = Snapshot.resolve(fs, store).getOrElse(Nil)
       .map(_.getName)
     val stageName = Snapshot.stageDirName(fs, store, "seg")
@@ -103,7 +104,9 @@ object IncrementalIndex {
     deltas.write.mode("overwrite").parquet(staged.toString)
     val marker = new Path(staged, s"_applied_upto_${pending.max}")
     val out = fs.create(marker, true); out.close()
-    Snapshot.commit(fs, conf, store, carried :+ stageName)
+    // base pins the carried-member list: a racer's commit in between
+    // would otherwise be silently dropped from this manifest
+    Snapshot.commit(fs, conf, store, carried :+ stageName, base = baseV)
     Snapshot.vacuum(fs, store, keep = 2)
     if (carried.length + 1 >= compactAt) compact(spark, indexDir)
     pending.max
@@ -116,6 +119,7 @@ object IncrementalIndex {
     val store = new Path(indexDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = store.getFileSystem(conf)
+    val baseV = Snapshot.currentVersion(fs, store).getOrElse(0L)
     val members = Snapshot.resolve(fs, store).getOrElse(Nil)
     if (members.length < 2) return
     val upto = appliedUpto(fs, store)
@@ -125,7 +129,7 @@ object IncrementalIndex {
     folded.write.mode("overwrite").parquet(staged.toString)
     val marker = new Path(staged, s"_applied_upto_$upto")
     val out = fs.create(marker, true); out.close()
-    Snapshot.commit(fs, conf, store, Seq(stageName))
+    Snapshot.commit(fs, conf, store, Seq(stageName), base = baseV)
     Snapshot.vacuum(fs, store, keep = 2)
   }
 

@@ -112,6 +112,7 @@ object IncrementalIvfPq {
     try out.write(s"$dim $m $kc".getBytes("UTF-8")) finally out.close()
     val store = new Path(codesDir(dir))
     val conf = spark.sparkContext.hadoopConfiguration
+    val baseV = Snapshot.currentVersion(fs, store).getOrElse(0L)
     val stageName = Snapshot.stageDirName(fs, store, "seg")
     val staged = Snapshot.stagePath(store, stageName)
     Similarity.encodeCodes(corpus, cb, centroids, idCol, vecCol, m, dim / m)
@@ -120,7 +121,7 @@ object IncrementalIvfPq {
       .parquet(staged.toString)
     val marker = new Path(staged, s"_applied_upto_$upto")
     val mo = fs.create(marker, true); mo.close()
-    Snapshot.commit(fs, conf, store, Seq(stageName))
+    Snapshot.commit(fs, conf, store, Seq(stageName), base = baseV)
   }
 
   /** Fold every unapplied feed entry into a NEW diff-sized segment;
@@ -168,6 +169,7 @@ object IncrementalIvfPq {
     val deltas = coded
       .join(keyed.select(col("__ek"), col(idCol), col("sign")), "__ek")
       .select(col(idCol), col("codes"), col("sign"), col("clabel"))
+    val baseV = Snapshot.currentVersion(fs, store).getOrElse(0L)
     val carried = Snapshot.resolve(fs, store).getOrElse(Nil).map(_.getName)
     val stageName = Snapshot.stageDirName(fs, store, "seg")
     val staged = Snapshot.stagePath(store, stageName)
@@ -180,7 +182,8 @@ object IncrementalIvfPq {
       .parquet(staged.toString)
     val marker = new Path(staged, s"_applied_upto_${pending.max}")
     val out = fs.create(marker, true); out.close()
-    Snapshot.commit(fs, conf, store, carried :+ stageName)
+    // base pins the carried-segment list against a racing refresh
+    Snapshot.commit(fs, conf, store, carried :+ stageName, base = baseV)
     Snapshot.vacuum(fs, store, keep = 2)
     if (carried.length + 1 >= compactAt) compact(spark, dir)
     pending.max
@@ -194,6 +197,7 @@ object IncrementalIvfPq {
     val store = new Path(codesDir(dir))
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = store.getFileSystem(conf)
+    val baseV = Snapshot.currentVersion(fs, store).getOrElse(0L)
     val members = Snapshot.resolve(fs, store).getOrElse(Nil)
     if (members.length < 2) return
     val upto = appliedUpto(fs, store)
@@ -204,7 +208,7 @@ object IncrementalIvfPq {
       .parquet(staged.toString)
     val marker = new Path(staged, s"_applied_upto_$upto")
     val out = fs.create(marker, true); out.close()
-    Snapshot.commit(fs, conf, store, Seq(stageName))
+    Snapshot.commit(fs, conf, store, Seq(stageName), base = baseV)
     Snapshot.vacuum(fs, store, keep = 2)
   }
 

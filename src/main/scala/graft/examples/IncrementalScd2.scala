@@ -101,6 +101,7 @@ object IncrementalScd2 {
       .where(col("_op").isin("update_preimage", "delete"))
       .select(keyCols.map(c => col(c).as(s"__c_$c")): _*)
       .distinct()
+    val baseV = Snapshot.currentVersion(fs, store).getOrElse(0L)
     val members = Snapshot.resolve(fs, store).getOrElse(Nil)
     val (newCur, closedSeg) = curMember(members) match {
       case None => (opens, None)
@@ -145,7 +146,9 @@ object IncrementalScd2 {
         }
       } finally { s.unpersist(); () }
     }
-    Snapshot.commit(fs, conf, store, carried ++ segName :+ curName)
+    // base pins the carried closed-segment list against a racer
+    Snapshot.commit(fs, conf, store, carried ++ segName :+ curName,
+      base = baseV)
     Snapshot.vacuum(fs, store, keep = 2)
   }
 
@@ -170,6 +173,7 @@ object IncrementalScd2 {
     val store = new Path(histDir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = store.getFileSystem(conf)
+    val baseV = Snapshot.currentVersion(fs, store).getOrElse(0L)
     val members = Snapshot.resolve(fs, store).getOrElse(Nil)
     require(members.nonEmpty, s"no history at $histDir")
     val upto = appliedUpto(fs, store)
@@ -197,7 +201,7 @@ object IncrementalScd2 {
       }
     }
     require(newMembers.nonEmpty, s"purge would empty the history at $histDir")
-    Snapshot.commit(fs, conf, store, newMembers.toSeq)
+    Snapshot.commit(fs, conf, store, newMembers.toSeq, base = baseV)
     Snapshot.vacuum(fs, store, keep = 1)
     true
   }

@@ -221,12 +221,13 @@ object IncrementalView {
       .agg(count(lit(1)).as("n"),
         sums.map(sp => sum(sp.e).as(sp.out)) ++
           exts.map(e => e.fold(col(e.c)).as(e.out)): _*)
+    val baseV = Snapshot.currentVersion(fs, view).getOrElse(0L)
     val stageName = Snapshot.stageDirName(fs, view, "view")
     val staged = Snapshot.stagePath(view, stageName)
     agg.write.mode("overwrite").parquet(staged.toString)
     val marker = new Path(staged, s"_applied_upto_$upto")
     val out = fs.create(marker, true); out.close()
-    Snapshot.commit(fs, conf, view, Seq(stageName))
+    Snapshot.commit(fs, conf, view, Seq(stageName), base = baseV)
     upto
   }
 
@@ -376,12 +377,13 @@ object IncrementalView {
     // stage HIDDEN, stamp the applied-upto marker INSIDE the staged
     // dir, commit with the atomic pointer rename — marker and data
     // are inseparable by construction
+    val baseV = Snapshot.currentVersion(fs, view).getOrElse(0L)
     val stageName = Snapshot.stageDirName(fs, view, "view")
     val staged = Snapshot.stagePath(view, stageName)
     next.write.mode("overwrite").parquet(staged.toString)
     val marker = new Path(staged, s"_applied_upto_${ids.max}")
     val out = fs.create(marker, true); out.close()
-    Snapshot.commit(fs, conf, view, Seq(stageName))
+    Snapshot.commit(fs, conf, view, Seq(stageName), base = baseV)
     Snapshot.vacuum(fs, view, keep = 2)
     } finally { pinned.foreach(_.unpersist()); () }
   }

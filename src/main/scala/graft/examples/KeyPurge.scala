@@ -85,6 +85,7 @@ object KeyPurge {
       Snapshot.vacuum(fs, store, keep = 1)
       return false
     }
+    val baseV = Snapshot.currentVersion(fs, store).getOrElse(0L)
     val members = Snapshot.resolve(fs, store).getOrElse(Nil)
     val upto = members.flatMap { m =>
       fs.listStatus(m).map(_.getPath.getName)
@@ -100,7 +101,7 @@ object KeyPurge {
       val out = fs.create(marker, true); out.close()
     }
     Snapshot.commit(fs, conf, store, Seq(name),
-      consumed = liveFlats.map(_.getName))
+      consumed = liveFlats.map(_.getName), base = baseV)
     Snapshot.vacuum(fs, store, keep = 1)
     // vacuum defers the CURRENT version's consumed flats by one
     // version (reader retention) — a purge overrides retention by

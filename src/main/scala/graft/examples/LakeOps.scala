@@ -216,6 +216,7 @@ object LakeOps {
       val fs = p.getFileSystem(conf)
       // the CDC replay rule over the day's rows: rank-1 per key, then
       // winning tombstones drop their key entirely
+      val baseV = Snapshot.currentVersion(fs, p).getOrElse(0L)
       val cur = graft.streaming.CdcStreams.latestByKey(
         Lake.readStore(spark, dir), keyCols, orderCols,
         isDelete = Some(col(isDeleteCol)))
@@ -224,7 +225,7 @@ object LakeOps {
       cur.write.mode("overwrite")
         .parquet(Snapshot.stagePath(p, stageName).toString)
       Snapshot.commit(fs, conf, p, Seq(stageName),
-        consumed = liveFlats.map(_.getName))
+        consumed = liveFlats.map(_.getName), base = baseV)
       Snapshot.vacuum(fs, p, keep = 2)
     }
     swept

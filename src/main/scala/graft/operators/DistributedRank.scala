@@ -218,8 +218,12 @@ object DistributedRank {
         .unionByName(cold)
     }
     withGrn
-      .withColumn("rnk", col("__vrnk").cast("int"))
-      .withColumn("drnk", col("__vdrnk").cast("int"))
+      // ranks emit as LONG (round-11 ADVICE): past 2^31 rows per
+      // group an int rank wraps silently — q229's rank·x exactness
+      // claim (and any 100 TB consumer) needs the full width. ntile
+      // stays int: it is bounded by k, not by the row count.
+      .withColumn("rnk", col("__vrnk").cast("long"))
+      .withColumn("drnk", col("__vdrnk").cast("long"))
       // SQL ntile over T rows: the first T mod k buckets take
       // ceil(T/k) rows, the rest floor(T/k) — computed from the global
       // row_number and the group total, no extra pass.
@@ -228,7 +232,7 @@ object DistributedRank {
         when(col("__grn") <= (q + 1) * r, idiv(col("__grn") - 1, q + 1) + 1)
           .otherwise(r + idiv(col("__grn") - 1 - (q + 1) * r, q) + 1)
       }.cast("int"))
-      .withColumn("rn", col("__grn").cast("int"))
+      .withColumn("rn", col("__grn").cast("long"))
       .drop("__pk", "__tie", "__vrnk", "__vdrnk", "__total", "__grn")
   }
 

@@ -3374,6 +3374,6 @@ object MiningQueries {
           s AS (SELECT doc_id, h64, CAST(h64 % 16 AS INT) AS shard FROM h)
           SELECT doc_id, shard,
                  CAST(row_number() OVER (PARTITION BY shard
-                        ORDER BY h64, doc_id) AS INT) AS rn
+                        ORDER BY h64, doc_id) AS BIGINT) AS rn
           FROM s ORDER BY shard, rn""")
 }

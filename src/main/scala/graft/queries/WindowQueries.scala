@@ -152,8 +152,12 @@ object WindowQueries {
       .withColumn("n", sum("n_rows").over(wp))
       .select(col("l_returnflag"), col("l_quantity"),
         (col("cum") - col("n_rows") + 1).as("rnk"), col("n_rows"),
-        Det.r6e((col("cum") - col("n_rows")).cast("double") /
-          (col("n") - 1).cast("double")).as("percent_rank"),
+        // T-SQL defines PERCENT_RANK = 0 for a single-row partition;
+        // unguarded (n−1) would divide 0/0 → NaN here and engine-
+        // dependent NULL/NaN in the oracle (round-11 ADVICE)
+        when(col("n") > 1, Det.r6e((col("cum") - col("n_rows"))
+          .cast("double") / (col("n") - 1).cast("double")))
+          .otherwise(lit(0.0)).as("percent_rank"),
         Det.r6e(col("cum").cast("double") / col("n").cast("double"))
           .as("cume_dist"))
       .transform(Det.emit(_, "l_returnflag", "l_quantity"))
@@ -199,9 +203,9 @@ object WindowQueries {
   val oracles: Map[String, String] = Map(
     "q30_win_rank" ->
       """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
-                CAST(rank() OVER wq AS INT) AS rnk,
-                CAST(dense_rank() OVER wq AS INT) AS drnk,
-                CAST(row_number() OVER wt AS INT) AS rn,
+                CAST(rank() OVER wq AS BIGINT) AS rnk,
+                CAST(dense_rank() OVER wq AS BIGINT) AS drnk,
+                CAST(row_number() OVER wt AS BIGINT) AS rn,
                 CAST(ntile(4) OVER wt AS INT) AS nt
          FROM lineitem
          WINDOW wq AS (PARTITION BY l_returnflag ORDER BY l_quantity),
@@ -271,9 +275,10 @@ object WindowQueries {
                 FROM g)
           SELECT l_returnflag, l_quantity, cum - n_rows + 1 AS rnk,
                  n_rows,
-                 round(CAST(cum - n_rows AS DOUBLE)
-                       / CAST(n - 1 AS DOUBLE) + ${Det.E6}, 6)
-                   AS percent_rank,
+                 CASE WHEN n > 1 THEN
+                   round(CAST(cum - n_rows AS DOUBLE)
+                         / CAST(n - 1 AS DOUBLE) + ${Det.E6}, 6)
+                 ELSE 0.0 END AS percent_rank,
                  round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)
                        + ${Det.E6}, 6) AS cume_dist
           FROM w ORDER BY l_returnflag, l_quantity""",

@@ -382,8 +382,11 @@ object Lake {
     // the atomic step: publish the staged dir as version nextV and
     // mark the flat files it folded in as consumed — readers switch
     // snapshots (and stop seeing those flats) in ONE pointer rename
+    // base = the version the read set above resolved: a racer
+    // committing in between fails THIS commit loudly (ConcurrentCommit,
+    // rebase-and-retry) instead of silently dropping the racer's rows
     Snapshot.commit(fs, conf, target, Seq(stageName),
-      consumed = liveFlats.map(_.getName))
+      consumed = liveFlats.map(_.getName), base = curV.getOrElse(0L))
     changeDir.foreach { cd =>
       if (fs.exists(cdfStage)) publishCdf(fs, cdfStage, cd)
     }
@@ -699,6 +702,7 @@ object Lake {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dayDir.getFileSystem(conf)
     if (!fs.exists(dayDir)) return
+    val baseV = Snapshot.currentVersion(fs, dayDir).getOrElse(0L)
     val liveFlats = Snapshot.liveFlats(fs, dayDir)
     val inputs = Snapshot.resolve(fs, dayDir).getOrElse(Nil) ++ liveFlats
     if (inputs.isEmpty) return
@@ -709,7 +713,7 @@ object Lake {
     slice.repartition(nOut).write.mode("overwrite")
       .parquet(Snapshot.stagePath(dayDir, stageName).toString)
     Snapshot.commit(fs, conf, dayDir, Seq(stageName),
-      consumed = liveFlats.map(_.getName))
+      consumed = liveFlats.map(_.getName), base = baseV)
     Snapshot.vacuum(fs, dayDir, keep = 2)
   }
 }

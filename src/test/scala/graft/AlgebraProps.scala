@@ -128,8 +128,11 @@ object AlgebraProps extends Properties("graft.algebra") {
     forAll(genRankRows) { rows =>
       val df = rows.toDF("g", "t", "u")
       def tup(r: org.apache.spark.sql.Row) =
+        // ranks read width-agnostically: got emits LONG, want's
+        // window built-ins emit INT — same values, different width
         (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+          r.getAs[Number](3).longValue, r.getAs[Number](4).longValue,
+          r.getAs[Number](5).longValue, r.getInt(6))
       // adaptiveCut default → small-value-frame path; 0 → bucketed
       // path; -1 → declared-small (probe-free) path
       def got(cut: Int) = graft.operators.DistributedRank
@@ -336,7 +339,8 @@ object AlgebraProps extends Properties("graft.algebra") {
         .withColumn("t", when(col("u") % 4 === 0, lit(null)).otherwise(col("t")))
       def tup(r: org.apache.spark.sql.Row) =
         (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2),
-          r.getInt(3), r.getInt(4), r.getInt(5))
+          r.getAs[Number](3).longValue, r.getAs[Number](4).longValue,
+          r.getAs[Number](5).longValue)
       val got = graft.operators.DistributedRank
         .ranked(df, Seq("g"), Seq("t"), Seq("u"), ntileK = 3, numRanges = 4)
         .select("g", "t", "u", "rnk", "drnk", "rn")
@@ -359,7 +363,8 @@ object AlgebraProps extends Properties("graft.algebra") {
       val df = rows.toDF("g", "t", "u").withColumn("t2", col("u") % 2)
       def tup(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7))
+          r.getAs[Number](4).longValue, r.getAs[Number](5).longValue,
+          r.getAs[Number](6).longValue, r.getInt(7))
       val got = graft.operators.DistributedRank
         .ranked(df, Seq("g"), Seq("t", "t2"), Seq("u"), ntileK = 2, numRanges = 4)
         .select("g", "t", "t2", "u", "rnk", "drnk", "rn", "nt")
@@ -385,7 +390,8 @@ object AlgebraProps extends Properties("graft.algebra") {
       val df = skewed.toDF("g", "t", "u")
       def tup(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+          r.getAs[Number](3).longValue, r.getAs[Number](4).longValue,
+          r.getAs[Number](5).longValue, r.getInt(6))
       def got(cut: Int) = graft.operators.DistributedRank
         .ranked(df, Seq("g"), Seq("t"), Seq("u"), ntileK = 3, numRanges = 4,
           adaptiveCut = cut, hotTieCut = 3)
@@ -624,7 +630,8 @@ object AlgebraProps extends Properties("graft.algebra") {
       val df = rows.toDF("g", "t", "u").withColumn("g2", col("u") % 2)
       def tup(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getInt(4), r.getInt(5), r.getInt(6))
+          r.getAs[Number](4).longValue, r.getAs[Number](5).longValue,
+          r.getAs[Number](6).longValue)
       val got = graft.operators.DistributedRank
         .ranked(df, Seq("g", "g2"), Seq("t"), Seq("u"), ntileK = 3, numRanges = 4)
         .select("g", "g2", "t", "u", "rnk", "drnk", "rn")

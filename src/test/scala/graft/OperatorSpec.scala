@@ -385,6 +385,173 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("Snapshot multi-writer: version claim serializes commits — loser fails loudly and rebases; crash strand recovers (both modes)") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (markerMode <- Seq(false, true)) {
+      val base = TestSpark.tmpDir(s"snap-mw-$markerMode")
+      val dir = new Path(s"$base/t")
+      val fs = dir.getFileSystem(conf)
+      conf.setBoolean(graft.sources.Snapshot.MarkerCommitKey, markerMode)
+      try {
+        def stage(role: String, rows: Seq[Long]): String = {
+          val name = graft.sources.Snapshot.stageDirName(fs, dir, role)
+          rows.toDF("id").coalesce(1).write.mode("overwrite")
+            .parquet(graft.sources.Snapshot.stagePath(dir, name).toString)
+          name
+        }
+        def served: Set[Long] = spark.read.parquet(
+          graft.sources.Snapshot.resolve(fs, dir).get.map(_.toString): _*)
+          .collect().map(_.getLong(0)).toSet
+        fs.mkdirs(dir)
+        val n0 = stage("init", Seq(1L))
+        assert(graft.sources.Snapshot.commit(fs, conf, dir, Seq(n0),
+          base = 0L) == 1L)
+        // TWO WRITERS resolve the same base and stage distinct roles
+        // (the documented concurrency contract) — deterministic
+        // interleave of the exact on-disk states a real race produces
+        val b = graft.sources.Snapshot.currentVersion(fs, dir).get
+        val w1 = stage("w1", Seq(10L))
+        val w2 = stage("w2", Seq(20L))
+        // writer 1 wins the claim and publishes v2
+        assert(graft.sources.Snapshot.commit(fs, conf, dir,
+          Seq(n0, w1), base = b) == 2L)
+        // writer 2's commit on the now-stale base fails LOUDLY — the
+        // lost-update silent overwrite of round-11's verdict is gone
+        val e = intercept[graft.sources.Snapshot.ConcurrentCommitException] {
+          graft.sources.Snapshot.commit(fs, conf, dir,
+            Seq(n0, w2), base = b)
+        }
+        assert(e.attempted == 2L && e.current == 2L, s"$e")
+        // ...and the winner's version is untouched by the loss
+        assert(graft.sources.Snapshot.currentVersion(fs, dir).contains(2L))
+        assert(served == Set(1L, 10L), s"loser disturbed the winner: $served")
+        // RETRY-REBASE: re-resolve, carry the WINNER's members, commit
+        // on the new base — no update lost on either side
+        val carried = graft.sources.Snapshot.members(fs, dir, 2L)
+        val w2b = stage("w2", Seq(20L))
+        assert(graft.sources.Snapshot.commit(fs, conf, dir,
+          carried :+ w2b, base = 2L) == 3L)
+        assert(served == Set(1L, 10L, 20L),
+          s"rebased commit lost an update: $served")
+        // THE CLAIM WINDOW itself: a racer claimed v4 but has not yet
+        // published (the exact state between its claim and its
+        // pointer/marker) — a commit racing that window must lose at
+        // the claim, not overwrite it
+        val carried3 = graft.sources.Snapshot.members(fs, dir, 3L)
+        val w3 = stage("w1", Seq(30L))
+        val ghost = fs.create(new Path(dir, "_v4.list"), false)
+        ghost.write("dGhost-w9\n".getBytes("UTF-8")); ghost.close()
+        val e2 = intercept[graft.sources.Snapshot.ConcurrentCommitException] {
+          graft.sources.Snapshot.commit(fs, conf, dir,
+            carried3 :+ w3, base = 3L)
+        }
+        assert(e2.attempted == 4L && e2.current == 3L, s"$e2")
+        // now the racer CRASHED instead (primary-writer restart):
+        // stageDirName's strand sweep reclaims the dead claim and the
+        // re-staged attempt lands — the crash matrix holds post-claim
+        val w3b = stage("w1", Seq(30L))
+        assert(!fs.exists(new Path(dir, "_v4.list")),
+          "stageDirName left the dead claim manifest behind")
+        assert(graft.sources.Snapshot.commit(fs, conf, dir,
+          carried3 :+ w3b, base = 3L) == 4L)
+        assert(served == Set(1L, 10L, 20L, 30L))
+        if (markerMode)
+          assert(!fs.exists(new Path(dir, "_current")),
+            "marker mode must never write the pointer")
+      } finally conf.setBoolean(graft.sources.Snapshot.MarkerCommitKey, false)
+    }
+  }
+
+  test("PublishSet: concurrent publish loses loudly at the claim; strand recovery; vacuumManifests honors pins; torn pubtag is loud") {
+    import org.apache.hadoop.fs.Path
+    val base = TestSpark.tmpDir("pub-mw")
+    val dirs = Map("a" -> s"$base/a")
+    val pub = new Path(s"$base/pub")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = pub.getFileSystem(conf)
+    def merge(i: Long): Unit =
+      graft.sources.Lake.mergeInto(spark, dirs("a"),
+        Seq((1L, s"a$i", i, false)).toDF("k", "v", "ver", "is_delete"),
+        Seq("k"), Seq("ver"), Some(col("is_delete")))
+    def storeDir(n: String) = new Path(dirs(n))
+    merge(1L)
+    assert(graft.sources.PublishSet.publish(fs, conf, pub,
+      Map("a" -> 1L)) == 1L)
+    // a racer claimed _pub_v2.list but hasn't published: this publish
+    // must lose loudly, and the racer's claim must survive the loss
+    val ghost = fs.create(new Path(pub, "_pub_v2.list"), false)
+    ghost.write("a=1".getBytes("UTF-8")); ghost.close()
+    val e = intercept[graft.sources.Snapshot.ConcurrentCommitException] {
+      graft.sources.PublishSet.publish(fs, conf, pub, Map("a" -> 1L))
+    }
+    assert(e.attempted == 2L && e.current == 1L, s"$e")
+    assert(fs.exists(new Path(pub, "_pub_v2.list")),
+      "the loser deleted the racer's live claim")
+    // the racer crashed instead: restart recovery reclaims the strand
+    // (explicitly — publish never auto-deletes, see scaladoc)
+    assert(graft.sources.PublishSet.recoverStrandedClaim(fs, pub))
+    assert(graft.sources.PublishSet.publish(fs, conf, pub,
+      Map("a" -> 1L)) == 2L)
+    // retention: pin v2 with a composed tag, then publish far past it
+    graft.sources.PublishSet.tagPublished(fs, conf, pub, "rel", storeDir)
+    assert(!fs.exists(new Path(pub, "_pubtag.rel.tmp")),
+      "tagPublished left its rename tmp behind")
+    for (i <- 3L to 12L)
+      graft.sources.PublishSet.publish(fs, conf, pub, Map("a" -> 1L))
+    graft.sources.PublishSet.vacuumManifests(fs, pub, keep = 3)
+    def manifests = fs.listStatus(pub).map(_.getPath.getName)
+      .filter(_.matches("_pub_v\\d+\\.list")).toSeq.sorted
+    assert(manifests.toSet == Set("_pub_v2.list", "_pub_v10.list",
+      "_pub_v11.list", "_pub_v12.list"),
+      s"vacuumManifests retention wrong: $manifests")
+    // pinned history still resolves; vacuumed history fails LOUDLY
+    assert(graft.sources.PublishSet.resolveAt(fs, pub, 2L) == Map("a" -> 1L))
+    intercept[Exception] {
+      graft.sources.PublishSet.resolveAt(fs, pub, 5L)
+    }
+    // release the pin — the next vacuum reclaims v2
+    graft.sources.PublishSet.untagPublished(fs, pub, "rel", storeDir)
+    graft.sources.PublishSet.vacuumManifests(fs, pub, keep = 3)
+    assert(!fs.exists(new Path(pub, "_pub_v2.list")),
+      "released pin survived vacuumManifests")
+    // a torn pubtag (pre-discipline strand / foreign bytes) resolves
+    // to an actionable error, not a NumberFormatException
+    val torn = fs.create(new Path(pub, "_pubtag.bad"), true)
+    torn.write("garbage".getBytes("UTF-8")); torn.close()
+    val msg = intercept[IllegalStateException] {
+      graft.sources.PublishSet.resolveTag(fs, pub, "bad")
+    }.getMessage
+    assert(msg.contains("torn"), msg)
+    fs.delete(new Path(pub, "_pubtag.bad"), false)
+  }
+
+  test("Snapshot.vacuum sweeps stranded tag tmps and claim tmps") {
+    import org.apache.hadoop.fs.Path
+    val base = TestSpark.tmpDir("snap-tmp-sweep")
+    val dir = s"$base/t"
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def merge(i: Long): Unit =
+      graft.sources.Lake.mergeInto(spark, dir,
+        Seq((1L, s"a$i", i, false)).toDF("k", "v", "ver", "is_delete"),
+        Seq("k"), Seq("ver"), Some(col("is_delete")))
+    merge(1L)
+    // strands a crash can leave: a tag rename tmp, a claim rename tmp
+    Seq("_tag.run.tmp", "_v9.list.tmp.deadbeef").foreach { n =>
+      val out = fs.create(new Path(p, n), true)
+      out.write("7".getBytes("UTF-8")); out.close()
+    }
+    // readers ignore them even before the sweep
+    assert(graft.sources.Snapshot.tags(fs, p).isEmpty)
+    assert(graft.sources.Snapshot.currentVersion(fs, p).contains(1L))
+    merge(2L) // mergeInto runs vacuum
+    assert(!fs.exists(new Path(p, "_tag.run.tmp")),
+      "vacuum left the stranded tag tmp")
+    assert(!fs.exists(new Path(p, "_v9.list.tmp.deadbeef")),
+      "vacuum left the stranded claim tmp")
+  }
+
   test("Lake snapshot: concurrent reader sees old-or-new, time travel, vacuum retention") {
     import org.apache.hadoop.fs.Path
     val base = TestSpark.tmpDir("snap-iso")
