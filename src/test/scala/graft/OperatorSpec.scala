@@ -29,10 +29,13 @@ class OperatorSpec extends AnyFunSuite {
       if (n == 0) Some(name) else None
     }
     // candidate-pair queries may legitimately be empty at tiny SF; all
-    // others must produce rows. q234: at sf0.001 every one of the 15
-    // users is active inside the 7-day censoring horizon, so there
-    // are no death times — the curve is legitimately empty (the
-    // sf0.01 oracle gate exercises the populated form).
+    // others must produce rows. q234: every fixture user (at sf0.001
+    // AND sf0.01) stays active inside the 7-day censoring horizon, so
+    // there are no death times — an empty curve is the correct answer
+    // and the oracle parity at sf0.01 is empty-vs-empty. The POPULATED
+    // form (real deaths, the sentinel leg, the n=1 variance rule) is
+    // pinned by the brute-force parity test below
+    // ("q234/q237 brute-force parity...") — round-11 ADVICE.
     val allowedEmpty = Set("q87_minhash_lsh_pairs", "q90_embed_neardup",
       "q234_km_survival")
     assert(empties.forall(allowedEmpty.contains), s"unexpected empty: $empties")
@@ -54,6 +57,78 @@ class OperatorSpec extends AnyFunSuite {
       math.round(math.log10(1.0 + 1.0 / d) * 1000000.0))
     assert(ppm == graft.streaming.StatefulOps.BENFORD_PPM.toSeq,
       s"BENFORD_PPM drifted from round(log10(1+1/d)·1e6): $ppm")
+  }
+
+  test("q234/q237 brute-force parity on a fixture with real churn (KM fold, risk-set-emptying sentinel, hypergeometric V, n=1 rule)") {
+    // round-11 ADVICE: at every shipped SF the events fixture has no
+    // death times, so the KM ln/exp fold, the -1000 sentinel, and the
+    // log-rank E1/V arithmetic only ever ran their zeroed branches.
+    // This fixture (user -> active-day offsets; censor horizon 7 days
+    // before dmax = day 30) exercises every branch: deaths at four
+    // distinct lifetimes, a tied death, censored users interleaved,
+    // and a FINAL death that empties the risk set (n = d -> sentinel
+    // in q234, n = 1 -> zero-variance rule in q237).
+    val users = Seq(
+      1L -> Seq(0, 2), 2L -> Seq(0, 2), 3L -> Seq(1, 4), 4L -> Seq(0, 10),
+      5L -> Seq(10, 26), 6L -> Seq(0, 23), 7L -> Seq(8, 30))
+    val dir = TestSpark.tmpDir("km-parity")
+    users.flatMap { case (u, ds) => ds.map(d0 =>
+        (u, java.sql.Timestamp.valueOf(f"2024-03-${d0 + 1}%02d 12:00:00")))
+      }.toDF("user_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // the reference fold, computed directly from the tuples
+    val dmax = users.flatMap(_._2).max
+    val lifes = users.map { case (u, ds) =>
+      (ds.max - ds.min, (dmax - ds.max) < 7, u % 2) } // (t, censored, g)
+    val deathTs = lifes.filterNot(_._2).map(_._1).distinct.sorted
+    assert(deathTs.size == 4, "fixture must carry real death times")
+    def atRisk(t: Int, g: Long = -1L) =
+      lifes.count(x => x._1 >= t && (g < 0 || x._3 == g)).toLong
+    // q234 expected: S(t) via the same exp/ln fold, sentinel included
+    var lnsum = 0.0
+    val wantKm = deathTs.map { t =>
+      val d = lifes.count(x => !x._2 && x._1 == t).toLong
+      val n = atRisk(t)
+      lnsum += (if (n > d) math.log((n - d).toDouble / n) else -1000.0)
+      (t.toLong, d, n, math.exp(lnsum))
+    }
+    assert(wantKm.last._2 == wantKm.last._3,
+      "fixture must end on a risk-set-emptying death (sentinel leg)")
+    assert(wantKm.last._4 == 0.0)
+    val gotKm = SparkEntry.queries("q234_km_survival")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("n_churn"),
+        r.getAs[Long]("n_risk"), r.getAs[Double]("survival"))).sortBy(_._1)
+    assert(gotKm.length == wantKm.length, s"death times: $gotKm vs $wantKm")
+    gotKm.zip(wantKm).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"$g vs $w")
+      assert(math.abs(g._4 - w._4) < 2e-6, s"survival: $g vs $w")
+    }
+    // q237 expected: O1 exact, E1/V from the same hypergeometric terms
+    var (o1, e1, v, dtot) = (0L, 0.0, 0.0, 0L)
+    deathTs.foreach { t =>
+      val at = lifes.filter(x => !x._2 && x._1 == t)
+      val d = at.size.toLong; val n = atRisk(t); val n1 = atRisk(t, 1L)
+      dtot += d; o1 += at.count(_._3 == 1L).toLong
+      e1 += d.toDouble * n1 / n
+      if (n > 1) v += (d.toDouble * n1 / n) * (1.0 - n1.toDouble / n) *
+        ((n - d).toDouble / (n - 1))
+    }
+    val wantChi = (o1 - e1) * (o1 - e1) / v
+    val lr = SparkEntry.queries("q237_logrank")(spark, dir).collect()
+    assert(lr.length == 1)
+    val r = lr.head
+    assert(r.getAs[Long]("n_users") == 7L && r.getAs[Long]("n_g1") == 4L)
+    assert(r.getAs[Long]("deaths") == dtot && r.getAs[Long]("o1") == o1,
+      s"got $r want deaths=$dtot o1=$o1")
+    assert(math.abs(r.getAs[Double]("e1") - e1) < 2e-6, s"e1: $r vs $e1")
+    assert(math.abs(r.getAs[Double]("v") - v) < 2e-6, s"v: $r vs $v")
+    assert(math.abs(r.getAs[Double]("chi2") - wantChi) < 1e-4,
+      s"chi2: $r vs $wantChi")
+    // independent spot-check of the arithmetic above (hand-derived):
+    // O1 = 2, E1 = 8/7 + 3/5 + 1/2, V = 120/294 + 6/25 + 1/4
+    assert(o1 == 2L)
+    assert(math.abs(e1 - (8.0 / 7 + 3.0 / 5 + 0.5)) < 1e-12)
+    assert(math.abs(v - (120.0 / 294 + 6.0 / 25 + 0.25)) < 1e-12)
   }
 
   test("q239 cum-rule percentile_disc equals Spark's WITHIN GROUP built-in") {
