@@ -716,4 +716,83 @@ object Lake {
       consumed = liveFlats.map(_.getName), base = baseV)
     Snapshot.vacuum(fs, dayDir, keep = 2)
   }
+
+  /** ONE-CALL catalog bootstrap for ad-hoc SQL (round 12 — the
+    * reference's literal entry point: a user typing SQL into a studio
+    * against the datalake, /root/reference/README.md:173-192).
+    * Registers everything that workflow needs as temp views and
+    * installs the SQL function family (json_value / json_query /
+    * openjson_entries / json_modify / is_json / simhash64 /
+    * cosine_sim / wmean / bucket_search), so the reference's
+    * JSON_VALUE-extract-cast-SUM-GROUP BY shape runs under
+    * `spark.sql` verbatim-shaped, with no Scala builder in sight.
+    *
+    *  - `fixturesDir`: every `<name>.parquet` child registers as view
+    *    `<name>` (the TPC-H-ish fixture tables); legacy
+    *    TIMESTAMP(NANOS) `events` files get the same read-repair
+    *    `Tables.events` applies.
+    *  - `lakes`: view name → day-partitioned lake root, registered
+    *    snapshot-resolved (managed partition dirs read at their
+    *    committed version) with `ingest_date` pruning intact — the
+    *    planner-driven analogue of OPENROWSET's day-glob.
+    *  - `stores`: view name → managed store dir at its CURRENT
+    *    committed version.
+    *  - `publishSets`: set name → (set dir, member name → store dir);
+    *    each member registers as `<set>_<member>` AT ITS PINNED
+    *    version — the all-or-nothing cross-store read surface.
+    *
+    * Views resolve their snapshot AT REGISTRATION (a temp view holds
+    * the resolved file list): later commits never move a registered
+    * view mid-session — re-running the call advances it, the explicit
+    * catalog-refresh form of snapshot isolation. Returns the
+    * registered view names. */
+  def registerCatalog(spark: SparkSession,
+      fixturesDir: Option[String] = None,
+      lakes: Map[String, String] = Map.empty,
+      stores: Map[String, String] = Map.empty,
+      publishSets: Map[String, (String, String => String)] = Map.empty)
+      : Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    graft.GraftExtensions.registerAll(spark)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    fixturesDir.foreach { d =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val p = new Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).sorted.foreach { f =>
+          val name = f.stripSuffix(".parquet")
+          require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"fixture table name not SQL-identifier-shaped: $f")
+          val df0 = spark.read.parquet(s"$d/$f")
+          val df =
+            if (name == "events" && df0.schema.fieldNames.contains("ts") &&
+                df0.schema("ts").dataType ==
+                  org.apache.spark.sql.types.LongType)
+              df0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            else df0
+          df.createOrReplaceTempView(name)
+          out += name
+        }
+    }
+    lakes.foreach { case (name, root) =>
+      read(spark, root).createOrReplaceTempView(name); out += name
+    }
+    stores.foreach { case (name, dir) =>
+      readStore(spark, dir).createOrReplaceTempView(name); out += name
+    }
+    publishSets.foreach { case (setName, (setDir, storeDir)) =>
+      val p = new Path(setDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pinned = PublishSet.resolve(fs, p).getOrElse(
+        throw new IllegalArgumentException(
+          s"publish set $setDir has no published version"))
+      pinned.toSeq.sortBy(_._1).foreach { case (member, v) =>
+        val vn = s"${setName}_$member"
+        readStoreAt(spark, storeDir(member), v).createOrReplaceTempView(vn)
+        out += vn
+      }
+    }
+    out.toSeq
+  }
 }

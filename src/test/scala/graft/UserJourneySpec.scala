@@ -57,4 +57,78 @@ class UserJourneySpec extends AnyFunSuite {
         Seq("view", "view"))
     }
   }
+
+  test("registerCatalog: the reference's ad-hoc SQL workflow runs verbatim-shaped against registered views") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ONE call: fixture tables as views + the SQL function family
+    val views = graft.sources.Lake.registerCatalog(spark,
+      fixturesDir = Some(sf))
+    assert(Set("orders", "customer", "lineitem", "events", "documents")
+      .subsetOf(views.toSet), s"registered: $views")
+    // the reference's revenue query SHAPE (README.md:173-192):
+    // JSON_VALUE with a QUOTED member path, extract + cast + SUM +
+    // GROUP BY — typed as pure SQL, no Scala builder. The envelope
+    // CTE stands in for the at-rest NDJSON the reference globs.
+    val sql = spark.sql(
+      """WITH lines AS (
+           SELECT to_json(named_struct(
+             'after', named_struct(
+               'id', o.o_orderkey,
+               'city', c.c_mktsegment,
+               'revenue', cast(round(o.o_totalprice, 2) as string))))
+             AS line
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+         SELECT json_value(line, '$.after."city"') AS city,
+                count(1) AS n_rides,
+                round(sum(cast(
+                  json_value(line, '$.after."revenue"') AS double)), 2)
+                  AS total_revenue
+         FROM lines
+         GROUP BY json_value(line, '$.after."city"')
+         ORDER BY city""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // oracle-matched: q60 is the same computation through the
+    // DataFrame path, and q60 itself is DuckDB-hash-checked every run
+    val q60 = SparkEntry.queries("q60_cdc_envelope_roundtrip")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(sql.toSeq == q60.toSeq, s"SQL path diverged from q60")
+    // lake + store + publish-set views: snapshot-resolved, pinned
+    val base = TestSpark.tmpDir("catalog-sql")
+    val day = "2022-12-12"
+    graft.sources.Lake.writePartitioned(
+      spark.range(0, 50).select(col("id"),
+        lit(day).cast("timestamp").as("ts")), "ts", s"$base/lake")
+    def merge(store: String, i: Long): Unit =
+      graft.sources.Lake.mergeInto(spark, s"$base/$store",
+        Seq((1L, s"v$i", i, false)).toDF("k", "v", "ver", "is_delete"),
+        Seq("k"), Seq("ver"), Some(col("is_delete")))
+    merge("idx", 1L); merge("doclen", 1L)
+    val pubDir = new org.apache.hadoop.fs.Path(s"$base/pub")
+    val fs = pubDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.PublishSet.publish(fs,
+      spark.sparkContext.hadoopConfiguration, pubDir,
+      Map("idx" -> 1L, "doclen" -> 1L))
+    graft.sources.Lake.registerCatalog(spark,
+      lakes = Map("rides_lake" -> s"$base/lake"),
+      stores = Map("idx_now" -> s"$base/idx"),
+      publishSets = Map("rag" -> ((s"$base/pub",
+        (m: String) => s"$base/$m"))))
+    // the day-glob analogue: partition-pruned SQL over the lake view
+    assert(spark.sql(
+      s"SELECT count(1) FROM rides_lake WHERE ingest_date = '$day'")
+      .head().getLong(0) == 50L)
+    // a member refresh AFTER registration moves neither the pinned
+    // publish-set view nor the registered current-store view (temp
+    // views hold their resolved snapshot — the documented contract)
+    merge("idx", 2L)
+    assert(spark.sql("SELECT v FROM rag_idx").head().getString(0) == "v1",
+      "publish-set view drifted off its pinned version")
+    assert(spark.sql("SELECT v FROM idx_now").head().getString(0) == "v1",
+      "registered store view moved mid-session")
+    // re-registration advances — the explicit catalog refresh
+    graft.sources.Lake.registerCatalog(spark,
+      stores = Map("idx_now" -> s"$base/idx"))
+    assert(spark.sql("SELECT v FROM idx_now").head().getString(0) == "v2")
+  }
 }
