@@ -2987,6 +2987,109 @@ class OperatorSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("schema evolution through the derived stores: a widened upstream flows through view/index/ivfpq refresh + serve") {
+    // VERDICT r11 item 6: Lake.readEvolved covers the raw lake and
+    // mergeInto tolerates column drift, but no derived-store spec ever
+    // fed an upstream column ADD through a refresh. Each leg: build
+    // store + feed, refresh, WIDEN the upstream (a batch carrying a
+    // column the store lacked), refresh again — the feed entries now
+    // straddle two schemas — and pin the serve surface equal to a
+    // full recompute over the evolved base.
+    import org.apache.hadoop.fs.Path
+    import graft.examples.{IncrementalIndex, IncrementalIvfPq, IncrementalView}
+    import graft.operators.Similarity
+    val base = TestSpark.tmpDir("evolve-derived")
+
+    // ---- leg 1: IncrementalView ----
+    locally {
+      val dir = s"$base/v/t"; val cdf = s"$base/v/changes"
+      val viewDir = s"$base/v/view"
+      def merge(b: org.apache.spark.sql.DataFrame): Unit =
+        graft.sources.Lake.mergeInto(spark, dir, b, Seq("k"), Seq("ver"),
+          Some(col("is_delete")), changeDir = Some(cdf), cdfPreImages = true)
+      merge(Seq((1L, "a", 10L, 1L, false), (2L, "b", 7L, 1L, false))
+        .toDF("k", "g", "x", "ver", "is_delete"))
+      IncrementalView.refresh(spark, viewDir, cdf, Seq("g"), Seq("x"))
+      // widened upstream: the batch carries a NEW column `note`
+      merge(Seq((3L, "a", 5L, 2L, false, "from-v2"),
+          (1L, "a", 12L, 2L, false, "upd"))
+        .toDF("k", "g", "x", "ver", "is_delete", "note"))
+      IncrementalView.refresh(spark, viewDir, cdf, Seq("g"), Seq("x"))
+      val got = IncrementalView.read(spark, viewDir).collect()
+        .map(r => r.getAs[String]("g") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("sum_x"))).toMap
+      val want = graft.sources.Lake.readStore(spark, dir)
+        .groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        .collect().map(r => r.getAs[String]("g") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("sx"))).toMap
+      assert(got == want, s"view after widened upstream: $got vs $want")
+      // and the widened column is really IN the evolved base
+      assert(graft.sources.Lake.readStore(spark, dir)
+        .where(col("note") === "from-v2").count() == 1L)
+    }
+
+    // ---- leg 2: IncrementalIndex ----
+    locally {
+      val dir = s"$base/i/t"; val cdf = s"$base/i/changes"
+      val idx = s"$base/i/idx"
+      val toks = expr("filter(split(text, ' '), w -> w <> '')")
+      def merge(b: org.apache.spark.sql.DataFrame): Unit =
+        graft.sources.Lake.mergeInto(spark, dir, b, Seq("k"), Seq("ver"),
+          Some(col("is_delete")), changeDir = Some(cdf), cdfPreImages = true)
+      merge(Seq((1L, "the cat sat", 1L, false))
+        .toDF("k", "text", "ver", "is_delete"))
+      IncrementalIndex.refresh(spark, idx, cdf, Seq("k"), toks)
+      merge(Seq((2L, "the dog ran", 2L, false, 0.9))
+        .toDF("k", "text", "ver", "is_delete", "quality"))
+      IncrementalIndex.refresh(spark, idx, cdf, Seq("k"), toks)
+      val got = IncrementalIndex.read(spark, idx).collect()
+        .map(r => (r.getAs[String]("token"), r.getAs[Long]("k")) ->
+          r.getAs[Long]("tf")).toMap
+      val want = graft.sources.Lake.readStore(spark, dir)
+        .select(col("k"), explode(toks).as("token"))
+        .groupBy("token", "k").agg(count(lit(1)).as("tf")).collect()
+        .map(r => (r.getAs[String]("token"), r.getAs[Long]("k")) ->
+          r.getAs[Long]("tf")).toMap
+      assert(got == want, s"index after widened upstream: $got vs $want")
+    }
+
+    // ---- leg 3: IncrementalIvfPq (frozen geometry survives a
+    // metadata-widened upstream; vectors themselves unchanged) ----
+    locally {
+      val em = Tables.embeddings(spark, sf)
+      val table = s"$base/p/t"; val cdf = s"$base/p/changes"
+      val idx = s"$base/p/idx"
+      def merge(b: org.apache.spark.sql.DataFrame): Unit =
+        graft.sources.Lake.mergeInto(spark, table, b, Seq("vec_id"),
+          Seq("ver"), Some(col("is_delete")),
+          changeDir = Some(cdf), cdfPreImages = true)
+      def corpusNow = graft.sources.Lake.readStore(spark, table)
+        .select(col("vec_id"), col("embedding"))
+      merge(em.where(col("vec_id").between(1L, 20L))
+        .select(col("vec_id"), col("embedding"), lit(1L).as("ver"),
+          lit(false).as("is_delete")))
+      val cent = Similarity.ivfCentroids(em, "label", "embedding")
+      IncrementalIvfPq.bootstrap(spark, idx, corpusNow, "vec_id",
+        "embedding", cent, dim = 64, m = 4, kc = 16, upto = 0L)
+      // widened upstream: a tag column rides the next batch
+      merge(em.where(col("vec_id").between(21L, 25L))
+        .select(col("vec_id"), col("embedding"), lit(2L).as("ver"),
+          lit(false).as("is_delete"), lit("tagged").as("origin")))
+      IncrementalIvfPq.refresh(spark, idx, cdf, "vec_id", "embedding")
+      val served = IncrementalIvfPq.readCodes(spark, idx).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Int]]("codes"),
+          r.getAs[Int]("clabel"))).sortBy(t => (t._1, t._3)).toSeq
+      val want = Similarity.encodeCodes(corpusNow,
+          spark.read.parquet(s"$idx/codebook"),
+          spark.read.parquet(s"$idx/centroids"),
+          "vec_id", "embedding", 4, 16).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Int]]("codes"),
+          r.getAs[Int]("clabel"))).sortBy(t => (t._1, t._3)).toSeq
+      assert(served == want,
+        "ivfpq serve after widened upstream != full re-encode")
+    }
+  }
+
   test("IncrementalIndex: postings maintained exactly from the pre-image feed") {
     import org.apache.hadoop.fs.Path
     import graft.examples.IncrementalIndex
