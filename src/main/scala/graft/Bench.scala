@@ -65,7 +65,15 @@ object Bench {
     // whole recording (round 13). Track failures per key, surface them
     // on stderr and in the JSON, and keep timing the rest.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Fixture separation (round 12, VERDICT r11 item 7): the protocol
+    // keys (q163/q165/q169/q170/q171/q173) build a multi-merge store
+    // inside the query fn and clock that phase on graft.FixtureClock;
+    // per round, the key's OPERATOR time = wall − drained fixture
+    // time. `queries` reports operator medians (the regression
+    // signal); `fixtures` publishes the fixture medians beside them.
+    val fixtures = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = names.map { case (name, fn) =>
+      FixtureClock.drainSeconds() // clear residue from a failed key
       val times = (1 to rounds).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -75,7 +83,9 @@ object Bench {
               s"[bench] $name FAILED: ${t.getClass.getSimpleName}: " +
                 String.valueOf(t.getMessage).linesIterator.take(1).mkString)
         }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val fix = FixtureClock.drainSeconds()
+        (math.max(0.0, wall - fix), fix)
       }
       spark.catalog.clearCache()
       // clearCache drops DataFrame caches but NOT localCheckpoint RDD
@@ -85,14 +95,19 @@ object Bench {
       // timings (q115 measured 2x its solo time in-suite without
       // this, with the whole gap in storage-pool pressure).
       System.gc()
-      name -> median(times)
+      val fixMed = median(times.map(_._2))
+      if (fixMed > 0.0) fixtures(name) = fixMed
+      name -> median(times.map(_._1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val fixTotal = fixtures.values.sum
+    val fixQs = fixtures.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","rounds":$rounds}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fixtures":$fixQs,"fixture_total":$fixTotal,"errors":$errs,"sf":"$sfDir","rounds":$rounds}"""
     // The driver keeps only the last ~2000 chars of stdout; the full
     // per-query dict (~3 KB at 95 keys) never fits, so rounds 2-3
     // recorded "parsed": null. Print a COMPACT line (short q-number
@@ -109,7 +124,7 @@ object Bench {
       failed.map("\"" + _.takeWhile(_ != '_') + "\"")
         .mkString(""","errors":[""", ",", "]")
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfShort","rounds":$rounds$errsShort}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"fixture_total":${r3(fixTotal)},"sf":"$sfShort","rounds":$rounds$errsShort}"""
     println(compact)
     Console.flush()
     // stdout gets prefixed/noised when launched via sbt, so ALSO write
