@@ -396,6 +396,39 @@ object Lake {
     Snapshot.vacuum(fs, target, keep = 2)
   }
 
+  /** The RETRY-REBASE rule, executable (round 12 — the loser's side
+    * of the commit-claim protocol): run `mergeInto` and, on losing a
+    * commit race ([[Snapshot.ConcurrentCommitException]]), rebase by
+    * simply re-running the merge — each attempt re-resolves the store
+    * AT ITS NEW VERSION and re-applies the same update batch, which
+    * is exactly the rebase the conflict contract prescribes (updates
+    * are keyed + versioned, so re-application over the winner's rows
+    * is the idempotent CDC replay; rows the racer upserted survive
+    * unless this batch's orderCols genuinely win them). Attempts are
+    * bounded: exhaustion rethrows the LAST conflict, so a livelocked
+    * store fails loudly instead of spinning. */
+  def mergeIntoRetrying(spark: SparkSession, targetDir: String,
+      updates: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      isDelete: Option[org.apache.spark.sql.Column] = None,
+      changeDir: Option[String] = None,
+      cdfPreImages: Boolean = false,
+      attempts: Int = 3): Unit = {
+    require(attempts >= 1, s"mergeIntoRetrying: attempts must be >= 1")
+    var left = attempts
+    var done = false
+    while (!done) {
+      try {
+        mergeInto(spark, targetDir, updates, keyCols, orderCols,
+          isDelete, changeDir, cdfPreImages)
+        done = true
+      } catch {
+        case e: Snapshot.ConcurrentCommitException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+  }
+
   /** MERGE with row-level EXPECTATIONS — the batch twin of the
     * streaming dead-letter split (s29): update rows that fail the
     * `expect` predicate are QUARANTINED instead of merged, so one

@@ -538,6 +538,93 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeInto under a LIVE racing commit: plain form loses loudly, mergeIntoRetrying rebases and wins") {
+    import org.apache.hadoop.fs.Path
+    // a real second thread commits between mergeInto's read and its
+    // commit (it waits for the merge's hidden stage dir to appear —
+    // i.e. strictly after the read — then claims the version first):
+    // the base CAS guard must fail the merge loudly, and the retrying
+    // form must rebase onto the racer's version and land everything.
+    val conf = spark.sparkContext.hadoopConfiguration
+    // returns (merge outcome, racer outcome): whichever side lost the
+    // claim threw ConcurrentCommitException — one of them MUST have
+    // contended, and NOBODY may lose silently
+    def runScenario(dir: String, retrying: Boolean)
+        : (Option[Throwable], Option[Throwable]) = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      // v1: seed rows so the racer has carried members to commit
+      graft.sources.Lake.mergeInto(spark, dir,
+        (1L to 50L).map(i => (i, s"seed$i", 1L, false))
+          .toDF("k", "v", "ver", "is_delete"),
+        Seq("k"), Seq("ver"), Some(col("is_delete")))
+      val cur = graft.sources.Snapshot.currentVersion(fs, p).get
+      val stage = graft.sources.Snapshot.stagePath(p, s"d${cur + 1}-merge")
+      @volatile var racerErr: Option[Throwable] = None
+      val racer = new Thread(() => {
+        try {
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (!fs.exists(stage) && System.nanoTime() < deadline)
+            Thread.sleep(1)
+          // the merge has read v-cur and is writing its staged data:
+          // claim cur+1 first (carried members only — a metadata-only
+          // competing commit)
+          val carried = graft.sources.Snapshot.members(fs, p, cur)
+          graft.sources.Snapshot.commit(fs, conf, p, carried, base = cur)
+          ()
+        } catch { case t: Throwable => racerErr = Some(t) }
+      })
+      racer.start()
+      val out =
+        try {
+          if (retrying)
+            graft.sources.Lake.mergeIntoRetrying(spark, dir,
+              (51L to 60L).map(i => (i, s"new$i", 2L, false))
+                .toDF("k", "v", "ver", "is_delete"),
+              Seq("k"), Seq("ver"), Some(col("is_delete")))
+          else
+            graft.sources.Lake.mergeInto(spark, dir,
+              (51L to 60L).map(i => (i, s"new$i", 2L, false))
+                .toDF("k", "v", "ver", "is_delete"),
+              Seq("k"), Seq("ver"), Some(col("is_delete")))
+          None
+        } catch { case t: Throwable => Some(t) }
+      racer.join(60000)
+      (out, racerErr)
+    }
+    def isConflict(t: Option[Throwable]) = t.exists(
+      _.isInstanceOf[graft.sources.Snapshot.ConcurrentCommitException])
+    val base = TestSpark.tmpDir("merge-race")
+    // leg 1: whoever loses the claim loses LOUDLY — never silently.
+    // Timing decides WHICH side loses; if the racer lost (it polled
+    // too slowly), re-run on a fresh dir until the merge is the loser
+    // (bounded — the racer's ms-scale commit beats the merge's write
+    // in practice).
+    var mergeLost = false
+    var tries = 0
+    while (!mergeLost && tries < 5) {
+      tries += 1
+      val (m, r) = runScenario(s"$base/plain$tries", retrying = false)
+      (m, r) match {
+        case (m0, None) if isConflict(m0) => mergeLost = true
+        case (None, r0) if isConflict(r0) => () // racer lost loudly: retry
+        case other => fail(s"unexpected outcome pair: $other")
+      }
+    }
+    assert(mergeLost,
+      "merge never lost the claim in 5 interleaves (racer too slow?)")
+    // leg 2: the retrying merge rebases and lands BOTH writers' state
+    // (again tolerate the racer losing loudly — the merge's own path
+    // is conflict-free in that interleave and still must land)
+    val (m2, r2) = runScenario(s"$base/retry", retrying = true)
+    assert(m2.isEmpty, s"retrying merge failed: $m2")
+    assert(r2.isEmpty || isConflict(r2), s"racer failed oddly: $r2")
+    val got = graft.sources.Lake.readStore(spark, s"$base/retry")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+    assert(got.size == 60 && got(1L) == "seed1" && got(60L) == "new60",
+      s"rebased merge lost rows: ${got.size}")
+  }
+
   test("PublishSet: concurrent publish loses loudly at the claim; strand recovery; vacuumManifests honors pins; torn pubtag is loud") {
     import org.apache.hadoop.fs.Path
     val base = TestSpark.tmpDir("pub-mw")

@@ -140,7 +140,14 @@ class RagPipelineSpec extends AnyFunSuite {
       assert(PublishSet.currentVersion(fs, dir).contains(2L),
         "unmarked future manifest became visible")
       assert(PublishSet.resolve(fs, dir).get == Map("a" -> 4L, "b" -> 7L))
-      // the next publish overwrites the strand at the same version
+      // round 12: a strand is a CLAIM now (create-fails-if-exists) —
+      // the next publish loses to it LOUDLY instead of overwriting (a
+      // live racer's claim must never be erased); restart recovery
+      // reclaims it explicitly, then the publish lands
+      intercept[Snapshot.ConcurrentCommitException] {
+        PublishSet.publish(fs, conf, dir, Map("a" -> 5L, "b" -> 8L))
+      }
+      assert(PublishSet.recoverStrandedClaim(fs, dir))
       assert(PublishSet.publish(fs, conf, dir, Map("a" -> 5L, "b" -> 8L)) == 3L)
       assert(PublishSet.resolve(fs, dir).get == Map("a" -> 5L, "b" -> 8L))
       // time travel across both modes
