@@ -2078,7 +2078,111 @@ object MiningQueries {
       .transform(Det.emit(_, "rule_id"))
   }
 
+  /** q240: SPEARMAN rank-correlation drift between document length
+    * and whitespace-token count per source (round 20 — the monotone-
+    * association member of the drift family: q214's Pearson matrix is
+    * LINEAR association on raw values, outlier-dominated; q228's
+    * Mann-Whitney compares two samples; Spearman audits IN-SAMPLE
+    * monotone consistency — a source whose chars-vs-tokens RANK
+    * relationship degrades has changed composition (code vs prose vs
+    * boilerplate tables), whatever the marginal scales do): ρ is
+    * Pearson over 2·midranks — 2·midrank = 2·(cum − c) + c + 1 is an
+    * EXACT INTEGER though the midrank itself is k+½ (the q228 trick)
+    * — built from value-grain prefix sums over the BOUNDED
+    * (source, length) frame (the q238 discipline: document lengths
+    * are capped by construction at any corpus scale, so the window
+    * never sees a data-sized partition). All five moments accumulate
+    * in decimal(38,0): 2r ≤ 2n so Σ(2r)² ≤ 4n³ and num/den stay
+    * exact to n ≈ 2.9e12 docs per source — documented bound, far past
+    * any real source. ONE division over a sqrt of exact integer
+    * operands at display, op order mirrored token-for-token in the
+    * oracle (HUGEINT ≡ decimal(38,0) on this range) → r6e. Degenerate
+    * sources (a constant column ⇒ zero rank variance) emit ρ = 0 by
+    * explicit guard in BOTH engines, never NaN. Scale: two
+    * (source, value)-keyed grain aggregates + joins back on the same
+    * keys (co-partitioned), one source-grain rollup; nothing
+    * broadcasts but the emit. */
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dm(c: Column) = c.cast(dec)
+    val base = docs(s, d).select(col("source"),
+      col("n_chars").as("x"),
+      expr(s"size($TOKS)").cast("long").as("y"))
+    def ranks2(v: String): DataFrame = {
+      val g = base.groupBy(col("source"), col(v))
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("source").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum", sum("c").over(wc))
+        .select(col("source"), col(v),
+          (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
+            .as(s"r2$v"))
+    }
+    val withR = base
+      .join(ranks2("x"), Seq("source", "x"))
+      .join(ranks2("y"), Seq("source", "y"))
+    val m = withR.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(dm(col("r2x"))).as("sx"), sum(dm(col("r2y"))).as("sy"),
+      sum(dm(col("r2x")) * dm(col("r2x"))).as("sxx"),
+      sum(dm(col("r2y")) * dm(col("r2y"))).as("syy"),
+      sum(dm(col("r2x")) * dm(col("r2y"))).as("sxy"))
+    val n = dm(col("n_docs"))
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val denx = n * col("sxx") - col("sx") * col("sx")
+    val deny = n * col("syy") - col("sy") * col("sy")
+    m.select(col("source"), col("n_docs"),
+      Det.r6e(when(denx > 0 && deny > 0,
+        num.cast("double") /
+          sqrt(denx.cast("double") * deny.cast("double")))
+        .otherwise(lit(0.0))).as("rho"))
+      .transform(Det.emit(_, "source"))
+  }
+
+  /** q241: PII / leak-risk SCREEN per source (round 20 — the redaction
+    * gate every training-data pipeline runs before release, and the
+    * audit q194's declared rules don't cover because the signal is
+    * pattern-shaped, not range-shaped): per source, documents and
+    * total hits for three engine-portable pattern classes — email
+    * addresses, long digit runs (7+, the phone/account/SSN superclass:
+    * the RECALL-side screen a pipeline triages before a typed
+    * extractor), and URLs — plus the affected-document share. The
+    * fixture corpus is expected near-clean; like q222's flat Benford
+    * profile, the zeros ARE the point (the screen proves absence). The
+    * regexes stay inside the portable class (character classes +
+    * greedy counted/unbounded quantifiers, no backrefs, no
+    * lookaround), where Java regex (Spark) and RE2 (DuckDB) produce
+    * identical non-overlapping leftmost-greedy match sets — documented
+    * constraint, not an accident. Scale: pure map-side regexp_count
+    * over the doc scan + one source-grain rollup; the dense 3-class
+    * emission is #sources × 3 rows. */
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    // NO backslashes anywhere: Spark's SQL literal parser strips
+    // unrecognized escapes (`'\.'` reaches the regex as any-char `.`)
+    // while DuckDB passes them through — `[.]` is the literal dot
+    // both engines agree on
+    val pats = Seq(
+      ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"),
+      ("digit_run7", "[0-9]{7,}"),
+      ("url", "https?://[^ ]+"))
+    pats.map { case (cls, re) =>
+      docs(s, d).select(col("source"),
+        expr(s"regexp_count(text, '$re')").cast("long").as("hits"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_affected"),
+          sum("hits").as("n_hits"))
+        .select(col("source"), lit(cls).as("pii_class"), col("n_docs"),
+          col("n_affected"), col("n_hits"),
+          Det.r6e(col("n_affected").cast("double") /
+            col("n_docs").cast("double")).as("affected_share"))
+    }.reduce(_ unionByName _)
+      .transform(Det.emit(_, "source", "pii_class"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_spearman_drift" -> q240,
+    "q241_pii_screen" -> q241,
     "q119_stratified_sample" -> q119,
     "q192_dsir_weights" -> q192,
     "q194_expectations_report" -> q194,
@@ -2192,6 +2296,81 @@ object MiningQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q240: the identical 2·midrank construction and moment arithmetic
+    // (HUGEINT ≡ decimal(38,0) on this range), op order mirrored
+    "q240_spearman_drift" ->
+      s"""WITH b AS (SELECT source, n_chars AS x,
+                            CAST(len($TS) AS BIGINT) AS y
+                     FROM documents),
+          gx AS (SELECT source, x, CAST(count(1) AS BIGINT) AS c
+                 FROM b GROUP BY 1, 2),
+          rx AS (SELECT source, x,
+                        2 * (CAST(sum(c) OVER (PARTITION BY source
+                               ORDER BY x ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS BIGINT)
+                             - c) + c + 1 AS r2x
+                 FROM gx),
+          gy AS (SELECT source, y, CAST(count(1) AS BIGINT) AS c
+                 FROM b GROUP BY 1, 2),
+          ry AS (SELECT source, y,
+                        2 * (CAST(sum(c) OVER (PARTITION BY source
+                               ORDER BY y ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS BIGINT)
+                             - c) + c + 1 AS r2y
+                 FROM gy),
+          j AS (SELECT b.source AS source, r2x, r2y
+                FROM b
+                JOIN rx ON b.source = rx.source AND b.x = rx.x
+                JOIN ry ON b.source = ry.source AND b.y = ry.y),
+          m AS (SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+                       sum(CAST(r2x AS HUGEINT)) AS sx,
+                       sum(CAST(r2y AS HUGEINT)) AS sy,
+                       sum(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT))
+                         AS sxx,
+                       sum(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT))
+                         AS syy,
+                       sum(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT))
+                         AS sxy
+                FROM j GROUP BY source)
+          SELECT source, n_docs,
+                 CASE WHEN CAST(n_docs AS HUGEINT) * sxx - sx * sx > 0
+                       AND CAST(n_docs AS HUGEINT) * syy - sy * sy > 0
+                 THEN round(
+                   CAST(CAST(n_docs AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                   / sqrt(
+                     CAST(CAST(n_docs AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                     * CAST(CAST(n_docs AS HUGEINT) * syy - sy * sy
+                         AS DOUBLE)) + ${Det.E6}, 6)
+                 ELSE 0.0 END AS rho
+          FROM m ORDER BY source""",
+    // q241: the same three portable regexes (no backslash escapes —
+    // both engines receive the identical pattern text)
+    "q241_pii_screen" ->
+      s"""WITH h AS (
+             SELECT source, 'email' AS cls,
+                    CAST(len(regexp_extract_all(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
+                      AS BIGINT) AS hits
+             FROM documents
+             UNION ALL
+             SELECT source, 'digit_run7' AS cls,
+                    CAST(len(regexp_extract_all(text, '[0-9]{7,}'))
+                      AS BIGINT) AS hits
+             FROM documents
+             UNION ALL
+             SELECT source, 'url' AS cls,
+                    CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+                      AS BIGINT) AS hits
+             FROM documents)
+          SELECT source, cls AS pii_class,
+                 CAST(count(1) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_affected,
+                 CAST(sum(hits) AS BIGINT) AS n_hits,
+                 round(CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                         AS DOUBLE) / CAST(count(1) AS DOUBLE)
+                       + ${Det.E6}, 6) AS affected_share
+          FROM h GROUP BY 1, 2 ORDER BY source, pii_class""",
     "q200_psi_drift" ->
       """WITH o AS (SELECT o_totalprice AS p,
                            o_orderdate < TIMESTAMP '1998-01-01' AS isref

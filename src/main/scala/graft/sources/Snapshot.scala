@@ -493,11 +493,22 @@ object Snapshot {
         .filter(p => p.getName.matches("d\\d+-.*") &&
           !referenced.contains(p.getName))
         .foreach(fs.delete(_, true))
-      // stranded hidden stage dirs from crashed attempts (vacuum runs
-      // in the single writer between its own commits, so no live
-      // staging can be racing it)
+      // stranded hidden stage dirs from crashed attempts — but ONLY
+      // those targeting an ALREADY-COMMITTED version (d<k>-* with
+      // k <= current): a stage named d<current+1>-* may be another
+      // writer's LIVE in-flight staging (round 12 — the model-based
+      // interleaving property caught vacuum deleting a concurrent
+      // writer's staging out from under it; a stage at k <= cur is
+      // definitionally dead, its commit lost the claim for k). The
+      // deferred strand (a crashed cur+1 attempt) is reclaimed by the
+      // next writer's stageDirName, or by the vacuum after the next
+      // commit advances past it.
+      val StageRe = "_stage\\.d(\\d+)-.*".r
       st.map(_.getPath)
-        .filter(_.getName.matches("_stage\\.d\\d+-.*"))
+        .filter(p => p.getName match {
+          case StageRe(k) => k.toLong <= cur
+          case _ => false
+        })
         .foreach(fs.delete(_, true))
       // stranded rename tmps from crashed tag writes and crashed
       // manifest claims: readers already ignore them (tags() filters

@@ -1127,6 +1127,67 @@ object AlgebraProps extends Properties("graft.algebra") {
       }
     }
 
+  // ---- snapshot claim protocol: model-based interleaving check ---------
+
+  property("snapshot claim protocol: arbitrary two-writer interleavings never lose a committed version or publish a broken one") =
+    forAll(Gen.listOfN(24, Gen.choose(0, 5))) { steps =>
+      // a MODEL run over a real local store: two writers, each step
+      // one protocol action (stage / commit / vacuum), sequenced in an
+      // arbitrary interleaving. Data dirs are empty mkdirs — Snapshot
+      // never reads content, so the protocol state machine is fully
+      // exercised without a single Spark job. Invariants after EVERY
+      // step: (1) the current version's members all exist on disk
+      // (vacuum/recovery never break the served snapshot), (2) commit
+      // returns strictly increasing, duplicate-free versions (the
+      // claim serializes), (3) a loser always loses LOUDLY
+      // (ConcurrentCommitException), never by silent absorption.
+      import org.apache.hadoop.fs.Path
+      import graft.sources.Snapshot
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dir = new Path(TestSpark.tmpDir("snap-model") + "/s")
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      // writer state: staged (name, base) awaiting commit
+      val staged = Array[Option[(String, Long)]](None, None)
+      val roles = Array("wa", "wb")
+      var committed = Vector.empty[Long]
+      var ok = true
+      steps.foreach { s =>
+        val w = s % 2
+        (s / 2) match {
+          case 0 => // STAGE: resolve base, claim-sweep, mkdir hidden
+            val base = Snapshot.currentVersion(fs, dir).getOrElse(0L)
+            val name = Snapshot.stageDirName(fs, dir, roles(w))
+            fs.mkdirs(Snapshot.stagePath(dir, name))
+            staged(w) = Some((name, base))
+          case 1 => // COMMIT: carried members at base + the staged dir
+            staged(w).foreach { case (name, base) =>
+              try {
+                val carried =
+                  if (base == 0L) Nil
+                  else Snapshot.members(fs, dir, base)
+                val v = Snapshot.commit(fs, conf, dir, carried :+ name,
+                  base = base)
+                committed :+= v
+              } catch {
+                case _: Snapshot.ConcurrentCommitException => () // loud loss: re-stage later
+                case _: java.io.FileNotFoundException => () // base vacuumed away: loud too
+              }
+              staged(w) = None
+            }
+          case 2 => Snapshot.vacuum(fs, dir, keep = 2)
+        }
+        // invariant (1): the served snapshot is never broken
+        Snapshot.currentVersion(fs, dir).foreach { v =>
+          ok &= Snapshot.members(fs, dir, v)
+            .forall(m => fs.exists(new Path(dir, m)))
+        }
+      }
+      // invariants (2): strictly increasing, no duplicates — the claim
+      // admitted each version exactly once
+      ok && committed == committed.sorted && committed.distinct == committed
+    }
+
   // ---- q179 BPE apply: the rank-order lemma ----------------------------
 
   /** Reference GPT-2 encode loop: repeatedly merge all left-to-right
