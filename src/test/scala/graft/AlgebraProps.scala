@@ -1188,6 +1188,63 @@ object AlgebraProps extends Properties("graft.algebra") {
       ok && committed == committed.sorted && committed.distinct == committed
     }
 
+  property("publish-set claim protocol: arbitrary publisher/vacuum/tag interleavings keep every resolvable version parseable and monotone") =
+    forAll(Gen.listOfN(20, Gen.choose(0, 7))) { steps =>
+      // same model style as the snapshot property, one level up: two
+      // publishers race publish(); recovery, manifest vacuum, and a
+      // composed pin interleave arbitrarily. Invariants after EVERY
+      // step: current resolves to a parseable member map; the current
+      // version's manifest is NEVER vacuumed; published versions from
+      // publish() are strictly increasing and duplicate-free; a tag
+      // pin resolves for as long as the tag exists.
+      import org.apache.hadoop.fs.Path
+      import graft.sources.PublishSet
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dir = new Path(TestSpark.tmpDir("pub-model") + "/p")
+      val fs = dir.getFileSystem(conf)
+      var published = Vector.empty[Long]
+      var pinned: Option[Long] = None
+      var ok = true
+      steps.zipWithIndex.foreach { case (s, i) =>
+        s match {
+          case 0 | 1 => // publish (two "publishers" — same fs path)
+            try published :+= PublishSet.publish(fs, conf, dir,
+              Map("a" -> (i + 1).toLong, "b" -> 7L))
+            catch {
+              case _: graft.sources.Snapshot.ConcurrentCommitException => ()
+            }
+          case 2 => // a crashed claim strands the next manifest
+            val strand = new Path(dir,
+              s"_pub_v${PublishSet.currentVersion(fs, dir).getOrElse(0L) + 1}.list")
+            fs.mkdirs(dir)
+            if (!fs.exists(strand)) {
+              val out = fs.create(strand, false)
+              out.write("a=99".getBytes("UTF-8")); out.close()
+            }
+          case 3 => PublishSet.recoverStrandedClaim(fs, dir); ()
+          case 4 | 5 => PublishSet.vacuumManifests(fs, dir, keep = 2)
+          case 6 => // pin the current publish with a raw pubtag
+            PublishSet.currentVersion(fs, dir).foreach { v =>
+              val out = fs.create(new Path(dir, "_pubtag.pin"), true)
+              out.write(v.toString.getBytes("UTF-8")); out.close()
+              pinned = Some(v)
+            }
+          case 7 => // release the pin
+            fs.delete(new Path(dir, "_pubtag.pin"), false)
+            pinned = None
+        }
+        PublishSet.currentVersion(fs, dir).foreach { v =>
+          val m = PublishSet.resolveAt(fs, dir, v) // throws if broken
+          ok &= m.contains("b")
+        }
+        pinned.foreach { v =>
+          ok &= PublishSet.resolveAt(fs, dir, v).contains("b")
+        }
+      }
+      ok && published == published.sorted &&
+        published.distinct == published
+    }
+
   // ---- q179 BPE apply: the rank-order lemma ----------------------------
 
   /** Reference GPT-2 encode loop: repeatedly merge all left-to-right
