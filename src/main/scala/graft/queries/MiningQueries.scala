@@ -2180,9 +2180,73 @@ object MiningQueries {
       .transform(Det.emit(_, "source", "pii_class"))
   }
 
+  /** q242: CROSS-SOURCE VOCABULARY OVERLAP (round 20 — the
+    * source-redundancy audit a mixture planner reads beside q229's
+    * concentration and q176's weights: two sources whose
+    * characteristic vocabularies coincide contribute near-duplicate
+    * distribution mass even when their documents never collide in
+    * q107's trigram decontamination or q86's MinHash — the overlap is
+    * DISTRIBUTIONAL, not textual): per source pair, the Jaccard of
+    * their top-300 token sets (ranked c desc, token asc — a total
+    * order, so the set is deterministic on any engine) plus both set
+    * sizes. Emission is SPARSE by construction (pairs sharing ≥ 1 top
+    * token — the q87 candidate-pair convention; an absent pair reads
+    * as zero overlap). Scale: the (source, token) aggregate shuffles
+    * on the token-keyed grain; everything after operates on the
+    * BOUNDED #sources×300 top frame — the pair join is top⋈top on the
+    * token key, never corpus-sized. */
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("source"), explode(expr(TOKS)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val top = TopK.perGroup(tok, Seq("source"),
+        Seq(col("c").desc, col("w").asc), k = 300)
+      .select(col("source"), col("w"))
+    val sz = top.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = top.select(col("source").as("src_a"), col("w"))
+      .join(top.select(col("source").as("src_b"), col("w")), Seq("w"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sz.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sz.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("na"), col("nb"),
+        Det.r6e(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .transform(Det.emit(_, "src_a", "src_b"))
+  }
+
+  /** q243: LANGUAGE-MIX entropy per source (round 20 — the mixture
+    * audit beside q242's vocabulary overlap: a "source" that is
+    * secretly a multilingual crawl behaves differently under q159's
+    * language balancing than a monolingual one, and the Shannon
+    * entropy of its language shares is the single-number summary;
+    * corpus_audit computes shares per RUN — this is the per-source
+    * oracle-checked key): H = ln(n) − (Σ c·ln c)/n over the bounded
+    * (source, lang) frame (the q135 one-pass identity — no per-lang
+    * probability column materializes), plus the dominant-language
+    * share. Scale: one doc scan to the (source, lang) cell grain,
+    * one source rollup; float sums over the bounded lang frame →
+    * r6e (the q207 class). */
+  private def q243(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(
+        sum("c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        Det.r6e(log(sum("c")) - sum(col("c").cast("double") *
+          log(col("c"))) / sum("c")).as("lang_entropy"),
+        Det.r6e(max("c").cast("double") / sum("c").cast("double"))
+          .as("top_lang_share"))
+      .transform(Det.emit(_, "source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q240_spearman_drift" -> q240,
     "q241_pii_screen" -> q241,
+    "q242_vocab_overlap" -> q242,
+    "q243_lang_entropy" -> q243,
     "q119_stratified_sample" -> q119,
     "q192_dsir_weights" -> q192,
     "q194_expectations_report" -> q194,
@@ -2343,6 +2407,46 @@ object MiningQueries {
                          AS DOUBLE)) + ${Det.E6}, 6)
                  ELSE 0.0 END AS rho
           FROM m ORDER BY source""",
+    // q242: identical top-300 total order (c DESC, w ASC) both sides
+    "q242_vocab_overlap" ->
+      s"""WITH t AS (SELECT source, w, CAST(count(1) AS BIGINT) AS c
+                     FROM (SELECT source, unnest($TS) AS w
+                           FROM documents)
+                     GROUP BY 1, 2),
+          top AS (SELECT source, w FROM (
+                    SELECT source, w,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY c DESC, w ASC) AS rn
+                    FROM t)
+                  WHERE rn <= 300),
+          sz AS (SELECT source, CAST(count(1) AS BIGINT) AS n
+                 FROM top GROUP BY 1),
+          p AS (SELECT a.source AS src_a, b.source AS src_b,
+                       CAST(count(1) AS BIGINT) AS n_shared
+                FROM top a JOIN top b
+                  ON a.w = b.w AND a.source < b.source
+                GROUP BY 1, 2)
+          SELECT src_a, src_b, n_shared,
+                 sa.n AS na, sb.n AS nb,
+                 round(CAST(n_shared AS DOUBLE)
+                       / CAST(sa.n + sb.n - n_shared AS DOUBLE)
+                       + ${Det.E6}, 6) AS jaccard
+          FROM p
+          JOIN sz sa ON p.src_a = sa.source
+          JOIN sz sb ON p.src_b = sb.source
+          ORDER BY src_a, src_b""",
+    // q243: the q135 one-pass entropy identity at the source grain
+    "q243_lang_entropy" ->
+      s"""WITH g AS (SELECT source, lang, CAST(count(1) AS BIGINT) AS c
+                     FROM documents GROUP BY 1, 2)
+          SELECT source,
+                 CAST(sum(c) AS BIGINT) AS n_docs,
+                 CAST(count(1) AS BIGINT) AS n_langs,
+                 round(ln(sum(c)) - sum(CAST(c AS DOUBLE) * ln(c))
+                         / sum(c) + ${Det.E6}, 6) AS lang_entropy,
+                 round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                       + ${Det.E6}, 6) AS top_lang_share
+          FROM g GROUP BY source ORDER BY source""",
     // q241: the same three portable regexes (no backslash escapes —
     // both engines receive the identical pattern text)
     "q241_pii_screen" ->
