@@ -596,10 +596,17 @@ object EventTimeQueries {
     * long does a user stay active?" with RIGHT-CENSORING — users
     * still active when observation ends must not count as churned —
     * is the product-limit estimator's job, the standard lifetime
-    * readout): per user, lifetime = last-active − first-active in
-    * days; censored iff last activity falls within 7 days of the
-    * observation edge (a 7-day-quiet user is declared churned — the
-    * fixture knob). At each death time t: d = churns at exactly t,
+    * readout): per user, lifetime = last PURCHASE − first PURCHASE in
+    * days (round 13 — the activity signal is the revenue event, not
+    * any click: at every shipped SF some users' purchases stop well
+    * before their clicks do, so the oracle exercises real risk sets —
+    * the all-events lifetime was censored for EVERY fixture user and
+    * the KM fold only ever ran its empty branch, VERDICT r12 #6);
+    * censored iff the last purchase falls within 7 days of the
+    * observation edge = the last day ANY event was observed (the
+    * horizon is when the telescope stopped looking, not when this
+    * user's purchases stopped). At each death time t: d = churns at
+    * exactly t,
     * n = users with lifetime ≥ t (suffix count — total minus the
     * prefix, all integers over the BOUNDED lifetime-grain frame,
     * ≤ #calendar-days rows), and S(t) = Π(1 − d/n) computed as
@@ -613,10 +620,12 @@ object EventTimeQueries {
     * lifetime-grain rollup, windows over the bounded frame only. */
   private def q234(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day"))
-    val mx = ev.agg(max("day").as("dmax"))
-    val users = ev.groupBy("user_id")
+    val evAll = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+    val mx = evAll.agg(max("day").as("dmax"))
+    val users = evAll.where(col("event_type") === "purchase")
+      .groupBy("user_id")
       .agg(min("day").as("f"), max("day").as("l"))
       .crossJoin(broadcast(mx))
       .select(datediff(col("l"), col("f")).cast("long").as("t"),
@@ -649,7 +658,9 @@ object EventTimeQueries {
     * the log-rank question, the survival-analysis standard for
     * comparing censored lifetimes; cohort = user_id parity, q235's
     * declared assignment): same lifetime/censoring construction as
-    * q234, then at each pooled death time the hypergeometric
+    * q234 (purchase lifetimes, all-events observation edge — the
+    * round-13 derivation that gives the oracle real risk sets),
+    * then at each pooled death time the hypergeometric
     * expectation — O₁ = Σd₁ stays an EXACT integer; E₁ = Σ d·n₁/n
     * and V = Σ d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1) are float sums of
     * exact-rational terms over the BOUNDED lifetime frame (r6e
@@ -661,10 +672,12 @@ object EventTimeQueries {
     * over the bounded frame, a 1-row totals broadcast. */
   private def q237(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day"))
-    val mx = ev.agg(max("day").as("dmax"))
-    val users = ev.groupBy("user_id")
+    val evAll = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+    val mx = evAll.agg(max("day").as("dmax"))
+    val users = evAll.where(col("event_type") === "purchase")
+      .groupBy("user_id")
       .agg(min("day").as("f"), max("day").as("l"))
       .crossJoin(broadcast(mx))
       .select(datediff(col("l"), col("f")).cast("long").as("t"),
@@ -1210,8 +1223,8 @@ object EventTimeQueries {
     // exp to exact 0.0 in both engines.
     "q234_km_survival" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day
-                     FROM events),
-          mx AS (SELECT max(day) AS dmax FROM e),
+                     FROM events WHERE event_type = 'purchase'),
+          mx AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
           u AS (SELECT CAST(date_diff('day', min(day), max(day))
                          AS BIGINT) AS t,
                        (date_diff('day', max(day),
@@ -1243,8 +1256,8 @@ object EventTimeQueries {
     // sums of exact-rational terms over the bounded frame (r6e).
     "q237_logrank" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day
-                     FROM events),
-          mx AS (SELECT max(day) AS dmax FROM e),
+                     FROM events WHERE event_type = 'purchase'),
+          mx AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
           u AS (SELECT CAST(date_diff('day', min(day), max(day))
                          AS BIGINT) AS t,
                        (date_diff('day', max(day),

@@ -29,15 +29,12 @@ class OperatorSpec extends AnyFunSuite {
       if (n == 0) Some(name) else None
     }
     // candidate-pair queries may legitimately be empty at tiny SF; all
-    // others must produce rows. q234: every fixture user (at sf0.001
-    // AND sf0.01) stays active inside the 7-day censoring horizon, so
-    // there are no death times — an empty curve is the correct answer
-    // and the oracle parity at sf0.01 is empty-vs-empty. The POPULATED
-    // form (real deaths, the sentinel leg, the n=1 variance rule) is
-    // pinned by the brute-force parity test below
-    // ("q234/q237 brute-force parity...") — round-11 ADVICE.
-    val allowedEmpty = Set("q87_minhash_lsh_pairs", "q90_embed_neardup",
-      "q234_km_survival")
+    // others must produce rows. q234 is no longer allowed to be empty:
+    // round 13 derives lifetimes from PURCHASE events (observation
+    // edge still all-events), which yields real death rows at every
+    // shipped SF (1 / 9 / 55 at sf0.001/0.01/0.1) — the oracle now
+    // exercises the KM fold for real (VERDICT r12 #6).
+    val allowedEmpty = Set("q87_minhash_lsh_pairs", "q90_embed_neardup")
     assert(empties.forall(allowedEmpty.contains), s"unexpected empty: $empties")
   }
 
@@ -60,24 +57,40 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("q234/q237 brute-force parity on a fixture with real churn (KM fold, risk-set-emptying sentinel, hypergeometric V, n=1 rule)") {
-    // round-11 ADVICE: at every shipped SF the events fixture has no
-    // death times, so the KM ln/exp fold, the -1000 sentinel, and the
-    // log-rank E1/V arithmetic only ever ran their zeroed branches.
-    // This fixture (user -> active-day offsets; censor horizon 7 days
-    // before dmax = day 30) exercises every branch: deaths at four
+    // round-11 ADVICE (and r12 #6): the shipped-SF oracle now carries
+    // real death rows (purchase-derived lifetimes), but the sentinel
+    // and n=1 legs still need a crafted fixture. This one (user ->
+    // purchase-day offsets; censor horizon 7 days before the
+    // ALL-events dmax = day 32) exercises every branch: deaths at four
     // distinct lifetimes, a tied death, censored users interleaved,
-    // and a FINAL death that empties the risk set (n = d -> sentinel
-    // in q234, n = 1 -> zero-variance rule in q237).
+    // a clicks-only viewer excluded from the risk set, and a FINAL
+    // death that empties the risk set (n = d -> sentinel in q234,
+    // n = 1 -> zero-variance rule in q237).
     val users = Seq(
       1L -> Seq(0, 2), 2L -> Seq(0, 2), 3L -> Seq(1, 4), 4L -> Seq(0, 10),
       5L -> Seq(10, 26), 6L -> Seq(0, 23), 7L -> Seq(8, 30))
+    // round 13: lifetimes derive from PURCHASE events; the observation
+    // edge from ALL events. A clicks-only viewer (user 8, last click
+    // day 32) must (a) be EXCLUDED from the risk set and (b) still
+    // push the censoring horizon to day 32 — the flag pattern of the
+    // 7 purchase users is unchanged (l > 25 vs the old l > 23 split
+    // the same way on these lifetimes), so every hand-derived value
+    // below carries over verbatim.
+    val viewer = Seq(8L -> Seq(5, 32))
     val dir = TestSpark.tmpDir("km-parity")
-    users.flatMap { case (u, ds) => ds.map(d0 =>
-        (u, java.sql.Timestamp.valueOf(f"2024-03-${d0 + 1}%02d 12:00:00")))
-      }.toDF("user_id", "ts")
+    (users.flatMap { case (u, ds) => ds.map(d0 =>
+        (u, java.sql.Timestamp.valueOf(f"2024-03-01 12:00:00")
+           , d0, "purchase"))
+      } ++ viewer.flatMap { case (u, ds) => ds.map(d0 =>
+        (u, java.sql.Timestamp.valueOf(f"2024-03-01 12:00:00"), d0, "click"))
+      }).map { case (u, t0, d0, ty) =>
+        (u, new java.sql.Timestamp(t0.getTime + d0 * 86400000L), ty)
+      }.toDF("user_id", "ts", "event_type")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    // the reference fold, computed directly from the tuples
-    val dmax = users.flatMap(_._2).max
+    // the reference fold, computed directly from the tuples: horizon
+    // over ALL events (viewer included), lifetimes over purchases only
+    val dmax = (users ++ viewer).flatMap(_._2).max
+    assert(dmax == 32, "viewer must set the all-events observation edge")
     val lifes = users.map { case (u, ds) =>
       (ds.max - ds.min, (dmax - ds.max) < 7, u % 2) } // (t, censored, g)
     val deathTs = lifes.filterNot(_._2).map(_._1).distinct.sorted
