@@ -384,9 +384,23 @@ object Lake {
     // snapshots (and stop seeing those flats) in ONE pointer rename
     // base = the version the read set above resolved: a racer
     // committing in between fails THIS commit loudly (ConcurrentCommit,
-    // rebase-and-retry) instead of silently dropping the racer's rows
-    Snapshot.commit(fs, conf, target, Seq(stageName),
+    // rebase-and-retry) instead of silently dropping the racer's rows.
+    // On the LOSS, delete this attempt's change-feed staging before
+    // rethrowing (round-13 ADVICE): the racer's commit makes nextV ≤
+    // the new current, so the strand-reconciliation rule above
+    // ("publish iff k ≤ current") would otherwise publish THIS loser's
+    // stale-snapshot diff on the very next call — the retry inside
+    // mergeIntoRetrying included — feeding incremental consumers a
+    // phantom batch that never corresponded to a committed transition.
+    // At this point the strand is KNOWN-uncommitted (the claim failed
+    // before anything was published), so the delete is always safe.
+    try Snapshot.commit(fs, conf, target, Seq(stageName),
       consumed = liveFlats.map(_.getName), base = curV.getOrElse(0L))
+    catch {
+      case e: Snapshot.ConcurrentCommitException =>
+        if (fs.exists(cdfStage)) fs.delete(cdfStage, true)
+        throw e
+    }
     changeDir.foreach { cd =>
       if (fs.exists(cdfStage)) publishCdf(fs, cdfStage, cd)
     }

@@ -638,6 +638,94 @@ class OperatorSpec extends AnyFunSuite {
       s"rebased merge lost rows: ${got.size}")
   }
 
+  test("losing merge deletes its change-feed staging: no phantom CDC batch reaches the feed (round-13 ADVICE)") {
+    import org.apache.hadoop.fs.Path
+    // the round-12 gap: a merge that LOSES the commit claim had
+    // already written `_cdf_v<next>`; the racer's win makes next ≤
+    // current, so the next call's strand-reconciliation rule
+    // ("publish iff k ≤ current") would publish the LOSER's
+    // stale-snapshot diff under a fresh merge= id — a phantom batch
+    // incremental consumers would apply twice. The fix deletes the
+    // staging inside the ConcurrentCommitException path, where it is
+    // known-uncommitted.
+    val conf = spark.sparkContext.hadoopConfiguration
+    def runOnce(dir: String, feed: String): Boolean = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      graft.sources.Lake.mergeInto(spark, dir,
+        (1L to 50L).map(i => (i, s"seed$i", 1L, false))
+          .toDF("k", "v", "ver", "is_delete"),
+        Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = Some(feed))
+      val cur = graft.sources.Snapshot.currentVersion(fs, p).get
+      val stage = graft.sources.Snapshot.stagePath(p, s"d${cur + 1}-merge")
+      @volatile var racerErr: Option[Throwable] = None
+      val racer = new Thread(() => {
+        try {
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (!fs.exists(stage) && System.nanoTime() < deadline)
+            Thread.sleep(1)
+          val carried = graft.sources.Snapshot.members(fs, p, cur)
+          graft.sources.Snapshot.commit(fs, conf, p, carried, base = cur)
+          ()
+        } catch { case t: Throwable => racerErr = Some(t) }
+      })
+      racer.start()
+      val out =
+        try {
+          graft.sources.Lake.mergeInto(spark, dir,
+            (51L to 60L).map(i => (i, s"new$i", 2L, false))
+              .toDF("k", "v", "ver", "is_delete"),
+            Seq("k"), Seq("ver"), Some(col("is_delete")),
+            changeDir = Some(feed))
+          None
+        } catch { case t: Throwable => Some(t) }
+      racer.join(60000)
+      val mergeLost = out.exists(
+        _.isInstanceOf[graft.sources.Snapshot.ConcurrentCommitException])
+      if (!mergeLost) {
+        assert(out.isEmpty, s"merge failed non-loudly: $out")
+        return false // racer lost this interleave — try a fresh dir
+      }
+      // THE regression assertions, at the exact post-loss state:
+      // (1) the loser's change-feed staging is GONE from the store
+      assert(fs.listStatus(p).map(_.getPath.getName)
+          .filterNot(_.startsWith("_cdf_v")).nonEmpty) // listing sanity
+      assert(!fs.listStatus(p).exists(_.getPath.getName.startsWith("_cdf_v")),
+        "losing merge left its _cdf_v staging behind")
+      // (2) the feed still holds ONLY the seed batch
+      val fd = new Path(feed)
+      assert(fs.listStatus(fd).map(_.getPath.getName)
+          .count(_.startsWith("merge=")) == 1,
+        "a phantom feed entry was published at the loss")
+      // (3) the rebase (re-running the merge, per the documented retry
+      // rule) publishes exactly one NEW diff, computed on the new base
+      graft.sources.Lake.mergeInto(spark, dir,
+        (51L to 60L).map(i => (i, s"new$i", 2L, false))
+          .toDF("k", "v", "ver", "is_delete"),
+        Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = Some(feed))
+      val entries = fs.listStatus(fd).map(_.getPath.getName)
+        .filter(_.startsWith("merge=")).sorted
+      assert(entries.toSeq == Seq("merge=0", "merge=1"),
+        s"feed entries after rebase: ${entries.toSeq}")
+      val inserts = spark.read.option("basePath", feed)
+        .parquet(s"$feed/merge=0", s"$feed/merge=1")
+        .where(col("_op") === "insert")
+        .groupBy("k").count().collect()
+      assert(inserts.length == 60 && inserts.forall(_.getAs[Long]("count") == 1L),
+        "the feed double-applied a batch: some key inserted twice")
+      true
+    }
+    val base = TestSpark.tmpDir("cdf-race")
+    var done = false
+    var tries = 0
+    while (!done && tries < 5) {
+      tries += 1
+      done = runOnce(s"$base/t$tries", s"$base/t$tries-feed")
+    }
+    assert(done,
+      "merge never lost the claim in 5 interleaves (racer too slow?)")
+  }
+
   test("PublishSet: concurrent publish loses loudly at the claim; strand recovery; vacuumManifests honors pins; torn pubtag is loud") {
     import org.apache.hadoop.fs.Path
     val base = TestSpark.tmpDir("pub-mw")
