@@ -143,13 +143,20 @@ object CorpusAudit {
     val dir = new Path(store)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = dir.getFileSystem(conf)
-    val prevHist = Snapshot.currentVersion(fs, dir).map { pv =>
-      val histName = Snapshot.members(fs, dir, pv)
-        .find(_.endsWith("-hist"))
-        .getOrElse(sys.error(s"audit store $store v$pv has no -hist member"))
-      spark.read.parquet(new Path(dir, histName).toString)
-    }
+    // resolve the commit base FIRST and read prevHist from that same
+    // version (round-13 ADVICE: re-reading currentVersion after the
+    // members() resolution let a racer commit in between — the CAS
+    // would then pass while the drift section was computed against a
+    // stale previous histogram, the lost-update window `base` closes)
     val baseV = Snapshot.currentVersion(fs, dir).getOrElse(0L)
+    val prevHist =
+      if (baseV == 0L) None
+      else {
+        val histName = Snapshot.members(fs, dir, baseV)
+          .find(_.endsWith("-hist"))
+          .getOrElse(sys.error(s"audit store $store v$baseV has no -hist member"))
+        Some(spark.read.parquet(new Path(dir, histName).toString))
+      }
     val reportName = Snapshot.stageDirName(fs, dir, "report")
     val histName = Snapshot.stageDirName(fs, dir, "hist")
     buildReport(docs, prevHist)

@@ -132,7 +132,16 @@ object LakeOps {
     * day merged but the view not yet refreshed) leaves the previous
     * manifest current, so [[readPublishedDay]]/[[readPublishedView]]
     * keep serving the previous consistent night — lake and view move
-    * together or not at all. Returns the published version. */
+    * together or not at all.
+    *
+    * Crash recovery: a death inside `PublishSet.publish` (after its
+    * claim, before its pointer/marker) strands the claim; re-running
+    * this wrapper self-heals once the strand ages past
+    * `Snapshot.DefaultClaimGraceMs` (publish's own sweep). Restarting
+    * SOONER: call `PublishSet.recoverStrandedClaim(fs, pubDir)` first
+    * — explicitly, from the restart path only, never on a schedule
+    * (beside a live publisher it would erase a live claim and break
+    * readers). Returns the published version. */
   def publishNightly(spark: SparkSession, pubDir: String, lake: String,
       viewDir: Option[String] = None): Long = {
     import graft.sources.{PublishSet, Snapshot}

@@ -125,7 +125,12 @@ object RagPipeline {
     * [[lexicalDocRanksPublished]] keeps serving the previous
     * CONSISTENT pair — never a fresh index against a stale view's
     * N/avgdl (the torn-state window the unpublished path has).
-    * Returns the published version. */
+    * Crash recovery: a death inside the publish step strands its
+    * claim; re-running self-heals after `Snapshot.DefaultClaimGraceMs`
+    * (publish's age-gated sweep), or call
+    * `PublishSet.recoverStrandedClaim` from the restart path to
+    * recover immediately (restart only — beside a live publisher it
+    * erases a live claim). Returns the published version. */
   def refreshIndexPublished(spark: SparkSession, idxDir: String,
       dlDir: String, cdfDir: String, pubDir: String,
       idCol: String): Long = {

@@ -71,9 +71,14 @@ object PublishSet {
     * members too) and publish the fresh map — manifests are
     * independent, so no staged state needs discarding here. A crash
     * between the claim and the pointer/marker strands only an
-    * unreferenced list file; the next publish attempt deletes it
-    * (under the same primary-publisher recovery contract as
-    * `Snapshot.stageDirName`). Returns the published version. */
+    * unreferenced list file; publish reclaims it here once it ages
+    * past `Snapshot.DefaultClaimGraceMs` (round-13: a publisher crash
+    * previously blocked EVERY future publish until a manual
+    * `recoverStrandedClaim` — an operational deadlock; the age gate
+    * restores self-healing without reopening the live-claim erasure,
+    * since a live racer's claim→publish window is milliseconds).
+    * A restart inside the grace window calls `recoverStrandedClaim`
+    * explicitly. Returns the published version. */
   def publish(fs: FileSystem, conf: Configuration, dir: Path,
       members: Map[String, Long]): Long = {
     require(members.nonEmpty, "PublishSet.publish: empty member set")
@@ -82,6 +87,11 @@ object PublishSet {
     fs.mkdirs(dir)
     val next = currentVersion(fs, dir).getOrElse(0L) + 1L
     val manifest = listFile(dir, next)
+    if (fs.exists(manifest) &&
+        System.currentTimeMillis() -
+          fs.getFileStatus(manifest).getModificationTime >
+          Snapshot.DefaultClaimGraceMs)
+      fs.delete(manifest, false)
     val body = members.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }.mkString("\n")
     val marker = conf.getBoolean(Snapshot.MarkerCommitKey, false)
@@ -116,16 +126,22 @@ object PublishSet {
     next
   }
 
-  /** Crash recovery under the primary-publisher contract: a death
-    * between the manifest claim and the pointer/marker strands
-    * `_pub_v<current+1>.list`, which the create-fails-if-exists claim
-    * would otherwise block forever. This deletes exactly that strand
-    * (never a published manifest — anything ≤ current is committed
-    * history). Deliberately NOT called inside `publish`: auto-deleting
-    * there would let a racer erase a LIVE claim and reopen the silent
-    * last-writer-wins hole the claim closes. The caller invokes it on
-    * restart-after-crash, where the single-publisher contract
-    * guarantees no live claim exists. */
+  /** Crash recovery under the primary-publisher contract, the
+    * IMMEDIATE form (publish's own age-gated sweep is the eventual
+    * one): a death between the manifest claim and the pointer/marker
+    * strands `_pub_v<current+1>.list`, which the
+    * create-fails-if-exists claim blocks on until reclaimed. This
+    * deletes exactly that strand (never a published manifest —
+    * anything ≤ current is committed history) with no age check, so
+    * it must only run from a RESTART path where the single-publisher
+    * contract guarantees no live claim exists — running it beside a
+    * live publisher would erase that publisher's claim and publish a
+    * version whose manifest is missing (readers break, not just
+    * writers). That is also why the pipeline wrappers do NOT call it
+    * automatically at entry: a double-scheduled nightly would race
+    * exactly that way. A crash-looped wrapper self-heals through
+    * publish's age-gated sweep within one grace window; this call is
+    * the operator's explicit accelerator when restarting sooner. */
   def recoverStrandedClaim(fs: FileSystem, dir: Path): Boolean = {
     val strand = listFile(dir, currentVersion(fs, dir).getOrElse(0L) + 1L)
     fs.exists(strand) && fs.delete(strand, false)

@@ -59,9 +59,12 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   *  - after the manifest claim, before the unhide renames (or before
   *    the publish): `_v<n+1>.list` exists but `_current` still says n
   *    and the staged dir is still hidden — readers unaffected; the
-  *    next writer's `stageDirName` deletes the strand manifest (a
-  *    claim is create-fails-if-exists, so recovery is an explicit
-  *    delete, no longer an overwrite) along with the strand dirs.
+  *    strand manifest is reclaimed by `recoverStrandedClaim` on
+  *    restart, or by the next writer's `stageDirName` once it ages
+  *    past the claim grace window (a claim is create-fails-if-exists,
+  *    so recovery is an explicit delete, no longer an overwrite; the
+  *    age gate keeps a LIVE racer's claim safe — round-13 ADVICE);
+  *    strand dirs are deleted immediately.
   *  - after an unhide rename, before the pointer swap: the final-name
   *    dir exists uncommitted. Managed readers resolve the pointer and
   *    ignore it; on a NEVER-managed legacy store a plain reader could
@@ -283,7 +286,9 @@ object Snapshot {
     * loud if a claim collides. A stranded claim from this writer's
     * own CRASHED predecessor does not trip it: `stageDirName` (which
     * every writer calls before staging) deletes the strand manifest
-    * along with the strand dirs. Returns the committed version. */
+    * once it ages past the claim grace window, and
+    * `recoverStrandedClaim` deletes it immediately on restart.
+    * Returns the committed version. */
   def commit(fs: FileSystem, conf: Configuration, dir: Path,
       memberDirs: Seq[String], consumed: Seq[String] = Nil,
       base: Long = -1L): Long = {
@@ -375,28 +380,65 @@ object Snapshot {
     next
   }
 
+  /** How old a stranded claim manifest must be before the hot write
+    * path ([[stageDirName]], [[PublishSet.publish]]) reclaims it.
+    * The claim→publish window is metadata-only (a few renames and one
+    * tiny file write — milliseconds even on an object store), so a
+    * claim this old with the pointer still behind it is a crash, not
+    * a live writer. A restart INSIDE the grace window recovers
+    * explicitly via [[recoverStrandedClaim]] instead of waiting it
+    * out. */
+  val DefaultClaimGraceMs: Long = 5L * 60L * 1000L
+
   /** The name a NEW data dir for the next version should use; deletes
     * any stranded dir of that name — staged OR unhidden — left by a
-    * crashed attempt (neither was ever committed — see crash
-    * matrix), AND the next version's stranded claim manifest: a
-    * crash between the claim and the publish leaves `_v<n+1>.list`
-    * on disk, and since the claim is create-fails-if-exists the next
-    * attempt could never re-claim it. Deleting it here (the start of
-    * every write attempt, under the primary-writer contract) restores
-    * the old overwrite recovery without weakening the claim — a LIVE
-    * concurrent writer's claim is only vulnerable during the
-    * claim→publish window of the other writer's staging phase, the
-    * same already-documented same-store race the claim exists to
-    * surface. */
-  def stageDirName(fs: FileSystem, dir: Path, role: String): String = {
+    * crashed attempt (neither was ever committed — see crash matrix).
+    * Same-role name collisions are not a live-writer hazard:
+    * concurrent jobs use distinct roles by contract (merge / compact /
+    * retention / purge already do).
+    *
+    * The next version's stranded claim manifest (a crash between the
+    * claim and the publish leaves `_v<n+1>.list`, which the
+    * create-fails-if-exists claim could never re-claim) is reclaimed
+    * here ONLY once it is older than `claimGraceMs` (round-13 ADVICE:
+    * the unconditional delete erased a LIVE racer's claim during its
+    * claim→publish window — the loser's pointer swap then published a
+    * version with no manifest, or a second writer re-claimed the same
+    * version, the exact silent lost-update the claim exists to
+    * prevent). A live claim is milliseconds old — metadata ops only —
+    * so the five-minute default is a vast margin; a crashed strand
+    * younger than the grace makes the next commit fail LOUDLY
+    * (ConcurrentCommitException) until the grace passes or the
+    * operator calls [[recoverStrandedClaim]] on restart. */
+  def stageDirName(fs: FileSystem, dir: Path, role: String,
+      claimGraceMs: Long = DefaultClaimGraceMs): String = {
     val next = currentVersion(fs, dir).getOrElse(0L) + 1L
     val strandList = listFile(dir, next)
-    if (fs.exists(strandList)) fs.delete(strandList, false)
+    if (fs.exists(strandList) &&
+        System.currentTimeMillis() -
+          fs.getFileStatus(strandList).getModificationTime > claimGraceMs)
+      fs.delete(strandList, false)
     val name = s"d$next-$role"
     Seq(new Path(dir, name), stagePath(dir, name)).foreach { stranded =>
       if (fs.exists(stranded)) fs.delete(stranded, true)
     }
     name
+  }
+
+  /** Crash recovery under the primary-writer contract, the immediate
+    * form (the age-gated sweep in [[stageDirName]] is the eventual
+    * one): a writer death between the manifest claim and the publish
+    * strands `_v<current+1>.list`, which blocks every commit with
+    * [[ConcurrentCommitException]] until reclaimed. This deletes
+    * exactly that strand — never a published manifest (anything ≤
+    * current is committed history). Call it from a RESTART path,
+    * where the single-writer contract guarantees no live claim
+    * exists; calling it while another writer is mid-commit would
+    * erase that writer's live claim (the hole the round-13 age gate
+    * closed). Mirrors [[PublishSet.recoverStrandedClaim]]. */
+  def recoverStrandedClaim(fs: FileSystem, dir: Path): Boolean = {
+    val strand = listFile(dir, currentVersion(fs, dir).getOrElse(0L) + 1L)
+    fs.exists(strand) && fs.delete(strand, false)
   }
 
   /** Named TAGS — Delta/Iceberg-style refs over retained versions:

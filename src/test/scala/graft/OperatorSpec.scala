@@ -352,14 +352,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(graft.sources.Lake.readDay(spark, lake, day).count() == 100,
       "compaction after a stranded stage dir lost or gained rows")
     // crash 2: the NEXT version's manifest was written but the pointer
-    // never swapped — readers stay on the committed version; the next
-    // writer overwrites the stale manifest
+    // never swapped — readers stay on the committed version. While the
+    // strand is FRESH it could be a live racer's claim, so the next
+    // writer fails LOUDLY instead of sweeping it (round-13 ADVICE);
+    // once it ages past the claim grace the next writer self-heals.
     val cur = graft.sources.Snapshot.currentVersion(fs, dayDir).get
     val stale = new Path(dayDir, s"_v${cur + 1}.list")
     val out = fs.create(stale, true)
     out.write("dGhost-compact\n".getBytes("UTF-8")); out.close()
     assert(graft.sources.Lake.readDay(spark, lake, day).count() == 100,
       "a stale future manifest disturbed readers")
+    intercept[graft.sources.Snapshot.ConcurrentCommitException] {
+      graft.sources.Lake.compactDay(spark, lake, day)
+    }
+    assert(graft.sources.Lake.readDay(spark, lake, day).count() == 100,
+      "the loud loss disturbed readers")
+    fs.setTimes(stale, System.currentTimeMillis() -
+      graft.sources.Snapshot.DefaultClaimGraceMs - 1000L, -1L)
     graft.sources.Lake.compactDay(spark, lake, day)
     assert(graft.sources.Snapshot.currentVersion(fs, dayDir).get == cur + 1)
     assert(graft.sources.Lake.readDay(spark, lake, day).count() == 100)
@@ -535,12 +544,28 @@ class OperatorSpec extends AnyFunSuite {
             carried3 :+ w3, base = 3L)
         }
         assert(e2.attempted == 4L && e2.current == 3L, s"$e2")
-        // now the racer CRASHED instead (primary-writer restart):
-        // stageDirName's strand sweep reclaims the dead claim and the
-        // re-staged attempt lands — the crash matrix holds post-claim
+        // a LIVE claim survives the hot write path (round-13 ADVICE:
+        // the unconditional sweep erased a racer's claim during its
+        // claim->publish window): a FRESH strand is left alone by
+        // stageDirName, and the commit stays loudly blocked
+        stage("w1", Seq(30L))
+        assert(fs.exists(new Path(dir, "_v4.list")),
+          "stageDirName erased a fresh (potentially live) claim")
+        // the racer CRASHED instead — restart path (a): immediate
+        // explicit recovery
+        assert(graft.sources.Snapshot.recoverStrandedClaim(fs, dir),
+          "recoverStrandedClaim found no strand")
+        assert(!fs.exists(new Path(dir, "_v4.list")))
+        // restart path (b): the age-gated sweep — a strand older than
+        // the claim grace is reclaimed by the next write attempt
+        val ghost2 = fs.create(new Path(dir, "_v4.list"), false)
+        ghost2.write("dGhost-w9\n".getBytes("UTF-8")); ghost2.close()
+        fs.setTimes(new Path(dir, "_v4.list"),
+          System.currentTimeMillis() -
+            graft.sources.Snapshot.DefaultClaimGraceMs - 1000L, -1L)
         val w3b = stage("w1", Seq(30L))
         assert(!fs.exists(new Path(dir, "_v4.list")),
-          "stageDirName left the dead claim manifest behind")
+          "stageDirName left an aged-out dead claim behind")
         assert(graft.sources.Snapshot.commit(fs, conf, dir,
           carried3 :+ w3b, base = 3L) == 4L)
         assert(served == Set(1L, 10L, 20L, 30L))
@@ -752,7 +777,7 @@ class OperatorSpec extends AnyFunSuite {
     assert(fs.exists(new Path(pub, "_pub_v2.list")),
       "the loser deleted the racer's live claim")
     // the racer crashed instead: restart recovery reclaims the strand
-    // (explicitly — publish never auto-deletes, see scaladoc)
+    // (explicitly — the immediate form; see scaladoc)
     assert(graft.sources.PublishSet.recoverStrandedClaim(fs, pub))
     assert(graft.sources.PublishSet.publish(fs, conf, pub,
       Map("a" -> 1L)) == 2L)
@@ -787,6 +812,20 @@ class OperatorSpec extends AnyFunSuite {
     }.getMessage
     assert(msg.contains("torn"), msg)
     fs.delete(new Path(pub, "_pubtag.bad"), false)
+    // the EVENTUAL recovery form (round 13): a strand older than the
+    // claim grace is swept by publish itself — a crash-looped
+    // publisher self-heals without operator action, while the
+    // fresh-strand leg above keeps a live racer's claim safe
+    val curNow = graft.sources.PublishSet.currentVersion(fs, pub).get
+    val agedStrand = new Path(pub, s"_pub_v${curNow + 1}.list")
+    val ghost2 = fs.create(agedStrand, false)
+    ghost2.write("a=1".getBytes("UTF-8")); ghost2.close()
+    fs.setTimes(agedStrand,
+      System.currentTimeMillis() -
+        graft.sources.Snapshot.DefaultClaimGraceMs - 1000L, -1L)
+    assert(graft.sources.PublishSet.publish(fs, conf, pub,
+      Map("a" -> 1L)) == curNow + 1,
+      "publish did not self-heal an aged-out strand")
   }
 
   test("Snapshot.vacuum sweeps stranded tag tmps and claim tmps") {
@@ -904,7 +943,14 @@ class OperatorSpec extends AnyFunSuite {
       assert(graft.sources.Snapshot.currentVersion(fs, p).contains(1L),
         "a manifest without its marker must not be a committed version")
       assert(state == Set(1L -> "a", 2L -> "b"))
-      merge((3L, "c", 2L, false)) // next writer overwrites the stale manifest
+      // while fresh the strand could be a live claim: loud block
+      // (round 13); aged past the grace, the next writer self-heals
+      intercept[graft.sources.Snapshot.ConcurrentCommitException] {
+        merge((3L, "c", 2L, false))
+      }
+      fs.setTimes(new Path(p, "_v2.list"), System.currentTimeMillis() -
+        graft.sources.Snapshot.DefaultClaimGraceMs - 1000L, -1L)
+      merge((3L, "c", 2L, false)) // next writer sweeps the aged strand
       assert(graft.sources.Snapshot.currentVersion(fs, p).contains(2L))
       assert(state == Set(1L -> "a", 2L -> "b", 3L -> "c"))
       // mode interop: a rename-mode commit continues the version line
