@@ -112,6 +112,19 @@ object IncrementalIndex {
     pending.max
   }
 
+  /** [[refresh]] with RETRY-REBASE
+    * ([[graft.sources.Snapshot.retrying]], round 13): the refresh
+    * re-resolves the store version, carried segments, and applied-upto
+    * watermark at entry, so on losing a commit race a re-run derives
+    * the same diff segment on top of the winner's version — entries
+    * the winner already folded are skipped by the watermark. */
+  def refreshRetrying(spark: SparkSession, indexDir: String,
+      changeDir: String, keyCols: Seq[String], tokens: Column,
+      compactAt: Int = 8, attempts: Int = 3): Long =
+    Snapshot.retrying(attempts) {
+      refresh(spark, indexDir, changeDir, keyCols, tokens, compactAt)
+    }
+
   /** Fold every segment into one — the index-sized job refresh never
     * pays. Zero-total postings leave physically; the fold re-stamps
     * the store watermark. No-op below two members. */

@@ -189,6 +189,20 @@ object IncrementalIvfPq {
     pending.max
   }
 
+  /** [[refresh]] with RETRY-REBASE
+    * ([[graft.sources.Snapshot.retrying]], round 13): the refresh
+    * re-resolves the codes store's version, carried segments, and
+    * applied-upto watermark at entry, so on losing a commit race the
+    * re-run re-encodes the same net feed window on top of the
+    * winner's version — already-folded entries are skipped by the
+    * watermark. */
+  def refreshRetrying(spark: SparkSession, dir: String,
+      changeDir: String, idCol: String, vecCol: String,
+      compactAt: Int = 8, attempts: Int = 3): Long =
+    Snapshot.retrying(attempts) {
+      refresh(spark, dir, changeDir, idCol, vecCol, compactAt)
+    }
+
   /** Fold every segment into one — the index-sized job refresh never
     * pays, amortized over `compactAt` merges. Zero-total rows leave
     * physically; the fold re-stamps the store watermark. No-op below

@@ -82,6 +82,19 @@ object IncrementalScd2 {
     pending.max
   }
 
+  /** [[refresh]] with RETRY-REBASE
+    * ([[graft.sources.Snapshot.retrying]], round 13): entries fold
+    * one at a time, each commit re-resolving the store and watermark
+    * at entry, so on losing a commit race the re-run resumes from the
+    * already-committed entries (skipped by the watermark) and
+    * re-derives the conflicted one on top of the winner's version. */
+  def refreshRetrying(spark: SparkSession, histDir: String,
+      changeDir: String, keyCols: Seq[String], attrCols: Seq[String],
+      attempts: Int = 3): Long =
+    Snapshot.retrying(attempts) {
+      refresh(spark, histDir, changeDir, keyCols, attrCols)
+    }
+
   private def applyEntry(spark: SparkSession, store: Path,
       changeDir: String, k: Long, keyCols: Seq[String],
       attrCols: Seq[String]): Unit = {

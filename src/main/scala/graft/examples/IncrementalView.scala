@@ -161,6 +161,24 @@ object IncrementalView {
     pending.max
   }
 
+  /** [[refresh]] (full form) with RETRY-REBASE
+    * ([[graft.sources.Snapshot.retrying]], round 13): on losing a
+    * commit race to another writer of the VIEW store, the refresh
+    * simply re-runs — it re-resolves the store's version, carried
+    * members, and applied-upto watermark at entry, so the re-run
+    * derives the same feed fold on top of the winner's version
+    * (entries the winner already folded are skipped by the
+    * watermark). Bounded attempts rethrow the last conflict. */
+  def refreshRetrying(spark: SparkSession, viewDir: String,
+      changeDir: String, groupCols: Seq[String], sumCols: Seq[String],
+      m2Cols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil, baseDir: Option[String] = None,
+      derived: Seq[(String, Column)] = Nil, attempts: Int = 3): Long =
+    Snapshot.retrying(attempts) {
+      refresh(spark, viewDir, changeDir, groupCols, sumCols, m2Cols,
+        maxCols, minCols, baseDir, derived)
+    }
+
   /** A signed-sum view column: output name + the per-row measure it
     * folds (`sum_<c>` folds c, `sumsq_<c>` folds c² — same abelian
     * path, different measure). */
@@ -460,7 +478,8 @@ object IncrementalView {
       changeRoot: String, partCol: String,
       groupCols: Seq[String], sumCols: Seq[String],
       m2Cols: Seq[String] = Nil,
-      parallelism: Int = 4): Seq[String] = {
+      parallelism: Int = 4,
+      attempts: Int = 1): Seq[String] = {
     val cr = new Path(changeRoot)
     val fs = cr.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cr)) return Nil
@@ -483,8 +502,10 @@ object IncrementalView {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       Await.result(
         Future.sequence(pending.map(p => Future {
-          refresh(spark, s"$viewRoot/$p", s"$changeRoot/$p",
-            groupCols, sumCols, m2Cols, Nil, Nil, None)
+          Snapshot.retrying(attempts) {
+            refresh(spark, s"$viewRoot/$p", s"$changeRoot/$p",
+              groupCols, sumCols, m2Cols, Nil, Nil, None)
+          }
         })), Duration.Inf)
       pending
     } finally pool.shutdown()

@@ -53,7 +53,14 @@ object LakeOps {
     * and `IncrementalView.refreshPartitioned` folds each touched
     * day's diff into its sub-view — the view stays fresh without ever
     * rescanning the lake, and a crash between merge and refresh
-    * re-runs as a no-op merge (empty feed) + the pending refresh. */
+    * re-runs as a no-op merge (empty feed) + the pending refresh.
+    *
+    * `attempts` > 1 arms RETRY-REBASE ([[graft.sources.Snapshot.retrying]])
+    * on every commit this night makes — the per-day merges, the
+    * per-day compactions, and the view refreshes — so a night racing
+    * another writer on one store rebases that one commit instead of
+    * failing the whole run; the default 1 keeps the loud
+    * single-attempt contract. */
   def runNightly(spark: SparkSession, lake: String, updates: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String],
       isDeleteCol: Option[String] = None,
@@ -64,7 +71,8 @@ object LakeOps {
       viewDir: Option[String] = None,
       viewGroupCols: Seq[String] = Nil,
       viewSumCols: Seq[String] = Nil,
-      sweepConsumedFeed: Boolean = false): Seq[String] = {
+      sweepConsumedFeed: Boolean = false,
+      attempts: Int = 1): Seq[String] = {
     require(viewDir.isEmpty || (changeDir.isDefined && viewGroupCols.nonEmpty),
       "runNightly: a materialized view needs changeDir and viewGroupCols")
     // 1+2 fused: the MERGE is the ingest — it inserts unseen keys,
@@ -75,10 +83,14 @@ object LakeOps {
     // so downstream consumers chain incrementally off the lake.
     val touched = Lake.mergeIntoPartitioned(spark, lake, updates,
       "ingest_date", keyCols, orderCols, isDeleteCol.map(col), changeDir,
-      cdfPreImages = viewDir.isDefined)
-    // 3: compaction per touched day (atomic snapshot commit)
+      cdfPreImages = viewDir.isDefined, attempts = attempts)
+    // 3: compaction per touched day (atomic snapshot commit;
+    // compactDay resolves its base at entry, so a re-run IS the
+    // rebase — Snapshot.retrying's contract)
     touched.foreach(day =>
-      Lake.compactDay(spark, lake, day, compactTargetBytes))
+      graft.sources.Snapshot.retrying(attempts) {
+        Lake.compactDay(spark, lake, day, compactTargetBytes)
+      })
     // 4: optional clustering of one day into a z-ordered directory
     // (an overwrite — idempotent; readers point at the clustered copy)
     (zorderDay, zorderOut) match {
@@ -92,7 +104,8 @@ object LakeOps {
     (viewDir, changeDir) match {
       case (Some(vd), Some(cd)) =>
         IncrementalView.refreshPartitioned(spark, vd, cd,
-          "ingest_date", viewGroupCols, viewSumCols)
+          "ingest_date", viewGroupCols, viewSumCols,
+          attempts = attempts)
         // 6 (opt-in): feed retention through the CONSUMER REGISTRY —
         // the view records its per-partition watermarks under the
         // id "nightly_view" and each partition's feed sweeps at its
@@ -141,9 +154,15 @@ object LakeOps {
     * SOONER: call `PublishSet.recoverStrandedClaim(fs, pubDir)` first
     * — explicitly, from the restart path only, never on a schedule
     * (beside a live publisher it would erase a live claim and break
-    * readers). Returns the published version. */
+    * readers). Returns the published version.
+    *
+    * Racing ANOTHER publisher (not a crash): `attempts` > 1 routes
+    * through `PublishSet.publishRetrying` — the member-version
+    * derivation below re-runs per attempt, which is exactly the
+    * rebase the publish conflict contract prescribes (re-read each
+    * member's committed version, publish the fresh map). */
   def publishNightly(spark: SparkSession, pubDir: String, lake: String,
-      viewDir: Option[String] = None): Long = {
+      viewDir: Option[String] = None, attempts: Int = 1): Long = {
     import graft.sources.{PublishSet, Snapshot}
     val conf = spark.sparkContext.hadoopConfiguration
     def dayMembers(root: String, tag: String): Seq[(String, Long)] = {
@@ -155,11 +174,15 @@ object LakeOps {
         .flatMap(p => Snapshot.currentVersion(fs, p)
           .map(v => s"$tag/${p.getName}" -> v)).toSeq
     }
-    val members = dayMembers(lake, "lake") ++
-      viewDir.toSeq.flatMap(vd => dayMembers(vd, "view"))
-    require(members.nonEmpty, s"publishNightly: nothing committed under $lake")
+    def members(): Map[String, Long] = {
+      val m = dayMembers(lake, "lake") ++
+        viewDir.toSeq.flatMap(vd => dayMembers(vd, "view"))
+      require(m.nonEmpty, s"publishNightly: nothing committed under $lake")
+      m.toMap
+    }
     val pub = new Path(pubDir)
-    PublishSet.publish(pub.getFileSystem(conf), conf, pub, members.toMap)
+    PublishSet.publishRetrying(pub.getFileSystem(conf), conf, pub,
+      () => members(), attempts = attempts)
   }
 
   private def pinnedMembers(spark: SparkSession,

@@ -133,7 +133,7 @@ object RagPipeline {
     * erases a live claim). Returns the published version. */
   def refreshIndexPublished(spark: SparkSession, idxDir: String,
       dlDir: String, cdfDir: String, pubDir: String,
-      idCol: String): Long = {
+      idCol: String, attempts: Int = 1): Long = {
     import org.apache.hadoop.fs.Path
     import graft.sources.{PublishSet, Snapshot}
     refreshIndex(spark, idxDir, dlDir, cdfDir, idCol)
@@ -144,8 +144,11 @@ object RagPipeline {
         throw new IllegalStateException(s"no committed store at $d"))
     }
     val pub = new Path(pubDir)
-    PublishSet.publish(pub.getFileSystem(conf), conf, pub,
-      Map("index" -> v(idxDir), "doclen" -> v(dlDir)))
+    // the member map re-derives per attempt — publishRetrying's rebase
+    // contract (attempts = 1 keeps the loud single-attempt default)
+    PublishSet.publishRetrying(pub.getFileSystem(conf), conf, pub,
+      () => Map("index" -> v(idxDir), "doclen" -> v(dlDir)),
+      attempts = attempts)
   }
 
   /** [[lexicalDocRanks]] pinned to the last PUBLISHED (index, view)

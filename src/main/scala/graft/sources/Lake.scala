@@ -418,30 +418,20 @@ object Lake {
     * is exactly the rebase the conflict contract prescribes (updates
     * are keyed + versioned, so re-application over the winner's rows
     * is the idempotent CDC replay; rows the racer upserted survive
-    * unless this batch's orderCols genuinely win them). Attempts are
-    * bounded: exhaustion rethrows the LAST conflict, so a livelocked
-    * store fails loudly instead of spinning. */
+    * unless this batch's orderCols genuinely win them). The loop
+    * itself is [[Snapshot.retrying]], shared by every writer family
+    * (round 13): exhaustion rethrows the LAST conflict, so a
+    * livelocked store fails loudly instead of spinning. */
   def mergeIntoRetrying(spark: SparkSession, targetDir: String,
       updates: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       isDelete: Option[org.apache.spark.sql.Column] = None,
       changeDir: Option[String] = None,
       cdfPreImages: Boolean = false,
-      attempts: Int = 3): Unit = {
-    require(attempts >= 1, s"mergeIntoRetrying: attempts must be >= 1")
-    var left = attempts
-    var done = false
-    while (!done) {
-      try {
-        mergeInto(spark, targetDir, updates, keyCols, orderCols,
-          isDelete, changeDir, cdfPreImages)
-        done = true
-      } catch {
-        case e: Snapshot.ConcurrentCommitException =>
-          left -= 1
-          if (left <= 0) throw e
-      }
+      attempts: Int = 3): Unit =
+    Snapshot.retrying(attempts) {
+      mergeInto(spark, targetDir, updates, keyCols, orderCols,
+        isDelete, changeDir, cdfPreImages)
     }
-  }
 
   /** MERGE with row-level EXPECTATIONS — the batch twin of the
     * streaming dead-letter split (s29): update rows that fail the
@@ -592,14 +582,20 @@ object Lake {
     * driver collect — bounded by the batch's day span, not by data.
     *
     * Returns the touched partition values (sorted) for
-    * observability/metrics. */
+    * observability/metrics.
+    *
+    * `attempts` > 1 makes each per-partition merge RETRY-REBASE on a
+    * commit-claim loss ([[Snapshot.retrying]] around `mergeInto` —
+    * the per-partition twin of [[mergeIntoRetrying]]); the default 1
+    * keeps the loud single-attempt contract. */
   def mergeIntoPartitioned(spark: SparkSession, lakeRoot: String,
       updates: DataFrame, partCol: String,
       keyCols: Seq[String], orderCols: Seq[String],
       isDelete: Option[org.apache.spark.sql.Column] = None,
       changeDir: Option[String] = None,
       cdfPreImages: Boolean = false,
-      parallelism: Int = 4): Seq[String] = {
+      parallelism: Int = 4,
+      attempts: Int = 1): Seq[String] = {
     // the batch feeds the distinct probe plus one filtered pass per
     // touched partition — pin it for the loop's duration (idempotent
     // guard: a bench loop may re-merge an already-cached plan)
@@ -624,9 +620,10 @@ object Lake {
           .drop(partCol)
         val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .escapePathName(v)
-        mergeInto(spark, s"$lakeRoot/$partCol=$esc", sub,
+        mergeIntoRetrying(spark, s"$lakeRoot/$partCol=$esc", sub,
           keyCols, orderCols, isDelete,
-          changeDir.map(cd => s"$cd/$partCol=$esc"), cdfPreImages)
+          changeDir.map(cd => s"$cd/$partCol=$esc"), cdfPreImages,
+          attempts = attempts)
       }
       // per-partition merges touch DISJOINT store+feed directories
       // (each its own snapshot protocol, each already single-writer),

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** ONE atomic manifest across DERIVED stores — the cross-store
   * transaction-log step the round-10 verdict named (item 2): every
@@ -60,9 +60,9 @@ object PublishSet {
 
   /** Publish `members` (store name → committed snapshot version) as
     * the next manifest version. The manifest CLAIMS its version by a
-    * create-fails-if-exists step (rename-without-overwrite in pointer
-    * mode, conditional create in marker mode — the same serialization
-    * point as [[Snapshot.commit]], round-12): two publishers racing
+    * true create-fails-if-exists step ([[Snapshot.createExclusive]] —
+    * the same serialization point as [[Snapshot.commit]], round-12;
+    * O_EXCL-hardened on file:// in round 13): two publishers racing
     * the set lose exactly one of them to a loud
     * [[Snapshot.ConcurrentCommitException]] BEFORE anything is
     * published, never a silent last-writer-wins overwrite of the
@@ -95,20 +95,13 @@ object PublishSet {
     val body = members.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }.mkString("\n")
     val marker = conf.getBoolean(Snapshot.MarkerCommitKey, false)
-    try {
-      if (marker) {
-        val out = fs.create(manifest, false)
-        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      } else {
-        val tmp = new Path(dir,
-          s"_pub_v$next.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-        Snapshot.writeSmall(fs, tmp, body)
-        val fc = FileContext.getFileContext(dir.toUri, conf)
-        try fc.rename(tmp, manifest) // no OVERWRITE: fails if claimed
-        catch { case e: Throwable => fs.delete(tmp, false); throw e }
-      }
-    } catch {
+    // the claim — a TRUE create-if-absent in both modes
+    // (Snapshot.createExclusive: O_EXCL on file://, atomic namespace
+    // op on HDFS, conditional PUT on an object store); nobody reads a
+    // manifest above the published version, so the in-flight write is
+    // unobservable
+    try Snapshot.createExclusive(fs, manifest, body)
+    catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: org.apache.hadoop.fs.PathExistsException |
            _: java.nio.file.FileAlreadyExistsException =>
@@ -116,15 +109,38 @@ object PublishSet {
           currentVersion(fs, dir).getOrElse(0L))
     }
     if (marker) {
-      Snapshot.writeSmall(fs, markerFile(dir, next), next.toString)
+      // only the claim winner reaches here — an existing marker is a
+      // protocol violation, loud like Snapshot.commit's
+      try Snapshot.createExclusive(fs, markerFile(dir, next),
+        next.toString)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw Snapshot.ConcurrentCommitException(dir.toString, next,
+            currentVersion(fs, dir).getOrElse(0L))
+      }
     } else {
-      val tmp = new Path(dir, "_pub_current.tmp")
-      Snapshot.writeSmall(fs, tmp, next.toString)
-      val fc = FileContext.getFileContext(dir.toUri, conf)
-      fc.rename(tmp, pointer(dir), Options.Rename.OVERWRITE)
+      // atomic rename-over, writer-unique tmp (Snapshot.writeAtomicOver:
+      // real rename(2) on file://, one NameNode op on HDFS — never the
+      // delete-then-rename emulation with its missing-pointer window)
+      Snapshot.writeAtomicOver(fs, conf, pointer(dir), next.toString)
     }
     next
   }
+
+  /** [[publish]] with the RETRY-REBASE loop (round 13 — the
+    * publisher's side of [[Snapshot.retrying]]): `members` is a THUNK
+    * because the rebase for a lost publish race is to RE-READ each
+    * member store's committed version (the racing publisher may have
+    * refreshed members too) and publish the fresh map — manifests are
+    * independent, so nothing staged needs discarding. The pipeline
+    * wrappers (`LakeOps.publishNightly`,
+    * `RagPipeline.refreshIndexPublished`) thread their member-version
+    * derivation through here, so a nightly racing a backfill
+    * publisher self-heals instead of failing the whole night. */
+  def publishRetrying(fs: FileSystem, conf: Configuration, dir: Path,
+      members: () => Map[String, Long], attempts: Int = 3): Long =
+    Snapshot.retrying(attempts) { publish(fs, conf, dir, members()) }
 
   /** Crash recovery under the primary-publisher contract, the
     * IMMEDIATE form (publish's own age-gated sweep is the eventual
@@ -190,14 +206,10 @@ object PublishSet {
     // choke on; plain PUT in marker mode (atomic per object-store
     // visibility semantics)
     val tagFile = new Path(dir, s"_pubtag.$name")
-    if (conf.getBoolean(Snapshot.MarkerCommitKey, false)) {
+    if (conf.getBoolean(Snapshot.MarkerCommitKey, false))
       Snapshot.writeSmall(fs, tagFile, v.toString)
-    } else {
-      val tmp = new Path(dir, s"_pubtag.$name.tmp")
-      Snapshot.writeSmall(fs, tmp, v.toString)
-      val fc = FileContext.getFileContext(dir.toUri, conf)
-      fc.rename(tmp, tagFile, Options.Rename.OVERWRITE)
-    }
+    else
+      Snapshot.writeAtomicOver(fs, conf, tagFile, v.toString)
     v
   }
 
@@ -275,7 +287,11 @@ object PublishSet {
         }
       }.foreach(fs.delete(_, false))
       st.filter(p => p.getName.matches("_pubtag\\..*\\.tmp") ||
-          p.getName.matches("_pub_v\\d+\\.tmp\\..*"))
+          p.getName.matches("_pubtag\\..*\\.tmp\\..*") ||
+          p.getName.matches("\\._pubtag\\..*\\.tmp\\..*") ||
+          p.getName.matches("_pub_v\\d+\\.tmp\\..*") ||
+          p.getName.matches("_pub_current\\.tmp\\..*") ||
+          p.getName.matches("\\._pub_current\\.tmp\\..*"))
         .foreach(fs.delete(_, false))
     }
   }

@@ -27,12 +27,16 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   *    modified after the version commits; a rewrite writes NEW dirs
   *    and commits a NEW manifest.
   *  - The ONLY mutable file is `_current`, and it changes by an
-  *    ATOMIC single-file rename (`FileContext.rename(OVERWRITE)` — a
-  *    POSIX rename on every FS this build targets), so a reader
-  *    resolving the pointer sees exactly one committed version:
-  *    either the old snapshot or the new one, never a missing
-  *    directory and never a half-swapped store. This is the property
-  *    the round-3..7 aside protocol could not give (VERDICT r7 #1).
+  *    ATOMIC single-file rename-over ([[writeAtomicOver]]: a real
+  *    rename(2) via java.nio on `file://`, one NameNode op via
+  *    `FileContext.rename(OVERWRITE)` on HDFS — never the
+  *    delete-then-rename emulation, whose transient missing-pointer
+  *    window round 13's live race spec caught on the local scheme),
+  *    so a reader resolving the pointer sees exactly one committed
+  *    version: either the old snapshot or the new one, never a
+  *    missing directory and never a half-swapped store. This is the
+  *    property the round-3..7 aside protocol could not give
+  *    (VERDICT r7 #1).
   *    On OBJECT STORES whose rename is copy+delete (S3A), set
   *    `graft.snapshot.markerCommit=true` in the Hadoop conf: commit
   *    then publishes by CREATING a write-once `_commit.<n>` marker
@@ -94,10 +98,10 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * VERDICT r11 #1): one PRIMARY writer per store plus any number of
   * concurrent readers remains the supported steady state, but a
   * VIOLATION is now detected, not silently absorbed. Every commit
-  * CLAIMS its version number through a create-fails-if-exists step
-  * before anything is published — the manifest `_v<n>.list` lands by
-  * rename-WITHOUT-overwrite (pointer mode) or create-without-
-  * overwrite (marker mode, one conditional PUT on a real object
+  * CLAIMS its version number through a TRUE create-fails-if-exists
+  * step before anything is published — the manifest `_v<n>.list`
+  * lands by [[createExclusive]] (O_EXCL on file://, an atomic
+  * namespace create on HDFS, one conditional PUT on a real object
   * store). Two writers racing the same store therefore serialize on
   * the manifest claim: exactly one wins; the loser's claim throws
   * [[ConcurrentCommitException]] BEFORE any of its dirs are unhidden,
@@ -132,6 +136,52 @@ object Snapshot {
       s"or base moved (committed version now $current); re-read the " +
       s"store and rebase the write before retrying")
 
+  /** The RETRY-REBASE combinator, reusable (round 13 — VERDICT r12
+    * item 1: `Lake.mergeIntoRetrying` owned the loop; every other
+    * production writer failed loudly and left the rebase to the
+    * caller). Runs `body`; on [[ConcurrentCommitException]] it simply
+    * runs `body` AGAIN — which IS the rebase, because every writer in
+    * this library re-resolves its read set at entry (the store's
+    * `currentVersion`, the feed's applied-upto watermark, the
+    * publish set's member versions) and derives the write from what
+    * it resolved. A re-run therefore re-derives on top of the racing
+    * winner's version; nothing staged by the losing attempt was ever
+    * published (the claim fails before any unhide), and the stale
+    * stage dirs are swept by the next `stageDirName`/`vacuum`.
+    *
+    * Contract on `body`: it must RESOLVE-THEN-DERIVE — no state
+    * captured outside the call may pin a version, a member list, or a
+    * watermark (all Lake / IncrementalView / IncrementalIndex /
+    * IncrementalScd2 / IncrementalIvfPq / PublishSet writers qualify;
+    * a caller that pre-resolved `base` itself does not). Attempts are
+    * bounded: exhaustion rethrows the LAST conflict, so a livelocked
+    * store fails loudly instead of spinning.
+    *
+    * Backoff: each retry waits `backoffMs × attempts-so-far` (capped
+    * at 1 s) before re-running. A conflict means the winner is INSIDE
+    * its claim→publish window — milliseconds of metadata ops — so an
+    * immediate retry of a cheap body (a publish-set manifest) just
+    * re-reads the same pre-publish state and burns its attempts
+    * before the winner's pointer lands; one linear-growing pause lets
+    * the store advance between looks. Heavy bodies (a merge's staged
+    * write) dwarf the pause — it costs them nothing. */
+  def retrying[A](attempts: Int = 3, backoffMs: Long = 25L)(body: => A): A = {
+    require(attempts >= 1, s"Snapshot.retrying: attempts must be >= 1, got $attempts")
+    var left = attempts
+    var waited = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentCommitException =>
+          left -= 1
+          if (left <= 0) throw e
+          waited += 1
+          Thread.sleep(math.min(backoffMs * waited, 1000L))
+      }
+    }
+    sys.error("unreachable")
+  }
+
   private def pointer(dir: Path) = new Path(dir, "_current")
   private def listFile(dir: Path, v: Long) = new Path(dir, s"_v$v.list")
   private def markerFile(dir: Path, v: Long) = new Path(dir, s"_commit.$v")
@@ -153,22 +203,120 @@ object Snapshot {
   val MarkerCommitKey = "graft.snapshot.markerCommit"
 
   /** Read a tiny whole file as UTF-8 (pointer / manifest). Shared
-    * with [[PublishSet]], the cross-store manifest. */
+    * with [[PublishSet]], the cross-store manifest.
+    *
+    * Bounded retry on ChecksumException: Hadoop's ChecksumFileSystem
+    * (the `file://` scheme this build tests on) renames a file's data
+    * and its `.crc` sidecar as TWO operations, so a reader racing the
+    * pointer's atomic rename-over can transiently pair new data with
+    * the old sidecar — a read-side artifact of the test filesystem,
+    * not a protocol hole (HDFS renames are one namespace op; object-
+    * store marker mode never renames). Manifests and markers are
+    * write-once, so for them the retry never fires; a PERSISTENT
+    * checksum mismatch (real corruption) still throws. */
   private[sources] def readSmall(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          return new String(out.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(10L * attempt)
+      }
+    }
+    sys.error("unreachable")
   }
 
   private[sources] def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  private def isLocal(fs: FileSystem): Boolean =
+    fs.getUri.getScheme == "file"
+
+  private def localFile(fs: FileSystem, p: Path): java.io.File =
+    new java.io.File(fs.makeQualified(p).toUri.getPath)
+
+  /** ChecksumFileSystem's sidecar for `f` (".<name>.crc"). The nio
+    * fast paths below write data files WITHOUT a sidecar — a reader
+    * then reads unverified, which ChecksumFileSystem accepts; a STALE
+    * sidecar from a previous Hadoop-written generation would fail
+    * verification against the new content, so it is dropped. */
+  private def crcOf(f: java.io.File): java.nio.file.Path =
+    new java.io.File(f.getParentFile, "." + f.getName + ".crc").toPath
+
+  /** Atomic CREATE-IF-ABSENT of a small file — the commit protocol's
+    * one serialization point, so it must actually be exclusive.
+    * Hadoop's RawLocalFileSystem emulates `create(overwrite = false)`
+    * as CHECK-then-create (no O_EXCL) and FileContext's no-overwrite
+    * rename as CHECK-then-rename, so on `file://` two racing
+    * claimants can BOTH "win" the window — the silent double-claim
+    * the protocol forbids (found by the round-13 live-publisher race
+    * spec). The local scheme therefore goes through java.nio's
+    * CREATE_NEW (O_EXCL, one syscall); every other scheme keeps the
+    * FileSystem call — an atomic namespace op on HDFS, a conditional
+    * PUT on a real object store. Throws (hadoop or nio)
+    * FileAlreadyExistsException when already claimed. */
+  private[sources] def createExclusive(fs: FileSystem, p: Path,
+      body: String): Unit = {
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (isLocal(fs)) {
+      val f = localFile(fs, p)
+      java.nio.file.Files.write(f.toPath, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      java.nio.file.Files.deleteIfExists(crcOf(f))
+      ()
+    } else {
+      val out = fs.create(p, false)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  /** Atomic PUBLISH-BY-OVERWRITE of a small file (the `_current` /
+    * `_pub_current` pointer swap and tag retargets): the reader-side
+    * contract is "old content or new content, never missing, never
+    * torn". On `file://`, FileContext's Rename.OVERWRITE falls back
+    * to AbstractFileSystem's delete-then-rename emulation — a
+    * transient MISSING-pointer window in which a concurrent
+    * `currentVersion` resolves None and a concurrent `stageDirName`
+    * would compute next = 1 (round-13 race spec); java.nio's
+    * ATOMIC_MOVE + REPLACE_EXISTING is the real rename(2). On HDFS
+    * the FileContext path IS one atomic NameNode op — kept. Tmp names
+    * are writer-unique (a fixed shared tmp lets an overlapping
+    * writer truncate the file another is about to rename). */
+  private[sources] def writeAtomicOver(fs: FileSystem,
+      conf: Configuration, dst: Path, body: String): Unit = {
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val unique = java.util.UUID.randomUUID().toString.take(8)
+    if (isLocal(fs)) {
+      val f = localFile(fs, dst)
+      val tmp = new java.io.File(f.getParentFile,
+        s".${f.getName}.tmp.$unique").toPath
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.deleteIfExists(crcOf(f))
+      java.nio.file.Files.move(tmp, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      val tmp = new Path(dst.getParent, s"${dst.getName}.tmp.$unique")
+      writeSmall(fs, tmp, body)
+      val fc = FileContext.getFileContext(dst.toUri, conf)
+      try fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+      catch { case e: Throwable => fs.delete(tmp, false); throw e }
+    }
   }
 
   private def manifestLines(fs: FileSystem, dir: Path, v: Long): Seq[String] =
@@ -300,33 +448,18 @@ object Snapshot {
     if (base >= 0 && cur != base)
       throw ConcurrentCommitException(dir.toString, base + 1L, cur)
     val next = (if (base >= 0) base else cur) + 1L
-    // THE CLAIM — create-fails-if-exists on the manifest, the one
-    // step two racing writers cannot both win. Pointer mode: write
-    // the full content to a writer-unique tmp, then rename WITHOUT
-    // overwrite (FileContext's default rejects an existing dest), so
-    // the claim appears with complete content or not at all. Marker
-    // mode: create(overwrite = false) — one conditional PUT on a real
-    // object store (no rename exists there); nobody reads the
-    // manifest before its marker lands, so the in-flight write is
+    // THE CLAIM — a true create-fails-if-exists on the manifest, the
+    // one step two racing writers cannot both win ([[createExclusive]]:
+    // O_EXCL on file://, an atomic namespace op on HDFS, a conditional
+    // PUT on a real object store). Nobody reads a manifest above the
+    // published version, so the claim's in-flight write is
     // unobservable. Losing the claim aborts HERE, before any unhide —
     // the winner's committed data is never touched by the loser.
     val manifest = listFile(dir, next)
     val body = (memberDirs ++ consumed.map("!" + _)).mkString("\n")
     val marker = conf.getBoolean(MarkerCommitKey, false)
-    try {
-      if (marker) {
-        val out = fs.create(manifest, false)
-        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      } else {
-        val tmp = new Path(dir,
-          s"_v$next.list.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-        writeSmall(fs, tmp, body)
-        val fc = FileContext.getFileContext(dir.toUri, conf)
-        try fc.rename(tmp, manifest) // no OVERWRITE: fails if claimed
-        catch { case e: Throwable => fs.delete(tmp, false); throw e }
-      }
-    } catch {
+    try createExclusive(fs, manifest, body)
+    catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: org.apache.hadoop.fs.PathExistsException |
            _: java.nio.file.FileAlreadyExistsException =>
@@ -356,26 +489,21 @@ object Snapshot {
       // marker, which is equally a commit — presence, not content, is
       // the signal). Only the claim winner reaches here, so an
       // existing marker is a protocol violation — loud, not absorbed.
-      try {
-        val out = fs.create(markerFile(dir, next), false)
-        try out.write(next.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      } catch {
+      try createExclusive(fs, markerFile(dir, next), next.toString)
+      catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: java.nio.file.FileAlreadyExistsException =>
           throw ConcurrentCommitException(dir.toString, next,
             currentVersion(fs, dir).getOrElse(0L))
       }
     } else {
-      val tmp = new Path(dir, "_current.tmp")
-      writeSmall(fs, tmp, next.toString)
-      // the one atomic publish step: POSIX rename-over of the pointer
-      // file. Monotone by construction: claiming n+1 requires seeing
-      // n published, so no writer can publish past an unpublished
-      // claim — the pointer never moves backward under the protocol.
-      val fc = FileContext.getFileContext(dir.toUri, conf)
-      fc.rename(tmp, pointer(dir), Options.Rename.OVERWRITE)
+      // the one atomic publish step: rename-over of the pointer file
+      // (real rename(2) on file://, one NameNode op on HDFS — see
+      // writeAtomicOver). Monotone by construction: claiming n+1
+      // requires seeing n published, so no writer can publish past an
+      // unpublished claim — the pointer never moves backward under
+      // the protocol.
+      writeAtomicOver(fs, conf, pointer(dir), next.toString)
     }
     next
   }
@@ -469,14 +597,10 @@ object Snapshot {
     require(version >= 1 && version <= cur &&
         fs.exists(listFile(dir, version)),
       s"tag target $version not a retained committed version of $dir (current $cur)")
-    if (conf.getBoolean(MarkerCommitKey, false)) {
+    if (conf.getBoolean(MarkerCommitKey, false))
       writeSmall(fs, tagFile(dir, name), version.toString)
-    } else {
-      val tmp = new Path(dir, s"_tag.$name.tmp")
-      writeSmall(fs, tmp, version.toString)
-      val fc = FileContext.getFileContext(dir.toUri, conf)
-      fc.rename(tmp, tagFile(dir, name), Options.Rename.OVERWRITE)
-    }
+    else
+      writeAtomicOver(fs, conf, tagFile(dir, name), version.toString)
   }
 
   /** All tags: name → pinned version. */
@@ -552,14 +676,20 @@ object Snapshot {
           case _ => false
         })
         .foreach(fs.delete(_, true))
-      // stranded rename tmps from crashed tag writes and crashed
-      // manifest claims: readers already ignore them (tags() filters
-      // .tmp, claims resolve only through the published manifest
-      // name), so this is accumulation cleanup, not correctness —
-      // round-11 ADVICE
+      // stranded rename tmps from crashed tag writes, pointer swaps,
+      // and (legacy) manifest claims: readers already ignore them
+      // (tags() filters .tmp, dotfile tmps are hidden by convention,
+      // claims resolve only through the published manifest name), so
+      // this is accumulation cleanup, not correctness — round-11
+      // ADVICE; round-13 adds the writer-unique pointer/tag tmp
+      // shapes writeAtomicOver leaves on a crash
       st.map(_.getPath)
         .filter(p => p.getName.matches("_tag\\..*\\.tmp") ||
-          p.getName.matches("_v\\d+\\.list\\.tmp\\..*"))
+          p.getName.matches("_tag\\..*\\.tmp\\..*") ||
+          p.getName.matches("_v\\d+\\.list\\.tmp\\..*") ||
+          p.getName.matches("_current\\.tmp\\..*") ||
+          p.getName.matches("\\._current\\.tmp\\..*") ||
+          p.getName.matches("\\._tag\\..*\\.tmp\\..*"))
         .foreach(fs.delete(_, false))
       deadLists.foreach(fs.delete(_, false))
       // markers below the retention floor go with their manifests;
