@@ -785,18 +785,38 @@ object Lake {
     *    each member registers as `<set>_<member>` AT ITS PINNED
     *    version — the all-or-nothing cross-store read surface.
     *
+    *  - TIME TRAVEL (round 13 — VERDICT r12 item 2): with
+    *    `timeTravel = true` (the default) every `stores` entry also
+    *    registers `<name>_v<K>` for each RETAINED version K (the
+    *    manifests vacuum still holds — current, previous, and every
+    *    tagged pin) and `<name>_tag_<tag>` for each named tag
+    *    (non-identifier characters in the tag map to `_`), so a
+    *    `spark.sql` user reaches `readStoreAt`/`readStoreTag` without
+    *    a Scala builder: `SELECT … FROM corpus_v7` is the
+    *    point-in-time query, byte-stable under later commits.
+    *
     * Views resolve their snapshot AT REGISTRATION (a temp view holds
     * the resolved file list): later commits never move a registered
-    * view mid-session — re-running the call advances it, the explicit
-    * catalog-refresh form of snapshot isolation. Returns the
-    * registered view names. */
+    * view mid-session — re-running the call (or the narrow
+    * [[refreshCatalog]]) advances it, the explicit catalog-refresh
+    * form of snapshot isolation. Returns the registered view names. */
   def registerCatalog(spark: SparkSession,
       fixturesDir: Option[String] = None,
       lakes: Map[String, String] = Map.empty,
       stores: Map[String, String] = Map.empty,
-      publishSets: Map[String, (String, String => String)] = Map.empty)
+      publishSets: Map[String, (String, String => String)] = Map.empty,
+      timeTravel: Boolean = true)
       : Seq[String] = {
     import org.apache.hadoop.fs.Path
+    // remember the spec so refreshCatalog can re-resolve by name;
+    // merged across calls (a later stores-only call must not forget
+    // the fixtures an earlier call registered)
+    val prev = Option(catalogSpecs.get(spark))
+      .getOrElse(CatalogSpec(None, Map.empty, Map.empty, Map.empty, true))
+    catalogSpecs.put(spark, CatalogSpec(
+      fixturesDir.orElse(prev.fixturesDir),
+      prev.lakes ++ lakes, prev.stores ++ stores,
+      prev.publishSets ++ publishSets, timeTravel))
     graft.GraftExtensions.registerAll(spark)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     fixturesDir.foreach { d =>
@@ -824,6 +844,30 @@ object Lake {
     }
     stores.foreach { case (name, dir) =>
       readStore(spark, dir).createOrReplaceTempView(name); out += name
+      if (timeTravel) {
+        val p = new Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Snapshot.currentVersion(fs, p).foreach { cur =>
+          // retained versions = manifests still on disk at or below
+          // current (vacuum keeps the last `keep` plus tagged pins)
+          val retained = fs.listStatus(p).map(_.getPath.getName)
+            .flatMap { n =>
+              if (n.matches("_v\\d+\\.list"))
+                Some(n.stripPrefix("_v").stripSuffix(".list").toLong)
+              else None
+            }.filter(_ <= cur).sorted
+          retained.foreach { v =>
+            val vn = s"${name}_v$v"
+            readStoreAt(spark, dir, v).createOrReplaceTempView(vn)
+            out += vn
+          }
+          Snapshot.tags(fs, p).toSeq.sortBy(_._1).foreach { case (t, v) =>
+            val tn = s"${name}_tag_${t.replaceAll("[^A-Za-z0-9_]", "_")}"
+            readStoreAt(spark, dir, v).createOrReplaceTempView(tn)
+            out += tn
+          }
+        }
+      }
     }
     publishSets.foreach { case (setName, (setDir, storeDir)) =>
       val p = new Path(setDir)
@@ -838,5 +882,49 @@ object Lake {
       }
     }
     out.toSeq
+  }
+
+  /** What [[registerCatalog]] was last asked to register, per session
+    * — the memory [[refreshCatalog]] re-resolves from. */
+  private case class CatalogSpec(fixturesDir: Option[String],
+      lakes: Map[String, String], stores: Map[String, String],
+      publishSets: Map[String, (String, String => String)],
+      timeTravel: Boolean)
+  private val catalogSpecs =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, CatalogSpec]()
+
+  /** NARROW catalog refresh (round 13 — VERDICT r12 item 7): advance
+    * just the named views to their stores' CURRENT committed state,
+    * leaving every other registered view pinned where it was — the
+    * long-lived SQL session's way to follow one store across commits
+    * without re-registering (and thus re-pinning) everything.
+    * `names` match the names given to [[registerCatalog]]: a lake
+    * view, a store view (its `_v<K>`/`_tag_<t>` time-travel views
+    * re-enumerate too — new retained versions appear), or a publish
+    * SET name (all its `<set>_<member>` views re-pin to the latest
+    * published manifest). Empty `names` refreshes the whole
+    * registration. Unknown names fail loudly. Returns the refreshed
+    * view names. */
+  def refreshCatalog(spark: SparkSession,
+      names: Seq[String] = Nil): Seq[String] = {
+    val spec = Option(catalogSpecs.get(spark)).getOrElse(
+      throw new IllegalStateException(
+        "refreshCatalog: nothing registered in this session — call " +
+          "registerCatalog first"))
+    if (names.isEmpty)
+      return registerCatalog(spark, spec.fixturesDir, spec.lakes,
+        spec.stores, spec.publishSets, spec.timeTravel)
+    val unknown = names.filterNot(n =>
+      spec.lakes.contains(n) || spec.stores.contains(n) ||
+        spec.publishSets.contains(n))
+    require(unknown.isEmpty,
+      s"refreshCatalog: never registered: $unknown (registered lakes " +
+        s"${spec.lakes.keys}, stores ${spec.stores.keys}, sets " +
+        s"${spec.publishSets.keys})")
+    registerCatalog(spark, None,
+      spec.lakes.filter(kv => names.contains(kv._1)),
+      spec.stores.filter(kv => names.contains(kv._1)),
+      spec.publishSets.filter(kv => names.contains(kv._1)),
+      spec.timeTravel)
   }
 }

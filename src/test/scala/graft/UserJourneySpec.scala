@@ -131,4 +131,53 @@ class UserJourneySpec extends AnyFunSuite {
       stores = Map("idx_now" -> s"$base/idx"))
     assert(spark.sql("SELECT v FROM idx_now").head().getString(0) == "v2")
   }
+
+  test("SQL time travel: registered _v<K>/_tag_<t> views pin versions, byte-stable under later commits; refreshCatalog advances narrowly") {
+    import spark.implicits._
+    val base = TestSpark.tmpDir("catalog-tt")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def merge(store: String, k: Long, i: Long): Unit =
+      graft.sources.Lake.mergeInto(spark, s"$base/$store",
+        Seq((k, s"v$i", i, false)).toDF("k", "v", "ver", "is_delete"),
+        Seq("k"), Seq("ver"), Some(col("is_delete")))
+    merge("corpus", 1L, 1L) // v1
+    merge("corpus", 1L, 2L) // v2 (v1 retained: keep = 2)
+    val cp = new org.apache.hadoop.fs.Path(s"$base/corpus")
+    val fs = cp.getFileSystem(conf)
+    graft.sources.Snapshot.tag(fs, conf, cp, "run-1", 1L)
+    merge("other", 9L, 1L)
+    val views = graft.sources.Lake.registerCatalog(spark,
+      stores = Map("corpus" -> s"$base/corpus",
+        "other" -> s"$base/other"))
+    assert(Set("corpus", "corpus_v1", "corpus_v2", "corpus_tag_run_1")
+      .subsetOf(views.toSet), s"registered: $views")
+    // the pinned SQL read ≡ the Scala readStoreAt read
+    def one(sql: String) = spark.sql(sql).head().getString(0)
+    assert(one("SELECT v FROM corpus_v1") == "v1")
+    assert(one("SELECT v FROM corpus_v2") == "v2")
+    assert(one("SELECT v FROM corpus_tag_run_1") == "v1")
+    assert(graft.sources.Lake.readStoreAt(spark, s"$base/corpus", 1L)
+      .head().getAs[String]("v") == "v1")
+    // a LATER commit moves nothing already registered — byte-stable
+    merge("corpus", 1L, 3L) // v3
+    assert(one("SELECT v FROM corpus") == "v2",
+      "current-store view moved mid-session")
+    assert(one("SELECT v FROM corpus_v2") == "v2")
+    assert(one("SELECT v FROM corpus_tag_run_1") == "v1")
+    // NARROW refresh: corpus advances (and its time-travel views
+    // re-enumerate), `other` stays pinned
+    merge("other", 9L, 2L)
+    val refreshed = graft.sources.Lake.refreshCatalog(spark, Seq("corpus"))
+    assert(refreshed.contains("corpus_v3"), s"refreshed: $refreshed")
+    assert(one("SELECT v FROM corpus") == "v3")
+    assert(one("SELECT v FROM corpus_v3") == "v3")
+    assert(one("SELECT v FROM corpus_tag_run_1") == "v1",
+      "tag pin must survive the refresh")
+    assert(one("SELECT v FROM other") == "v1",
+      "narrow refresh must not advance other views")
+    // unknown names fail loudly
+    intercept[IllegalArgumentException] {
+      graft.sources.Lake.refreshCatalog(spark, Seq("nope"))
+    }
+  }
 }
