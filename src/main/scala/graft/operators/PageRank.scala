@@ -79,6 +79,10 @@ object PageRank {
     // without a fresh cross join
     var ranks = nodes.crossJoin(broadcast(n1))
       .select(col("node"), (lit(1.0) / col("n")).as("r"), col("n"))
+    // the round-(i-1) checkpoint frame, released once round i's
+    // checkpoint has materialized (the leak fix dupClusters got in
+    // round 13 — Dataset.unpersist is a no-op on checkpointed frames)
+    var pinned: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contrib = edgesD
         .join(ranks.select(col("node").as("src"), col("r")), "src")
@@ -102,10 +106,19 @@ object PageRank {
       // cadence 1 = 5.07 s vs cadence 2 = 13.73 s — the checkpoint
       // every iteration stays (the r9 "regression" to 9.09 s was
       // in-suite cache pressure + host noise, not the cadence).
-      if (i < iters)
-        ranks =
+      if (i < iters) {
+        val cp =
           if (checkpointDir.isDefined) ranks.checkpoint()
-          else ranks.localCheckpoint()
+          // session-wide escape hatch (Checkpoints.ReliableDirKey)
+          // applies when no per-call dir was passed
+          else Checkpoints.truncate(ranks)
+        // cp is eagerly materialized — the previous round's pinned
+        // frame has had its last read; the FINAL round's frame stays
+        // pinned (the caller's result reads it)
+        pinned.foreach(Checkpoints.release)
+        pinned = Some(cp)
+        ranks = cp
+      }
     }
     ranks.select(col("node"), col("r").as("rank"))
   }

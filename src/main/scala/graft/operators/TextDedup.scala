@@ -249,37 +249,59 @@ object TextDedup {
     * O(diameter) rounds (dup clusters are shallow); every round is two
     * bucket-keyed shuffles, and the loop exits on a fixpoint check
     * (one scalar per round — the AQE-style driver decision, not a data
-    * collect). Lineage is truncated each round via localCheckpoint;
-    * swap for `checkpoint` on a real cluster for fault tolerance.
-    * Returns (id, cluster) with cluster = min id of the component. */
+    * collect). Lineage is truncated each round via
+    * [[Checkpoints.truncate]] — localCheckpoint by default (no
+    * fault tolerance: an executor loss on a real cluster fails the
+    * job), a RELIABLE checkpoint when the session sets
+    * `spark.graft.checkpoint.dir` (Checkpoints.ReliableDirKey) —
+    * the knob long unattended cluster runs should set.
+    * Returns (id, cluster) with cluster = min id of the component.
+    * `onRound` (observability, default no-op) fires after each
+    * propagation round with (round index, wall millis) — what the
+    * scale-stress recording (NOTES round 13) and a production
+    * progress monitor hook into. */
   def dupClusters(pairs: DataFrame, idA: String = "a_id",
-      idB: String = "b_id", maxIter: Int = 20): DataFrame = {
+      idB: String = "b_id", maxIter: Int = 20,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     // Pin the edge set before iterating: every propagation round joins
     // against it, and without the checkpoint each round re-executes
     // whatever pipeline produced the pairs (for the LSH path, the full
     // shingle→minhash→bucket cascade — measured 3x the whole
     // operator's cost at sf0.1). The pair set is LSH-bounded (far
     // smaller than the corpus), so materializing it is the cheap side.
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+    val edges = Checkpoints.truncate(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .union(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
+    var labels = Checkpoints.truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val t0 = System.nanoTime()
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("cluster").as("nl"))
-      val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+      val next = Checkpoints.truncate(
+        labels.join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster")))
       converged = next.join(
           labels.withColumnRenamed("cluster", "old"), "id")
         .where(col("cluster") =!= col("old")).isEmpty
+      // drop the SUPERSEDED round's pinned blocks: truncate is eager,
+      // so `next` holds no reference to the old lineage, and the
+      // convergence check above was the old frame's last read. Without
+      // this every round leaks one labels-sized pinned frame — at the
+      // round-13 scale stress (1M edges, 30 chain rounds) the leak
+      // grew round times from ~3 s to >2 min as the block manager
+      // filled (NOTES round-21 table) — a deep-graph cluster run
+      // would OOM its executors on pinned garbage. Dataset.unpersist
+      // is a silent no-op for checkpointed frames — Checkpoints.release
+      // reaches the pinned RDD itself.
+      Checkpoints.release(labels)
       labels = next
       i += 1
+      onRound(i, (System.nanoTime() - t0) / 1000000L)
     }
     // A component with diameter > maxIter would exit here NON-converged
     // and silently violate the 'cluster = min id of component' contract
