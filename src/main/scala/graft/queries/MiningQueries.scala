@@ -2242,7 +2242,123 @@ object MiningQueries {
           .as("top_lang_share"))
       .transform(Det.emit(_, "source"))
 
+  /** q244: THEIL T INEQUALITY INDEX of document length per language
+    * (round 21 — the decomposable inequality measure beside q229's
+    * Gini: Theil is additively decomposable across subgroups, which
+    * is why corpus-balance audits prefer it when drilling from corpus
+    * to source to shard): T = (Σ x·ln x)/S − ln(S/n) over n_chars > 0,
+    * from three exact scan-side sums (n, S = Σx as longs; the x·ln x
+    * sum is the one float fold → r6e, the q207 class). Scale: pure
+    * map-side fold to the #langs frame — one scan, no joins. */
+  private def q244(s: SparkSession, d: String): DataFrame =
+    docs(s, d).where(col("n_chars") > 0)
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        Det.r6e(sum(col("n_chars").cast("double") *
+            log(col("n_chars").cast("double"))) /
+          sum(col("n_chars")).cast("double") -
+          log(sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double"))).as("theil_t"))
+      .transform(Det.emit(_, "lang"))
+
+  /** q245: LAG-1 AUTOCORRELATION of daily event counts per event type
+    * (round 21 — the time-series health check beside q226's CUSUM and
+    * q237's Mann–Kendall: high positive autocorrelation means bursty,
+    * sessionful traffic; near zero means memoryless arrivals — the
+    * number a capacity planner and a drift monitor both read first).
+    * Day series at the (event_type, day) grain; lag(1) over observed
+    * days (gaps documented: the previous OBSERVED day, the standard
+    * series treatment); Pearson r from exact integer moment sums —
+    * the q240 discipline, never an engine-private streaming corr.
+    * Zero variance on either side → 0.0 (the constant series has no
+    * correlation to speak of, and NULL would poison the hash). Scale:
+    * one events scan to the bounded (type, day) frame; the lag window
+    * and the moment fold both run on that frame. */
+  private def q245(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily.withColumn("prev", lag(col("c"), 1).over(w))
+      .where(col("prev").isNotNull)
+    lagged.groupBy("event_type").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("c")).as("sx"), sum(col("prev")).as("sy"),
+        sum(col("c") * col("c")).as("sxx"),
+        sum(col("prev") * col("prev")).as("syy"),
+        sum(col("c") * col("prev")).as("sxy"))
+      .select(col("event_type"), col("n_pairs"),
+        Det.r6e(when(
+          (col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0) &&
+            (col("n_pairs") * col("syy") - col("sy") * col("sy") > 0),
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .otherwise(lit(0.0))).as("autocorr"))
+      .transform(Det.emit(_, "event_type"))
+  }
+
+  /** q246: HERFINDAHL–HIRSCHMAN source concentration per language
+    * (round 21 — the concentration number beside q243's entropy: HHI
+    * = Σ(cᵢ/n)² is what competition analysis reads, and 1/HHI is the
+    * EFFECTIVE source count — "this language really comes from ~2.3
+    * sources" — the mixture planner's sanity check against q159's
+    * balancing assumptions): exact integer cell counts, HHI =
+    * Σc²/(Σc)² with the one float division → r6e. Scale: one scan to
+    * the (lang, source) cell grain, one lang rollup. */
+  private def q246(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .groupBy("lang").agg(
+        sum("c").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        Det.r6e(sum(col("c") * col("c")).cast("double") /
+          (sum(col("c")) * sum(col("c"))).cast("double")).as("hhi"),
+        Det.r6e((sum(col("c")) * sum(col("c"))).cast("double") /
+          sum(col("c") * col("c")).cast("double")).as("effective_sources"))
+      .transform(Det.emit(_, "lang"))
+
+  /** q247: COHEN'S D effect size of document length between every
+    * source pair (round 21 — the parametric companion to q221's KS
+    * distance: KS says the length distributions differ, d says by HOW
+    * MANY pooled standard deviations the means differ — the number a
+    * rebalancing decision actually thresholds on): per source the
+    * exact moment triple (n, Σx, Σx²) folds scan-side; the pair frame
+    * is the bounded #sources² cross (sources are enum-sized), d =
+    * (μa − μb)/s_pooled with the textbook pooled variance, 0.0 when
+    * the pooled variance degenerates (n_a + n_b < 3 or zero spread).
+    * Scale: one scan + a broadcast-sized pair join. */
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    val m = docs(s, d).groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars").cast("long")).as("sx"),
+      sum(col("n_chars").cast("long") * col("n_chars").cast("long")).as("sxx"))
+    // centered sum of squares, computed IDENTICALLY on both engines
+    // (one shape, no divide-then-multiply — ulp discipline)
+    def ss(side: String): Column =
+      col(s"sxx_$side").cast("double") -
+        col(s"sx_$side").cast("double") * col(s"sx_$side").cast("double") /
+          col(s"n_$side").cast("double")
+    val a = m.select(col("source").as("src_a"), col("n").as("n_a"),
+      col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+    val b = m.select(col("source").as("src_b"), col("n").as("n_b"),
+      col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+    val sp2 = (ss("a") + ss("b")) /
+      (col("n_a") + col("n_b") - 2).cast("double")
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        Det.r6e(when(col("n_a") + col("n_b") > 2 && sp2 > 0,
+          (col("sx_a").cast("double") / col("n_a").cast("double") -
+            col("sx_b").cast("double") / col("n_b").cast("double")) /
+            sqrt(sp2)).otherwise(lit(0.0))).as("cohens_d"))
+      .transform(Det.emit(_, "src_a", "src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_theil_index" -> q244,
+    "q245_daily_autocorr" -> q245,
+    "q246_hhi_concentration" -> q246,
+    "q247_cohens_d" -> q247,
     "q240_spearman_drift" -> q240,
     "q241_pii_screen" -> q241,
     "q242_vocab_overlap" -> q242,
@@ -2407,6 +2523,91 @@ object MiningQueries {
                          AS DOUBLE)) + ${Det.E6}, 6)
                  ELSE 0.0 END AS rho
           FROM m ORDER BY source""",
+    // q244: three exact sums; the x·ln x fold is the one float term
+    "q244_theil_index" ->
+      s"""SELECT lang,
+                 CAST(count(1) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 round(sum(CAST(n_chars AS DOUBLE) * ln(n_chars))
+                         / CAST(sum(n_chars) AS DOUBLE)
+                       - ln(CAST(sum(n_chars) AS DOUBLE) / count(1))
+                       + ${Det.E6}, 6) AS theil_t
+          FROM documents WHERE n_chars > 0
+          GROUP BY lang ORDER BY lang""",
+    // q245: exact integer moment sums, the q240 discipline; lag(1)
+    // over observed days — the same gap rule both engines apply
+    "q245_daily_autocorr" ->
+      s"""WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(1) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+          lagged AS (
+            SELECT event_type, c,
+                   lag(c) OVER (PARTITION BY event_type ORDER BY day)
+                     AS prev
+            FROM daily),
+          m AS (SELECT event_type,
+                       CAST(count(1) AS BIGINT) AS n_pairs,
+                       sum(CAST(c AS HUGEINT)) AS sx,
+                       sum(CAST(prev AS HUGEINT)) AS sy,
+                       sum(CAST(c AS HUGEINT) * c) AS sxx,
+                       sum(CAST(prev AS HUGEINT) * prev) AS syy,
+                       sum(CAST(c AS HUGEINT) * prev) AS sxy
+                FROM lagged WHERE prev IS NOT NULL
+                GROUP BY event_type)
+          SELECT event_type, n_pairs,
+                 CASE WHEN CAST(n_pairs AS HUGEINT) * sxx - sx * sx > 0
+                       AND CAST(n_pairs AS HUGEINT) * syy - sy * sy > 0
+                 THEN round(
+                   CAST(CAST(n_pairs AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                   / sqrt(
+                     CAST(CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                     * CAST(CAST(n_pairs AS HUGEINT) * syy - sy * sy
+                         AS DOUBLE)) + ${Det.E6}, 6)
+                 ELSE round(0.0 + ${Det.E6}, 6) END AS autocorr
+          FROM m ORDER BY event_type""",
+    // q246: exact integer cells; HHI's one float division
+    "q246_hhi_concentration" ->
+      s"""WITH g AS (SELECT lang, source, CAST(count(1) AS BIGINT) AS c
+                     FROM documents GROUP BY 1, 2)
+          SELECT lang,
+                 CAST(sum(c) AS BIGINT) AS n_docs,
+                 CAST(count(1) AS BIGINT) AS n_sources,
+                 round(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+                       / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+                       + ${Det.E6}, 6) AS hhi,
+                 round((CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+                       / CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+                       + ${Det.E6}, 6) AS effective_sources
+          FROM g GROUP BY lang ORDER BY lang""",
+    // q247: textbook pooled-variance d from exact moment triples
+    "q247_cohens_d" ->
+      s"""WITH m AS (SELECT source,
+                            CAST(count(1) AS BIGINT) AS n,
+                            sum(CAST(n_chars AS HUGEINT)) AS sx,
+                            sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+                     FROM documents GROUP BY source),
+          p AS (SELECT a.source AS src_a, b.source AS src_b,
+                       a.n AS n_a, b.n AS n_b,
+                       a.sx AS sx_a, b.sx AS sx_b,
+                       a.sxx AS sxx_a, b.sxx AS sxx_b
+                FROM m a JOIN m b ON a.source < b.source),
+          v AS (SELECT src_a, src_b, n_a, n_b, sx_a, sx_b,
+                       ((CAST(sxx_a AS DOUBLE)
+                          - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
+                            / CAST(n_a AS DOUBLE))
+                        + (CAST(sxx_b AS DOUBLE)
+                          - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
+                            / CAST(n_b AS DOUBLE)))
+                       / CAST(n_a + n_b - 2 AS DOUBLE) AS sp2
+                FROM p)
+          SELECT src_a, src_b, n_a, n_b,
+                 CASE WHEN n_a + n_b > 2 AND sp2 > 0
+                 THEN round((CAST(sx_a AS DOUBLE) / n_a
+                             - CAST(sx_b AS DOUBLE) / n_b) / sqrt(sp2)
+                            + ${Det.E6}, 6)
+                 ELSE round(0.0 + ${Det.E6}, 6) END AS cohens_d
+          FROM v ORDER BY src_a, src_b""",
     // q242: identical top-300 total order (c DESC, w ASC) both sides
     "q242_vocab_overlap" ->
       s"""WITH t AS (SELECT source, w, CAST(count(1) AS BIGINT) AS c
