@@ -2354,7 +2354,47 @@ object MiningQueries {
       .transform(Det.emit(_, "src_a", "src_b"))
   }
 
+  /** q248: pairwise JENSEN–SHANNON divergence between source language
+    * mixes (round 21 — the symmetric, bounded [0, ln 2] distance the
+    * mixture family was missing: q200's PSI is unstable on empty
+    * cells and asymmetric in spirit, q242's Jaccard is set-valued;
+    * JSD is THE standard distribution distance for "are these two
+    * sources drawing from the same language mixture"): shares on the
+    * DENSE (source × lang) grid (zero cells carry 0 and contribute
+    * nothing by the p>0 guard — the limit p·ln p → 0, applied
+    * explicitly on both engines), JSD = Σ [p/2·ln(2p/(p+q)) +
+    * q/2·ln(2q/(p+q))] in nats. Scale: one scan to the (source, lang)
+    * cell grain; grid, pair join, and fold all on the bounded
+    * #sources × #langs frame. */
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    val cells = docs(s, d).groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy("source").agg(sum("c").as("n"))
+    val langs = cells.select("lang").distinct()
+    val grid = totals.crossJoin(langs)
+      .join(cells, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"),
+        (coalesce(col("c"), lit(0L)).cast("double") /
+          col("n").cast("double")).as("p"))
+    val a = grid.select(col("source").as("src_a"), col("lang"),
+      col("p").as("pa"))
+    val b = grid.select(col("source").as("src_b"), col("lang"),
+      col("p").as("pb"))
+    val term =
+      when(col("pa") > 0,
+        col("pa") / 2 * log(lit(2) * col("pa") / (col("pa") + col("pb"))))
+        .otherwise(lit(0.0)) +
+      when(col("pb") > 0,
+        col("pb") / 2 * log(lit(2) * col("pb") / (col("pa") + col("pb"))))
+        .otherwise(lit(0.0))
+    a.join(b, Seq("lang")).where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(Det.r6e(sum(term)).as("jsd"))
+      .transform(Det.emit(_, "src_a", "src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_jsd_langmix" -> q248,
     "q244_theil_index" -> q244,
     "q245_daily_autocorr" -> q245,
     "q246_hhi_concentration" -> q246,
@@ -2523,6 +2563,31 @@ object MiningQueries {
                          AS DOUBLE)) + ${Det.E6}, 6)
                  ELSE 0.0 END AS rho
           FROM m ORDER BY source""",
+    // q248: dense grid shares; p>0 guards apply the p·ln p → 0 limit
+    // explicitly on both engines
+    "q248_jsd_langmix" ->
+      s"""WITH cells AS (SELECT source, lang, CAST(count(1) AS BIGINT) AS c
+                         FROM documents GROUP BY 1, 2),
+          totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                     FROM cells GROUP BY 1),
+          langs AS (SELECT DISTINCT lang FROM cells),
+          grid AS (SELECT t.source, l.lang,
+                          CAST(coalesce(c.c, 0) AS DOUBLE)
+                            / CAST(t.n AS DOUBLE) AS p
+                   FROM totals t CROSS JOIN langs l
+                   LEFT JOIN cells c
+                     ON c.source = t.source AND c.lang = l.lang)
+          SELECT a.source AS src_a, b.source AS src_b,
+                 round(sum(
+                   CASE WHEN a.p > 0
+                     THEN a.p / 2 * ln(2 * a.p / (a.p + b.p))
+                     ELSE 0.0 END +
+                   CASE WHEN b.p > 0
+                     THEN b.p / 2 * ln(2 * b.p / (a.p + b.p))
+                     ELSE 0.0 END) + ${Det.E6}, 6) AS jsd
+          FROM grid a JOIN grid b
+            ON a.lang = b.lang AND a.source < b.source
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     // q244: three exact sums; the x·ln x fold is the one float term
     "q244_theil_index" ->
       s"""SELECT lang,
