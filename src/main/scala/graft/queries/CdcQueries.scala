@@ -497,12 +497,13 @@ object CdcQueries {
   /** q171: INCREMENTAL SCD2 — q117's one-shot history build made
     * continuous off the pre-image feed
     * (`examples.IncrementalScd2.refresh`): validity stamped in merge
-    * ids (batch 1 commits as feed id 0, batch 2 as id 1), an update
+    * ids — VERSION-keyed since round 14 (batch 1 commits snapshot
+    * version 1 and publishes feed id 1, batch 2 id 2), an update
     * closing the key's current version and opening the replacement, a
     * delete closing without opening, an insert opening fresh. The
     * oracle reconstructs the SAME history relationally from orders —
-    * v1 rows (valid_from 0, closed at 1 iff updated-or-deleted) plus
-    * v2 opens (valid_from 1, open-ended) — so the hash matches only
+    * v1 rows (valid_from 1, closed at 2 iff updated-or-deleted) plus
+    * v2 opens (valid_from 2, open-ended) — so the hash matches only
     * if the per-entry close/open fold produces exactly the interval
     * set q117 would derive from the full log. */
   private def q171(s: SparkSession, d: String): DataFrame = {
@@ -819,24 +820,25 @@ object CdcQueries {
                  CAST(count(DISTINCT priority) AS BIGINT) AS n_distinct,
                  CAST(count(1) AS BIGINT) AS n
           FROM final GROUP BY status ORDER BY status""",
-    // q171: the history reconstructed relationally — v1 rows closed
-    // at feed id 1 iff updated or deleted, v2 opens at id 1.
+    // q171: the history reconstructed relationally — stamps are the
+    // VERSION-keyed feed ids (round 14): v1 rows open at 1, closed
+    // at 2 iff updated or deleted; v2 opens at 2.
     "q171_scd2_incremental" ->
       """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
                               CAST(round(o_totalprice) AS BIGINT) AS usd
                        FROM orders WHERE o_orderkey % 16 = 6),
           b1 AS (SELECT * FROM base WHERE k % 3 <> 0),
-          v1 AS (SELECT k, status, usd, CAST(0 AS BIGINT) AS valid_from,
+          v1 AS (SELECT k, status, usd, CAST(1 AS BIGINT) AS valid_from,
                         CASE WHEN k % 5 = 0
                                OR (k % 11 = 0 AND k % 5 <> 0)
-                             THEN CAST(1 AS BIGINT) END AS valid_to
+                             THEN CAST(2 AS BIGINT) END AS valid_to
                  FROM b1),
           v2 AS (SELECT k, status, usd + 7 AS usd,
-                        CAST(1 AS BIGINT) AS valid_from,
+                        CAST(2 AS BIGINT) AS valid_from,
                         CAST(NULL AS BIGINT) AS valid_to
                  FROM b1 WHERE k % 5 = 0
                  UNION ALL
-                 SELECT k, status, usd, 1, NULL FROM base
+                 SELECT k, status, usd, 2, NULL FROM base
                  WHERE k % 3 = 0 AND k % 7 = 0)
           SELECT k, status, usd, valid_from, valid_to,
                  CAST(valid_to IS NULL AS INT) AS is_current

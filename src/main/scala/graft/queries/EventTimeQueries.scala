@@ -245,6 +245,7 @@ object EventTimeQueries {
     "q216_funnel_latency" -> q216,
     "q226_cusum_changepoint" -> q226,
     "q234_km_survival" -> q234,
+    "q253_nelson_aalen" -> q253,
     "q235_cuped" -> q235,
     "q236_mann_kendall" -> q236,
     "q237_logrank" -> q237,
@@ -649,6 +650,54 @@ object EventTimeQueries {
       .withColumn("surv", exp(sum("lnterm").over(wc)))
       .select(col("t").as("t_days"), col("d").as("n_churn"),
         col("n_risk"), Det.r6e(col("surv")).as("survival"))
+      .transform(Det.emit(_, "t_days"))
+  }
+
+  /** q253: NELSON–AALEN cumulative hazard over q234's retention
+    * lifetimes (round 22 — the additive companion to the KM product
+    * curve: H(t) = Σ_{t_i ≤ t} d_i/n_i is the standard estimator when
+    * hazard RATES are the readout — "how fast is churn accelerating"
+    * reads off H's slope, invisible in S(t)'s products — and its
+    * Fleming–Harrington transform exp(−H) is the survival estimate of
+    * choice in small risk sets where KM's 1−d/n factors go degenerate;
+    * Aalen 1978, Fleming & Harrington 1984). Identical lifetime /
+    * censoring / risk-set construction as q234 (purchase lifetimes,
+    * 7-day observation-edge censoring, suffix-count risk sets — all
+    * exact integers over the bounded lifetime-grain frame); each
+    * hazard increment d/n is ONE float division of exact integers,
+    * the cumulative sum folds in fixed ascending-t order on both
+    * engines (r6e absorbs last-bit fold-order freedom), and exp(−H)
+    * is applied to the UNROUNDED sum. Scale: one scan to the user
+    * grain, one lifetime-grain rollup, windows over the bounded
+    * frame only (the q234 contract verbatim). */
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evAll = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+    val mx = evAll.agg(max("day").as("dmax"))
+    val users = evAll.where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min("day").as("f"), max("day").as("l"))
+      .crossJoin(broadcast(mx))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+        (datediff(col("dmax"), col("l")) < 7).as("censored"))
+      .transform(Det.pin)
+    val g = users.groupBy("t").agg(
+      sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("m"))
+    val tot = users.agg(count(lit(1)).as("ntot"))
+    val wc = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cm", sum("m").over(wc))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("ntot") - col("cm") + col("m"))
+      .where(col("d") > 0)
+      .withColumn("h", sum(
+        col("d").cast("double") / col("n_risk").cast("double")).over(wc))
+      .select(col("t").as("t_days"), col("d").as("n_churn"),
+        col("n_risk"), Det.r6e(col("h")).as("cum_hazard"),
+        Det.r6e(exp(-col("h"))).as("fh_survival"))
       .transform(Det.emit(_, "t_days"))
   }
 
@@ -1251,6 +1300,38 @@ object EventTimeQueries {
                 FROM dth WHERE d > 0)
           SELECT t AS t_days, d AS n_churn, n_risk,
                  round(exp(lnsum) + ${Det.E6}, 6) AS survival
+          FROM s ORDER BY t""",
+    // q253: q234's construction verbatim through the risk sets; each
+    // hazard increment one exact-integer division, summed ascending,
+    // exp over the unrounded sum (r6e on both emitted floats)
+    "q253_nelson_aalen" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day
+                     FROM events WHERE event_type = 'purchase'),
+          mx AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+          u AS (SELECT CAST(date_diff('day', min(day), max(day))
+                         AS BIGINT) AS t,
+                       (date_diff('day', max(day),
+                          (SELECT dmax FROM mx)) < 7) AS censored
+                FROM e GROUP BY user_id),
+          g AS (SELECT t,
+                       CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0
+                                END) AS BIGINT) AS d,
+                       CAST(count(1) AS BIGINT) AS m
+                FROM u GROUP BY t),
+          tot AS (SELECT CAST(count(1) AS BIGINT) AS ntot FROM u),
+          dth AS (SELECT t, d,
+                         ntot - CAST(sum(m) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) + m AS n_risk
+                  FROM g CROSS JOIN tot),
+          s AS (SELECT t, d, n_risk,
+                       sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS h
+                FROM dth WHERE d > 0)
+          SELECT t AS t_days, d AS n_churn, n_risk,
+                 round(h + ${Det.E6}, 6) AS cum_hazard,
+                 round(exp(-h) + ${Det.E6}, 6) AS fh_survival
           FROM s ORDER BY t""",
     // q237: the q234 construction per cohort; O1 exact; E1/V float
     // sums of exact-rational terms over the bounded frame (r6e).

@@ -2276,25 +2276,34 @@ object MiningQueries {
     * one events scan to the bounded (type, day) frame; the lag window
     * and the moment fold both run on that frame. */
   private def q245(s: SparkSession, d: String): DataFrame = {
+    // Moment sums in decimal(38,0), genuinely the q240 discipline now
+    // (round 14, ADVICE): daily counts c can reach 1e12 at corpus
+    // scale, so Σc² in a plain Long wraps past 2^63 while the DuckDB
+    // oracle's HUGEINT keeps going — decimal(38,0) matches HUGEINT on
+    // every reachable range (exact to Σc² ≈ 1e38, i.e. c ≈ 1e16 over
+    // 1e6 days — far past any real feed).
+    val dec = DecimalType(38, 0)
+    def dm(c: Column) = c.cast(dec)
     val daily = events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("event_type").orderBy("day")
     val lagged = daily.withColumn("prev", lag(col("c"), 1).over(w))
       .where(col("prev").isNotNull)
+    val np = dm(col("n_pairs"))
     lagged.groupBy("event_type").agg(
         count(lit(1)).as("n_pairs"),
-        sum(col("c")).as("sx"), sum(col("prev")).as("sy"),
-        sum(col("c") * col("c")).as("sxx"),
-        sum(col("prev") * col("prev")).as("syy"),
-        sum(col("c") * col("prev")).as("sxy"))
+        sum(dm(col("c"))).as("sx"), sum(dm(col("prev"))).as("sy"),
+        sum(dm(col("c")) * dm(col("c"))).as("sxx"),
+        sum(dm(col("prev")) * dm(col("prev"))).as("syy"),
+        sum(dm(col("c")) * dm(col("prev"))).as("sxy"))
       .select(col("event_type"), col("n_pairs"),
         Det.r6e(when(
-          (col("n_pairs") * col("sxx") - col("sx") * col("sx") > 0) &&
-            (col("n_pairs") * col("syy") - col("sy") * col("sy") > 0),
-          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
-              (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")))
+          (np * col("sxx") - col("sx") * col("sx") > 0) &&
+            (np * col("syy") - col("sy") * col("sy") > 0),
+          (np * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((np * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (np * col("syy") - col("sy") * col("sy")).cast("double")))
           .otherwise(lit(0.0))).as("autocorr"))
       .transform(Det.emit(_, "event_type"))
   }
@@ -2307,16 +2316,23 @@ object MiningQueries {
     * balancing assumptions): exact integer cell counts, HHI =
     * Σc²/(Σc)² with the one float division → r6e. Scale: one scan to
     * the (lang, source) cell grain, one lang rollup. */
-  private def q246(s: SparkSession, d: String): DataFrame =
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    // Σc² in decimal(38,0) (round 14, ADVICE — the q240/q245 overflow
+    // discipline), and the denominator mirrors the oracle's
+    // cast-then-multiply shape (CAST(sum(c) AS DOUBLE) * CAST(...))
+    // rather than multiplying longs first, so neither side ever wraps
+    // and the ulp path is token-identical.
+    val c2 = sum(col("c").cast(DecimalType(38, 0)) *
+      col("c").cast(DecimalType(38, 0)))
+    val nD = sum(col("c")).cast("double")
     docs(s, d).groupBy("lang", "source").agg(count(lit(1)).as("c"))
       .groupBy("lang").agg(
         sum("c").as("n_docs"),
         count(lit(1)).as("n_sources"),
-        Det.r6e(sum(col("c") * col("c")).cast("double") /
-          (sum(col("c")) * sum(col("c"))).cast("double")).as("hhi"),
-        Det.r6e((sum(col("c")) * sum(col("c"))).cast("double") /
-          sum(col("c") * col("c")).cast("double")).as("effective_sources"))
+        Det.r6e(c2.cast("double") / (nD * nD)).as("hhi"),
+        Det.r6e((nD * nD) / c2.cast("double")).as("effective_sources"))
       .transform(Det.emit(_, "lang"))
+  }
 
   /** q247: COHEN'S D effect size of document length between every
     * source pair (round 21 — the parametric companion to q221's KS
@@ -2329,10 +2345,15 @@ object MiningQueries {
     * the pooled variance degenerates (n_a + n_b < 3 or zero spread).
     * Scale: one scan + a broadcast-sized pair join. */
   private def q247(s: SparkSession, d: String): DataFrame = {
+    // Moment triple in decimal(38,0) (round 14, ADVICE): Σx² over
+    // n_chars ≤ ~1e6 wraps a Long past ~9e6 docs per source at
+    // corpus scale; the oracle's HUGEINT never does. decimal(38,0)
+    // is exact to Σx² ≈ 1e38 — 1e26 docs at that cap.
+    val dec = DecimalType(38, 0)
     val m = docs(s, d).groupBy("source").agg(
       count(lit(1)).as("n"),
-      sum(col("n_chars").cast("long")).as("sx"),
-      sum(col("n_chars").cast("long") * col("n_chars").cast("long")).as("sxx"))
+      sum(col("n_chars").cast(dec)).as("sx"),
+      sum(col("n_chars").cast(dec) * col("n_chars").cast(dec)).as("sxx"))
     // centered sum of squares, computed IDENTICALLY on both engines
     // (one shape, no divide-then-multiply — ulp discipline)
     def ss(side: String): Column =
@@ -2393,7 +2414,137 @@ object MiningQueries {
       .transform(Det.emit(_, "src_a", "src_b"))
   }
 
+  /** q250: GOOD–TURING frequency-smoothing table (round 22 — the
+    * unseen-mass estimator the LM-quality family lacked: q109/q183
+    * score documents under ML unigram/bigram models, which assign
+    * zero to anything unseen; Good–Turing's r* = (r+1)·N_{r+1}/N_r
+    * and p0 = N_1/N are the classical corrections, and the N_r table
+    * itself is a corpus-health readout — a spam-flooded corpus shows
+    * a depleted hapax shelf long before perplexity moves; Gale &
+    * Sampson 1995). Grain: TRIGRAM shingles (`TextDedup.withShingles`,
+    * the q208/minhash construction) — the fixture's unigram vocabulary
+    * is a closed 31-word set where every type occurs hundreds of
+    * times (N_r ≡ 0 for r ≤ 10, a degenerate table), while the
+    * trigram spectrum is the real long-tail GT exists for (N_1 ≈ 9.4k
+    * at sf0.01). Counts-of-counts N_r for r = 1..10 (a fixed spine:
+    * absent r emits N_r = 0 with r* = 0 — the table shape is
+    * corpus-independent), each r* ONE float division of exact
+    * integers, p0 likewise (r6e). Scale: the (shingle, count)
+    * aggregate is the one corpus-sized shuffle (q109/q199 contract);
+    * counts-of-counts collapses it to ≤ max-cnt rows
+    * map-side-combinably; the spine join and both divisions run on
+    * ≤ 10 rows + two broadcast 1-row totals. */
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    val v = graft.operators.TextDedup.withShingles(docs(s, d), "text")
+      .select(explode(col("shs")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .transform(Det.pin)
+    val cc = v.groupBy(col("cnt").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = v.agg(sum("cnt").as("n_tokens"))
+    val n1 = cc.agg(coalesce(sum(when(col("r") === 1, col("n_r"))),
+      lit(0L)).as("n1"))
+    val spine = s.range(1, 11).select(col("id").as("r"))
+    val next = cc.select((col("r") - 1).as("r"), col("n_r").as("nn"))
+    spine.join(cc, Seq("r"), "left").join(next, Seq("r"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+      .select(col("r"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"),
+        coalesce(col("nn"), lit(0L)).as("n_r_next"),
+        Det.r6e(when(coalesce(col("n_r"), lit(0L)) > 0,
+            ((col("r") + 1) * coalesce(col("nn"), lit(0L))).cast("double") /
+              col("n_r").cast("double"))
+          .otherwise(lit(0.0))).as("r_star"),
+        Det.r6e(col("n1").cast("double") /
+          col("n_tokens").cast("double")).as("p0"))
+      .transform(Det.emit(_, "r"))
+  }
+
+  /** q251: KNESER–NEY DISCOUNT estimation from bigram
+    * counts-of-counts (round 22 — the modified-KN companion to
+    * q250's Good–Turing: the three discounts D1/D2/D3+ that
+    * interpolated KN subtracts from raw bigram counts are closed-form
+    * functions of n1..n4, Chen & Goodman 1999 eq. 26: Y =
+    * n1/(n1+2n2), Dk = (k+1) − (k+2)·Y·n_{k+1}/n_k — the standard
+    * pre-training readout for "does this corpus have enough n-gram
+    * mass to smooth well"): n1..n4 = TRIGRAM types seen exactly
+    * 1..4 times (the q250 grain — the fixture's closed unigram/bigram
+    * sets leave single-digit counts-of-counts, while the trigram
+    * spectrum is the long tail KN discounts are estimated on in
+    * practice), each D a fixed chain of float ops over exact
+    * integers in ONE token-identical shape on both engines, degenerate
+    * denominators (n_k = 0) emit 0.0. Scale: the shingle aggregate is
+    * the one corpus-sized shuffle (q183 contract — fan-out ~1 shingle
+    * per token, map-side combinable); counts-of-counts collapses to
+    * 4 flags folded in a single 1-row aggregate. */
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    val bg = graft.operators.TextDedup.withShingles(docs(s, d), "text")
+      .select(explode(col("shs")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+    val nk = bg.agg(
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("cnt") === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when(col("cnt") === 4, 1L).otherwise(0L)).as("n4"))
+    val y = col("n1").cast("double") /
+      (col("n1") + lit(2L) * col("n2")).cast("double")
+    def dk(k: Int, num: Column, den: Column): Column =
+      when(den > 0 && col("n1") + lit(2L) * col("n2") > 0,
+        lit(k + 1.0) - lit(k + 2.0) * y *
+          num.cast("double") / den.cast("double"))
+        .otherwise(lit(0.0))
+    nk.select(col("n1"), col("n2"), col("n3"), col("n4"),
+      Det.r6e(when(col("n1") + lit(2L) * col("n2") > 0, y)
+        .otherwise(lit(0.0))).as("y"),
+      Det.r6e(dk(0, col("n2"), col("n1"))).as("d1"),
+      Det.r6e(dk(1, col("n3"), col("n2"))).as("d2"),
+      Det.r6e(dk(2, col("n4"), col("n3"))).as("d3plus"))
+  }
+
+  /** q252: VOCABULARY COVERAGE CURVE — cumulative token share of the
+    * top-K vocabulary at K = 100/1000/10000 (round 22 — the
+    * vocab-size planning readout between q199's Zipf slope and
+    * q195's fertility: "how big a word list covers 95% of tokens"
+    * decides tokenizer budget and OOV-rate expectations; a corpus
+    * whose coverage-at-10k collapses is template-heavy or
+    * multilingual beyond its declared mix): rank the TRIGRAM
+    * vocabulary (the q250 grain — the fixture's 31-word closed
+    * unigram set saturates at every K, telling nothing) by
+    * (count desc, gram) — q199's total-order tie-break — and emit,
+    * per K, the covered occurrence count and its share of all
+    * occurrences (ONE float division of exact longs, r6e). Scale: the
+    * (shingle, count) aggregate is the one corpus-sized shuffle;
+    * top-10000 is a TakeOrdered; the K spine (3 rows) × top frame
+    * product and the rank window are bounded by construction at any
+    * corpus size. */
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = graft.operators.TextDedup.withShingles(docs(s, d), "text")
+      .select(explode(col("shs")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .transform(Det.pin)
+    val tot = v.agg(sum("cnt").as("n_tokens"))
+    val top = v.orderBy(col("cnt").desc, col("w").asc).limit(10000)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w").asc)))
+    val ks = s.range(1).select(explode(typedLit(
+      Seq(100L, 1000L, 10000L))).as("k"))
+    top.crossJoin(broadcast(ks))
+      .groupBy("k").agg(
+        sum(when(col("rnk") <= col("k"), col("cnt")).otherwise(0L))
+          .as("covered_tokens"),
+        sum(when(col("rnk") <= col("k"), 1L).otherwise(0L))
+          .as("n_types_at_k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_types_at_k"), col("covered_tokens"),
+        Det.r6e(col("covered_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("coverage"))
+      .transform(Det.emit(_, "k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_good_turing" -> q250,
+    "q251_kn_discounts" -> q251,
+    "q252_vocab_coverage" -> q252,
     "q248_jsd_langmix" -> q248,
     "q244_theil_index" -> q244,
     "q245_daily_autocorr" -> q245,
@@ -2516,6 +2667,98 @@ object MiningQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q250: the q208-style trigram shingle build; exact integer N_r
+    // table on a fixed 1..10 spine; each r* and p0 one float division
+    // of exact integers (r6e)
+    "q250_good_turing" ->
+      s"""WITH v AS (SELECT w, CAST(count(1) AS BIGINT) AS cnt
+                     FROM (SELECT unnest(list_transform(range(len(ts) - 2),
+                                    i -> ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                                         ts[i+3])) AS w
+                           FROM (SELECT $TS AS ts FROM documents)
+                           WHERE len(ts) >= 3)
+                     GROUP BY w),
+          cc AS (SELECT cnt AS r, CAST(count(1) AS BIGINT) AS n_r
+                 FROM v GROUP BY cnt),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM v),
+          n1 AS (SELECT CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END),
+                        0) AS BIGINT) AS n1 FROM cc),
+          spine AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS r)
+          SELECT s.r,
+                 CAST(coalesce(c.n_r, 0) AS BIGINT) AS n_r,
+                 CAST(coalesce(cn.n_r, 0) AS BIGINT) AS n_r_next,
+                 round(CASE WHEN coalesce(c.n_r, 0) > 0
+                       THEN CAST((s.r + 1) * coalesce(cn.n_r, 0) AS DOUBLE)
+                            / CAST(c.n_r AS DOUBLE)
+                       ELSE 0.0 END + ${Det.E6}, 6) AS r_star,
+                 round(CAST(n1.n1 AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE)
+                       + ${Det.E6}, 6) AS p0
+          FROM spine s LEFT JOIN cc c ON c.r = s.r
+               LEFT JOIN cc cn ON cn.r = s.r + 1
+               CROSS JOIN tot CROSS JOIN n1
+          ORDER BY s.r""",
+    // q251: the q208-style trigram shingle build; n1..n4 exact
+    // flags in one fold; Y and each Dk the identical float-op chain
+    "q251_kn_discounts" ->
+      s"""WITH bg AS (SELECT g, CAST(count(1) AS BIGINT) AS cnt
+                      FROM (SELECT unnest(list_transform(range(len(ts) - 2),
+                                     i -> ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                                          ts[i+3])) AS g
+                            FROM (SELECT $TS AS ts FROM documents)
+                            WHERE len(ts) >= 3)
+                      GROUP BY g),
+          nk AS (SELECT
+                   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN cnt = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                   CAST(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+                 FROM bg)
+          SELECT n1, n2, n3, n4,
+                 round(CASE WHEN n1 + 2 * n2 > 0
+                       THEN CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE)
+                       ELSE 0.0 END + ${Det.E6}, 6) AS y,
+                 round(CASE WHEN n1 > 0 AND n1 + 2 * n2 > 0
+                       THEN 1.0 - 2.0 * (CAST(n1 AS DOUBLE)
+                              / CAST(n1 + 2 * n2 AS DOUBLE))
+                            * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       ELSE 0.0 END + ${Det.E6}, 6) AS d1,
+                 round(CASE WHEN n2 > 0 AND n1 + 2 * n2 > 0
+                       THEN 2.0 - 3.0 * (CAST(n1 AS DOUBLE)
+                              / CAST(n1 + 2 * n2 AS DOUBLE))
+                            * CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                       ELSE 0.0 END + ${Det.E6}, 6) AS d2,
+                 round(CASE WHEN n3 > 0 AND n1 + 2 * n2 > 0
+                       THEN 3.0 - 4.0 * (CAST(n1 AS DOUBLE)
+                              / CAST(n1 + 2 * n2 AS DOUBLE))
+                            * CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE)
+                       ELSE 0.0 END + ${Det.E6}, 6) AS d3plus
+          FROM nk""",
+    // q252: the q208-style trigram shingle build; q199's
+    // (cnt desc, w) total-order rank; covered counts exact longs, the
+    // share one float division (r6e)
+    "q252_vocab_coverage" ->
+      s"""WITH v AS (SELECT w, CAST(count(1) AS BIGINT) AS cnt
+                     FROM (SELECT unnest(list_transform(range(len(ts) - 2),
+                                    i -> ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                                         ts[i+3])) AS w
+                           FROM (SELECT $TS AS ts FROM documents)
+                           WHERE len(ts) >= 3)
+                     GROUP BY w),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM v),
+          top AS (SELECT cnt, row_number() OVER (
+                    ORDER BY cnt DESC, w ASC) AS rnk
+                  FROM v ORDER BY cnt DESC, w ASC LIMIT 10000),
+          ks AS (SELECT CAST(unnest([100, 1000, 10000]) AS BIGINT) AS k),
+          cov AS (SELECT k,
+                    CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END)
+                         AS BIGINT) AS covered_tokens,
+                    CAST(sum(CASE WHEN rnk <= k THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_types_at_k
+                  FROM top CROSS JOIN ks GROUP BY k)
+          SELECT c.k, c.n_types_at_k, c.covered_tokens,
+                 round(CAST(c.covered_tokens AS DOUBLE)
+                       / CAST(t.n_tokens AS DOUBLE) + ${Det.E6}, 6) AS coverage
+          FROM cov c CROSS JOIN tot t ORDER BY c.k""",
     // q240: the identical 2·midrank construction and moment arithmetic
     // (HUGEINT ≡ decimal(38,0) on this range), op order mirrored
     "q240_spearman_drift" ->

@@ -247,6 +247,59 @@ object ScalarQueries {
       .transform(Det.emitWide(_, "event_id"))
   }
 
+  /** q249: TRY_CAST / TRY_CONVERT — the error-tolerant scalar surface
+    * (round 14 — VERDICT r13 item 4). T-SQL's TRY_CAST family is the
+    * standard tool against malformed CDC payloads (origin I, same
+    * README.md:156-192 anchor as q54): a cast that yields NULL on a
+    * malformed VALUE instead of failing the batch — the value-level
+    * twin of the s13/s29 malformed-LINE quarantine. Garbage is
+    * PLANTED deterministically from the props field's own `k`
+    * (per-type mixes, because engines legitimately diverge on
+    * cross-type casts — DuckDB rounds '6.55' to INT 7 where ANSI
+    * refuses, and bare year-strings parse as dates in Spark but not
+    * DuckDB; TRY semantics are about malformed values, not dialect
+    * corners, so the planted mix stays inside the shared contract):
+    * ints get whitespace/empty/prefixed-garbage, doubles get exact
+    * digit-built decimal and scientific strings plus unit suffixes,
+    * dates get real ISO days, impossible calendar days (Feb 30,
+    * month 13) and free text. Pure map-side codegen'd expressions
+    * (Spark's native `try_cast` — ANSI cast semantics, NULL on
+    * failure, never throws); oracle is DuckDB `TRY_CAST` verbatim. */
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    graft.functions.JsonValue.register(s)
+    spread(s, events(s, d))
+      .select(col("event_id"),
+        expr("""json_value(props, '$."k"')""").as("k"),
+        col("ts"))
+      .select(col("event_id"),
+        expr("""CASE CAST(event_id % 4 AS INT)
+                  WHEN 0 THEN k
+                  WHEN 1 THEN concat('x', k)
+                  WHEN 2 THEN concat(' ', k, ' ')
+                  ELSE '' END""").as("raw_int"),
+        expr("""CASE CAST(event_id % 4 AS INT)
+                  WHEN 0 THEN concat(k, '.', lpad(CAST(event_id % 100 AS STRING), 2, '0'))
+                  WHEN 1 THEN concat(k, ' units')
+                  WHEN 2 THEN concat('1e', CAST(event_id % 5 AS STRING))
+                  ELSE concat('-', k) END""").as("raw_double"),
+        expr("""CASE CAST(event_id % 4 AS INT)
+                  WHEN 0 THEN CAST(CAST(ts AS DATE) AS STRING)
+                  WHEN 1 THEN '2024-02-30'
+                  WHEN 2 THEN concat('2024-13-', lpad(CAST(event_id % 28 + 1 AS STRING), 2, '0'))
+                  ELSE concat('day ', k) END""").as("raw_date"))
+      .select(col("event_id"),
+        col("raw_int"), col("raw_double"), col("raw_date"),
+        expr("try_cast(raw_int AS INT)").as("as_int"),
+        expr("try_cast(raw_double AS DOUBLE)").as("as_double"),
+        // the DATE result re-emits as its ISO string: a NULLABLE date
+        // column round-trips through the harness's pandas compare as
+        // mixed object cells (date + None) and false-mismatches
+        // against DuckDB's NaT — the TRY semantics (NULL on Feb 30 /
+        // month 13 / free text) are identical either way
+        expr("CAST(try_cast(raw_date AS DATE) AS STRING)").as("as_date"))
+      .transform(Det.emitWide(_, "event_id"))
+  }
+
   /** q55: array functions over the 64-dim embedding column. Element
     * arithmetic is cast to double BEFORE any op so both engines do
     * identical double arithmetic (floats stay bitwise-comparable). */
@@ -322,7 +375,8 @@ object ScalarQueries {
     "q98_udaf_weighted_mean" -> q98, "q101_redact" -> q101,
     "q146_json_value" -> q146,
     "q155_json_query" -> q155, "q156_openjson_shred" -> q156,
-    "q164_json_modify" -> q164, "q167_openjson_with" -> q167)
+    "q164_json_modify" -> q164, "q167_openjson_with" -> q167,
+    "q249_try_cast" -> q249)
 
   val oracles: Map[String, String] = Map(
     "q50_str_funcs" ->
@@ -445,6 +499,39 @@ object ScalarQueries {
                       json_extract_string(props, '$.k') AS k
                FROM events)
          ORDER BY event_id""",
+    // q249: DuckDB TRY_CAST verbatim over the identically-planted
+    // per-type garbage mixes (see the Spark side for why the mixes
+    // are per-type: cross-type dialect corners like '6.55'→INT are
+    // deliberately excluded from the TRY contract)
+    "q249_try_cast" ->
+      """WITH b AS (SELECT event_id,
+                           json_extract_string(props, 'k') AS k,
+                           CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+                    FROM events),
+          r AS (SELECT event_id,
+                  CASE CAST(event_id % 4 AS INT)
+                    WHEN 0 THEN k
+                    WHEN 1 THEN 'x' || k
+                    WHEN 2 THEN ' ' || k || ' '
+                    ELSE '' END AS raw_int,
+                  CASE CAST(event_id % 4 AS INT)
+                    WHEN 0 THEN k || '.' ||
+                                lpad(CAST(event_id % 100 AS VARCHAR), 2, '0')
+                    WHEN 1 THEN k || ' units'
+                    WHEN 2 THEN '1e' || CAST(event_id % 5 AS VARCHAR)
+                    ELSE '-' || k END AS raw_double,
+                  CASE CAST(event_id % 4 AS INT)
+                    WHEN 0 THEN day
+                    WHEN 1 THEN '2024-02-30'
+                    WHEN 2 THEN '2024-13-' ||
+                                lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')
+                    ELSE 'day ' || k END AS raw_date
+                FROM b)
+          SELECT event_id, raw_int, raw_double, raw_date,
+                 TRY_CAST(raw_int AS INTEGER) AS as_int,
+                 TRY_CAST(raw_double AS DOUBLE) AS as_double,
+                 CAST(TRY_CAST(raw_date AS DATE) AS VARCHAR) AS as_date
+          FROM r ORDER BY event_id""",
     "q55_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
                 round(CAST(embedding[1] AS DOUBLE), 4) AS first,
