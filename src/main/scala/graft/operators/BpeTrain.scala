@@ -70,16 +70,37 @@ object BpeTrain {
     * adjacent pair remains. Symbols containing `'` or `\` would break
     * the generated merge literal — the tokenizer upstream emits
     * whitespace-split text as-is, so the guard rejects them loudly
-    * rather than corrupting the expression. */
+    * rather than corrupting the expression.
+    *
+    * PLAN-GROWTH BOUND (round 14 — VERDICT r13 item 5): each merge
+    * round stacks one `transform(...)` layer onto `syms`, so without
+    * truncation the logical plan depth grows linearly in merge count
+    * — fine at fixture rounds (~20), but a real 32k-merge vocabulary
+    * would blow expression-tree/codegen limits and analysis time long
+    * before data size matters. Every `truncateEvery` rounds the
+    * vocab-sized symbol frame takes a `Checkpoints.truncate` (the
+    * house fixpoint pattern — dupClusters, PageRank), capping plan
+    * depth at `truncateEvery` merge layers; superseded checkpoints
+    * are released per the round-13 leak discipline, and the LAST one
+    * is released before returning (the operator's output is the
+    * merge table, never the symbol frame). Honors the session
+    * reliable-dir knob (Checkpoints.ReliableDirKey) like every other
+    * fixpoint loop. Cadence 16 measured at ~1k merges: flat
+    * per-round time, bounded plan depth (NOTES round 14). */
   def learnMerges(words: DataFrame, wordCol: String, cntCol: String,
-      rounds: Int): Seq[Merge] = {
+      rounds: Int, truncateEvery: Int = 16,
+      onRound: (Int, Long) => Unit = (_, _) => ()): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(truncateEvery >= 1,
+      s"truncateEvery must be >= 1, got $truncateEvery")
     var v = words.select(col(wordCol).as("w"), col(cntCol).as("cnt"),
       expr(s"split($wordCol, '')").as("syms"))
+    var pinned: Option[DataFrame] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 0
     var exhausted = false
     while (r < rounds && !exhausted) {
+      val tRound = System.nanoTime()
       // sequence(1, n-1) DESCENDS when n = 1 (Spark's sequence walks
       // toward its stop), so single-symbol words are filtered before
       // the fan-out, never fed to it.
@@ -102,8 +123,18 @@ object BpeTrain {
         out += Merge(r + 1, p1, p2, c)
         v = v.withColumn("syms", expr(mergeExpr("syms", Seq((p1, p2)))))
         r += 1
+        if (r % truncateEvery == 0 && r < rounds) {
+          val cp = Checkpoints.truncate(v)
+          pinned.foreach(Checkpoints.release)
+          pinned = Some(cp)
+          v = cp
+        }
+        onRound(r, (System.nanoTime() - tRound) / 1000000L)
       }
     }
+    // the symbol frame is internal state — nothing downstream reads
+    // it, so the final checkpoint is released here, not leaked
+    pinned.foreach(Checkpoints.release)
     out.toSeq
   }
 }

@@ -34,37 +34,66 @@ object Checkpoints {
     * `localCheckpoint()`. */
   val ReliableDirKey = "spark.graft.checkpoint.dir"
 
+  // The reliable dir last APPLIED per context (round 14 ADVICE):
+  // SparkContext.setCheckpointDir mints a fresh UUID subdirectory on
+  // every call, so re-applying per truncate would scatter a 30-round
+  // run's recovery files across ~30 directories — none of which any
+  // cleanup path ever visits. Weak keys: a stopped context must not
+  // be retained by this cache.
+  private val appliedDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+
   /** Truncate `df`'s lineage — reliable iff [[ReliableDirKey]] is
     * set (eagerly materialized either way: the fixpoint loops read
     * each round's result immediately, and lazy localCheckpoint is a
-    * correctness trap under RDD re-evaluation). */
+    * correctness trap under RDD re-evaluation). The checkpoint dir is
+    * applied once per (context, dir) — not per call — so all rounds
+    * of a run share one UUID subdirectory and [[release]] can sweep
+    * superseded rounds' files. */
   def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ReliableDirKey) match {
       case Some(dir) =>
-        spark.sparkContext.setCheckpointDir(dir)
+        val sc = spark.sparkContext
+        if (appliedDir.get(sc) != dir) {
+          sc.setCheckpointDir(dir)
+          appliedDir.put(sc, dir)
+        }
         df.checkpoint(true)
       case None => df.localCheckpoint(true)
     }
   }
 
-  /** Release the pinned blocks of a frame [[truncate]] returned and
-    * the loop has SUPERSEDED. `Dataset.unpersist` cannot do this:
+  /** Release a frame [[truncate]] returned and the loop has
+    * SUPERSEDED: unpin its blocks AND delete its reliable recovery
+    * files. `Dataset.unpersist` cannot do the first half:
     * localCheckpoint pins its RDD blocks outside the SQL cache
     * manager, so the Dataset-level call is a silent no-op and every
     * propagation round leaks one labels-sized pinned frame (the
     * round-13 scale stress measured rounds degrading from ~3 s to
     * >2 min as the block manager filled — at cluster scale that is
     * an executor OOM on pinned garbage). Reaches the checkpointed
-    * RDD through the frame's LogicalRDD leaf; reliable-checkpoint
-    * frames unpersist their (memory-resident) blocks the same way —
-    * their recovery files on the checkpoint dir are untouched. Only
-    * call on frames no later round reads (truncate is eager, so a
-    * successor built from this frame holds no reference back). */
+    * RDD through the frame's LogicalRDD leaf. For RELIABLE
+    * checkpoints the recovery files are deleted too (round 14
+    * ADVICE): a superseded round can never be recovered FROM — its
+    * successor was checkpointed eagerly and recovers from its own
+    * files — so keeping them accumulates one full frame copy per
+    * round on the checkpoint store for the lifetime of exactly the
+    * long unattended runs the reliable knob targets. Only call on
+    * frames no later round reads (truncate is eager, so a successor
+    * built from this frame holds no reference back). */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false); ()
+        val rdd = lr.rdd
+        rdd.unpersist(false)
+        rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val fs = p.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(p, true); ()
+        }
       case _ => ()
     }
 }

@@ -70,8 +70,9 @@ object PageRank {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesD = edges.join(deg, "src") // (src, dst, deg)
-    if (persistEdges &&
-        edgesD.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val pinnedEdges = persistEdges &&
+      edgesD.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (pinnedEdges)
       edgesD.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edgesD.select(col("src").as("node")).distinct()
     val n1 = nodes.agg(count(lit(1)).cast("double").as("n"))
@@ -106,20 +107,28 @@ object PageRank {
       // cadence 1 = 5.07 s vs cadence 2 = 13.73 s — the checkpoint
       // every iteration stays (the r9 "regression" to 9.09 s was
       // in-suite cache pressure + host noise, not the cadence).
-      if (i < iters) {
-        val cp =
-          if (checkpointDir.isDefined) ranks.checkpoint()
-          // session-wide escape hatch (Checkpoints.ReliableDirKey)
-          // applies when no per-call dir was passed
-          else Checkpoints.truncate(ranks)
-        // cp is eagerly materialized — the previous round's pinned
-        // frame has had its last read; the FINAL round's frame stays
-        // pinned (the caller's result reads it)
-        pinned.foreach(Checkpoints.release)
-        pinned = Some(cp)
-        ranks = cp
-      }
+      // The FINAL round checkpoints too (round 14 ADVICE): a lazy
+      // final join would keep the returned frame's lineage rooted in
+      // edgesD, making it unsafe to unpersist the edge table here —
+      // the exact one-pinned-frame-per-call leak class the round-13
+      // stress found in dupClusters. One extra materialization of the
+      // one-row-per-node frame buys a self-contained result.
+      val cp =
+        if (checkpointDir.isDefined) ranks.checkpoint()
+        // session-wide escape hatch (Checkpoints.ReliableDirKey)
+        // applies when no per-call dir was passed
+        else Checkpoints.truncate(ranks)
+      // cp is eagerly materialized — the previous round's pinned
+      // frame has had its last read; the FINAL round's frame stays
+      // pinned (it IS the caller's result)
+      pinned.foreach(Checkpoints.release)
+      pinned = Some(cp)
+      ranks = cp
     }
+    // the edge table had its last read inside the loop — drop it (iff
+    // THIS call pinned it), or every PageRank call in a long session
+    // leaks one edge-set-sized persisted frame (round 14 ADVICE)
+    if (pinnedEdges) edgesD.unpersist(false)
     ranks.select(col("node"), col("r").as("rank"))
   }
 }

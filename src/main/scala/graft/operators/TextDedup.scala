@@ -303,6 +303,15 @@ object TextDedup {
       i += 1
       onRound(i, (System.nanoTime() - t0) / 1000000L)
     }
+    // The edge set had its last read inside the loop, and the labels
+    // frame being returned is itself checkpointed (self-contained, no
+    // reference back) — release the edge checkpoint here or every
+    // dupClusters call leaks one edge-set-sized pinned frame for the
+    // session's lifetime, the same block-manager pressure class the
+    // round-13 per-round fix targeted (round 14 ADVICE). Released on
+    // the non-converged path too: the throw below aborts the OPERATOR,
+    // not the session that catches it.
+    Checkpoints.release(edges)
     // A component with diameter > maxIter would exit here NON-converged
     // and silently violate the 'cluster = min id of component' contract
     // (the same transitivity class the propagation exists to fix) —
