@@ -13,6 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // refuse raw datasource writes into Snapshot-managed directories
+    // (round 14 — the CETAS twin's guard rail; see ManagedPathGuard)
+    ext.injectOptimizerRule(_ => graft.sources.ManagedPathGuard)
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
@@ -60,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** Imperative twin for an already-running session. */
   def registerAll(spark: SparkSession): Unit = {
+    // idempotent: experimental.extraOptimizations is a plain Seq —
+    // only append the guard once per session
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.sources.ManagedPathGuard))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.sources.ManagedPathGuard)
     graft.functions.SimHash64.register(spark)
     graft.functions.CosineSim.register(spark)
     graft.functions.WeightedMean.register(spark)

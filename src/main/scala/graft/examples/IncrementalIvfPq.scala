@@ -287,4 +287,82 @@ object IncrementalIvfPq {
     Similarity.pqServe(codes, Similarity.pqQueryTable(query, cb, m, dim / m),
       corpus, query, idCol, vecCol, shortlist, k)
   }
+
+  /** Mean recall@k of the SERVED index against the exact brute-force
+    * cosine top-k, over a bounded query sample (round 14 — VERDICT
+    * r13 item 7: refresh CORRECTNESS was spec'd, but segments accrete
+    * and centroids go stale as the corpus drifts, so retrieval
+    * QUALITY decays silently without a measured gate). `queries` is a
+    * metadata-sized frame of `qv` vectors (a handful of probes, the
+    * q189 discipline); the driver-side loop is over THAT bounded
+    * sample — each probe runs the cell-pruned [[search]] plus one
+    * exact [[Similarity.cosineTopK]], never a corpus×corpus job. */
+  def recallAtK(corpus: DataFrame, queries: Seq[Seq[Float]],
+      idCol: String, vecCol: String, dir: String,
+      k: Int, shortlist: Int, probe: Int): Double = {
+    require(queries.nonEmpty, "IncrementalIvfPq.recallAtK: no query vectors")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val recalls = queries.map { qv =>
+      val q = Seq(Tuple1(qv)).toDF("qv")
+        .select(expr("transform(qv, x -> cast(x as float))").as("qv"))
+      val exact = Similarity.cosineTopK(corpus, q, idCol, vecCol, k)
+        .select(idCol).collect().map(_.getLong(0)).toSet
+      val got = search(corpus, q, idCol, vecCol, dir,
+          shortlist = shortlist, k = k, probe = probe)
+        .select(idCol).collect().map(_.getLong(0)).toSet
+      if (exact.isEmpty) 1.0
+      else (exact & got).size.toDouble / exact.size
+    }
+    recalls.sum / recalls.length
+  }
+
+  /** The RE-CLUSTER hook: re-train the whole geometry (codebook +
+    * caller-supplied centroids) on the CURRENT corpus and publish a
+    * fresh full encode as the next codes-store version, PRESERVING
+    * the applied-upto watermark (later [[refresh]]es fold only feed
+    * entries the re-clustered corpus has not seen). This is the
+    * corrective action when [[recallAtK]] dips below a floor —
+    * centroids trained on the bootstrap distribution stop matching a
+    * drifted corpus, and no amount of segment folding fixes geometry.
+    * Cost: one corpus-sized encode, the same as [[bootstrap]] —
+    * amortized over the many cheap diff-sized refreshes between
+    * recall dips. */
+  def recluster(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      iters: Int = 0): Unit = {
+    val store = new Path(codesDir(dir))
+    val fs = fsOf(spark, store)
+    val upto = appliedUpto(fs, store)
+    val (dim, m, kc) = readMeta(spark, dir)
+    // the natural seed for the new centroids IS the stale frame at
+    // $dir/centroids (Lloyd refinement starts from it) — and
+    // bootstrap OVERWRITES that path, so a lazy seed would read its
+    // own half-deleted input mid-write. The frame is clusters × dim
+    // rows (metadata-sized by contract): pin it eagerly first.
+    val centSafe = spark.createDataFrame(
+      spark.sparkContext.parallelize(centroids.collect().toSeq, 1),
+      centroids.schema)
+    bootstrap(spark, dir, corpus, idCol, vecCol, centSafe,
+      dim, m, kc, upto = upto, iters = iters)
+  }
+
+  /** Measure-then-heal (the gate + hook composed): returns
+    * (pre-recall, re-clustered?, post-recall). When `preRecall >=
+    * floor` the index is left untouched and post == pre. */
+  def maintainRecall(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, queries: Seq[Seq[Float]],
+      centroids: => DataFrame, floor: Double,
+      k: Int = 10, shortlist: Int = 32, probe: Int = 2)
+      : (Double, Boolean, Double) = {
+    val pre = recallAtK(corpus, queries, idCol, vecCol, dir,
+      k, shortlist, probe)
+    if (pre >= floor) (pre, false, pre)
+    else {
+      recluster(spark, dir, corpus, idCol, vecCol, centroids)
+      val post = recallAtK(corpus, queries, idCol, vecCol, dir,
+        k, shortlist, probe)
+      (pre, true, post)
+    }
+  }
 }

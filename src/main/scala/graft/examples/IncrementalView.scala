@@ -517,11 +517,13 @@ object IncrementalView {
     * forever. Two deliberate rules:
     *
     *  - the HIGHEST-id entry present always survives, even when
-    *    consumed: `publishCdf` derives the next id from the listing
-    *    (single-writer max+1), so deleting every entry would RESET
-    *    ids below the view's applied-upto and the replacement entries
-    *    would never be applied — the one retained dir carries the
-    *    watermark. Bounded cost: one extra entry on disk.
+    *    consumed. Ids are VERSION-keyed (round 14 —
+    *    `Lake.publishCdfVersioned`), so a full sweep can no longer
+    *    RESET the sequence; the retained entry is kept as the feed's
+    *    on-disk high-water anchor: an operator inspecting the feed
+    *    dir sees where the sequence stands without resolving every
+    *    consumer watermark, and any legacy listing-derived tooling
+    *    stays monotone. Bounded cost: one extra entry on disk.
     *  - the applied-upto is THIS view's; with several independent
     *    consumers on one feed, sweep at min(applied-upto) — the
     *    caller coordinates (same single-writer discipline as the
@@ -558,8 +560,8 @@ object IncrementalView {
   // which some filesystems refuse), a consumer's watermark is the MAX
   // over its files (watermarks are monotone), and stale smaller-k
   // files are swept lazily on the next record. `_consumers` never
-  // collides with feed entries (every feed reader and publishCdf
-  // filter on the `merge=` prefix).
+  // collides with feed entries (every feed reader and the publisher
+  // `Lake.publishCdfVersioned` filter on the `merge=` prefix).
 
   private val consumerIdOk = "[A-Za-z0-9_-]+".r
 
@@ -622,8 +624,8 @@ object IncrementalView {
 
   /** Sweep feed entries every registered consumer has applied:
     * delete `merge=<k>` with k ≤ min over consumer watermarks —
-    * always retaining the highest id present (the publishCdf
-    * id-watermark rule, same as [[vacuumConsumedFeed]]). A feed with
+    * always retaining the highest id present (the high-water-anchor
+    * rule, same as [[vacuumConsumedFeed]]). A feed with
     * NO registered consumers sweeps nothing (unknown lag is assumed
     * infinite — the safe default). Returns entries deleted. */
   def vacuumFeedMinWatermark(spark: SparkSession,

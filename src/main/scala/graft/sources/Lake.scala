@@ -283,9 +283,51 @@ object Lake {
     if (fs.exists(target))
       fs.listStatus(target).map(_.getPath)
         .filter(_.getName.startsWith("_cdf_v")).foreach { strand =>
-          val k = strand.getName.stripPrefix("_cdf_v").toLong
+          // name is `_cdf_v<k>` or `_cdf_v<k>.<uniq>` (round 14: cdf
+          // staging is writer-unique so two LIVE merges can never
+          // overwrite each other's in-flight diff)
+          val k = strand.getName.stripPrefix("_cdf_v")
+            .takeWhile(_ != '.').toLong
+          // a suffixed strand must belong to the attempt that actually
+          // COMMITTED k — verified against the manifest, which records
+          // the winner's unique member name d<k>-merge<uniq>. Two
+          // crashed writers can strand two `_cdf_v<k>.<u>` dirs for
+          // one k; publishing the loser's would feed consumers a diff
+          // of a transition that never happened. Unverifiable →
+          // discard (the feed under-reports, never lies).
+          val suffix = strand.getName.stripPrefix(s"_cdf_v$k")
+          val committedByThisAttempt = suffix.isEmpty ||
+            scala.util.Try(Snapshot.members(fs, target, k))
+              .getOrElse(Nil)
+              .contains(s"d$k-merge${suffix.stripPrefix(".")}")
           (changeDir, curV) match {
-            case (Some(cd), Some(c)) if k <= c => publishCdf(fs, strand, cd)
+            case (Some(cd), Some(c)) if k <= c && committedByThisAttempt =>
+              publishCdfVersioned(fs, strand, cd, k)
+            // committed-and-verified but THIS caller has no feed: the
+            // strand's write finished before its commit, so no live
+            // writer is mid-write in it — reclaim immediately, or a
+            // LATER changeDir call would publish the stale diff
+            // (mixing on/off calls forfeits feed completeness by
+            // documented contract).
+            case (None, Some(c)) if k <= c && committedByThisAttempt =>
+              fs.delete(strand, true); ()
+            // everything else is reclaimed only once AGED past the
+            // claim grace window (round 14): a RECENT strand can be a
+            // CONCURRENT writer's live in-flight staging — stamped
+            // above current (it stages _cdf_v<cur+1>.<u> before
+            // claiming; deleting would make its publish silently
+            // no-op and the feed under-report a committed transition),
+            // at/below current without a manifest match (a LIVE loser
+            // the winner just advanced past — deleting mid-write turns
+            // its clean claim-loss retry-rebase into a hard write
+            // failure; its own ConcurrentCommit catch deletes the
+            // staging the moment it actually loses), or
+            // manifest-matched above the pointer (a live committer
+            // inside its claim→swap window). Same gate as stage-strand
+            // recovery (round 13); a genuinely crashed strand ages out.
+            case _ if System.currentTimeMillis() -
+                fs.getFileStatus(strand).getModificationTime <=
+                Snapshot.DefaultClaimGraceMs => ()
             case _ => fs.delete(strand, true); ()
           }
         }
@@ -306,17 +348,28 @@ object Lake {
       c.unionByName(updates, allowMissingColumns = true))
     val merged = graft.streaming.CdcStreams
       .latestByKey(all, keyCols, orderCols, isDelete)
-    // stage the merged result as the NEXT snapshot version's data dir
-    // (write-once; a stranded dir from a crashed attempt was deleted
-    // by stageDirName — it was never committed)
-    val stageName = Snapshot.stageDirName(fs, target, "merge")
+    // stage the merged result as the NEXT snapshot version's data dir,
+    // under a WRITER-UNIQUE role (round 14): two live merges on one
+    // store both derive next = cur + 1, so a shared "merge" role
+    // would let writer B's stageDirName sweep writer A's live staging
+    // mid-write — or worse, B could re-stage its own data under the
+    // name A is about to commit, publishing B's rows as A's version
+    // with A's change feed. With unique names the race serializes on
+    // the version CLAIM alone and the loser retry-rebases cleanly;
+    // a crashed attempt's strand (never committed) is swept by
+    // vacuum's age-gated stranded-stage pass once the store advances.
+    val uniq = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val stageName = Snapshot.stageDirName(fs, target, "merge" + uniq)
     val nextV = curV.getOrElse(0L) + 1L
     // stage HIDDEN (`_stage.<name>`): the whole merge write job is
     // invisible to concurrent readers; commit unhides it just before
     // the pointer swap
     val staged = Snapshot.stagePath(target, stageName)
     merged.write.mode("overwrite").parquet(staged.toString)
-    val cdfStage = new Path(target, s"_cdf_v$nextV")
+    // the cdf staging is writer-unique for the same reason: a racing
+    // merge's overwrite of a SHARED `_cdf_v<next>` would publish the
+    // wrong writer's diff under the winner's version
+    val cdfStage = new Path(target, s"_cdf_v$nextV.$uniq")
     // change data feed: diff OLD (current snapshot) against NEW (the
     // staged dir — already materialized, so no recompute) on the key:
     //   insert — key only in new; delete — key only in old (a winning
@@ -399,10 +452,14 @@ object Lake {
     catch {
       case e: Snapshot.ConcurrentCommitException =>
         if (fs.exists(cdfStage)) fs.delete(cdfStage, true)
+        // the loser's staged data dir is known-uncommitted too — a
+        // live retry will stage fresh under a new unique name, so
+        // delete now rather than wait for the vacuum sweep
+        if (fs.exists(staged)) fs.delete(staged, true)
         throw e
     }
     changeDir.foreach { cd =>
-      if (fs.exists(cdfStage)) publishCdf(fs, cdfStage, cd)
+      if (fs.exists(cdfStage)) publishCdfVersioned(fs, cdfStage, cd, nextV)
     }
     // retention: keep current + previous version (a reader that
     // resolved just before the commit still finds its files); flats
@@ -515,45 +572,42 @@ object Lake {
   }
 
   /** Publish a staged change-feed directory into `changeDir` as the
-    * next `merge=<k>` sub-directory (monotonic, derived from the
-    * existing entries — readers glob `changeDir/merge=*`).
+    * `merge=<version>` sub-directory, keyed by the SNAPSHOT VERSION
+    * the diff transitioned the store to (round 14 — the partitioned-
+    * merge interleaving model falsified the old list-max+1 id scheme
+    * under the now-in-contract concurrent merges, two ways: two
+    * publishers could list the same max and collide LOUDLY after
+    * their commits already succeeded, and — worse — the version-k
+    * writer could publish AFTER the version-(k+1) writer, giving the
+    * feed an id order that contradicts the version order, which
+    * silently corrupts every consumer that replays diffs in id order
+    * (telescoping only works in transition order). Version-keyed ids
+    * are collision-free (the commit claim admits each version once)
+    * and id order ≡ version order by construction. Ids are MONOTONE
+    * but GAP-FUL (compaction/no-change versions publish nothing) —
+    * every consumer reads `ids > watermark` (pendingFeedIds), which
+    * is gap-tolerant.)
     *
-    * SINGLE-WRITER contract: the id is assigned by list-then-rename,
-    * which is only monotonic because the merge target itself is
-    * single-writer (the house contract every swap-protocol store
-    * shares) — two concurrent publishers could list the same max and
-    * race for one id. The existence check below turns that mis-use
-    * into a loud failure instead of a silent feed overwrite (on
-    * filesystems where a rename INTO an existing directory nests or
-    * merges rather than failing). */
-  private[graft] def publishCdf(fs: org.apache.hadoop.fs.FileSystem,
-      staged: org.apache.hadoop.fs.Path, changeDir: String): Unit = {
+    * IDEMPOTENT: if `merge=<version>` already exists, THE diff for
+    * that transition is already published (only version k's committer
+    * — manifest-verified for crash strands — ever publishes at k), so
+    * the staged copy is deleted and the call succeeds; a racing
+    * reconciler and the committer's own publish cannot double-feed. */
+  private[graft] def publishCdfVersioned(fs: org.apache.hadoop.fs.FileSystem,
+      staged: org.apache.hadoop.fs.Path, changeDir: String,
+      version: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val cd = new Path(changeDir)
     fs.mkdirs(cd)
-    val next = fs.listStatus(cd).map(_.getPath.getName)
-      .filter(_.startsWith("merge="))
-      .map(_.stripPrefix("merge=").toLong)
-      .foldLeft(-1L)(math.max) + 1L
-    publishCdfAt(fs, staged, cd, next)
-  }
-
-  /** The publish step at a KNOWN id — the existence check turns a
-    * racing second writer (its entry landing between our listing and
-    * our rename) into a loud failure instead of a silent nest/merge
-    * of two feed entries under one id. */
-  private[graft] def publishCdfAt(fs: org.apache.hadoop.fs.FileSystem,
-      staged: org.apache.hadoop.fs.Path, cd: org.apache.hadoop.fs.Path,
-      id: Long): Unit = {
-    val dest = new org.apache.hadoop.fs.Path(cd, s"merge=$id")
-    if (fs.exists(dest))
-      throw new java.io.IOException(
-        s"change-feed entry $dest already exists — a second writer is " +
-          "publishing to this feed; the merge target's single-writer " +
-          "contract is violated")
-    if (!fs.rename(staged, dest))
-      throw new java.io.IOException(
+    val dest = new Path(cd, s"merge=$version")
+    if (fs.exists(dest)) { fs.delete(staged, true); return }
+    if (!fs.rename(staged, dest)) {
+      // a racing publisher of the SAME version (committer vs strand
+      // reconciler) landed between our check and our rename — benign
+      if (fs.exists(dest)) { if (fs.exists(staged)) fs.delete(staged, true) }
+      else throw new java.io.IOException(
         s"change-feed publish rename failed: $staged -> $dest")
+    }
   }
 
   /** Partition-aware MERGE INTO a Hive-partitioned lake — the routing
@@ -890,8 +944,15 @@ object Lake {
       lakes: Map[String, String], stores: Map[String, String],
       publishSets: Map[String, (String, String => String)],
       timeTravel: Boolean)
+  // Weak keys (round 14 ADVICE): a ConcurrentHashMap would strongly
+  // retain every session that ever registered a catalog — a leak in
+  // long-lived services minting per-tenant sessions via newSession().
+  // A collected session's spec is garbage by definition (its temp
+  // views died with it); synchronizedMap because WeakHashMap itself
+  // is not thread-safe.
   private val catalogSpecs =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, CatalogSpec]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, CatalogSpec]())
 
   /** NARROW catalog refresh (round 13 — VERDICT r12 item 7): advance
     * just the named views to their stores' CURRENT committed state,
@@ -926,5 +987,96 @@ object Lake {
       spec.stores.filter(kv => names.contains(kv._1)),
       spec.publishSets.filter(kv => names.contains(kv._1)),
       spec.timeTravel)
+  }
+
+  /** CETAS twin (round 14 — VERDICT r13 item 3): materialize a SQL
+    * result INTO a Snapshot-managed store, the write half of the
+    * pure-SQL journey [[registerCatalog]] opened for reads. Synapse
+    * serverless users materialize with
+    * `CREATE EXTERNAL TABLE AS SELECT` (a documented capability of
+    * the system the reference invokes, README.md:156-192); the native
+    * Spark CTAS would write an unmanaged parquet dir OUTSIDE the
+    * commit/conflict/tag protocol — worse than no path at all, so
+    * [[ManagedPathGuard]] refuses it and this is the supported form.
+    *
+    * Protocol: run `sql` against the session's registered views,
+    * stage the result HIDDEN inside the store (`_stage.<name>` — the
+    * in-flight write is invisible to every concurrent reader), then
+    * `Snapshot.commit` it: version claim (create-fails-if-exists),
+    * unhide, atomic pointer publish. The committed version is
+    * TAG-able, time-travel-readable, and vacuum retains it exactly
+    * like any merge-written version.
+    *
+    *  - CREATE (`replace = false`, the CETAS default): the target
+    *    must not already be a managed store and must hold no visible
+    *    foreign files — both refusals loud, matching CETAS's
+    *    fails-if-exists contract. Two racing creators serialize on
+    *    the version-1 claim: the loser sees the winner's store and
+    *    fails loudly (no silent clobber).
+    *  - REPLACE (`replace = true`): commits a new version whose
+    *    content is exactly the fresh SQL result (prior members age
+    *    out under vacuum's retention; live flat appends are marked
+    *    consumed — REPLACE means the whole logical content). On a
+    *    version-claim race the loser retry-rebases: re-runs the SQL
+    *    and re-commits on the winner's version ([[Snapshot.retrying]]
+    *    — the resolve-then-derive contract holds because base is
+    *    re-resolved per attempt). Note REPLACE's result derives from
+    *    the session's REGISTERED views (pinned at registration —
+    *    catalog snapshot isolation); a derivation that must fold the
+    *    target's own latest content belongs to [[mergeInto]], not
+    *    CETAS.
+    *
+    * Registers/advances `<name>` (and its time-travel views) in the
+    * session catalog so the next SQL statement reads what it just
+    * built. Returns the committed version. */
+  def createStoreAs(spark: SparkSession, name: String, storeDir: String,
+      sql: String, replace: Boolean = false, attempts: Int = 3): Long = {
+    import org.apache.hadoop.fs.Path
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"store view name not SQL-identifier-shaped: $name")
+    val target = new Path(storeDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = target.getFileSystem(conf)
+    val v = Snapshot.retrying(attempts) {
+      // RESOLVE-THEN-DERIVE per attempt: base re-reads the pointer,
+      // the SQL re-runs, the stage name re-derives — a retry commits
+      // a fresh derivation on top of the racing winner
+      val baseV = Snapshot.currentVersion(fs, target)
+      if (!replace) {
+        require(baseV.isEmpty,
+          s"createStoreAs: $storeDir is already a managed store (version " +
+            s"${baseV.get}); CETAS is create-fails-if-exists — pass " +
+            "replace = true to commit a replacing version")
+        if (fs.exists(target)) {
+          val foreign = fs.listStatus(target).map(_.getPath.getName)
+            .filterNot(n => n.startsWith("_") || n.startsWith("."))
+          require(foreign.isEmpty,
+            s"createStoreAs: $storeDir holds foreign visible content " +
+              s"${foreign.toSeq}; refusing to adopt it into a managed store")
+        }
+      }
+      // UNIQUE role per attempt: two racing CETAS writers both derive
+      // next = cur + 1, so a shared role would have writer B's
+      // stageDirName sweep writer A's LIVE `_stage.d<next>-cetas`
+      // mid-write (the live-staging erasure class the round-12/13
+      // interleaving models kept finding). With a unique suffix the
+      // race serializes on the version CLAIM alone; a crashed
+      // attempt's uniquely-named strand is swept by vacuum once the
+      // store advances past its version.
+      val role = "cetas" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(8)
+      val stageName = Snapshot.stageDirName(fs, target, role)
+      spark.sql(sql).write.mode("overwrite")
+        .parquet(Snapshot.stagePath(target, stageName).toString)
+      // REPLACE consumes live flat appends: the committed content is
+      // exactly the SQL result, nothing rides along
+      val consumed =
+        if (replace) Snapshot.liveFlats(fs, target).map(_.getName)
+        else Nil
+      Snapshot.commit(fs, conf, target, Seq(stageName), consumed,
+        base = baseV.getOrElse(0L))
+    }
+    registerCatalog(spark, stores = Map(name -> storeDir))
+    v
   }
 }

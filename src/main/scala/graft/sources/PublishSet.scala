@@ -195,6 +195,12 @@ object PublishSet {
     * mapping, exactly as it does for reads. */
   def tagPublished(fs: FileSystem, conf: Configuration, dir: Path,
       name: String, storeDir: String => Path): Long = {
+    // Same name discipline as Snapshot.tag: a ".tmp" segment would
+    // make the pubtag indistinguishable from writeAtomicOver's crash
+    // strands and silently invisible to pubTags (round 14 ADVICE).
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
+        !name.endsWith(".tmp") && !name.contains(".tmp."),
+      s"pubtag name must be [A-Za-z0-9][A-Za-z0-9._-]* (no .tmp segment): $name")
     val v = currentVersion(fs, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir has no published set"))
     resolveAt(fs, dir, v).foreach { case (member, mv) =>
@@ -250,7 +256,10 @@ object PublishSet {
   def pubTags(fs: FileSystem, dir: Path): Map[String, Long] =
     if (!fs.exists(dir)) Map.empty
     else fs.listStatus(dir).map(_.getPath.getName).collect {
-      case n if n.startsWith("_pubtag.") && !n.endsWith(".tmp") =>
+      // ".tmp.<uuid>" crash strands of writeAtomicOver are not tags
+      // (round 14 ADVICE — same phantom-tag guard as Snapshot.tags).
+      case n if n.startsWith("_pubtag.") && !n.endsWith(".tmp") &&
+          !n.contains(".tmp.") =>
         n.stripPrefix("_pubtag.")
     }.flatMap(name => resolveTag(fs, dir, name).map(name -> _)).toMap
 

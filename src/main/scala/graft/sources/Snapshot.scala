@@ -590,8 +590,8 @@ object Snapshot {
   def tag(fs: FileSystem, conf: Configuration, dir: Path,
       name: String, version: Long): Unit = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*") &&
-        !name.endsWith(".tmp"),
-      s"tag name must be [A-Za-z0-9][A-Za-z0-9._-]* (not .tmp-suffixed): $name")
+        !name.endsWith(".tmp") && !name.contains(".tmp."),
+      s"tag name must be [A-Za-z0-9][A-Za-z0-9._-]* (no .tmp segment): $name")
     val cur = currentVersion(fs, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir is not a managed store"))
     require(version >= 1 && version <= cur &&
@@ -607,7 +607,12 @@ object Snapshot {
   def tags(fs: FileSystem, dir: Path): Map[String, Long] =
     if (!fs.exists(dir)) Map.empty
     else fs.listStatus(dir).map(_.getPath.getName).collect {
-      case n @ TagRe(name) if !n.endsWith(".tmp") =>
+      // Also exclude ".tmp.<uuid>" — writeAtomicOver's crash strands
+      // on non-local filesystems are `_tag.<name>.tmp.<uuid>`, which
+      // TagRe fully matches; a strand parsed as a phantom tag would
+      // pin versions in vacuum until the next sweep (round 14 ADVICE).
+      case n @ TagRe(name)
+          if !n.endsWith(".tmp") && !n.contains(".tmp.") =>
         name -> readSmall(fs, new Path(dir, n)).trim.toLong
     }.toMap
 
@@ -655,9 +660,25 @@ object Snapshot {
           vOf(l) <= cur)
       val referenced = retainedLists.flatMap(l =>
         manifestLines(fs, dir, vOf(l)).filterNot(_.startsWith("!"))).toSet
+      // ABOVE-current artifacts may belong to a LIVE concurrent
+      // writer (round 14 — concurrent merges are now in contract):
+      // between its claim and its pointer swap, a committer's
+      // `_v<cur+1>.list` manifest and just-unhidden `d<cur+1>-<role>`
+      // member are both visible while the pointer still reads cur —
+      // deleting either publishes a version with missing pieces.
+      // Reclaim them only past the claim grace window (the
+      // stageDirName rule); a genuinely crashed attempt ages out.
+      def agedOut(p: Path): Boolean =
+        scala.util.Try(System.currentTimeMillis() -
+          fs.getFileStatus(p).getModificationTime > DefaultClaimGraceMs)
+          .getOrElse(false)
+      val MemberRe = "d(\\d+)-.*".r
       st.map(_.getPath)
-        .filter(p => p.getName.matches("d\\d+-.*") &&
-          !referenced.contains(p.getName))
+        .filter(p => (p.getName match {
+          case MemberRe(k) =>
+            !referenced.contains(p.getName) && (k.toLong <= cur || agedOut(p))
+          case _ => false
+        }))
         .foreach(fs.delete(_, true))
       // stranded hidden stage dirs from crashed attempts — but ONLY
       // those targeting an ALREADY-COMMITTED version (d<k>-* with
@@ -670,12 +691,22 @@ object Snapshot {
       // next writer's stageDirName, or by the vacuum after the next
       // commit advances past it.
       val StageRe = "_stage\\.d(\\d+)-.*".r
-      st.map(_.getPath)
-        .filter(p => p.getName match {
+      // AGE-GATED (round 14): a stage at k <= cur is dead-by-claim
+      // (its commit lost k), but it can belong to a LIVE loser still
+      // mid-write — the winner's own end-of-merge vacuum runs the
+      // instant cur reaches k, and deleting the loser's in-flight
+      // staging turns its clean retry-rebase (ConcurrentCommit on the
+      // claim) into a non-retryable write failure. A fresh strand is
+      // left for the next vacuum; a genuinely dead one ages out past
+      // the claim grace window. Same gate as stageDirName's manifest
+      // sweep and the cdf strand reconciliation.
+      st.filter { p =>
+        (p.getPath.getName match {
           case StageRe(k) => k.toLong <= cur
           case _ => false
-        })
-        .foreach(fs.delete(_, true))
+        }) && System.currentTimeMillis() -
+          p.getModificationTime > DefaultClaimGraceMs
+      }.foreach(p => fs.delete(p.getPath, true))
       // stranded rename tmps from crashed tag writes, pointer swaps,
       // and (legacy) manifest claims: readers already ignore them
       // (tags() filters .tmp, dotfile tmps are hidden by convention,
@@ -691,7 +722,12 @@ object Snapshot {
           p.getName.matches("\\._current\\.tmp\\..*") ||
           p.getName.matches("\\._tag\\..*\\.tmp\\..*"))
         .foreach(fs.delete(_, false))
-      deadLists.foreach(fs.delete(_, false))
+      // same live-writer guard for manifests: a FUTURE list
+      // (vOf > cur) may be a concurrent committer's claim mid-window;
+      // only an aged one is a crash strand. Below-floor lists are
+      // committed history — immediate.
+      deadLists.filter(l => vOf(l) <= cur || agedOut(l))
+        .foreach(fs.delete(_, false))
       // markers below the retention floor go with their manifests;
       // the max marker is >= floor by construction, so resolution
       // (max over survivors) is unchanged

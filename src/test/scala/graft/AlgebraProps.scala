@@ -1832,4 +1832,146 @@ object AlgebraProps extends Properties("graft.algebra") {
       }
       split == whole
     }
+
+  // ---- partitioned merge path: model-based interleaving check ----------
+
+  property("partitioned merge surface: merges over overlapping/disjoint day sets, crash strands, compaction, retention, and live racing writers keep every day serving the model content and the change feed exact") =
+    forAll(Gen.listOfN(7, Gen.choose(0, 6))) { steps =>
+      // the round-12/13 model style one level up (VERDICT r13 item 6):
+      // real mergeIntoPartitioned calls over a 2-day lake, sequenced
+      // with fabricated crash artifacts, compaction, retention, and
+      // one TRUE two-thread race over overlapping day sets. A
+      // driver-side model map tracks expected latest-by-key content;
+      // invariants after every step: (1) each touched day's store
+      // serves exactly the model content; at run end: (2) the change
+      // feed's ids are exactly 0..merges-1 in order (no phantom batch
+      // from a strand, no lost publish from a live-staging sweep) and
+      // (3) replaying the feed reproduces the store (the feed never
+      // lies). This model found the live-race holes the round-14
+      // fixes close: shared stage/cdf names letting one writer
+      // publish another's data or diff, entry reconciliation
+      // discarding a concurrent writer's live cdf staging, and
+      // vacuum's stranded-stage sweep deleting a live loser's staging.
+      import org.apache.hadoop.fs.Path
+      import graft.sources.{Lake, Snapshot}
+      val conf = spark.sparkContext.hadoopConfiguration
+      val base = TestSpark.tmpDir("pmerge-model")
+      val lake = s"$base/lake"; val cdf = s"$base/cdf"
+      val days = Seq("2024-01-01", "2024-01-02")
+      def dayDir(d: String) = new Path(s"$lake/ingest_date=$d")
+      def feedDir(d: String) = new Path(s"$cdf/ingest_date=$d")
+      val fs = new Path(base).getFileSystem(conf)
+      val model = scala.collection.mutable.Map[(String, Long), (String, Long)]()
+      val mergedDays = scala.collection.mutable.Set[String]()
+      val feedBatches = scala.collection.mutable.Map[String, Int]()
+        .withDefaultValue(0)
+      // race slack: when two writers race a shared day, the lower-ver
+      // writer's diff is EMPTY if the higher-ver writer landed first
+      // (all its rows lose) — an empty diff publishes no feed entry,
+      // so the shared day's feed count is raceCount short at most
+      val feedSlack = scala.collection.mutable.Map[String, Int]()
+        .withDefaultValue(0)
+      var ok = true
+      var i = 0
+      def batch(ds: Seq[String], w: Int) = {
+        i += 1
+        val ver = i * 10L + w
+        val rows = for (d <- ds; k <- 1L to 3L)
+          yield (d, k, s"s${i}w$w", ver, k == 3L && i % 3 == 0)
+        rows.toDF("ingest_date", "k", "v", "ver", "del")
+      }
+      def applyModel(b: org.apache.spark.sql.DataFrame): Unit =
+        b.collect().foreach { r =>
+          val key = (r.getString(0), r.getLong(1))
+          if (r.getBoolean(4)) model.remove(key)
+          else model(key) = (r.getString(2), r.getLong(3))
+        }
+      def mergeCall(b: org.apache.spark.sql.DataFrame): Unit = {
+        Lake.mergeIntoPartitioned(spark, lake, b, "ingest_date",
+          Seq("k"), Seq("ver"), Some(col("del")),
+          changeDir = Some(cdf), attempts = 8)
+        ()
+      }
+      def record(b: org.apache.spark.sql.DataFrame, ds: Seq[String]): Unit = {
+        applyModel(b); mergedDays ++= ds
+        ds.foreach(d => feedBatches(d) += 1)
+      }
+      steps.foreach { s =>
+        s match {
+          case 0 => // disjoint-set merge: day 1 only
+            val b = batch(Seq(days(0)), 0); mergeCall(b); record(b, Seq(days(0)))
+          case 1 => // overlapping-set merge: both days
+            val b = batch(days, 1); mergeCall(b); record(b, days)
+          case 2 => // crash strand: a dead writer's pre-commit cdf staging
+            mergedDays.headOption.foreach { d =>
+              val cur = Snapshot.currentVersion(fs, dayDir(d)).getOrElse(0L)
+              fs.mkdirs(new Path(dayDir(d), s"_cdf_v${cur + 1}.deadbeef")); ()
+            }
+          case 3 => // crash strand: a dead writer's staged data dir
+            mergedDays.headOption.foreach { d =>
+              val cur = Snapshot.currentVersion(fs, dayDir(d)).getOrElse(0L)
+              fs.mkdirs(Snapshot.stagePath(dayDir(d),
+                s"d${cur + 1}-mergedead00")); ()
+            }
+          case 4 => // compaction (its own role; rebases on conflict)
+            mergedDays.foreach(d => Snapshot.retrying(3) {
+              Lake.compactDay(spark, lake, d, 1L << 20)
+            })
+          case 5 => // retention sweep on every day store
+            mergedDays.foreach(d => Snapshot.vacuum(fs, dayDir(d), keep = 2))
+          case 6 => // TRUE RACE: two live writers, overlapping day sets
+            val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+            val b0 = batch(Seq(days(0)), 0); val b1 = batch(days, 1)
+            val ts = Seq(b0, b1).map(b => new Thread(() =>
+              try mergeCall(b)
+              catch { case t: Throwable => errs.add(t); () }))
+            ts.foreach(_.start()); ts.foreach(_.join(180000))
+            ok &= errs.isEmpty
+            // ver(b1) > ver(b0), latest-by-key is ver-max, so model
+            // application order cannot matter
+            record(b0, Seq(days(0))); record(b1, days)
+            feedSlack(days(0)) += 1
+        }
+        // invariant (1): every merged day serves exactly the model
+        mergedDays.foreach { d =>
+          val got = Lake.readStore(spark, dayDir(d).toString)
+            .select("k", "v", "ver").collect()
+            .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+          val want = model.collect { case ((`d`, k), vv) => k -> vv }.toMap
+          ok &= got == want
+        }
+      }
+      // end-of-run feed invariants per day
+      mergedDays.foreach { d =>
+        val fd = feedDir(d)
+        val ids =
+          if (!fs.exists(fd)) Seq.empty[Long]
+          else fs.listStatus(fd).map(_.getPath.getName)
+            .filter(_.startsWith("merge="))
+            .map(_.stripPrefix("merge=").toLong).sorted.toSeq
+        // (2) one feed entry per NONEMPTY-diff merge on this day —
+        // a phantom strand publish would add one, a swept live
+        // staging would lose one; the race slack covers the lower-ver
+        // racer's legitimately-empty diff. Ids are VERSION-keyed
+        // (round 14): a subset of 1..current, id order ≡ version
+        // order — which is what makes the replay below sound.
+        val curD = Snapshot.currentVersion(fs, dayDir(d)).getOrElse(0L)
+        ok &= ids.forall(id => id >= 1L && id <= curD)
+        ok &= ids.length <= feedBatches(d) &&
+          ids.length >= feedBatches(d) - feedSlack(d)
+        // (3) replaying the feed in id order reproduces the store
+        val replay = scala.collection.mutable.Map[Long, (String, Long)]()
+        ids.foreach { id =>
+          spark.read.parquet(s"$fd/merge=$id").collect().foreach { r =>
+            val op = r.getAs[String]("_op")
+            val k = r.getAs[Long]("k")
+            if (op == "delete") replay.remove(k)
+            else replay(k) = (r.getAs[String]("v"), r.getAs[Long]("ver"))
+          }
+        }
+        val want = model.collect { case ((`d`, k), vv) => k -> vv }.toMap
+        ok &= replay.toMap == want
+      }
+      ok
+    }
 }

@@ -597,12 +597,15 @@ class OperatorSpec extends AnyFunSuite {
           .toDF("k", "v", "ver", "is_delete"),
         Seq("k"), Seq("ver"), Some(col("is_delete")))
       val cur = graft.sources.Snapshot.currentVersion(fs, p).get
-      val stage = graft.sources.Snapshot.stagePath(p, s"d${cur + 1}-merge")
+      // round 14: merge stage roles are writer-unique (merge<uniq>) —
+      // watch for the PREFIX, not an exact name
+      def stageUp = fs.exists(p) && fs.listStatus(p).exists(
+        _.getPath.getName.startsWith(s"_stage.d${cur + 1}-merge"))
       @volatile var racerErr: Option[Throwable] = None
       val racer = new Thread(() => {
         try {
           val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-          while (!fs.exists(stage) && System.nanoTime() < deadline)
+          while (!stageUp && System.nanoTime() < deadline)
             Thread.sleep(1)
           // the merge has read v-cur and is writing its staged data:
           // claim cur+1 first (carried members only — a metadata-only
@@ -682,12 +685,15 @@ class OperatorSpec extends AnyFunSuite {
           .toDF("k", "v", "ver", "is_delete"),
         Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = Some(feed))
       val cur = graft.sources.Snapshot.currentVersion(fs, p).get
-      val stage = graft.sources.Snapshot.stagePath(p, s"d${cur + 1}-merge")
+      // round 14: merge stage roles are writer-unique (merge<uniq>) —
+      // watch for the PREFIX, not an exact name
+      def stageUp = fs.exists(p) && fs.listStatus(p).exists(
+        _.getPath.getName.startsWith(s"_stage.d${cur + 1}-merge"))
       @volatile var racerErr: Option[Throwable] = None
       val racer = new Thread(() => {
         try {
           val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-          while (!fs.exists(stage) && System.nanoTime() < deadline)
+          while (!stageUp && System.nanoTime() < deadline)
             Thread.sleep(1)
           val carried = graft.sources.Snapshot.members(fs, p, cur)
           graft.sources.Snapshot.commit(fs, conf, p, carried, base = cur)
@@ -728,12 +734,14 @@ class OperatorSpec extends AnyFunSuite {
         (51L to 60L).map(i => (i, s"new$i", 2L, false))
           .toDF("k", "v", "ver", "is_delete"),
         Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = Some(feed))
+      // version-keyed feed ids (round 14): seed = v1, the racer's
+      // metadata commit took v2 (no feed), the rebased merge = v3
       val entries = fs.listStatus(fd).map(_.getPath.getName)
         .filter(_.startsWith("merge=")).sorted
-      assert(entries.toSeq == Seq("merge=0", "merge=1"),
+      assert(entries.toSeq == Seq("merge=1", "merge=3"),
         s"feed entries after rebase: ${entries.toSeq}")
       val inserts = spark.read.option("basePath", feed)
-        .parquet(s"$feed/merge=0", s"$feed/merge=1")
+        .parquet(s"$feed/merge=1", s"$feed/merge=3")
         .where(col("_op") === "insert")
         .groupBy("k").count().collect()
       assert(inserts.length == 60 && inserts.forall(_.getAs[Long]("count") == 1L),
@@ -1469,10 +1477,11 @@ class OperatorSpec extends AnyFunSuite {
     def refresh(): Long = IncrementalIvfPq.refresh(spark, idx, cdf,
       "vec_id", "embedding", compactAt = 4)
 
-    // merge 0: vectors 1..40; bootstrap at watermark 0
+    // first merge = store version 1; bootstrap at watermark 1 (feed
+    // ids are version-keyed, round 14)
     merge(batch(1L to 40L, ver = 1))
     IncrementalIvfPq.bootstrap(spark, idx, corpusNow, "vec_id",
-      "embedding", cent, dim = 64, m = 4, kc = 16, upto = 0L)
+      "embedding", cent, dim = 64, m = 4, kc = 16, upto = 1L)
     assert(served == recompute, "bootstrap store != re-encode")
     // bootstrap parity with the adjudicated one-shot artifact: same
     // corpus, same training → identical serving, rank for rank
@@ -1493,7 +1502,8 @@ class OperatorSpec extends AnyFunSuite {
     merge(batch(1L to 5L, ver = 2, perturb = true)
       .unionByName(batch(41L to 45L, ver = 1))
       .unionByName(batch(6L to 8L, ver = 2, del = true)))
-    assert(refresh() == 1L)
+    // version-keyed feed ids (round 14): this is store version 2's diff
+    assert(refresh() == 2L)
     assert(served == recompute, "post-merge store != re-encode")
     assert(!served.exists(t => Set(6L, 7L, 8L).contains(t._1)),
       "deleted vectors still served")
@@ -1777,16 +1787,25 @@ class OperatorSpec extends AnyFunSuite {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(dir)
     val next = graft.sources.Snapshot.currentVersion(fs, target).get + 1
-    df((99L, "junk", 99L, false)).write.parquet(
-      graft.sources.Snapshot.stagePath(target, s"d$next-merge").toString)
+    val strand1 = graft.sources.Snapshot.stagePath(target, s"d$next-merge")
+    df((99L, "junk", 99L, false)).write.parquet(strand1.toString)
+    // the crash is OLD (round 14: strand reclamation is age-gated so
+    // a LIVE concurrent writer's staging is never swept — a real
+    // crash strand has a stale mtime, which this simulates)
+    fs.setTimes(strand1, System.currentTimeMillis() - 10L * 60L * 1000L, -1)
     assert(state == Set((1L, "a2", 2L), (3L, "c", 2L)),
       "a hidden stage strand leaked into readers")
     merge(df((4L, "d", 3L, false)))
     assert(state == Set((1L, "a2", 2L), (3L, "c", 2L), (4L, "d", 3L)))
     assert(!state.exists(_._1 == 99L), "stranded stage data survived the retry")
     val next2 = graft.sources.Snapshot.currentVersion(fs, target).get + 1
-    df((98L, "junk", 98L, false)).write.parquet(
-      new Path(target, s"d$next2-merge").toString)
+    // fabricate the unhidden member OUTSIDE the store and rename it in
+    // (a raw datasource write into a managed path is refused by
+    // ManagedPathGuard, round 14 — which is the point; a real crashed
+    // commit leaves this artifact via the protocol's own rename)
+    df((98L, "junk", 98L, false)).write.parquet(s"$base/fab-member")
+    fs.rename(new Path(s"$base/fab-member"),
+      new Path(target, s"d$next2-merge"))
     assert(state == Set((1L, "a2", 2L), (3L, "c", 2L), (4L, "d", 3L)),
       "an uncommitted unhidden member leaked into readers")
     merge(df((5L, "e", 3L, false)))
@@ -1810,21 +1829,23 @@ class OperatorSpec extends AnyFunSuite {
     def feed = spark.read.option("basePath", cdf).parquet(s"$cdf/merge=*")
       .collect().map(r => (r.getAs[Number]("merge").longValue,
         r.getAs[Long]("k"), r.getAs[String]("_op"), r.getAs[String]("v"))).toSet
-    // first merge: everything is an insert, published as merge=0
+    // first merge: everything is an insert, published as merge=1 —
+    // feed ids are VERSION-keyed (round 14), so id 1 IS snapshot v1
     merge(df((1L, "a", 1L, false), (2L, "b", 1L, false)))
-    assert(feed == Set((0L, 1L, "insert", "a"), (0L, 2L, "insert", "b")))
-    // update + insert + delete in one batch → merge=1 with 3 ops;
+    assert(feed == Set((1L, 1L, "insert", "a"), (1L, 2L, "insert", "b")))
+    // update + insert + delete in one batch → merge=2 with 3 ops;
     // the delete row is key-only (post-image columns null)
     val batch = df((1L, "a2", 2L, false), (3L, "c", 2L, false), (2L, "", 2L, true))
     merge(batch)
     assert(feed == Set(
-      (0L, 1L, "insert", "a"), (0L, 2L, "insert", "b"),
-      (1L, 1L, "update", "a2"), (1L, 3L, "insert", "c"),
-      (1L, 2L, "delete", null)))
-    // replaying the batch merges to the identical state → EMPTY feed
-    // increment (no merge=2 appears)
+      (1L, 1L, "insert", "a"), (1L, 2L, "insert", "b"),
+      (2L, 1L, "update", "a2"), (2L, 3L, "insert", "c"),
+      (2L, 2L, "delete", null)))
+    // replaying the batch merges to the identical state (version 3) →
+    // EMPTY feed increment (no merge=3 appears — a GAP in the ids,
+    // which every consumer tolerates by reading ids > watermark)
     merge(batch)
-    assert(feed.map(_._1).max == 1L, s"replay published a change set: $feed")
+    assert(feed.map(_._1).max == 2L, s"replay published a change set: $feed")
     // crash publish rules (version-stamped staging): a stranded
     // `_cdf_v<k>` whose merge COMMITTED (k ≤ current version)
     // publishes on the next feed-aware call...
@@ -1835,8 +1856,12 @@ class OperatorSpec extends AnyFunSuite {
     merge(df((4L, "d", 3L, false)))
     assert(feed.exists(r => r._2 == 9L), "stranded landed-merge feed was not published")
     // ...but a strand stamped ABOVE the committed version belongs to a
-    // merge that never landed — discarded, never published
+    // merge that never landed — discarded (once AGED past the claim
+    // grace window: fresh above-current staging may be a LIVE
+    // concurrent writer's, round 14), never published
     df((8L, "y", 8L, false)).write.parquet(s"$dir/_cdf_v${cur + 7}")
+    fs.setTimes(new Path(s"$dir/_cdf_v${cur + 7}"),
+      System.currentTimeMillis() - 10L * 60L * 1000L, -1L)
     merge(df((5L, "e", 4L, false)))
     assert(!feed.exists(r => r._2 == 8L), "stale feed from an uncommitted merge leaked")
     assert(graft.sources.Lake.readStore(spark, dir)
@@ -1888,12 +1913,12 @@ class OperatorSpec extends AnyFunSuite {
 
     merge(df((1L, "a", 10L, 1L, false), (2L, "a", 5L, 1L, false),
       (3L, "b", 7L, 1L, false)))
-    assert(refresh() == 0L)
+    assert(refresh() == 1L)
     assert(viewMap == Map("a" -> (2L, 15L), "b" -> (1L, 7L)))
     assert(viewMap == recompute)
     // nothing pending: refresh is a no-op (no new view version)
     val v1 = graft.sources.Snapshot.currentVersion(fs, view).get
-    assert(refresh() == 0L)
+    assert(refresh() == 1L)
     assert(graft.sources.Snapshot.currentVersion(fs, view).get == v1,
       "an empty refresh committed a new view version")
     // one merge carrying an in-group update (x 5→6), a GROUP
@@ -1901,7 +1926,7 @@ class OperatorSpec extends AnyFunSuite {
     // pre-images for all three — a post-only feed cannot subtract
     merge(df((2L, "a", 6L, 2L, false), (3L, "c", 7L, 2L, false),
       (1L, "a", 10L, 2L, true)))
-    assert(refresh() == 1L)
+    assert(refresh() == 2L)
     assert(viewMap == Map("a" -> (1L, 6L), "c" -> (1L, 7L)),
       s"delta application wrong: $viewMap")
     assert(viewMap == recompute)
@@ -1910,7 +1935,7 @@ class OperatorSpec extends AnyFunSuite {
     // not move (exactly-once end-to-end)
     merge(df((2L, "a", 6L, 2L, false), (3L, "c", 7L, 2L, false),
       (1L, "a", 10L, 2L, true)))
-    assert(refresh() == 1L)
+    assert(refresh() == 2L)
     assert(viewMap == recompute)
     // crash BEFORE the view commit: a stranded staging dir from a
     // dead refresh is deleted and recomputed — same deltas, same
@@ -1919,32 +1944,32 @@ class OperatorSpec extends AnyFunSuite {
     val strandName = graft.sources.Snapshot.stageDirName(fs, view, "view")
     df((99L, "zz", 0L, 0L, false)).write.parquet(
       graft.sources.Snapshot.stagePath(view, strandName).toString)
-    assert(refresh() == 2L)
+    assert(refresh() == 4L)
     assert(viewMap == Map("a" -> (2L, 106L), "c" -> (1L, 7L)))
     assert(viewMap == recompute)
     // a NULL group value must meet its own delta row on refresh (the
     // view join is null-safe), not fork a duplicate group per refresh
     merge(df((5L, null, 3L, 1L, false)))
-    assert(refresh() == 3L)
+    assert(refresh() == 5L)
     assert(viewMap == recompute)
     merge(df((5L, null, 4L, 2L, false)))
-    assert(refresh() == 4L)
+    assert(refresh() == 6L)
     assert(viewMap(null) == ((1L, 4L)), s"null group forked: $viewMap")
     assert(viewMap == recompute)
     // feed retention: consumed entries sweep, the highest-id entry
-    // survives (it carries publishCdf's id watermark), and the id
-    // sequence continues past the sweep
+    // survives (the id watermark), and the VERSION-keyed id sequence
+    // (gap at the replayed empty-diff version 3) continues past it
     val fsCdf = new org.apache.hadoop.fs.Path(cdf)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def feedIds = fsCdf.listStatus(new org.apache.hadoop.fs.Path(cdf))
       .map(_.getPath.getName).filter(_.startsWith("merge="))
       .map(_.stripPrefix("merge=").toLong).sorted.toSeq
-    assert(feedIds == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(feedIds == Seq(1L, 2L, 4L, 5L, 6L))
     assert(IncrementalView.vacuumConsumedFeed(spark, viewDir, cdf) == 4)
-    assert(feedIds == Seq(4L), s"retention left: $feedIds")
+    assert(feedIds == Seq(6L), s"retention left: $feedIds")
     merge(df((6L, "a", 1L, 1L, false)))
-    assert(feedIds == Seq(4L, 5L), "id sequence reset after the sweep")
-    assert(refresh() == 5L)
+    assert(feedIds == Seq(6L, 7L), "id sequence reset after the sweep")
+    assert(refresh() == 7L)
     assert(viewMap == recompute)
     // a feed published WITHOUT pre-images fails loudly at the first
     // non-insert op (a post-only update cannot be subtracted)
@@ -2086,7 +2111,8 @@ class OperatorSpec extends AnyFunSuite {
 
     merge(df((1L, "a", 3L, 1L, false), (2L, "a", 5L, 1L, false),
       (3L, "b", 7L, 1L, false)))
-    assert(refresh() == 0L)
+    // version-keyed feed ids (round 14): first merge = version 1
+    assert(refresh() == 1L)
     assert(triple == Map("a" -> (2L, 8L, 34L), "b" -> (1L, 7L, 49L)))
     assert(triple == recompute)
     // update (3→4: squares net −9+16), group migration (k=2 a→b),
@@ -2094,12 +2120,12 @@ class OperatorSpec extends AnyFunSuite {
     // case, no base read, ever
     merge(df((1L, "a", 4L, 2L, false), (2L, "b", 5L, 2L, false),
       (3L, "b", 7L, 2L, true)))
-    assert(refresh() == 1L)
+    assert(refresh() == 2L)
     assert(triple == Map("a" -> (1L, 4L, 16L), "b" -> (1L, 5L, 25L)))
     assert(triple == recompute)
     // derived stats: the documented moment formula, NULL spread at n=1
     merge(df((4L, "a", 10L, 1L, false)))
-    assert(refresh() == 2L)
+    assert(refresh() == 3L)
     val stats = IncrementalView.readStats(spark, viewDir, Seq("x"))
       .collect().map(r => r.getAs[String]("g") ->
         (r.getAs[Double]("avg_x"),
@@ -2157,18 +2183,19 @@ class OperatorSpec extends AnyFunSuite {
     // only summary
     val fs = new org.apache.hadoop.fs.Path(cdf)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$cdf/merge=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$cdf/merge=1"), true)
     assert(IncrementalView.bootstrap(spark, viewDir, dir, cdf,
-      Seq("g"), Seq("x"), m2Cols = Seq("x"), maxCols = Seq("x")) == 1L)
+      Seq("g"), Seq("x"), m2Cols = Seq("x"), maxCols = Seq("x")) == 2L)
     assert(viewMap == Map("a" -> (2L, 10L, 58L, 7L), "b" -> (1L, 5L, 25L, 5L)))
     assert(viewMap == recompute)
     // nothing pending at the bootstrap watermark
-    assert(refresh() == 1L)
+    assert(refresh() == 2L)
     assert(viewMap == recompute)
     // incremental from here on: update, migration, delete, max-shrink
+    // (version-keyed ids: this is store version 3's feed entry)
     merge(df((3L, "a", 1L, 2L, false), (2L, "a", 5L, 2L, false),
       (1L, "a", 3L, 2L, true)))
-    assert(refresh() == 2L)
+    assert(refresh() == 3L)
     assert(viewMap == recompute)
     // a second bootstrap refuses to clobber the live view
     intercept[IllegalArgumentException] {
@@ -2204,7 +2231,8 @@ class OperatorSpec extends AnyFunSuite {
     merge(df((1L, "2026-01-03", 10L, 1L, false),
       (2L, "2026-01-20", 5L, 1L, false),
       (3L, "2026-02-01", 7L, 1L, false)))
-    assert(refresh() == 0L)
+    // version-keyed feed ids (round 14): first merge = version 1
+    assert(refresh() == 1L)
     assert(viewMap == Map("2026-01" -> (2L, 15L, 10L),
       "2026-02" -> (1L, 7L, 7L)))
     assert(viewMap == recompute)
@@ -2212,13 +2240,13 @@ class OperatorSpec extends AnyFunSuite {
     // Feb→Jan): plain group migration on the derived bucket — the Feb
     // bucket empties out of the view, Jan gains
     merge(df((3L, "2026-01-31", 7L, 2L, false)))
-    assert(refresh() == 1L)
+    assert(refresh() == 2L)
     assert(viewMap == Map("2026-01" -> (3L, 22L, 10L)))
     assert(viewMap == recompute)
     // max-shrink inside a bucket: the champion (k=1, x=10) leaves —
     // the group-pruned base recompute runs WITH the derivation applied
     merge(df((1L, "2026-01-03", 10L, 3L, true)))
-    assert(refresh() == 2L)
+    assert(refresh() == 3L)
     assert(viewMap == Map("2026-01" -> (2L, 12L, 7L)))
     assert(viewMap == recompute)
   }
@@ -2239,7 +2267,8 @@ class OperatorSpec extends AnyFunSuite {
       .map(_.getPath.getName).filter(_.startsWith("merge="))
       .map(_.stripPrefix("merge=").toLong).sorted.toSeq
     (1 to 4).foreach(v => merge(df((v.toLong, "a", v.toLong, 1L, false))))
-    assert(feedIds == Seq(0L, 1L, 2L, 3L))
+    // version-keyed feed ids (round 14): merges 1..4 = versions 1..4
+    assert(feedIds == Seq(1L, 2L, 3L, 4L))
     // no registered consumers: unknown lag is infinite — sweep nothing
     assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 0)
     // the view consumer catches up fully; a second consumer registers
@@ -2248,20 +2277,20 @@ class OperatorSpec extends AnyFunSuite {
     IncrementalView.recordViewConsumer(spark, cdf, "view", viewDir)
     IncrementalView.recordViewConsumer(spark, cdf, "audit", s"$base/no-view-yet")
     assert(IncrementalView.consumerWatermarks(spark, cdf) ==
-      Map("view" -> 3L, "audit" -> -1L))
+      Map("view" -> 4L, "audit" -> -1L))
     assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 0,
       "swept entries a registered laggard has not applied")
     // the laggard advances partway: only the fully-consumed prefix goes
     IncrementalView.recordConsumer(spark, cdf, "audit", 1L)
-    assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 2)
-    assert(feedIds == Seq(2L, 3L))
-    // fully caught up: everything sweeps EXCEPT the highest id (it
-    // carries publishCdf's id watermark)
-    IncrementalView.recordConsumer(spark, cdf, "audit", 3L)
     assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 1)
-    assert(feedIds == Seq(3L))
+    assert(feedIds == Seq(2L, 3L, 4L))
+    // fully caught up: everything sweeps EXCEPT the highest id (the
+    // feed's on-disk high-water anchor)
+    IncrementalView.recordConsumer(spark, cdf, "audit", 3L)
+    assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 2)
+    assert(feedIds == Seq(4L))
     merge(df((9L, "a", 9L, 1L, false)))
-    assert(feedIds == Seq(3L, 4L), "id sequence reset after the sweep")
+    assert(feedIds == Seq(4L, 5L), "id sequence reset after the sweep")
     // watermarks are monotone (a replayed refresh re-records
     // harmlessly) and stale files sweep to one per consumer
     IncrementalView.recordConsumer(spark, cdf, "audit", 2L)
@@ -2297,7 +2326,7 @@ class OperatorSpec extends AnyFunSuite {
     assert(IncrementalView.vacuumFeedMinWatermarkPartitioned(
       spark, pcdf, "d") == 0, "swept past the lagging consumer")
     // audit catches up to the view's watermarks → each day sweeps its
-    // consumed entry 0, retaining the highest id
+    // consumed entry 1, retaining the highest id (2)
     IncrementalView.recordViewConsumerPartitioned(spark, pcdf, "audit",
       pview, "d")
     assert(IncrementalView.vacuumFeedMinWatermarkPartitioned(
@@ -2308,26 +2337,32 @@ class OperatorSpec extends AnyFunSuite {
       val ids = pfs.listStatus(new org.apache.hadoop.fs.Path(s"$pcdf/d=$day"))
         .map(_.getPath.getName).filter(_.startsWith("merge="))
         .map(_.stripPrefix("merge=").toLong).sorted.toSeq
-      assert(ids == Seq(1L), s"day $day: $ids")
+      assert(ids == Seq(2L), s"day $day: $ids")
     }
   }
 
-  test("Lake.publishCdfAt refuses to overwrite an existing feed entry (single-writer guard)") {
+  test("Lake.publishCdfVersioned is idempotent per version: an existing entry absorbs the staged copy, never nests or doubles") {
     import org.apache.hadoop.fs.Path
     val base = TestSpark.tmpDir("cdf-guard")
     val cd = new Path(s"$base/changes")
     val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq((1L, "a")).toDF("k", "v").write.parquet(s"$base/staged")
-    Seq((2L, "b")).toDF("k", "v").write.parquet(s"$cd/merge=0")
-    // a second writer's entry landed at the id we derived — loud stop,
-    // never a silent nest of two entries under one directory
-    val ex = intercept[java.io.IOException] {
-      graft.sources.Lake.publishCdfAt(fs, new Path(s"$base/staged"), cd, 0L)
-    }
-    assert(ex.getMessage.contains("single-writer"))
-    // the normal path still lands at the next free id
-    graft.sources.Lake.publishCdf(fs, new Path(s"$base/staged"), cd.toString)
-    assert(fs.exists(new Path(s"$cd/merge=1")))
+    Seq((2L, "b")).toDF("k", "v").write.parquet(s"$cd/merge=1")
+    // version 1's diff is already published: only v1's committer ever
+    // publishes at 1, so the staged copy is the SAME diff (a crash
+    // strand the reconciler raced) — absorbed, feed untouched
+    graft.sources.Lake.publishCdfVersioned(fs,
+      new Path(s"$base/staged"), cd.toString, 1L)
+    assert(!fs.exists(new Path(s"$base/staged")),
+      "absorbed staging must be deleted")
+    assert(spark.read.parquet(s"$cd/merge=1").collect()
+      .map(_.getAs[String]("v")).toSeq == Seq("b"),
+      "existing feed entry must be untouched")
+    // an unclaimed version publishes normally
+    Seq((3L, "c")).toDF("k", "v").write.parquet(s"$base/staged2")
+    graft.sources.Lake.publishCdfVersioned(fs,
+      new Path(s"$base/staged2"), cd.toString, 2L)
+    assert(fs.exists(new Path(s"$cd/merge=2")))
   }
 
   test("Lake.mergeIntoPartitioned escapes partition values like Spark's own writer") {
@@ -2500,7 +2535,8 @@ class OperatorSpec extends AnyFunSuite {
           s"$root/cdfP/ingest_date=$d"))
         .map(_.getPath.getName).filter(_.startsWith("merge="))
         .map(_.stripPrefix("merge=").toLong).sorted.toSeq
-      assert(ids == Seq(0L, 1L), s"day $d feed ids: $ids")
+      // version-keyed feed ids (round 14): versions 1 and 2 per day
+      assert(ids == Seq(1L, 2L), s"day $d feed ids: $ids")
     }
     graft.examples.IncrementalView.refreshPartitioned(spark,
       s"$root/view", s"$root/cdfP", "ingest_date", Seq("v"), Seq("ver"))
@@ -2627,9 +2663,12 @@ class OperatorSpec extends AnyFunSuite {
     val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val day2 = new Path(s"$lake/ingest_date=2024-01-02")
     val nextV = graft.sources.Snapshot.currentVersion(fs, day2).get + 1
+    val nightStrand = graft.sources.Snapshot.stagePath(day2, s"d$nextV-merge")
     upd((99L, "junk", 99L, "2024-01-02", false)).drop("ingest_date")
-      .write.parquet(
-        graft.sources.Snapshot.stagePath(day2, s"d$nextV-merge").toString)
+      .write.parquet(nightStrand.toString)
+    // an OLD crash (round 14: strand sweeps are age-gated so a live
+    // concurrent writer's staging is never reclaimed)
+    fs.setTimes(nightStrand, System.currentTimeMillis() - 10L * 60L * 1000L, -1)
     val n2 = upd((3L, "c2", 2L, "2024-01-02", false),
       (4L, "d", 2L, "2024-01-02", false))
     assert(nightly(n2) == Seq("2024-01-02"))
@@ -3303,8 +3342,9 @@ class OperatorSpec extends AnyFunSuite {
         .select(col("vec_id"), col("embedding"), lit(1L).as("ver"),
           lit(false).as("is_delete")))
       val cent = Similarity.ivfCentroids(em, "label", "embedding")
+      // upto = 1: version-keyed feed ids (round 14)
       IncrementalIvfPq.bootstrap(spark, idx, corpusNow, "vec_id",
-        "embedding", cent, dim = 64, m = 4, kc = 16, upto = 0L)
+        "embedding", cent, dim = 64, m = 4, kc = 16, upto = 1L)
       // widened upstream: a tag column rides the next batch
       merge(em.where(col("vec_id").between(21L, 25L))
         .select(col("vec_id"), col("embedding"), lit(2L).as("ver"),
@@ -3350,7 +3390,8 @@ class OperatorSpec extends AnyFunSuite {
 
     merge(df((1L, "the cat sat", 1L, false),
       (2L, "the dog", 1L, false)))
-    assert(refresh() == 0L)
+    // version-keyed feed ids (round 14): first merge = version 1
+    assert(refresh() == 1L)
     assert(postings(("the", 1L)) == 1L && postings(("cat", 1L)) == 1L)
     assert(postings == recompute)
     // update doc 1: "cat"→"bird"; unchanged tokens must cancel
@@ -3358,7 +3399,7 @@ class OperatorSpec extends AnyFunSuite {
     // its whole contribution; repeated token counts fold (tf=2)
     merge(df((1L, "the bird sat sat", 2L, false),
       (2L, "the dog", 2L, true)))
-    assert(refresh() == 1L)
+    assert(refresh() == 2L)
     assert(!postings.contains(("cat", 1L)), "stale posting survived update")
     assert(!postings.contains(("dog", 2L)), "deleted doc left postings")
     assert(postings(("sat", 1L)) == 2L, "tf did not fold")
@@ -3369,13 +3410,15 @@ class OperatorSpec extends AnyFunSuite {
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = graft.sources.Snapshot.currentVersion(fs, store).get
     merge(df((1L, "the bird sat sat", 2L, false)))
-    assert(refresh() == 1L)
+    assert(refresh() == 2L)
     assert(graft.sources.Snapshot.currentVersion(fs, store).get == v,
       "an empty refresh committed a new index version")
     assert(postings == recompute)
     // conjunctive lookup probes only the queried terms
+    // version 4's entry (the replayed version 3 published nothing —
+    // a gap in the version-keyed ids, tolerated by every consumer)
     merge(df((3L, "bird sat tree", 1L, false)))
-    assert(refresh() == 2L)
+    assert(refresh() == 4L)
     val hits = IncrementalIndex.lookupAll(spark, idx, Seq("k"),
       Seq("bird", "sat")).collect().map(r => r.getAs[Long]("k")).sorted
     assert(hits.toSeq == Seq(1L, 3L), s"lookupAll: ${hits.toSeq}")
@@ -3428,7 +3471,7 @@ class OperatorSpec extends AnyFunSuite {
     val corpus0 = Lake.readStore(spark, lake).select(col("k"), col("emb"))
     IncrementalIvfPq.bootstrap(spark, ivf, corpus0, "k", "emb",
       Similarity.ivfCentroids(Lake.readStore(spark, lake), "lbl", "emb"),
-      dim = 4, m = 2, kc = 2, upto = 0L)
+      dim = 4, m = 2, kc = 2, upto = 1L)
     // merge 1: user 1's data CHANGES (more history to forget)
     merge(df(
       (1L, "a", "alice revised secret", 12L, vec(1f, 1f, 0f, 0f), 0, 2L, false)))
@@ -3685,7 +3728,8 @@ class OperatorSpec extends AnyFunSuite {
     assert(members.length == 1)
     assert(postings == Map(("a", 1L) -> 1L, ("b", 1L) -> 1L,
       ("b", 2L) -> 1L, ("c", 2L) -> 1L))
-    assert(refresh() == 1L, "compaction moved the applied-upto watermark")
+    // version-keyed feed ids (round 14): two merges = versions 1, 2
+    assert(refresh() == 2L, "compaction moved the applied-upto watermark")
     // auto-compaction: with compactAt = 2 the next refresh folds
     merge(df((3L, "c d", 1L, false)))
     refresh(compactAt = 2)
@@ -3754,27 +3798,30 @@ class OperatorSpec extends AnyFunSuite {
         r.getAs[Boolean]("is_current"))).toSet
 
     merge(df((1L, "new", 1L, false), (2L, "new", 1L, false)))
-    assert(refresh() == 0L)
-    assert(rows == Set((1L, "new", 0L, None, true),
-      (2L, "new", 0L, None, true)))
+    // version-keyed feed ids (round 14): interval stamps ARE the
+    // snapshot versions now — the first merge opens intervals at 1
+    assert(refresh() == 1L)
+    assert(rows == Set((1L, "new", 1L, None, true),
+      (2L, "new", 1L, None, true)))
     // update k=1 (close at 1, open at 1), delete k=2 (close only),
     // insert k=3
     merge(df((1L, "shipped", 2L, false), (2L, "new", 2L, true),
       (3L, "new", 1L, false)))
-    assert(refresh() == 1L)
+    assert(refresh() == 2L)
     assert(rows == Set(
-      (1L, "new", 0L, Some(1L), false),
-      (1L, "shipped", 1L, None, true),
-      (2L, "new", 0L, Some(1L), false),
-      (3L, "new", 1L, None, true)), s"history wrong: $rows")
-    // asOf(0) = state after the first merge; asOf(1) = current state
+      (1L, "new", 1L, Some(2L), false),
+      (1L, "shipped", 2L, None, true),
+      (2L, "new", 1L, Some(2L), false),
+      (3L, "new", 2L, None, true)), s"history wrong: $rows")
+    // asOf(1) = state after the first merge; asOf(2) = current state
+    // (stamps are the version-keyed feed ids)
     def asOfSet(v: Long) = IncrementalScd2.asOf(spark, hist, v).collect()
       .map(r => r.getAs[Long]("k") -> r.getAs[String]("status")).toSet
-    assert(asOfSet(0L) == Set(1L -> "new", 2L -> "new"))
-    assert(asOfSet(1L) == Set(1L -> "shipped", 3L -> "new"))
+    assert(asOfSet(1L) == Set(1L -> "new", 2L -> "new"))
+    assert(asOfSet(2L) == Set(1L -> "shipped", 3L -> "new"))
     // crash-replayed merge → empty feed → history unmoved
     merge(df((1L, "shipped", 2L, false)))
-    assert(refresh() == 1L)
+    assert(refresh() == 2L)
     assert(rows.size == 4)
     // closed versions are IMMUTABLE segments: a later fold must not
     // rewrite them (only the current member rewrites — bounded by
@@ -3789,11 +3836,12 @@ class OperatorSpec extends AnyFunSuite {
     val seg0 = closedSegs.head
     val seg0Files = sizes(seg0)
     // a second update of the same key chains intervals
+    // version 4's entry (the replayed version 3 published nothing)
     merge(df((1L, "done", 3L, false)))
-    assert(refresh() == 2L)
-    assert(rows.contains((1L, "shipped", 1L, Some(2L), false)))
-    assert(rows.contains((1L, "done", 2L, None, true)))
-    assert(asOfSet(1L) == Set(1L -> "shipped", 3L -> "new"),
+    assert(refresh() == 4L)
+    assert(rows.contains((1L, "shipped", 2L, Some(4L), false)))
+    assert(rows.contains((1L, "done", 4L, None, true)))
+    assert(asOfSet(2L) == Set(1L -> "shipped", 3L -> "new"),
       "history rewrote the past")
     assert(closedSegs.length == 2, s"expected a new closed segment")
     assert(closedSegs.contains(seg0) && sizes(seg0) == seg0Files,

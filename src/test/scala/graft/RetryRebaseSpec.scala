@@ -243,9 +243,11 @@ class RetryRebaseSpec extends AnyFunSuite {
             Seq("vec_id"), Seq("ver"),
             changeDir = Some(cdf), cdfPreImages = true)
         merge(1L to 20L, ver = 1)
+        // upto = 1: version-keyed feed ids (round 14); the corpus
+        // read above holds merge version 1 already
         IncrementalIvfPq.bootstrap(spark, idx,
           Lake.readStore(spark, table).select("vec_id", "embedding"),
-          "vec_id", "embedding", cent, dim = 64, m = 4, kc = 8, upto = 0L)
+          "vec_id", "embedding", cent, dim = 64, m = 4, kc = 8, upto = 1L)
         merge(21L to 25L, ver = 1)
         val store = new Path(s"$idx/codes")
         val fs = store.getFileSystem(conf)

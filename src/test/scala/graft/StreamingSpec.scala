@@ -1549,8 +1549,11 @@ class StreamingSpec extends AnyFunSuite {
     // sweep must wait for it even after the stats consumer catches up
     IncrementalView.recordViewConsumer(spark, cdf, "bucket", bucketView)
     refreshStats()
+    // feed ids are VERSION-keyed (round 14): the first streamed merge
+    // committed store version 1, so the stats consumer's applied-upto
+    // reads 1, not 0
     assert(IncrementalView.consumerWatermarks(spark, cdf) ==
-      Map("stats" -> 0L, "bucket" -> -1L))
+      Map("stats" -> 1L, "bucket" -> -1L))
     assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 0,
       "swept an entry the registered bucket consumer has not applied")
     refreshBucket()
@@ -1571,10 +1574,11 @@ class StreamingSpec extends AnyFunSuite {
     val st = IncrementalView.readStats(spark, statsView, Seq("cents"))
       .where(col("city") === "amsterdam").head()
     assert(st.getAs[Double]("avg_cents") == (475.0 + 1200.0) / 2)
-    // both consumers at 1 → the sweep takes entry 0, retains 1
-    assert(feedIds == Seq(0L, 1L))
+    // both consumers at 2 (version-keyed ids) → the sweep takes
+    // entry 1, retains 2
+    assert(feedIds == Seq(1L, 2L))
     assert(IncrementalView.vacuumFeedMinWatermark(spark, cdf) == 1)
-    assert(feedIds == Seq(1L))
+    assert(feedIds == Seq(2L))
   }
 
   test("s39: streaming merge feed keeps the inverted index and SCD2 history fresh") {
@@ -1616,7 +1620,9 @@ class StreamingSpec extends AnyFunSuite {
       docLine("a", "the cat sat", "1.0"),
       docLine("b", "the dog", "2.0")))
     run()
-    assert(refresh() == ((0L, 0L)))
+    // feed ids are VERSION-keyed (round 14): the first streamed merge
+    // committed store version 1, so both consumers' applied-upto is 1
+    assert(refresh() == ((1L, 1L)))
     assert(postings == recompute)
     // restart: update a (cat -> bird), delete b — postings follow the
     // feed; history closes and opens intervals stamped in feed ids
@@ -1624,7 +1630,7 @@ class StreamingSpec extends AnyFunSuite {
       docLine("a", "the bird sat", "3.0"),
       """{"after": null, "key": ["b"], "updated": "4.0"}"""))
     run()
-    assert(refresh() == ((1L, 1L)))
+    assert(refresh() == ((2L, 2L)))
     assert(postings == recompute)
     assert(!postings.contains(("cat", "a")) && !postings.contains(("dog", "b")))
     val histRows = IncrementalScd2.read(spark, hist).collect()
@@ -1632,16 +1638,17 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Long]("valid_from"),
         Option(r.getAs[java.lang.Long]("valid_to")).map(_.longValue))).toSet
     assert(histRows == Set(
-      ("a", "the cat sat", 0L, Some(1L)),
-      ("a", "the bird sat", 1L, None),
-      ("b", "the dog", 0L, Some(1L))), s"history: $histRows")
-    // time travel to the state after batch 1
-    val asOf0 = IncrementalScd2.asOf(spark, hist, 0L).collect()
+      ("a", "the cat sat", 1L, Some(2L)),
+      ("a", "the bird sat", 2L, None),
+      ("b", "the dog", 1L, Some(2L))), s"history: $histRows")
+    // time travel to the state after batch 1 (interval stamps are the
+    // version-keyed feed ids, so "after batch 1" is as-of id 1)
+    val asOf0 = IncrementalScd2.asOf(spark, hist, 1L).collect()
       .map(r => r.getAs[String]("kid") -> r.getAs[String]("body")).toMap
     assert(asOf0 == Map("a" -> "the cat sat", "b" -> "the dog"))
     // replay with nothing new: no feed entry, neither consumer moves
     run()
-    assert(refresh() == ((1L, 1L)))
+    assert(refresh() == ((2L, 2L)))
     assert(postings == recompute)
   }
 
@@ -2469,9 +2476,11 @@ class StreamingSpec extends AnyFunSuite {
     // batch 1 streams in; bootstrap the index at its watermark
     ship("f1", 1L to 30L, ver = 1)
     run()
+    // upto = 1: feed ids are VERSION-keyed (round 14) and the
+    // bootstrap corpus already contains streamed version 1's batch
     IncrementalIvfPq.bootstrap(spark, idx, corpusNow, "vec_id",
       "embedding", Similarity.ivfCentroids(em, "label", "embedding"),
-      dim = 64, m = 4, kc = 16, upto = 0L)
+      dim = 64, m = 4, kc = 16, upto = 1L)
     assert(served == recompute)
     // restart: updates + inserts + deletes arrive as new files
     ship("f2", 1L to 3L, ver = 2, perturb = true)
@@ -2494,5 +2503,121 @@ class StreamingSpec extends AnyFunSuite {
         "embedding", idx, shortlist = 10, k = 3, probe = 2)
       .collect().map(_.getAs[Long]("vec_id")).toSeq
     assert(hits.head == 31L, s"self-query missed itself: $hits")
+  }
+
+  test("ivfpq recall-drift gate: recall@k measured per refresh cycle, decay visible under drift, re-cluster hook restores the floor") {
+    import graft.examples.IncrementalIvfPq
+    import graft.operators.Similarity
+    val src = TestSpark.tmpDir("drift-src")
+    val root = TestSpark.tmpDir("drift-tbl")
+    val table = s"$root/t"; val cdf = s"$root/changes"; val idx = s"$root/idx"
+    val chk = TestSpark.tmpDir("drift-chk")
+    val em = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("ver", LongType),
+      StructField("is_delete", BooleanType)))
+    // A CLUSTERED corpus (the shape IVF exists for): tight clusters
+    // around per-label anchors, small per-id jitter. Drift t ∈ [0, 1]
+    // interpolates each cluster from its own anchor toward the
+    // MIDPOINT of its and the next label's anchors — at t = 1 every
+    // cluster sits equidistant from two stale centroids and the
+    // per-id jitter decides the cell, splitting every cluster across
+    // two cells (the deterministic form of the classic stale-centroid
+    // straddle failure that re-clustering fixes).
+    // Components, per vector: its cluster anchor (drifting toward the
+    // midpoint), a NEIGHBORHOOD jitter (who is near whom — phase-keyed
+    // on vec_id), and a small per-id coin ALONG the boundary direction
+    // s_L − s_{L+1} (decides the stale cell near the midpoint). The
+    // coin is what a stale index cannot see past: true neighbors share
+    // the phase jitter but flip independent coins, so at t = 1 half of
+    // every query's real top-k sits in the other cell.
+    def clustered(t: Double) =
+      em.select(col("vec_id"), col("label"),
+        expr(s"""transform(embedding, (x, j) ->
+            cast(x * 0.25
+               + 3.0 * (1.0 - $t / 2) * sin(label * 13 + j)
+               + 1.5 * $t * sin(((label + 1) % 10) * 13 + j)
+               + 0.8 * sin(vec_id * 7 + j * 5)
+               + 0.15 * sin(vec_id * 3) *
+                 (sin(label * 13 + j) - sin(((label + 1) % 10) * 13 + j))
+               as float))""").as("embedding"))
+    def ship(name: String, ids: Seq[Long], ver: Long,
+        drift: Double): Unit =
+      clustered(drift).where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), col("embedding"),
+          lit(ver).as("ver"), lit(false).as("is_delete"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/$name")
+    def run(): Unit = {
+      val in = spark.readStream.schema(vecSchema)
+        .option("recursiveFileLookup", "true").parquet(src)
+      val q = CdcStreams.mergeSink(in, table, chk,
+          Seq("vec_id"), Seq("ver"), isDeleteCol = Some("is_delete"),
+          changeDir = Some(cdf), cdfPreImages = true)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def corpusNow = graft.sources.Lake.readStore(spark, table)
+      .select(col("vec_id"), col("embedding"))
+    def queryVecs: Seq[Seq[Float]] = corpusNow
+      .where(col("vec_id").isin(7L, 77L, 177L, 277L, 377L))
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    def recall(): Double = IncrementalIvfPq.recallAtK(corpusNow,
+      queryVecs, "vec_id", "embedding", idx,
+      k = 10, shortlist = 40, probe = 1)
+    // bootstrap on the un-drifted corpus, centroids at the anchors
+    ship("f0", 0L to 499L, ver = 1, drift = 0.0)
+    run()
+    // upto = 1: version-keyed feed ids; the bootstrap corpus holds
+    // streamed version 1 already
+    IncrementalIvfPq.bootstrap(spark, idx, corpusNow, "vec_id",
+      "embedding",
+      Similarity.ivfCentroids(clustered(0.0), "label", "embedding"),
+      dim = 64, m = 4, kc = 16, upto = 1L)
+    val r0 = recall()
+    info(f"cycle 0 (bootstrap) recall@10 = $r0%.3f")
+    // N refresh cycles of mounting drift; recall measured per cycle
+    val floor = 0.8
+    val series = scala.collection.mutable.ArrayBuffer(r0)
+    for (cycle <- 1 to 4) {
+      ship(s"d$cycle", 0L to 499L, ver = cycle + 1L,
+        drift = 0.25 * cycle)
+      run()
+      IncrementalIvfPq.refresh(spark, idx, cdf, "vec_id", "embedding",
+        compactAt = 8)
+      val r = recall()
+      series += r
+      info(f"cycle $cycle recall@10 = $r%.3f (drift t = ${0.25 * cycle}%.2f)")
+    }
+    // the decay is real and visible: the index serves correct CODES
+    // (s48 pins that) but stale GEOMETRY — recall must have sunk
+    // below the floor by the last cycle
+    assert(series.head >= floor,
+      f"bootstrap recall ${series.head}%.3f already under the floor — fixture degenerate")
+    assert(series.last < floor,
+      f"drift did not push recall under $floor%.2f: $series — the gate has nothing to catch")
+    // the hook: measure-then-heal re-clusters on the CURRENT corpus
+    // (Lloyd refinement seeded from the stale centroids) and recall
+    // must come back above the floor
+    lazy val healed = {
+      val stale = spark.read.parquet(s"$idx/centroids")
+      Iterator.iterate(stale)(c =>
+        Similarity.kmeansIterate(corpusNow, "vec_id", "embedding", c))
+        .drop(3).next()
+    }
+    val (pre, fired, post) = IncrementalIvfPq.maintainRecall(spark, idx,
+      corpusNow, "vec_id", "embedding", queryVecs, healed, floor,
+      k = 10, shortlist = 40, probe = 1)
+    info(f"maintainRecall: pre = $pre%.3f, re-clustered = $fired, post = $post%.3f")
+    assert(fired, "recall under the floor must fire the re-cluster hook")
+    assert(post >= floor,
+      f"re-cluster did not restore recall: pre $pre%.3f post $post%.3f")
+    // and the gate leaves a HEALTHY index untouched
+    val (pre2, fired2, post2) = IncrementalIvfPq.maintainRecall(spark, idx,
+      corpusNow, "vec_id", "embedding", queryVecs, healed, floor,
+      k = 10, shortlist = 40, probe = 1)
+    assert(!fired2 && pre2 == post2 && pre2 >= floor,
+      f"healthy index must not re-cluster (recall $pre2%.3f)")
   }
 }
