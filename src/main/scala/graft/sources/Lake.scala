@@ -258,7 +258,25 @@ object Lake {
     * outside the protocol (a legacy flat store, writePartitioned
     * appends) are part of the merge input and are marked CONSUMED in
     * the committed manifest — their supersession rides the same
-    * atomic rename. */
+    * atomic rename.
+    *
+    * Concurrent merges (round 14 — in contract via writer-unique
+    * staging + `Snapshot.retrying` rebase): racing writers serialize
+    * on the version claim; the loser re-derives against the winner's
+    * result and commits next, so the table folds batches in COMMIT
+    * order. With full version info that fold is order-INDEPENDENT
+    * (max-order-cols wins either way). The one order-dependent corner
+    * — found by the partitioned-merge interleaving model — is
+    * tombstone resurrection: deletes are PHYSICAL (a pinned contract —
+    * no row survives for the key), so a tombstone keeps no version
+    * for a later batch to lose against, and a concurrent STALE
+    * non-delete rebased past a fresher delete re-inserts its key.
+    * This is inherent to physical tombstones under upsert-rebase
+    * semantics (logical tombstone retention would trade it for
+    * unbounded ghost rows); writers whose batches can carry a delete
+    * and a concurrent stale update of the SAME key must serialize
+    * those batches themselves — or run them through one writer, where
+    * the within-batch max-version rule already orders them. */
   def mergeInto(spark: SparkSession, targetDir: String, updates: DataFrame,
       keyCols: Seq[String], orderCols: Seq[String],
       isDelete: Option[org.apache.spark.sql.Column] = None,

@@ -1841,17 +1841,27 @@ object AlgebraProps extends Properties("graft.algebra") {
       // real mergeIntoPartitioned calls over a 2-day lake, sequenced
       // with fabricated crash artifacts, compaction, retention, and
       // one TRUE two-thread race over overlapping day sets. A
-      // driver-side model map tracks expected latest-by-key content;
-      // invariants after every step: (1) each touched day's store
-      // serves exactly the model content; at run end: (2) the change
-      // feed's ids are exactly 0..merges-1 in order (no phantom batch
-      // from a strand, no lost publish from a live-staging sweep) and
-      // (3) replaying the feed reproduces the store (the feed never
-      // lies). This model found the live-race holes the round-14
-      // fixes close: shared stage/cdf names letting one writer
-      // publish another's data or diff, entry reconciliation
-      // discarding a concurrent writer's live cdf staging, and
-      // vacuum's stranded-stage sweep deleting a live loser's staging.
+      // driver-side model map tracks expected content under the
+      // engine's documented fold semantics — per committed merge,
+      // latest-by-order-cols of (current ∪ batch) per key, tombstones
+      // PHYSICAL — applied in the ACTUAL commit order (detected after
+      // a race from the version history: with physical tombstones the
+      // fold is commit-order-dependent — a racing stale non-delete
+      // rebased past a fresher delete re-inserts its key, because the
+      // tombstone keeps no version to lose against; see the
+      // Lake.mergeInto scaladoc note this model forced). Invariants
+      // after every step: (1) each touched day's store serves exactly
+      // the model content; at run end: (2) feed ids a gap-tolerant
+      // subset of 1..current matching nonempty-diff merge counts (no
+      // phantom batch from a strand, no lost publish from a
+      // live-staging sweep) and (3) replaying the feed reproduces the
+      // store (the feed never lies). This model found the live-race
+      // holes the round-14 fixes close: shared stage/cdf names letting
+      // one writer publish another's data or diff, entry
+      // reconciliation discarding a concurrent writer's live cdf
+      // staging, and vacuum's stranded-stage sweep deleting a live
+      // loser's staging — and then the tombstone-resurrection
+      // commit-order dependence itself.
       import org.apache.hadoop.fs.Path
       import graft.sources.{Lake, Snapshot}
       val conf = spark.sparkContext.hadoopConfiguration
@@ -1880,12 +1890,18 @@ object AlgebraProps extends Properties("graft.algebra") {
           yield (d, k, s"s${i}w$w", ver, k == 3L && i % 3 == 0)
         rows.toDF("ingest_date", "k", "v", "ver", "del")
       }
+      // the ENGINE's fold: per key, max-ver among (current ∪ batch)
+      // wins; a winning tombstone removes the row physically (so a
+      // later stale non-delete has nothing to lose against)
       def applyModel(b: org.apache.spark.sql.DataFrame): Unit =
-        b.collect().foreach { r =>
-          val key = (r.getString(0), r.getLong(1))
-          if (r.getBoolean(4)) model.remove(key)
-          else model(key) = (r.getString(2), r.getLong(3))
-        }
+        b.collect().groupBy(r => (r.getString(0), r.getLong(1)))
+          .foreach { case (key, rows) =>
+            val top = rows.maxBy(_.getLong(3))
+            if (model.get(key).forall(_._2 <= top.getLong(3))) {
+              if (top.getBoolean(4)) model.remove(key)
+              else model(key) = (top.getString(2), top.getLong(3))
+            }
+          }
       def mergeCall(b: org.apache.spark.sql.DataFrame): Unit = {
         Lake.mergeIntoPartitioned(spark, lake, b, "ingest_date",
           Seq("k"), Seq("ver"), Some(col("del")),
@@ -1921,15 +1937,28 @@ object AlgebraProps extends Properties("graft.algebra") {
             mergedDays.foreach(d => Snapshot.vacuum(fs, dayDir(d), keep = 2))
           case 6 => // TRUE RACE: two live writers, overlapping day sets
             val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-            val b0 = batch(Seq(days(0)), 0); val b1 = batch(days, 1)
+            val b0 = batch(Seq(days(0)), 0); val i0 = i
+            val b1 = batch(days, 1)
+            val vPre = Snapshot.currentVersion(fs, dayDir(days(0)))
+              .getOrElse(0L)
             val ts = Seq(b0, b1).map(b => new Thread(() =>
               try mergeCall(b)
               catch { case t: Throwable => errs.add(t); () }))
             ts.foreach(_.start()); ts.foreach(_.join(180000))
             ok &= errs.isEmpty
-            // ver(b1) > ver(b0), latest-by-key is ver-max, so model
-            // application order cannot matter
-            record(b0, Seq(days(0))); record(b1, days)
+            // the fold is COMMIT-order-dependent on the shared day
+            // (b1 may delete a key b0 re-inserts on rebase): detect
+            // which writer committed vPre+1 from the version history
+            // and fold the model in that order. Day 2 is b1-only.
+            val firstV = Lake.readStoreAt(spark,
+                dayDir(days(0)).toString, vPre + 1)
+              .select("v").collect().map(_.getString(0)).toSet
+            val b0First = firstV.contains(s"s${i0}w0")
+            if (b0First) { record(b0, Seq(days(0))); record(b1, days) }
+            else {
+              record(b1, days)
+              record(b0, Seq(days(0)))
+            }
             feedSlack(days(0)) += 1
         }
         // invariant (1): every merged day serves exactly the model
@@ -1951,8 +1980,9 @@ object AlgebraProps extends Properties("graft.algebra") {
             .map(_.stripPrefix("merge=").toLong).sorted.toSeq
         // (2) one feed entry per NONEMPTY-diff merge on this day —
         // a phantom strand publish would add one, a swept live
-        // staging would lose one; the race slack covers the lower-ver
-        // racer's legitimately-empty diff. Ids are VERSION-keyed
+        // staging would lose one; the race slack covers the racer
+        // whose rebased diff legitimately telescopes empty (every row
+        // lost to the already-committed winner). Ids are VERSION-keyed
         // (round 14): a subset of 1..current, id order ≡ version
         // order — which is what makes the replay below sound.
         val curD = Snapshot.currentVersion(fs, dayDir(d)).getOrElse(0L)
