@@ -246,6 +246,8 @@ object EventTimeQueries {
     "q226_cusum_changepoint" -> q226,
     "q234_km_survival" -> q234,
     "q253_nelson_aalen" -> q253,
+    "q256_odds_ratio" -> q256,
+    "q257_perm_entropy" -> q257,
     "q235_cuped" -> q235,
     "q236_mann_kendall" -> q236,
     "q237_logrank" -> q237,
@@ -699,6 +701,98 @@ object EventTimeQueries {
         col("n_risk"), Det.r6e(col("h")).as("cum_hazard"),
         Det.r6e(exp(-col("h"))).as("fh_survival"))
       .transform(Det.emit(_, "t_days"))
+  }
+
+  /** q256: ODDS RATIO of heavy purchasing given heavy errors, with
+    * its Wald 95% CI (round 22 — the effect-size readout q231's
+    * chi-square and q228's rank test both lack: the standard 2×2
+    * epidemiology statistic with the log-normal CI that says whether
+    * the association survives sampling noise; the business read is
+    * "do error-heavy users buy more or less than the rest"): per
+    * user, exposed = ABOVE-MEAN error count, outcome = ABOVE-MEAN
+    * purchase count — the mean splits are exact integer
+    * cross-multiplications (errs·U > Σerrs) in decimal(38,0) (the
+    * q240/q245 overflow discipline: count·users overflows a long at
+    * ~1e9 × 1e10 scale), chosen over any-event flags because every
+    * fixture user both clicks and purchases (a degenerate 2×2) and
+    * over medians because interpolated medians diverge across
+    * engines. Exact integer cells folded in one pass; OR and the CI
+    * a fixed float chain over the exact cells (products in DOUBLE),
+    * any zero cell emitting 0.0 across the floats rather than ±∞.
+    * Scale: one scan to the user grain (map-side-combinable count
+    * flags), a broadcast 1-row totals join, one 1-row fold. */
+  private def q256(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val u = events(s, d).groupBy("user_id").agg(
+      sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("purch"))
+    val m = u.agg(count(lit(1)).as("nu"), sum("errs").as("te"),
+      sum("purch").as("tp"))
+    val flagged = u.crossJoin(broadcast(m)).select(
+      when(col("errs").cast(dec) * col("nu").cast(dec) >
+        col("te").cast(dec), 1L).otherwise(0L).as("e"),
+      when(col("purch").cast(dec) * col("nu").cast(dec) >
+        col("tp").cast(dec), 1L).otherwise(0L).as("o"))
+    val cells = flagged.agg(
+      sum(when(col("e") === 1 && col("o") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("e") === 1 && col("o") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("e") === 0 && col("o") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("e") === 0 && col("o") === 0, 1L).otherwise(0L)).as("dd"))
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("dd") > 0
+    val or = (col("a").cast("double") * col("dd").cast("double")) /
+      (col("b").cast("double") * col("c").cast("double"))
+    val se = sqrt(lit(1.0) / col("a").cast("double") +
+      lit(1.0) / col("b").cast("double") +
+      lit(1.0) / col("c").cast("double") +
+      lit(1.0) / col("dd").cast("double"))
+    cells.select(col("a"), col("b"), col("c"), col("dd").as("d"),
+      Det.r6e(when(ok, or).otherwise(lit(0.0))).as("odds_ratio"),
+      Det.r6e(when(ok, exp(log(or) - lit(1.96) * se))
+        .otherwise(lit(0.0))).as("ci_lo"),
+      Det.r6e(when(ok, exp(log(or) + lit(1.96) * se))
+        .otherwise(lit(0.0))).as("ci_hi"))
+  }
+
+  /** q257: PERMUTATION ENTROPY of the daily event-rate series per
+    * type (round 22 — the ordinal-complexity screen between q226's
+    * single changepoint and q233's burstiness: Bandt & Pompe 2002's
+    * estimator is rank-based, so it reads a series' STRUCTURE —
+    * trending, oscillating, noise — immune to the scale drift that
+    * fools moment statistics): over the (type, day) count series in
+    * day order, each consecutive triple maps to its ordinal pattern
+    * code 4·[c₂>c₁] + 2·[c₃>c₂] + [c₃>c₁] (exact integer comparisons,
+    * ties break identically on both engines by > being false), and
+    * the entropy of the code distribution is the readout — ~ln 6 for
+    * i.i.d. noise, ~0 for a monotone trend. Scale: one scan to the
+    * bounded (type, day) grain; lag windows and the entropy fold on
+    * that frame only (q245 contract). */
+  private def q257(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val triples = daily
+      .withColumn("c1", lag(col("c"), 2).over(w))
+      .withColumn("c2", lag(col("c"), 1).over(w))
+      .where(col("c1").isNotNull)
+      .select(col("event_type"),
+        (when(col("c2") > col("c1"), 4L).otherwise(0L) +
+          when(col("c") > col("c2"), 2L).otherwise(0L) +
+          when(col("c") > col("c1"), 1L).otherwise(0L)).as("code"))
+    val dist = triples.groupBy("event_type", "code")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = dist.groupBy("event_type").agg(sum("cnt").as("t"),
+      count(lit(1)).as("n_patterns"))
+    dist.join(tot, "event_type")
+      .groupBy(col("event_type"), col("t").as("n_triples"),
+        col("n_patterns"))
+      .agg(Det.r6e(-sum(col("cnt").cast("double") / col("t").cast("double") *
+        log(col("cnt").cast("double") / col("t").cast("double"))))
+        .as("perm_entropy"))
+      .transform(Det.emit(_, "event_type"))
   }
 
   /** q237: LOG-RANK test between two retention cohorts (round 19 —
@@ -1333,6 +1427,84 @@ object EventTimeQueries {
                  round(h + ${Det.E6}, 6) AS cum_hazard,
                  round(exp(-h) + ${Det.E6}, 6) AS fh_survival
           FROM s ORDER BY t""",
+    // q256: exact 2x2 cells in one user-grain fold; OR/CI one float
+    // chain with products in DOUBLE; zero cells emit 0.0, never inf
+    "q256_odds_ratio" ->
+      s"""WITH uu AS (SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS errs,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS BIGINT) AS purch
+                 FROM events GROUP BY user_id),
+          m AS (SELECT CAST(count(1) AS BIGINT) AS nu,
+                       CAST(sum(errs) AS BIGINT) AS te,
+                       CAST(sum(purch) AS BIGINT) AS tp FROM uu),
+          u AS (SELECT CASE WHEN CAST(errs AS HUGEINT) * nu
+                                 > CAST(te AS HUGEINT) THEN 1
+                            ELSE 0 END AS e,
+                       CASE WHEN CAST(purch AS HUGEINT) * nu
+                                 > CAST(tp AS HUGEINT) THEN 1
+                            ELSE 0 END AS o
+                FROM uu CROSS JOIN m),
+          cells AS (SELECT
+              CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+              CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dd
+            FROM u)
+          SELECT a, b, c, dd AS d,
+                 round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0
+                       THEN (CAST(a AS DOUBLE) * CAST(dd AS DOUBLE))
+                            / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                       ELSE 0.0 END + ${Det.E6}, 6) AS odds_ratio,
+                 round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0
+                       THEN exp(ln((CAST(a AS DOUBLE) * CAST(dd AS DOUBLE))
+                                   / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                                - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                                            + 1.0 / CAST(b AS DOUBLE)
+                                            + 1.0 / CAST(c AS DOUBLE)
+                                            + 1.0 / CAST(dd AS DOUBLE)))
+                       ELSE 0.0 END + ${Det.E6}, 6) AS ci_lo,
+                 round(CASE WHEN a > 0 AND b > 0 AND c > 0 AND dd > 0
+                       THEN exp(ln((CAST(a AS DOUBLE) * CAST(dd AS DOUBLE))
+                                   / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                                + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                                            + 1.0 / CAST(b AS DOUBLE)
+                                            + 1.0 / CAST(c AS DOUBLE)
+                                            + 1.0 / CAST(dd AS DOUBLE)))
+                       ELSE 0.0 END + ${Det.E6}, 6) AS ci_hi
+          FROM cells""",
+    // q257: ordinal codes from exact integer comparisons over the
+    // dense (type, day) grain; entropy one float chain per type (r6e)
+    "q257_perm_entropy" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                CAST(count(1) AS BIGINT) AS c
+                         FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          lagged AS (SELECT event_type, c,
+                            lag(c, 2) OVER (PARTITION BY event_type
+                                            ORDER BY day) AS c1,
+                            lag(c, 1) OVER (PARTITION BY event_type
+                                            ORDER BY day) AS c2
+                     FROM daily),
+          codes AS (SELECT event_type,
+                           CAST(CASE WHEN c2 > c1 THEN 4 ELSE 0 END
+                              + CASE WHEN c > c2 THEN 2 ELSE 0 END
+                              + CASE WHEN c > c1 THEN 1 ELSE 0 END
+                             AS BIGINT) AS code
+                    FROM lagged WHERE c1 IS NOT NULL),
+          dist AS (SELECT event_type, code,
+                          CAST(count(1) AS BIGINT) AS cnt
+                   FROM codes GROUP BY event_type, code),
+          tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS t,
+                         CAST(count(1) AS BIGINT) AS n_patterns
+                  FROM dist GROUP BY event_type)
+          SELECT d.event_type, t.t AS n_triples, t.n_patterns,
+                 round(-sum(CAST(d.cnt AS DOUBLE) / CAST(t.t AS DOUBLE)
+                       * ln(CAST(d.cnt AS DOUBLE) / CAST(t.t AS DOUBLE)))
+                       + ${Det.E6}, 6) AS perm_entropy
+          FROM dist d JOIN tot t USING (event_type)
+          GROUP BY d.event_type, t.t, t.n_patterns
+          ORDER BY d.event_type""",
     // q237: the q234 construction per cohort; O1 exact; E1/V float
     // sums of exact-rational terms over the bounded frame (r6e).
     "q237_logrank" ->

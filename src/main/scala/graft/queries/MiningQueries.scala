@@ -2541,7 +2541,91 @@ object MiningQueries {
       .transform(Det.emit(_, "k"))
   }
 
+  /** q254: CONDITIONAL BIGRAM ENTROPY H(W₂|W₁) and the information
+    * gain H(W₂) − H(W₂|W₁) of the word bigram model (round 22 — the
+    * entropy-RATE companion to q135's unigram token entropy and
+    * q183's bigram log-probability: how much does knowing the
+    * previous word reduce next-word uncertainty — the classic
+    * Shannon estimate of a corpus's sequential structure; template
+    * spam drives the gain toward H(W₂) while i.i.d. shuffled text
+    * drives it to 0): exact bigram counts c₂(w₁,w₂), first-position
+    * marginals c₁(w₁) = Σ_{w₂} c₂, N = Σc₂;
+    * H(W₂|W₁) = −Σ (c₂/N)·ln(c₂/c₁), H(W₂) over the second-position
+    * marginal — every term a fixed float chain over exact longs,
+    * summed over the bounded bigram-type frame (r6e). Word grain (not
+    * shingles): the fixture's 31-word vocabulary makes the bigram
+    * table DENSE, which is exactly the regime conditional entropy is
+    * informative in. Scale: the positional bigram aggregate is the
+    * one corpus-sized shuffle (q183 contract); all folds run on the
+    * ≤ V² bigram-type frame with two broadcast 1-row totals. */
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d).select(expr(TOKS).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .transform(Det.pin)
+    val c1 = bg.groupBy("w1").agg(sum("c2").as("c1"))
+    val m2 = bg.groupBy("w2").agg(sum("c2").as("m2"))
+    val tot = bg.agg(sum("c2").as("n"))
+    val hCond = bg.join(c1, "w1").crossJoin(broadcast(tot))
+      .agg((-sum(col("c2").cast("double") / col("n").cast("double") *
+        log(col("c2").cast("double") / col("c1").cast("double"))))
+        .as("h_cond"))
+    val hMarg = m2.crossJoin(broadcast(tot))
+      .agg((-sum(col("m2").cast("double") / col("n").cast("double") *
+        log(col("m2").cast("double") / col("n").cast("double"))))
+        .as("h_marg"))
+    val nTypes = bg.agg(count(lit(1)).as("n_bigram_types"))
+    nTypes.crossJoin(broadcast(hMarg)).crossJoin(broadcast(hCond))
+      .select(col("n_bigram_types"),
+        Det.r6e(col("h_marg")).as("h_w2"),
+        Det.r6e(col("h_cond")).as("h_w2_given_w1"),
+        Det.r6e(col("h_marg") - col("h_cond")).as("info_gain"))
+  }
+
+  /** q255: MUTUAL INFORMATION of (lang, source) (round 22 — the
+    * information-theoretic association readout between q231's
+    * chi-square TEST (is there association) and q248's pairwise JSD
+    * (which sources differ): MI in nats says HOW MUCH knowing the
+    * source tells about the language — the number a mixture planner
+    * compares against the language-entropy budget): exact cell/
+    * marginal counts, MI = Σ (c/n)·ln((c·n)/(r·s)) over nonzero
+    * cells with the products taken in DOUBLE (round-14 ADVICE
+    * overflow lesson: c·n overflows a long at ~1e12-doc corpora —
+    * double keeps 53-bit precision on a ratio that feeds a log),
+    * plus the two marginal entropies that bound it. Scale: one scan
+    * to the (lang, source) cell grain; every fold on the bounded
+    * cell frame. */
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    val cells = docs(s, d).groupBy("lang", "source")
+      .agg(count(lit(1)).as("c"))
+      .transform(Det.pin)
+    val rl = cells.groupBy("lang").agg(sum("c").as("r"))
+    val cs = cells.groupBy("source").agg(sum("c").as("s"))
+    val tot = cells.agg(sum("c").as("n"))
+    val mi = cells.join(rl, "lang").join(cs, "source")
+      .crossJoin(broadcast(tot))
+      .agg(sum(col("c").cast("double") / col("n").cast("double") *
+        log((col("c").cast("double") * col("n").cast("double")) /
+          (col("r").cast("double") * col("s").cast("double"))))
+        .as("mi"))
+    def hOf(df: DataFrame, cnt: String): Column =
+      -sum(col(cnt).cast("double") / col("n").cast("double") *
+        log(col(cnt).cast("double") / col("n").cast("double")))
+    val hl = rl.crossJoin(broadcast(tot)).agg(hOf(rl, "r").as("h_lang"))
+    val hs = cs.crossJoin(broadcast(tot)).agg(hOf(cs, "s").as("h_source"))
+    mi.crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+      .select(Det.r6e(col("mi")).as("mi"),
+        Det.r6e(col("h_lang")).as("h_lang"),
+        Det.r6e(col("h_source")).as("h_source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_bigram_cond_entropy" -> q254,
+    "q255_mi_lang_source" -> q255,
     "q250_good_turing" -> q250,
     "q251_kn_discounts" -> q251,
     "q252_vocab_coverage" -> q252,
@@ -2667,6 +2751,61 @@ object MiningQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q254: positional word-bigram build; every entropy term the
+    // identical float chain over exact longs (r6e on emitted sums)
+    "q254_bigram_cond_entropy" ->
+      s"""WITH bg AS (SELECT w1, w2, CAST(count(1) AS BIGINT) AS c2
+                      FROM (SELECT unnest(list_transform(range(len(ts) - 1),
+                                     i -> {'w1': ts[i+1], 'w2': ts[i+2]})) AS p
+                            FROM (SELECT $TS AS ts FROM documents)
+                            WHERE len(ts) >= 2)
+                      CROSS JOIN LATERAL (SELECT p['w1'] AS w1, p['w2'] AS w2)
+                      GROUP BY w1, w2),
+          c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+                 FROM bg GROUP BY w1),
+          m2 AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS m2
+                 FROM bg GROUP BY w2),
+          tot AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM bg),
+          hc AS (SELECT -sum(CAST(bg.c2 AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                        * ln(CAST(bg.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)))
+                        AS h_cond
+                 FROM bg JOIN c1 USING (w1) CROSS JOIN tot),
+          hm AS (SELECT -sum(CAST(m2.m2 AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                        * ln(CAST(m2.m2 AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+                        AS h_marg
+                 FROM m2 CROSS JOIN tot),
+          nt AS (SELECT CAST(count(1) AS BIGINT) AS n_bigram_types FROM bg)
+          SELECT nt.n_bigram_types,
+                 round(hm.h_marg + ${Det.E6}, 6) AS h_w2,
+                 round(hc.h_cond + ${Det.E6}, 6) AS h_w2_given_w1,
+                 round(hm.h_marg - hc.h_cond + ${Det.E6}, 6) AS info_gain
+          FROM nt CROSS JOIN hm CROSS JOIN hc""",
+    // q255: exact cells/marginals; products taken in DOUBLE before
+    // the divide (the q245 overflow discipline applied to a log arg)
+    "q255_mi_lang_source" ->
+      s"""WITH cells AS (SELECT lang, source, CAST(count(1) AS BIGINT) AS c
+                         FROM documents GROUP BY lang, source),
+          rl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS r
+                 FROM cells GROUP BY lang),
+          cs AS (SELECT source, CAST(sum(c) AS BIGINT) AS s
+                 FROM cells GROUP BY source),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+          mi AS (SELECT sum(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                       * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                            / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE))))
+                        AS mi
+                 FROM cells JOIN rl USING (lang) JOIN cs USING (source)
+                      CROSS JOIN tot),
+          hl AS (SELECT -sum(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+                        AS h_lang FROM rl CROSS JOIN tot),
+          hs AS (SELECT -sum(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                        AS h_source FROM cs CROSS JOIN tot)
+          SELECT round(mi.mi + ${Det.E6}, 6) AS mi,
+                 round(hl.h_lang + ${Det.E6}, 6) AS h_lang,
+                 round(hs.h_source + ${Det.E6}, 6) AS h_source
+          FROM mi CROSS JOIN hl CROSS JOIN hs""",
     // q250: the q208-style trigram shingle build; exact integer N_r
     // table on a fixed 1..10 spine; each r* and p0 one float division
     // of exact integers (r6e)
