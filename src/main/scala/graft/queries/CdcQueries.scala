@@ -352,7 +352,6 @@ object CdcQueries {
     val dir = s"$root/t"; val cdf = s"$root/changes"; val view = s"$root/view"
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
     val base = orders(s, d).where(col("o_orderkey") % 16 === 3)
       .select(col("o_orderkey").as("k"), col("o_orderdate").as("odate"),
         round(col("o_totalprice")).cast("long").as("usd"))
@@ -366,9 +365,17 @@ object CdcQueries {
         Seq("bucket" -> bucket))
       ()
     }
-    merge(base.where(col("k") % 3 =!= 0)
-      .withColumn("ver", lit(1L)).withColumn("is_delete", lit(false)))
-    refresh()
+    // FIXTURE phase (store wipe + bulk build) clocked apart from the
+    // operator, exactly as its six siblings q163/q165/q169/q170/q171/
+    // q173 do (round 15 — VERDICT r14 caveat 1: q166's bench reading
+    // was mostly store construction, masking regressions in the
+    // windowed maintenance it exists to time)
+    graft.FixtureClock.timed {
+      fs.delete(p, true)
+      merge(base.where(col("k") % 3 =!= 0)
+        .withColumn("ver", lit(1L)).withColumn("is_delete", lit(false)))
+      refresh()
+    }
     val moved = base.where(col("k") % 3 =!= 0 && col("k") % 5 === 0)
       .withColumn("odate", date_add(col("odate"), 40))
       .withColumn("is_delete", lit(false))

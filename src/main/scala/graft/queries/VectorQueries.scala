@@ -126,7 +126,17 @@ object VectorQueries {
   private def q189(s: SparkSession, d: String): DataFrame = {
     val em = spread(s, embeddings(s, d))
     val q = em.where(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val corpus = em.where(col("vec_id") =!= 0)
+    // PIN the corpus (round 15 — VERDICT r14 item 2): the key is the
+    // suite's only consumer that scans the embedding corpus SEVEN
+    // times in one plan family (exact top-10, then per codebook leg a
+    // hash-draw sort, a coding pass, a shortlist fetch, plus leg 1's
+    // Lloyd re-center) — without the pin each pass re-reads the
+    // parquet and re-runs `spread`. One materialization serves all of
+    // them; the exact arm shares the same unrolled scan as the PQ
+    // chain. At 100 TB this is precisely the "encode once, serve from
+    // codes" split writePqIndex makes durable — the pin is the
+    // in-memory form of the same single-scan discipline.
+    val corpus = Det.pin(em.where(col("vec_id") =!= 0))
     val exact = Det.pin(graft.operators.Similarity.cosineTopK(
       corpus, q, "vec_id", "embedding", k = 10).select("vec_id"))
     // k = shortlist: the re-ranked output IS the ADC shortlist set,

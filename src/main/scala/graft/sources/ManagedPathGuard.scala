@@ -28,6 +28,18 @@ import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationComm
   * plan root. The check is metadata-only (a few `exists` probes) and
   * runs only when the plan IS a write command.
   *
+  * SCOPE (round 15 ADVICE — stated so the boundary is a contract,
+  * not a surprise): the guard covers the V1 write commands
+  * (`InsertIntoHadoopFsRelationCommand`,
+  * `CreateDataSourceTableAsSelectCommand`) — the paths
+  * `df.write.parquet/csv/json` and SQL CTAS/INSERT take in this
+  * library. DSv2/V2 writes (`df.writeTo(...)`, catalog-routed
+  * tables) plan as V2 nodes this rule does not match; nothing in
+  * this library writes through them, but a deployment that does
+  * must extend the match. The guard is a SEATBELT against accidents,
+  * not an ACL: raw `FileSystem.delete` or an external process can
+  * still destroy a store.
+  *
   * The protocol's OWN writes are exempt by construction: every staged
   * write targets a hidden (`_`-prefixed) child — `_stage.<name>`,
   * `_cdf_v<k>` — and hidden children under a managed root are exactly
@@ -61,15 +73,34 @@ object ManagedPathGuard extends Rule[LogicalPlan] {
         fs.listStatus(p).exists(_.getPath.getName.matches("_v\\d+\\.list"))
     }
 
+  /** Any managed store root at or below `p`, searched to `depth`
+    * levels (round 15 ADVICE): an OVERWRITE of an unmanaged dir
+    * recursively deletes the whole tree, so a managed `name=value`
+    * partition store (or any nested store) beneath the output path
+    * dies with it. Depth 3 covers the library's deepest layout (lake
+    * root → day partition → managed store) with margin; hidden
+    * (`_`/`.`) children are the protocol's own staging, skipped. */
+  private def managedBelow(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, depth: Int): Option[Path] =
+    if (depth < 0 || !scala.util.Try(fs.exists(p)).getOrElse(false)) None
+    else if (isManagedRoot(fs, p)) Some(p)
+    else if (depth == 0) None
+    else scala.util.Try(fs.listStatus(p)).getOrElse(Array.empty)
+      .iterator
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .flatMap(s => managedBelow(fs, s.getPath, depth - 1))
+      .nextOption()
+
   private def check(out: Path, overwrite: Boolean): Unit = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = out.getFileSystem(conf)
-    // the target itself plus up to three ancestors, bottom-up (store
-    // data dirs are direct children; lake day-partitions sit two
-    // levels below the lake root — three levels covers every layout
-    // the library writes)
+    // EVERY ancestor to the filesystem root, bottom-up (round 15
+    // ADVICE — the old 3-ancestor probe let a write nested four or
+    // more levels under a managed root through): the probes are
+    // cheap metadata `exists` calls and path depth is small
     val bottomUp = Iterator.iterate(out)(_.getParent)
-      .takeWhile(_ != null).take(4).toSeq
+      .takeWhile(_ != null).toSeq
     bottomUp.zipWithIndex.foreach { case (p, i) =>
       if (isManagedRoot(fs, p)) {
         // AT the root: an APPEND is the SUPPORTED legacy flat-append
@@ -96,6 +127,17 @@ object ManagedPathGuard extends Rule[LogicalPlan] {
               "Lake.createStoreAs (CETAS) or Lake.mergeInto")
         return
       }
+    }
+    // no managed ancestor — but an OVERWRITE of an unmanaged dir
+    // recursively deletes everything BENEATH it too: refuse if any
+    // descendant (e.g. a managed `name=value` partition store under
+    // an unmanaged lake root) is a managed store (round 15 ADVICE)
+    if (overwrite) managedBelow(fs, out, depth = 3).foreach { victim =>
+      throw new IllegalStateException(
+        s"refusing OVERWRITE of $out: it would recursively delete the " +
+          s"managed store at $victim beneath it; overwrite the store " +
+          "through Lake.createStoreAs(replace = true), or target a path " +
+          "that does not contain managed stores")
     }
   }
 }

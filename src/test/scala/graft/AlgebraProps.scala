@@ -2004,4 +2004,183 @@ object AlgebraProps extends Properties("graft.algebra") {
       }
       ok
     }
+
+  // ---- retained tombstones: the r14 resurrection counterexample ------
+
+  property("retained-tombstone merge is commit-order independent on delete+stale-update overlap") =
+    forAll(for {
+      delVer <- Gen.choose(10L, 20L)
+      staleVer <- Gen.choose(1L, 9L)    // stale: below the delete
+      freshVer <- Gen.choose(21L, 30L)  // fresh: above the delete
+      fresh <- Gen.oneOf(true, false)   // overlap flavor
+    } yield (delVer, if (fresh) freshVer else staleVer, fresh)) {
+      case (delVer, updVer, fresh) =>
+        // The exact counterexample the round-14 interleaving model
+        // proved order-DEPENDENT under physical tombstones: batch A
+        // deletes key 1 at delVer; batch B updates key 1 at updVer.
+        // With updVer < delVer (stale) the plain fold resurrects key 1
+        // iff B commits after A. Under retainTombstones the retained
+        // delete keeps its version in the arithmetic, so BOTH commit
+        // orders converge: stale update loses, fresh update wins —
+        // enforced, not documented.
+        import graft.sources.Lake
+        val grace = Some(10L * 60L * 1000L)
+        def batchA = Seq((1L, "dead", delVer, true), (2L, "keep", delVer, false))
+          .toDF("k", "v", "ver", "del")
+        def batchB = Seq((1L, "upd", updVer, false))
+          .toDF("k", "v", "ver", "del")
+        def runOrder(first: org.apache.spark.sql.DataFrame,
+            second: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] = {
+          val dir = TestSpark.tmpDir("tomb-order") + "/t"
+          Seq(first, second).foreach(b =>
+            Lake.mergeInto(spark, dir, b, Seq("k"), Seq("ver"),
+              Some(col("del")), retainTombstones = grace))
+          Lake.readStore(spark, dir).collect()
+            .map(r => r.getAs[Long]("k") ->
+              (r.getAs[String]("v"), r.getAs[Long]("ver"))).toMap
+        }
+        val ab = runOrder(batchA, batchB)
+        val ba = runOrder(batchB, batchA)
+        val want =
+          if (fresh) Map(1L -> ("upd", updVer), 2L -> ("keep", delVer))
+          else Map(2L -> ("keep", delVer))
+        ab == want && ba == want
+    }
+
+  // ---- CETAS surface: model-based interleaving check -------------------
+
+  property("CETAS surface: REPLACE materializations interleaved with merges, vacuum, tag pins, crash strands, and a live CETAS-vs-merge race keep the store and every pinned tag serving the model content") =
+    forAll(Gen.listOfN(7, Gen.choose(0, 6))) { steps =>
+      // The round-12/13/14 model style pointed at the one commit
+      // surface it had not enumerated (VERDICT r14 item 5):
+      // createStoreAs(replace = true) — whose content contract is
+      // "exactly the SQL result", NOT a fold — sequenced against
+      // mergeInto on the SAME store, vacuum, tag pins, and fabricated
+      // crash strands, plus one TRUE two-thread CETAS-vs-merge race.
+      // Model: a committed REPLACE sets the expected map to its SQL
+      // result verbatim; a committed merge folds (latest-by-ver,
+      // physical tombstones) — applied in the ACTUAL commit order,
+      // detected from the version history after the race. Invariants
+      // after every step: (1) the store serves exactly the model;
+      // (2) every still-pinned tag serves the content snapshot taken
+      // when it was pinned, through later commits and vacuums.
+      import org.apache.hadoop.fs.Path
+      import graft.sources.{Lake, Snapshot}
+      val conf = spark.sparkContext.hadoopConfiguration
+      val base = TestSpark.tmpDir("cetas-model")
+      val dir = s"$base/t"
+      val fs = new Path(base).getFileSystem(conf)
+      val model = scala.collection.mutable.Map[Long, (String, Long)]()
+      val pins = scala.collection.mutable.Map[String, Map[Long, (String, Long)]]()
+      var ok = true
+      var i = 0
+      def mergeBatch() = {
+        i += 1
+        val ver = i * 10L
+        Seq((1L, s"m$i", ver, false), (2L, s"m$i", ver, i % 3 == 0),
+          (3L, s"m$i", ver, false)).toDF("k", "v", "ver", "del")
+      }
+      def cetasRows() = {
+        i += 1
+        val ver = i * 10L + 5L
+        (1L to 3L).map(k => (k, s"c$i", ver, false))
+      }
+      def foldModel(b: org.apache.spark.sql.DataFrame): Unit =
+        b.collect().groupBy(_.getLong(0)).foreach { case (k, rows) =>
+          val top = rows.maxBy(_.getLong(2))
+          if (model.get(k).forall(_._2 <= top.getLong(2))) {
+            if (top.getBoolean(3)) model.remove(k)
+            else model(k) = (top.getString(1), top.getLong(2))
+          }
+        }
+      def replaceModel(rows: Seq[(Long, String, Long, Boolean)]): Unit = {
+        model.clear()
+        rows.foreach { case (k, v, ver, _) => model(k) = (v, ver) }
+      }
+      def cetasCall(rows: Seq[(Long, String, Long, Boolean)]): Unit = {
+        rows.toDF("k", "v", "ver", "del").createOrReplaceTempView("cetas_src")
+        Lake.createStoreAs(spark, "cetas_model_t", dir,
+          "SELECT k, v, ver, del FROM cetas_src", replace = true,
+          attempts = 8)
+        ()
+      }
+      def mergeCall(b: org.apache.spark.sql.DataFrame): Unit =
+        Lake.mergeIntoRetrying(spark, dir, b, Seq("k"), Seq("ver"),
+          Some(col("del")), attempts = 8)
+      def curV: Long = Snapshot.currentVersion(fs, new Path(dir)).getOrElse(0L)
+      def dump(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] =
+        df.select("k", "v", "ver").collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      steps.foreach { s =>
+        s match {
+          case 0 => // merge fold
+            val b = mergeBatch(); mergeCall(b); foldModel(b)
+          case 1 => // CETAS REPLACE: content becomes exactly the SQL result
+            val rows = cetasRows(); cetasCall(rows); replaceModel(rows)
+          case 2 => // tag-pin the current version with its model snapshot
+            if (curV >= 1) {
+              val name = s"pin$i"
+              Snapshot.tag(fs, conf, new Path(dir), name, curV)
+              pins(name) = model.toMap
+              // keep at most 2 pins — untag the oldest beyond that
+              if (pins.size > 2) {
+                val old = pins.keys.minBy(_.stripPrefix("pin").toInt)
+                Snapshot.untag(fs, new Path(dir), old)
+                pins.remove(old); ()
+              }
+            }
+          case 3 => // crash strands: a dead CETAS stage + a dead merge stage
+            if (curV >= 1) {
+              fs.mkdirs(Snapshot.stagePath(new Path(dir),
+                s"d${curV + 1}-cetasdead0000"))
+              fs.mkdirs(Snapshot.stagePath(new Path(dir),
+                s"d${curV + 1}-mergedead000")); ()
+            }
+          case 4 => // vacuum under the tag pins
+            if (curV >= 1) Snapshot.vacuum(fs, new Path(dir), keep = 2)
+          case 5 => // untag one pin, then vacuum — its version may reclaim
+            pins.keys.toSeq.sorted.headOption.foreach { name =>
+              Snapshot.untag(fs, new Path(dir), name)
+              pins.remove(name)
+              Snapshot.vacuum(fs, new Path(dir), keep = 2)
+            }
+          case 6 => // TRUE RACE: live CETAS REPLACE vs live merge
+            if (curV >= 1) { // REPLACE-vs-create race is UserJourney's
+              val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+              val rows = cetasRows(); val ci = i
+              val b = mergeBatch()
+              val vPre = curV
+              val ts = Seq(
+                new Thread(() => try cetasCall(rows)
+                  catch { case t: Throwable => errs.add(t); () }),
+                new Thread(() => try mergeCall(b)
+                  catch { case t: Throwable => errs.add(t); () }))
+              ts.foreach(_.start()); ts.foreach(_.join(180000))
+              ok &= errs.isEmpty
+              // commit order from the version history: whoever owns
+              // vPre+1 applied first. CETAS rows are tagged c<ci>.
+              val firstV = dump(Lake.readStoreAt(spark, dir, vPre + 1))
+              val cetasFirst = firstV.values.exists(_._1 == s"c$ci")
+              if (cetasFirst) { replaceModel(rows); foldModel(b) }
+              else {
+                // merge committed first; the CETAS retry re-ran its
+                // SQL and REPLACED on top — final content is the SQL
+                // result regardless of the merge
+                foldModel(b); replaceModel(rows)
+              }
+            }
+        }
+        // invariant (1): the store serves exactly the model
+        if (curV >= 1)
+          ok &= dump(Lake.readStore(spark, dir)) == model.toMap
+        // invariant (2): every pinned tag still serves its snapshot
+        pins.foreach { case (name, snap) =>
+          val v = Snapshot.tagVersion(fs, new Path(dir), name)
+          ok &= v.isDefined
+          v.foreach(tv =>
+            ok &= dump(Lake.readStoreAt(spark, dir, tv)) == snap)
+        }
+      }
+      ok
+    }
 }

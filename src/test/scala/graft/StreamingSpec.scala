@@ -1739,6 +1739,129 @@ class StreamingSpec extends AnyFunSuite {
     assert(feed.size == 3, s"replay grew the change feed: $feed")
   }
 
+  test("s52: resolved-timestamp frontier gates day publication; replay idempotent") {
+    val src = TestSpark.tmpDir("s52-src")
+    val out = TestSpark.tmpDir("s52-out") + "/lake"
+    val chk = TestSpark.tmpDir("s52-chk")
+    def hlc(iso: String) =
+      s"${java.time.Instant.parse(iso).getEpochSecond}000000000.0000000000"
+    def run(): Unit = {
+      val q = CdcStreams.frontierGatedDaySink(
+          CdcStreams.readEnvelopeStreamResolved(spark, src, rideSchema),
+          out, chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // day-1 rows + a frontier INSIDE day 1 → nothing may publish: an
+    // event-time watermark would call this day quiet, the frontier
+    // knows it is still open
+    writeNdjson(src, "f1.ndjson", Seq(
+      envLine("a", "amsterdam", "10.00", hlc("2022-12-12T08:00:00Z")),
+      envLine("b", "boston", "5.00", hlc("2022-12-12T09:00:00Z")),
+      s"""{"resolved": "${hlc("2022-12-12T10:00:00Z")}"}"""))
+    run()
+    assert(CdcStreams.completedDays(spark, out).isEmpty,
+      "published a day the frontier has not passed")
+    intercept[IllegalArgumentException] {
+      CdcStreams.readCompletedDay(spark, out, "2022-12-12")
+    }
+    // OUT-OF-ORDER across the boundary: a day-2 row arrives BEFORE a
+    // day-1 straggler (updated above the last resolved — legal under
+    // the resolved contract), then the frontier passes into day 2 →
+    // day 1 publishes WITH its straggler, day 2 stays open
+    writeNdjson(src, "f2.ndjson", Seq(
+      envLine("c", "chicago", "7.00", hlc("2022-12-13T01:00:00Z")),
+      envLine("d", "detroit", "9.00", hlc("2022-12-12T23:30:00Z")),
+      s"""{"resolved": "${hlc("2022-12-13T02:00:00Z")}"}"""))
+    run()
+    assert(CdcStreams.completedDays(spark, out) == Seq("2022-12-12"))
+    val day1 = CdcStreams.readCompletedDay(spark, out, "2022-12-12")
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(day1 == Seq("a", "b", "d"), s"day-1 content wrong: $day1")
+    // restart-replay with no new files: no duplicates, no state drift
+    run()
+    assert(CdcStreams.completedDays(spark, out) == Seq("2022-12-12"))
+    assert(CdcStreams.readCompletedDay(spark, out, "2022-12-12").count() == 3)
+    // a marker-only file moves the frontier past day 2 → it publishes
+    writeNdjson(src, "f3.ndjson", Seq(
+      s"""{"resolved": "${hlc("2022-12-14T00:00:00Z")}"}"""))
+    run()
+    assert(CdcStreams.completedDays(spark, out) ==
+      Seq("2022-12-12", "2022-12-13"))
+    val day2 = CdcStreams.readCompletedDay(spark, out, "2022-12-13")
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(day2 == Seq("c"), s"day-2 content wrong: $day2")
+  }
+
+  test("s53: multi-table changefeed demux — two stores equal their single-table twins") {
+    val base = TestSpark.tmpDir("s53")
+    val src = s"$base/feed"
+    val userSchema = StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType)))
+    def userLine(id: String, name: String, hlc: String) =
+      s"""{"after": {"id": "$id", "name": "$name"}, "key": ["$id"], "updated": "$hlc"}"""
+    def userDel(id: String, hlc: String) =
+      s"""{"after": null, "key": ["$id"], "updated": "$hlc"}"""
+    // cloud-sink layout: one table per FILE (topic in the file name),
+    // the FEED interleaving tables file by file
+    val rides1 = Seq(envLine("a", "amsterdam", "10.00", "1.0"),
+      envLine("b", "boston", "5.00", "2.0"))
+    val users1 = Seq(userLine("u1", "ann", "1.5"), userLine("u2", "bo", "2.5"))
+    val rides2 = Seq(envLine("a", "amsterdam", "12.00", "3.0")) // later HLC wins
+    val users2 = Seq(userDel("u2", "3.5")) // tombstone removes u2
+    writeNdjson(src, "202212120800-n1-rides-1.ndjson", rides1)
+    writeNdjson(src, "202212120801-n1-users-1.ndjson", users1)
+    writeNdjson(src, "202212120802-n1-rides-1.ndjson", rides2)
+    writeNdjson(src, "202212120803-n1-users-1.ndjson", users2)
+    val routes = Map(
+      "rides" -> CdcStreams.TableRoute(rideSchema, s"$base/rides"),
+      "users" -> CdcStreams.TableRoute(userSchema, s"$base/users"))
+    def run(chk: String): Unit = {
+      // one file per micro-batch: the demux sees the tables strictly
+      // interleaved, the hardest routing order
+      val q = CdcStreams.demuxMergeSink(
+          CdcStreams.readDemuxLinesStream(spark, src, maxFilesPerTrigger = 1),
+          routes, chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run(s"$base/chk")
+    // single-table TWINS: the same per-file merge cadence over each
+    // table's files alone, through the plain single-table path
+    def twin(schema: StructType, dir: String, batches: Seq[Seq[String]]): Unit =
+      batches.foreach { lines =>
+        val env = spark.read.schema(CdcStreams.envelopeSchema(schema))
+          .json(spark.createDataset(lines))
+        graft.sources.Lake.mergeInto(spark, dir,
+          env.select(col("after.*"), to_json(col("key")).as("_kid"),
+            CdcStreams.hlcOrder(col("updated")).as("_hlc"),
+            col("after").isNull.as("_is_delete")),
+          Seq("_kid"), Seq("_hlc"), Some(col("_is_delete")))
+      }
+    twin(rideSchema, s"$base/rides_twin", Seq(rides1, rides2))
+    twin(userSchema, s"$base/users_twin", Seq(users1, users2))
+    def dump(dir: String): Seq[String] = {
+      val df = graft.sources.Lake.readStore(spark, dir)
+      df.select(df.columns.sorted.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(dump(s"$base/rides") == dump(s"$base/rides_twin"),
+      "demuxed rides store diverged from its single-table twin")
+    assert(dump(s"$base/users") == dump(s"$base/users_twin"),
+      "demuxed users store diverged from its single-table twin")
+    assert(dump(s"$base/users").size == 1, "tombstone failed to delete u2")
+    // per-key order preserved: the later-HLC ride won
+    assert(graft.sources.Lake.readStore(spark, s"$base/rides")
+      .where(col("id") === "a").select("revenue").head().getString(0) == "12.00")
+    // FULL replay from a fresh checkpoint (every batch re-merges):
+    // latest-HLC-wins makes the re-merge idempotent — same final state
+    run(s"$base/chk2")
+    assert(dump(s"$base/rides") == dump(s"$base/rides_twin"),
+      "replayed demux diverged")
+    assert(dump(s"$base/users") == dump(s"$base/users_twin"),
+      "replayed demux diverged (users)")
+  }
+
   test("s36: downstream change-feed consumer reads merges incrementally, exactly-once") {
     val base = TestSpark.tmpDir("s36")
     val table = s"$base/t"
