@@ -65,6 +65,34 @@ object StressBpe {
       s""""rounds_asked":$rounds,"truncate_every":$every,""" +
       s""""total_ms":$total,""" +
       s""""block50_ms":[${blocks.mkString(",")}]}""")
+    // append ONE arithmetic ledger row (round 15 — VERDICT r14 item
+    // 8, the StressDupClusters discipline): a tokenizer-training
+    // regression is then a ledger DIFF — flat means last block ≈
+    // first block and peak within the recorded band
+    val ledger = java.nio.file.Paths.get(
+      sys.env.getOrElse("STRESS_LEDGER", "STRESS.md"))
+    val section =
+      "## BPE training plan depth (append-only, one row per run)"
+    val header = s"\n$section\n\n" +
+      "| date | rounds | truncate every | total ms | " +
+      "first block50 ms | last block50 ms | peak block50 ms |\n" +
+      "|---|---|---|---|---|---|---|\n"
+    val row = s"| ${java.time.LocalDate.now()} | ${ms.length} | $every | " +
+      s"$total | ${blocks.headOption.getOrElse(0L)} | " +
+      s"${blocks.lastOption.getOrElse(0L)} | " +
+      s"${if (blocks.isEmpty) 0L else blocks.max} |\n"
+    // section-aware append into the SHARED stress ledger: the BPE
+    // table lives below the dupClusters one; first run writes the
+    // section header, every run appends one row at file end (the BPE
+    // section is the last — append-only stays well-formed)
+    val existing =
+      if (java.nio.file.Files.exists(ledger))
+        new String(java.nio.file.Files.readAllBytes(ledger), "UTF-8")
+      else ""
+    val out =
+      (if (existing.contains(section)) existing else existing + header) + row
+    java.nio.file.Files.write(ledger, out.getBytes("UTF-8"))
+    println(s"ledger row appended to $ledger")
     spark.stop()
   }
 }

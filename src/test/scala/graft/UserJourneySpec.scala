@@ -261,5 +261,23 @@ class UserJourneySpec extends AnyFunSuite {
         s"'$store/ctas' AS SELECT 1 AS x")
     }
     assert(e3.getMessage != null && e3.getMessage.contains("managed store"))
+    // round 15 (ADVICE): the ancestor walk reaches the filesystem
+    // root — a write nested FOUR+ levels under the managed root is
+    // refused too (the old 3-ancestor probe let it through)
+    val e4 = intercept[Exception] {
+      Seq(1).toDF("x").write.parquet(s"$store/a/b/c/d/deep")
+    }
+    assert(e4.getMessage != null && e4.getMessage.contains("managed store"),
+      s"deep-nested write must be refused: ${e4.getMessage}")
+    // and an OVERWRITE of an UNMANAGED ancestor would recursively
+    // delete the store beneath it — refused, naming the victim; the
+    // same overwrite of a store-free sibling still works
+    val e5 = intercept[Exception] {
+      Seq(1).toDF("x").write.mode("overwrite").parquet(base)
+    }
+    assert(e5.getMessage != null && e5.getMessage.contains("beneath"),
+      s"overwrite above a managed store must be refused: ${e5.getMessage}")
+    Seq(1).toDF("x").write.mode("overwrite").parquet(s"$base/beside")
+    assert(spark.read.parquet(s"$base/beside").count() == 1)
   }
 }
