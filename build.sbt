@@ -38,4 +38,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 executor threads × shuffle/sort/codegen buffers need headroom;
   // 8g showed 2-3× run-to-run variance from GC at sf0.1.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // A 242-key bench suite JIT-compiles thousands of whole-stage-
+  // codegen classes; the JVM's default 240 MB reserved code cache can
+  // force flushing/recompilation churn late in the suite. Tested as a
+  // hypothesis for the in-suite-vs-solo 2x premium on driver-bound
+  // keys: same-day A/B full recordings read 358.1 vs 369.2 gross
+  // seconds — the premium is host whipsaw, not code-cache churn.
+  // Kept anyway: the reservation is virtual address space (committed
+  // only as used) and removes one confound from future recordings.
+  "-XX:ReservedCodeCacheSize=2g",
 )

@@ -248,6 +248,10 @@ object EventTimeQueries {
     "q253_nelson_aalen" -> q253,
     "q256_odds_ratio" -> q256,
     "q257_perm_entropy" -> q257,
+    "q258_kendall_tau" -> q258,
+    "q260_cvm_drift" -> q260,
+    "q262_theil_sen" -> q262,
+    "q263_runs_test" -> q263,
     "q235_cuped" -> q235,
     "q236_mann_kendall" -> q236,
     "q237_logrank" -> q237,
@@ -792,6 +796,205 @@ object EventTimeQueries {
       .agg(Det.r6e(-sum(col("cnt").cast("double") / col("t").cast("double") *
         log(col("cnt").cast("double") / col("t").cast("double"))))
         .as("perm_entropy"))
+      .transform(Det.emit(_, "event_type"))
+  }
+
+  /** q258: KENDALL τ-b between the daily-count series of each event-
+    * type PAIR (round 23 — the rank-concordance companion to q240's
+    * Spearman DRIFT (one series against its own past) and q236's
+    * Mann–Kendall TREND (one series against time): do clicks and
+    * purchases move together day-over-day? τ-b is the tie-adjusted
+    * pairwise form, and unlike Pearson it reads monotone coupling
+    * without assuming linearity): daily counts per type, the 10
+    * type-pairs aligned on shared days, then every day-pair i<j
+    * classified concordant/discordant/tied by EXACT integer
+    * comparisons — C, D, and the tie counts are exact longs; τ-b =
+    * (C−D)/√((n₀−t_x)(n₀−t_y)) is one float chain per pair (r6e),
+    * all-tied pairs emit 0.0 by rule. Scale: one scan to the bounded
+    * (type, day) grain; the pair fan-out is (types² × days²) on that
+    * frame, never corpus-sized — broadcast-joined both ways. */
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .transform(Det.pin)
+    val a = daily.select(col("event_type").as("type_a"), col("day"),
+      col("c").as("ca"))
+    val b = daily.select(col("event_type").as("type_b"), col("day"),
+      col("c").as("cb"))
+    val ser = a.join(b, "day").where(col("type_a") < col("type_b"))
+    val x = ser.select(col("type_a"), col("type_b"),
+      col("day").as("d1"), col("ca").as("ca1"), col("cb").as("cb1"))
+    val y = ser.select(col("type_a"), col("type_b"),
+      col("day").as("d2"), col("ca").as("ca2"), col("cb").as("cb2"))
+    x.join(y, Seq("type_a", "type_b")).where(col("d1") < col("d2"))
+      .groupBy("type_a", "type_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when((col("ca2") > col("ca1") && col("cb2") > col("cb1")) ||
+          (col("ca2") < col("ca1") && col("cb2") < col("cb1")), 1L)
+          .otherwise(0L)).as("n_conc"),
+        sum(when((col("ca2") > col("ca1") && col("cb2") < col("cb1")) ||
+          (col("ca2") < col("ca1") && col("cb2") > col("cb1")), 1L)
+          .otherwise(0L)).as("n_disc"),
+        sum(when(col("ca2") === col("ca1"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("cb2") === col("cb1"), 1L).otherwise(0L)).as("ty"))
+      .select(col("type_a"), col("type_b"), col("n_pairs"),
+        col("n_conc"), col("n_disc"),
+        Det.r6e(when(col("n_pairs") > col("tx") &&
+          col("n_pairs") > col("ty"),
+          (col("n_conc") - col("n_disc")).cast("double") /
+            sqrt((col("n_pairs") - col("tx")).cast("double") *
+              (col("n_pairs") - col("ty")).cast("double")))
+          .otherwise(lit(0.0))).as("tau_b"))
+      .transform(Det.emit(_, "type_a", "type_b"))
+  }
+
+  /** q260: two-sample CRAMÉR–VON MISES drift statistic per event type
+    * (round 23 — the distribution-shape companion to q221's KS (sup
+    * of the CDF gap) and q228's Mann–Whitney (location only): CvM
+    * integrates the SQUARED CDF gap, so it reads spread/shape drift
+    * a median-preserving change hides from both): first-15-days
+    * values vs the rest, Anderson's rank form — with rᵢ the combined
+    * ranks of sample X and i its within-sample index,
+    * U = n·Σ(rᵢ−i)² + m·Σ(sⱼ−j)², T = U/(nmN) − (4nm−1)/(6N). Ranks
+    * are row_numbers ordered by (value, event_id) — the declared
+    * deterministic tie convention (q152 hash-split precedent: a
+    * stable arbitrary tiebreak, identical on any engine) — and every
+    * (rᵢ−i)² is an exact long summed in decimal(38,0) (the q245
+    * overflow discipline: the sum is O(N³) in the per-type count, past
+    * a long at ~2500 eventful days of a 1e5-rows/day type). Scale:
+    * one scan, one per-type sort for the two row_numbers (range-
+    * partitioned within the type), one fold to 5 rows. */
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d).select(col("event_type"),
+      to_date(col("ts")).as("day"), col("value"), col("event_id"))
+    val mn = ev.agg(min("day").as("d0"))
+    val t = ev.crossJoin(broadcast(mn))
+      .select(col("event_type"),
+        (datediff(col("day"), col("d0")) < 15).as("in_x"),
+        col("value"), col("event_id"))
+    val wAll = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val wHalf = Window.partitionBy("event_type", "in_x")
+      .orderBy(col("value"), col("event_id"))
+    val sq = ((col("r") - col("i")) * (col("r") - col("i")))
+      .cast("decimal(38,0)")
+    val agg = t
+      .withColumn("r", row_number().over(wAll).cast("long"))
+      .withColumn("i", row_number().over(wHalf).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("in_x"), 1L).otherwise(0L)).as("n_x"),
+        sum(when(!col("in_x"), 1L).otherwise(0L)).as("n_y"),
+        sum(when(col("in_x"), sq).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("sx"),
+        sum(when(!col("in_x"), sq).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("sy"))
+    val nD = col("n_x").cast("double")
+    val mD = col("n_y").cast("double")
+    val bigN = (col("n_x") + col("n_y")).cast("double")
+    agg.select(col("event_type"), col("n_x"), col("n_y"),
+      Det.r6e(
+        (col("n_x").cast("decimal(38,0)") * col("sx") +
+          col("n_y").cast("decimal(38,0)") * col("sy")).cast("double") /
+          (nD * mD * bigN) -
+          (lit(4.0) * nD * mD - lit(1.0)) / (lit(6.0) * bigN))
+        .as("cvm_t"))
+      .transform(Det.emit(_, "event_type"))
+  }
+
+  /** q262: THEIL–SEN slope of the daily-count series per event type
+    * (round 23 — the robust trend MAGNITUDE beside q236's Mann–
+    * Kendall trend DIRECTION test, which shares its pairwise
+    * construction: the median of all pairwise slopes shrugs off the
+    * outlier days that drag an OLS fit (q197) around, the standard
+    * rate-of-change estimate for noisy ingest volumes): day indices
+    * by exact datediff from the global first day, every i<j slope one
+    * double division of exact longs, and the LOWER MEDIAN selected by
+    * row_number over (slope, t1, t2) at rank ⌊(k+1)/2⌋ — the
+    * percentile_disc convention (q239), deterministic on any engine
+    * with the (t1, t2) tiebreak. Scale: pair fan-out and the median
+    * sort live on the bounded (type, day) frame; one scan before it. */
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mn = events(s, d).agg(min(to_date(col("ts"))).as("d0"))
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(mn))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("t"), col("c"))
+      .transform(Det.pin)
+    val x = daily.select(col("event_type"), col("t").as("t1"),
+      col("c").as("c1"))
+    val y = daily.select(col("event_type"), col("t").as("t2"),
+      col("c").as("c2"))
+    val slopes = x.join(y, "event_type").where(col("t1") < col("t2"))
+      .select(col("event_type"), col("t1"), col("t2"),
+        ((col("c2") - col("c1")).cast("double") /
+          (col("t2") - col("t1")).cast("double")).as("slope"))
+    val k = slopes.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("slope"), col("t1"), col("t2"))
+    slopes.withColumn("rn", row_number().over(w).cast("long"))
+      .join(k, "event_type")
+      .where(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        Det.r6e(col("slope")).as("sen_slope"))
+      .transform(Det.emit(_, "event_type"))
+  }
+
+  /** q263: WALD–WOLFOWITZ runs test on the daily-count series per
+    * event type (round 23 — the randomness screen beside q233's
+    * burstiness (dispersion) and q257's permutation entropy (ordinal
+    * mix): too FEW runs of above/below-median days means clumping
+    * (outage backfills, batch ingest), too MANY means oscillation
+    * (retry storms) — and the z-score says which, signed): the
+    * reference level is the LOWER MEDIAN of the counts (row_number at
+    * ⌊(n+1)/2⌋ over (c, day) — exact, no interpolation divergence),
+    * tie days dropped per the classical test, R = number of maximal
+    * same-sign blocks via one lag, and z = (R − E)/√V with
+    * E = 1 + 2n₁n₂/n, V = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) — R/n₁/n₂ exact
+    * longs, z one float chain (r6e), degenerate variance emits 0.0 by
+    * rule. Scale: everything after the first fold lives on the
+    * bounded (type, day) frame. */
+  private def q263(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .transform(Det.pin)
+    val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val wv = Window.partitionBy("event_type").orderBy(col("c"), col("day"))
+    val med = daily.withColumn("rn", row_number().over(wv).cast("long"))
+      .join(nd, "event_type")
+      .where(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("event_type"), col("c").as("med"))
+    val wd = Window.partitionBy("event_type").orderBy("day")
+    val agg = daily.join(med, "event_type")
+      .where(col("c") =!= col("med"))
+      .select(col("event_type"), col("day"), (col("c") > col("med")).as("up"))
+      .withColumn("prev", lag(col("up"), 1).over(wd))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("prev").isNull || col("prev") =!= col("up"), 1L)
+          .otherwise(0L)).as("n_runs"),
+        sum(when(col("up"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(!col("up"), 1L).otherwise(0L)).as("n_below"))
+    val n1 = col("n_above").cast("double")
+    val n2 = col("n_below").cast("double")
+    val n = n1 + n2
+    val e = lit(1.0) + lit(2.0) * n1 * n2 / n
+    val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n) /
+      (n * n * (n - lit(1.0)))
+    agg.select(col("event_type"), col("n_runs"), col("n_above"),
+      col("n_below"),
+      Det.r6e(when(col("n_above") > 0 && col("n_below") > 0 &&
+        n > lit(1.0) && v > lit(0.0),
+        (col("n_runs").cast("double") - e) / sqrt(v))
+        .otherwise(lit(0.0))).as("z"))
       .transform(Det.emit(_, "event_type"))
   }
 
@@ -1505,6 +1708,155 @@ object EventTimeQueries {
           FROM dist d JOIN tot t USING (event_type)
           GROUP BY d.event_type, t.t, t.n_patterns
           ORDER BY d.event_type""",
+    // q258: exact integer pair classification over the bounded
+    // (type, day) frame; tau-b one float chain per pair (r6e)
+    "q258_kendall_tau" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                CAST(count(1) AS BIGINT) AS c
+                         FROM events GROUP BY 1, 2),
+          ser AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         a.day, a.c AS ca, b.c AS cb
+                  FROM daily a JOIN daily b
+                    ON a.day = b.day AND a.event_type < b.event_type),
+          p AS (SELECT x.type_a, x.type_b,
+                       CAST(count(1) AS BIGINT) AS n_pairs,
+                       CAST(sum(CASE WHEN (y.ca > x.ca AND y.cb > x.cb)
+                                       OR (y.ca < x.ca AND y.cb < x.cb)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+                       CAST(sum(CASE WHEN (y.ca > x.ca AND y.cb < x.cb)
+                                       OR (y.ca < x.ca AND y.cb > x.cb)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+                       CAST(sum(CASE WHEN y.ca = x.ca THEN 1 ELSE 0
+                                END) AS BIGINT) AS tx,
+                       CAST(sum(CASE WHEN y.cb = x.cb THEN 1 ELSE 0
+                                END) AS BIGINT) AS ty
+                FROM ser x JOIN ser y
+                  ON x.type_a = y.type_a AND x.type_b = y.type_b
+                 AND x.day < y.day
+                GROUP BY 1, 2)
+          SELECT type_a, type_b, n_pairs, n_conc, n_disc,
+                 round(CASE WHEN n_pairs > tx AND n_pairs > ty
+                       THEN CAST(n_conc - n_disc AS DOUBLE)
+                            / sqrt(CAST(n_pairs - tx AS DOUBLE)
+                                   * CAST(n_pairs - ty AS DOUBLE))
+                       ELSE 0.0 END + ${Det.E6}, 6) AS tau_b
+          FROM p ORDER BY type_a, type_b""",
+    // q260: combined/within ranks by the declared (value, event_id)
+    // tie convention; (r-i)^2 exact, summed in HUGEINT; T one chain
+    "q260_cvm_drift" ->
+      s"""WITH mn AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+          t AS (SELECT event_type,
+                       (date_diff('day', d0, CAST(ts AS DATE)) < 15)
+                         AS in_x,
+                       value, event_id
+                FROM events CROSS JOIN mn),
+          rk AS (SELECT event_type, in_x,
+                        CAST(row_number() OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS BIGINT) AS r,
+                        CAST(row_number() OVER (PARTITION BY event_type,
+                          in_x ORDER BY value, event_id) AS BIGINT) AS i
+                 FROM t),
+          agg AS (SELECT event_type,
+                         CAST(sum(CASE WHEN in_x THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_x,
+                         CAST(sum(CASE WHEN NOT in_x THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_y,
+                         sum(CASE WHEN in_x
+                             THEN CAST((r - i) * (r - i) AS HUGEINT)
+                             ELSE CAST(0 AS HUGEINT) END) AS sx,
+                         sum(CASE WHEN NOT in_x
+                             THEN CAST((r - i) * (r - i) AS HUGEINT)
+                             ELSE CAST(0 AS HUGEINT) END) AS sy
+                  FROM rk GROUP BY 1)
+          SELECT event_type, n_x, n_y,
+                 round(CAST(CAST(n_x AS HUGEINT) * sx
+                            + CAST(n_y AS HUGEINT) * sy AS DOUBLE)
+                       / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)
+                          * CAST(n_x + n_y AS DOUBLE))
+                       - (4.0 * CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)
+                          - 1.0) / (6.0 * CAST(n_x + n_y AS DOUBLE))
+                       + ${Det.E6}, 6) AS cvm_t
+          FROM agg ORDER BY event_type""",
+    // q262: exact day indices, double slopes, lower median selected
+    // by row_number at (k+1) // 2 with the (t1, t2) tiebreak
+    "q262_theil_sen" ->
+      s"""WITH mn AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+          daily AS (SELECT event_type,
+                           CAST(date_diff('day', d0, CAST(ts AS DATE))
+                                AS BIGINT) AS t,
+                           CAST(count(1) AS BIGINT) AS c
+                    FROM events CROSS JOIN mn GROUP BY 1, 2),
+          slopes AS (SELECT x.event_type, x.t AS t1, y.t AS t2,
+                            CAST(y.c - x.c AS DOUBLE)
+                              / CAST(y.t - x.t AS DOUBLE) AS slope
+                     FROM daily x JOIN daily y
+                       ON x.event_type = y.event_type AND x.t < y.t),
+          k AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n_pairs
+                FROM slopes GROUP BY 1),
+          r AS (SELECT event_type, slope,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                         ORDER BY slope, t1, t2) AS BIGINT) AS rn
+                FROM slopes)
+          SELECT r.event_type, k.n_pairs,
+                 round(r.slope + ${Det.E6}, 6) AS sen_slope
+          FROM r JOIN k USING (event_type)
+          WHERE r.rn = (k.n_pairs + 1) // 2
+          ORDER BY r.event_type""",
+    // q263: lower-median reference, tie days dropped, runs via one
+    // lag; R/n1/n2 exact longs, z one float chain (r6e)
+    "q263_runs_test" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                CAST(count(1) AS BIGINT) AS c
+                         FROM events GROUP BY 1, 2),
+          nd AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n_days
+                 FROM daily GROUP BY 1),
+          med AS (SELECT d.event_type, d.c AS med
+                  FROM (SELECT event_type, c,
+                               CAST(row_number() OVER (PARTITION BY
+                                 event_type ORDER BY c, day) AS BIGINT)
+                                 AS rn
+                        FROM daily) d JOIN nd USING (event_type)
+                  WHERE d.rn = (nd.n_days + 1) // 2),
+          s AS (SELECT d.event_type, d.day, (d.c > m.med) AS up
+                FROM daily d JOIN med m USING (event_type)
+                WHERE d.c <> m.med),
+          l AS (SELECT event_type, up,
+                       lag(up, 1) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS prev
+                FROM s),
+          agg AS (SELECT event_type,
+                         CAST(sum(CASE WHEN prev IS NULL OR prev <> up
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_runs,
+                         CAST(sum(CASE WHEN up THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_above,
+                         CAST(sum(CASE WHEN NOT up THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_below
+                  FROM l GROUP BY 1)
+          SELECT event_type, n_runs, n_above, n_below,
+                 round(CASE WHEN n_above > 0 AND n_below > 0
+                                 AND n_above + n_below > 1
+                                 AND 2.0 * n_above * n_below
+                                     * (2.0 * CAST(n_above AS DOUBLE)
+                                        * n_below - n_above - n_below)
+                                     > 0.0
+                       THEN (CAST(n_runs AS DOUBLE)
+                             - (1.0 + 2.0 * CAST(n_above AS DOUBLE)
+                                * CAST(n_below AS DOUBLE)
+                                / CAST(n_above + n_below AS DOUBLE)))
+                            / sqrt(2.0 * CAST(n_above AS DOUBLE)
+                                   * CAST(n_below AS DOUBLE)
+                                   * (2.0 * CAST(n_above AS DOUBLE)
+                                      * CAST(n_below AS DOUBLE)
+                                      - CAST(n_above + n_below
+                                             AS DOUBLE))
+                                   / (CAST(n_above + n_below AS DOUBLE)
+                                      * CAST(n_above + n_below
+                                             AS DOUBLE)
+                                      * (CAST(n_above + n_below
+                                              AS DOUBLE) - 1.0)))
+                       ELSE 0.0 END + ${Det.E6}, 6) AS z
+          FROM agg ORDER BY event_type""",
     // q237: the q234 construction per cohort; O1 exact; E1/V float
     // sums of exact-rational terms over the bounded frame (r6e).
     "q237_logrank" ->

@@ -2623,9 +2623,111 @@ object MiningQueries {
         Det.r6e(col("h_source")).as("h_source"))
   }
 
+  /** q259: CRAMÉR'S V + Bergsma's bias-corrected V for (lang, source)
+    * (round 23 — the normalized EFFECT SIZE the association family
+    * lacked: q231's chi-square says whether the association beats
+    * noise, q255's MI prices it in nats, but neither is comparable
+    * across tables of different size or shape; V ∈ [0,1] is, and the
+    * bias-corrected form subtracts the positive bias that makes raw V
+    * of pure noise grow with table sparsity): chi-square over the
+    * FULL r×c grid — zero cells contribute e = r·s/n, so the grid is
+    * the marginals' cross join with observed counts left-joined in,
+    * never a corpus-sized frame; V = √(χ²/(n·min(r−1,c−1))),
+    * φ²corr = max(0, φ² − (r−1)(c−1)/(n−1)) with the matching
+    * r/c corrections (Bergsma 2013). Exact cells/marginals; the χ²
+    * fold is a float sum over the bounded grid (r6e, q207 class) with
+    * products in DOUBLE (q255 overflow discipline). Scale: one doc
+    * scan to the cell grain; everything after is marginal-sized. */
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    val cells = docs(s, d).groupBy("lang", "source")
+      .agg(count(lit(1)).as("c"))
+      .transform(Det.pin)
+    val rl = cells.groupBy("lang").agg(sum("c").as("r"))
+    val cs = cells.groupBy("source").agg(sum("c").as("s"))
+    val tot = cells.agg(sum("c").as("n"))
+    val dims = rl.agg(count(lit(1)).as("nr"))
+      .crossJoin(cs.agg(count(lit(1)).as("nc")))
+    val e = col("r").cast("double") * col("s").cast("double") /
+      col("n").cast("double")
+    val chi = rl.crossJoin(cs)
+      .join(cells, Seq("lang", "source"), "left")
+      .select(col("r"), col("s"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(tot))
+      .agg(sum((col("c").cast("double") - e) *
+        (col("c").cast("double") - e) / e).as("chi2"))
+    val nD = col("n").cast("double")
+    val phi2 = col("chi2") / nD
+    val phi2c = greatest(lit(0.0),
+      phi2 - (col("nr") - 1).cast("double") *
+        (col("nc") - 1).cast("double") / (nD - lit(1.0)))
+    val nrc = col("nr").cast("double") -
+      (col("nr") - 1).cast("double") * (col("nr") - 1).cast("double") /
+        (nD - lit(1.0))
+    val ncc = col("nc").cast("double") -
+      (col("nc") - 1).cast("double") * (col("nc") - 1).cast("double") /
+        (nD - lit(1.0))
+    chi.crossJoin(broadcast(tot)).crossJoin(broadcast(dims))
+      .select(col("n").as("n_docs"), col("nr").as("n_langs"),
+        col("nc").as("n_sources"),
+        Det.r6e(col("chi2")).as("chi2"),
+        Det.r6e(sqrt(phi2 /
+          least(col("nr") - 1, col("nc") - 1).cast("double")))
+          .as("cramers_v"),
+        Det.r6e(sqrt(phi2c / least(nrc - lit(1.0), ncc - lit(1.0))))
+          .as("cramers_v_corr"))
+  }
+
+  /** q261: word-BIGRAM NOVELTY curve by arrival decile (round 23 —
+    * the marginal-value readout the dedup family stops short of:
+    * q208's Heaps law fits how vocabulary GROWS, q107/q196 ask
+    * whether specific content repeats, but "how much of each new
+    * slice of the crawl is phrasing we have not seen yet?" is the
+    * curve a data buyer reads before paying for the next decile, and
+    * its collapse is the sign the source is exhausted): doc_id is the
+    * fixture's dense 0..n−1 arrival order (TESTDATA contract), so
+    * decile = (doc_id·10) div n is EXACT integer arithmetic — no
+    * global rank, nothing to sort; a bigram type's first decile is
+    * min(decile) over its occurrences; per decile, the types present,
+    * the first-seen types, their ratio, and the cumulative vocabulary.
+    * All counts exact; one ratio per decile (r6e). Scale: the
+    * (decile, bigram)-distinct aggregate is the one corpus-sized
+    * shuffle (q183 contract); the decile rollup is 10 rows. */
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nd = docs(s, d).agg(count(lit(1)).as("ndocs"))
+    val present = docs(s, d).select(col("doc_id"), expr(TOKS).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .crossJoin(broadcast(nd))
+      .select(expr("(doc_id * 10) div ndocs").as("decile"),
+        explode(expr(
+          "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))"))
+          .as("p"))
+      .select(col("decile"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .distinct()
+      .transform(Det.pin)
+    val perDec = present.groupBy("decile")
+      .agg(count(lit(1)).as("n_types_present"))
+    val novel = present.groupBy("w1", "w2")
+      .agg(min("decile").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_novel"))
+    perDec.join(novel, Seq("decile"), "left")
+      .select(col("decile"), col("n_types_present"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_rate",
+        Det.r6e(col("n_novel").cast("double") /
+          col("n_types_present").cast("double")))
+      .withColumn("cum_vocab",
+        sum("n_novel").over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .transform(Det.emit(_, "decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_bigram_cond_entropy" -> q254,
     "q255_mi_lang_source" -> q255,
+    "q259_cramers_v" -> q259,
+    "q261_ngram_novelty" -> q261,
     "q250_good_turing" -> q250,
     "q251_kn_discounts" -> q251,
     "q252_vocab_coverage" -> q252,
@@ -2806,6 +2908,91 @@ object MiningQueries {
                  round(hl.h_lang + ${Det.E6}, 6) AS h_lang,
                  round(hs.h_source + ${Det.E6}, 6) AS h_source
           FROM mi CROSS JOIN hl CROSS JOIN hs""",
+    // q259: chi-square over the FULL marginal cross (zero cells
+    // included); V / bias-corrected V one float chain each (r6e)
+    "q259_cramers_v" ->
+      s"""WITH cells AS (SELECT lang, source,
+                                CAST(count(1) AS BIGINT) AS c
+                         FROM documents GROUP BY lang, source),
+          rl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS r
+                 FROM cells GROUP BY lang),
+          cs AS (SELECT source, CAST(sum(c) AS BIGINT) AS s
+                 FROM cells GROUP BY source),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+          dims AS (SELECT (SELECT CAST(count(1) AS BIGINT) FROM rl)
+                            AS nr,
+                          (SELECT CAST(count(1) AS BIGINT) FROM cs)
+                            AS nc),
+          grid AS (SELECT rl.r, cs.s,
+                          CAST(coalesce(cells.c, 0) AS BIGINT) AS c
+                   FROM rl CROSS JOIN cs
+                   LEFT JOIN cells ON cells.lang = rl.lang
+                                  AND cells.source = cs.source),
+          chi AS (SELECT sum((CAST(c AS DOUBLE)
+                              - CAST(r AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                             * (CAST(c AS DOUBLE)
+                                - CAST(r AS DOUBLE) * CAST(s AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                             / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE))) AS chi2
+                  FROM grid CROSS JOIN tot)
+          SELECT n AS n_docs, nr AS n_langs, nc AS n_sources,
+                 round(chi2 + ${Det.E6}, 6) AS chi2,
+                 round(sqrt(chi2 / CAST(n AS DOUBLE)
+                            / CAST(least(nr - 1, nc - 1) AS DOUBLE))
+                       + ${Det.E6}, 6) AS cramers_v,
+                 round(sqrt(greatest(0.0,
+                              chi2 / CAST(n AS DOUBLE)
+                              - CAST(nr - 1 AS DOUBLE)
+                                * CAST(nc - 1 AS DOUBLE)
+                                / (CAST(n AS DOUBLE) - 1.0))
+                            / least(CAST(nr AS DOUBLE)
+                                    - CAST(nr - 1 AS DOUBLE)
+                                      * CAST(nr - 1 AS DOUBLE)
+                                      / (CAST(n AS DOUBLE) - 1.0)
+                                    - 1.0,
+                                    CAST(nc AS DOUBLE)
+                                    - CAST(nc - 1 AS DOUBLE)
+                                      * CAST(nc - 1 AS DOUBLE)
+                                      / (CAST(n AS DOUBLE) - 1.0)
+                                    - 1.0))
+                       + ${Det.E6}, 6) AS cramers_v_corr
+          FROM chi CROSS JOIN tot CROSS JOIN dims""",
+    // q261: exact arithmetic decile on the dense doc_id spine; the
+    // q254 positional-bigram build; all counts exact, one ratio/row
+    "q261_ngram_novelty" ->
+      s"""WITH nd AS (SELECT CAST(count(1) AS BIGINT) AS ndocs
+                      FROM documents),
+          present AS (SELECT DISTINCT (doc_id * 10) // ndocs AS decile,
+                             p['w1'] AS w1, p['w2'] AS w2
+                      FROM (SELECT doc_id,
+                                   unnest(list_transform(
+                                     range(len(ts) - 1),
+                                     i -> {'w1': ts[i+1],
+                                           'w2': ts[i+2]})) AS p
+                            FROM (SELECT doc_id, $TS AS ts
+                                  FROM documents)
+                            WHERE len(ts) >= 2)
+                      CROSS JOIN nd),
+          per_dec AS (SELECT decile,
+                             CAST(count(1) AS BIGINT) AS n_types_present
+                      FROM present GROUP BY decile),
+          novel AS (SELECT decile, CAST(count(1) AS BIGINT) AS n_novel
+                    FROM (SELECT min(decile) AS decile
+                          FROM present GROUP BY w1, w2)
+                    GROUP BY decile)
+          SELECT p.decile, p.n_types_present,
+                 CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+                 round(CAST(coalesce(n.n_novel, 0) AS DOUBLE)
+                       / CAST(p.n_types_present AS DOUBLE)
+                       + ${Det.E6}, 6) AS novelty_rate,
+                 CAST(sum(coalesce(n.n_novel, 0))
+                      OVER (ORDER BY p.decile ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_vocab
+          FROM per_dec p LEFT JOIN novel n USING (decile)
+          ORDER BY p.decile""",
     // q250: the q208-style trigram shingle build; exact integer N_r
     // table on a fixed 1..10 spine; each r* and p0 one float division
     // of exact integers (r6e)
