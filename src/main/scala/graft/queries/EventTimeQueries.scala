@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 
 /** Event-time windowing, batch twins (SURVEY.md §2.9). The reference's
@@ -252,6 +253,9 @@ object EventTimeQueries {
     "q260_cvm_drift" -> q260,
     "q262_theil_sen" -> q262,
     "q263_runs_test" -> q263,
+    "q264_page_hinkley" -> q264,
+    "q266_dow_eta2" -> q266,
+    "q267_state_dwell" -> q267,
     "q235_cuped" -> q235,
     "q236_mann_kendall" -> q236,
     "q237_logrank" -> q237,
@@ -996,6 +1000,164 @@ object EventTimeQueries {
         (col("n_runs").cast("double") - e) / sqrt(v))
         .otherwise(lit(0.0))).as("z"))
       .transform(Det.emit(_, "event_type"))
+  }
+
+  /** q264: PAGE–HINKLEY drift statistic per event type (round 23 —
+    * the sequential mean-drift monitor between q226's CUSUM (argmax
+    * deviation from the GLOBAL mean — a retrospective split) and
+    * s50's streaming CUSUM: PH tracks deviation from the MEAN-TO-
+    * DATE, so it reads a slow upward ramp that the global-mean form
+    * dilutes; PH_t = m_t − min_{i≤t} m_i with m_t = Σ(x_i − x̄_i),
+    * the classic sequential formulation with δ = 0): over the dense
+    * daily spine (q226 discipline — a missing day is a zero), the
+    * prefix counts are exact longs; the m-chain is a sequential
+    * double fold in day order — deterministic on any engine that
+    * folds cumulative frames in frame order (the q31 running-sum
+    * precedent) — and the argmax day breaks ties earliest-first.
+    * Scale: one map-side-combinable (type, day) aggregate; all
+    * windows on the bounded types×days spine. */
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .transform(Det.pin)
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val types = ev.agg(sort_array(collect_set("event_type")).as("tps"))
+    val spine = broadcast(bounds)
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(broadcast(types))
+      .select(col("day"), explode(col("tps")).as("event_type"))
+    val cells = spine
+      .join(ev.groupBy("event_type", "day").agg(count(lit(1)).as("cnt")),
+        Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val wc = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = cells
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      .withColumn("pre", sum("cnt").over(wc))
+      .withColumn("term", col("cnt").cast("double") -
+        col("pre").cast("double") / col("i").cast("double"))
+      .withColumn("m", sum("term").over(wc))
+      .withColumn("mmin", min("m").over(wc))
+      .withColumn("ph", col("m") - col("mmin"))
+    ph.groupBy("event_type")
+      .agg(
+        max(struct(col("ph").as("p"), (-col("i")).as("ni"),
+          col("day").as("dy"))).as("mx"),
+        count(lit(1)).as("n_days"), sum("cnt").as("total"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        date_format(col("mx.dy"), "yyyy-MM-dd").as("ph_day"),
+        Det.r6e(col("mx.p")).as("ph_max"))
+      .transform(Det.emit(_, "event_type"))
+  }
+
+  /** q266: DAY-OF-WEEK seasonality strength per event type — ANOVA
+    * η² of weekday on daily counts (round 23 — the effect-size
+    * companion to q213's seasonal-cell SCREEN: q213 flags which
+    * (type, hour) cells run hot against their own baseline; η² =
+    * SS_between/SS_total says how much of a type's daily variance the
+    * weekly cycle explains at all — the number that decides whether a
+    * drift monitor needs weekday-conditioned baselines or can use
+    * q131's global one): dense daily spine (missing day = 0), dow =
+    * 0..6 Sunday-first on BOTH engines (Spark dayofweek()−1, DuckDB
+    * date_part('dow')), all sums exact (Σc² in decimal(38,0), the
+    * q245 overflow discipline), η² and the peak weekday's mean one
+    * float chain over the ≤7-group frame (r6e absorbs the bounded
+    * fold); zero total variance → 0.0 by rule, peak ties break on the
+    * lowest dow. Scale: one (type, day) aggregate; everything after
+    * on the types×7 frame. */
+  private def q266(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dm(c: Column) = c.cast(dec)
+    val ev = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .transform(Det.pin)
+    val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+    val types = ev.agg(sort_array(collect_set("event_type")).as("tps"))
+    val spine = broadcast(bounds)
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(broadcast(types))
+      .select(col("day"), explode(col("tps")).as("event_type"))
+    val cells = spine
+      .join(ev.groupBy("event_type", "day").agg(count(lit(1)).as("cnt")),
+        Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+    val groups = cells.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("ng"), sum("cnt").as("sg"))
+    val tot = cells.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("cnt").as("st"),
+      sum(dm(col("cnt")) * dm(col("cnt"))).as("ss2"))
+    val ssb = groups.groupBy("event_type").agg(
+      sum(col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double")).as("ssb_num"))
+    val peak = groups
+      .groupBy("event_type")
+      .agg(max(struct(
+        (col("sg").cast("double") / col("ng").cast("double")).as("mean"),
+        (-col("dow")).as("nd"), col("dow").as("dw"))).as("pk"))
+    val grand = col("st").cast("double") * col("st").cast("double") /
+      col("n").cast("double")
+    tot.join(ssb, "event_type").join(peak, "event_type")
+      .select(col("event_type"), col("n").as("n_days"),
+        col("st").as("total"),
+        Det.r6e(when(col("ss2").cast("double") - grand > 0.0,
+          (col("ssb_num") - grand) /
+            (col("ss2").cast("double") - grand))
+          .otherwise(lit(0.0))).as("eta2"),
+        col("pk.dw").as("peak_dow"),
+        Det.r6e(col("pk.mean")).as("peak_mean"))
+      .transform(Det.emit(_, "event_type"))
+  }
+
+  /** q267: STATE DWELL & DOMINANT FLOW per event type (round 23 —
+    * the stickiness readout of q132's transition matrix: q132 emits
+    * every p(dst|src); this collapses each source state to the three
+    * numbers a journey designer reads — how often the state repeats
+    * (self-loop probability), the geometric expected dwell
+    * 1/(1−p_self) in events, and where traffic goes when it finally
+    * leaves (the dominant non-self destination)): transitions are
+    * q132's construction verbatim (per-user lead over (second-
+    * truncated ts, event_id)); all counts exact longs, the two floats
+    * one chain each (r6e); an absorbing state (all transitions self)
+    * emits dwell 0.0 by rule and an empty destination. Scale: one
+    * per-user sequence window over the corpus (the q132 shuffle),
+    * then everything on the ≤ V² transition frame. */
+  private def q267(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tsec"), col("event_id"))
+    val tr = events(s, d)
+      .withColumn("tsec", date_trunc("second", col("ts")))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .select(col("event_type").as("src"), col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .transform(Det.pin)
+    val rs = tr.groupBy("src").agg(sum("cnt").as("r"))
+    val self = tr.where(col("src") === col("dst"))
+      .select(col("src"), col("cnt").as("c_self"))
+    val wTop = Window.partitionBy("src")
+      .orderBy(col("cnt").desc, col("dst").asc)
+    val top = tr.where(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") === 1)
+      .select(col("src"), col("dst").as("top_dst"),
+        col("cnt").as("top_cnt"))
+    rs.join(self, Seq("src"), "left")
+      .join(top, Seq("src"), "left")
+      .select(col("src"), col("r").as("n_out"),
+        coalesce(col("c_self"), lit(0L)).as("n_self"),
+        Det.r6e(coalesce(col("c_self"), lit(0L)).cast("double") /
+          col("r").cast("double")).as("p_self"),
+        Det.r6e(when(col("r") > coalesce(col("c_self"), lit(0L)),
+          col("r").cast("double") /
+            (col("r") - coalesce(col("c_self"), lit(0L))).cast("double"))
+          .otherwise(lit(0.0))).as("expected_dwell"),
+        coalesce(col("top_dst"), lit("")).as("top_dst"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"))
+      .transform(Det.emit(_, "src"))
   }
 
   /** q237: LOG-RANK test between two retention cohorts (round 19 —
@@ -1802,6 +1964,137 @@ object EventTimeQueries {
           FROM r JOIN k USING (event_type)
           WHERE r.rn = (k.n_pairs + 1) // 2
           ORDER BY r.event_type""",
+    // q264: dense day spine; exact prefix longs; the m-chain a
+    // sequential double fold in day order (q31 precedent); argmax
+    // ties earliest-first
+    "q264_page_hinkley" ->
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day
+                      FROM events),
+          b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+          days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                            INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+          tps AS (SELECT DISTINCT event_type FROM ev),
+          dc AS (SELECT event_type, day, CAST(count(1) AS BIGINT) AS cnt
+                 FROM ev GROUP BY 1, 2),
+          cells AS (SELECT t.event_type, d.day,
+                           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+                    FROM days d CROSS JOIN tps t
+                    LEFT JOIN dc c USING (event_type, day)),
+          seq AS (SELECT event_type, day, cnt,
+                         CAST(row_number() OVER w AS BIGINT) AS i,
+                         CAST(sum(cnt) OVER (PARTITION BY event_type
+                           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS pre
+                  FROM cells
+                  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+          m AS (SELECT event_type, day, i, cnt,
+                       sum(CAST(cnt AS DOUBLE)
+                           - CAST(pre AS DOUBLE) / CAST(i AS DOUBLE))
+                         OVER (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND
+                               CURRENT ROW) AS mm
+                FROM seq),
+          ph AS (SELECT event_type, day, i, cnt,
+                        mm - min(mm) OVER (PARTITION BY event_type
+                          ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS ph
+                 FROM m),
+          pick AS (SELECT event_type, day, ph,
+                          row_number() OVER (PARTITION BY event_type
+                            ORDER BY ph DESC, i ASC) AS rk
+                   FROM ph),
+          tot AS (SELECT event_type,
+                         CAST(count(1) AS BIGINT) AS n_days,
+                         CAST(sum(cnt) AS BIGINT) AS total
+                  FROM cells GROUP BY 1)
+          SELECT t.event_type, t.n_days, t.total,
+                 strftime(p.day, '%Y-%m-%d') AS ph_day,
+                 round(p.ph + ${Det.E6}, 6) AS ph_max
+          FROM tot t JOIN pick p USING (event_type)
+          WHERE p.rk = 1 ORDER BY t.event_type""",
+    // q266: dense spine; dow 0..6 Sunday-first both engines; exact
+    // sums (ss2 in HUGEINT), eta2/peak one float chain over <=7 rows
+    "q266_dow_eta2" ->
+      s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day
+                      FROM events),
+          b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+          days AS (SELECT CAST(unnest(generate_series(d0, d1,
+                            INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+          tps AS (SELECT DISTINCT event_type FROM ev),
+          dc AS (SELECT event_type, day, CAST(count(1) AS BIGINT) AS cnt
+                 FROM ev GROUP BY 1, 2),
+          cells AS (SELECT t.event_type, d.day,
+                           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+                           CAST(date_part('dow', d.day) AS BIGINT) AS dow
+                    FROM days d CROSS JOIN tps t
+                    LEFT JOIN dc c USING (event_type, day)),
+          g AS (SELECT event_type, dow,
+                       CAST(count(1) AS BIGINT) AS ng,
+                       CAST(sum(cnt) AS BIGINT) AS sg
+                FROM cells GROUP BY 1, 2),
+          tot AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+                         CAST(sum(cnt) AS BIGINT) AS st,
+                         sum(CAST(cnt AS HUGEINT) * cnt) AS ss2
+                  FROM cells GROUP BY 1),
+          ssb AS (SELECT event_type,
+                         sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                             / CAST(ng AS DOUBLE)) AS ssb_num
+                  FROM g GROUP BY 1),
+          pk AS (SELECT event_type, dow,
+                        CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS mean,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                            DESC, dow ASC) AS rk
+                 FROM g)
+          SELECT t.event_type, t.n AS n_days, t.st AS total,
+                 round(CASE WHEN CAST(t.ss2 AS DOUBLE)
+                                 - CAST(t.st AS DOUBLE)
+                                   * CAST(t.st AS DOUBLE)
+                                   / CAST(t.n AS DOUBLE) > 0.0
+                       THEN (s.ssb_num - CAST(t.st AS DOUBLE)
+                             * CAST(t.st AS DOUBLE) / CAST(t.n AS DOUBLE))
+                            / (CAST(t.ss2 AS DOUBLE)
+                               - CAST(t.st AS DOUBLE)
+                                 * CAST(t.st AS DOUBLE)
+                                 / CAST(t.n AS DOUBLE))
+                       ELSE 0.0 END + ${Det.E6}, 6) AS eta2,
+                 p.dow AS peak_dow,
+                 round(p.mean + ${Det.E6}, 6) AS peak_mean
+          FROM tot t JOIN ssb s USING (event_type)
+          JOIN pk p ON p.event_type = t.event_type AND p.rk = 1
+          ORDER BY t.event_type""",
+    // q267: q132's transition build verbatim; exact counts; the two
+    // floats one chain each; absorbing state emits dwell 0.0
+    "q267_state_dwell" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+                            date_trunc('second', ts) AS tsec FROM events),
+          t AS (SELECT event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY tsec, event_id) AS dst
+                FROM e),
+          c AS (SELECT src, dst, CAST(count(1) AS BIGINT) AS cnt
+                FROM t WHERE dst IS NOT NULL GROUP BY src, dst),
+          rs AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS r
+                 FROM c GROUP BY src),
+          sf AS (SELECT src, cnt AS c_self FROM c WHERE src = dst),
+          tp AS (SELECT src, dst AS top_dst, cnt AS top_cnt,
+                        row_number() OVER (PARTITION BY src
+                          ORDER BY cnt DESC, dst ASC) AS rk
+                 FROM c WHERE src <> dst)
+          SELECT rs.src, rs.r AS n_out,
+                 CAST(coalesce(sf.c_self, 0) AS BIGINT) AS n_self,
+                 round(CAST(coalesce(sf.c_self, 0) AS DOUBLE)
+                       / CAST(rs.r AS DOUBLE) + ${Det.E6}, 6) AS p_self,
+                 round(CASE WHEN rs.r > coalesce(sf.c_self, 0)
+                       THEN CAST(rs.r AS DOUBLE)
+                            / CAST(rs.r - coalesce(sf.c_self, 0)
+                                   AS DOUBLE)
+                       ELSE 0.0 END + ${Det.E6}, 6) AS expected_dwell,
+                 coalesce(tp.top_dst, '') AS top_dst,
+                 CAST(coalesce(tp.top_cnt, 0) AS BIGINT) AS top_cnt
+          FROM rs LEFT JOIN sf USING (src)
+          LEFT JOIN tp ON tp.src = rs.src AND tp.rk = 1
+          ORDER BY rs.src""",
     // q263: lower-median reference, tie days dropped, runs via one
     // lag; R/n1/n2 exact longs, z one float chain (r6e)
     "q263_runs_test" ->

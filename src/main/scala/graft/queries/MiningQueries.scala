@@ -2723,11 +2723,60 @@ object MiningQueries {
       .transform(Det.emit(_, "decile"))
   }
 
+  /** q265: AUTOCORRELATION SPECTRUM — Pearson r at lags 1..7 of the
+    * daily event counts per type (round 23 — q245's one-number lag-1
+    * readout widened to the week: the lag-7 coefficient IS the weekly
+    * seasonality signal (its spike is what q266's η² explains), and
+    * the decay shape across lags 1..7 separates bursty-with-memory
+    * traffic from a pure weekly cycle): the observed-day series gets
+    * a per-type row_number spine, pairs (t, t−k) form by an exact
+    * index join against a broadcast 7-row lag spine, and each (type,
+    * lag) cell folds the q245 moment sums — all in decimal(38,0)
+    * (the q240/q245 overflow discipline), Pearson r one float chain,
+    * zero variance on either side → 0.0. Scale: one scan to the
+    * bounded (type, day) frame; the ×7 pair fan-out and every fold
+    * stay on that frame. */
+  private def q265(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def dm(c: Column) = c.cast(dec)
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .transform(Det.pin)
+    val lags = s.range(1, 8).select(col("id").as("lag_k"))
+    val a = daily.select(col("event_type"), col("i"), col("c").as("x"))
+    val b = daily.select(col("event_type"), col("i").as("j"),
+      col("c").as("y"))
+    val np = dm(col("n_pairs"))
+    a.crossJoin(broadcast(lags))
+      .withColumn("j", col("i") - col("lag_k"))
+      .join(b, Seq("event_type", "j"))
+      .groupBy("event_type", "lag_k")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(dm(col("x"))).as("sx"), sum(dm(col("y"))).as("sy"),
+        sum(dm(col("x")) * dm(col("x"))).as("sxx"),
+        sum(dm(col("y")) * dm(col("y"))).as("syy"),
+        sum(dm(col("x")) * dm(col("y"))).as("sxy"))
+      .select(col("event_type"), col("lag_k"), col("n_pairs"),
+        Det.r6e(when(
+          (np * col("sxx") - col("sx") * col("sx") > 0) &&
+            (np * col("syy") - col("sy") * col("sy") > 0),
+          (np * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((np * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (np * col("syy") - col("sy") * col("sy")).cast("double")))
+          .otherwise(lit(0.0))).as("acf"))
+      .transform(Det.emit(_, "event_type", "lag_k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_bigram_cond_entropy" -> q254,
     "q255_mi_lang_source" -> q255,
     "q259_cramers_v" -> q259,
     "q261_ngram_novelty" -> q261,
+    "q265_acf_spectrum" -> q265,
     "q250_good_turing" -> q250,
     "q251_kn_discounts" -> q251,
     "q252_vocab_coverage" -> q252,
@@ -2959,6 +3008,40 @@ object MiningQueries {
                                     - 1.0))
                        + ${Det.E6}, 6) AS cramers_v_corr
           FROM chi CROSS JOIN tot CROSS JOIN dims""",
+    // q265: observed-day row_number spine, exact index join against
+    // the 7-row lag spine, q245 moment sums in HUGEINT per cell
+    "q265_acf_spectrum" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                                CAST(count(1) AS BIGINT) AS c
+                         FROM events GROUP BY 1, 2),
+          idx AS (SELECT event_type, c,
+                         CAST(row_number() OVER (PARTITION BY event_type
+                           ORDER BY day) AS BIGINT) AS i
+                  FROM daily),
+          lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag_k),
+          p AS (SELECT a.event_type, l.lag_k,
+                       a.c AS x, b.c AS y
+                FROM idx a CROSS JOIN lags l
+                JOIN idx b ON b.event_type = a.event_type
+                          AND b.i = a.i - l.lag_k),
+          m AS (SELECT event_type, lag_k,
+                       CAST(count(1) AS BIGINT) AS n_pairs,
+                       sum(CAST(x AS HUGEINT)) AS sx,
+                       sum(CAST(y AS HUGEINT)) AS sy,
+                       sum(CAST(x AS HUGEINT) * x) AS sxx,
+                       sum(CAST(y AS HUGEINT) * y) AS syy,
+                       sum(CAST(x AS HUGEINT) * y) AS sxy
+                FROM p GROUP BY 1, 2)
+          SELECT event_type, lag_k, n_pairs,
+                 round(CASE WHEN n_pairs * sxx - sx * sx > 0
+                             AND n_pairs * syy - sy * sy > 0
+                       THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(n_pairs * sxx - sx * sx
+                                        AS DOUBLE)
+                                   * CAST(n_pairs * syy - sy * sy
+                                          AS DOUBLE))
+                       ELSE 0.0 END + ${Det.E6}, 6) AS acf
+          FROM m ORDER BY event_type, lag_k""",
     // q261: exact arithmetic decile on the dense doc_id spine; the
     // q254 positional-bigram build; all counts exact, one ratio/row
     "q261_ngram_novelty" ->
