@@ -256,6 +256,9 @@ object EventTimeQueries {
     "q264_page_hinkley" -> q264,
     "q266_dow_eta2" -> q266,
     "q267_state_dwell" -> q267,
+    "q268_hour_shape_jsd" -> q268,
+    "q269_retention_half_life" -> q269,
+    "q270_user_turnover" -> q270,
     "q235_cuped" -> q235,
     "q236_mann_kendall" -> q236,
     "q237_logrank" -> q237,
@@ -1158,6 +1161,132 @@ object EventTimeQueries {
         coalesce(col("top_dst"), lit("")).as("top_dst"),
         coalesce(col("top_cnt"), lit(0L)).as("top_cnt"))
       .transform(Det.emit(_, "src"))
+  }
+
+  /** q268: HOUR-OF-DAY SHAPE divergence per event type — JSD against
+    * the global diurnal profile (round 23 — the shape-DISTANCE
+    * summary of q213's seasonal-cell screen: q213 flags which (type,
+    * hour) cells run hot, this says how far each type's whole 24-hour
+    * profile sits from the traffic-wide one, the number that ranks
+    * "error is a night job, view follows the site curve" in one
+    * sort): exact (type, hr) and global-hr counts; JSD in nats via
+    * the two-KL form ½Σp·ln(p/m) + ½Σq·ln(q/m), m = (p+q)/2, zero
+    * cells contributing zero by the p>0 / q>0 guards — so only the
+    * OBSERVED (type, hr) ∪ (global hr × types) frame is ever built
+    * (≤ 24·types rows); peak hour argmax ties lowest-first, exact.
+    * Scale: one corpus scan to the (type, hr) grain; everything
+    * after on the bounded 24×types frame. */
+  private def q268(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .transform(Det.pin)
+    val glob = cells.groupBy("hr").agg(sum("c").as("g"))
+    val nt = cells.groupBy("event_type").agg(sum("c").as("n"))
+    val ng = cells.agg(sum("c").as("ntot"))
+    val frame = nt.crossJoin(broadcast(glob))
+      .join(cells, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), col("n"), col("g"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(ng))
+    val p = col("c").cast("double") / col("n").cast("double")
+    val q = col("g").cast("double") / col("ntot").cast("double")
+    val m = (p + q) / lit(2.0)
+    val jsd = frame.groupBy("event_type")
+      .agg((sum(when(col("c") > 0, p * log(p / m)).otherwise(lit(0.0))) /
+        lit(2.0) +
+        sum(when(col("g") > 0, q * log(q / m)).otherwise(lit(0.0))) /
+          lit(2.0)).as("jsd"))
+    val peak = cells.groupBy("event_type")
+      .agg(max(struct(col("c").as("cc"), (-col("hr")).as("nh"),
+        col("hr").as("h"))).as("pk"))
+    nt.join(jsd, "event_type").join(peak, "event_type")
+      .select(col("event_type"), col("n").as("n_events"),
+        col("pk.h").as("peak_hr"), Det.r6e(col("jsd")).as("jsd"))
+      .transform(Det.emit(_, "event_type"))
+  }
+
+  /** q269: RETENTION HALF-LIFE per daily cohort (round 23 — the
+    * single-number collapse of q125's retention triangle: the first
+    * day-offset on which fewer than half the cohort is still active;
+    * the number growth reporting quotes and cohort comparisons sort
+    * by): q125's construction (first-seen day per user, distinct
+    * activity per offset), then a DENSE offset spine 1..(dmax −
+    * cohort_day) per cohort — a missing offset IS a zero-retention
+    * day and can be the half-life, so the spine is load-bearing, and
+    * it is built only for cohorts with at least one later day (the
+    * engines disagree on empty sequence construction); the decision
+    * is the EXACT integer compare 2·retained < n_users, ties
+    * earliest; a cohort never dropping below half (or with no later
+    * days) emits −1/0 by rule. Scale: the (user, day) dedup and
+    * first-seen aggregate shuffle on user_id (q125 shape); the spine
+    * and the argmin live on the bounded cohorts×days frame. */
+  private def q269(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val dmax = ev.agg(max("day").as("d1"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = first.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"))
+    val act = ev.distinct().join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("k"))
+      .where(col("k") >= 1)
+      .groupBy("cohort_day", "k")
+      .agg(count(lit(1)).as("retained"))
+    val spine = sizes.crossJoin(broadcast(dmax))
+      .where(datediff(col("d1"), col("cohort_day")) >= 1)
+      .select(col("cohort_day"), col("n_users"),
+        explode(expr("sequence(CAST(1 AS BIGINT), CAST(datediff(d1, cohort_day) AS BIGINT))"))
+          .as("k"))
+    val below = spine.join(act, Seq("cohort_day", "k"), "left")
+      .select(col("cohort_day"), col("n_users"), col("k"),
+        coalesce(col("retained"), lit(0L)).as("retained"))
+      .where(col("retained") * 2 < col("n_users"))
+      .groupBy("cohort_day")
+      .agg(min(struct(col("k").as("kk"), col("retained").as("r"))).as("hl"))
+    sizes.join(below, Seq("cohort_day"), "left")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("n_users"),
+        coalesce(col("hl.kk"), lit(-1L)).as("half_life"),
+        coalesce(col("hl.r"), lit(0L)).as("retained_at_hl"))
+      .transform(Det.emit(_, "cohort_day"))
+  }
+
+  /** q270: DAY-OVER-DAY USER TURNOVER (round 23 — the user-BASE
+    * continuity readout beside q141's rolling WAU (a volume curve)
+    * and q125's cohort triangle (anchored at first touch): the
+    * Jaccard of consecutive days' active-user SETS distinguishes a
+    * stable community from equal-sized churning traffic that the
+    * volume curve cannot tell apart): exact distinct (user, day),
+    * per-day actives, the self-join on day+1 counting users active
+    * BOTH days; Jaccard and next-day carryover one float chain each
+    * (r6e), rows emitted for observed consecutive-day pairs. Scale:
+    * the dedup and the day+1 self-join both shuffle on user_id
+    * (co-located); the day rollup is calendar-sized. */
+  private def q270(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .transform(Det.pin)
+    val perDay = ud.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val common = ud.as("a")
+      .join(ud.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.day") === date_add(col("a.day"), 1))
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("n_common"))
+    val nxt = perDay.select(date_sub(col("day"), 1).as("day"),
+      col("n_active").as("n_next"))
+    perDay.join(nxt, "day").join(common, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_next"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard", Det.r6e(col("n_common").cast("double") /
+        (col("n_active") + col("n_next") - col("n_common")).cast("double")))
+      .withColumn("carryover", Det.r6e(col("n_common").cast("double") /
+        col("n_active").cast("double")))
+      .transform(Det.emit(_, "day"))
   }
 
   /** q237: LOG-RANK test between two retention cohorts (round 19 —
@@ -2095,6 +2224,119 @@ object EventTimeQueries {
           FROM rs LEFT JOIN sf USING (src)
           LEFT JOIN tp ON tp.src = rs.src AND tp.rk = 1
           ORDER BY rs.src""",
+    // q268: exact (type, hr)/global counts; JSD the two-KL form with
+    // p>0 / q>0 zero-cell guards; peak hour ties lowest-first
+    "q268_hour_shape_jsd" ->
+      s"""WITH cells AS (SELECT event_type,
+                                CAST(date_part('hour', ts) AS BIGINT)
+                                  AS hr,
+                                CAST(count(1) AS BIGINT) AS c
+                         FROM events GROUP BY 1, 2),
+          gh AS (SELECT hr, CAST(sum(c) AS BIGINT) AS g
+                   FROM cells GROUP BY 1),
+          nt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                 FROM cells GROUP BY 1),
+          ng AS (SELECT CAST(sum(c) AS BIGINT) AS ntot FROM cells),
+          frame AS (SELECT nt.event_type, gh.hr, nt.n, gh.g,
+                           CAST(coalesce(cells.c, 0) AS BIGINT) AS c
+                    FROM nt CROSS JOIN gh
+                    LEFT JOIN cells ON cells.event_type = nt.event_type
+                                   AND cells.hr = gh.hr),
+          jsd AS (SELECT event_type,
+                         sum(CASE WHEN c > 0 THEN
+                               (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                               * ln((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                                 / ((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                                     + CAST(g AS DOUBLE)
+                                       / CAST(ntot AS DOUBLE)) / 2.0))
+                             ELSE 0.0 END) / 2.0
+                         + sum(CASE WHEN g > 0 THEN
+                               (CAST(g AS DOUBLE) / CAST(ntot AS DOUBLE))
+                               * ln((CAST(g AS DOUBLE)
+                                     / CAST(ntot AS DOUBLE))
+                                 / ((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                                     + CAST(g AS DOUBLE)
+                                       / CAST(ntot AS DOUBLE)) / 2.0))
+                             ELSE 0.0 END) / 2.0 AS jsd
+                  FROM frame CROSS JOIN ng GROUP BY event_type),
+          pk AS (SELECT event_type, hr,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY c DESC, hr ASC) AS rk
+                 FROM cells)
+          SELECT nt.event_type, nt.n AS n_events, pk.hr AS peak_hr,
+                 round(jsd.jsd + ${Det.E6}, 6) AS jsd
+          FROM nt JOIN jsd USING (event_type)
+          JOIN pk ON pk.event_type = nt.event_type AND pk.rk = 1
+          ORDER BY nt.event_type""",
+    // q269: q125's cohort build; DENSE offset spine (a missing
+    // offset IS a zero-retention day); exact 2*retained < n compare
+    "q269_retention_half_life" ->
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day
+                      FROM events),
+          mx AS (SELECT max(day) AS d1 FROM ev),
+          f AS (SELECT user_id, min(day) AS cohort_day
+                FROM ev GROUP BY user_id),
+          sz AS (SELECT cohort_day, CAST(count(1) AS BIGINT) AS n_users
+                 FROM f GROUP BY 1),
+          act AS (SELECT f.cohort_day,
+                         CAST(date_diff('day', f.cohort_day, a.day)
+                              AS BIGINT) AS k,
+                         CAST(count(1) AS BIGINT) AS retained
+                  FROM (SELECT DISTINCT user_id, day FROM ev) a
+                  JOIN f USING (user_id)
+                  WHERE a.day > f.cohort_day
+                  GROUP BY 1, 2),
+          spine AS (SELECT s.cohort_day, s.n_users,
+                           CAST(unnest(range(1,
+                             CAST(date_diff('day', s.cohort_day,
+                               (SELECT d1 FROM mx)) AS BIGINT) + 1))
+                             AS BIGINT) AS k
+                    FROM sz s
+                    WHERE date_diff('day', s.cohort_day,
+                            (SELECT d1 FROM mx)) >= 1),
+          below AS (SELECT sp.cohort_day,
+                           min(sp.k) AS kk
+                    FROM spine sp LEFT JOIN act
+                      ON act.cohort_day = sp.cohort_day
+                     AND act.k = sp.k
+                    WHERE coalesce(act.retained, 0) * 2 < sp.n_users
+                    GROUP BY 1),
+          hl AS (SELECT b.cohort_day, b.kk,
+                        CAST(coalesce(act.retained, 0) AS BIGINT) AS r
+                 FROM below b LEFT JOIN act
+                   ON act.cohort_day = b.cohort_day AND act.k = b.kk)
+          SELECT strftime(sz.cohort_day, '%Y-%m-%d') AS cohort_day,
+                 sz.n_users,
+                 CAST(coalesce(hl.kk, -1) AS BIGINT) AS half_life,
+                 CAST(coalesce(hl.r, 0) AS BIGINT) AS retained_at_hl
+          FROM sz LEFT JOIN hl USING (cohort_day)
+          ORDER BY cohort_day""",
+    // q270: exact distinct (user, day); day+1 self-join for the
+    // common count; Jaccard/carryover one float chain each
+    "q270_user_turnover" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                      FROM events),
+          pd AS (SELECT day, CAST(count(1) AS BIGINT) AS n_active
+                 FROM ud GROUP BY 1),
+          cm AS (SELECT a.day, CAST(count(1) AS BIGINT) AS n_common
+                 FROM ud a JOIN ud b
+                   ON b.user_id = a.user_id
+                  AND b.day = a.day + 1
+                 GROUP BY 1),
+          nx AS (SELECT day - 1 AS day,
+                        n_active AS n_next FROM pd)
+          SELECT strftime(pd.day, '%Y-%m-%d') AS day,
+                 pd.n_active, nx.n_next,
+                 CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+                 round(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+                       / CAST(pd.n_active + nx.n_next
+                              - coalesce(cm.n_common, 0) AS DOUBLE)
+                       + ${Det.E6}, 6) AS jaccard,
+                 round(CAST(coalesce(cm.n_common, 0) AS DOUBLE)
+                       / CAST(pd.n_active AS DOUBLE)
+                       + ${Det.E6}, 6) AS carryover
+          FROM pd JOIN nx USING (day) LEFT JOIN cm USING (day)
+          ORDER BY pd.day""",
     // q263: lower-median reference, tie days dropped, runs via one
     // lag; R/n1/n2 exact longs, z one float chain (r6e)
     "q263_runs_test" ->
