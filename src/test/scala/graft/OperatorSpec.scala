@@ -19,6 +19,23 @@ class OperatorSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  /** Backdate an entire subtree, not just the top dir: strand
+    * liveness is SUBTREE-DEEP since round 15 (Snapshot.newestMtimeMs
+    * reads the deepest child, so a crash sim whose parquet files are
+    * fresh still reads as live — only a whole-tree-old strand is a
+    * genuinely dead one). */
+  private def backdateTree(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      ageMs: Long = 10L * 60L * 1000L): Unit = {
+    val t = System.currentTimeMillis() - ageMs
+    def walk(q: org.apache.hadoop.fs.Path): Unit = {
+      if (fs.getFileStatus(q).isDirectory)
+        fs.listStatus(q).foreach(s => walk(s.getPath))
+      fs.setTimes(q, t, -1L)
+    }
+    walk(p)
+  }
+
   test("t1 smoke: flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -1791,8 +1808,9 @@ class OperatorSpec extends AnyFunSuite {
     df((99L, "junk", 99L, false)).write.parquet(strand1.toString)
     // the crash is OLD (round 14: strand reclamation is age-gated so
     // a LIVE concurrent writer's staging is never swept — a real
-    // crash strand has a stale mtime, which this simulates)
-    fs.setTimes(strand1, System.currentTimeMillis() - 10L * 60L * 1000L, -1)
+    // crash strand has a stale mtime; round 15: the age is
+    // SUBTREE-DEEP, so the whole tree must read old)
+    backdateTree(fs, strand1)
     assert(state == Set((1L, "a2", 2L), (3L, "c", 2L)),
       "a hidden stage strand leaked into readers")
     merge(df((4L, "d", 3L, false)))
@@ -1860,8 +1878,7 @@ class OperatorSpec extends AnyFunSuite {
     // grace window: fresh above-current staging may be a LIVE
     // concurrent writer's, round 14), never published
     df((8L, "y", 8L, false)).write.parquet(s"$dir/_cdf_v${cur + 7}")
-    fs.setTimes(new Path(s"$dir/_cdf_v${cur + 7}"),
-      System.currentTimeMillis() - 10L * 60L * 1000L, -1L)
+    backdateTree(fs, new Path(s"$dir/_cdf_v${cur + 7}"))
     merge(df((5L, "e", 4L, false)))
     assert(!feed.exists(r => r._2 == 8L), "stale feed from an uncommitted merge leaked")
     assert(graft.sources.Lake.readStore(spark, dir)
@@ -1870,6 +1887,10 @@ class OperatorSpec extends AnyFunSuite {
     // ADVICE): if it left the strand behind, a LATER changeDir call
     // would see k ≤ current and publish the stale diff
     df((7L, "w", 7L, false)).write.parquet(s"$dir/_cdf_v$cur")
+    // round 15: the feed-off (None, Some(c)) arm waits the claim
+    // grace before reclaiming a committed strand (the owner may be
+    // between commit and publish) — only an AGED strand is swept
+    backdateTree(fs, new Path(s"$dir/_cdf_v$cur"))
     graft.sources.Lake.mergeInto(spark, dir, df((6L, "f", 5L, false)),
       Seq("k"), Seq("ver"), Some(col("is_delete")), changeDir = None)
     assert(!fs.listStatus(target).exists(_.getPath.getName.startsWith("_cdf_v")),
@@ -2667,8 +2688,9 @@ class OperatorSpec extends AnyFunSuite {
     upd((99L, "junk", 99L, "2024-01-02", false)).drop("ingest_date")
       .write.parquet(nightStrand.toString)
     // an OLD crash (round 14: strand sweeps are age-gated so a live
-    // concurrent writer's staging is never reclaimed)
-    fs.setTimes(nightStrand, System.currentTimeMillis() - 10L * 60L * 1000L, -1)
+    // concurrent writer's staging is never reclaimed; round 15:
+    // subtree-deep age — the whole tree must read old)
+    backdateTree(fs, nightStrand)
     val n2 = upd((3L, "c2", 2L, "2024-01-02", false),
       (4L, "d", 2L, "2024-01-02", false))
     assert(nightly(n2) == Seq("2024-01-02"))
