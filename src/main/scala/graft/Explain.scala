@@ -7,7 +7,15 @@ import org.apache.spark.sql.SparkSession
   * discipline requires (SURVEY §4): check exchanges, reuse, pushdown,
   * codegen spans after every operator change.
   *
-  * Usage: graft.Explain <queryKey> [run|plan] [sfDir]
+  * Usage: graft.Explain <queryKey> [run|plan|fmt] [sfDir] [outFile]
+  *
+  * `fmt` materializes through noop (so AQE finalizes), then prints the
+  * FORMATTED plan (`explain("formatted")` — numbered operators, pushed
+  * filters, read schema, exchange partitioning); with a 4th arg the
+  * formatted text is also written to that file (the plans/rNN/
+  * before/after artifact the optimization rounds commit). Multiple
+  * comma-separated keys are accepted in fmt mode; outFile then gets
+  * `_<key>` inserted per key.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -24,6 +32,26 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (mode == "fmt") {
+      val out = if (args.length > 3) Some(args(3)) else None
+      key.split(",").map(_.trim).filter(_.nonEmpty).foreach { k =>
+        val df = SparkEntry.queries(k)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        println(s"=== $k ===")
+        println(txt)
+        out.foreach { o =>
+          val p = if (key.contains(",")) {
+            val dot = o.lastIndexOf('.')
+            if (dot > 0) o.substring(0, dot) + "_" + k + o.substring(dot)
+            else o + "_" + k
+          } else o
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(p), txt)
+        }
+      }
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(key)(spark, sfDir)
     if (mode == "run") {
       // materialize so AQE finalizes the plan (ReusedExchange,

@@ -92,6 +92,22 @@ object PageRank {
       aqePrev.fold(sess.conf.unset(AqeKey))(sess.conf.set(AqeKey, _))
   }
 
+  /** Node-count ceiling under which the per-iteration rank frame is
+    * attached to the edge table by BROADCAST hash join instead of a
+    * shuffle join (conf `spark.graft.pagerank.broadcastMaxNodes`).
+    * The rank frame is one (long, double) row per node — ~2M nodes
+    * frame to a few tens of MB, far inside broadcast comfort — and
+    * the checkpoint-truncated frame carries NO size statistics, so
+    * without the explicit hint the planner sort-merge-joins every
+    * iteration: the EDGE table (the big side) gets shuffled and
+    * sorted twice per iteration for nothing (guide §3.1 — estimates
+    * are wrong after checkpoints, hint explicitly). Past the ceiling
+    * (billions of nodes at 100 TB) the iterations keep the shuffle
+    * join — the decision is a driver scalar read off the node count
+    * the initialization computes anyway. */
+  val BroadcastMaxNodesKey = "spark.graft.pagerank.broadcastMaxNodes"
+  private val BroadcastMaxNodesDefault = 2000000L
+
   private def runIterations(edges: DataFrame, iters: Int, damping: Double,
       persistEdges: Boolean, checkpointDir: Option[String]): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -101,26 +117,33 @@ object PageRank {
     if (pinnedEdges)
       edgesD.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edgesD.select(col("src").as("node")).distinct()
-    val n1 = nodes.agg(count(lit(1)).cast("double").as("n"))
-    // ranks carries the broadcast n along so each iteration reuses it
-    // without a fresh cross join
-    var ranks = nodes.crossJoin(broadcast(n1))
-      .select(col("node"), (lit(1.0) / col("n")).as("r"), col("n"))
+    // One bounded driver scalar (the AQE-style decision dupClusters'
+    // fixpoint probe set the precedent for): it feeds r0 = 1/N and the
+    // (1-d)/N offset as LITERALS — the same IEEE divisions the in-plan
+    // broadcast column produced, now folded once on the driver — and
+    // decides the broadcast-vs-shuffle iteration join below. Dropping
+    // the carried `n` column also narrows the checkpointed frame.
+    val nVal = nodes.count().toDouble
+    val bcastRanks = nVal <= edges.sparkSession.conf
+      .getOption(BroadcastMaxNodesKey).map(_.toLong)
+      .getOrElse(BroadcastMaxNodesDefault).toDouble
+    var ranks = nodes.select(col("node"), lit(1.0 / nVal).as("r"))
     // the round-(i-1) checkpoint frame, released once round i's
     // checkpoint has materialized (the leak fix dupClusters got in
     // round 13 — Dataset.unpersist is a no-op on checkpointed frames)
     var pinned: Option[DataFrame] = None
     for (i <- 1 to iters) {
+      val rs = ranks.select(col("node").as("src"), col("r"))
       val contrib = edgesD
-        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .join(if (bcastRanks) broadcast(rs) else rs, "src")
         .select(col("dst"), (col("r") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("contrib"))
-      ranks = ranks.select(col("node"), col("n"))
-        .join(contrib.select(col("dst").as("node"), col("contrib")), Seq("node"), "left")
+      val cn = contrib.select(col("dst").as("node"), col("contrib"))
+      ranks = ranks.select(col("node"))
+        .join(if (bcastRanks) broadcast(cn) else cn, Seq("node"), "left")
         .select(col("node"),
-          ((lit(1.0) - damping) / col("n") +
-            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"),
-          col("n"))
+          (lit((1.0 - damping) / nVal) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("r"))
       // Truncate lineage between iterations (GraphX checkpoints the
       // same way): without this, iteration k's plan nests k copies of
       // the join–agg subtree and planning/AQE/codegen cost grows

@@ -281,13 +281,17 @@ object TextDedup {
       val t0 = System.nanoTime()
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("cluster").as("nl"))
+      // the changed-this-round flag rides INSIDE the checkpointed frame
+      // (round 15): the convergence probe then scans the already
+      // materialized blocks instead of re-joining next against the old
+      // labels — one label-keyed shuffle join fewer per round, and the
+      // probe job is a checkpoint-local filter with zero exchanges
       val next = Checkpoints.truncate(
         labels.join(prop, Seq("id"), "left")
           .select(col("id"),
-            least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster")))
-      converged = next.join(
-          labels.withColumnRenamed("cluster", "old"), "id")
-        .where(col("cluster") =!= col("old")).isEmpty
+            least(col("cluster"), coalesce(col("nl"), col("cluster"))).as("cluster"),
+            (col("nl") < col("cluster")).as("__chg")))
+      converged = next.where(col("__chg")).isEmpty
       // drop the SUPERSEDED round's pinned blocks: truncate is eager,
       // so `next` holds no reference to the old lineage, and the
       // convergence check above was the old frame's last read. Without
@@ -299,7 +303,7 @@ object TextDedup {
       // is a silent no-op for checkpointed frames — Checkpoints.release
       // reaches the pinned RDD itself.
       Checkpoints.release(labels)
-      labels = next
+      labels = next.select("id", "cluster")
       i += 1
       onRound(i, (System.nanoTime() - t0) / 1000000L)
     }

@@ -1822,20 +1822,33 @@ object MiningQueries {
     * (lang, word) stream — so the hash-match proves train+apply
     * compose identically in both engines. */
   private def q195(s: SparkSession, d: String): DataFrame = {
-    val words = Det.pin(docs(s, d)
-      .select(explode(expr(TOKS)).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt")))
+    // ONE corpus tokenize pass (round 15): the (lang, word) occurrence
+    // counts pin, and both the trainer's global word-count frame and
+    // the fertility statistics derive from that vocab-scale frame.
+    // Previously the corpus was tokenized and exploded TWICE and the
+    // learned 6-layer merge expression was evaluated per token
+    // OCCURRENCE; now it evaluates once per DISTINCT word (the
+    // q109/q111 vocabulary-join discipline — BPE statistics are
+    // occurrence-invariant, see BpeTrain's scaladoc) and the second
+    // corpus pass disappears entirely. Integer-exact: n_words = Σ lcnt,
+    // n_chars = Σ len(w)·lcnt, n_pieces = Σ pieces(w)·lcnt are the
+    // same sums the per-occurrence form computed, in long arithmetic.
+    val lw = Det.pin(docs(s, d)
+      .select(col("lang"), explode(expr(TOKS)).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("lcnt")))
+    val words = Det.pin(lw.groupBy("w").agg(sum("lcnt").as("cnt")))
     val ms = graft.operators.BpeTrain.learnMerges(words, "w", "cnt",
       rounds = Q190_ROUNDS)
     val merged = graft.operators.BpeTrain.mergeExpr("split(w, '')",
       ms.map(m => (m.lhs, m.rhs)))
-    docs(s, d)
-      .select(col("lang"), explode(expr(TOKS)).as("w"))
-      .select(col("lang"), length(col("w")).cast("long").as("nc"),
-        expr(s"size($merged)").cast("long").as("ns"))
+    val wstats = words.select(col("w"),
+      length(col("w")).cast("long").as("nc"),
+      expr(s"size($merged)").cast("long").as("ns"))
+    lw.join(wstats, "w")
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_words"), sum("nc").as("n_chars"),
-        sum("ns").as("n_pieces"))
+      .agg(sum("lcnt").as("n_words"),
+        sum(col("nc") * col("lcnt")).as("n_chars"),
+        sum(col("ns") * col("lcnt")).as("n_pieces"))
       .select(col("lang"), col("n_words"), col("n_chars"), col("n_pieces"),
         (col("n_pieces").cast("double") / col("n_words")).as("fertility"),
         (col("n_pieces").cast("double") / col("n_chars")).as("pieces_per_char"))
