@@ -471,28 +471,46 @@ object Lake {
     //   published after the pointer commit.
     changeDir.foreach { cd =>
       val newT = spark.read.parquet(staged.toString)
-      val ordOf = (df: DataFrame) =>
-        struct(orderCols.map(col): _*)
-      val curK = current match {
-        case Some(c) => c.select(keyCols.map(col) :+ ordOf(c).as("__ord_old"): _*)
-        case None => newT.select(keyCols.map(col) :+ ordOf(newT).as("__ord_old"): _*)
-          .limit(0)
+      // ONE full-outer join computes the whole diff (round 15): both
+      // sides pack their full row into a struct beside the join keys,
+      // so old/new presence, the order-column comparison, AND both
+      // images all read off the single joined frame — previously the
+      // key-level diff joined back against the old snapshot and the
+      // staged result once more per image (three key-keyed shuffles of
+      // the full tables per merge in pre-image mode; one extra in
+      // post-only mode). Row set and columns are identical: absence of
+      // a full-outer side is a NULL struct (same test the key-level
+      // __ord_old/new nulls performed), the order comparison is the
+      // same null-safe <=> on the same values, and the per-op
+      // projections emit the same image columns per op kind.
+      val newS = newT.select(keyCols.map(col) :+
+        struct(newT.columns.map(col): _*).as("__post"): _*)
+      val curS = current match {
+        case Some(c) => c.select(keyCols.map(col) :+
+          struct(c.columns.map(col): _*).as("__pre"): _*)
+        case None => newS.select(keyCols.map(col) :+
+          col("__post").as("__pre"): _*).limit(0)
       }
-      val newK = newT.select(keyCols.map(col) :+ ordOf(newT).as("__ord_new"): _*)
-      val ops = curK.join(newK, keyCols, "full_outer")
+      val curCols = current.fold(newT.columns)(_.columns)
+      val ordOld = struct(orderCols.map(c => col(s"__pre.`$c`")): _*)
+      val ordNew = struct(orderCols.map(c => col(s"__post.`$c`")): _*)
+      val j = curS.join(newS, keyCols, "full_outer")
         .withColumn("_op",
-          when(col("__ord_old").isNull, "insert")
-            .when(col("__ord_new").isNull, "delete")
+          when(col("__pre").isNull, "insert")
+            .when(col("__post").isNull, "delete")
             // null-safe: a NULL in any orderCols value would make =!=
             // evaluate to NULL and silently DROP the changed row from
             // the feed (the merge itself still applies it) — round-7
             // ADVICE; <=> never returns NULL
-            .when(!(col("__ord_old") <=> col("__ord_new")), "update"))
+            .when(!(ordOld <=> ordNew), "update"))
         .where(col("_op").isNotNull)
-        .select(keyCols.map(col) :+ col("_op"): _*)
-      // the diff plan (two joins over the old store) feeds both the
-      // emptiness probe and the write — one computation, not two
-      val changes = (if (!cdfPreImages) ops.join(newT, keyCols, "left")
+      val newPayload = newT.columns.filterNot(keyCols.contains)
+        .map(c => col(s"__post.`$c`").as(c))
+      // the single joined frame feeds the emptiness probe and the
+      // write — and in pre-image mode BOTH image arms project from it
+      // (it is persisted below, so the join executes once)
+      val changes = (if (!cdfPreImages)
+        j.select(keyCols.map(col) ++ Seq(col("_op")) ++ newPayload: _*)
       else {
         // Delta-CDF-shaped feed (opt-in): updates publish BOTH images
         // (`update_preimage` from the old snapshot, `update_postimage`
@@ -501,20 +519,16 @@ object Lake {
         // an incremental aggregate consumer (examples.IncrementalView)
         // applies +post −pre per group without ever re-reading the
         // store, including when an update migrates a row across
-        // groups. Cost: one more key-keyed join against the old
-        // snapshot, only on the changed keys.
-        val post = ops.where(col("_op") =!= "delete")
-          .join(newT, keyCols, "left")
-          .withColumn("_op", when(col("_op") === "update",
-            "update_postimage").otherwise(col("_op")))
-        val pre = current match {
-          case Some(c) =>
-            ops.where(col("_op").isin("update", "delete"))
-              .join(c, keyCols, "left")
-              .withColumn("_op", when(col("_op") === "update",
-                "update_preimage").otherwise(col("_op")))
-          case None => post.limit(0) // first merge: inserts only
-        }
+        // groups.
+        val post = j.where(col("_op") =!= "delete")
+          .select(keyCols.map(col) ++ Seq(when(col("_op") === "update",
+            "update_postimage").otherwise(col("_op")).as("_op")) ++
+            newPayload: _*)
+        val pre = j.where(col("_op").isin("update", "delete"))
+          .select(keyCols.map(col) ++ Seq(when(col("_op") === "update",
+            "update_preimage").otherwise(col("_op")).as("_op")) ++
+            curCols.filterNot(keyCols.contains)
+              .map(c => col(s"__pre.`$c`").as(c)): _*)
         post.unionByName(pre, allowMissingColumns = true)
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
